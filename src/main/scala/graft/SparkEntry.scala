@@ -1,13 +1,894 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GeoFunctions
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** Driver contract: the full operator inventory of SURVEY.md §2, each
+  * re-expressed Spark-first over the driver's synthetic tables, with a
+  * DuckDB-equivalent oracle where SQL can express the semantics.
+  *
+  * Engine-parity discipline (so results hash-match the DuckDB oracle):
+  *  - every double output is `round(x, n)`;
+  *  - derived randomness comes from md5 (identical in both engines), never
+  *    from engine-specific hash functions;
+  *  - bit math is div/mod arithmetic (no shift-by-column);
+  *  - no doubles cast to strings, no raw timestamps in outputs.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  // ------------------------------------------------------------- utilities
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Synthetic lattice geometry over customer/supplier keys — gives the geo
+    * operators (SURVEY §2 J4/J5, G1-G4, F10-F13) oracle-checkable inputs on
+    * the driver's tables. Customers sit on a 97 x 89 grid with 0.002 deg
+    * spacing (~222 m lat / ~171 m lon at 40N); suppliers sit 0.0003 deg
+    * (~33 m) north of lattice points. */
+  private def custPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .withColumn("lat", lit(40.0) + (col("c_custkey") % 97).cast("double") * 0.002)
+      .withColumn("lon", lit(-75.0) +
+        pmod(floor(col("c_custkey") / 97.0), lit(89.0)) * 0.002)
+
+  // NB: e-notation literals force DOUBLE arithmetic in DuckDB (plain
+  // decimals like 0.002 become DECIMAL there, diverging from Spark doubles)
+  private val custPointsSql =
+    """SELECT *, 40e0 + (c_custkey % 97) * 2e-3 AS lat,
+      |  -75e0 + (floor(c_custkey / 97e0) % 89e0) * 2e-3 AS lon
+      |FROM customer""".stripMargin
+
+  private def suppPoints(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "supplier")
+      .withColumn("lat", lit(40.0003) + (col("s_suppkey") % 97).cast("double") * 0.002)
+      .withColumn("lon", lit(-75.0) +
+        pmod(floor(col("s_suppkey") / 97.0), lit(89.0)) * 0.002)
+
+  private val suppPointsSql =
+    """SELECT *, 4.00003e1 + (s_suppkey % 97) * 2e-3 AS lat,
+      |  -75e0 + (floor(s_suppkey / 97e0) % 89e0) * 2e-3 AS lon
+      |FROM supplier""".stripMargin
+
+  /** Haversine in DuckDB SQL, mirroring GeoFunctions.haversineM exactly. */
+  private def havSql(lat1: String, lon1: String, lat2: String, lon2: String) =
+    s"""asin(sqrt(pow(sin((radians($lat2) - radians($lat1)) / 2), 2) +
+       |  cos(radians($lat1)) * cos(radians($lat2)) *
+       |  pow(sin((radians($lon2) - radians($lon1)) / 2), 2))) * 2 * 6371000.0"""
+      .stripMargin
+
+  private case class Q(name: String,
+                       fn: (SparkSession, String) => DataFrame,
+                       oracle: Option[String])
+
+  // =================================================================
+  // §2.1 scans / sinks
+  // =================================================================
+
+  private val scanQueries = Seq(
+    // S1/S2: projection + filter pushdown reaching the scan
+    Q("s1_pushdown_scan",
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_quantity") >= 45 && col("l_shipdate").isNotNull)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity")),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_quantity >= 45 AND l_shipdate IS NOT NULL""".stripMargin)),
+
+    // S3: chunkless scan+join (Spark partitions replace manual chunking)
+    Q("s3_scan_join",
+      (s, dir) => t(s, dir, "orders").join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("revenue")),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 2) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment""".stripMargin)),
+
+    // S6/K3: CSV sink + schema-forced CSV scan roundtrip
+    Q("k3_csv_roundtrip",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_csv_rt_${new java.io.File(dir).getName}"
+        t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.option("header", "true")
+          .schema("n_nationkey INT, n_name STRING, n_regionkey INT").csv(tmp)
+          .groupBy("n_regionkey").agg(count(lit(1)).as("n_nations"),
+            min("n_name").as("first_nation"))
+      },
+      Some("""SELECT n_regionkey, count(*) AS n_nations,
+             |  min(n_name) AS first_nation FROM nation GROUP BY n_regionkey"""
+        .stripMargin)),
+
+    // S9/K4: JSONL sink + scan roundtrip
+    Q("k4_jsonl_roundtrip",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_json_rt_${new java.io.File(dir).getName}"
+        t(s, dir, "region").write.mode("overwrite").json(tmp)
+        s.read.json(tmp).groupBy().agg(count(lit(1)).as("n_regions"),
+          min("r_name").as("first_region"))
+      },
+      Some("SELECT count(*) AS n_regions, min(r_name) AS first_region FROM region")),
+
+    // K5/A11: nested-doc export — capped per-group sub-arrays rendered as a
+    // deterministic JSON string (manual concat: byte-identical cross-engine)
+    Q("k5_nested_doc",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = t(s, dir, "nation")
+        val top = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .withColumn("rn", row_number().over(Window.partitionBy("n_name")
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc)))
+          .where(col("rn") <= 3)
+        top.groupBy("n_name")
+          .agg(concat(lit("{\"nation\":\""), col("n_name"),
+            lit("\",\"top\":[\""),
+            array_join(transform(
+              array_sort(collect_list(struct(col("rn"), col("c_name")))),
+              x => x.getField("c_name")), "\",\""),
+            lit("\"]}")).as("doc"))
+          .select("n_name", "doc")
+      },
+      Some("""WITH ranked AS (
+             |  SELECT n_name, c_name, row_number() OVER (
+             |    PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |SELECT n_name, '{"nation":"' || n_name || '","top":["' ||
+             |  string_agg(c_name, '","' ORDER BY rn) || '"]}' AS doc
+             |FROM ranked WHERE rn <= 3 GROUP BY n_name""".stripMargin))
+  )
+
+  // =================================================================
+  // §2.2 projections / filters
+  // =================================================================
+
+  private val filterQueries = Seq(
+    Q("p1_project_rename",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey").as("part_id"), col("p_name").as("part_name"),
+          round(col("p_retailprice") * 1.1, 2).as("marked_up")),
+      Some("""SELECT p_partkey AS part_id, p_name AS part_name,
+             |  round(p_retailprice * 1.1, 2) AS marked_up FROM part""".stripMargin)),
+
+    Q("p2_null_drop",
+      (s, dir) => t(s, dir, "events")
+        .na.drop(Seq("user_id", "value"))
+        .where(col("value") > 50)
+        .select("event_id", "user_id", "event_type"),
+      Some("""SELECT event_id, user_id, event_type FROM events
+             |WHERE user_id IS NOT NULL AND value IS NOT NULL AND value > 50"""
+        .stripMargin)),
+
+    Q("p3_nonempty_text",
+      (s, dir) => t(s, dir, "documents")
+        .where(col("text").isNotNull && trim(col("text")) =!= "" &&
+          col("n_chars") >= 300)
+        .select("doc_id", "lang", "n_chars"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE text IS NOT NULL AND trim(text) <> '' AND n_chars >= 300"""
+        .stripMargin)),
+
+    Q("p4_semi_join",
+      (s, dir) => t(s, dir, "customer").join(
+          t(s, dir, "orders").where(col("o_totalprice") > 400),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer WHERE c_custkey IN
+             |  (SELECT o_custkey FROM orders WHERE o_totalprice > 400)"""
+        .stripMargin)),
+
+    // P5/P6: per-key bbox containment + distance guard on lattice points
+    Q("p5_bbox_filter",
+      (s, dir) => custPoints(s, dir)
+        .where(GeoFunctions.bboxContains(col("lat"), col("lon"),
+          lit(40.02), lit(-74.99), lit(40.06), lit(-74.97)))
+        .select("c_custkey", "lat", "lon"),
+      Some(s"""SELECT c_custkey, lat, lon FROM ($custPointsSql)
+              |WHERE lat >= 40.02 AND lat <= 40.06
+              |  AND lon >= -74.99 AND lon <= -74.97""".stripMargin)),
+
+    Q("p6_distance_guard",
+      (s, dir) => custPoints(s, dir)
+        .withColumn("meters", GeoFunctions.haversineM(col("lat"), col("lon"),
+          lit(40.05), lit(-74.95)))
+        .where(col("meters") <= 5000.0)
+        .select(col("c_custkey"), round(col("meters"), 2).as("meters")),
+      Some(s"""SELECT c_custkey,
+              |  round(${havSql("lat", "lon", "40.05", "-74.95")}, 2) AS meters
+              |FROM ($custPointsSql)
+              |WHERE ${havSql("lat", "lon", "40.05", "-74.95")} <= 5000.0"""
+        .stripMargin)),
+
+    Q("p8_source_filter",
+      (s, dir) => t(s, dir, "documents").where(col("source") === "src1")
+        .select("doc_id", "source", "lang"),
+      Some("SELECT doc_id, source, lang FROM documents WHERE source = 'src1'")),
+
+    // P9/F3: slug sanitization as pure column expr
+    Q("p9_slug_project",
+      (s, dir) => t(s, dir, "part")
+        .select(col("p_partkey"),
+          regexp_replace(regexp_replace(lower(col("p_name")), "[^a-z0-9]+", "-"),
+            "^-+|-+$", "").as("slug")),
+      Some("""SELECT p_partkey, regexp_replace(regexp_replace(lower(p_name),
+             |  '[^a-z0-9]+', '-', 'g'), '^-+|-+$', '', 'g') AS slug FROM part"""
+        .stripMargin))
+  )
+
+  // =================================================================
+  // §2.3 joins
+  // =================================================================
+
+  private val joinQueries = Seq(
+    Q("j1_inner_join",
+      (s, dir) => t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .where(col("o_orderstatus") === "F")
+        .select("o_orderkey", "c_name", "o_totalprice"),
+      Some("""SELECT o_orderkey, c_name, o_totalprice
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE o_orderstatus = 'F'""".stripMargin)),
+
+    Q("j2_left_join",
+      (s, dir) => t(s, dir, "lineitem").where(col("l_orderkey") % 100 === 0)
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"), "left")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(col("p_name"), lit("unknown")).as("part_name")),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  coalesce(p_name, 'unknown') AS part_name
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |WHERE l_orderkey % 100 = 0""".stripMargin)),
+
+    // J3: broadcast dimension join (explicit broadcast hint)
+    Q("j3_broadcast_dim",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 4).as("avg_bal")),
+      Some("""SELECT r_name, count(*) AS n_customers,
+             |  round(avg(c_acctbal), 4) AS avg_bal
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"""
+        .stripMargin)),
+
+    // J4: grid-blocked spatial self-join (the ER candidate join)
+    Q("j4_grid_selfjoin",
+      (s, dir) => SpatialJoins.gridSelfJoin(
+          custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+        .select(col("a_id"), col("b_id"), round(col("meters"), 2).as("meters")),
+      Some(s"""WITH pts AS ($custPointsSql)
+              |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+              |  round(${havSql("a.lat", "a.lon", "b.lat", "b.lon")}, 2) AS meters
+              |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0"""
+        .stripMargin)),
+
+    // J5: nearest-neighbor join with threshold (k=1)
+    Q("j5_nearest_join",
+      (s, dir) => {
+        val l = custPoints(s, dir)
+          .withColumn("blk", pmod(floor(col("c_custkey") / 97.0), lit(89.0)))
+        val r = suppPoints(s, dir)
+          .withColumn("blk", pmod(floor(col("s_suppkey") / 97.0), lit(89.0)))
+        SpatialJoins.nearestJoin(l, r, "c_custkey", "s_suppkey",
+            thresholdM = 100.0, blockKeys = Seq("blk"))
+          .select(col("c_custkey"), col("s_suppkey"),
+            round(col("meters"), 2).as("meters"))
+      },
+      Some(s"""WITH l AS (SELECT *, floor(c_custkey / 97.0) % 89 AS blk
+              |            FROM ($custPointsSql)),
+              |r AS (SELECT *, floor(s_suppkey / 97.0) % 89 AS blk
+              |      FROM ($suppPointsSql)),
+              |cand AS (
+              |  SELECT c_custkey, s_suppkey,
+              |    ${havSql("l.lat", "l.lon", "r.lat", "r.lon")} AS m,
+              |    row_number() OVER (PARTITION BY c_custkey
+              |      ORDER BY ${havSql("l.lat", "l.lon", "r.lat", "r.lon")} ASC,
+              |        s_suppkey ASC) AS rn
+              |  FROM l JOIN r ON l.blk = r.blk
+              |  WHERE ${havSql("l.lat", "l.lon", "r.lat", "r.lon")} <= 100.0)
+              |SELECT c_custkey, s_suppkey, round(m, 2) AS meters
+              |FROM cand WHERE rn = 1""".stripMargin)),
+
+    // J6: fuzzy name join — best >=threshold name match within a block
+    Q("j6_fuzzy_name_join",
+      (s, dir) => {
+        val p = t(s, dir, "part")
+        val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          col("p_type").as("blk"))
+        val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+          col("p_type").as("blk"))
+        val scored = a.join(b, Seq("blk")).where(col("a_key") =!= col("b_key"))
+          .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
+          .where(col("sim") >= 0.5)
+        val w = Window.partitionBy("a_key")
+          .orderBy(col("sim").desc, col("b_key").asc)
+        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("a_key"), col("b_key"), round(col("sim"), 4).as("sim"))
+      },
+      Some("""WITH cand AS (
+             |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+             |    1.0 - levenshtein(a.p_name, b.p_name) /
+             |      greatest(length(a.p_name), length(b.p_name)) AS sim
+             |  FROM part a JOIN part b ON a.p_type = b.p_type
+             |    AND a.p_partkey <> b.p_partkey),
+             |ranked AS (
+             |  SELECT *, row_number() OVER (PARTITION BY a_key
+             |    ORDER BY sim DESC, b_key ASC) AS rn
+             |  FROM cand WHERE sim >= 0.5)
+             |SELECT a_key, b_key, round(sim, 4) AS sim FROM ranked WHERE rn = 1"""
+        .stripMargin)),
+
+    Q("j9_anti_join",
+      (s, dir) => t(s, dir, "customer").join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name"),
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+             |                        WHERE o_custkey IS NOT NULL)""".stripMargin)),
+
+    // J11: multi-hop chain join (graph-pattern shape)
+    Q("j11_multihop",
+      (s, dir) => t(s, dir, "region")
+        .join(t(s, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+        .join(t(s, dir, "supplier"), col("n_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "lineitem"), col("s_suppkey") === col("l_suppkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue")),
+      Some("""SELECT r_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+             |  AS revenue
+             |FROM region JOIN nation ON r_regionkey = n_regionkey
+             |JOIN supplier ON n_nationkey = s_nationkey
+             |JOIN lineitem ON s_suppkey = l_suppkey
+             |GROUP BY r_name""".stripMargin))
+  )
+
+  // =================================================================
+  // §2.4 aggregations  +  §2.9 windows
+  // =================================================================
+
+  private val aggQueries = Seq(
+    Q("a1_count_by_key",
+      (s, dir) => t(s, dir, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             |  round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("a2_count_mean",
+      (s, dir) => t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(avg("o_totalprice"), 4).as("avg_price")),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  round(avg(o_totalprice), 4) AS avg_price
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // A3: collect-list per key (rendered as deterministic sorted string)
+    Q("a3_collect_per_key",
+      (s, dir) => t(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(slice(array_sort(collect_list(col("doc_id"))), 1, 5),
+            x => x.cast("string")), ",").as("first_ids")),
+      Some("""WITH ranked AS (SELECT source, doc_id, row_number() OVER (
+             |  PARTITION BY source ORDER BY doc_id) AS rn FROM documents)
+             |SELECT source, count(*) AS n_docs,
+             |  string_agg(CASE WHEN rn <= 5 THEN CAST(doc_id AS VARCHAR) END,
+             |    ',' ORDER BY doc_id) AS first_ids
+             |FROM ranked GROUP BY source""".stripMargin)),
+
+    // A4: argmax-by-length canonical pick (max_by semantics w/ tiebreak)
+    Q("a4_argmax_pick",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_name").asc)
+        t(s, dir, "customer").withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_name").as("top_customer"),
+            col("c_acctbal").as("top_bal"))
+      },
+      Some("""WITH ranked AS (SELECT *, row_number() OVER (
+             |  PARTITION BY c_nationkey
+             |  ORDER BY c_acctbal DESC, c_name ASC) AS rn FROM customer)
+             |SELECT c_nationkey, c_name AS top_customer, c_acctbal AS top_bal
+             |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    Q("a5_dedupe_by_key",
+      (s, dir) => t(s, dir, "documents").select("source", "lang")
+        .dropDuplicates("source", "lang"),
+      Some("SELECT DISTINCT source, lang FROM documents")),
+
+    Q("a6_distinct_count",
+      (s, dir) => t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(countDistinct("o_custkey").as("n_customers")),
+      Some("""SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // A7: per-group z-score via window avg/stddev_samp with sigma=0 guard
+    Q("a7_zscore",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+        val mu = avg("c_acctbal").over(w)
+        val sigma = stddev_samp(col("c_acctbal")).over(w)
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"),
+            (round(when(sigma === 0 || sigma.isNull, 0.0)
+              .otherwise((col("c_acctbal") - mu) / sigma), 4) + 0.0).as("z"))
+      },
+      Some("""SELECT c_custkey, c_nationkey,
+             |  round(CASE WHEN stddev_samp(c_acctbal) OVER w = 0
+             |    OR stddev_samp(c_acctbal) OVER w IS NULL THEN 0.0
+             |    ELSE (c_acctbal - avg(c_acctbal) OVER w) /
+             |      stddev_samp(c_acctbal) OVER w END, 4) + 0e0 AS z
+             |FROM customer WINDOW w AS (PARTITION BY c_nationkey)""".stripMargin)),
+
+    // A8+G7: blended z-score + popularity flag
+    Q("a8_blended_zscore",
+      (s, dir) => {
+        val oc = t(s, dir, "orders").groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        val c = t(s, dir, "customer").join(oc,
+            col("c_custkey") === col("o_custkey"), "left")
+          .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+        val w = Window.partitionBy("c_nationkey")
+        def z(c0: Column): Column = {
+          val mu = avg(c0).over(w)
+          val sd = stddev_samp(c0).over(w)
+          when(sd === 0 || sd.isNull, 0.0).otherwise((c0 - mu) / sd)
+        }
+        c.withColumn("blend",
+            round(z(col("c_acctbal")) * 0.6 + z(col("n_orders").cast("double")) * 0.4, 4) + 0.0)
+          .withColumn("flag", when(col("blend") >= 1.0, "high")
+            .when(col("blend") >= 0.0, "medium").otherwise("low"))
+          .select("c_custkey", "blend", "flag")
+      },
+      Some("""WITH oc AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+             |            GROUP BY o_custkey),
+             |c AS (SELECT c_custkey, c_nationkey, c_acctbal,
+             |        coalesce(n_orders, 0) AS n_orders
+             |      FROM customer LEFT JOIN oc ON c_custkey = o_custkey),
+             |z AS (SELECT c_custkey,
+             |  CASE WHEN stddev_samp(c_acctbal) OVER w = 0
+             |    OR stddev_samp(c_acctbal) OVER w IS NULL THEN 0.0
+             |    ELSE (c_acctbal - avg(c_acctbal) OVER w) /
+             |      stddev_samp(c_acctbal) OVER w END AS z_bal,
+             |  CASE WHEN stddev_samp(CAST(n_orders AS DOUBLE)) OVER w = 0
+             |    OR stddev_samp(CAST(n_orders AS DOUBLE)) OVER w IS NULL THEN 0.0
+             |    ELSE (CAST(n_orders AS DOUBLE) -
+             |      avg(CAST(n_orders AS DOUBLE)) OVER w) /
+             |      stddev_samp(CAST(n_orders AS DOUBLE)) OVER w END AS z_ord
+             |  FROM c WINDOW w AS (PARTITION BY c_nationkey))
+             |SELECT c_custkey, round(z_bal * 0.6 + z_ord * 0.4, 4) + 0e0 AS blend,
+             |  CASE WHEN round(z_bal * 0.6 + z_ord * 0.4, 4) + 0e0 >= 1.0 THEN 'high'
+             |    WHEN round(z_bal * 0.6 + z_ord * 0.4, 4) + 0e0 >= 0.0 THEN 'medium'
+             |    ELSE 'low' END AS flag
+             |FROM z""".stripMargin)),
+
+    Q("a9_conditional_count",
+      (s, dir) => t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(count(when(col("o_orderstatus") === "F", 1)).as("n_f"),
+          count(when(col("o_totalprice") > 300, 1)).as("n_big")),
+      Some("""SELECT o_orderpriority,
+             |  count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+             |  count(CASE WHEN o_totalprice > 300 THEN 1 END) AS n_big
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // A10: priority-cascaded aggregate with coalesce
+    Q("a10_priority_cascade",
+      (s, dir) => t(s, dir, "customer").groupBy("c_nationkey")
+        .agg(round(coalesce(
+          avg(when(col("c_mktsegment") === "BUILDING", col("c_acctbal"))),
+          avg(when(col("c_mktsegment") === "AUTOMOBILE", col("c_acctbal"))),
+          avg(col("c_acctbal"))), 4).as("rep_bal")),
+      Some("""SELECT c_nationkey, round(coalesce(
+             |  avg(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END),
+             |  avg(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END),
+             |  avg(c_acctbal)), 4) AS rep_bal
+             |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // A12: frequency count with threshold + ordering
+    Q("a12_freq_threshold",
+      (s, dir) => t(s, dir, "events").groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n")).where(col("n") >= 5),
+      Some("""SELECT user_id, event_type, count(*) AS n FROM events
+             |GROUP BY user_id, event_type HAVING count(*) >= 5""".stripMargin)),
+
+    // A13: global sanity counts (one row)
+    Q("a13_global_counts",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").agg(count(lit(1)).as("n_lineitem"))
+        val o = t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+        val d = t(s, dir, "documents").agg(count(lit(1)).as("n_documents"))
+        li.crossJoin(o).crossJoin(d)
+      },
+      Some("""SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
+             |  (SELECT count(*) FROM orders) AS n_orders,
+             |  (SELECT count(*) FROM documents) AS n_documents""".stripMargin))
+  )
+
+  // =================================================================
+  // §2.6 sorts / top-k  +  §2.7 set ops
+  // =================================================================
+
+  private val sortSetQueries = Seq(
+    Q("t1_multikey_sort",
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_orderkey") <= 200)
+        .orderBy(col("l_returnflag").asc, col("l_quantity").desc,
+          col("l_orderkey").asc, col("l_linenumber").asc)
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+             |FROM lineitem WHERE l_orderkey <= 200
+             |ORDER BY l_returnflag ASC, l_quantity DESC, l_orderkey ASC,
+             |  l_linenumber ASC LIMIT 100""".stripMargin)),
+
+    Q("t2_topn",
+      (s, dir) => t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name").agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("n_customers").desc, col("n_name").asc)
+        .limit(15),
+      Some("""SELECT n_name, count(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_customers DESC, n_name ASC LIMIT 15"""
+        .stripMargin)),
+
+    // T4: argmin via min_by-with-tiebreak
+    Q("t4_argmin_pick",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+        t(s, dir, "customer").withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("c_nationkey"), col("c_custkey").as("poorest"),
+            col("c_acctbal").as("min_bal"))
+      },
+      Some("""WITH ranked AS (SELECT *, row_number() OVER (
+             |  PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+             |  AS rn FROM customer)
+             |SELECT c_nationkey, c_custkey AS poorest, c_acctbal AS min_bal
+             |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // U1: union by name with a missing column filled
+    Q("u1_union_by_name",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_name").as("name"), col("c_acctbal").as("bal"),
+            lit("customer").as("src"))
+        val sup = t(s, dir, "supplier")
+          .select(col("s_name").as("name"), col("s_acctbal").as("bal"),
+            lit("supplier").as("src"))
+        c.unionByName(sup).groupBy("src")
+          .agg(count(lit(1)).as("n"), round(sum("bal"), 2).as("total_bal"))
+      },
+      Some("""SELECT src, count(*) AS n, round(sum(bal), 2) AS total_bal FROM (
+             |  SELECT c_name AS name, c_acctbal AS bal, 'customer' AS src
+             |    FROM customer
+             |  UNION ALL
+             |  SELECT s_name, s_acctbal, 'supplier' FROM supplier)
+             |GROUP BY src""".stripMargin)),
+
+    Q("u2_except",
+      (s, dir) => t(s, dir, "customer").select("c_custkey")
+        .except(t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))),
+      Some("SELECT c_custkey FROM customer EXCEPT SELECT o_custkey FROM orders")),
+
+    Q("u3_intersect",
+      (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+        .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))),
+      Some("""SELECT c_nationkey AS nationkey FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin))
+  )
+
+  // =================================================================
+  // §2.8 scalar functions
+  // =================================================================
+
+  private val functionQueries = Seq(
+    // F10/F11: haversine + equirectangular side by side
+    Q("f10_geo_distances",
+      (s, dir) => custPoints(s, dir).where(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          round(GeoFunctions.haversineM(col("lat"), col("lon"),
+            lit(40.05), lit(-74.95)), 2).as("hav_m"),
+          round(GeoFunctions.equirectM(col("lat"), col("lon"),
+            lit(40.05), lit(-74.95)), 2).as("eq_m")),
+      Some(s"""SELECT c_custkey,
+              |  round(${havSql("lat", "lon", "40.05", "-74.95")}, 2) AS hav_m,
+              |  round(sqrt(pow((-74.95 - lon) * (40075000.0 / 360.0) *
+              |      cos(radians((lat + 40.05) / 2)), 2) +
+              |    pow((40.05 - lat) * 111320.0, 2)), 2) AS eq_m
+              |FROM ($custPointsSql) WHERE c_custkey < 200""".stripMargin)),
+
+    // F16: composite content id (md5 for cross-engine parity; the library
+    // also ships sha1Id for reference byte-parity)
+    Q("f16_hash_id",
+      (s, dir) => t(s, dir, "orders").where(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          md5(concat_ws("|", col("o_orderkey").cast("string"),
+            col("o_orderstatus"), col("o_orderpriority"))).as("row_id")),
+      Some("""SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR) || '|' ||
+             |  o_orderstatus || '|' || o_orderpriority) AS row_id
+             |FROM orders WHERE o_orderkey < 500""".stripMargin)),
+
+    // F17/F18: price parsing from dirty strings (synthesized from integer
+    // arithmetic so both engines build byte-identical inputs)
+    Q("f17_price_parse",
+      (s, dir) => {
+        val cents = pmod(col("p_partkey") * 7919L, lit(1000000L))
+        val dollars = floor(cents / 100.0).cast("long")
+        val frac = pmod(cents, lit(100L))
+        val grouped = when(dollars >= 1000,
+          concat(floor(dollars / 1000.0).cast("long").cast("string"), lit(","),
+            lpad(pmod(dollars, lit(1000L)).cast("string"), 3, "0")))
+          .otherwise(dollars.cast("string"))
+        t(s, dir, "part")
+          .withColumn("dirty", concat(lit("$"), grouped, lit("."),
+            lpad(frac.cast("string"), 2, "0"), lit(" USD")))
+          .select(col("p_partkey"), col("dirty"),
+            regexp_replace(regexp_extract(col("dirty"), "([0-9,]+\\.[0-9]+)", 1),
+              ",", "").cast("double").as("parsed"))
+      },
+      Some("""WITH d AS (
+             |  SELECT p_partkey, (p_partkey * 7919) % 1000000 AS cents FROM part),
+             |d2 AS (
+             |  SELECT p_partkey,
+             |    CAST(floor(cents / 1e2) AS BIGINT) AS dollars,
+             |    cents % 100 AS frac FROM d),
+             |d3 AS (
+             |  SELECT p_partkey, '$' ||
+             |    CASE WHEN dollars >= 1000 THEN
+             |      CAST(CAST(floor(dollars / 1e3) AS BIGINT) AS VARCHAR) || ',' ||
+             |      lpad(CAST(dollars % 1000 AS VARCHAR), 3, '0')
+             |    ELSE CAST(dollars AS VARCHAR) END ||
+             |    '.' || lpad(CAST(frac AS VARCHAR), 2, '0') || ' USD' AS dirty
+             |  FROM d2)
+             |SELECT p_partkey, dirty,
+             |  CAST(replace(regexp_extract(dirty, '([0-9,]+\.[0-9]+)', 1), ',', '')
+             |    AS DOUBLE) AS parsed
+             |FROM d3""".stripMargin)),
+
+    // F19: ID float-tail fix
+    Q("f19_id_cleanup",
+      (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 300)
+        .withColumn("dirty_id", concat(col("c_custkey").cast("string"), lit(".0")))
+        .select(col("c_custkey"),
+          regexp_replace(trim(col("dirty_id")), "\\.0+$", "").as("clean_id")),
+      Some("""SELECT c_custkey, regexp_replace(trim(CAST(c_custkey AS VARCHAR)
+             |  || '.0'), '\.0+$', '') AS clean_id
+             |FROM customer WHERE c_custkey < 300""".stripMargin)),
+
+    // F22/F23: coalesce fallback + bool decode
+    Q("f23_bool_decode",
+      (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 400)
+        .withColumn("raw_flag",
+          element_at(array(lit("t"), lit("True"), lit("1"), lit("TRUE"), lit("f")),
+            (pmod(col("c_custkey"), lit(5)) + 1).cast("int")))
+        .select(col("c_custkey"), col("raw_flag"),
+          col("raw_flag").isin("t", "True", "1", "TRUE").as("decoded")),
+      Some("""SELECT c_custkey,
+             |  (['t', 'True', '1', 'TRUE', 'f'])[(c_custkey % 5) + 1] AS raw_flag,
+             |  (['t', 'True', '1', 'TRUE', 'f'])[(c_custkey % 5) + 1]
+             |    IN ('t', 'True', '1', 'TRUE') AS decoded
+             |FROM customer WHERE c_custkey < 400""".stripMargin)),
+
+    // F24: timestamp handling — hour-of-day histogram
+    Q("f24_time_parts",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value")),
+      Some("""SELECT CAST(date_part('hour', ts) AS INT) AS hour_of_day,
+             |  count(*) AS n, round(sum(value), 2) AS total_value
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // F25: JSON extraction from the events props column
+    Q("f25_json_extract",
+      (s, dir) => t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k")),
+      Some("""SELECT event_type, count(*) AS n,
+             |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4)
+             |    AS avg_k
+             |FROM events GROUP BY event_type""".stripMargin))
+  )
+
+  // =================================================================
+  // §2.5 graph / ER operators
+  // =================================================================
+
+  private val graphQueries = Seq(
+    // G1: banded pair-acceptance rule over the grid self-join candidates
+    Q("g1_acceptance_rule",
+      (s, dir) => {
+        val pairs = SpatialJoins.gridSelfJoin(
+          custPoints(s, dir).withColumn("name", col("c_name")),
+          "c_custkey", "lat", "lon", radiusM = 250.0)
+        val withSim = pairs
+          .join(t(s, dir, "customer").select(col("c_custkey").as("a_id"),
+            col("c_name").as("a_name")), "a_id")
+          .join(t(s, dir, "customer").select(col("c_custkey").as("b_id"),
+            col("c_name").as("b_name")), "b_id")
+          .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
+        withSim.withColumn("accepted",
+            (col("sim") >= 0.9) ||
+            (col("sim") >= 0.85 && col("meters") <= 200.0) ||
+            (col("sim") >= 0.8 && col("meters") <= 180.0))
+          .where(col("accepted"))
+          .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"),
+            round(col("meters"), 2).as("meters"))
+      },
+      Some(s"""WITH pts AS ($custPointsSql),
+              |pairs AS (
+              |  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+              |    a.c_name AS a_name, b.c_name AS b_name,
+              |    ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} AS meters
+              |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+              |scored AS (SELECT *, 1.0 - levenshtein(a_name, b_name) /
+              |  greatest(length(a_name), length(b_name)) AS sim FROM pairs)
+              |SELECT a_id, b_id, round(sim, 4) AS sim, round(meters, 2) AS meters
+              |FROM scored
+              |WHERE sim >= 0.9 OR (sim >= 0.85 AND meters <= 200.0)
+              |  OR (sim >= 0.8 AND meters <= 180.0)""".stripMargin)),
+
+    // G2: connected components over near-pair edges (min-label fixpoint)
+    Q("g2_connected_components",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        ConnectedComponents.run(edges)
+      },
+      Some(s"""WITH RECURSIVE pts AS ($custPointsSql),
+              |edges AS (
+              |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+              |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+              |sym AS (
+              |  SELECT src AS u, dst AS v FROM edges
+              |  UNION SELECT dst, src FROM edges
+              |  UNION SELECT src, src FROM edges
+              |  UNION SELECT dst, dst FROM edges),
+              |reach AS (
+              |  SELECT u, v FROM sym
+              |  UNION
+              |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+              |SELECT u AS node, min(v) AS component FROM reach GROUP BY u"""
+        .stripMargin)),
+
+    // G3: canonical-id minting from the longest member name per cluster
+    Q("g3_canonical_mint",
+      (s, dir) => {
+        val w = Window.partitionBy("c_nationkey")
+          .orderBy(length(col("c_name")).desc, col("c_name").asc)
+        t(s, dir, "customer").withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1)
+          .select(col("c_nationkey"),
+            concat(
+              regexp_replace(regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "-"),
+                "^-+|-+$", ""),
+              lit("::"), col("c_nationkey").cast("string")).as("canonical_id"))
+      },
+      Some("""WITH ranked AS (SELECT *, row_number() OVER (
+             |  PARTITION BY c_nationkey
+             |  ORDER BY length(c_name) DESC, c_name ASC) AS rn FROM customer)
+             |SELECT c_nationkey,
+             |  regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
+             |    '^-+|-+$', '', 'g') || '::' || CAST(c_nationkey AS VARCHAR)
+             |  AS canonical_id
+             |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // G4: point-in-region assignment cascade (bbox -> radius -> unassigned)
+    Q("g4_region_cascade",
+      (s, dir) => {
+        val cities = t(s, dir, "region")
+          .select(col("r_regionkey").as("city_id"),
+            (lit(40.0) + col("r_regionkey") * 0.04).as("center_lat"),
+            lit(-74.95).as("center_lon"))
+          .withColumn("min_lat", col("center_lat") - 0.01)
+          .withColumn("max_lat", col("center_lat") + 0.01)
+          .withColumn("min_lon", col("center_lon") - 0.02)
+          .withColumn("max_lon", col("center_lon") + 0.02)
+        val pts = custPoints(s, dir)
+        val cand = pts.crossJoin(broadcast(cities))
+          .withColumn("in_bbox", GeoFunctions.bboxContains(col("lat"), col("lon"),
+            col("min_lat"), col("min_lon"), col("max_lat"), col("max_lon")))
+          .withColumn("center_m", GeoFunctions.haversineM(col("lat"), col("lon"),
+            col("center_lat"), col("center_lon")))
+          .withColumn("rule", when(col("in_bbox"), 1)
+            .when(col("center_m") <= 3000.0, 2))
+          .where(col("rule").isNotNull)
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(col("rule").asc, col("center_m").asc, col("city_id").asc)
+        cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select(col("c_custkey"), col("city_id"), col("rule"),
+            round(col("center_m"), 2).as("center_m"))
+      },
+      Some(s"""WITH cities AS (
+              |  SELECT r_regionkey AS city_id,
+              |    40e0 + r_regionkey * 4e-2 AS center_lat,
+              |    -7.495e1 AS center_lon FROM region),
+              |pts AS ($custPointsSql),
+              |cand AS (
+              |  SELECT c_custkey, city_id,
+              |    (lat >= center_lat - 1e-2 AND lat <= center_lat + 1e-2 AND
+              |     lon >= center_lon - 2e-2 AND lon <= center_lon + 2e-2) AS in_bbox,
+              |    ${havSql("lat", "lon", "center_lat", "center_lon")} AS center_m
+              |  FROM pts CROSS JOIN cities),
+              |ruled AS (
+              |  SELECT *, CASE WHEN in_bbox THEN 1
+              |    WHEN center_m <= 3e3 THEN 2 END AS rule
+              |  FROM cand
+              |  WHERE in_bbox OR center_m <= 3e3),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+              |  ORDER BY rule ASC, center_m ASC, city_id ASC) AS rn FROM ruled)
+              |SELECT c_custkey, city_id, rule, round(center_m, 2) AS center_m
+              |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // G8: ER audit — near pairs in a distance band NOT accepted by G1
+    Q("g8_audit_band",
+      (s, dir) => {
+        val pairs = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .join(t(s, dir, "customer").select(col("c_custkey").as("a_id"),
+            col("c_name").as("a_name")), "a_id")
+          .join(t(s, dir, "customer").select(col("c_custkey").as("b_id"),
+            col("c_name").as("b_name")), "b_id")
+          .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
+        pairs.where(col("meters") >= 150.0 && col("meters") <= 180.0 &&
+            col("sim") <= 0.85)
+          .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+      },
+      Some(s"""WITH pts AS ($custPointsSql),
+              |pairs AS (
+              |  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+              |    a.c_name AS a_name, b.c_name AS b_name,
+              |    ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} AS meters
+              |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0)
+              |SELECT a_id, b_id, round(1.0 - levenshtein(a_name, b_name) /
+              |  greatest(length(a_name), length(b_name)), 4) AS sim
+              |FROM pairs
+              |WHERE meters >= 150.0 AND meters <= 180.0
+              |  AND 1.0 - levenshtein(a_name, b_name) /
+              |    greatest(length(a_name), length(b_name)) <= 0.85""".stripMargin))
+  )
+
+  // =================================================================
+  // Assembled registry (extended in later phases: dedup / ann / text)
+  // =================================================================
+
+  private def registry: Seq[Q] =
+    scanQueries ++ filterQueries ++ joinQueries ++ aggQueries ++
+      sortSetQueries ++ functionQueries ++ graphQueries
+
+  // ------------------------------------------------------------ contract
+
+  /** Flagship query on sf=0.001: region revenue rollup through the full
+    * join chain (driver smoke-checks rows > 0). */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    t(spark, dir, "region")
+      .join(t(spark, dir, "nation"), col("r_regionkey") === col("n_regionkey"))
+      .join(t(spark, dir, "customer"), col("n_nationkey") === col("c_nationkey"))
+      .join(t(spark, dir, "orders"), col("c_custkey") === col("o_custkey"))
+      .groupBy("r_name")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge DataFrame.
+  *
+  * Replaces the reference's single-process union-find
+  * (`/root/reference/etl/er.py:205-222`) with iterative min-label
+  * propagation + path halving to a fixpoint: every node converges to the
+  * MINIMUM id reachable in its component — a deterministic labeling that
+  * depends only on component membership (SURVEY §7.4.2: cluster identity
+  * must be set-stable, not root-stable).
+  *
+  * Each round is two shuffles (neighbor-min groupBy + label-of-label join);
+  * path halving makes convergence O(log diameter). `localCheckpoint`
+  * truncates lineage every round so plans stay flat no matter how many
+  * rounds run — the driver never accumulates an exponentially growing DAG.
+  */
+object ConnectedComponents {
+
+  /** @param edges DataFrame of undirected edges (two id columns)
+    * @return DataFrame(node, component); isolated nodes absent from `edges`
+    *         are absent here (union self-components if needed). */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    // Symmetrize + self-loops: every node sees itself and both directions.
+    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+      .union(edges.select(col(srcCol).as("u"), col(srcCol).as("v")))
+      .union(edges.select(col(dstCol).as("u"), col(dstCol).as("v")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = sym.groupBy($"u".as("node")).agg(min($"v").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // 1) neighbor-min: min label over my neighborhood (incl. self-loop)
+      val viaEdges = sym
+        .join(labels.select($"node".as("v"), $"component"), "v")
+        .groupBy($"u".as("node")).agg(min($"component").as("component"))
+      // 2) path halving: follow my label's label
+      val next = viaEdges
+        .join(labels.select($"node".as("component"), $"component".as("c2")),
+          Seq("component"), "left")
+        .select($"node", least($"component", coalesce($"c2", $"component"))
+          .as("component"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("component", "old"), "node")
+        .where($"component" =!= $"old").limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+}

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale document deduplication operators.
+  *
+  * Every variant keeps its core as pure Catalyst expressions (md5-based
+  * hashing, array ops) so plans stay in whole-stage codegen and — being
+  * engine-agnostic arithmetic — are exactly reproducible by the DuckDB
+  * oracle. Generalizes the reference's ER pairing machinery
+  * (`/root/reference/etl/er.py:70-100,164-194`) to the text-dedup shapes a
+  * 100 TB training-data pipeline needs.
+  *
+  * Scale notes: exact dedup is one shuffle on a 128-bit digest; MinHash-LSH
+  * shuffles on (band, signature-slice) keys so candidate generation never
+  * goes quadratic; pair verification only touches LSH survivors.
+  */
+object Dedup {
+
+  /** Whitespace/alnum shingle tokens. */
+  def tokens(c: Column): Column =
+    filter(split(trim(regexp_replace(lower(c), "[^a-z0-9]+", " ")), " "),
+      t => length(t) > 0)
+
+  /** Word n-gram shingles of a text column (distinct, order-insensitive). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) - 1)
+    array_distinct(
+      when(size(toks) < n, array(array_join(toks, " ")))
+        .otherwise(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** Exact duplicate removal: group identical normalized texts by md5 digest,
+    * keep the smallest id. Returns (keep_id, dup_count, digest). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Deterministic 32-bit hash of a string under seed i, derived from md5 —
+    * identical in any engine with md5 + hex parsing (oracle-reproducible). */
+  def md5Hash32(c: Column, seed: Column): Column =
+    conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 8), 16, 10)
+      .cast("long")
+
+  /** MinHash signature: array of `numHashes` minima over the shingle set. */
+  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(shingleCol, s => md5Hash32(s, i))))
+
+  /** MinHash + LSH banding: near-duplicate candidate pairs with verified
+    * signature similarity >= simThreshold.
+    *
+    * bands x rowsPerBand = numHashes. Each doc emits one bucket key per band
+    * (md5 of the band's signature slice); docs sharing any bucket become a
+    * candidate pair (deduped), then pairs are verified on full-signature
+    * agreement rate — an unbiased jaccard estimate.
+    *
+    * Output: (a_id, b_id, sig_sim). */
+  def minHashLSH(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                 simThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = docs
+      .select(col(idCol).as("id"),
+        minHashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => md5(concat_ws("_",
+          concat(array(b.cast("string")),
+            transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+              x => x.cast("string"))))))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+    val a = banded.select(col("band"), col("bucket"),
+      col("id").as("a_id"), col("sig").as("a_sig"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("id").as("b_id"), col("sig").as("b_sig"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
+      .dropDuplicates("a_id", "b_id")
+    pairs.withColumn("sig_sim",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes)
+      .where(col("sig_sim") >= simThreshold)
+      .select(col("a_id"), col("b_id"), col("sig_sim"))
+  }
+
+  /** Extract bit j (Column) of h as 0/1 via div/mod arithmetic — engine-
+    * agnostic (no shift-by-column), exact for h < 2^52. */
+  private def bitAt(h: Column, j: Column): Column =
+    pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
+
+  /** 32-bit SimHash over token multiset, md5-derived (oracle-reproducible):
+    * bit j of the fingerprint = majority vote of token-hash bit j. */
+  def simHash(textCol: Column): Column = {
+    val toks = tokens(textCol)
+    val hashes = transform(toks, t => md5Hash32(t, lit(0)))
+    val bitIdx = sequence(lit(0), lit(31))
+    val bits = transform(bitIdx, j =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(bitAt(h, j) === 1, 1L).otherwise(-1L)) > 0,
+        pow(lit(2.0), j).cast("long")).otherwise(0L))
+    aggregate(bits, lit(0L), (acc, x) => acc + x)
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxHamming, blocked on the
+    * fingerprint's 4 bytes (a pair within hamming<=3 shares at least one
+    * identical byte only probabilistically — for guaranteed recall at
+    * maxHamming<=3, block on 4 x 8-bit chunks: pigeonhole gives one exact
+    * chunk match). Output (a_id, b_id, hamming). */
+  def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withFp = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    val chunked = withFp.select(col("id"), col("fp"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        k => pmod(floor(col("fp") / pow(lit(2.0), k * 8)).cast("long"), lit(256L)))))
+      .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
+    val a = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("a_id"), col("fp").as("a_fp"))
+    val b = chunked.select(col("chunk_idx"), col("chunk"),
+      col("id").as("b_id"), col("fp").as("b_fp"))
+    // hamming via per-bit disagreement count (div/mod bit extraction)
+    val hamming = aggregate(sequence(lit(0), lit(31)), lit(0L),
+      (acc, j) => acc +
+        when(bitAt(col("a_fp"), j) =!= bitAt(col("b_fp"), j), 1L).otherwise(0L))
+    a.join(b, Seq("chunk_idx", "chunk")).where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamming)
+      .where(col("hamming") <= maxHamming)
+      .select(col("a_id"), col("b_id"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs over a cheap blocking key (shared
+    * first token), verified with true shingle-set jaccard >= threshold. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"),
+      element_at(tokens(col(textCol)), 1).as("blk"))
+    val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("a_sh"))
+    val b = sh.select(col("blk"), col("id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, "blk").where(col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold, with coarse
+    * magnitude bucketing as the blocking key (norm-ball blocking); see
+    * Similarity.scala for the top-k search variants. */
+  def embeddingCosinePairs(emb: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95,
+                           blockKeyExpr: Column): DataFrame = {
+    val e = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      blockKeyExpr.as("blk"))
+    val a = e.select(col("blk"), col("id").as("a_id"), col("v").as("a_v"))
+    val b = e.select(col("blk"), col("id").as("b_id"), col("v").as("b_v"))
+    a.join(b, "blk").where(col("a_id") < col("b_id"))
+      .withColumn("cosine", Similarity.cosineCol(col("a_v"), col("b_v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

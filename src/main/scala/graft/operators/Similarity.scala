@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate & exact nearest-neighbor search over embedding columns
+  * (`array<float>`/`array<double>`).
+  *
+  * Pure Catalyst expressions (`zip_with`/`aggregate`) keep the dot products
+  * inside whole-stage codegen — no UDF in the hot loop. The LSH variant
+  * (random-hyperplane signs derived from md5 so they are deterministic and
+  * oracle-reproducible) is the 100 TB scale path: candidate generation is an
+  * equi-join on bucket keys instead of a full cross join.
+  */
+object Similarity {
+
+  /** Cosine similarity of two numeric array columns (computed in double). */
+  def cosineCol(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    val nb = sqrt(aggregate(b, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))
+    when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
+  }
+
+  /** Exact brute-force top-k by cosine for a set of query vectors.
+    * Broadcast the (small) query side; one pass over the corpus, then a
+    * per-query top-k window. Ties break by corpus id ascending. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
+                     corpusId: String, queryId: String, vecCol: String,
+                     k: Int): DataFrame = {
+    val c = corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
+    val q = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
+    * md5-derived value mapped to {-1, +1} — engine-agnostic, so the oracle
+    * can reproduce the exact bucketing. */
+  private def planeSign(p: Column, d: Column): Column =
+    when(pmod(Dedup.md5Hash32(d.cast("string"), p), lit(2L)) === 0, lit(1.0))
+      .otherwise(lit(-1.0))
+
+  /** Sign-random-projection (SimHash-for-vectors) bucket key over
+    * `numPlanes` hyperplanes with +-1 coefficients. */
+  def srpBucket(vec: Column, numPlanes: Int): Column =
+    aggregate(sequence(lit(0), lit(numPlanes - 1)), lit(0L), (acc, p) => {
+      val dotSign = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeSign(p, d)),
+        lit(0.0), (a2, v) => a2 + v)
+      acc + when(dotSign > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
+    })
+
+  /** LSH-bucketed ANN top-k: queries only compare against corpus vectors in
+    * the same SRP bucket (repeated over `tables` independent hash tables for
+    * recall). Scale path for bruteForceTopK. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, queryId: String, vecCol: String,
+              k: Int, numPlanes: Int = 8, tables: Int = 2): DataFrame = {
+    // distinct tables use distinct planes: plane index offset by table
+    def bucketed(df: DataFrame, id: String, prefix: String): DataFrame =
+      df.select(col(id).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_v"),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
+          aggregate(sequence(lit(0), lit(numPlanes - 1)), t * lit(1L << 40),
+            (acc, p) => {
+              val planeId = p + t * numPlanes
+              val dotSign = aggregate(
+                zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
+                  (x, d) => x.cast("double") * planeSign(planeId, d)),
+                lit(0.0), (a2, v) => a2 + v)
+              acc + when(dotSign > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
+            }))))
+        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
+    val c = bucketed(corpus, corpusId, "c")
+    val q = bucketed(queries, queryId, "q")
+    val cands = c.join(q, Seq("table", "bucket"))
+      .dropDuplicates("q_id", "c_id")
+      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
+  /** IVF-style coarse quantization: assign every vector to its nearest of
+    * `centroids` (a small broadcast list of (centroid_id, vec)), search only
+    * within the probe's cell. Centroids are caller-provided (e.g. from a
+    * sample + k-means outside, or a deterministic seed set). */
+  def ivfAssign(vectors: DataFrame, vecId: String, vecCol: String,
+                centroids: DataFrame, centId: String, centVec: String): DataFrame = {
+    val v = vectors.select(col(vecId).as("v_id"), col(vecCol).as("v"))
+    val c = centroids.select(col(centId).as("cent_id"), col(centVec).as("cent_v"))
+    val scored = v.crossJoin(broadcast(c))
+      .withColumn("cosine", cosineCol(col("v"), col("cent_v")))
+    val w = Window.partitionBy("v_id").orderBy(col("cosine").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("v_id"), col("cent_id"), round(col("cosine"), 6).as("cosine"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting.
+  *
+  * All pure Catalyst expressions (codegen'd, oracle-reproducible);
+  * generalizes the reference's text heuristics
+  * (`/root/reference/etl/er.py:15-27` stopword classes,
+  * `/root/reference/etl/reviews_jsonl.py:302-357` text hygiene).
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword marker sets for the n-gram/stopword-count
+    * language heuristic. Deliberately small + deterministic. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "auf"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "que"))
+
+  private def toks(c: Column): Column = Dedup.tokens(c)
+
+  /** Count of tokens present in a marker set. */
+  def markerHits(c: Column, lang: String): Column =
+    size(array_intersect(toks(c), array(markers(lang).map(lit): _*)))
+
+  /** Heuristic language ID: the language with the most distinct marker-word
+    * hits; zero-hit texts resolve to 'und'. Deterministic: ties break by
+    * language code ascending (the when-chain runs in sorted code order). */
+  def langId(c: Column): Column = {
+    val langs = markers.keys.toSeq.sorted
+    val hits = langs.map(l => l -> markerHits(c, l)).toMap
+    langs.foldRight(lit("und")) { (l, acc) =>
+      val isMax = langs.filter(_ != l)
+        .map(o => hits(l) >= hits(o)).reduce(_ && _)
+      when(isMax && hits(l) > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality-scoring feature block: length, token count, mean token length,
+    * punctuation ratio, stopword ratio, uppercase ratio, digit ratio. */
+  def qualityFeatures(c: Column): Seq[(String, Column)] = {
+    val n = length(c).cast("double")
+    val t = toks(c)
+    val stop = array(markers("en").map(lit): _*)
+    Seq(
+      "n_chars" -> length(c).cast("long"),
+      "n_tokens" -> size(t).cast("long"),
+      "mean_token_len" -> round(
+        when(size(t) === 0, 0.0)
+          .otherwise(aggregate(t, lit(0.0), (a, x) => a + length(x)) / size(t)), 6),
+      "punct_ratio" -> round(
+        when(n === 0, 0.0).otherwise(
+          (n - length(regexp_replace(c, "[\\.,;:!\\?]", ""))) / n), 6),
+      "stopword_ratio" -> round(
+        when(size(t) === 0, 0.0).otherwise(
+          size(filter(t, x => array_contains(stop, x))).cast("double") / size(t)), 6),
+      "digit_ratio" -> round(
+        when(n === 0, 0.0).otherwise(
+          (n - length(regexp_replace(c, "[0-9]", ""))) / n), 6))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with low
+    * punctuation/digit noise and a natural stopword rate. */
+  def qualityScore(c: Column): Column = {
+    val f = qualityFeatures(c).toMap
+    val lenScore = least(f("n_tokens").cast("double") / 50.0, lit(1.0))
+    val stopScore = least(f("stopword_ratio") * 5.0, lit(1.0))
+    val noise = f("punct_ratio") + f("digit_ratio")
+    round(greatest(lit(0.0),
+      lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - least(noise * 5.0, lit(1.0))) * 0.2), 6)
+  }
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column = size(toks(c)).cast("long")
+
+  /** BPE-ish subword count estimate: words are split at letter/digit
+    * boundaries and every 4 chars — a cheap deterministic proxy for a real
+    * tokenizer's piece count. */
+  def subwordCount(c: Column): Column =
+    aggregate(toks(c), lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+
+  /** Polynomial rolling-hash document fingerprint over tokens
+    * (base 1000003, mod 2^31-1), engine-agnostic arithmetic. */
+  def fingerprint(c: Column): Column =
+    aggregate(toks(c), lit(0L), (acc, t) =>
+      pmod(acc * 1000003L + Dedup.md5Hash32(t, lit(7)), lit(2147483647L)))
+}

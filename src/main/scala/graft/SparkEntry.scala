@@ -865,12 +865,377 @@ object SparkEntry {
   )
 
   // =================================================================
-  // Assembled registry (extended in later phases: dedup / ann / text)
+  // LLM-data-pipeline operators: dedup / similarity search / text analysis
+  // =================================================================
+
+  /** DuckDB fragment: alnum tokens of documents.text (mirrors Dedup.tokens). */
+  private val toksSql =
+    """SELECT doc_id AS id, text,
+      |  list_filter(string_split(trim(regexp_replace(lower(text),
+      |    '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tk
+      |FROM documents""".stripMargin
+
+  /** DuckDB fragment: distinct word 3-gram shingles (mirrors Dedup.shingles). */
+  private val shinglesSql =
+    s"""SELECT id, CASE WHEN len(tk) < 3
+       |  THEN list_distinct([array_to_string(tk, ' ')])
+       |  ELSE list_distinct(list_transform(range(0, len(tk) - 2),
+       |    i -> array_to_string(tk[i+1:i+3], ' '))) END AS sh
+       |FROM ($toksSql)""".stripMargin
+
+  /** DuckDB: md5-derived 32-bit hash under a seed (mirrors Dedup.md5Hash32). */
+  private def h32Sql(expr: String, seed: String) =
+    s"('0x' || substr(md5(CAST($seed AS VARCHAR) || ':' || $expr), 1, 8))::BIGINT"
+
+  /** DuckDB: sequential double fold of a list (mirrors Spark `aggregate`). */
+  private def foldSql(listExpr: String) =
+    s"list_reduce(list_prepend(0e0, $listExpr), (acc_, x_) -> acc_ + x_)"
+
+  /** DuckDB: cosine of two FLOAT[] columns in double, sequential sums. */
+  private def cosSql(a: String, b: String) = {
+    val dot = foldSql(s"list_transform(range(0, 64), d -> $a[d+1]::DOUBLE * $b[d+1]::DOUBLE)")
+    val na = s"sqrt(${foldSql(s"list_transform(range(0, 64), d -> $a[d+1]::DOUBLE * $a[d+1]::DOUBLE)")})"
+    val nb = s"sqrt(${foldSql(s"list_transform(range(0, 64), d -> $b[d+1]::DOUBLE * $b[d+1]::DOUBLE)")})"
+    s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END"
+  }
+
+  private val pipelineQueries = Seq(
+    // Exact dedup by content digest
+    Q("dd_exact",
+      (s, dir) => Dedup.exact(t(s, dir, "documents"), "doc_id", "text"),
+      Some("""SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+             |  count(*) AS dup_count
+             |FROM documents GROUP BY md5(text)""".stripMargin)),
+
+    // MinHash + LSH near-dup candidates (16 hashes, 8 bands x 2 rows)
+    Q("dd_minhash_lsh",
+      (s, dir) => Dedup.minHashLSH(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25),
+      Some(s"""WITH sh AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, sig, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    a.sig AS a_sig, b.sig AS b_sig
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+              |SELECT a_id, b_id,
+              |  list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    AS sig_sim
+              |FROM pairs
+              |WHERE list_sum(list_transform(range(1, 17), i ->
+              |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |  >= 0.25""".stripMargin)),
+
+    // SimHash fingerprint near-dup pairs (hamming <= 10, byte-blocked)
+    Q("dd_simhash",
+      (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 10),
+      Some(s"""WITH toks AS ($toksSql),
+              |h AS (SELECT id, list_transform(tk, t -> ${h32Sql("t", "0")}) AS hs
+              |      FROM toks),
+              |fp AS (SELECT id, COALESCE(list_sum(list_transform(range(0, 32), j ->
+              |    CASE WHEN COALESCE(list_sum(list_transform(hs, h ->
+              |        CASE WHEN CAST(floor(h / pow(2e0, j)) AS BIGINT) % 2 = 1
+              |          THEN 1 ELSE -1 END)), 0) > 0
+              |      THEN CAST(pow(2e0, j) AS BIGINT) ELSE 0 END)), 0)::BIGINT AS fp
+              |  FROM h),
+              |chunked AS (
+              |  SELECT id, fp, k AS chunk_idx,
+              |    CAST(floor(fp / pow(2e0, k * 8)) AS BIGINT) % 256 AS chunk
+              |  FROM fp, (SELECT unnest(range(0, 4)) AS k)),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    a.fp AS a_fp, b.fp AS b_fp
+              |  FROM chunked a JOIN chunked b
+              |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+              |    AND a.id < b.id)
+              |SELECT a_id, b_id,
+              |  list_sum(list_transform(range(0, 32), j ->
+              |    CASE WHEN CAST(floor(a_fp / pow(2e0, j)) AS BIGINT) % 2 <>
+              |      CAST(floor(b_fp / pow(2e0, j)) AS BIGINT) % 2
+              |    THEN 1 ELSE 0 END))::BIGINT AS hamming
+              |FROM pairs
+              |WHERE list_sum(list_transform(range(0, 32), j ->
+              |  CASE WHEN CAST(floor(a_fp / pow(2e0, j)) AS BIGINT) % 2 <>
+              |    CAST(floor(b_fp / pow(2e0, j)) AS BIGINT) % 2
+              |  THEN 1 ELSE 0 END)) <= 10""".stripMargin)),
+
+    // Exact n-gram jaccard pairs (first-token blocking)
+    Q("dd_ngram_jaccard",
+      (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
+        "text", shingleN = 3, threshold = 0.03),
+      Some(s"""WITH toks AS ($toksSql),
+              |sh0 AS ($shinglesSql),
+              |sh AS (SELECT sh0.id, sh0.sh, toks.tk[1] AS blk
+              |       FROM sh0 JOIN toks ON sh0.id = toks.id)
+              |SELECT a.id AS a_id, b.id AS b_id,
+              |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |    len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
+              |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+              |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+              |  len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.03""".stripMargin)),
+
+    // Embedding near-dup pairs (cosine >= 0.3, label-blocked)
+    Q("dd_embed_cosine",
+      (s, dir) => Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, blockKeyExpr = col("label")),
+      Some(s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+              |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+              |  round(${cosSql("a.embedding", "b.embedding")}, 6) AS cosine
+              |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin)),
+
+    // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
+    Q("ann_brute_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5)
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+              |           WHERE vec_id < 5),
+              |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+              |      WHERE vec_id >= 5),
+              |scored AS (
+              |  SELECT q_id, c_id, ${cosSql("c_v", "q_v")} AS cosine,
+              |    row_number() OVER (PARTITION BY q_id
+              |      ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
+              |  FROM c CROSS JOIN q)
+              |SELECT q_id, c_id, round(cosine, 6) AS cosine, rank
+              |FROM scored WHERE rank <= 5""".stripMargin)),
+
+    // IVF-style coarse assignment (every 50th vector is a "centroid")
+    Q("ann_ivf_assign",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfAssign(emb.where(col("vec_id") % 50 =!= 0), "vec_id",
+          "embedding", emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding")
+      },
+      Some(s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_v
+              |           FROM embeddings WHERE vec_id % 50 = 0),
+              |v AS (SELECT vec_id AS v_id, embedding AS v FROM embeddings
+              |      WHERE vec_id % 50 <> 0),
+              |scored AS (
+              |  SELECT v_id, cent_id, ${cosSql("v", "cent_v")} AS cosine,
+              |    row_number() OVER (PARTITION BY v_id
+              |      ORDER BY ${cosSql("v", "cent_v")} DESC, cent_id ASC) AS rn
+              |  FROM v CROSS JOIN c)
+              |SELECT v_id, cent_id, round(cosine, 6) AS cosine
+              |FROM scored WHERE rn = 1""".stripMargin)),
+
+    // Language-ID heuristic over marker stopword hits
+    Q("ta_langid",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+        .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")),
+      Some {
+        val langs = TextAnalysis.markers.keys.toSeq.sorted
+        def hits(l: String) = {
+          val arr = TextAnalysis.markers(l).map(w => s"'$w'").mkString(", ")
+          s"len(list_intersect(tk, [$arr]))"
+        }
+        val chain = langs.map { l =>
+          val isMax = langs.filter(_ != l).map(o => s"${hits(l)} >= ${hits(o)}")
+            .mkString(" AND ")
+          s"WHEN $isMax AND ${hits(l)} > 0 THEN '$l'"
+        }.mkString(" ")
+        s"""WITH toks AS ($toksSql),
+           |d AS (SELECT documents.lang, toks.tk FROM documents
+           |      JOIN toks ON documents.doc_id = toks.id)
+           |SELECT lang, CASE $chain ELSE 'und' END AS pred_lang, count(*) AS n
+           |FROM d GROUP BY 1, 2""".stripMargin
+      }),
+
+    // Quality features + composite score per document
+    Q("ta_quality",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val feats = TextAnalysis.qualityFeatures(col("text"))
+        d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) } :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+      },
+      Some {
+        val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+        s"""WITH toks AS ($toksSql)
+           |SELECT id AS doc_id,
+           |  length(text)::BIGINT AS n_chars,
+           |  len(tk)::BIGINT AS n_tokens,
+           |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    ${foldSql("list_transform(tk, x_ -> len(x_)::DOUBLE)")} / len(tk)
+           |    END, 6) AS mean_token_len,
+           |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |    (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+           |    ::DOUBLE / length(text) END, 6) AS punct_ratio,
+           |  round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |    len(list_filter(tk, x_ -> list_contains([$stop], x_)))::DOUBLE /
+           |    len(tk) END, 6) AS stopword_ratio,
+           |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           |    ::DOUBLE / length(text) END, 6) AS digit_ratio,
+           |  round(greatest(0e0,
+           |    least(len(tk)::DOUBLE / 50.0, 1e0) * 0.4 +
+           |    least(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
+           |      len(list_filter(tk, x_ -> list_contains([$stop], x_)))::DOUBLE /
+           |      len(tk) END, 6) * 5.0, 1e0) * 0.4 +
+           |    (1e0 - least((round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
+           |      ::DOUBLE / length(text) END, 6) +
+           |      round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+           |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           |      ::DOUBLE / length(text) END, 6)) * 5.0, 1e0)) * 0.2), 6)
+           |    AS quality
+           |FROM toks""".stripMargin
+      }),
+
+    // Token + BPE-ish subword counting
+    Q("ta_token_counts",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords")),
+      Some(s"""WITH toks AS ($toksSql)
+              |SELECT id AS doc_id, len(tk)::BIGINT AS n_tokens,
+              |  COALESCE(list_sum(list_transform(tk,
+              |    t -> CAST(ceil(len(t) / 4e0) AS BIGINT))), 0)::BIGINT
+              |    AS n_subwords
+              |FROM toks""".stripMargin)),
+
+    // Rolling-hash document fingerprint
+    Q("ta_fingerprint",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp")),
+      Some(s"""WITH toks AS ($toksSql)
+              |SELECT id AS doc_id,
+              |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |    list_transform(tk, t -> ${h32Sql("t", "7")})),
+              |    (acc_, h_) -> (acc_ * 1000003 + h_) % 2147483647) AS fp
+              |FROM toks""".stripMargin)),
+
+    // Multimodal plumbing: opaque binary column + typed metadata extraction
+    // (decode itself is a stub — see operators/Multimodal.scala — but the
+    // schema/partitioning/batch plumbing is real and oracle-checked)
+    Q("mm_binary_meta",
+      (s, dir) => t(s, dir, "documents")
+        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          (pmod(Dedup.md5Hash32(col("text"), lit(11)), lit(1920L)) + 1L)
+            .as("fake_width"),
+          (pmod(Dedup.md5Hash32(col("text"), lit(12)), lit(1080L)) + 1L)
+            .as("fake_height"),
+          element_at(array(lit("jpeg"), lit("png"), lit("webp")),
+            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fake_format")),
+      Some(s"""SELECT doc_id,
+              |  octet_length(encode(text))::BIGINT AS n_bytes,
+              |  ${h32Sql("text", "11")} % 1920 + 1 AS fake_width,
+              |  ${h32Sql("text", "12")} % 1080 + 1 AS fake_height,
+              |  (['jpeg', 'png', 'webp'])[(doc_id % 3) + 1] AS fake_format
+              |FROM documents""".stripMargin)),
+
+    // Streaming-shaped windowed aggregation (batch equivalent of the
+    // Structured Streaming path in streaming/EventStream.scala)
+    Q("st_window_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"),
+          countDistinct("user_id").as("n_users"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("n_events"), col("total_value"), col("n_users")),
+      Some("""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win_start,
+             |  count(*) AS n_events, round(sum(value), 2) AS total_value,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM events GROUP BY 1""".stripMargin)),
+
+    // S5: template extraction UDTF shape (1 row -> N listing rows)
+    Q("s5_template_extract",
+      (s, dir) => t(s, dir, "part")
+        .withColumn("wikitext", concat(
+          lit("{{see|name="), col("p_name"), lit("|lat=4"),
+          pmod(col("p_partkey"), lit(10)).cast("string"),
+          lit("}} filler {{eat|name="), col("p_brand"), lit("}}")))
+        .select(col("p_partkey"),
+          explode(expr(
+            "regexp_extract_all(wikitext, '\\\\{\\\\{(see|eat)\\\\|name=([^|}]+)', 2)"))
+            .as("listing_name")),
+      Some("""WITH w AS (
+             |  SELECT p_partkey, '{{see|name=' || p_name || '|lat=4' ||
+             |    CAST(p_partkey % 10 AS VARCHAR) || '}} filler {{eat|name=' ||
+             |    p_brand || '}}' AS wikitext
+             |  FROM part)
+             |SELECT p_partkey, unnest(regexp_extract_all(wikitext,
+             |  '\{\{(see|eat)\|name=([^|}]+)', 2)) AS listing_name
+             |FROM w""".stripMargin)),
+
+    // F1: NFKD deaccent UDF vs DuckDB strip_accents
+    Q("f1_deaccent",
+      (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 200)
+        .select(col("c_custkey"),
+          TextFunctions.deaccentLowerUdf(
+            concat(lit("Café Ñandú "), col("c_name"))).as("clean")),
+      Some("""SELECT c_custkey,
+             |  lower(strip_accents('Café Ñandú ' || c_name)) AS clean
+             |FROM customer WHERE c_custkey < 200""".stripMargin)),
+
+    // F7: rapidfuzz-parity similarity kernel (UDF; no SQL equivalent ->
+    // rows-only check; exact semantics pinned by TextFunctionsSpec)
+    Q("f7_fuzzy_ratios",
+      (s, dir) => {
+        val p = t(s, dir, "part").where(col("p_partkey") < 200)
+        val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+          col("p_type").as("blk"))
+        val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
+          col("p_type").as("blk"))
+        a.join(b, Seq("blk")).where(col("a_key") < col("b_key"))
+          .select(col("a_key"), col("b_key"),
+            round(TextFunctions.tokenSetRatioUdf(col("a_name"), col("b_name")), 4)
+              .as("token_set"),
+            round(TextFunctions.tokenSortRatioUdf(col("a_name"), col("b_name")), 4)
+              .as("token_sort"),
+            round(TextFunctions.partialRatioUdf(col("a_name"), col("b_name")), 4)
+              .as("partial"))
+      },
+      None),
+
+    // T3: greedy top-k near-duplicate-suppressed selection (custom
+    // Aggregator; order-dependent -> rows-only check + golden spec)
+    Q("t3_topk_distinct",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        t(s, dir, "documents").select("source", "text").as[(String, String)]
+          .groupByKey(_._1)
+          .mapValues(_._2)
+          .agg(TopKDistinct.topK(3, 0.9, maxLen = 1200).name("kept"))
+          .toDF("source", "kept")
+          .select(col("source"), size(col("kept")).as("n_kept"),
+            substring(array_join(col("kept"), "|"), 1, 80).as("preview"))
+      },
+      None)
+  )
+
+  // =================================================================
+  // Assembled registry
   // =================================================================
 
   private def registry: Seq[Q] =
     scanQueries ++ filterQueries ++ joinQueries ++ aggQueries ++
-      sortSetQueries ++ functionQueries ++ graphQueries
+      sortSetQueries ++ functionQueries ++ graphQueries ++ pipelineQueries
 
   // ------------------------------------------------------------ contract
 

@@ -1,0 +1,100 @@
+package graft.er
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{ConnectedComponents, SpatialJoins}
+
+/** Entity resolution over geo-located places — the heart of the reference
+  * pipeline (`/root/reference/etl/er.py:152-248`), re-expressed as one
+  * shuffle-friendly Spark dataflow:
+  *
+  *   candidates (grid-blocked self-join, §J4)
+  *     -> similarity scoring (fuzzy kernels, §F7/F8)
+  *       -> banded acceptance (§G1)
+  *         -> connected components (§G2)
+  *           -> canonical naming + id minting (§A4/G3)
+  *
+  * Input schema: place_id, source, name, lat, lon, city_slug (+ anything).
+  * Scale notes: every stage shuffles on either the spatial cell key or the
+  * component label — no driver-side state except the CC fixpoint loop;
+  * city_slug rides along as a blocking key so ER never pairs across cities
+  * (mirrors the reference's per-city partition loop `er.py:303-305`).
+  */
+object EntityResolution {
+
+  /** Candidate pairs within radiusM, same city, scored with the
+    * rapidfuzz-parity name-similarity kernel.
+    * Output: a/b ids + sources + names, name_sim, meters, city_slug. */
+  def candidatePairs(places: DataFrame, radiusM: Double = 250.0,
+                     cellDeg: Double = 0.01): DataFrame = {
+    val pairs = SpatialJoins.gridSelfJoin(
+      places.select("place_id", "lat", "lon", "city_slug"),
+      "place_id", "lat", "lon", radiusM, cellDeg, extraKeys = Seq("city_slug"))
+    val dims = places.select(col("place_id"), col("name"), col("source"))
+    pairs
+      .join(dims.select(col("place_id").as("a_id"), col("name").as("a_name"),
+        col("source").as("src_a")), "a_id")
+      .join(dims.select(col("place_id").as("b_id"), col("name").as("b_name"),
+        col("source").as("src_b")), "b_id")
+      .withColumn("name_sim",
+        TextFunctions.nameSimilarityUdf(col("a_name"), col("b_name")))
+      .select(col("a_id").as("a"), col("b_id").as("b"), col("src_a"),
+        col("src_b"), col("name_sim"), col("meters"),
+        col("a_city_slug").as("city_slug"), col("a_name"), col("b_name"))
+  }
+
+  /** Banded acceptance rule (reference `etl/er.py:102-132`): distance bands
+    * with per-band similarity thresholds; same-source pairs held to much
+    * tighter distances than cross-source pairs. */
+  def acceptance(nameSim: Column, meters: Column, srcA: Column,
+                 srcB: Column): Column = {
+    val cross = srcA =!= srcB
+    val crossOk =
+      (meters <= 65.0 && nameSim >= 0.60) ||
+      (meters <= 95.0 && nameSim >= 0.72) ||
+      (meters <= 130.0 && nameSim >= 0.86)
+    val sameOk =
+      (meters <= 25.0 && nameSim >= 0.60) ||
+      (meters <= 40.0 && nameSim >= 0.86)
+    when(cross, crossOk).otherwise(sameOk)
+  }
+
+  /** Accepted links (the place_links export of the reference,
+    * `etl/er.py:161,189-198`). */
+  def links(places: DataFrame, radiusM: Double = 250.0): DataFrame = {
+    val cand = candidatePairs(places, radiusM)
+    cand.where(acceptance(col("name_sim"), col("meters"), col("src_a"),
+        col("src_b")))
+      .select("a", "b", "src_a", "src_b", "name_sim", "meters", "city_slug")
+  }
+
+  /** Full ER: returns the place_canonical_map
+    * (source_place_id, canonical_id, canonical_name, city_slug) —
+    * singleton places canonicalize to themselves
+    * (reference `etl/er.py:224-248,330-338`). */
+  def canonicalMap(places: DataFrame, radiusM: Double = 250.0): DataFrame = {
+    val ls = links(places, radiusM)
+    val comps = ConnectedComponents.run(
+      ls.select(col("a").as("src"), col("b").as("dst")))
+    val withComp = places
+      .join(comps.withColumnRenamed("node", "place_id"), Seq("place_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("place_id")))
+    // canonical name = longest member name, tie -> lexicographically first
+    // (deterministic replacement for the reference's stable-sort tie
+    // behavior, SURVEY §7.4.2)
+    val w = Window.partitionBy("component")
+      .orderBy(length(col("name")).desc, col("name").asc, col("place_id").asc)
+    val canon = withComp
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("component"),
+        col("name").as("canonical_name"),
+        concat(TextFunctions.slugUdf(col("name")), lit("::"), col("city_slug"))
+          .as("canonical_id"))
+    withComp.join(canon, "component")
+      .select(col("place_id").as("source_place_id"), col("canonical_id"),
+        col("canonical_name"), col("city_slug"))
+  }
+}

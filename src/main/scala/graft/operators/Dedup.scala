@@ -27,7 +27,7 @@ object Dedup {
   /** Word n-gram shingles of a text column (distinct, order-insensitive). */
   def shingles(c: Column, n: Int): Column = {
     val toks = tokens(c)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)) - 1)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
     array_distinct(
       when(size(toks) < n, array(array_join(toks, " ")))
         .otherwise(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))))
@@ -45,10 +45,14 @@ object Dedup {
     conv(substring(md5(concat(seed.cast("string"), lit(":"), c)), 1, 8), 16, 10)
       .cast("long")
 
-  /** MinHash signature: array of `numHashes` minima over the shingle set. */
-  def minHashSignature(shingleCol: Column, numHashes: Int): Column =
+  /** MinHash signature from PRE-HASHED shingles: slot i applies a cheap
+    * integer permutation to each base hash and takes the min. One md5 per
+    * shingle total (not per slot) — the permutations are multiply-add mod a
+    * 32-bit prime, exact in any engine's 64-bit integers. */
+  def minHashSignature(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => md5Hash32(s, i))))
+      i => array_min(transform(baseHashes,
+        h => (h * (i * 2 + 3) + i * lit(12582917L)) % 4294967291L)))
 
   /** MinHash + LSH banding: near-duplicate candidate pairs with verified
     * signature similarity >= simThreshold.
@@ -63,9 +67,15 @@ object Dedup {
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  simThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = docs
-      .select(col(idCol).as("id"),
-        minHashSignature(shingles(col(textCol), shingleN), numHashes).as("sig"))
+    // materialize the md5 base hashes behind an exchange: without the
+    // barrier Catalyst collapses projections and re-evaluates the whole
+    // hash pipeline once per exploded band row / join output row
+    val hashed = docs.select(col(idCol).as("id"),
+        transform(shingles(col(textCol), shingleN), s => md5Hash32(s, lit(0)))
+          .as("h1"))
+      .repartition(col("id"))
+    val sig = hashed.select(col("id"),
+      minHashSignature(col("h1"), numHashes).as("sig"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_",
@@ -93,11 +103,9 @@ object Dedup {
   private def bitAt(h: Column, j: Column): Column =
     pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
 
-  /** 32-bit SimHash over token multiset, md5-derived (oracle-reproducible):
-    * bit j of the fingerprint = majority vote of token-hash bit j. */
-  def simHash(textCol: Column): Column = {
-    val toks = tokens(textCol)
-    val hashes = transform(toks, t => md5Hash32(t, lit(0)))
+  /** SimHash fingerprint from pre-computed token hashes: bit j of the
+    * fingerprint = majority vote of token-hash bit j. */
+  def simHashFromHashes(hashes: Column): Column = {
     val bitIdx = sequence(lit(0), lit(31))
     val bits = transform(bitIdx, j =>
       when(aggregate(hashes, lit(0L),
@@ -106,6 +114,10 @@ object Dedup {
     aggregate(bits, lit(0L), (acc, x) => acc + x)
   }
 
+  /** 32-bit SimHash over token multiset, md5-derived (oracle-reproducible). */
+  def simHash(textCol: Column): Column =
+    simHashFromHashes(transform(tokens(textCol), t => md5Hash32(t, lit(0))))
+
   /** SimHash near-dup pairs: hamming distance <= maxHamming, blocked on the
     * fingerprint's 4 bytes (a pair within hamming<=3 shares at least one
     * identical byte only probabilistically — for guaranteed recall at
@@ -113,7 +125,13 @@ object Dedup {
     * chunk match). Output (a_id, b_id, hamming). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
-    val withFp = docs.select(col(idCol).as("id"), simHash(col(textCol)).as("fp"))
+    // stage 1 materializes the md5 token hashes behind an exchange so the
+    // 32-bit majority vote reads them instead of re-hashing per bit
+    val hashed = docs.select(col(idCol).as("id"),
+        transform(tokens(col(textCol)), t => md5Hash32(t, lit(0))).as("hs"))
+      .repartition(col("id"))
+    val withFp = hashed.select(col("id"), simHashFromHashes(col("hs")).as("fp"))
+      .repartition(col("id"))
     val chunked = withFp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
         k => pmod(floor(col("fp") / pow(lit(2.0), k * 8)).cast("long"), lit(256L)))))

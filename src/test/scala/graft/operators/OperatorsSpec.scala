@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.GeoFunctions
+
+class OperatorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // small point cloud around 48.2N with known pair distances
+  private lazy val pts = Seq(
+    (1L, 48.2000, 16.3700), // base
+    (2L, 48.2001, 16.3700), // ~11 m from 1
+    (3L, 48.2000, 16.3720), // ~148 m from 1
+    (4L, 48.2100, 16.3700), // ~1.1 km from 1 (different cell)
+    (5L, 48.3000, 16.5000)  // far away
+  ).toDF("id", "lat", "lon")
+
+  test("gridSelfJoin finds exactly the brute-force pairs within radius") {
+    val grid = SpatialJoins.gridSelfJoin(pts, "id", "lat", "lon", radiusM = 200.0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // brute force
+    val rows = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    def hav(a: (Long, Double, Double), b: (Long, Double, Double)): Double = {
+      val R = 6371000.0
+      val dLat = math.toRadians(b._2 - a._2)
+      val dLon = math.toRadians(b._3 - a._3)
+      val x = math.pow(math.sin(dLat / 2), 2) +
+        math.cos(math.toRadians(a._2)) * math.cos(math.toRadians(b._2)) *
+          math.pow(math.sin(dLon / 2), 2)
+      2 * R * math.asin(math.sqrt(x))
+    }
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1 && hav(a, b) <= 200.0
+    } yield (a._1, b._1)).toSet
+    assert(grid == brute)
+    assert(brute == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("nearestJoin picks the single nearest right row within threshold") {
+    val left = Seq((10L, 48.2000, 16.3700, "c")).toDF("lid", "lat", "lon", "blk")
+    val right = Seq(
+      (20L, 48.2001, 16.3700, "c"), // ~11 m  <- nearest
+      (21L, 48.2000, 16.3720, "c"), // ~148 m
+      (22L, 48.2001, 16.3700, "x")  // same point, wrong block
+    ).toDF("rid", "lat", "lon", "blk")
+    val out = SpatialJoins.nearestJoin(left, right, "lid", "rid", 300.0, Seq("blk"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((10L, 20L)))
+  }
+
+  test("connected components labels chains with the min id") {
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 4L), (7L, 7L)).toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 7L -> 7L))
+  }
+
+  test("connected components converges on a long chain (path halving)") {
+    val n = 200
+    val edges = (0 until n).map(i => (i.toLong, (i + 1).toLong))
+      .toDF("src", "dst")
+    val comps = ConnectedComponents.run(edges).as[(Long, Long)].collect().toMap
+    assert(comps.size == n + 1)
+    assert(comps.values.forall(_ == 0L))
+  }
+
+  test("TopKDistinct keeps longest-first, suppresses near-duplicates, caps at k") {
+    val docs = Seq(
+      ("s", "the quick brown fox jumps over the lazy dog entirely"),
+      ("s", "the quick brown fox jumps over the lazy dog"), // near-dup of above
+      ("s", "completely different text about spark engines"),
+      ("s", "another unrelated line mentioning databases"),
+      ("s", "short one")
+    ).toDF("k", "text")
+    val kept = docs.as[(String, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(TopKDistinct.topK(3, 0.9).name("kept"))
+      .collect().head._2
+    assert(kept.size == 3)
+    assert(kept.head.contains("entirely"))   // longest first
+    assert(!kept.contains("the quick brown fox jumps over the lazy dog"))
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .select("keep_id", "dup_count").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("shingles produces all n-grams including the last window") {
+    val df = Seq(Tuple1("a b c d e")).toDF("text")
+    val sh = df.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .as[Seq[String]].head.toSet
+    assert(sh == Set("a b c", "b c d", "c d e"))
+    // shorter than n -> whole text as one shingle
+    val short = Seq(Tuple1("a b")).toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh")).as[Seq[String]].head
+    assert(short == Seq("a b"))
+  }
+
+  test("minHashLSH finds near-duplicate pairs and skips unrelated ones") {
+    val base = "spark engines shuffle data across partitions when joining " +
+      "large tables with hash keys and sort merge strategies"
+    val docs = Seq(
+      (1L, base),
+      (2L, base + " extra"),
+      (3L, "totally unrelated content about cooking pasta with tomatoes " +
+        "and basil in a large pot of salted water")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLSH(docs, "doc_id", "text", simThreshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("simHash is stable and near-dups have small hamming distance") {
+    val df = Seq(
+      (1L, "spark shuffles data across many partitions efficiently"),
+      (2L, "spark shuffles data across many partitions efficiently today"),
+      (3L, "cooking pasta requires salted boiling water and patience")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "doc_id", "text", maxHamming = 8)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("cosineCol computes exact cosine") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosineCol(col("a"), col("b")).as("c"))
+      .as[Double].collect().toSeq
+    assert(out == Seq(1.0, 0.0))
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
+      (12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(corpus, queries, "vec_id", "vec_id",
+      "embedding", k = 2).select("c_id", "rank").as[(Long, Int)].collect().toSeq
+    assert(out == Seq((10L, 1), (11L, 2)))
+  }
+
+  test("multimodal stub plumbing: metadata + chunk sampling") {
+    val docs = Seq((1L, "hello world payload bytes"), (2L, "x"))
+      .toDF("doc_id", "text")
+      .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+    val meta = Multimodal.extractMeta(docs, "doc_id", "payload").collect()
+    assert(meta.length == 2)
+    assert(meta.forall(m => m.width >= 1 && m.width <= 1920))
+    assert(meta.find(_.doc_id == 1L).get.n_bytes == 25L)
+    val chunks = Multimodal.sampleChunks(docs, "doc_id", "payload",
+      chunkBytes = 8, everyK = 2).collect()
+    assert(chunks.map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("langId identifies marker-heavy languages deterministically") {
+    val df = Seq(
+      Tuple1("the cat and the dog is in the house"),
+      Tuple1("der hund und die katze ist nicht hier"),
+      Tuple1("zzz qqq xxx")
+    ).toDF("text")
+    val out = df.select(TextAnalysis.langId(col("text")).as("l"))
+      .as[String].collect().toSeq
+    assert(out == Seq("en", "de", "und"))
+  }
+}

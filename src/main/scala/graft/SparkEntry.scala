@@ -298,34 +298,43 @@ object SparkEntry {
               |SELECT c_custkey, s_suppkey, round(m, 2) AS meters
               |FROM cand WHERE rn = 1""".stripMargin)),
 
-    // J6: fuzzy name join — best >=threshold name match within a block
+    // J6: fuzzy name join — best >=threshold name match within a candidate
+    // block. Blocking on (type, first name token) keeps candidate pairs
+    // near-linear in table size — the scale-honest equivalent of the
+    // reference's per-city fuzzy enrichment blocks.
     Q("j6_fuzzy_name_join",
       (s, dir) => {
-        val p = t(s, dir, "part")
+        val p = t(s, dir, "part").withColumn("blk",
+          concat(col("p_type"), lit("|"),
+            element_at(split(col("p_name"), " "), 1)))
         val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-          col("p_type").as("blk"))
+          col("blk"))
         val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
-          col("p_type").as("blk"))
+          col("blk"))
         val scored = a.join(b, Seq("blk")).where(col("a_key") =!= col("b_key"))
           .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
           .where(col("sim") >= 0.5)
-        val w = Window.partitionBy("a_key")
-          .orderBy(col("sim").desc, col("b_key").asc)
-        scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-          .select(col("a_key"), col("b_key"), round(col("sim"), 4).as("sim"))
+        // argmax via partial-aggregatable max_by instead of a window sort
+        // over every surviving pair; sim gaps are >= 1/len >> 1e-9*b_key so
+        // the composite key is an exact (sim desc, b_key asc) order
+        scored.groupBy("a_key")
+          .agg(max_by(struct(col("b_key"), col("sim")),
+            col("sim") - col("b_key") * 1e-9).as("best"))
+          .select(col("a_key"), col("best.b_key").as("b_key"),
+            round(col("best.sim"), 4).as("sim"))
       },
-      Some("""WITH cand AS (
+      Some("""WITH p AS (SELECT *, p_type || '|' || split_part(p_name, ' ', 1)
+             |             AS blk FROM part),
+             |cand AS (
              |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
              |    1.0 - levenshtein(a.p_name, b.p_name) /
              |      greatest(length(a.p_name), length(b.p_name)) AS sim
-             |  FROM part a JOIN part b ON a.p_type = b.p_type
-             |    AND a.p_partkey <> b.p_partkey),
-             |ranked AS (
-             |  SELECT *, row_number() OVER (PARTITION BY a_key
-             |    ORDER BY sim DESC, b_key ASC) AS rn
-             |  FROM cand WHERE sim >= 0.5)
-             |SELECT a_key, b_key, round(sim, 4) AS sim FROM ranked WHERE rn = 1"""
-        .stripMargin)),
+             |  FROM p a JOIN p b ON a.blk = b.blk
+             |    AND a.p_partkey <> b.p_partkey)
+             |SELECT a_key,
+             |  arg_max(b_key, sim - b_key * 1e-9) AS b_key,
+             |  round(arg_max(sim, sim - b_key * 1e-9), 4) AS sim
+             |FROM cand WHERE sim >= 0.5 GROUP BY a_key""".stripMargin)),
 
     Q("j9_anti_join",
       (s, dir) => t(s, dir, "customer").join(t(s, dir, "orders"),
@@ -963,15 +972,9 @@ object SparkEntry {
               |    ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
               |    AND a.id < b.id)
               |SELECT a_id, b_id,
-              |  list_sum(list_transform(range(0, 32), j ->
-              |    CASE WHEN CAST(floor(a_fp / pow(2e0, j)) AS BIGINT) % 2 <>
-              |      CAST(floor(b_fp / pow(2e0, j)) AS BIGINT) % 2
-              |    THEN 1 ELSE 0 END))::BIGINT AS hamming
+              |  CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
               |FROM pairs
-              |WHERE list_sum(list_transform(range(0, 32), j ->
-              |  CASE WHEN CAST(floor(a_fp / pow(2e0, j)) AS BIGINT) % 2 <>
-              |    CAST(floor(b_fp / pow(2e0, j)) AS BIGINT) % 2
-              |  THEN 1 ELSE 0 END)) <= 10""".stripMargin)),
+              |WHERE bit_count(xor(a_fp, b_fp)) <= 10""".stripMargin)),
 
     // Exact n-gram jaccard pairs (first-token blocking)
     Q("dd_ngram_jaccard",
@@ -979,7 +982,10 @@ object SparkEntry {
         "text", shingleN = 3, threshold = 0.03),
       Some(s"""WITH toks AS ($toksSql),
               |sh0 AS ($shinglesSql),
-              |sh AS (SELECT sh0.id, sh0.sh, toks.tk[1] AS blk
+              |sh AS (SELECT sh0.id,
+              |         list_distinct(list_transform(sh0.sh,
+              |           s -> ${h32Sql("s", "0")})) AS sh,
+              |         toks.tk[1] AS blk
               |       FROM sh0 JOIN toks ON sh0.id = toks.id)
               |SELECT a.id AS a_id, b.id AS b_id,
               |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /

@@ -104,14 +104,19 @@ object Dedup {
     pmod(floor(h / pow(lit(2.0), j)).cast("long"), lit(2L))
 
   /** SimHash fingerprint from pre-computed token hashes: bit j of the
-    * fingerprint = majority vote of token-hash bit j. */
+    * fingerprint = majority vote of token-hash bit j. One pass over the
+    * hash array, accumulating all 32 votes via unrolled integer shifts
+    * (compile-time bit indices keep everything codegen'd — no pow()). */
   def simHashFromHashes(hashes: Column): Column = {
-    val bitIdx = sequence(lit(0), lit(31))
-    val bits = transform(bitIdx, j =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(bitAt(h, j) === 1, 1L).otherwise(-1L)) > 0,
-        pow(lit(2.0), j).cast("long")).otherwise(0L))
-    aggregate(bits, lit(0L), (acc, x) => acc + x)
+    val zeros = array((0 until 32).map(_ => lit(0L)): _*)
+    val powers = array((0 until 32).map(j => lit(1L << j)): _*)
+    val votes = aggregate(hashes, zeros, (acc, h) => {
+      val hBits = array((0 until 32).map(j =>
+        shiftright(h, j).bitwiseAND(1L) * 2L - 1L): _*)
+      zip_with(acc, hBits, (a, b) => a + b)
+    })
+    aggregate(zip_with(votes, powers,
+      (v, p) => when(v > 0, p).otherwise(0L)), lit(0L), (acc, x) => acc + x)
   }
 
   /** 32-bit SimHash over token multiset, md5-derived (oracle-reproducible). */
@@ -140,10 +145,9 @@ object Dedup {
       col("id").as("a_id"), col("fp").as("a_fp"))
     val b = chunked.select(col("chunk_idx"), col("chunk"),
       col("id").as("b_id"), col("fp").as("b_fp"))
-    // hamming via per-bit disagreement count (div/mod bit extraction)
-    val hamming = aggregate(sequence(lit(0), lit(31)), lit(0L),
-      (acc, j) => acc +
-        when(bitAt(col("a_fp"), j) =!= bitAt(col("b_fp"), j), 1L).otherwise(0L))
+    // hamming = popcount of xor — single codegen'd instruction pair per
+    // candidate instead of 32 div/mod bit extractions
+    val hamming = bit_count(col("a_fp").bitwiseXOR(col("b_fp"))).cast("long")
     a.join(b, Seq("chunk_idx", "chunk")).where(col("a_id") < col("b_id"))
       .dropDuplicates("a_id", "b_id")
       .withColumn("hamming", hamming)
@@ -152,12 +156,17 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard near-dup pairs over a cheap blocking key (shared
-    * first token), verified with true shingle-set jaccard >= threshold. */
+    * first token), verified with true shingle-set jaccard >= threshold.
+    * Shingles are md5-hashed to longs behind an exchange before pairing:
+    * long-array set ops are far cheaper than string-array ones and the
+    * jaccard value is identical (distinct shingles -> distinct hashes). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"),
-      element_at(tokens(col(textCol)), 1).as("blk"))
+        array_distinct(transform(shingles(col(textCol), shingleN),
+          s => md5Hash32(s, lit(0)))).as("sh"),
+        element_at(tokens(col(textCol)), 1).as("blk"))
+      .repartition(col("id"))
     val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("blk"), col("id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, "blk").where(col("a_id") < col("b_id"))

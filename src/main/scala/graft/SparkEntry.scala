@@ -1021,7 +1021,8 @@ object SparkEntry {
               |    row_number() OVER (PARTITION BY q_id
               |      ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
               |  FROM c CROSS JOIN q)
-              |SELECT q_id, c_id, round(cosine, 6) AS cosine, rank
+              |SELECT q_id, c_id, round(cosine, 6) AS cosine,
+              |  CAST(rank AS INT) AS rank
               |FROM scored WHERE rank <= 5""".stripMargin)),
 
     // IVF-style coarse assignment (every 50th vector is a "centroid")

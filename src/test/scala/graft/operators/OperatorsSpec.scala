@@ -144,6 +144,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq((10L, 1), (11L, 2)))
   }
 
+  test("lshTopK finds an exact-duplicate vector in the same SRP bucket") {
+    val v = Seq.tabulate(8)(i => (i + 1).toFloat)
+    val corpus = Seq((10L, v), (11L, Seq.fill(8)(-1.0f)),
+      (12L, v.map(x => x * 0.9f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, v)).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(corpus, queries, "vec_id", "vec_id",
+      "embedding", k = 2, numPlanes = 4, tables = 2)
+      .select("c_id", "rank").as[(Long, Int)].collect().toMap
+    // the identical vector must land in the query's bucket and rank first
+    assert(out.get(10L).contains(1))
+  }
+
+  test("ivfAssign maps every vector to its best centroid") {
+    val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+      (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(vecs, "vec_id", "embedding", cents,
+      "vec_id", "embedding").select("v_id", "cent_id")
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 100L))
+  }
+
   test("multimodal stub plumbing: metadata + chunk sampling") {
     val docs = Seq((1L, "hello world payload bytes"), (2L, "x"))
       .toDF("doc_id", "text")

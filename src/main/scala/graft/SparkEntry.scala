@@ -1237,12 +1237,239 @@ object SparkEntry {
   )
 
   // =================================================================
+  // Coverage-completion queries (P7, F2/F14/F15/F21, J7, A11, G6, ANN-LSH)
+  // =================================================================
+
+  /** DuckDB SRP bucket expression for LSH table `t` over vector column
+    * `v` — unrolled to mirror Similarity.lshTopK exactly (planeId =
+    * p + t*numPlanes, md5-derived +-1 coefficients, 2^p bit packing). */
+  private def srpBucketSql(v: String, t: Int, numPlanes: Int): String = {
+    val bits = (0 until numPlanes).map { p =>
+      val pid = p + t * numPlanes
+      val sign = s"""(CASE WHEN ('0x' || substr(md5('$pid:' || d::VARCHAR), 1, 8))
+                    |::BIGINT % 2 = 0 THEN 1e0 ELSE -1e0 END)""".stripMargin
+      val dot = foldSql(
+        s"list_transform(range(0, 64), d -> $v[d+1]::DOUBLE * $sign)")
+      s"(CASE WHEN $dot > 0 THEN ${1L << p} ELSE 0 END)"
+    }
+    s"(${t.toLong * (1L << 40)} + ${bits.mkString(" + ")})"
+  }
+
+  private val extraQueries = Seq(
+    // P7: geometry re-check guard — recompute the region from coords, keep
+    // only rows whose hint agrees (strict anti-leak drop)
+    Q("p7_geometry_recheck",
+      (s, dir) => {
+        val assigned = queriesInternal("g4_region_cascade")(s, dir)
+          .select(col("c_custkey"), col("city_id"))
+        t(s, dir, "customer")
+          .withColumn("hint_city", pmod(col("c_custkey"), lit(5)).cast("int"))
+          .join(assigned, Seq("c_custkey"))
+          .where(col("city_id") === col("hint_city"))
+          .select("c_custkey", "city_id")
+      },
+      Some(s"""WITH assigned AS (
+              |${graphQueries.find(_.name == "g4_region_cascade").get.oracle.get}
+              |)
+              |SELECT c.c_custkey, a.city_id
+              |FROM customer c JOIN assigned a ON c.c_custkey = a.c_custkey
+              |WHERE a.city_id = CAST(c.c_custkey % 5 AS INT)""".stripMargin)),
+
+    // F2: name normalization with German street-token canonicalization
+    Q("f2_normalize_name",
+      (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 300)
+        .withColumn("raw", concat(lit("Haupt Str. "), col("c_name"), lit("!!")))
+        .select(col("c_custkey"),
+          trim(regexp_replace(regexp_replace(regexp_replace(lower(col("raw")),
+            "\\bstr\\.", "strasse"), "\\bpl\\.", "platz"), "[^a-z0-9]+", " "))
+            .as("norm")),
+      Some("""SELECT c_custkey, trim(regexp_replace(regexp_replace(
+             |  regexp_replace(lower('Haupt Str. ' || c_name || '!!'),
+             |    '\bstr\.', 'strasse', 'g'), '\bpl\.', 'platz', 'g'),
+             |  '[^a-z0-9]+', ' ', 'g')) AS norm
+             |FROM customer WHERE c_custkey < 300""".stripMargin)),
+
+    // F14: title -> match-key candidates (full, pre-'/' root, no '(...)')
+    Q("f14_title_candidates",
+      (s, dir) => t(s, dir, "part").where(col("p_partkey") < 500)
+        .withColumn("title", concat(col("p_name"), lit("/district ("),
+          col("p_brand"), lit(")")))
+        .withColumn("cands", array_distinct(array(
+          col("title"),
+          regexp_replace(col("title"), "/.*$", ""),
+          trim(regexp_replace(col("title"), "\\s*\\([^)]*\\)\\s*$", "")))))
+        .select(col("p_partkey"), explode(col("cands")).as("candidate")),
+      Some("""WITH w AS (SELECT p_partkey,
+             |  p_name || '/district (' || p_brand || ')' AS title
+             |  FROM part WHERE p_partkey < 500)
+             |SELECT p_partkey, unnest(list_distinct([title,
+             |  regexp_replace(title, '/.*$', ''),
+             |  trim(regexp_replace(title, '\s*\([^)]*\)\s*$', ''))]))
+             |  AS candidate
+             |FROM w""".stripMargin)),
+
+    // F15 + F21: wiki markup cleanup + truncation
+    Q("f15_wiki_clean",
+      (s, dir) => t(s, dir, "part").where(col("p_partkey") < 500)
+        .withColumn("marked", concat(lit("[["), col("p_name"), lit("|Alias]] "),
+          lit("{{infobox|x=1}} see [[Plain Page]] about "), col("p_type")))
+        .select(col("p_partkey"),
+          substring(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+            col("marked"),
+            "\\[\\[[^\\]|]*\\|([^\\]]*)\\]\\]", "$1"),
+            "\\[\\[([^\\]]*)\\]\\]", "$1"),
+            "\\{\\{[^}]*\\}\\}", ""),
+            "\\s+", " "), 1, 40).as("clean")),
+      Some("""WITH w AS (SELECT p_partkey, '[[' || p_name ||
+             |  '|Alias]] {{infobox|x=1}} see [[Plain Page]] about ' || p_type
+             |  AS marked FROM part WHERE p_partkey < 500)
+             |SELECT p_partkey, substr(regexp_replace(regexp_replace(
+             |  regexp_replace(regexp_replace(marked,
+             |  '\[\[[^\]|]*\|([^\]]*)\]\]', '\1', 'g'),
+             |  '\[\[([^\]]*)\]\]', '\1', 'g'),
+             |  '\{\{[^}]*\}\}', '', 'g'),
+             |  '\s+', ' ', 'g'), 1, 40) AS clean
+             |FROM w""".stripMargin)),
+
+    // J7: pair-enrichment join — attach attributes to both ends of link pairs
+    Q("j7_pair_enrich",
+      (s, dir) => {
+        val pairs = SpatialJoins.gridSelfJoin(
+          custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 200.0)
+        val dim = t(s, dir, "customer")
+          .join(broadcast(t(s, dir, "nation")),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey"), col("c_name"), col("n_name"))
+        pairs
+          .join(dim.select(col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+            col("n_name").as("a_nation")), "a_id")
+          .join(dim.select(col("c_custkey").as("b_id"), col("c_name").as("b_name"),
+            col("n_name").as("b_nation")), "b_id")
+          .select(col("a_id"), col("b_id"), col("a_name"), col("b_name"),
+            col("a_nation"), col("b_nation"), round(col("meters"), 2).as("meters"))
+      },
+      Some(s"""WITH pts AS ($custPointsSql),
+              |dim AS (SELECT c_custkey, c_name, n_name FROM customer
+              |        JOIN nation ON c_nationkey = n_nationkey),
+              |pairs AS (
+              |  SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+              |    ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} AS meters
+              |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0)
+              |SELECT p.a_id, p.b_id, da.c_name AS a_name, db.c_name AS b_name,
+              |  da.n_name AS a_nation, db.n_name AS b_nation,
+              |  round(p.meters, 2) AS meters
+              |FROM pairs p JOIN dim da ON p.a_id = da.c_custkey
+              |JOIN dim db ON p.b_id = db.c_custkey""".stripMargin)),
+
+    // A11 + F21: capped ordered collect with truncation, standalone
+    Q("a11_capped_collect",
+      (s, dir) => {
+        val w = Window.partitionBy("source")
+          .orderBy(col("n_chars").asc, col("doc_id").asc)
+        t(s, dir, "documents").withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 2)
+          .groupBy("source")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("rn"), col("doc_id")))),
+            x => x.getField("doc_id").cast("string")), ",").as("shortest_ids"),
+            substring(min(col("text")), 1, 60).as("snippet"))
+      },
+      Some("""WITH ranked AS (SELECT *, row_number() OVER (PARTITION BY source
+             |  ORDER BY n_chars ASC, doc_id ASC) AS rn FROM documents)
+             |SELECT source,
+             |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+             |    AS shortest_ids,
+             |  substr(min(text), 1, 60) AS snippet
+             |FROM ranked WHERE rn <= 2 GROUP BY source""".stripMargin)),
+
+    // G6: lift facts from members to their canonical component
+    Q("g6_component_lift",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val comps = ConnectedComponents.run(edges)
+          .withColumnRenamed("node", "c_custkey")
+        t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(comps, Seq("c_custkey"), "left")
+          .withColumn("component", coalesce(col("component"), col("c_custkey")))
+          .groupBy("component")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("revenue"))
+      },
+      Some(s"""WITH RECURSIVE pts AS ($custPointsSql),
+              |edges AS (
+              |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+              |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+              |sym AS (
+              |  SELECT src AS u, dst AS v FROM edges
+              |  UNION SELECT dst, src FROM edges
+              |  UNION SELECT src, src FROM edges
+              |  UNION SELECT dst, dst FROM edges),
+              |reach AS (
+              |  SELECT u, v FROM sym
+              |  UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+              |comps AS (SELECT u AS c_custkey, min(v) AS component
+              |          FROM reach GROUP BY u)
+              |SELECT coalesce(comps.component, c.c_custkey) AS component,
+              |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+              |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+              |LEFT JOIN comps ON c.c_custkey = comps.c_custkey
+              |GROUP BY 1""".stripMargin)),
+
+    // ANN via SRP-LSH buckets, fully oracle-checked (unrolled SRP SQL)
+    Q("ann_lsh_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.lshTopK(
+          emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5, numPlanes = 8, tables = 2)
+          .withColumn("rank", col("rank").cast("int"))
+      },
+      Some {
+        val cBuckets = (0 until 2).map(t =>
+          s"SELECT c_id, c_v, $t AS tbl, ${srpBucketSql("c_v", t, 8)} AS bucket FROM c")
+          .mkString("\nUNION ALL\n")
+        val qBuckets = (0 until 2).map(t =>
+          s"SELECT q_id, q_v, $t AS tbl, ${srpBucketSql("q_v", t, 8)} AS bucket FROM q")
+          .mkString("\nUNION ALL\n")
+        s"""WITH c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+           |           WHERE vec_id >= 5),
+           |q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+           |      WHERE vec_id < 5),
+           |cb AS ($cBuckets),
+           |qb AS ($qBuckets),
+           |cand AS (SELECT DISTINCT q_id, c_id, q_v, c_v
+           |         FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket),
+           |scored AS (
+           |  SELECT q_id, c_id, ${cosSql("c_v", "q_v")} AS cosine,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
+           |  FROM cand)
+           |SELECT q_id, c_id, round(cosine, 6) AS cosine,
+           |  CAST(rank AS INT) AS rank
+           |FROM scored WHERE rank <= 5""".stripMargin
+      })
+  )
+
+  // =================================================================
   // Assembled registry
   // =================================================================
 
   private def registry: Seq[Q] =
     scanQueries ++ filterQueries ++ joinQueries ++ aggQueries ++
-      sortSetQueries ++ functionQueries ++ graphQueries ++ pipelineQueries
+      sortSetQueries ++ functionQueries ++ graphQueries ++ pipelineQueries ++
+      extraQueries
+
+  /** Internal lookup usable while the registry is being built (for queries
+    * that compose other queries, e.g. p7 over g4). */
+  private def queriesInternal: Map[String, (SparkSession, String) => DataFrame] =
+    (scanQueries ++ filterQueries ++ joinQueries ++ aggQueries ++
+      sortSetQueries ++ functionQueries ++ graphQueries ++ pipelineQueries)
+      .map(q => q.name -> q.fn).toMap
 
   // ------------------------------------------------------------ contract
 

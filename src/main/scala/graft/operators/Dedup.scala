@@ -74,8 +74,12 @@ object Dedup {
         transform(shingles(col(textCol), shingleN), s => md5Hash32(s, lit(0)))
           .as("h1"))
       .repartition(col("id"))
+    // second barrier: higher-order-function lambdas are interpreted, so the
+    // 16-slot signature must be materialized BEFORE the 8-way band explode
+    // or it is re-evaluated per band row
     val sig = hashed.select(col("id"),
-      minHashSignature(col("h1"), numHashes).as("sig"))
+        minHashSignature(col("h1"), numHashes).as("sig"))
+      .repartition(col("id"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_",

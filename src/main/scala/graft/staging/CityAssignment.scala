@@ -24,40 +24,45 @@ object CityAssignment {
 
   /** Adds `city_slug` (nullable) and `assign_rule` (1=polygon, 2=bbox,
     * 3=radius, 4=hint, null=unassigned) to `rows`.
-    * `rows` needs lat/lon (nullable) and optionally `city_hint`. */
+    * `rows` needs lat/lon (nullable) and optionally `city_hint`; any other
+    * row columns (incl. `name`) are preserved and never collide with the
+    * city config's columns. */
   def assign(rows: DataFrame, cities: DataFrame,
              hintCol: Option[String] = Some("city_hint")): DataFrame = {
     val spark = rows.sparkSession
     val rowId = "__row_id"
     val withId = rows.withColumn(rowId, monotonically_increasing_id())
 
+    // prefix every city column so the cross join can't collide with rows
     val cityCols = cities.columns.toSet
-    def cityCol(n: String): Column =
-      if (cityCols.contains(n)) col(n) else lit(null)
+    val dims = cities.select(cities.columns.map(c =>
+      col(c).as(s"__city_$c")): _*)
+    def cc(n: String): Column =
+      if (cityCols.contains(n)) col(s"__city_$n") else lit(null)
 
     val cand = withId.where(col("lat").isNotNull && col("lon").isNotNull)
-      .crossJoin(broadcast(cities))
-      .withColumn("in_polygon",
-        when(cityCol("polygon").isNotNull,
-          GeoFunctions.pointInPolygonUdf(col("lat"), col("lon"), col("polygon")))
+      .crossJoin(broadcast(dims))
+      .withColumn("__in_polygon",
+        when(cc("polygon").isNotNull,
+          GeoFunctions.pointInPolygonUdf(col("lat"), col("lon"), cc("polygon")))
           .otherwise(lit(false)))
-      .withColumn("in_bbox",
-        when(cityCol("min_lat").isNotNull,
-          GeoFunctions.bboxContains(col("lat"), col("lon"), col("min_lat"),
-            col("min_lon"), col("max_lat"), col("max_lon")))
+      .withColumn("__in_bbox",
+        when(cc("min_lat").isNotNull,
+          GeoFunctions.bboxContains(col("lat"), col("lon"), cc("min_lat"),
+            cc("min_lon"), cc("max_lat"), cc("max_lon")))
           .otherwise(lit(false)))
-      .withColumn("center_m", GeoFunctions.haversineM(col("lat"), col("lon"),
-        col("center_lat"), col("center_lon")))
-      .withColumn("in_radius", col("center_m") <= cityCol("radius_km") * 1000.0)
+      .withColumn("__center_m", GeoFunctions.haversineM(col("lat"), col("lon"),
+        cc("center_lat"), cc("center_lon")))
       .withColumn("assign_rule",
-        when(col("in_polygon"), 1).when(col("in_bbox"), 2)
-          .when(col("in_radius"), 3))
+        when(col("__in_polygon"), 1).when(col("__in_bbox"), 2)
+          .when(col("__center_m") <= cc("radius_km") * 1000.0, 3))
       .where(col("assign_rule").isNotNull)
     val w = Window.partitionBy(rowId)
-      .orderBy(col("assign_rule").asc, col("center_m").asc, col("slug").asc)
-    val geoAssigned = cand.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(rowId), col("slug").as("city_slug"), col("assign_rule"))
+      .orderBy(col("assign_rule").asc, col("__center_m").asc,
+        cc("slug").asc)
+    val geoAssigned = cand.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(rowId), cc("slug").as("city_slug"), col("assign_rule"))
 
     // hint path: ONLY rows with no coords may match by name/alias
     // (reference `etl/utils.py:203-207`)
@@ -65,16 +70,16 @@ object CityAssignment {
       val hintNorm = lower(trim(col(h)))
       withId.where(col("lat").isNull || col("lon").isNull)
         .where(col(h).isNotNull)
-        .crossJoin(broadcast(cities))
-        .where(hintNorm === lower(col("slug")) ||
-          hintNorm === lower(col("name")) ||
-          (cityCol("aliases").isNotNull &&
-            array_contains(transform(col("aliases"), a => lower(a)), hintNorm)))
+        .crossJoin(broadcast(dims))
+        .where(hintNorm === lower(cc("slug")) ||
+          hintNorm === lower(cc("name")) ||
+          (cc("aliases").isNotNull &&
+            array_contains(transform(cc("aliases"), a => lower(a)), hintNorm)))
         .withColumn("assign_rule", lit(4))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(rowId).orderBy(col("slug").asc)))
-        .where(col("rn") === 1)
-        .select(col(rowId), col("slug").as("city_slug"), col("assign_rule"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(rowId).orderBy(cc("slug").asc)))
+        .where(col("__rn") === 1)
+        .select(col(rowId), cc("slug").as("city_slug"), col("assign_rule"))
     }.getOrElse(spark.emptyDataFrame
       .withColumn(rowId, lit(0L)).withColumn("city_slug", lit(""))
       .withColumn("assign_rule", lit(0)).limit(0))
@@ -89,11 +94,12 @@ object CityAssignment {
   def distanceGuard(assigned: DataFrame, cities: DataFrame,
                     maxKm: Double = 80.0): DataFrame =
     assigned.join(broadcast(cities.select(col("slug").as("city_slug"),
-        col("center_lat"), col("center_lon"))), Seq("city_slug"), "left")
-      .where(col("center_lat").isNull ||
+        col("center_lat").as("__g_clat"), col("center_lon").as("__g_clon"))),
+        Seq("city_slug"), "left")
+      .where(col("__g_clat").isNull ||
         GeoFunctions.haversineM(col("lat"), col("lon"),
-          col("center_lat"), col("center_lon")) <= maxKm * 1000.0)
-      .drop("center_lat", "center_lon")
+          col("__g_clat"), col("__g_clon")) <= maxKm * 1000.0)
+      .drop("__g_clat", "__g_clon")
 
   /** Slug sanitization for partition values (reference `etl/staging.py:19-20`). */
   def sanitizeSlug(c: Column): Column = regexp_replace(c, "[/\\\\]", "-")

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.er.EntityResolution
+import graft.staging.CityAssignment
+
+/** End-to-end KG pipeline golden test (SURVEY §3 lifecycle): raw places
+  * with dirty coords -> city-assignment cascade -> distance guard -> ER ->
+  * canonical map -> per-canonical review lift + capped nested "POI card"
+  * export — the full reference dataflow composed from the library pieces,
+  * on one fixture, asserting the final export contents. */
+class PipelineSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val cities = {
+    val schema = new StructType()
+      .add("slug", StringType).add("name", StringType)
+      .add("center_lat", DoubleType).add("center_lon", DoubleType)
+      .add("radius_km", DoubleType)
+      .add("min_lat", DoubleType).add("min_lon", DoubleType)
+      .add("max_lat", DoubleType).add("max_lon", DoubleType)
+      .add("polygon", ArrayType(new StructType()
+        .add("lat", DoubleType).add("lon", DoubleType)))
+      .add("aliases", ArrayType(StringType))
+    spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("vienna", "Vienna", 48.20, 16.37, 25.0,
+        48.10, 16.20, 48.30, 16.50, null, Seq("wien")),
+      Row("graz", "Graz", 47.07, 15.44, 20.0,
+        47.00, 15.35, 47.15, 15.55, null, null))), schema)
+  }
+
+  private lazy val rawPlaces = Seq(
+    // duplicate cafe pair in vienna (cross-source, ~55 m apart)
+    ("yelp:cafe", "yelp", "Cafe Central", Some(48.2000), Some(16.3700), None),
+    ("wv:cafe", "wikivoyage", "Café Central Wien", Some(48.2005), Some(16.3700), None),
+    // singleton in graz
+    ("yelp:uhr", "yelp", "Uhrturm", Some(47.0735), Some(15.4377), None),
+    // no coords, hint resolves via alias
+    ("reddit:hint", "reddit", "Prater", Option.empty[Double],
+      Option.empty[Double], Some("wien")),
+    // coords match no city -> dropped by the cascade
+    ("yelp:lost", "yelp", "Nowhere Bar", Some(10.0), Some(10.0),
+      Option.empty[String])
+  ).toDF("place_id", "source", "name", "lat", "lon", "city_hint")
+
+  private lazy val reviews = Seq(
+    ("r1", "yelp:cafe", "Great coffee and cakes in a beautiful hall"),
+    ("r2", "wv:cafe", "Historic coffeehouse, a classic"),
+    ("r3", "yelp:uhr", "The clock tower is lovely at sunset")
+  ).toDF("review_id", "place_id", "text")
+
+  test("staging -> ER -> canonical -> review lift -> POI cards") {
+    // 1. city assignment cascade + guard (G4/P6/P7)
+    val assigned = CityAssignment.assign(rawPlaces, cities)
+      .where(col("city_slug").isNotNull)
+    val staged = CityAssignment.distanceGuard(
+      assigned.where(col("lat").isNotNull), cities, maxKm = 80.0)
+      .unionByName(assigned.where(col("lat").isNull))
+    assert(staged.count() == 4) // yelp:lost dropped
+    val bySlug = staged.select("place_id", "city_slug")
+      .as[(String, String)].collect().toMap
+    assert(bySlug("yelp:cafe") == "vienna" && bySlug("yelp:uhr") == "graz")
+    assert(bySlug("reddit:hint") == "vienna") // alias hint, no coords
+
+    // 2. ER over geo-located places (J4/G1/G2/A4/G3)
+    val cmap = EntityResolution.canonicalMap(staged.where(col("lat").isNotNull))
+    val canonOf = cmap.select("source_place_id", "canonical_id")
+      .as[(String, String)].collect().toMap
+    assert(canonOf("yelp:cafe") == canonOf("wv:cafe"))
+    assert(canonOf("yelp:cafe") == "cafe-central-wien::vienna")
+    assert(canonOf("yelp:uhr") == "uhrturm::graz")
+
+    // 3. review lift to canonical (G6) + capped nested card export (A11/K5)
+    val lifted = reviews.join(cmap,
+      reviews("place_id") === cmap("source_place_id"))
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(length(col("text")).desc, col("review_id").asc)
+    val cards = lifted.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2)
+      .groupBy("canonical_id", "canonical_name", "city_slug")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("text")))),
+        x => substring(x.getField("text"), 1, 220)), " | ").as("quotes"),
+        count(lit(1)).as("n_reviews"))
+    val byCanon = cards.collect()
+      .map(r => r.getString(0) -> (r.getString(3), r.getLong(4))).toMap
+    assert(byCanon.size == 2)
+    val (cafeQuotes, cafeN) = byCanon("cafe-central-wien::vienna")
+    assert(cafeN == 2) // both member reviews lifted to the canonical place
+    assert(cafeQuotes.contains("Great coffee") &&
+      cafeQuotes.contains("Historic coffeehouse"))
+    assert(byCanon("uhrturm::graz")._2 == 1)
+  }
+}

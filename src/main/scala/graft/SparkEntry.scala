@@ -1210,10 +1210,10 @@ object SparkEntry {
           col("p_type").as("blk"))
         a.join(b, Seq("blk")).where(col("a_key") < col("b_key"))
           .select(col("a_key"), col("b_key"),
-            round(TextFunctions.tokenSetRatioUdf(col("a_name"), col("b_name")), 4)
-              .as("token_set"),
-            round(TextFunctions.tokenSortRatioUdf(col("a_name"), col("b_name")), 4)
-              .as("token_sort"),
+            round(graft.plans.FuzzyExpressions.tokenSetRatio(
+              col("a_name"), col("b_name")), 4).as("token_set"),
+            round(graft.plans.FuzzyExpressions.tokenSortRatio(
+              col("a_name"), col("b_name")), 4).as("token_sort"),
             round(TextFunctions.partialRatioUdf(col("a_name"), col("b_name")), 4)
               .as("partial"))
       },

@@ -40,7 +40,7 @@ object EntityResolution {
       .join(dims.select(col("place_id").as("b_id"), col("name").as("b_name"),
         col("source").as("src_b")), "b_id")
       .withColumn("name_sim",
-        TextFunctions.nameSimilarityUdf(col("a_name"), col("b_name")))
+        graft.plans.FuzzyExpressions.nameSimilarity(col("a_name"), col("b_name")))
       .select(col("a_id").as("a"), col("b_id").as("b"), col("src_a"),
         col("src_b"), col("name_sim"), col("meters"),
         col("a_city_slug").as("city_slug"), col("a_name"), col("b_name"))

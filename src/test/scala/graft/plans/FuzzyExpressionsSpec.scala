@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.TextFunctions
+
+class FuzzyExpressionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val pairs = Seq(
+    ("Cafe Central", "cafe central wien"),
+    ("Hotel Sacher", "Sacher Hotel"),
+    ("Plachutta", "Figlmüller"),
+    (null, "x"),
+    ("", "")
+  ).toDF("a", "b")
+
+  test("codegen'd expressions agree with the kernel and the UDF") {
+    val out = pairs.select(
+      FuzzyExpressions.tokenSetRatio(col("a"), col("b")).as("set_e"),
+      FuzzyExpressions.tokenSortRatio(col("a"), col("b")).as("sort_e"),
+      FuzzyExpressions.nameSimilarity(col("a"), col("b")).as("name_e"),
+      TextFunctions.tokenSetRatioUdf(col("a"), col("b")).as("set_u"),
+      TextFunctions.tokenSortRatioUdf(col("a"), col("b")).as("sort_u"),
+      TextFunctions.nameSimilarityUdf(col("a"), col("b")).as("name_u"))
+      .collect()
+    out.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1) && r.isNullAt(2)) // null input
+      else {
+        assert(r.getDouble(0) == r.getDouble(3))
+        assert(r.getDouble(1) == r.getDouble(4))
+        assert(r.getDouble(2) == r.getDouble(5))
+      }
+    }
+    // direct kernel spot check through the expression path
+    val direct = Seq(("mets vs braves", "braves vs mets")).toDF("a", "b")
+      .select(FuzzyExpressions.tokenSetRatio(col("a"), col("b"))).as[Double].head
+    assert(direct == 1.0)
+  }
+
+  test("the expression stays inside whole-stage codegen") {
+    // local relations constant-fold; a parquet scan exercises real codegen
+    val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+      .limit(50)
+      .select(FuzzyExpressions.nameSimilarity(col("c_name"),
+        concat(col("c_name"), lit(" X"))).as("s"))
+      .where(col("s") >= 0.0)
+    assert(df.count() == 50)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(1500)) // codegen stage marker
+  }
+}

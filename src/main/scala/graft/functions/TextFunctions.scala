@@ -136,13 +136,14 @@ object TextFunctions {
   }
 
   /** Reference `name_similarity` (`etl/utils.py:79-87`): max of
-    * token_set / token_sort / partial ratios over normalized names. */
+    * token_set_ratio, QRatio (plain InDel ratio over normalized strings),
+    * and token_sort_ratio over normalized names. */
   def nameSimilarity(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
     val na = normalizeName(a)
     val nb = normalizeName(b)
     if (na.isEmpty || nb.isEmpty) return 0.0
-    math.max(tokenSetRatio(na, nb), math.max(tokenSortRatio(na, nb), partialRatio(na, nb)))
+    math.max(tokenSetRatio(na, nb), math.max(tokenSortRatio(na, nb), ratio(na, nb)))
   }
 
   // ------------------------------------------------------------------ UDFs

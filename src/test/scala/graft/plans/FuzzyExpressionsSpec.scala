@@ -39,6 +39,20 @@ class FuzzyExpressionsSpec extends SparkTestBase {
     assert(direct == 1.0)
   }
 
+  test("extensions expose the expressions as SQL functions") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      """SELECT round(token_set_ratio('mets vs braves', 'braves vs mets'), 4) AS a,
+        |  round(token_sort_ratio('york new', 'new york'), 4) AS b,
+        |  round(name_similarity('Café Central', 'cafe central'), 4) AS c""".stripMargin)
+      .head
+    assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    // a fresh session built WITH the extensions class also resolves them
+    val ext = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]").withExtensions(new GraftExtensions).getOrCreate()
+    assert(ext.sql("SELECT token_set_ratio('a b', 'b a') AS s").head.getDouble(0) == 1.0)
+  }
+
   test("the expression stays inside whole-stage codegen") {
     // local relations constant-fold; a parquet scan exercises real codegen
     val df = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

@@ -1420,6 +1420,102 @@ object SparkEntry {
               |LEFT JOIN comps ON c.c_custkey = comps.c_custkey
               |GROUP BY 1""".stripMargin)),
 
+    // listings_nearby + popularity: the operator the reference CONSUMES but
+    // never ships (SURVEY §3.3 / §7.4.6) — count of NEAR "listings"
+    // (suppliers) per "place" (customer) within 300 m, then the per-group
+    // z-score + flag pipeline of neo4j_cypher/12.
+    Q("g10_listings_nearby",
+      (s, dir) => {
+        val near = SpatialJoins.gridWithinJoin(
+          custPoints(s, dir), suppPoints(s, dir),
+          "c_custkey", "s_suppkey", thresholdM = 300.0)
+        val counts = t(s, dir, "customer")
+          .join(near.groupBy("c_custkey")
+            .agg(countDistinct("s_suppkey").as("listings_nearby")),
+            Seq("c_custkey"), "left")
+          .withColumn("listings_nearby",
+            coalesce(col("listings_nearby"), lit(0L)))
+        val w = Window.partitionBy("c_nationkey")
+        val mu = avg(col("listings_nearby").cast("double")).over(w)
+        val sd = stddev_samp(col("listings_nearby").cast("double")).over(w)
+        counts.withColumn("z",
+            round(when(sd === 0 || sd.isNull, 0.0)
+              .otherwise((col("listings_nearby") - mu) / sd), 4) + 0.0)
+          .withColumn("flag", when(col("z") >= 1.0, "high")
+            .when(col("z") >= 0.0, "medium").otherwise("low"))
+          .select("c_custkey", "listings_nearby", "z", "flag")
+      },
+      Some(s"""WITH pts AS ($custPointsSql), sup AS ($suppPointsSql),
+              |near AS (
+              |  SELECT c_custkey, count(DISTINCT s_suppkey) AS listings_nearby
+              |  FROM pts JOIN sup
+              |    ON ${havSql("pts.lat", "pts.lon", "sup.lat", "sup.lon")} <= 300.0
+              |  GROUP BY c_custkey),
+              |counts AS (
+              |  SELECT c.c_custkey, c.c_nationkey,
+              |    coalesce(n.listings_nearby, 0) AS listings_nearby
+              |  FROM customer c LEFT JOIN near n ON c.c_custkey = n.c_custkey),
+              |z AS (
+              |  SELECT c_custkey, listings_nearby,
+              |    round(CASE WHEN stddev_samp(CAST(listings_nearby AS DOUBLE))
+              |        OVER w = 0
+              |      OR stddev_samp(CAST(listings_nearby AS DOUBLE)) OVER w IS NULL
+              |      THEN 0.0
+              |      ELSE (CAST(listings_nearby AS DOUBLE) -
+              |        avg(CAST(listings_nearby AS DOUBLE)) OVER w) /
+              |        stddev_samp(CAST(listings_nearby AS DOUBLE)) OVER w
+              |      END, 4) + 0e0 AS z
+              |  FROM counts WINDOW w AS (PARTITION BY c_nationkey))
+              |SELECT c_custkey, listings_nearby, z,
+              |  CASE WHEN z >= 1.0 THEN 'high' WHEN z >= 0.0 THEN 'medium'
+              |    ELSE 'low' END AS flag
+              |FROM z""".stripMargin)),
+
+    // G9: alias-suggestion shape — unassigned rows vote a label toward
+    // their nearest center within 35 km, kept above a min count
+    Q("g9_alias_votes",
+      (s, dir) => {
+        val assigned = queriesInternal("g4_region_cascade")(s, dir)
+          .select("c_custkey")
+        val cities = t(s, dir, "region")
+          .select(col("r_regionkey").as("city_id"),
+            (lit(40.0) + col("r_regionkey") * 0.04).as("center_lat"),
+            lit(-74.95).as("center_lon"))
+        val unassigned = custPoints(s, dir)
+          .join(assigned, Seq("c_custkey"), "left_anti")
+        val cand = unassigned.crossJoin(broadcast(cities))
+          .withColumn("center_m", GeoFunctions.haversineM(col("lat"), col("lon"),
+            col("center_lat"), col("center_lon")))
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(col("center_m").asc, col("city_id").asc)
+        cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .where(col("center_m") <= 35000.0)
+          .groupBy("city_id", "c_mktsegment")
+          .agg(count(lit(1)).as("votes"))
+          .where(col("votes") >= 5)
+      },
+      Some(s"""WITH assigned AS (
+              |${graphQueries.find(_.name == "g4_region_cascade").get.oracle.get}
+              |),
+              |cities AS (SELECT r_regionkey AS city_id,
+              |  40e0 + r_regionkey * 4e-2 AS center_lat, -7.495e1 AS center_lon
+              |  FROM region),
+              |unassigned AS (
+              |  SELECT * FROM ($custPointsSql) p
+              |  WHERE NOT EXISTS (SELECT 1 FROM assigned a
+              |                    WHERE a.c_custkey = p.c_custkey)),
+              |cand AS (
+              |  SELECT u.c_custkey, u.c_mktsegment, c.city_id,
+              |    ${havSql("u.lat", "u.lon", "c.center_lat", "c.center_lon")}
+              |      AS center_m,
+              |    row_number() OVER (PARTITION BY u.c_custkey ORDER BY
+              |      ${havSql("u.lat", "u.lon", "c.center_lat", "c.center_lon")}
+              |      ASC, c.city_id ASC) AS rn
+              |  FROM unassigned u CROSS JOIN cities c)
+              |SELECT city_id, c_mktsegment, count(*) AS votes
+              |FROM cand WHERE rn = 1 AND center_m <= 35e3
+              |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
+
     // ANN via SRP-LSH buckets, fully oracle-checked (unrolled SRP SQL)
     Q("ann_lsh_topk",
       (s, dir) => {

@@ -44,17 +44,18 @@ object ConnectedComponents {
       val viaEdges = sym
         .join(labels.select($"node".as("v"), $"component"), "v")
         .groupBy($"u".as("node")).agg(min($"component").as("component"))
-      // 2) path halving: follow my label's label
+      // 2) path halving: follow my label's label; carry the old label so
+      //    convergence is read off the checkpointed result without an
+      //    extra join per round
       val next = viaEdges
         .join(labels.select($"node".as("component"), $"component".as("c2")),
           Seq("component"), "left")
+        .join(labels.withColumnRenamed("component", "old"), Seq("node"))
         .select($"node", least($"component", coalesce($"c2", $"component"))
-          .as("component"))
+          .as("component"), $"old")
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("component", "old"), "node")
-        .where($"component" =!= $"old").limit(1).count()
-      labels = next
+      val changed = next.where($"component" =!= $"old").limit(1).count()
+      labels = next.drop("old")
       converged = changed == 0
       iter += 1
     }

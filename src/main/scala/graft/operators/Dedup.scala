@@ -74,11 +74,11 @@ object Dedup {
         transform(shingles(col(textCol), shingleN), s => md5Hash32(s, lit(0)))
           .as("h1"))
       .repartition(col("id"))
-    // second barrier: higher-order-function lambdas are interpreted, so the
-    // 16-slot signature must be materialized BEFORE the 8-way band explode
-    // or it is re-evaluated per band row
+    // second barrier: the signature must be materialized BEFORE the 8-way
+    // band explode or it is re-evaluated per band row; the JIT kernel
+    // replaces the interpreted higher-order-function fold
     val sig = hashed.select(col("id"),
-        minHashSignature(col("h1"), numHashes).as("sig"))
+        minHashSigUdf(col("h1"), lit(numHashes)).as("sig"))
       .repartition(col("id"))
     val banded = sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -127,6 +127,49 @@ object Dedup {
   def simHash(textCol: Column): Column =
     simHashFromHashes(transform(tokens(textCol), t => md5Hash32(t, lit(0))))
 
+  /** JIT-compiled kernel identical to simHashFromHashes — higher-order
+    * functions are interpreted per element, so the hot pairs path uses this
+    * JVM loop instead (same math, same result). */
+  def simHashKernel(hashes: Seq[Long]): Long = {
+    val votes = new Array[Long](32)
+    val it = hashes.iterator
+    while (it.hasNext) {
+      val h = it.next()
+      var j = 0
+      while (j < 32) {
+        votes(j) += ((h >> j) & 1L) * 2L - 1L
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 32) {
+      if (votes(j) > 0) fp += 1L << j
+      j += 1
+    }
+    fp
+  }
+  val simHashUdf = udf(simHashKernel _)
+
+  /** JIT-compiled MinHash slots, identical math to minHashSignature. */
+  def minHashSigKernel(baseHashes: Seq[Long], numHashes: Int): Seq[Long] = {
+    val sig = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      var m = Long.MaxValue
+      val it = baseHashes.iterator
+      while (it.hasNext) {
+        val h = it.next()
+        val v = (h * (i * 2 + 3) + i * 12582917L) % 4294967291L
+        if (v < m) m = v
+      }
+      sig(i) = if (baseHashes.isEmpty) 0L else m
+      i += 1
+    }
+    sig.toSeq
+  }
+  val minHashSigUdf = udf(minHashSigKernel _)
+
   /** SimHash near-dup pairs: hamming distance <= maxHamming, blocked on the
     * fingerprint's 4 bytes (a pair within hamming<=3 shares at least one
     * identical byte only probabilistically — for guaranteed recall at
@@ -139,7 +182,7 @@ object Dedup {
     val hashed = docs.select(col(idCol).as("id"),
         transform(tokens(col(textCol)), t => md5Hash32(t, lit(0))).as("hs"))
       .repartition(col("id"))
-    val withFp = hashed.select(col("id"), simHashFromHashes(col("hs")).as("fp"))
+    val withFp = hashed.select(col("id"), simHashUdf(col("hs")).as("fp"))
       .repartition(col("id"))
     val chunked = withFp.select(col("id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(3)),
@@ -159,11 +202,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("hamming"))
   }
 
+  /** JIT jaccard over two DISTINCT long arrays: |A∩B| / (|A|+|B|-|A∩B|) —
+    * identical to size(array_intersect)/size(array_union) on distinct
+    * inputs, without per-pair boxed array-expression evaluation. */
+  def jaccardKernel(a: Seq[Long], b: Seq[Long]): Double = {
+    val (small, large) = if (a.length <= b.length) (a, b) else (b, a)
+    val set = new java.util.HashSet[Long](small.length * 2)
+    small.foreach(set.add)
+    var inter = 0
+    val it = large.iterator
+    while (it.hasNext) if (set.contains(it.next())) inter += 1
+    val union = a.length + b.length - inter
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+  private val jaccardUdf = udf(jaccardKernel _)
+
   /** Exact n-gram Jaccard near-dup pairs over a cheap blocking key (shared
     * first token), verified with true shingle-set jaccard >= threshold.
     * Shingles are md5-hashed to longs behind an exchange before pairing:
-    * long-array set ops are far cheaper than string-array ones and the
-    * jaccard value is identical (distinct shingles -> distinct hashes). */
+    * the per-pair set math runs as a JIT-compiled kernel and the jaccard
+    * value is identical (distinct shingles -> distinct hashes). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
@@ -174,9 +232,7 @@ object Dedup {
     val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("a_sh"))
     val b = sh.select(col("blk"), col("id").as("b_id"), col("sh").as("b_sh"))
     a.join(b, "blk").where(col("a_id") < col("b_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .withColumn("jaccard", jaccardUdf(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -15,8 +15,34 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two numeric array columns (computed in double). */
-  def cosineCol(a: Column, b: Column): Column = {
+  /** JIT-compiled cosine kernel: sequential double folds, identical to the
+    * expression form below (higher-order functions are interpreted per
+    * element, so the hot paths use this JVM loop instead). */
+  def cosineKernel(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble
+      val y = b(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sa = math.sqrt(na)
+    val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+  }
+  private val cosineUdf = udf(cosineKernel _)
+
+  /** Cosine similarity of two float-array columns (computed in double). */
+  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
+
+  /** Pure-expression cosine (kept for non-float inputs / reference). */
+  def cosineExprCol(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
     val na = sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v.cast("double") * v.cast("double")))

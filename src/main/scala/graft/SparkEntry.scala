@@ -1516,6 +1516,60 @@ object SparkEntry {
               |FROM cand WHERE rn = 1 AND center_m <= 35e3
               |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
 
+    // TPC-H-shaped SQL through the spark.sql text surface (the engine's
+    // declarative plans are the same whether built via DataFrame or SQL)
+    Q("q3_shipping_priority",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem").foreach(n =>
+          t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT l_orderkey,
+                 round(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue,
+                 CAST(o_orderdate AS DATE) AS order_date
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+          GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+          ORDER BY revenue DESC, l_orderkey ASC
+          LIMIT 10""")
+      },
+      Some("""SELECT l_orderkey,
+             |  round(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue,
+             |  CAST(o_orderdate AS DATE) AS order_date
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |WHERE c_mktsegment = 'BUILDING' AND o_orderstatus = 'O'
+             |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+             |ORDER BY revenue DESC, l_orderkey ASC
+             |LIMIT 10""".stripMargin)),
+
+    Q("q10_returned_items",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "nation").foreach(n =>
+          t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT c_custkey, c_name, n_name,
+                 round(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, n_name
+          HAVING sum(l_extendedprice * (1e0 - l_discount)) > 1000
+          ORDER BY revenue DESC, c_custkey ASC
+          LIMIT 20""")
+      },
+      Some("""SELECT c_custkey, c_name, n_name,
+             |  round(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE l_returnflag = 'R'
+             |GROUP BY c_custkey, c_name, n_name
+             |HAVING sum(l_extendedprice * (1e0 - l_discount)) > 1000
+             |ORDER BY revenue DESC, c_custkey ASC
+             |LIMIT 20""".stripMargin)),
+
     // ANN via SRP-LSH buckets, fully oracle-checked (unrolled SRP SQL)
     Q("ann_lsh_topk",
       (s, dir) => {

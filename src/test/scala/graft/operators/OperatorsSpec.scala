@@ -38,6 +38,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(brute == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("gridWithinJoin returns every pair within the radius, once") {
+    val left = Seq((1L, 48.2000, 16.3700)).toDF("lid", "lat", "lon")
+    val right = Seq(
+      (10L, 48.2001, 16.3700), // ~11 m
+      (11L, 48.2000, 16.3720), // ~148 m
+      (12L, 48.2100, 16.3700)  // ~1.1 km — outside
+    ).toDF("rid", "lat", "lon")
+    val out = SpatialJoins.gridWithinJoin(left, right, "lid", "rid", 300.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 10L), (1L, 11L)))
+  }
+
   test("nearestJoin picks the single nearest right row within threshold") {
     val left = Seq((10L, 48.2000, 16.3700, "c")).toDF("lid", "lat", "lon", "blk")
     val right = Seq(

@@ -14,8 +14,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * session (same registrations, via the session's function registry).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => SpatialJoinRule)
+  }
 }
 
 object GraftExtensions {
@@ -40,9 +42,14 @@ object GraftExtensions {
     binary("token_sort_ratio", TokenSortRatio.apply),
     binary("name_similarity", NameSimilarity.apply))
 
-  /** Register the same functions into an already-built session. */
-  def install(spark: SparkSession): Unit =
+  /** Register the same functions + the spatial rewrite into an
+    * already-built session. */
+  def install(spark: SparkSession): Unit = {
     functions.foreach { case (ident, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(SpatialJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SpatialJoinRule
+  }
 }

@@ -1570,6 +1570,30 @@ object SparkEntry {
              |ORDER BY revenue DESC, c_custkey ASC
              |LIMIT 20""".stripMargin)),
 
+    // J4 via the OPTIMIZER RULE: the join is written naively as a radius
+    // predicate; SpatialJoinRule (plans/SpatialRewrite) rewrites it into
+    // the grid-blocked equi-join — same results as the hand-built j4
+    Q("j4_auto_rewrite",
+      (s, dir) => {
+        graft.plans.GraftExtensions.install(s)
+        val a = custPoints(s, dir).select(col("c_custkey").as("a_id"),
+          col("lat").as("a_lat"), col("lon").as("a_lon"))
+        val b = custPoints(s, dir).select(col("c_custkey").as("b_id"),
+          col("lat").as("b_lat"), col("lon").as("b_lon"))
+        a.join(b, col("a_id") < col("b_id") &&
+            graft.plans.WithinMeters(col("a_lat"), col("a_lon"),
+              col("b_lat"), col("b_lon"), 250.0))
+          .select(col("a_id"), col("b_id"),
+            round(GeoFunctions.haversineM(col("a_lat"), col("a_lon"),
+              col("b_lat"), col("b_lon")), 2).as("meters"))
+      },
+      Some(s"""WITH pts AS ($custPointsSql)
+              |SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+              |  round(${havSql("a.lat", "a.lon", "b.lat", "b.lon")}, 2) AS meters
+              |FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+              |WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0"""
+        .stripMargin)),
+
     // ANN via SRP-LSH buckets, fully oracle-checked (unrolled SRP SQL)
     Q("ann_lsh_topk",
       (s, dir) => {

@@ -33,6 +33,61 @@ object Dedup {
         .otherwise(transform(idx, i => array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
+  // ------------------------------------------------------- JVM kernels
+  // Tokenize/shingle/hash chains are hot and interpreted as expressions;
+  // these kernels produce byte-identical results (same Java regex, same
+  // md5-hex-prefix hashing) with JIT-compiled loops.
+
+  private val tokenRe = java.util.regex.Pattern.compile("[^a-z0-9]+")
+
+  /** Same tokens as `tokens(c)`: lowercase, non-alnum runs to spaces,
+    * trim, split, drop empties. */
+  def tokensKernel(text: String): Array[String] = {
+    if (text == null) return Array.empty
+    tokenRe.matcher(text.toLowerCase(java.util.Locale.ROOT)).replaceAll(" ").trim
+      .split(" ").filter(_.nonEmpty)
+  }
+
+  /** Same value as md5Hash32: first 8 hex chars of md5(seed + ":" + s). */
+  def md5Hash32Kernel(s: String, seed: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest((seed.toString + ":" + s).getBytes("UTF-8"))
+    // first 4 bytes == first 8 hex chars, as unsigned
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Distinct word n-gram shingles hashed under seed 0 — identical to
+    * transform(shingles(c, n), s => md5Hash32(s, 0)) over distinct
+    * shingles. */
+  def hashedShinglesKernel(text: String, n: Int): Seq[Long] = {
+    val toks = tokensKernel(text)
+    val shingles = new java.util.LinkedHashSet[String]()
+    if (toks.length < n) shingles.add(toks.mkString(" "))
+    else {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        shingles.add(sb.toString)
+        i += 1
+      }
+    }
+    val out = new Array[Long](shingles.size)
+    val it = shingles.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = md5Hash32Kernel(it.next(), 0); j += 1 }
+    out.toSeq
+  }
+  private val hashedShinglesUdf = udf(hashedShinglesKernel _)
+
+  /** Token hashes under seed 0 (multiset, order preserved) — identical to
+    * transform(tokens(c), t => md5Hash32(t, 0)). */
+  def hashedTokensKernel(text: String): Seq[Long] =
+    tokensKernel(text).map(t => md5Hash32Kernel(t, 0)).toSeq
+  private val hashedTokensUdf = udf(hashedTokensKernel _)
+
   /** Exact duplicate removal: group identical normalized texts by md5 digest,
     * keep the smallest id. Returns (keep_id, dup_count, digest). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -71,8 +126,7 @@ object Dedup {
     // barrier Catalyst collapses projections and re-evaluates the whole
     // hash pipeline once per exploded band row / join output row
     val hashed = docs.select(col(idCol).as("id"),
-        transform(shingles(col(textCol), shingleN), s => md5Hash32(s, lit(0)))
-          .as("h1"))
+        hashedShinglesUdf(col(textCol), lit(shingleN)).as("h1"))
       .repartition(col("id"))
     // second barrier: the signature must be materialized BEFORE the 8-way
     // band explode or it is re-evaluated per band row; the JIT kernel
@@ -180,7 +234,7 @@ object Dedup {
     // stage 1 materializes the md5 token hashes behind an exchange so the
     // 32-bit majority vote reads them instead of re-hashing per bit
     val hashed = docs.select(col(idCol).as("id"),
-        transform(tokens(col(textCol)), t => md5Hash32(t, lit(0))).as("hs"))
+        hashedTokensUdf(col(textCol)).as("hs"))
       .repartition(col("id"))
     val withFp = hashed.select(col("id"), simHashUdf(col("hs")).as("fp"))
       .repartition(col("id"))
@@ -225,8 +279,7 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
-        array_distinct(transform(shingles(col(textCol), shingleN),
-          s => md5Hash32(s, lit(0)))).as("sh"),
+        array_distinct(hashedShinglesUdf(col(textCol), lit(shingleN))).as("sh"),
         element_at(tokens(col(textCol)), 1).as("blk"))
       .repartition(col("id"))
     val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("a_sh"))

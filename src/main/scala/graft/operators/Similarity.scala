@@ -84,6 +84,35 @@ object Similarity {
       acc + when(dotSign > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
     })
 
+  /** Memoized JIT form of planeSign: the +-1 coefficient depends only on
+    * (planeId, dim), so the md5 is computed once per pair process-wide. */
+  private val signCache = new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Double]()
+  def planeSignKernel(planeId: Int, d: Int): Double =
+    signCache.computeIfAbsent((planeId.toLong << 32) | d.toLong,
+      _ => if (Dedup.md5Hash32Kernel(d.toString, planeId) % 2 == 0) 1.0 else -1.0)
+
+  /** All tables' SRP buckets for one vector — identical math to the
+    * expression form (sequential double dot, acc = t*2^40 + sum 2^p). */
+  def srpBucketsKernel(vec: Seq[Float], numPlanes: Int, tables: Int): Seq[Long] =
+    (0 until tables).map { t =>
+      var acc = t.toLong * (1L << 40)
+      var p = 0
+      while (p < numPlanes) {
+        val planeId = p + t * numPlanes
+        var dot = 0.0
+        var d = 0
+        val n = vec.length
+        while (d < n) {
+          dot += vec(d).toDouble * planeSignKernel(planeId, d)
+          d += 1
+        }
+        if (dot > 0) acc += 1L << p
+        p += 1
+      }
+      acc
+    }
+  private val srpBucketsUdf = udf(srpBucketsKernel _)
+
   /** LSH-bucketed ANN top-k: queries only compare against corpus vectors in
     * the same SRP bucket (repeated over `tables` independent hash tables for
     * recall). Scale path for bruteForceTopK. */
@@ -93,16 +122,7 @@ object Similarity {
     // distinct tables use distinct planes: plane index offset by table
     def bucketed(df: DataFrame, id: String, prefix: String): DataFrame =
       df.select(col(id).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_v"),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)), t =>
-          aggregate(sequence(lit(0), lit(numPlanes - 1)), t * lit(1L << 40),
-            (acc, p) => {
-              val planeId = p + t * numPlanes
-              val dotSign = aggregate(
-                zip_with(col(vecCol), sequence(lit(0), size(col(vecCol)) - 1),
-                  (x, d) => x.cast("double") * planeSign(planeId, d)),
-                lit(0.0), (a2, v) => a2 + v)
-              acc + when(dotSign > 0, pow(lit(2.0), p).cast("long")).otherwise(0L)
-            }))))
+        posexplode(srpBucketsUdf(col(vecCol), lit(numPlanes), lit(tables))))
         .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
     val c = bucketed(corpus, corpusId, "c")
     val q = bucketed(queries, queryId, "q")

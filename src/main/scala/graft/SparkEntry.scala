@@ -313,13 +313,15 @@ object SparkEntry {
           col("blk"))
         val scored = a.join(b, Seq("blk")).where(col("a_key") =!= col("b_key"))
           .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
-          .where(col("sim") >= 0.5)
-        // argmax via partial-aggregatable max_by instead of a window sort
-        // over every surviving pair; sim gaps are >= 1/len >> 1e-9*b_key so
-        // the composite key is an exact (sim desc, b_key asc) order
+        // argmax via partial-aggregatable max_by instead of a window sort;
+        // sim gaps are >= 1/len >> 1e-9*b_key so the composite key is an
+        // exact (sim desc, b_key asc) order. The threshold applies AFTER
+        // the argmax (identical result: if the best is < 0.5 no pair was)
+        // so the 8M candidate rows see one aggregate, not filter+aggregate.
         scored.groupBy("a_key")
           .agg(max_by(struct(col("b_key"), col("sim")),
             col("sim") - col("b_key") * 1e-9).as("best"))
+          .where(col("best.sim") >= 0.5)
           .select(col("a_key"), col("best.b_key").as("b_key"),
             round(col("best.sim"), 4).as("sim"))
       },

@@ -5,7 +5,13 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints exactly one JSON line (driver contract). A small untimed warmup
   * query first absorbs session/codegen startup so the first timed query is
-  * not penalized. */
+  * not penalized.
+  *
+  * Queries are executed through the noop sink, not `.count()`: counting lets
+  * Catalyst prune every column above the last join/aggregate, so
+  * pure-projection queries would be timed as scan-count only and their
+  * regex/UDF work skipped. The noop sink materializes every output column
+  * while writing nothing. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -25,7 +31,9 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -311,19 +311,27 @@ object SparkEntry {
           col("blk"))
         val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
           col("blk"))
-        val scored = a.join(b, Seq("blk")).where(col("a_key") =!= col("b_key"))
+        // length-band pre-filter, exact for the 0.5 threshold: sim >= 0.5
+        // needs lev <= 0.5*greatest(len), and lev >= |len diff|, so any
+        // qualifying pair has 2*|len diff| <= greatest(len) — a cheap
+        // integer codegen'd predicate evaluated BEFORE the expensive
+        // levenshtein, cutting the candidate volume roughly in half.
+        val scored = a.join(b, Seq("blk")).where(col("a_key") =!= col("b_key") &&
+            abs(length(col("a_name")) - length(col("b_name"))) * 2 <=
+              greatest(length(col("a_name")), length(col("b_name"))))
           .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
-        // argmax via partial-aggregatable max_by instead of a window sort;
-        // sim gaps are >= 1/len >> 1e-9*b_key so the composite key is an
-        // exact (sim desc, b_key asc) order. The threshold applies AFTER
-        // the argmax (identical result: if the best is < 0.5 no pair was)
-        // so the 8M candidate rows see one aggregate, not filter+aggregate.
+        // argmax via partial-aggregatable max(struct) instead of a window
+        // sort; lexicographic struct order (sim desc, then b_key asc via
+        // negation) is an exact tiebreak with no magnitude mixing — the
+        // earlier `sim - b_key*1e-9` composite broke once key * 1e-9
+        // exceeded a sim gap (possible at partkey ≳ 4e5). The threshold
+        // applies AFTER the argmax (identical result: if the best is < 0.5
+        // no pair was) so candidates see one aggregate, not filter+agg.
         scored.groupBy("a_key")
-          .agg(max_by(struct(col("b_key"), col("sim")),
-            col("sim") - col("b_key") * 1e-9).as("best"))
-          .where(col("best.sim") >= 0.5)
-          .select(col("a_key"), col("best.b_key").as("b_key"),
-            round(col("best.sim"), 4).as("sim"))
+          .agg(max(struct(col("sim").as("s"), (-col("b_key")).as("nk"))).as("best"))
+          .where(col("best.s") >= 0.5)
+          .select(col("a_key"), (-col("best.nk")).as("b_key"),
+            round(col("best.s"), 4).as("sim"))
       },
       Some("""WITH p AS (SELECT *, p_type || '|' || split_part(p_name, ' ', 1)
              |             AS blk FROM part),
@@ -332,11 +340,14 @@ object SparkEntry {
              |    1.0 - levenshtein(a.p_name, b.p_name) /
              |      greatest(length(a.p_name), length(b.p_name)) AS sim
              |  FROM p a JOIN p b ON a.blk = b.blk
-             |    AND a.p_partkey <> b.p_partkey)
-             |SELECT a_key,
-             |  arg_max(b_key, sim - b_key * 1e-9) AS b_key,
-             |  round(arg_max(sim, sim - b_key * 1e-9), 4) AS sim
-             |FROM cand WHERE sim >= 0.5 GROUP BY a_key""".stripMargin)),
+             |    AND a.p_partkey <> b.p_partkey
+             |    AND 2 * abs(length(a.p_name) - length(b.p_name)) <=
+             |        greatest(length(a.p_name), length(b.p_name))),
+             |best AS (
+             |  SELECT a_key, max({'s': sim, 'nk': -b_key}) AS best
+             |  FROM cand GROUP BY a_key)
+             |SELECT a_key, -((best).nk) AS b_key, round((best).s, 4) AS sim
+             |FROM best WHERE (best).s >= 0.5""".stripMargin)),
 
     Q("j9_anti_join",
       (s, dir) => t(s, dir, "customer").join(t(s, dir, "orders"),
@@ -950,10 +961,11 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
-    // SimHash fingerprint near-dup pairs (hamming <= 10, byte-blocked)
+    // SimHash fingerprint near-dup pairs (hamming <= 3, byte-blocked:
+    // 4 = maxHamming+1 chunks give pigeonhole-guaranteed recall)
     Q("dd_simhash",
       (s, dir) => Dedup.simHashPairs(t(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 10),
+        maxHamming = 3),
       Some(s"""WITH toks AS ($toksSql),
               |h AS (SELECT id, list_transform(tk, t -> ${h32Sql("t", "0")}) AS hs
               |      FROM toks),
@@ -976,25 +988,39 @@ object SparkEntry {
               |SELECT a_id, b_id,
               |  CAST(bit_count(xor(a_fp, b_fp)) AS BIGINT) AS hamming
               |FROM pairs
-              |WHERE bit_count(xor(a_fp, b_fp)) <= 10""".stripMargin)),
+              |WHERE bit_count(xor(a_fp, b_fp)) <= 3""".stripMargin)),
 
-    // Exact n-gram jaccard pairs (first-token blocking)
+    // Exact n-gram jaccard pairs (MinHash-LSH candidate generation,
+    // exact-jaccard verify stage — no natural-language blocking key)
     Q("dd_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
-        "text", shingleN = 3, threshold = 0.03),
-      Some(s"""WITH toks AS ($toksSql),
-              |sh0 AS ($shinglesSql),
-              |sh AS (SELECT sh0.id,
-              |         list_distinct(list_transform(sh0.sh,
-              |           s -> ${h32Sql("s", "0")})) AS sh,
-              |         toks.tk[1] AS blk
-              |       FROM sh0 JOIN toks ON sh0.id = toks.id)
-              |SELECT a.id AS a_id, b.id AS b_id,
-              |  round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-              |    len(list_distinct(a.sh || b.sh))::DOUBLE, 6) AS jaccard
-              |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
-              |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
-              |  len(list_distinct(a.sh || b.sh))::DOUBLE >= 0.03""".stripMargin)),
+        "text", shingleN = 3, threshold = 0.03, bands = 8, rowsPerBand = 2),
+      Some(s"""WITH sh0 AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh0),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+              |j AS (
+              |  SELECT p.a_id, p.b_id,
+              |    len(list_intersect(ha.h1, hb.h1))::DOUBLE /
+              |      len(list_distinct(ha.h1 || hb.h1))::DOUBLE AS jaccard
+              |  FROM pairs p JOIN h1 ha ON p.a_id = ha.id
+              |               JOIN h1 hb ON p.b_id = hb.id)
+              |SELECT a_id, b_id, round(jaccard, 6) AS jaccard
+              |FROM j WHERE jaccard >= 0.03""".stripMargin)),
 
     // Embedding near-dup pairs (cosine >= 0.3, label-blocked)
     Q("dd_embed_cosine",

@@ -118,37 +118,58 @@ object Dedup {
     * agreement rate — an unbiased jaccard estimate.
     *
     * Output: (a_id, b_id, sig_sim). */
-  def minHashLSH(docs: DataFrame, idCol: String, textCol: String,
-                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
-                 simThreshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // materialize the md5 base hashes behind an exchange: without the
-    // barrier Catalyst collapses projections and re-evaluates the whole
-    // hash pipeline once per exploded band row / join output row
-    val hashed = docs.select(col(idCol).as("id"),
+  /** (id, h1) with h1 = distinct md5-hashed word n-gram shingles,
+    * materialized behind an exchange: without the barrier Catalyst collapses
+    * projections and re-evaluates the whole hash pipeline once per exploded
+    * band row / join output row. */
+  def hashedShingleDocs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
         hashedShinglesUdf(col(textCol), lit(shingleN)).as("h1"))
       .repartition(col("id"))
-    // second barrier: the signature must be materialized BEFORE the 8-way
-    // band explode or it is re-evaluated per band row; the JIT kernel
-    // replaces the interpreted higher-order-function fold
+
+  /** LSH banding over a (id, h1) frame: MinHash signatures, one bucket key
+    * per band (md5 of the band's signature slice). Returns
+    * (id, sig, band, bucket) — candidate pairs are docs sharing any
+    * (band, bucket), always a shuffle equi-join, never all-pairs. */
+  private def lshBanded(hashed: DataFrame, bands: Int,
+                        rowsPerBand: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    // barrier: the signature must be materialized BEFORE the band explode
+    // or it is re-evaluated per band row; the JIT kernel replaces the
+    // interpreted higher-order-function fold
     val sig = hashed.select(col("id"),
         minHashSigUdf(col("h1"), lit(numHashes)).as("sig"))
       .repartition(col("id"))
-    val banded = sig.select(col("id"), col("sig"),
+    sig.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => md5(concat_ws("_",
           concat(array(b.cast("string")),
             transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
               x => x.cast("string"))))))))
       .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "band")
+  }
+
+  /** Distinct candidate pairs (a_id, b_id, a_sig, b_sig) from LSH banding. */
+  private def lshCandidates(hashed: DataFrame, bands: Int,
+                            rowsPerBand: Int): DataFrame = {
+    val banded = lshBanded(hashed, bands, rowsPerBand)
     val a = banded.select(col("band"), col("bucket"),
       col("id").as("a_id"), col("sig").as("a_sig"))
     val b = banded.select(col("band"), col("bucket"),
       col("id").as("b_id"), col("sig").as("b_sig"))
-    val pairs = a.join(b, Seq("band", "bucket"))
+    a.join(b, Seq("band", "bucket"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), col("a_sig"), col("b_sig"))
       .dropDuplicates("a_id", "b_id")
+  }
+
+  def minHashLSH(docs: DataFrame, idCol: String, textCol: String,
+                 shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                 simThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val pairs = lshCandidates(
+      hashedShingleDocs(docs, idCol, textCol, shingleN), bands, rowsPerBand)
     pairs.withColumn("sig_sim",
         size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
           e => e)).cast("double") / numHashes)
@@ -224,11 +245,28 @@ object Dedup {
   }
   val minHashSigUdf = udf(minHashSigKernel _)
 
-  /** SimHash near-dup pairs: hamming distance <= maxHamming, blocked on the
-    * fingerprint's 4 bytes (a pair within hamming<=3 shares at least one
-    * identical byte only probabilistically — for guaranteed recall at
-    * maxHamming<=3, block on 4 x 8-bit chunks: pigeonhole gives one exact
-    * chunk match). Output (a_id, b_id, hamming). */
+  /** Bit layout for pigeonhole SimHash blocking: `maxHamming + 1` chunks
+    * covering the 32 fingerprint bits as evenly as possible. A pair with
+    * hamming <= maxHamming flips bits in at most maxHamming chunks, so at
+    * least one of the maxHamming+1 chunks matches exactly — guaranteed
+    * recall, not probabilistic. Returns (startBit, width) per chunk. */
+  def simHashChunkLayout(maxHamming: Int): Seq[(Int, Int)] = {
+    val numChunks = maxHamming + 1
+    require(numChunks >= 1 && numChunks <= 32,
+      s"maxHamming must be in [0, 31], got $maxHamming")
+    val base = 32 / numChunks
+    val rem = 32 % numChunks
+    val widths = (0 until numChunks).map(k => base + (if (k < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup pairs: hamming distance <= maxHamming, blocked on
+    * `maxHamming + 1` bit-chunks of the fingerprint (pigeonhole: some chunk
+    * is equal for every pair within the hamming budget — exact recall).
+    * Tradeoff: larger maxHamming means narrower chunks and so coarser
+    * buckets; past ~7 (4-bit chunks) bucket sizes approach corpus/2^width
+    * and the blocked join degrades toward quadratic — prefer small budgets
+    * on a 32-bit fingerprint. Output (a_id, b_id, hamming). */
   def simHashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     // stage 1 materializes the md5 token hashes behind an exchange so the
@@ -238,9 +276,11 @@ object Dedup {
       .repartition(col("id"))
     val withFp = hashed.select(col("id"), simHashUdf(col("hs")).as("fp"))
       .repartition(col("id"))
+    val chunkExprs = simHashChunkLayout(maxHamming).map { case (start, width) =>
+      shiftright(col("fp"), start).bitwiseAND((1L << width) - 1L)
+    }
     val chunked = withFp.select(col("id"), col("fp"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        k => pmod(floor(col("fp") / pow(lit(2.0), k * 8)).cast("long"), lit(256L)))))
+      posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val a = chunked.select(col("chunk_idx"), col("chunk"),
       col("id").as("a_id"), col("fp").as("a_fp"))
@@ -271,20 +311,28 @@ object Dedup {
   }
   private val jaccardUdf = udf(jaccardKernel _)
 
-  /** Exact n-gram Jaccard near-dup pairs over a cheap blocking key (shared
-    * first token), verified with true shingle-set jaccard >= threshold.
-    * Shingles are md5-hashed to longs behind an exchange before pairing:
-    * the per-pair set math runs as a JIT-compiled kernel and the jaccard
-    * value is identical (distinct shingles -> distinct hashes). */
+  /** Exact n-gram Jaccard near-dup pairs: MinHash-LSH generates the
+    * candidate pairs (banded bucket equi-join — recall tunable via
+    * bands/rowsPerBand, never quadratic, no skewable natural-language
+    * blocking key), then each candidate is verified with TRUE shingle-set
+    * jaccard >= threshold. An earlier first-token blocking scheme was both
+    * recall-unsafe ("The report…" vs "Report…" never paired) and skew-unsafe
+    * (a stopword first token makes one block quadratic) — the exact hazard
+    * SURVEY §7.4.5 warns about.
+    *
+    * Shingles are md5-hashed to longs behind an exchange before pairing: the
+    * per-pair set math runs as a JIT-compiled kernel and the jaccard value
+    * is identical (distinct shingles -> distinct hashes). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-        array_distinct(hashedShinglesUdf(col(textCol), lit(shingleN))).as("sh"),
-        element_at(tokens(col(textCol)), 1).as("blk"))
-      .repartition(col("id"))
-    val a = sh.select(col("blk"), col("id").as("a_id"), col("sh").as("a_sh"))
-    val b = sh.select(col("blk"), col("id").as("b_id"), col("sh").as("b_sh"))
-    a.join(b, "blk").where(col("a_id") < col("b_id"))
+                        shingleN: Int = 3, threshold: Double = 0.8,
+                        bands: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val sh = hashedShingleDocs(docs, idCol, textCol, shingleN)
+    val cand = lshCandidates(sh, bands, rowsPerBand)
+      .select(col("a_id"), col("b_id"))
+    // join the (small) candidate set back to the shingle arrays by id —
+    // carrying full arrays through the band explode would multiply them
+    cand.join(sh.select(col("id").as("a_id"), col("h1").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("h1").as("b_sh")), "b_id")
       .withColumn("jaccard", jaccardUdf(col("a_sh"), col("b_sh")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))

@@ -17,10 +17,25 @@ import graft.functions.TextFunctions
   * Groups are tiny (texts per place), so the O(k * n) pairwise pass is
   * per-group negligible; the aggregator is partial-aggregation friendly
   * (reduce keeps at most `maxBuffer` candidates per partition).
+  *
+  * `maxBuffer` is the explicit memory/exactness contract: the buffer keeps
+  * the global top-`maxBuffer` candidates by the greedy's own visiting order
+  * (length desc, then lexicographic), so the result is IDENTICAL to the
+  * reference's scan-everything greedy whenever the group has at most
+  * `maxBuffer` non-empty texts. Size it at or above the worst-case group
+  * (default 4096 ≫ any reviews-per-place group); an earlier silent cap of 64
+  * could drop a keepable text when the longest 64 were mutual near-dups.
+  * Eagerly pruning inside reduce() instead would be unsound — a newly
+  * arrived longer text can displace a kept text and resurrect texts it had
+  * pruned — so bounding memory any tighter than this requires accepting
+  * approximation, which we refuse to do silently (SURVEY §7.4.5).
   */
 class TopKDistinct(k: Int, simThreshold: Double, maxLen: Int = 1200,
-                   maxBuffer: Int = 64)
+                   maxBuffer: Int = 4096)
     extends Aggregator[String, List[String], Seq[String]] {
+
+  require(maxBuffer >= k,
+    s"maxBuffer ($maxBuffer) must be >= k ($k): the greedy can keep up to k texts")
 
   override def zero: List[String] = Nil
 
@@ -57,8 +72,9 @@ class TopKDistinct(k: Int, simThreshold: Double, maxLen: Int = 1200,
 object TopKDistinct {
   import org.apache.spark.sql.TypedColumn
 
-  /** Typed column usable in ds.groupByKey(...).agg(...). */
-  def topK(k: Int, simThreshold: Double, maxLen: Int = 1200)
-      : TypedColumn[String, Seq[String]] =
-    new TopKDistinct(k, simThreshold, maxLen).toColumn
+  /** Typed column usable in ds.groupByKey(...).agg(...). `maxBuffer` must be
+    * sized >= the largest group for exact reference-greedy parity. */
+  def topK(k: Int, simThreshold: Double, maxLen: Int = 1200,
+           maxBuffer: Int = 4096): TypedColumn[String, Seq[String]] =
+    new TopKDistinct(k, simThreshold, maxLen, maxBuffer).toColumn
 }

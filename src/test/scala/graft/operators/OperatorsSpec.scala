@@ -94,6 +94,90 @@ class OperatorsSpec extends SparkTestBase {
     assert(!kept.contains("the quick brown fox jumps over the lazy dog"))
   }
 
+  test("TopKDistinct matches the scan-everything reference greedy on a " +
+    "200-text adversarial group (longest texts are mutual near-dups)") {
+    // 150 long texts that are all near-duplicates of each other (one token
+    // appended), then 50 short mutually-distinct texts. A greedy that only
+    // buffers the longest 64 candidates would keep 1 long text and then run
+    // dry; the reference greedy scans everything and fills k from the
+    // distinct short tail (reference: etl/reviews_jsonl.py:316-325).
+    val longBase = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val longDups = (0 until 150).map(i => longBase + (" filler" * 5) + s" v$i")
+    val shorts = (0 until 50).map(i =>
+      s"unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e")
+    val texts = scala.util.Random.shuffle((longDups ++ shorts).toList)
+    // reference greedy: longest-first (len desc, lex asc), keep if
+    // token_set_ratio < threshold vs all kept, stop at k
+    def refGreedy(all: Seq[String], k: Int, thr: Double): Seq[String] = {
+      val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (t <- all.sortBy(s => (-s.length, s)) if kept.size < k)
+        if (kept.forall(p => graft.functions.TextFunctions.tokenSetRatio(t, p) < thr))
+          kept += t
+      kept.toSeq
+    }
+    val expected = refGreedy(texts, 5, 0.9)
+    val got = texts.map(("g", _)).toDF("k", "text")
+      .repartition(8) // force multi-partition partial aggregation
+      .as[(String, String)].groupByKey(_._1).mapValues(_._2)
+      .agg(TopKDistinct.topK(5, 0.9).name("kept"))
+      .collect().head._2
+    assert(got == expected)
+    assert(got.size == 5) // 1 long rep + 4 distinct shorts, not starved
+  }
+
+  test("simHashChunkLayout covers all 32 bits with maxHamming+1 chunks") {
+    for (mh <- Seq(0, 1, 3, 7, 10, 31)) {
+      val layout = Dedup.simHashChunkLayout(mh)
+      assert(layout.size == mh + 1)
+      assert(layout.map(_._2).sum == 32)
+      // contiguous, non-overlapping
+      layout.sliding(2).foreach {
+        case Seq((s1, w1), (s2, _)) => assert(s1 + w1 == s2)
+        case _ =>
+      }
+      assert(layout.head._1 == 0)
+      assert(layout.forall(_._2 >= 1))
+    }
+  }
+
+  test("simHashPairs recall is exact at the hamming budget (pigeonhole)") {
+    // Construct docs whose token sets differ progressively; verify against
+    // a brute-force hamming computation on the same fingerprints.
+    val rows = (0 until 12).map { i =>
+      (i.toLong, (0 until 10).map(j =>
+        if (j < i) s"tok${i}_$j" else s"base$j").mkString(" "))
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val fps = rows.map { case (id, text) =>
+      id -> Dedup.simHashKernel(Dedup.hashedTokensKernel(text))
+    }.toMap
+    val brute = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 6
+    } yield (a, b)).toSet
+    val got = Dedup.simHashPairs(docs, "doc_id", "text", maxHamming = 6)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == brute)
+  }
+
+  test("ngramJaccardPairs pairs near-dups that differ in their first token") {
+    // first-token blocking (the old scheme) would never pair these
+    val docs = Seq(
+      (1L, "the quarterly report shows strong growth in cloud revenue and " +
+        "steady margins across all regions this year"),
+      (2L, "quarterly report shows strong growth in cloud revenue and " +
+        "steady margins across all regions this year"),
+      (3L, "completely different content about gardening tulips in spring " +
+        "soil with compost and careful watering schedules")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+        shingleN = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("exact dedup groups identical texts") {
     val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
       .toDF("doc_id", "text")

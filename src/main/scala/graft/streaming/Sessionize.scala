@@ -2,15 +2,22 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful stream processing via flatMapGroupsWithState (SURVEY §2.10 /
   * the custom-state bullet of the streaming design): per-user session
-  * windows with an inactivity gap. Works identically on batch Datasets
-  * (state machinery degenerates to a per-group fold), which is how the
-  * deterministic spec pins it; the streaming path is exercised with
-  * MemoryStream + event-time timeout.
+  * windows with an inactivity gap.
+  *
+  * Two execution modes with one fold:
+  *  - batch: the whole group arrives in one invocation and state is
+  *    discarded afterwards, so the trailing open session is emitted with
+  *    the closed ones (anything else would silently drop it);
+  *  - streaming: only CLOSED sessions are emitted per micro-batch; the
+  *    still-open session is kept in `state` and flushed when the event-time
+  *    watermark passes its inactivity deadline (`EventTimeTimeout`), so a
+  *    session spanning micro-batches is emitted once, merged — not split.
+  *    Callers must set a watermark on `ts` first (see [[sessionizeStream]]).
   */
 object Sessionize {
 
@@ -20,38 +27,70 @@ object Sessionize {
   case class Session(user_id: Long, session_start: Timestamp,
                      session_end: Timestamp, n_events: Int, total_value: Double)
 
+  private def toSession(user: Long, s: SessionState): Session =
+    Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
+
   /** Sessionize a (possibly unordered within group) event stream: events of
-    * one user belong to the same session while gaps stay below `gapMs`.
-    * Sessions are closed and emitted at the end of each delivered group
-    * (batch: the whole group; streaming: the micro-batch, with prior open
-    * state folded in first). */
+    * one user belong to the same session while gaps stay below `gapMs`. */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
       : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
+    // resolved at plan time on the driver and captured by the closure
+    val streaming = events.isStreaming
+    val timeoutConf =
+      if (streaming) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState[List[SessionState], Session](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, it: Iterator[Event], state: GroupState[List[SessionState]]) =>
-          // batch execution delivers the whole group once: fold in time order
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[SessionState]
-          var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
-          sorted.foreach { e =>
-            val t = e.ts.getTime
-            cur = cur match {
-              case Some(s) if t - s.last <= gapMs =>
-                Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
-              case Some(s) =>
-                sessions += s
-                Some(SessionState(t, t, 1, e.value))
-              case None => Some(SessionState(t, t, 1, e.value))
+          if (state.hasTimedOut) {
+            // watermark passed the open session's inactivity deadline
+            val out = state.getOption.toList.flatten.map(toSession(user, _))
+            state.remove()
+            out.iterator
+          } else {
+            // fold the delivered events in time order, seeded from any
+            // prior open session kept across micro-batches
+            val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_type))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionState]
+            var cur: Option[SessionState] = state.getOption.flatMap(_.headOption)
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  Some(SessionState(s.start, math.max(s.last, t), s.n + 1,
+                    s.total + e.value))
+                case Some(s) =>
+                  closed += s
+                  Some(SessionState(t, t, 1, e.value))
+                case None => Some(SessionState(t, t, 1, e.value))
+              }
             }
+            cur match {
+              case Some(s) if streaming =>
+                // hold the open session; flush once the watermark proves no
+                // in-gap event can still arrive
+                state.update(List(s))
+                state.setTimeoutTimestamp(s.last + gapMs)
+              case Some(s) =>
+                closed += s // batch: state dies with the invocation — emit
+                state.remove()
+              case None =>
+                state.remove()
+            }
+            closed.iterator.map(toSession(user, _))
           }
-          cur.foreach(sessions += _)
-          state.remove()
-          sessions.iterator.map(s => Session(user, new Timestamp(s.start),
-            new Timestamp(s.last), s.n, s.total))
       }
+  }
+
+  /** Streaming entry point: applies the event-time watermark that
+    * `EventTimeTimeout` requires, then sessionizes. `delay` bounds how late
+    * an event may arrive and still join its session. */
+  def sessionizeStream(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L,
+                       delay: String = "10 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    sessionize(events.withWatermark("ts", delay).as[Event], gapMs)
   }
 }

@@ -26,6 +26,42 @@ class SessionizeSpec extends SparkTestBase {
       (2L, "2024-01-01 10:05:00.0", 1, 5.0)))
   }
 
+  test("streaming: a session spanning two micro-batches is emitted once, " +
+    "merged, on event-time timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val sessions = sessionizeStream(input.toDS(), gapMs = 30 * 60 * 1000L,
+      delay = "0 seconds")
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 opens a session — held in state, nothing emitted
+      input.addData(
+        Event(1, ts("2024-01-01 10:00:00"), "a", 1.0),
+        Event(1, ts("2024-01-01 10:10:00"), "b", 2.0))
+      query.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0,
+        "open session must stay in state, not be emitted split")
+      // batch 2: user 1 continues within the gap (must merge with the held
+      // state); user 2's event advances the watermark past user 1's
+      // inactivity deadline (10:20 + 30 min = 10:50)
+      input.addData(
+        Event(1, ts("2024-01-01 10:20:00"), "c", 4.0),
+        Event(2, ts("2024-01-01 11:30:00"), "x", 9.0))
+      query.processAllAvailable()
+      // batch 3: watermark (11:30) now exceeds the deadline — timeout fires
+      input.addData(Event(2, ts("2024-01-01 11:40:00"), "y", 1.0))
+      query.processAllAvailable()
+      val u1 = spark.table("sess_out").as[Session].collect()
+        .filter(_.user_id == 1L)
+        .map(s => (s.session_start.toString, s.session_end.toString,
+          s.n_events, s.total_value)).toSeq
+      assert(u1 == Seq(("2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0",
+        3, 7.0)), s"expected ONE merged session, got $u1")
+    } finally query.stop()
+  }
+
   test("sessionization over the events table produces per-user sessions") {
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .selectExpr("user_id", "ts", "event_type", "value").as[Event]

@@ -793,21 +793,21 @@ object SparkEntry {
       (s, dir) => {
         val w = Window.partitionBy("c_nationkey")
           .orderBy(length(col("c_name")).desc, col("c_name").asc)
+        // "St. " prefix exercises norm_name's kept-punctuation class
+        // (.,:_ survive; # is dropped) — reference etl/er.py:30-34
         t(s, dir, "customer").withColumn("rn", row_number().over(w))
           .where(col("rn") === 1)
           .select(col("c_nationkey"),
-            concat(
-              regexp_replace(regexp_replace(lower(col("c_name")), "[^a-z0-9]+", "-"),
-                "^-+|-+$", ""),
+            concat(TextFunctions.normNameUdf(concat(lit("St. "), col("c_name"))),
               lit("::"), col("c_nationkey").cast("string")).as("canonical_id"))
       },
       Some("""WITH ranked AS (SELECT *, row_number() OVER (
              |  PARTITION BY c_nationkey
              |  ORDER BY length(c_name) DESC, c_name ASC) AS rn FROM customer)
              |SELECT c_nationkey,
-             |  regexp_replace(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'),
-             |    '^-+|-+$', '', 'g') || '::' || CAST(c_nationkey AS VARCHAR)
-             |  AS canonical_id
+             |  regexp_replace(regexp_replace(lower(trim('St. ' || c_name)),
+             |    '\s+', '-', 'g'), '[^a-z0-9\-:_.,]+', '', 'g')
+             |  || '::' || CAST(c_nationkey AS VARCHAR) AS canonical_id
              |FROM ranked WHERE rn = 1""".stripMargin)),
 
     // G4: point-in-region assignment cascade (bbox -> radius -> unassigned)
@@ -1305,16 +1305,19 @@ object SparkEntry {
 
     // F2: name normalization with German street-token canonicalization
     Q("f2_normalize_name",
+      // suffix abbreviation "Hauptstr." exercises the boundary-free str.
+      // rule (reference utils.py:73 has no leading \b); input is ASCII so
+      // the oracle needs no ascii-fold step
       (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 300)
-        .withColumn("raw", concat(lit("Haupt Str. "), col("c_name"), lit("!!")))
+        .withColumn("raw", concat(lit("Hauptstr. "), col("c_name"), lit("!!")))
         .select(col("c_custkey"),
-          trim(regexp_replace(regexp_replace(regexp_replace(lower(col("raw")),
-            "\\bstr\\.", "strasse"), "\\bpl\\.", "platz"), "[^a-z0-9]+", " "))
-            .as("norm")),
+          TextFunctions.normalizeNameUdf(col("raw")).as("norm")),
       Some("""SELECT c_custkey, trim(regexp_replace(regexp_replace(
-             |  regexp_replace(lower('Haupt Str. ' || c_name || '!!'),
-             |    '\bstr\.', 'strasse', 'g'), '\bpl\.', 'platz', 'g'),
-             |  '[^a-z0-9]+', ' ', 'g')) AS norm
+             |  regexp_replace(regexp_replace(
+             |    lower('Hauptstr. ' || c_name || '!!'),
+             |    'str\.|strasse\b', 'strasse', 'g'),
+             |    '\bpl\.|platz\b', 'platz', 'g'),
+             |  '[^a-z0-9 ]+', ' ', 'g'), '\s+', ' ', 'g')) AS norm
              |FROM customer WHERE c_custkey < 300""".stripMargin)),
 
     // F14: title -> match-key candidates (full, pre-'/' root, no '(...)')

@@ -25,9 +25,11 @@ import graft.operators.{ConnectedComponents, SpatialJoins}
   */
 object EntityResolution {
 
-  /** Candidate pairs within radiusM, same city, scored with the
-    * rapidfuzz-parity name-similarity kernel.
-    * Output: a/b ids + sources + names, name_sim, meters, city_slug. */
+  /** Candidate pairs within radiusM, same city, decided + scored by the
+    * reference's full `accept_pair_and_sim` rule (one kernel call per pair:
+    * ER name-sim blend, content jaccard, substring, type/areal class).
+    * Output: a/b ids + sources + names, accepted, name_sim, meters,
+    * city_slug. */
   def candidatePairs(places: DataFrame, radiusM: Double = 250.0,
                      cellDeg: Double = 0.01): DataFrame = {
     val pairs = SpatialJoins.gridSelfJoin(
@@ -39,37 +41,22 @@ object EntityResolution {
         col("source").as("src_a")), "a_id")
       .join(dims.select(col("place_id").as("b_id"), col("name").as("b_name"),
         col("source").as("src_b")), "b_id")
-      .withColumn("name_sim",
-        graft.plans.FuzzyExpressions.nameSimilarity(col("a_name"), col("b_name")))
+      .withColumn("decision", TextFunctions.acceptPairAndSimUdf(col("a_name"),
+        col("b_name"), col("meters"), col("src_a") === col("src_b")))
       .select(col("a_id").as("a"), col("b_id").as("b"), col("src_a"),
-        col("src_b"), col("name_sim"), col("meters"),
+        col("src_b"), col("decision._1").as("accepted"),
+        col("decision._2").as("name_sim"), col("meters"),
         col("a_city_slug").as("city_slug"), col("a_name"), col("b_name"))
   }
 
-  /** Banded acceptance rule (reference `etl/er.py:102-132`): distance bands
-    * with per-band similarity thresholds; same-source pairs held to much
-    * tighter distances than cross-source pairs. */
-  def acceptance(nameSim: Column, meters: Column, srcA: Column,
-                 srcB: Column): Column = {
-    val cross = srcA =!= srcB
-    val crossOk =
-      (meters <= 65.0 && nameSim >= 0.60) ||
-      (meters <= 95.0 && nameSim >= 0.72) ||
-      (meters <= 130.0 && nameSim >= 0.86)
-    val sameOk =
-      (meters <= 25.0 && nameSim >= 0.60) ||
-      (meters <= 40.0 && nameSim >= 0.86)
-    when(cross, crossOk).otherwise(sameOk)
-  }
-
   /** Accepted links (the place_links export of the reference,
-    * `etl/er.py:161,189-198`). */
-  def links(places: DataFrame, radiusM: Double = 250.0): DataFrame = {
-    val cand = candidatePairs(places, radiusM)
-    cand.where(acceptance(col("name_sim"), col("meters"), col("src_a"),
-        col("src_b")))
+    * `etl/er.py:161,189-198`); the decision itself is the reference's
+    * banded `accept_pair_and_sim` (`etl/er.py:102-132`), evaluated inside
+    * [[candidatePairs]]. */
+  def links(places: DataFrame, radiusM: Double = 250.0): DataFrame =
+    candidatePairs(places, radiusM)
+      .where(col("accepted"))
       .select("a", "b", "src_a", "src_b", "name_sim", "meters", "city_slug")
-  }
 
   /** Full ER: returns the place_canonical_map
     * (source_place_id, canonical_id, canonical_name, city_slug) —
@@ -87,11 +74,17 @@ object EntityResolution {
     // behavior, SURVEY §7.4.2)
     val w = Window.partitionBy("component")
       .orderBy(length(col("name")).desc, col("name").asc, col("place_id").asc)
+    // IDs minted with the reference's norm_name (`etl/er.py:30-41,235-243`:
+    // keeps .,:_ and drops accented chars outright), NOT the JSONL slugify —
+    // "St. Stephen's" -> "st.-stephens::<city>"; null when either part is
+    // empty, matching canonical_id_for
     val canon = withComp
       .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .withColumn("name_slug", TextFunctions.normNameUdf(col("name")))
       .select(col("component"),
         col("name").as("canonical_name"),
-        concat(TextFunctions.slugUdf(col("name")), lit("::"), col("city_slug"))
+        when(length(col("name_slug")) > 0 && col("city_slug").isNotNull,
+          concat(col("name_slug"), lit("::"), col("city_slug")))
           .as("canonical_id"))
     withComp.join(canon, "component")
       .select(col("place_id").as("source_place_id"), col("canonical_id"),

@@ -20,26 +20,69 @@ object TextFunctions {
 
   // ---------------------------------------------------------------- kernels
 
-  /** NFKD normalize, strip combining marks, lowercase (reference `_deaccent_lower`). */
+  /** NFKD-decompose, then drop every non-ASCII char — combining marks and
+    * non-decomposable letters (ß, ł) alike. This is the reference's
+    * `.encode("ascii","ignore")` fold (`etl/utils.py:12-13,71`):
+    * "straße" -> "strae", not "stra e". */
+  private def asciiNfkd(s: String): String = {
+    val n = Normalizer.normalize(s, Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(n.length)
+    var i = 0
+    while (i < n.length) {
+      val c = n.charAt(i)
+      if (c < 128) sb.append(c)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Reference `_deaccent_lower` (`etl/utils.py:12-13`): NFKD -> ascii
+    * fold -> lower -> strip. */
   def deaccentLower(s: String): String = {
     if (s == null) return null
-    val n = Normalizer.normalize(s, Normalizer.Form.NFKD)
-    n.replaceAll("\\p{M}+", "").toLowerCase
+    asciiNfkd(s).toLowerCase.trim
   }
 
-  /** Reference `normalize_name` (`etl/utils.py:68-77`): deaccent+lower,
-    * German street-token canonicalization, collapse non-alnum runs to single
-    * spaces, trim. */
+  /** Reference ER `_norm` (`etl/er.py:43-52`): lower, NFKD with combining
+    * marks stripped (non-decomposable chars KEPT, so they become token
+    * separators: "straße" -> "stra e"), non-alnum runs to single spaces,
+    * trim. Distinct from [[normalizeName]] — the ER matcher deliberately
+    * uses this lighter normalizer with no street-token rules. */
+  def normText(s: String): String = {
+    if (s == null) return ""
+    val n = Normalizer.normalize(s, Normalizer.Form.NFKD)
+      .replaceAll("\\p{M}+", "").toLowerCase
+    n.replaceAll("[^a-z0-9]+", " ").trim
+  }
+
+  /** Reference `normalize_name` (`etl/utils.py:68-77`): ascii-fold+lower,
+    * German street-token canonicalization, collapse punctuation runs to
+    * single spaces, trim. The `str.` rule has NO leading word boundary in
+    * the reference — suffix abbreviations canonicalize too
+    * ("Hauptstr." -> "hauptstrasse"). */
   def normalizeName(s: String): String = {
     if (s == null) return null
-    var t = deaccentLower(s)
-    t = t.replaceAll("\\bstr\\.", "strasse").replaceAll("\\bpl\\.", "platz")
-    t = t.replaceAll("[^a-z0-9]+", " ").trim
-    t
+    var t = asciiNfkd(s).toLowerCase
+    t = t.replaceAll("str\\.|strasse\\b", "strasse")
+    t = t.replaceAll("\\bpl\\.|platz\\b", "platz")
+    t = t.replaceAll("[^a-z0-9 ]+", " ")
+    t.replaceAll("\\s+", " ").trim
   }
 
-  /** Reference `norm_name` ID slug (`etl/er.py:30-34`): lower, runs of
-    * non-alnum to '-', trim '-', truncate to 120. */
+  /** Reference `norm_name` canonical-ID mint (`etl/er.py:30-34`): trim,
+    * lower, whitespace runs to '-', strip everything outside
+    * [a-z0-9-:_.,] (NO deaccenting — accented chars are simply dropped),
+    * truncate to 120. Used for `place_canonical_id` values. */
+  def normName(s: String): String = {
+    if (s == null) return ""
+    var t = s.trim.toLowerCase
+    t = t.replaceAll("\\s+", "-")
+    t = t.replaceAll("[^a-z0-9\\-:_.,]+", "")
+    t.substring(0, math.min(120, t.length))
+  }
+
+  /** JSONL-export slugify (`etl/reviews_jsonl.py:17-24`): NFKD ascii fold,
+    * non-alnum runs to '-', squeeze, trim. */
   def slug(s: String): String = {
     if (s == null) return null
     val t = deaccentLower(s).replaceAll("[^a-z0-9]+", "-")
@@ -47,17 +90,72 @@ object TextFunctions {
     t.substring(0, math.min(120, t.length))
   }
 
-  /** Tokens >= 3 chars with the reference's crude plural stem
-    * (`etl/er.py:54-65`): ies->y, es->"", s->"". */
+  /** Reference `_tokens` (`etl/er.py:54-65`): `_norm` tokens >= 3 chars,
+    * then the crude plural stem ies->y (len>4), es->"" (len>3),
+    * s->"" (len>3). Length filter applies BEFORE stemming. */
   def stemTokens(s: String): Seq[String] = {
     if (s == null) return Seq.empty
-    normalizeName(s).split(" ").iterator.filter(_.length >= 3).map { t =>
+    normText(s).split(" ").iterator.filter(_.length >= 3).map { t =>
       if (t.endsWith("ies") && t.length > 4) t.dropRight(3) + "y"
-      else if (t.endsWith("es") && t.length > 4) t.dropRight(2)
+      else if (t.endsWith("es") && t.length > 3) t.dropRight(2)
       else if (t.endsWith("s") && t.length > 3) t.dropRight(1)
       else t
     }.toSeq
   }
+
+  // ------------------------------------------- content-token pair features
+
+  /** Reference `_STOP` (`etl/er.py:23-27`). */
+  val StopTokens: Set[String] = Set(
+    "the", "and", "of", "in", "at", "to", "for", "on", "by", "with",
+    "de", "del", "di", "da", "la", "le", "el", "al",
+    "old", "new", "great", "little", "big", "upper", "lower",
+    "west", "east", "north", "south",
+    "visit", "explore", "discover", "browse", "see")
+
+  /** Reference `_GENERIC` place-type tokens (`etl/er.py:19-22`). */
+  val GenericTokens: Set[String] = Set(
+    "tower", "gate", "church", "cathedral", "synagogue", "mosque", "market",
+    "square", "museum", "bridge", "castle", "island", "statue", "monument",
+    "hall", "garden", "park", "palace", "gallery", "gatehouse")
+
+  /** Reference `_AREAL` area-class tokens (`etl/er.py:15-18`). */
+  val ArealTokens: Set[String] = Set(
+    "square", "park", "island", "bridge", "market", "plaza", "platz",
+    "piazza", "boulevard", "embankment", "promenade")
+
+  /** Stemmed tokens minus stopwords (reference `_content_tokens`,
+    * `etl/er.py:67-68`). */
+  def contentTokens(s: String): Set[String] = stemTokens(s).toSet -- StopTokens
+
+  /** Jaccard over content tokens; 0 when either side is empty
+    * (reference `_content_jaccard`, `etl/er.py:70-76`). */
+  def contentJaccard(a: String, b: String): Double = {
+    val ta = contentTokens(a)
+    val tb = contentTokens(b)
+    if (ta.isEmpty || tb.isEmpty) return 0.0
+    val inter = ta.intersect(tb).size
+    val union = ta.union(tb).size
+    if (union == 0) 0.0 else inter.toDouble / union
+  }
+
+  /** Sorted-content-token string containment, min length 3
+    * (reference `_has_substring`, `etl/er.py:78-82`). */
+  def hasSubstring(a: String, b: String): Boolean = {
+    val sa = contentTokens(a).toArray.sorted.mkString(" ")
+    val sb = contentTokens(b).toArray.sorted.mkString(" ")
+    val (x, y) = if (sa.length <= sb.length) (sa, sb) else (sb, sa)
+    x.length >= 3 && y.contains(x)
+  }
+
+  /** Both names share at least one GENERIC type token
+    * (reference `_type_overlap`, `etl/er.py:84-86`). */
+  def typeOverlap(a: String, b: String): Boolean =
+    GenericTokens.intersect(contentTokens(a)).intersect(contentTokens(b)).nonEmpty
+
+  /** Name carries an areal-class token (reference `_is_areal`,
+    * `etl/er.py:88-90`). */
+  def isAreal(s: String): Boolean = contentTokens(s).intersect(ArealTokens).nonEmpty
 
   // ------------------------------------------------- fuzzy similarity kernel
 
@@ -91,17 +189,24 @@ object TextFunctions {
     2.0 * lcsLen(a, b) / tot
   }
 
-  /** rapidfuzz `partial_ratio` approximation: best `ratio` of the shorter
-    * string against every same-length window of the longer string. */
+  /** rapidfuzz `partial_ratio` semantics: best `ratio` of the shorter
+    * string against every alignment window of the longer — INCLUDING the
+    * prefix/suffix overlaps shorter than len(s) at the boundaries
+    * (window l[max(0,i) : min(|l|, i+|s|)] for i in [1-|s|, |l|-1]), which
+    * rapidfuzz's alignment also considers. Full-length windows alone under-
+    * score edge-anchored matches ("bcd" vs "abc": window "bc" scores 0.8 vs
+    * the best full window's 0.667) — and ER acceptance is threshold-
+    * sensitive at 2 decimals. */
   def partialRatio(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     if (s.isEmpty) return if (l.isEmpty) 1.0 else 0.0
-    if (s.length == l.length) return ratio(s, l)
     var best = 0.0
-    var i = 0
-    while (i <= l.length - s.length && best < 1.0) {
-      val r = ratio(s, l.substring(i, i + s.length))
+    var i = 1 - s.length
+    while (i < l.length && best < 1.0) {
+      val from = math.max(0, i)
+      val until = math.min(l.length, i + s.length)
+      val r = ratio(s, l.substring(from, until))
       if (r > best) best = r
       i += 1
     }
@@ -137,7 +242,7 @@ object TextFunctions {
 
   /** Reference `name_similarity` (`etl/utils.py:79-87`): max of
     * token_set_ratio, QRatio (plain InDel ratio over normalized strings),
-    * and token_sort_ratio over normalized names. */
+    * and token_sort_ratio over `normalize_name`d names. */
   def nameSimilarity(a: String, b: String): Double = {
     if (a == null || b == null) return 0.0
     val na = normalizeName(a)
@@ -146,10 +251,56 @@ object TextFunctions {
     math.max(tokenSetRatio(na, nb), math.max(tokenSortRatio(na, nb), ratio(na, nb)))
   }
 
+  /** Reference ER `_name_sim` (`etl/er.py:92-100`) — a DIFFERENT
+    * composition than [[nameSimilarity]]: max of token_set_ratio,
+    * token_sort_ratio, and partial_ratio over `_norm`ed (not
+    * `normalize_name`d) strings. The ER acceptance rule is calibrated
+    * against exactly this blend. */
+  def erNameSimilarity(a: String, b: String): Double = {
+    val na = normText(a)
+    val nb = normText(b)
+    if (na.isEmpty || nb.isEmpty) return 0.0
+    math.max(tokenSetRatio(na, nb),
+      math.max(tokenSortRatio(na, nb), partialRatio(na, nb)))
+  }
+
+  /** Reference `accept_pair_and_sim` (`etl/er.py:102-132`) — the full
+    * language-agnostic ER acceptance decision. Returns (accepted, sim).
+    *
+    * Cross-source bands:  m<=65 & (s>=0.34 | substring | cj>=0.55);
+    * m<=95 & (s>=0.46 | cj>=0.50 | (type & cj>=0.40));
+    * m<=(130 if areal else 120) & type & (cj>=0.50 | s>=0.52).
+    * Same-source bands (tighter, distinct nearby venues must not merge):
+    * m<=25 & (s>=0.62 | substring | cj>=0.65);
+    * m<=40 & s>=0.72 & cj>=0.50. */
+  def acceptPairAndSim(aName: String, bName: String, meters: Double,
+                       sameSource: Boolean): (Boolean, Double) = {
+    val n1 = if (aName == null) "" else aName
+    val n2 = if (bName == null) "" else bName
+    val s = erNameSimilarity(n1, n2)
+    val cj = contentJaccard(n1, n2)
+    val typeHit = typeOverlap(n1, n2)
+    val substr = hasSubstring(n1, n2)
+    val areal = isAreal(n1) || isAreal(n2)
+    val ok =
+      if (!sameSource) {
+        (meters <= 65 && (s >= 0.34 || substr || cj >= 0.55)) ||
+        (meters <= 95 && (s >= 0.46 || cj >= 0.50 || (typeHit && cj >= 0.40))) ||
+        (meters <= (if (areal) 130 else 120) && typeHit &&
+          (cj >= 0.50 || s >= 0.52))
+      } else {
+        (meters <= 25 && (s >= 0.62 || substr || cj >= 0.65)) ||
+        (meters <= 40 && s >= 0.72 && cj >= 0.50)
+      }
+    (ok, s)
+  }
+
   // ------------------------------------------------------------------ UDFs
 
   val deaccentLowerUdf = udf(deaccentLower _)
+  val normTextUdf = udf(normText _)
   val normalizeNameUdf = udf(normalizeName _)
+  val normNameUdf = udf(normName _)
   val slugUdf = udf(slug _)
   val stemTokensUdf = udf(stemTokens _)
   val ratioUdf = udf(ratio _)
@@ -157,6 +308,16 @@ object TextFunctions {
   val tokenSortRatioUdf = udf(tokenSortRatio _)
   val tokenSetRatioUdf = udf(tokenSetRatio _)
   val nameSimilarityUdf = udf(nameSimilarity _)
+  val erNameSimilarityUdf = udf(erNameSimilarity _)
+  val contentJaccardUdf = udf(contentJaccard _)
+  val hasSubstringUdf = udf(hasSubstring _)
+
+  /** (accepted, sim) as a struct column — one tokenization pass per pair
+    * for the full ER rule instead of five separate kernel calls. Lazy: the
+    * tuple encoder is only resolvable once a live Spark context exists. */
+  lazy val acceptPairAndSimUdf =
+    udf((a: String, b: String, meters: Double, sameSource: Boolean) =>
+      acceptPairAndSim(a, b, meters, sameSource))
 
   // ------------------------------------------------- column-expression forms
 

@@ -57,6 +57,26 @@ case class NameSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+case class PartialRatio(left: Expression, right: Expression)
+    extends FuzzySimilarityExpression {
+  override protected def kernel = "graft.functions.TextFunctions.partialRatio"
+  override protected def compute(a: String, b: String): Double =
+    graft.functions.TextFunctions.partialRatio(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** The ER matcher's similarity blend (reference `etl/er.py:92-100`):
+  * max(token_set, token_sort, partial) over `_norm`ed strings. */
+case class ErNameSimilarity(left: Expression, right: Expression)
+    extends FuzzySimilarityExpression {
+  override protected def kernel = "graft.functions.TextFunctions.erNameSimilarity"
+  override protected def compute(a: String, b: String): Double =
+    graft.functions.TextFunctions.erNameSimilarity(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** Column constructors for the codegen'd fuzzy expressions. */
 object FuzzyExpressions {
   def tokenSetRatio(a: Column, b: Column): Column =
@@ -67,5 +87,11 @@ object FuzzyExpressions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def nameSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(NameSimilarity(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def partialRatio(a: Column, b: Column): Column =
+    GraftColumnBridge.column(PartialRatio(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def erNameSimilarity(a: Column, b: Column): Column =
+    GraftColumnBridge.column(ErNameSimilarity(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }

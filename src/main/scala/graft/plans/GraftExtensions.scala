@@ -40,7 +40,9 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     binary("token_set_ratio", TokenSetRatio.apply),
     binary("token_sort_ratio", TokenSortRatio.apply),
-    binary("name_similarity", NameSimilarity.apply))
+    binary("partial_ratio", PartialRatio.apply),
+    binary("name_similarity", NameSimilarity.apply),
+    binary("er_name_similarity", ErNameSimilarity.apply))
 
   /** Register the same functions + the spatial rewrite into an
     * already-built session. */

@@ -71,7 +71,9 @@ class PipelineSpec extends SparkTestBase {
     val canonOf = cmap.select("source_place_id", "canonical_id")
       .as[(String, String)].collect().toMap
     assert(canonOf("yelp:cafe") == canonOf("wv:cafe"))
-    assert(canonOf("yelp:cafe") == "cafe-central-wien::vienna")
+    // reference norm_name drops accented chars outright (no transliteration):
+    // "Café Central Wien" -> "caf-central-wien" (etl/er.py:30-34)
+    assert(canonOf("yelp:cafe") == "caf-central-wien::vienna")
     assert(canonOf("yelp:uhr") == "uhrturm::graz")
 
     // 3. review lift to canonical (G6) + capped nested card export (A11/K5)
@@ -89,7 +91,7 @@ class PipelineSpec extends SparkTestBase {
     val byCanon = cards.collect()
       .map(r => r.getString(0) -> (r.getString(3), r.getLong(4))).toMap
     assert(byCanon.size == 2)
-    val (cafeQuotes, cafeN) = byCanon("cafe-central-wien::vienna")
+    val (cafeQuotes, cafeN) = byCanon("caf-central-wien::vienna")
     assert(cafeN == 2) // both member reviews lifted to the canonical place
     assert(cafeQuotes.contains("Great coffee") &&
       cafeQuotes.contains("Historic coffeehouse"))

@@ -24,8 +24,11 @@ class EntityResolutionSpec extends SparkTestBase {
     ("yelp:c2", "yelp", "Prater Riesenrad Wien", 48.2105, 16.3950, "vienna"),
     // different city, would otherwise match yelp:a
     ("yelp:d", "yelp", "Cafe Central", 48.2000, 16.3700, "graz"),
-    // dissimilar names nearby -> reject
-    ("yelp:e", "yelp", "Plachutta", 48.20005, 16.37005, "vienna")
+    // dissimilar name at ~89 m from yelp:a (cross-source band 1 at <=65 m
+    // is geometry-first: s>=0.34 accepts almost any token-ish overlap, so a
+    // dissimilar name must sit beyond it to stay unlinked; at 89-126 m the
+    // s>=0.46 / type-token bands all reject "Plachutta" vs the cafes)
+    ("yelp:e", "yelp", "Plachutta", 48.2000, 16.3712, "vienna")
   ).toDF("place_id", "source", "name", "lat", "lon", "city_slug")
 
   test("acceptance bands produce the expected link set") {

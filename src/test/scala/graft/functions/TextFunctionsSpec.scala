@@ -13,16 +13,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
-  test("deaccentLower strips marks and lowercases") {
+  test("deaccentLower ascii-folds (non-decomposable chars dropped) and lowers") {
     assert(deaccentLower("Café Ñandú") == "cafe nandu")
-    assert(deaccentLower("Müller-Straße") == "muller-strasse" ||
-      deaccentLower("Müller-Straße") == "muller-straße")
+    // ß does not NFKD-decompose; the reference's ascii-encode/ignore DROPS it
+    assert(deaccentLower("Müller-Straße") == "muller-strae")
+    assert(deaccentLower("  Padded  ") == "padded") // reference strips
     assert(deaccentLower(null) == null)
+  }
+
+  test("normText (ER _norm) keeps non-decomposable chars as separators") {
+    assert(normText("straße") == "stra e") // vs normalize_name's "strae"
+    assert(normText("Café-Central!!") == "cafe central")
+    assert(normText(null) == "")
   }
 
   test("normalizeName collapses punctuation and canonicalizes street tokens") {
     assert(normalizeName("Stephansplatz  1!!") == "stephansplatz 1")
     assert(normalizeName("  Caffè--Römer ") == "caffe romer")
+    // the str. rule has NO leading word boundary: suffix abbreviations too
+    assert(normalizeName("Hauptstr. 5") == "hauptstrasse 5")
+    assert(normalizeName("Haupt Str. 5") == "haupt strasse 5")
+    // ascii-fold drops ß before the street rule can see "strasse"
+    assert(normalizeName("straße") == "strae")
+    // the pl. rule DOES keep its leading \b (only str. lacks one):
+    // suffix "…pl." is untouched, standalone "Pl." canonicalizes
+    assert(normalizeName("Rathauspl. 1") == "rathauspl 1")
+    assert(normalizeName("Rathaus Pl. 1") == "rathaus platz 1")
+  }
+
+  test("normName mints reference canonical-id slugs (keeps .,:_ / drops accents)") {
+    assert(normName("St. Stephen's Cathedral") == "st.-stephens-cathedral")
+    assert(normName("Café Central") == "caf-central") // é dropped, not folded
+    assert(normName("  Old   Town  ") == "old-town")
+    assert(normName("a" * 300).length == 120)
+    assert(normName(null) == "")
   }
 
   test("slug mints stable ids") {
@@ -34,6 +58,21 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("stemTokens applies crude plural stemming, min length 3") {
     assert(stemTokens("the berries and cafes in towns") ==
       Seq("the", "berry", "and", "caf", "town"))
+    // es-rule fires at len > 3 (reference): "goes" -> "go", "axes" -> "ax"
+    assert(stemTokens("goes axes") == Seq("go", "ax"))
+    assert(stemTokens("ties") == Seq("ti")) // len 4: es-rule, not ies-rule
+  }
+
+  test("content-token pair features match the reference helpers") {
+    // stopwords removed, stems applied ("bridges" -es -> "bridg")
+    assert(contentTokens("The Old Stone Bridges") == Set("stone", "bridg"))
+    assert(contentJaccard("Stone Bridge Park", "Old Stone Bridge") == 2.0 / 3)
+    assert(contentJaccard("The Old", "Stone") == 0.0) // empty side -> 0
+    assert(hasSubstring("The Rathaus", "Rathaus Tower"))
+    assert(!hasSubstring("ab", "ab cd")) // min length 3 on the shorter join
+    assert(typeOverlap("Charles Bridge", "Old Bridge Tavern"))
+    assert(!typeOverlap("Cafe Central", "Central Cafe")) // no GENERIC token
+    assert(isAreal("Main Square") && !isAreal("Cafe Central"))
   }
 
   // pinned rapidfuzz-parity cases (InDel ratio = 2*LCS/(|a|+|b|))
@@ -56,16 +95,46 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(tokenSetRatio("angels", "los angeles angels") == 1.0)
   }
 
-  test("partialRatio finds best substring window") {
+  test("partialRatio finds best alignment incl. boundary overlaps") {
     assert(partialRatio("abc", "xxabcxx") == 1.0)
     assert(partialRatio("", "") == 1.0)
     assert(partialRatio("ab", "ab") == 1.0)
+    // rapidfuzz alignments extend past the ends: the suffix overlap "bc"
+    // (window of length 2) scores 2*2/5 = 0.8, beating every full-length
+    // window (best "abc" vs "bcd" = 2*2/6)
+    assert(partialRatio("bcd", "abc") == 0.8)
+    assert(partialRatio("world", "hello world") == 1.0)
   }
 
   test("nameSimilarity is max of the three ratios over normalized names") {
     assert(nameSimilarity("Café Central", "cafe central") == 1.0)
     assert(nameSimilarity(null, "x") == 0.0)
     assert(nameSimilarity("Stephansdom", "St. Stephen's Cathedral") < 0.86)
+  }
+
+  test("erNameSimilarity blends token_set/token_sort/partial over _norm") {
+    assert(erNameSimilarity("Explore Powder Tower", "Powder Tower") == 1.0)
+    // é NFKD-decomposes, so _norm equalizes these
+    assert(erNameSimilarity("Café Central", "Cafe Central") == 1.0)
+    // ß does not — _norm yields "stra e" vs "strasse", similar but not equal
+    val sZ = erNameSimilarity("straße", "strasse")
+    assert(sZ > 0.0 && sZ < 1.0)
+  }
+
+  test("acceptPairAndSim applies the reference's banded rule") {
+    // cross-source geometry-first band (er.py's own example shape)
+    assert(acceptPairAndSim("Explore Powder Tower", "Powder Tower", 60, false)._1)
+    // areal boost: type-hit pair accepted at 125 m, rejected past 130 m
+    assert(acceptPairAndSim("Stone Bridge Park", "Old Stone Bridge", 125, false)._1)
+    assert(!acceptPairAndSim("Stone Bridge Park", "Old Stone Bridge", 135, false)._1)
+    // same-source tight bands
+    assert(acceptPairAndSim("Hotel Sacher", "Hotel Sacher Wien", 22, true)._1)
+    assert(acceptPairAndSim("Hotel Sacher", "Hotel Sacher Wien", 38, true)._1)
+    assert(!acceptPairAndSim("Hotel Sacher", "Hotel Sacher Wien", 45, true)._1)
+    // dissimilar nearby names never merge
+    assert(!acceptPairAndSim("Plachutta", "Cafe Central", 10, true)._1)
+    // sim is returned for the links export even on reject
+    assert(acceptPairAndSim("Hotel Sacher", "Hotel Sacher Wien", 45, true)._2 == 1.0)
   }
 
   test("ratio properties: symmetry, bounds, identity") {

@@ -77,10 +77,14 @@ object GeoFunctions {
     array(cells: _*)
   }
 
-  /** Point-in-polygon by ray casting (reference `etl/utils.py:119-151`,
-    * including the +1e-12 degenerate-edge guard). Polygon is a
-    * Seq[(lat, lon)]; evaluated as a Scala UDF over an array<struct> column
-    * is avoided — this is the driver-side kernel reused by the UDF below. */
+  /** Point-in-polygon by ray casting, byte-matching the reference formula
+    * (`etl/utils.py:134-151`): edges straddling the point's LONGITUDE are
+    * tested with `lat < (yj-yi)*(lon-xi)/((xj-xi)+1e-12) + yi` — including
+    * the +1e-12 degenerate-edge guard on the same axis. Interior points
+    * agree under either ray orientation; boundary/degenerate cases only
+    * match the reference with this exact arithmetic. Polygon is a
+    * Seq[(lat, lon)]; this is the driver-side kernel reused by the UDF
+    * below. */
   def pointInPolygon(lat: Double, lon: Double,
                      poly: Seq[(Double, Double)]): Boolean = {
     if (poly.length < 3) return false
@@ -90,8 +94,8 @@ object GeoFunctions {
     while (i < poly.length) {
       val (yi, xi) = poly(i)
       val (yj, xj) = poly(j)
-      val intersects = ((yi > lat) != (yj > lat)) &&
-        (lon < (xj - xi) * (lat - yi) / (yj - yi + 1e-12) + xi)
+      val intersects = ((xi > lon) != (xj > lon)) &&
+        (lat < (yj - yi) * (lon - xi) / ((xj - xi) + 1e-12) + yi)
       if (intersects) inside = !inside
       j = i
       i += 1

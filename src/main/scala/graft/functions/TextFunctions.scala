@@ -103,6 +103,33 @@ object TextFunctions {
     }.toSeq
   }
 
+  /** Reference `wv_title_candidates` (`etl/utils.py:15-37`): robust match
+    * keys for a Wikivoyage page title — deaccented full title, pre-'/'
+    * root, trailing-parenthetical stripped, trailing admin suffix stripped;
+    * deduped in order, empties pruned. */
+  def titleCandidates(title: String): Seq[String] = {
+    val t0 = deaccentLower(if (title == null) "" else title)
+    val raw = Seq(
+      t0,
+      if (t0.contains("/")) t0.substring(0, t0.indexOf("/")).trim else null,
+      t0.replaceAll("\\s*\\([^)]*\\)\\s*$", "").trim,
+      t0.replaceAll("\\b(district|province|region|prefecture|county)$", "").trim)
+    val out = scala.collection.mutable.LinkedHashSet.empty[String]
+    raw.foreach(c => if (c != null && c.nonEmpty) out += c)
+    out.toSeq
+  }
+
+  /** Reference `_hint_match_city_slug` per-city test (`etl/utils.py:40-50`):
+    * does any title candidate of `hint` equal a deaccented city
+    * name/slug/alias? */
+  def hintMatchesCity(hint: String, name: String, slug: String,
+                      aliases: Seq[String]): Boolean = {
+    if (hint == null) return false
+    val norm = (Seq(name, slug) ++ Option(aliases).getOrElse(Seq.empty))
+      .filter(s => s != null && s.nonEmpty).map(deaccentLower).toSet
+    titleCandidates(hint).exists(norm.contains)
+  }
+
   // ------------------------------------------- content-token pair features
 
   /** Reference `_STOP` (`etl/er.py:23-27`). */
@@ -311,6 +338,8 @@ object TextFunctions {
   val erNameSimilarityUdf = udf(erNameSimilarity _)
   val contentJaccardUdf = udf(contentJaccard _)
   val hasSubstringUdf = udf(hasSubstring _)
+  val titleCandidatesUdf = udf(titleCandidates _)
+  val hintMatchesCityUdf = udf(hintMatchesCity _)
 
   /** (accepted, sim) as a struct column — one tokenization pass per pair
     * for the full ER rule instead of five separate kernel calls. Lazy: the

@@ -99,10 +99,17 @@ object WithinMeters {
   * other -> grid-blocked equi-join. Cell size is chosen from the radius. */
 object SpatialJoinRule extends Rule[LogicalPlan] {
 
-  private def cellDegFor(radiusM: Double): Double =
-    // smallest decade cell covering the radius at mid latitudes
-    if (radiusM <= 40.0) 0.001 else if (radiusM <= 400.0) 0.01
-    else if (radiusM <= 4000.0) 0.1 else 1.0
+  /** Longitude degrees shrink by cos(lat), so a cell chosen from the radius
+    * alone silently drops matching pairs at high latitudes (0.01 deg covers
+    * 400 m of longitude only below |lat|=69). The rule fires automatically
+    * with no sight of the data, so it must be latitude-safe by
+    * construction: pick the smallest decade cell whose GUARANTEED coverage
+    * `0.25 * cellDeg * 111320 m` exceeds the radius — the 3x3 neighborhood
+    * is then complete wherever cos(lat) >= 0.25, i.e. |lat| <= 75.5 deg,
+    * beyond every populated place. Larger radii return None and the join is
+    * left as the (correct) cartesian rather than silently losing pairs. */
+  private def cellDegFor(radiusM: Double): Option[Double] =
+    Seq(0.001, 0.01, 0.1, 1.0).find(c => radiusM <= 0.25 * c * 111320.0)
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
@@ -120,9 +127,10 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
               wm.lon2.references.subsetOf(right.outputSet) &&
               wm.radius.isInstanceOf[Literal] => wm
       } match {
-        case Some(wm) =>
+        case Some(wm) if cellDegFor(
+            wm.radius.asInstanceOf[Literal].value.toString.toDouble).isDefined =>
           val radius = wm.radius.asInstanceOf[Literal].value.toString.toDouble
-          val cellDeg = cellDegFor(radius)
+          val cellDeg = cellDegFor(radius).get
           // left side: explode over the 3x3 neighborhood
           val lCell = AttributeReference("__graft_cell_l", LongType,
             nullable = true)()
@@ -137,7 +145,7 @@ object SpatialJoinRule extends Rule[LogicalPlan] {
           val newCond = (EqualTo(lCell, rCellAlias.toAttribute) +:
             conjuncts.map(c => if (c eq wm) wm.exact else c)).reduce(And)
           Project(j.output, Join(gen, proj, Inner, Some(newCond), hint))
-        case None => j
+        case _ => j
       }
   }
 }

@@ -46,6 +46,34 @@ class SpatialRewriteSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("high-latitude pairs survive the rewrite (latitude-safe cell choice)") {
+    GraftExtensions.install(spark)
+    // at 74N a 0.0121-deg lon gap is ~371 m, but under a 0.01-deg cell the
+    // points can sit 2 cells apart (16.0099 -> 1600, 16.0220 -> 1602) and a
+    // radius-only cell choice silently drops the pair; the safety factor
+    // bumps 400 m to a 0.1-deg cell, keeping the 3x3 neighborhood complete
+    val l = Seq((1L, 74.0, 16.0099)).toDF("pid", "plat", "plon")
+    val r = Seq((2L, 74.0, 16.0220)).toDF("qid", "qlat", "qlon")
+    val joined = l.join(r,
+      WithinMeters(col("plat"), col("plon"), col("qlat"), col("qlon"), 400.0))
+    assert(joined.select("pid", "qid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L)))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("oversized radii decline the rewrite instead of dropping pairs") {
+    GraftExtensions.install(spark)
+    // > 27.8 km: no decade cell is latitude-safe; the join must fall back
+    // to the exact (nested-loop) plan and stay CORRECT
+    val l = Seq((1L, 48.0, 16.0)).toDF("pid", "plat", "plon")
+    val r = Seq((2L, 48.2, 16.0)).toDF("qid", "qlat", "qlon") // ~22.3 km
+    val joined = l.join(r,
+      WithinMeters(col("plat"), col("plon"), col("qlat"), col("qlon"), 30000.0))
+    assert(joined.select("pid", "qid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 2L)))
+  }
+
   test("WithinMeters still evaluates as a plain predicate outside joins") {
     GraftExtensions.install(spark)
     val out = places.where(WithinMeters(col("plat"), col("plon"),

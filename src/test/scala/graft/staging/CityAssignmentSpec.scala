@@ -57,12 +57,32 @@ class CityAssignmentSpec extends SparkTestBase {
     assert(assignOne(48.20, 16.60) == (("boxton", 2)))
   }
 
-  test("overlapping bboxes resolve by nearest center") {
-    // bbox overlap strip is 16.45..16.50; 16.49 is 0.12 deg from polis
-    // center (16.37) but only 0.11 deg from boxton center (16.60)
-    assert(assignOne(48.20, 16.49)._1 == "boxton")
-    // 16.46 flips it: 0.09 deg from polis, 0.14 from boxton
+  test("overlapping bboxes resolve by config list order (reference loop)") {
+    // the reference iterates cities in config order and returns the FIRST
+    // bbox that contains the point (utils.py:181-184) — polis precedes
+    // boxton, so the whole 16.45..16.50 overlap strip is polis, even where
+    // boxton's center is nearer
+    assert(assignOne(48.20, 16.49)._1 == "polis")
     assert(assignOne(48.20, 16.46)._1 == "polis")
+  }
+
+  test("missing radius_km defaults to 25 km (reference c.get default)") {
+    // a center-only city with NULL radius_km still assigns within 25 km
+    val schema = cities.schema
+    val noRadius = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      Row("bare", "Bare", 47.00, 16.37, null,
+        null, null, null, null, null, null))), schema)
+    val out = CityAssignment.assign(
+      Seq((47.05, 16.37, null: String)).toDF("lat", "lon", "city_hint"),
+      noRadius).select("city_slug", "assign_rule").head
+    assert(out.getString(0) == "bare" && out.getInt(1) == 3)
+  }
+
+  test("hint matches through wv_title_candidates expansion") {
+    // root-before-slash and trailing parenthetical both resolve
+    assert(assignOne(null, null, hint = "Polis/1st district") == (("polis", 4)))
+    assert(assignOne(null, null, hint = "Boxton (Austria)") == (("boxton", 4)))
+    assert(assignOne(null, null, hint = "Polís") == (("polis", 4))) // deaccented
   }
 
   test("radius fallback when no polygon/bbox matches") {

@@ -1227,42 +1227,119 @@ object SparkEntry {
              |  lower(strip_accents('Café Ñandú ' || c_name)) AS clean
              |FROM customer WHERE c_custkey < 200""".stripMargin)),
 
-    // F7: rapidfuzz-parity similarity kernel (UDF; no SQL equivalent ->
-    // rows-only check; exact semantics pinned by TextFunctionsSpec)
+    // F7: rapidfuzz-parity similarity kernels over a PINNED pair set. The
+    // oracle is a literal VALUES table of scores computed at build time by
+    // the same Scala kernels the codegen'd Catalyst expressions invoke —
+    // the driver's DuckDB run then hash-verifies expression==kernel parity
+    // and cross-engine rounding, closing the former no_oracle gap.
     Q("f7_fuzzy_ratios",
       (s, dir) => {
-        val p = t(s, dir, "part").where(col("p_partkey") < 200)
-        val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-          col("p_type").as("blk"))
-        val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
-          col("p_type").as("blk"))
-        a.join(b, Seq("blk")).where(col("a_key") < col("b_key"))
-          .select(col("a_key"), col("b_key"),
-            round(graft.plans.FuzzyExpressions.tokenSetRatio(
-              col("a_name"), col("b_name")), 4).as("token_set"),
-            round(graft.plans.FuzzyExpressions.tokenSortRatio(
-              col("a_name"), col("b_name")), 4).as("token_sort"),
-            round(TextFunctions.partialRatioUdf(col("a_name"), col("b_name")), 4)
-              .as("partial"))
+        val spark = s
+        import spark.implicits._
+        fuzzPairs.toDF("id", "a", "b").select(col("id"),
+          round(graft.plans.FuzzyExpressions.tokenSetRatio(
+            col("a"), col("b")), 6).as("token_set"),
+          round(graft.plans.FuzzyExpressions.tokenSortRatio(
+            col("a"), col("b")), 6).as("token_sort"),
+          round(graft.plans.FuzzyExpressions.partialRatio(
+            col("a"), col("b")), 6).as("partial_r"),
+          round(graft.plans.FuzzyExpressions.erNameSimilarity(
+            col("a"), col("b")), 6).as("er_sim"),
+          round(graft.plans.FuzzyExpressions.nameSimilarity(
+            col("a"), col("b")), 6).as("name_sim"))
       },
-      None),
+      Some {
+        import TextFunctions._
+        val rows = fuzzPairs.map { case (id, a, b) =>
+          s"($id, ${dLit(round6(tokenSetRatio(a, b)))}, " +
+            s"${dLit(round6(tokenSortRatio(a, b)))}, " +
+            s"${dLit(round6(partialRatio(a, b)))}, " +
+            s"${dLit(round6(erNameSimilarity(a, b)))}, " +
+            s"${dLit(round6(nameSimilarity(a, b)))})"
+        }.mkString(",\n")
+        s"SELECT * FROM (VALUES\n$rows\n) " +
+          "AS t(id, token_set, token_sort, partial_r, er_sim, name_sim)"
+      }),
 
-    // T3: greedy top-k near-duplicate-suppressed selection (custom
-    // Aggregator; order-dependent -> rows-only check + golden spec)
+    // T3: greedy top-k near-duplicate-suppressed selection over a pinned
+    // deterministic group set; the oracle VALUES are produced at build time
+    // by the reference's scan-everything greedy, so the driver verifies the
+    // distributed Aggregator (partial agg + merge across partitions)
+    // against the sequential reference semantics.
     Q("t3_topk_distinct",
       (s, dir) => {
         val spark = s
         import spark.implicits._
-        t(s, dir, "documents").select("source", "text").as[(String, String)]
-          .groupByKey(_._1)
-          .mapValues(_._2)
+        t3Docs.toDF("grp", "text")
+          .repartition(5) // force multi-partition partial aggregation
+          .as[(String, String)].groupByKey(_._1).mapValues(_._2)
           .agg(TopKDistinct.topK(3, 0.9, maxLen = 1200).name("kept"))
-          .toDF("source", "kept")
-          .select(col("source"), size(col("kept")).as("n_kept"),
-            substring(array_join(col("kept"), "|"), 1, 80).as("preview"))
+          .toDF("grp", "kept")
+          .select(col("grp"), size(col("kept")).as("n_kept"),
+            array_join(col("kept"), "|").as("kept_join"))
       },
-      None)
+      Some {
+        val rows = t3Docs.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, ds) =>
+          val kept = refTopKGreedy(ds.map(_._2), k = 3, thr = 0.9, maxLen = 1200)
+          s"('$g', ${kept.size}, '${kept.mkString("|").replace("'", "''")}')"
+        }.mkString(",\n")
+        s"SELECT * FROM (VALUES\n$rows\n) AS t(grp, n_kept, kept_join)"
+      })
   )
+
+  /** Pinned inputs for f7: chosen to exercise token-subset 1.0 shortcuts,
+    * boundary-overlap partial windows, deaccent divergence, and plain
+    * InDel cases. */
+  private lazy val fuzzPairs: Seq[(Int, String, String)] = Seq(
+    (1, "International Airport Vienna", "Vienna Intl. Airport"),
+    (2, "Cafe Central", "Café Central Wien"),
+    (3, "St. Stephen's Cathedral", "Stephansdom"),
+    (4, "Hotel Sacher", "Sacher Hotel"),
+    (5, "Powder Tower", "Explore Powder Tower"),
+    (6, "Charles Bridge", "Karluv most"),
+    (7, "abc", "abd"),
+    (8, "bcd", "abc"),
+    (9, "world", "hello world"),
+    (10, "Naschmarkt", "Nasch Markt"),
+    (11, "Schönbrunn Palace", "Schoenbrunn"),
+    (12, "identical", "identical"))
+
+  /** Spark `round(col, 6)` semantics (BigDecimal HALF_UP) for build-time
+    * oracle literals. */
+  private def round6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).doubleValue
+
+  /** DuckDB double literal via string cast — decimal-literal-safe. */
+  private def dLit(v: Double): String = s"'$v'::DOUBLE"
+
+  /** Pinned inputs for t3: one group with a 6-strong near-dup family plus
+    * distinct shorter texts (greedy must keep 1 family rep + 2 distinct),
+    * one singleton group. */
+  private lazy val t3Docs: Seq[(String, String)] = {
+    val family = (1 to 6).map(i =>
+      s"the grand hotel by the river offers fine rooms and views v$i")
+    val distinct = Seq(
+      "a completely different museum of modern art",
+      "quiet garden cafe serving breakfast daily",
+      "night market with street food stalls",
+      "tiny bookshop near the square")
+    (family ++ distinct).map(("g1", _)) ++
+      Seq(("g2", "only one text in this group"))
+  }
+
+  /** The reference's sequential greedy (`etl/reviews_jsonl.py:316-325`),
+    * identical ordering/threshold semantics to TopKDistinct. */
+  private def refTopKGreedy(texts: Seq[String], k: Int, thr: Double,
+                            maxLen: Int): Seq[String] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cands = texts
+      .map(t => if (t == null) "" else if (t.length > maxLen) t.substring(0, maxLen) else t)
+      .filter(_.nonEmpty).sortBy(s => (-s.length, s))
+    for (c <- cands if kept.size < k)
+      if (kept.forall(p => TextFunctions.tokenSetRatio(c, p) < thr))
+        kept += c
+    kept.toSeq
+  }
 
   // =================================================================
   // Coverage-completion queries (P7, F2/F14/F15/F21, J7, A11, G6, ANN-LSH)
@@ -1661,13 +1738,273 @@ object SparkEntry {
   )
 
   // =================================================================
+  // Spec-only-tail closure: S4/S7/K1/K2/F5/F9/F12/F18/F20 under the oracle
+  // =================================================================
+
+  /** DuckDB XML entity unescape mirroring Sources.xmlUnescape (literal
+    * replaces, &amp; last). */
+  private def xmlUnescSql(e: String): String =
+    s"replace(replace(replace(replace(replace($e, '&lt;', '<'), " +
+      "'&gt;', '>'), '&quot;', '\"'), '&apos;', ''''), '&amp;', '&')"
+
+  /** DuckDB stemmed-token list mirroring TextFunctions.stemTokens over
+    * ASCII input (normText = lower + non-alnum collapse there). */
+  private def stemSql(expr: String): String =
+    s"""list_transform(list_filter(string_split(trim(regexp_replace(
+       |  lower($expr), '[^a-z0-9]+', ' ', 'g')), ' '), t_ -> len(t_) >= 3),
+       |  t_ -> CASE WHEN t_ LIKE '%ies' AND len(t_) > 4
+       |               THEN substr(t_, 1, len(t_) - 3) || 'y'
+       |             WHEN t_ LIKE '%es' AND len(t_) > 3
+       |               THEN substr(t_, 1, len(t_) - 2)
+       |             WHEN t_ LIKE '%s' AND len(t_) > 3
+       |               THEN substr(t_, 1, len(t_) - 1)
+       |             ELSE t_ END)""".stripMargin
+
+  /** Stop-token SQL list literal (reference _STOP, shared with the Scala
+    * kernel so both engines drop the same tokens). */
+  private def stopListSql: String =
+    TextFunctions.StopTokens.toSeq.sorted.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Sorted-content-token join string (reference _has_substring's A/B). */
+  private def contentJoinSql(expr: String): String =
+    s"array_to_string(list_sort(list_distinct(list_filter(${stemSql(expr)}, " +
+      s"w_ -> NOT list_contains($stopListSql, w_)))), ' ')"
+
+  /** Test polygon for F12 — spans the customer lattice (lat 40..40.192,
+    * lon -75..-74.824), irregular so points land on both sides. */
+  private lazy val testPolygon: Seq[(Double, Double)] = Seq(
+    (40.05, -74.95), (40.12, -74.90), (40.08, -74.82),
+    (40.02, -74.85), (40.00, -74.92))
+
+  private val tailQueries = Seq(
+    // S4: streaming-XML page ingest — the dump is synthesized from table
+    // rows, split on the page delimiter exactly as the distributed
+    // lineSep-based file reader does, field-extracted and entity-unescaped;
+    // ns!=0 and redirect pages are skipped (wikivoyage_xml.py:154-169).
+    Q("s4_xml_pages",
+      (s, dir) => {
+        val pageXml = concat(
+          lit("<page><title>"), col("p_name"), lit(" &amp; Co</title>"),
+          when(pmod(col("p_partkey"), lit(5)) === 0, lit("<ns>4</ns>"))
+            .otherwise(lit("<ns>0</ns>")),
+          when(pmod(col("p_partkey"), lit(7)) === 0,
+            lit("<redirect title=\"X\"/>")).otherwise(lit("")),
+          lit("<revision><text bytes=\"1\">{{see| name="), col("p_name"),
+          lit(" | lat=48.2 | long=16.37 | content=&lt;b&gt;"), col("p_type"),
+          lit("&lt;/b&gt;}}</text></revision></page>"))
+        val dumps = t(s, dir, "part").where(col("p_partkey") < 400)
+          .withColumn("grp", pmod(col("p_partkey"), lit(20)))
+          .groupBy("grp")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("p_partkey").as("k"),
+              pageXml.as("x")))),
+            e => e.getField("x")), "").as("dump"))
+        val segments = dumps
+          .select(explode(split(col("dump"), "</page>")).as("value"))
+        graft.sources.Sources.pagesFromSegments(segments)
+          .where(col("ns") === 0 && !col("redirect"))
+          .select("title", "ns", "text")
+      },
+      Some(s"""WITH p AS (
+              |  SELECT p_partkey, p_partkey % 20 AS grp,
+              |    '<page><title>' || p_name || ' &amp; Co</title>' ||
+              |    CASE WHEN p_partkey % 5 = 0 THEN '<ns>4</ns>'
+              |         ELSE '<ns>0</ns>' END ||
+              |    CASE WHEN p_partkey % 7 = 0 THEN '<redirect title="X"/>'
+              |         ELSE '' END ||
+              |    '<revision><text bytes="1">{{see| name=' || p_name ||
+              |    ' | lat=48.2 | long=16.37 | content=&lt;b&gt;' || p_type ||
+              |    '&lt;/b&gt;}}</text></revision></page>' AS x
+              |  FROM part WHERE p_partkey < 400),
+              |d AS (SELECT grp, string_agg(x, '' ORDER BY p_partkey) AS dump
+              |      FROM p GROUP BY grp),
+              |seg AS (SELECT unnest(string_split(dump, '</page>')) AS value
+              |        FROM d),
+              |pg AS (
+              |  SELECT
+              |    ${xmlUnescSql("regexp_extract(value, '(?s)<title>(.*?)</title>', 1)")} AS title,
+              |    COALESCE(TRY_CAST(regexp_extract(value, '<ns>(-?\\d+)</ns>', 1)
+              |      AS INT), 0) AS ns,
+              |    contains(value, '<redirect') AS redirect,
+              |    ${xmlUnescSql("regexp_extract(value, '(?s)<text[^>]*>(.*?)</text>', 1)")} AS text
+              |  FROM seg WHERE contains(value, '<page>'))
+              |SELECT title, ns, text FROM pg
+              |WHERE ns = 0 AND NOT redirect""".stripMargin)),
+
+    // S7: CSV repair pre-pass — broken '" ,' quoting and trailing CR are
+    // synthesized per row, repaired with the library's repair column, and
+    // parsed with from_csv; the oracle repairs and parses the same lines.
+    Q("s7_csv_repair",
+      (s, dir) => {
+        val line = concat(col("c_custkey").cast("string"), lit(",\""),
+          col("c_name"), lit(" \" ,"),
+          pmod(col("c_custkey") * 7, lit(10000)).cast("string"), lit(".25\r"))
+        val schema = "id BIGINT, name STRING, bal DOUBLE"
+        t(s, dir, "customer").where(col("c_custkey") < 500)
+          .select(graft.sources.Sources.repairCsvValue(line).as("value"))
+          .select(from_csv(col("value"),
+            org.apache.spark.sql.types.StructType.fromDDL(schema),
+            Map.empty[String, String]).as("r"))
+          .select(col("r.id"), col("r.name"), col("r.bal"))
+      },
+      Some("""WITH l AS (
+             |  SELECT CAST(c_custkey AS VARCHAR) || ',"' || c_name || ' " ,'
+             |    || CAST(c_custkey * 7 % 10000 AS VARCHAR) || '.25'
+             |    || chr(13) AS value
+             |  FROM customer WHERE c_custkey < 500),
+             |r AS (SELECT replace(regexp_replace(value, '\r$', ''),
+             |  '" ,', '",') AS value FROM l)
+             |SELECT CAST(split_part(value, ',', 1) AS BIGINT) AS id,
+             |  trim(split_part(value, ',', 2), '"') AS name,
+             |  CAST(split_part(value, ',', 3) AS DOUBLE) AS bal
+             |FROM r""".stripMargin)),
+
+    // K1: partitioned parquet sink roundtrip — write partitionBy, read the
+    // partitioned layout back, aggregate; must equal the direct aggregate.
+    Q("k1_partitioned_sink",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_k1_${new java.io.File(dir).getName}"
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+        s.read.parquet(tmp).groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // K2: appending sink — overwrite one half, append the other, read the
+    // union back; replaces the reference's read-concat-rewrite append
+    // (etl/reviews_jsonl.py:57-73) with the native append mode.
+    Q("k2_append_sink",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_k2_${new java.io.File(dir).getName}"
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        o.where(pmod(col("o_orderkey"), lit(2)) === 0)
+          .write.mode("overwrite").parquet(tmp)
+        o.where(pmod(col("o_orderkey"), lit(2)) === 1)
+          .write.mode("append").parquet(tmp)
+        s.read.parquet(tmp).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // F5: the crude plural stemmer (extra plurals appended so every rule
+    // fires: boxes -> box, stories -> story, tiles -> til).
+    Q("f5_stem",
+      (s, dir) => t(s, dir, "part").where(col("p_partkey") < 500)
+        .select(col("p_partkey"), concat_ws(" ", TextFunctions.stemTokensUdf(
+          concat(col("p_name"), lit(" boxes stories tiles")))).as("stems")),
+      Some(s"""SELECT p_partkey, array_to_string(
+              |${stemSql("p_name || ' boxes stories tiles'")}, ' ') AS stems
+              |FROM part WHERE p_partkey < 500""".stripMargin)),
+
+    // F9: sorted-content-token substring containment — a name vs itself
+    // minus its first token: containment holds iff the dropped token sorts
+    // at the boundary, so the output mixes true and false.
+    Q("f9_containment",
+      (s, dir) => t(s, dir, "part").where(col("p_partkey") < 500)
+        .withColumn("shorter", regexp_replace(col("p_name"), "^\\w+ ", ""))
+        .select(col("p_partkey"),
+          TextFunctions.hasSubstringUdf(col("p_name"), col("shorter"))
+            .as("contained")),
+      Some(s"""WITH w AS (
+              |  SELECT p_partkey,
+              |    ${contentJoinSql("p_name")} AS ca,
+              |    ${contentJoinSql("regexp_replace(p_name, '^\\w+ ', '')")} AS cb
+              |  FROM part WHERE p_partkey < 500)
+              |SELECT p_partkey,
+              |  CASE WHEN len(ca) <= len(cb)
+              |    THEN len(ca) >= 3 AND contains(cb, ca)
+              |    ELSE len(cb) >= 3 AND contains(ca, cb) END AS contained
+              |FROM w""".stripMargin)),
+
+    // F12: point-in-polygon ray cast over the customer lattice against a
+    // pinned polygon; the oracle replays the reference formula edge by edge
+    // (crossing-count parity), byte-identical arithmetic incl. the 1e-12
+    // guard.
+    Q("f12_point_in_polygon",
+      (s, dir) => {
+        val polyCol = array(testPolygon.map { case (la, lo) =>
+          struct(lit(la).as("lat"), lit(lo).as("lon")) }: _*)
+        custPoints(s, dir).select(col("c_custkey"),
+          GeoFunctions.pointInPolygonUdf(col("lat"), col("lon"), polyCol)
+            .as("inside"))
+      },
+      Some {
+        val edges = testPolygon.indices.map { i =>
+          val j = (i + testPolygon.length - 1) % testPolygon.length
+          val (yi, xi) = testPolygon(i)
+          val (yj, xj) = testPolygon(j)
+          s"(${dLit(yi)}, ${dLit(xi)}, ${dLit(yj)}, ${dLit(xj)})"
+        }.mkString(", ")
+        s"""WITH pts AS ($custPointsSql),
+           |edges(yi, xi, yj, xj) AS (VALUES $edges),
+           |cr AS (
+           |  SELECT c_custkey,
+           |    sum(CASE WHEN ((xi > lon) <> (xj > lon)) AND
+           |      (lat < (yj - yi) * (lon - xi) / ((xj - xi) + 1e-12) + yi)
+           |      THEN 1 ELSE 0 END) AS crossings
+           |  FROM pts CROSS JOIN edges GROUP BY c_custkey)
+           |SELECT c_custkey, crossings % 2 = 1 AS inside FROM cr""".stripMargin
+      }),
+
+    // F18: first float-looking token from a dirty string (dirty strings
+    // synthesized from integer arithmetic — doubles never round-trip
+    // through strings), null when nothing matches.
+    Q("f18_dirty_float",
+      (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 600)
+        .withColumn("raw",
+          when(pmod(col("c_custkey"), lit(11)) === 0, lit("no coordinates here"))
+            .otherwise(concat(lit("approx "),
+              pmod(col("c_custkey") * 13, lit(180)).cast("string"), lit("."),
+              pmod(col("c_custkey"), lit(100)).cast("string"),
+              lit("°N of map"))))
+        .select(col("c_custkey"),
+          graft.sources.Sources.dirtyFloatCol(col("raw")).as("val")),
+      Some("""WITH w AS (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 11 = 0 THEN 'no coordinates here'
+             |    ELSE 'approx ' || CAST(c_custkey * 13 % 180 AS VARCHAR) ||
+             |      '.' || CAST(c_custkey % 100 AS VARCHAR) || '°N of map'
+             |    END AS raw
+             |  FROM customer WHERE c_custkey < 600)
+             |SELECT c_custkey,
+             |  CASE WHEN regexp_extract(raw, '-?\d+(\.\d+)?', 0) = '' THEN NULL
+             |    ELSE CAST(regexp_extract(raw, '-?\d+(\.\d+)?', 0) AS DOUBLE)
+             |  END AS val
+             |FROM w""".stripMargin)),
+
+    // F20: newline normalization (CRLF/CR -> LF) + line count
+    Q("f20_newline_normalize",
+      (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 400)
+        .withColumn("raw", concat(lit("line1\r\nline2\r"), col("c_name"),
+          lit("\nline4")))
+        .withColumn("norm", regexp_replace(col("raw"), "\r\n|\r", "\n"))
+        .select(col("c_custkey"), col("norm"),
+          size(split(col("norm"), "\n", -1)).as("n_lines")),
+      Some("""WITH w AS (
+             |  SELECT c_custkey, regexp_replace(
+             |    'line1' || chr(13) || chr(10) || 'line2' || chr(13) ||
+             |      c_name || chr(10) || 'line4',
+             |    '\r\n|\r', chr(10), 'g') AS norm
+             |  FROM customer WHERE c_custkey < 400)
+             |SELECT c_custkey, norm,
+             |  CAST(len(string_split(norm, chr(10))) AS INT) AS n_lines
+             |FROM w""".stripMargin))
+  )
+
+  // =================================================================
   // Assembled registry
   // =================================================================
 
   private def registry: Seq[Q] =
     scanQueries ++ filterQueries ++ joinQueries ++ aggQueries ++
       sortSetQueries ++ functionQueries ++ graphQueries ++ pipelineQueries ++
-      extraQueries
+      extraQueries ++ tailQueries
 
   /** Internal lookup usable while the registry is being built (for queries
     * that compose other queries, e.g. p7 over g4). */

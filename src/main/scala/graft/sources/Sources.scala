@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -19,14 +19,18 @@ object Sources {
     df
   }
 
-  /** CSV repair pre-pass for the reference's broken Airbnb quoting
-    * (`etl/airbnb/reviews_jsonl.py:44-57`): rewrites `'" ,'` -> `'",'` and
-    * strips CR, line by line, fully distributed (spark.read.text +
-    * regexp, no driver-side temp file). */
+  /** The per-line CSV repair itself (reference
+    * `etl/airbnb/reviews_jsonl.py:44-57`): rewrite `'" ,'` -> `'",'` and
+    * strip a trailing CR. */
+  def repairCsvValue(c: Column): Column =
+    regexp_replace(regexp_replace(c, "\r$", ""), "\" ,", "\",")
+
+  /** CSV repair pre-pass for the reference's broken Airbnb quoting,
+    * line by line, fully distributed (spark.read.text + regexp, no
+    * driver-side temp file). */
   def repairedCsvLines(spark: SparkSession, path: String): DataFrame =
     spark.read.text(path)
-      .withColumn("value", regexp_replace(col("value"), "\r$", ""))
-      .withColumn("value", regexp_replace(col("value"), "\" ,", "\","))
+      .withColumn("value", repairCsvValue(col("value")))
 
   /** Parse repaired lines with from_csv against an explicit schema. */
   def repairedCsv(spark: SparkSession, path: String,
@@ -48,6 +52,52 @@ object Sources {
     schema.map(r.schema).getOrElse(r).json(path)
   }
 
+  // ---------------------------------------------------- S4: XML page ingest
+
+  /** XML entity unescape for the five predefined entities, as a column
+    * chain. `&amp;` is decoded LAST so literal text like `&amp;lt;`
+    * round-trips to `&lt;` (one decoding pass, like an XML parser). */
+  def xmlUnescape(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      c, "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&apos;", "'"),
+      "&amp;", "&")
+
+  /** Split a MediaWiki dump into one raw segment per `<page>` element,
+    * fully distributed: `spark.read.text` with lineSep `</page>` lets the
+    * text source split the file at arbitrary byte offsets (and `.bz2`
+    * dumps decompress through the codec layer), so no single task ever
+    * holds the whole dump — the Spark-native equivalent of the reference's
+    * lxml `iterparse` + element eviction
+    * (`/root/reference/etl/sources/wikivoyage_xml.py:28-55`). */
+  def xmlPageSegments(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("lineSep", "</page>").text(path)
+
+  /** Parse raw page segments into pages(title, ns, redirect, text).
+    * Segments without a `<page>` element (the siteinfo header / trailing
+    * footer) are dropped; fields are regex-extracted and entity-unescaped
+    * (wikitext arrives XML-escaped inside `<text>`). A missing `<ns>`
+    * counts as 0 and a self-closed/missing `<text>` as "", mirroring
+    * `wikivoyage_xml.py:154-169`. */
+  def pagesFromSegments(segments: DataFrame): DataFrame = {
+    val v = col("value")
+    segments
+      .where(v.contains("<page>"))
+      .select(
+        xmlUnescape(regexp_extract(v, "(?s)<title>(.*?)</title>", 1)).as("title"),
+        coalesce(regexp_extract(v, "<ns>(-?\\d+)</ns>", 1).cast("int"), lit(0))
+          .as("ns"),
+        v.contains("<redirect").as("redirect"),
+        // a self-closed <text/> has no closing tag, so the match fails and
+        // the extract yields "" — no lookbehind needed (the oracle's RE2
+        // engine has none)
+        xmlUnescape(regexp_extract(v, "(?s)<text[^>]*>(.*?)</text>", 1))
+          .as("text"))
+  }
+
+  /** End-to-end S4 entry: dump file -> pages DataFrame. */
+  def readXmlPages(spark: SparkSession, path: String): DataFrame =
+    pagesFromSegments(xmlPageSegments(spark, path))
+
   /** A parsed Wikivoyage-style listing (reference
     * `etl/sources/wikivoyage_xml.py:171-211`). */
   case class WvListing(pageTitle: String, template: String, name: String,
@@ -62,6 +112,13 @@ object Sources {
     * (reference `wikivoyage_xml.py:58-69`). */
   def dirtyFloat(s: String): Option[Double] =
     Option(s).flatMap(v => FloatRe.findFirstIn(v)).map(_.toDouble)
+
+  /** Column form of [[dirtyFloat]]: pure regexp_extract + cast, identical
+    * match semantics, null when no float-looking token exists. */
+  def dirtyFloatCol(c: Column): Column = {
+    val m = regexp_extract(c, "-?\\d+(\\.\\d+)?", 0)
+    when(m === "", lit(null).cast("double")).otherwise(m.cast("double"))
+  }
 
   /** Extract listing templates from one page's wikitext: 1 page -> N rows
     * (the UDTF shape, SURVEY §2.11). Pure JVM kernel; wrap with flatMap. */

@@ -54,6 +54,76 @@ class SourcesSpec extends SparkTestBase {
     assert(out == Set((10L, "nice stay"), (11L, "broken quote")))
   }
 
+  private val xmlDump =
+    """<mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+      |<siteinfo><sitename>Wikivoyage</sitename></siteinfo>
+      |<page>
+      |  <title>Vienna</title>
+      |  <ns>0</ns>
+      |  <revision><text bytes="99">{{see
+      || name=Cafe &amp; Bar | lat=48.2 | long=16.37 | content=Nice &lt;b&gt;spot&lt;/b&gt;}}</text></revision>
+      |</page>
+      |<page>
+      |  <title>Wikivoyage:About</title>
+      |  <ns>4</ns>
+      |  <revision><text>{{see| name=NotMain | lat=1 | long=2}}</text></revision>
+      |</page>
+      |<page>
+      |  <title>Wien</title>
+      |  <ns>0</ns>
+      |  <redirect title="Vienna"/>
+      |  <revision><text>#REDIRECT [[Vienna]]</text></revision>
+      |</page>
+      |<page>
+      |  <title>Graz</title>
+      |  <ns>0</ns>
+      |  <revision><text>{{listing| name=Uhrturm | lat=47.0735 | long=15.4377 | address=Schlossberg}}
+      |{{do | name=Walk}}</text></revision>
+      |</page>
+      |</mediawiki>""".stripMargin
+
+  /** Golden expectations mirror the reference parse row-for-row
+    * (`wikivoyage_xml.py:154-211`): ns!=0 and redirect pages skipped,
+    * wikitext entity-unescaped before template extraction. */
+  private def assertXmlListings(pages: org.apache.spark.sql.DataFrame): Unit = {
+    assert(pages.count() == 4)
+    val got = Sources.listingsFromPages(pages).collect()
+      .map(l => (l.pageTitle, l.template, l.name, l.lat, l.lon, l.address,
+        l.content)).toList.sortBy(t => (t._1, t._3))
+    assert(got == List(
+      ("Graz", "listing", "Uhrturm", Some(47.0735), Some(15.4377),
+        Some("Schlossberg"), None),
+      ("Graz", "do", "Walk", None, None, None, None),
+      ("Vienna", "see", "Cafe & Bar", Some(48.2), Some(16.37), None,
+        Some("Nice <b>spot</b>"))
+    ).sortBy(t => (t._1, t._3)))
+  }
+
+  test("readXmlPages splits a multi-page dump distributed and unescapes") {
+    val dir = Files.createTempDirectory("graft_xml")
+    val f = dir.resolve("dump.xml")
+    Files.writeString(f, xmlDump)
+    assertXmlListings(Sources.readXmlPages(spark, f.toString))
+  }
+
+  test("readXmlPages reads .bz2 dumps through the codec layer") {
+    val dir = Files.createTempDirectory("graft_xml_bz2")
+    val f = new java.io.File(dir.toFile, "dump.xml.bz2")
+    val codec = new org.apache.hadoop.io.compress.BZip2Codec()
+    codec.setConf(spark.sparkContext.hadoopConfiguration)
+    val os = codec.createOutputStream(new java.io.FileOutputStream(f))
+    os.write(xmlDump.getBytes("UTF-8"))
+    os.close()
+    assertXmlListings(Sources.readXmlPages(spark, f.getAbsolutePath))
+  }
+
+  test("xmlUnescape is a single decoding pass (&amp;lt; -> &lt;)") {
+    import org.apache.spark.sql.functions._
+    val out = Seq(Tuple1("&amp;lt; &lt; &gt; &quot; &apos; &amp;amp;"))
+      .toDF("s").select(Sources.xmlUnescape(col("s")).as("u")).as[String].head
+    assert(out == "&lt; < > \" ' &amp;")
+  }
+
   test("jsonl drops malformed lines") {
     val dir = Files.createTempDirectory("graft_jsonl").toFile
     val f = new java.io.File(dir, "rows.jsonl")

@@ -810,7 +810,11 @@ object SparkEntry {
              |  || '::' || CAST(c_nationkey AS VARCHAR) AS canonical_id
              |FROM ranked WHERE rn = 1""".stripMargin)),
 
-    // G4: point-in-region assignment cascade (bbox -> radius -> unassigned)
+    // G4: point-in-region assignment cascade, all three geometry rules
+    // under the oracle (polygon ray-cast -> bbox -> radius), with the
+    // reference's tie-breaks: polygon/bbox by config order (city_id), the
+    // radius rule by distance. Each city gets a diamond polygon inside its
+    // bbox so points exercise every rule.
     Q("g4_region_cascade",
       (s, dir) => {
         val cities = t(s, dir, "region")
@@ -821,17 +825,27 @@ object SparkEntry {
           .withColumn("max_lat", col("center_lat") + 0.01)
           .withColumn("min_lon", col("center_lon") - 0.02)
           .withColumn("max_lon", col("center_lon") + 0.02)
+          .withColumn("polygon", array(
+            struct((col("center_lat") + 0.008).as("lat"), col("center_lon").as("lon")),
+            struct(col("center_lat").as("lat"), (col("center_lon") + 0.016).as("lon")),
+            struct((col("center_lat") - 0.008).as("lat"), col("center_lon").as("lon")),
+            struct(col("center_lat").as("lat"), (col("center_lon") - 0.016).as("lon"))))
         val pts = custPoints(s, dir)
         val cand = pts.crossJoin(broadcast(cities))
+          .withColumn("in_poly", GeoFunctions.pointInPolygonUdf(col("lat"),
+            col("lon"), col("polygon")))
           .withColumn("in_bbox", GeoFunctions.bboxContains(col("lat"), col("lon"),
             col("min_lat"), col("min_lon"), col("max_lat"), col("max_lon")))
           .withColumn("center_m", GeoFunctions.haversineM(col("lat"), col("lon"),
             col("center_lat"), col("center_lon")))
-          .withColumn("rule", when(col("in_bbox"), 1)
-            .when(col("center_m") <= 3000.0, 2))
+          .withColumn("rule", when(col("in_poly"), 1).when(col("in_bbox"), 2)
+            .when(col("center_m") <= 3000.0, 3))
           .where(col("rule").isNotNull)
         val w = Window.partitionBy("c_custkey")
-          .orderBy(col("rule").asc, col("center_m").asc, col("city_id").asc)
+          .orderBy(col("rule").asc,
+            when(col("rule") === 3, col("center_m"))
+              .otherwise(col("city_id").cast("double")).asc,
+            col("city_id").asc)
         cand.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
           .select(col("c_custkey"), col("city_id"), col("rule"),
             round(col("center_m"), 2).as("center_m"))
@@ -841,19 +855,41 @@ object SparkEntry {
               |    40e0 + r_regionkey * 4e-2 AS center_lat,
               |    -7.495e1 AS center_lon FROM region),
               |pts AS ($custPointsSql),
+              |verts AS (
+              |  SELECT city_id, center_lat, center_lon, v,
+              |    CASE v WHEN 0 THEN center_lat + 8e-3 WHEN 1 THEN center_lat
+              |           WHEN 2 THEN center_lat - 8e-3 ELSE center_lat END AS vy,
+              |    CASE v WHEN 0 THEN center_lon WHEN 1 THEN center_lon + 1.6e-2
+              |           WHEN 2 THEN center_lon ELSE center_lon - 1.6e-2 END AS vx
+              |  FROM cities, (SELECT unnest(range(0, 4)) AS v)),
+              |edges AS (
+              |  SELECT a.city_id, a.vy AS yi, a.vx AS xi, b.vy AS yj, b.vx AS xj
+              |  FROM verts a JOIN verts b
+              |    ON a.city_id = b.city_id AND b.v = (a.v + 3) % 4),
+              |poly AS (
+              |  SELECT p.c_custkey, e.city_id,
+              |    sum(CASE WHEN ((xi > p.lon) <> (xj > p.lon)) AND
+              |      (p.lat < (yj - yi) * (p.lon - xi) / ((xj - xi) + 1e-12) + yi)
+              |      THEN 1 ELSE 0 END) % 2 = 1 AS in_poly
+              |  FROM pts p CROSS JOIN edges e GROUP BY p.c_custkey, e.city_id),
               |cand AS (
-              |  SELECT c_custkey, city_id,
+              |  SELECT p.c_custkey, c.city_id, poly.in_poly,
               |    (lat >= center_lat - 1e-2 AND lat <= center_lat + 1e-2 AND
               |     lon >= center_lon - 2e-2 AND lon <= center_lon + 2e-2) AS in_bbox,
               |    ${havSql("lat", "lon", "center_lat", "center_lon")} AS center_m
-              |  FROM pts CROSS JOIN cities),
+              |  FROM pts p CROSS JOIN cities c
+              |  JOIN poly ON poly.c_custkey = p.c_custkey
+              |    AND poly.city_id = c.city_id),
               |ruled AS (
-              |  SELECT *, CASE WHEN in_bbox THEN 1
-              |    WHEN center_m <= 3e3 THEN 2 END AS rule
+              |  SELECT *, CASE WHEN in_poly THEN 1 WHEN in_bbox THEN 2
+              |    WHEN center_m <= 3e3 THEN 3 END AS rule
               |  FROM cand
-              |  WHERE in_bbox OR center_m <= 3e3),
+              |  WHERE in_poly OR in_bbox OR center_m <= 3e3),
               |ranked AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
-              |  ORDER BY rule ASC, center_m ASC, city_id ASC) AS rn FROM ruled)
+              |  ORDER BY rule ASC,
+              |    CASE WHEN rule = 3 THEN center_m
+              |         ELSE CAST(city_id AS DOUBLE) END ASC,
+              |    city_id ASC) AS rn FROM ruled)
               |SELECT c_custkey, city_id, rule, round(center_m, 2) AS center_m
               |FROM ranked WHERE rn = 1""".stripMargin)),
 

@@ -57,6 +57,18 @@ case class NameSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** 1 - levenshtein/maxlen via the bit-parallel Myers kernel — value-
+  * identical to the built-in levenshtein-based column form, much cheaper
+  * per pair on blocked fuzzy joins. */
+case class LevRatio(left: Expression, right: Expression)
+    extends FuzzySimilarityExpression {
+  override protected def kernel = "graft.functions.TextFunctions.levRatio"
+  override protected def compute(a: String, b: String): Double =
+    graft.functions.TextFunctions.levRatio(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 case class PartialRatio(left: Expression, right: Expression)
     extends FuzzySimilarityExpression {
   override protected def kernel = "graft.functions.TextFunctions.partialRatio"
@@ -90,6 +102,9 @@ object FuzzyExpressions {
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def partialRatio(a: Column, b: Column): Column =
     GraftColumnBridge.column(PartialRatio(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  def levRatio(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LevRatio(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
   def erNameSimilarity(a: Column, b: Column): Column =
     GraftColumnBridge.column(ErNameSimilarity(

@@ -42,7 +42,8 @@ object GraftExtensions {
     binary("token_sort_ratio", TokenSortRatio.apply),
     binary("partial_ratio", PartialRatio.apply),
     binary("name_similarity", NameSimilarity.apply),
-    binary("er_name_similarity", ErNameSimilarity.apply))
+    binary("er_name_similarity", ErNameSimilarity.apply),
+    binary("lev_ratio", LevRatio.apply))
 
   /** Register the same functions + the spatial rewrite into an
     * already-built session. */

@@ -44,6 +44,45 @@ object Sources {
       .select(col("r.*"))
   }
 
+  /** S1-S3: JDBC table scan with partitioned parallel reads — the
+    * Spark-native replacement for the reference's SQLite cursor loop with
+    * manual 100k-row chunking (`etl/sources/yelp_sqlite.py:5-33`,
+    * `etl/reviews_jsonl.py:75-77`). `partitioning = (column, lower, upper,
+    * n)` splits the scan into n range predicates executed in parallel;
+    * projection and filter pushdown into the database are automatic
+    * (DataSource JDBC pushdown), like the reference's hand-written WHERE
+    * clauses but driven by the query plan. */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitioning: Option[(String, Long, Long, Int)] = None,
+           options: Map[String, String] = Map.empty): DataFrame = {
+    val base = spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+    val part = partitioning.fold(base) { case (column, lower, upper, n) =>
+      base.option("partitionColumn", column)
+        .option("lowerBound", lower).option("upperBound", upper)
+        .option("numPartitions", n)
+    }
+    options.foldLeft(part) { case (r, (k, v)) => r.option(k, v) }.load()
+  }
+
+  /** K3 export discipline: CSV with header, emitting a header-only file
+    * when the frame is empty — the reference writes the header
+    * unconditionally (`etl/er.py:317-327`) but Spark's csv writer emits
+    * nothing for empty partitions, which breaks downstream LOAD CSV
+    * consumers expecting the schema line. */
+  def csvWithHeader(df: DataFrame, path: String): Unit = {
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    if (df.isEmpty) {
+      val conf = df.sparkSession.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(path, "part-00000-header.csv")
+      val fs = p.getFileSystem(conf)
+      val out = fs.create(p, true)
+      out.write((df.columns.mkString(",") + "\n").getBytes("UTF-8"))
+      out.close()
+    }
+  }
+
   /** JSONL scan with malformed-line drop (reference
     * `scripts/run_airbnb.py:116-122`). */
   def jsonl(spark: SparkSession, path: String,

@@ -137,6 +137,39 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(acceptPairAndSim("Hotel Sacher", "Hotel Sacher Wien", 45, true)._2 == 1.0)
   }
 
+  /** Independent textbook DP, the test's own oracle for levenshteinFast. */
+  private def refLev(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("levenshteinFast: pinned cases + bit-parallel == DP reference") {
+    assert(levenshteinFast("kitten", "sitting") == 3)
+    assert(levenshteinFast("", "abc") == 3)
+    assert(levenshteinFast("abc", "") == 3)
+    assert(levenshteinFast("same", "same") == 0)
+    assert(levenshteinFast("straße", "strasse") == 2) // non-latin1 fallback? ß IS latin1 — bit path
+    // > 64-char pattern takes the DP fallback
+    val long1 = "x" * 70 + "abc"
+    val long2 = "x" * 70 + "abd"
+    assert(levenshteinFast(long1, long2) == 1)
+    // non-latin1 fallback
+    assert(levenshteinFast("日本語", "日本") == 1)
+    check(Prop.forAll(Gen.asciiPrintableStr, Gen.asciiPrintableStr) { (a, b) =>
+      levenshteinFast(a, b) == refLev(a, b)
+    })
+    // 64-char boundary patterns (last-bit arithmetic edge)
+    check(Prop.forAll(Gen.listOfN(64, Gen.alphaChar).map(_.mkString),
+      Gen.listOfN(66, Gen.alphaChar).map(_.mkString)) { (a, b) =>
+      levenshteinFast(a, b) == refLev(a, b)
+    })
+  }
+
   test("ratio properties: symmetry, bounds, identity") {
     check(Prop.forAll(Gen.alphaNumStr, Gen.alphaNumStr) { (a: String, b: String) =>
       val r = ratio(a, b)

@@ -39,6 +39,19 @@ class FuzzyExpressionsSpec extends SparkTestBase {
     assert(direct == 1.0)
   }
 
+  test("LevRatio expression equals the built-in levenshtein column form") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(col("p_name").as("a"),
+        concat(col("p_type"), lit(" "), col("p_name")).as("b"))
+    val out = df.select(
+      FuzzyExpressions.levRatio(col("a"), col("b")).as("fast"),
+      (lit(1.0) - levenshtein(col("a"), col("b")).cast("double") /
+        greatest(length(col("a")), length(col("b"))).cast("double"))
+        .as("builtin"))
+      .where(col("fast") =!= col("builtin"))
+    assert(out.count() == 0)
+  }
+
   test("extensions expose the expressions as SQL functions") {
     GraftExtensions.install(spark)
     val r = spark.sql(

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkTestBase
@@ -136,6 +137,53 @@ class SourcesSpec extends SparkTestBase {
     val out = Sources.jsonl(spark, f.getAbsolutePath, Some(schema))
       .na.drop("all").collect()
     assert(out.length == 2)
+  }
+
+  test("jdbc reads a real database with partitioned parallel scans + pushdown") {
+    // embedded Derby stands in for the reference's SQLite: same JDBC wiring
+    // a user would point at a real DB
+    val dbDir = Files.createTempDirectory("graft_derby").resolve("db")
+    val url = s"jdbc:derby:$dbDir;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    val st = conn.createStatement()
+    st.execute("CREATE TABLE businesses (id BIGINT, name VARCHAR(64), " +
+      "lat DOUBLE, lon DOUBLE)")
+    val ins = conn.prepareStatement("INSERT INTO businesses VALUES (?,?,?,?)")
+    (1 to 100).foreach { i =>
+      ins.setLong(1, i); ins.setString(2, s"biz$i")
+      ins.setDouble(3, 48.0 + i * 0.001); ins.setDouble(4, 16.0)
+      ins.executeUpdate()
+    }
+    conn.close()
+
+    val df = Sources.jdbc(spark, url, "businesses",
+      partitioning = Some(("id", 1L, 101L, 4)))
+    assert(df.rdd.getNumPartitions == 4) // chunking via range predicates
+    assert(df.count() == 100)
+    // projection + filter push into the database (the reference hand-wrote
+    // its WHERE clauses; here the plan drives them)
+    val filtered = df.where(col("id") > 90).select("id", "name")
+    assert(filtered.count() == 10)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan"),
+      scan.take(2000))
+  }
+
+  test("csvWithHeader writes a header-only file for empty frames") {
+    val out = Files.createTempDirectory("graft_csv_empty")
+      .resolve("links").toString
+    val empty = Seq.empty[(String, String, Double)]
+      .toDF("a", "b", "name_sim")
+    Sources.csvWithHeader(empty, out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.columns.toSeq == Seq("a", "b", "name_sim"))
+    assert(back.count() == 0)
+    // non-empty frames roundtrip normally
+    val out2 = Files.createTempDirectory("graft_csv_nonempty")
+      .resolve("links").toString
+    Sources.csvWithHeader(Seq(("x", "y", 0.9)).toDF("a", "b", "name_sim"), out2)
+    val back2 = spark.read.option("header", "true").csv(out2)
+    assert(back2.count() == 1 && back2.columns.length == 3)
   }
 
   test("dirtyFloat parses first float token") {

@@ -2014,6 +2014,74 @@ object SparkEntry {
              |  END AS val
              |FROM w""".stripMargin)),
 
+    // Multimodal REAL decode roundtrip: per-doc PCM WAV payloads are
+    // synthesized from closed-form parameters, decoded by the RIFF header
+    // parser (genuine byte-level decode, no codec libs), and the oracle
+    // recomputes the parameters arithmetically — decode(synth(p)) == p.
+    Q("mm_wav_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val channels = (id % 2 + 1).toInt
+            val rate = 8000 + (id % 3).toInt * 4000
+            val n = (id % 50 + 10).toInt
+            val samples = (0 until n * channels)
+              .map(i => (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, Multimodal.wavSynth(channels, rate, samples))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractWavMeta(payloads, "doc_id", "payload").toDF()
+          .select("doc_id", "n_bytes", "channels", "sample_rate",
+            "bits_per_sample", "n_samples", "duration_ms")
+      },
+      Some("""SELECT doc_id,
+             |  44 + (doc_id % 50 + 10) * (doc_id % 2 + 1) * 2 AS n_bytes,
+             |  CAST(doc_id % 2 + 1 AS INT) AS channels,
+             |  CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+             |  CAST(16 AS INT) AS bits_per_sample,
+             |  doc_id % 50 + 10 AS n_samples,
+             |  ((doc_id % 50 + 10) * 1000) // (8000 + (doc_id % 3) * 4000)
+             |    AS duration_ms
+             |FROM documents""".stripMargin)),
+
+    // §2.10: gap-based sessionization — the flatMapGroupsWithState
+    // operator's batch path, hash-verified against a lag/cumulative-sum
+    // sessionizer in SQL (same (ts, event_type) fold order, same ms gap
+    // arithmetic; session stats are tie-permutation invariant).
+    Q("st_sessionize",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val ev = t(s, dir, "events")
+          .selectExpr("user_id", "ts", "event_type", "value")
+          .as[graft.streaming.Sessionize.Event]
+        graft.streaming.Sessionize.sessionize(ev, gapMs = 60 * 60 * 1000L)
+          .toDF()
+          .select(col("user_id"),
+            unix_timestamp(col("session_start")).as("start_s"),
+            unix_timestamp(col("session_end")).as("end_s"),
+            col("n_events"),
+            round(col("total_value"), 2).as("total_value"))
+      },
+      Some("""WITH x AS (
+             |  SELECT user_id, ts, event_type, value,
+             |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+             |        (PARTITION BY user_id ORDER BY ts, event_type) > 3600000
+             |      THEN 1 ELSE 0 END AS brk
+             |  FROM events),
+             |s AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_type ROWS UNBOUNDED PRECEDING) AS sid
+             |  FROM x),
+             |g AS (SELECT user_id, sid, min(ts) AS t0, max(ts) AS t1,
+             |        count(*) AS n, sum(value) AS tv
+             |      FROM s GROUP BY user_id, sid)
+             |SELECT user_id, epoch_ms(t0) // 1000 AS start_s,
+             |  epoch_ms(t1) // 1000 AS end_s, CAST(n AS INT) AS n_events,
+             |  round(tv, 2) AS total_value
+             |FROM g""".stripMargin)),
+
     // F20: newline normalization (CRLF/CR -> LF) + line count
     Q("f20_newline_normalize",
       (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 400)

@@ -263,6 +263,48 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 100L))
   }
 
+  test("wavMeta/wavFrames decode a real PCM WAV payload (no codec libs)") {
+    val mono = Multimodal.wavSynth(1, 8000,
+      Seq[Short](100, -100, 300, -300, 500, -500, 700, -700))
+    val m = Multimodal.wavMeta(7L, mono)
+    assert(m.valid && m.channels == 1 && m.sample_rate == 8000 &&
+      m.bits_per_sample == 16 && m.n_samples == 8 && m.duration_ms == 1)
+    val frames = Multimodal.wavFrames(7L, mono, everyK = 2)
+    assert(frames.map(_._3) == Seq(100, 300, 500, 700))
+    // stereo: first-channel amplitudes only
+    val stereo = Multimodal.wavSynth(2, 44100,
+      Seq[Short](10, 99, 20, 98, 30, 97, 40, 96))
+    val sm = Multimodal.wavMeta(8L, stereo)
+    assert(sm.valid && sm.channels == 2 && sm.n_samples == 4)
+    assert(Multimodal.wavFrames(8L, stereo, everyK = 1).map(_._3) ==
+      Seq(10, 20, 30, 40))
+    // non-WAV bytes are flagged invalid, never thrown
+    assert(!Multimodal.wavMeta(9L, "not audio at all".getBytes).valid)
+    assert(!Multimodal.wavMeta(9L, null).valid)
+  }
+
+  test("bmpMeta decodes BITMAPINFOHEADER fields") {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54).putInt(0).putInt(54)
+    bb.putInt(40).putInt(640).putInt(-480) // negative height = top-down
+    bb.putShort(1).putShort(24)
+    val m = Multimodal.bmpMeta(1L, bb.array())
+    assert(m.valid && m.width == 640 && m.height == 480 &&
+      m.bits_per_pixel == 24)
+    assert(!Multimodal.bmpMeta(2L, "PNG...".getBytes).valid)
+  }
+
+  test("extractWavMeta runs the decoder per-partition over binary columns") {
+    val docs = Seq(
+      (1L, Multimodal.wavSynth(1, 16000, Seq[Short](1, 2, 3, 4))),
+      (2L, "garbage".getBytes)
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.extractWavMeta(docs, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m.valid).toMap
+    assert(out == Map(1L -> true, 2L -> false))
+  }
+
   test("multimodal stub plumbing: metadata + chunk sampling") {
     val docs = Seq((1L, "hello world payload bytes"), (2L, "x"))
       .toDF("doc_id", "text")

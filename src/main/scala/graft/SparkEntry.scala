@@ -1108,6 +1108,49 @@ object SparkEntry {
               |SELECT v_id, cent_id, round(cosine, 6) AS cosine
               |FROM scored WHERE rn = 1""".stripMargin)),
 
+    // IVF full search: probe the 2 nearest centroids per query, score only
+    // those cells — the bounded-candidate ANN scale path completing
+    // ann_ivf_assign (assignment) with the search stage.
+    Q("ann_ivf_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfTopK(
+          emb.where(col("vec_id") >= 5 && col("vec_id") % 50 =!= 0),
+          emb.where(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding",
+          emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          k = 5, nProbe = 2)
+      },
+      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
+              |             FROM embeddings WHERE vec_id % 50 = 0),
+              |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+              |      WHERE vec_id >= 5 AND vec_id % 50 <> 0),
+              |q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+              |      WHERE vec_id < 5),
+              |cells AS (
+              |  SELECT c_id, c_v, cent_id FROM (
+              |    SELECT c.c_id, c.c_v, cent.cent_id,
+              |      row_number() OVER (PARTITION BY c.c_id
+              |        ORDER BY ${cosSql("c_v", "cent_v")} DESC, cent_id ASC)
+              |        AS rn
+              |    FROM c CROSS JOIN cent) WHERE rn = 1),
+              |probes AS (
+              |  SELECT q_id, q_v, cent_id FROM (
+              |    SELECT q.q_id, q.q_v, cent.cent_id,
+              |      row_number() OVER (PARTITION BY q.q_id
+              |        ORDER BY ${cosSql("q_v", "cent_v")} DESC, cent_id ASC)
+              |        AS rn
+              |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+              |cand AS (
+              |  SELECT probes.q_id, cells.c_id,
+              |    ${cosSql("c_v", "q_v")} AS cosine
+              |  FROM probes JOIN cells ON probes.cent_id = cells.cent_id),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |  ORDER BY cosine DESC, c_id ASC) AS rank FROM cand)
+              |SELECT q_id, c_id, round(cosine, 6) AS cosine,
+              |  CAST(rank AS INT) AS rank
+              |FROM ranked WHERE rank <= 5""".stripMargin)),
+
     // Language-ID heuristic over marker stopword hits
     Q("ta_langid",
       (s, dir) => t(s, dir, "documents")
@@ -1713,6 +1756,67 @@ object SparkEntry {
              |HAVING sum(l_extendedprice * (1e0 - l_discount)) > 1000
              |ORDER BY revenue DESC, c_custkey ASC
              |LIMIT 20""".stripMargin)),
+
+    Q("q1_pricing_summary",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty,
+                 round(sum(l_extendedprice), 2) AS sum_base_price,
+                 round(sum(l_extendedprice * (1e0 - l_discount)), 2)
+                   AS sum_disc_price,
+                 round(sum(l_extendedprice * (1e0 - l_discount) *
+                   (1e0 + l_tax)), 2) AS sum_charge,
+                 round(avg(l_quantity), 4) AS avg_qty,
+                 round(avg(l_extendedprice), 4) AS avg_price,
+                 round(avg(l_discount), 6) AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          GROUP BY l_returnflag, l_linestatus""")
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1e0 - l_discount)), 2)
+             |    AS sum_disc_price,
+             |  round(sum(l_extendedprice * (1e0 - l_discount) *
+             |    (1e0 + l_tax)), 2) AS sum_charge,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 6) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus""".stripMargin)),
+
+    Q("q5_local_supplier_volume",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem", "supplier", "nation", "region")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT n_name,
+                 round(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue
+          FROM customer JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+            AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY n_name""")
+      },
+      Some("""SELECT n_name,
+             |  round(sum(l_extendedprice * (1e0 - l_discount)), 2) AS revenue
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON l_orderkey = o_orderkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |  AND c_nationkey = s_nationkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |WHERE r_name = 'ASIA'
+             |GROUP BY n_name""".stripMargin)),
 
     // J4 via the OPTIMIZER RULE: the join is written naively as a radius
     // predicate; SpatialJoinRule (plans/SpatialRewrite) rewrites it into

@@ -149,4 +149,39 @@ object Similarity {
     scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
       .select(col("v_id"), col("cent_id"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Full IVF search: corpus vectors live in their nearest-centroid cell
+    * (one cell each); every query probes its `nProbe` nearest centroids and
+    * scores ONLY those cells' vectors. Per-query work is bounded by probed
+    * cell sizes, independent of corpus size — nProbe is the standard IVF
+    * recall/latency dial. Centroids are a small broadcast list; the
+    * cell-restricted search is a shuffle equi-join on cent_id. Output:
+    * (q_id, c_id, cosine, rank <= k); pairs are unique because each corpus
+    * vector belongs to exactly one cell. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              corpusId: String, queryId: String, vecCol: String,
+              centroids: DataFrame, centId: String, centVec: String,
+              k: Int, nProbe: Int = 2): DataFrame = {
+    val cent = centroids.select(col(centId).as("cent_id"), col(centVec).as("cent_v"))
+    val c = corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
+    val wc = Window.partitionBy("c_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val cells = c.crossJoin(broadcast(cent))
+      .withColumn("cent_cos", cosineCol(col("c_v"), col("cent_v")))
+      .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
+      .select(col("c_id"), col("c_v"), col("cent_id"))
+    val q = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+    val wq = Window.partitionBy("q_id")
+      .orderBy(col("cent_cos").desc, col("cent_id").asc)
+    val probes = q.crossJoin(broadcast(cent))
+      .withColumn("cent_cos", cosineCol(col("q_v"), col("cent_v")))
+      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
+      .select(col("q_id"), col("q_v"), col("cent_id"))
+    val cands = probes.join(cells, "cent_id")
+      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
+    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
+    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
 }

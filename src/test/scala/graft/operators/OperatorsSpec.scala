@@ -252,6 +252,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.get(10L).contains(1))
   }
 
+  test("ivfTopK searches only probed cells; nProbe widens recall") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),  // cell A
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.9f))   // cell B
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    def run(nProbe: Int) = Similarity.ivfTopK(corpus, queries, "vec_id",
+        "vec_id", "embedding", cents, "vec_id", "embedding", k = 4, nProbe)
+      .select("c_id").as[Long].collect().toSet
+    // one probe: only cell A's vectors are candidates
+    assert(run(1) == Set(10L, 11L))
+    // two probes: the whole corpus is reachable
+    assert(run(2) == Set(10L, 11L, 20L, 21L))
+  }
+
   test("ivfAssign maps every vector to its best centroid") {
     val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
       (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")

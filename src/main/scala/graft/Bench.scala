@@ -28,6 +28,24 @@ object Bench {
     // untimed warmup: JVM/codegen/parquet-footer caches
     Tables.load(spark, sfDir, "nation").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    // JIT-warm the hot JVM kernels past the C2 compile threshold, so
+    // compilation doesn't land inside the first timed query using them
+    // (measured: the fuzzy join times 2x slower when it pays the JIT)
+    var i = 0
+    var sink = 0.0
+    while (i < 20000) {
+      sink += graft.functions.TextFunctions.levRatio(
+        s"warmup string number $i", s"warm strung number ${i + 1}")
+      sink += graft.operators.Dedup.md5Hash32Kernel(i.toString, 0).toDouble
+      i += 1
+    }
+    i = 0
+    while (i < 3000) {
+      sink += graft.functions.TextFunctions.tokenSetRatio(
+        s"alpha beta gamma $i", s"gamma beta delta ${i + 1}")
+      i += 1
+    }
+    if (sink == Double.MinValue) println(sink) // keep the loops un-elidable
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -61,18 +61,23 @@ object Multimodal {
           payload(10) == 'V' && payload(11) == 'E')) return invalid
     var off = 12
     var channels = 0; var rate = 0; var bits = 0; var dataLen = -1
-    while (off + 8 <= payload.length) {
+    var malformed = false
+    while (!malformed && off + 8 <= payload.length) {
       val id = new String(payload, off, 4, "US-ASCII")
       val size = le32(payload, off + 4)
-      if (id == "fmt " && off + 24 <= payload.length) {
-        channels = le16(payload, off + 10)
-        rate = le32(payload, off + 12)
-        bits = le16(payload, off + 22)
-      } else if (id == "data") {
-        dataLen = math.min(size, payload.length - off - 8)
+      if (size < 0) malformed = true // corrupt length would loop/walk back
+      else {
+        if (id == "fmt " && off + 24 <= payload.length) {
+          channels = le16(payload, off + 10)
+          rate = le32(payload, off + 12)
+          bits = le16(payload, off + 22)
+        } else if (id == "data") {
+          dataLen = math.min(size, payload.length - off - 8)
+        }
+        off += 8 + size + (size & 1) // chunks are word-aligned
       }
-      off += 8 + size + (size & 1) // chunks are word-aligned
     }
+    if (malformed) return invalid
     if (channels <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) return invalid
     val bytesPerFrame = channels * (bits / 8)
     val nSamples = if (bytesPerFrame == 0) 0L else dataLen.toLong / bytesPerFrame
@@ -87,12 +92,14 @@ object Multimodal {
                 everyK: Int): Seq[(Long, Long, Int)] = {
     val meta = wavMeta(docId, payload)
     if (!meta.valid || meta.bits_per_sample != 16) return Seq.empty
-    // find the data chunk again (cheap: headers are tiny)
+    // find the data chunk again (cheap: headers are tiny); meta.valid has
+    // already rejected negative chunk sizes, but guard the walk anyway
     var off = 12
     var dataOff = -1; var dataLen = 0
     while (off + 8 <= payload.length && dataOff < 0) {
       val id = new String(payload, off, 4, "US-ASCII")
       val size = le32(payload, off + 4)
+      if (size < 0) return Seq.empty
       if (id == "data") { dataOff = off + 8; dataLen = math.min(size, payload.length - dataOff) }
       off += 8 + size + (size & 1)
     }

@@ -70,10 +70,19 @@ object Sessionize {
             }
             cur match {
               case Some(s) if streaming =>
-                // hold the open session; flush once the watermark proves no
-                // in-gap event can still arrive
-                state.update(List(s))
-                state.setTimeoutTimestamp(s.last + gapMs)
+                val deadline = s.last + gapMs
+                // late data can leave the deadline at or behind the current
+                // watermark — setTimeoutTimestamp would throw, and no
+                // in-gap event can arrive anyway, so close immediately
+                if (deadline <= state.getCurrentWatermarkMs()) {
+                  closed += s
+                  state.remove()
+                } else {
+                  // hold the open session; flush once the watermark proves
+                  // no in-gap event can still arrive
+                  state.update(List(s))
+                  state.setTimeoutTimestamp(deadline)
+                }
               case Some(s) =>
                 closed += s // batch: state dies with the invocation — emit
                 state.remove()

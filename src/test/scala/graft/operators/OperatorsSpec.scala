@@ -298,6 +298,12 @@ class OperatorsSpec extends SparkTestBase {
     // non-WAV bytes are flagged invalid, never thrown
     assert(!Multimodal.wavMeta(9L, "not audio at all".getBytes).valid)
     assert(!Multimodal.wavMeta(9L, null).valid)
+    // a corrupt negative chunk length must not hang the chunk walk
+    val corrupt = Multimodal.wavSynth(1, 8000, Seq[Short](1, 2, 3, 4))
+    corrupt(16) = -1 // fmt chunk size -> 0xFFFFFFnn (negative)
+    corrupt(17) = -1; corrupt(18) = -1; corrupt(19) = -1
+    assert(!Multimodal.wavMeta(10L, corrupt).valid)
+    assert(Multimodal.wavFrames(10L, corrupt, 1).isEmpty)
   }
 
   test("bmpMeta decodes BITMAPINFOHEADER fields") {

@@ -83,6 +83,18 @@ object Sources {
     }
   }
 
+  /** S8 fallback layout: per-directory parquet files where the partition
+    * value lives only in the FOLDER NAME (`<root>/<slug>/data.parquet`,
+    * deliberately non-Hive — reference `etl/er.py:253-291`,
+    * `etl/staging.py:68-77`). The slug is recovered per row from
+    * `input_file_name()`; reading stays one distributed scan over the glob
+    * (no per-directory loop). */
+  def parquetWithDirSlug(spark: SparkSession, root: String,
+                         slugCol: String = "city_slug"): DataFrame =
+    spark.read.parquet(s"$root/*/*.parquet")
+      .withColumn(slugCol,
+        regexp_extract(input_file_name(), "/([^/]+)/[^/]+$", 1))
+
   /** JSONL scan with malformed-line drop (reference
     * `scripts/run_airbnb.py:116-122`). */
   def jsonl(spark: SparkSession, path: String,

@@ -168,6 +168,12 @@ class TextFunctionsSpec extends AnyFunSuite {
       Gen.listOfN(66, Gen.alphaChar).map(_.mkString)) { (a, b) =>
       levenshteinFast(a, b) == refLev(a, b)
     })
+    // latin1 high range (128..255) still takes the bit-parallel path —
+    // the Peq table covers it, so it needs its own coverage
+    val latin1 = Gen.listOf(Gen.choose(32.toChar, 255.toChar)).map(_.mkString)
+    check(Prop.forAll(latin1, latin1) { (a, b) =>
+      levenshteinFast(a, b) == refLev(a, b)
+    })
   }
 
   test("ratio properties: symmetry, bounds, identity") {

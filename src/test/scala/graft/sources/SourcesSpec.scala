@@ -169,6 +169,17 @@ class SourcesSpec extends SparkTestBase {
       scan.take(2000))
   }
 
+  test("parquetWithDirSlug recovers the partition value from the folder name") {
+    val root = Files.createTempDirectory("graft_dirslug").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "x")
+      .write.parquet(s"$root/vienna")
+    Seq((3L, "c")).toDF("id", "x")
+      .write.parquet(s"$root/graz")
+    val out = Sources.parquetWithDirSlug(spark, root)
+      .select("id", "city_slug").as[(Long, String)].collect().toSet
+    assert(out == Set((1L, "vienna"), (2L, "vienna"), (3L, "graz")))
+  }
+
   test("csvWithHeader writes a header-only file for empty frames") {
     val out = Files.createTempDirectory("graft_csv_empty")
       .resolve("links").toString

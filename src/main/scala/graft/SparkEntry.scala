@@ -926,20 +926,57 @@ object SparkEntry {
   // LLM-data-pipeline operators: dedup / similarity search / text analysis
   // =================================================================
 
-  /** DuckDB fragment: alnum tokens of documents.text (mirrors Dedup.tokens). */
-  private val toksSql =
-    """SELECT doc_id AS id, text,
-      |  list_filter(string_split(trim(regexp_replace(lower(text),
-      |    '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tk
-      |FROM documents""".stripMargin
+  /** DuckDB fragment: alnum tokens of `rel`.text (mirrors Dedup.tokens). */
+  private def toksSqlFrom(rel: String): String =
+    s"""SELECT doc_id AS id, text,
+       |  list_filter(string_split(trim(regexp_replace(lower(text),
+       |    '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tk
+       |FROM $rel""".stripMargin
+  private val toksSql = toksSqlFrom("documents")
 
   /** DuckDB fragment: distinct word 3-gram shingles (mirrors Dedup.shingles). */
-  private val shinglesSql =
+  private def shinglesSqlFrom(rel: String): String =
     s"""SELECT id, CASE WHEN len(tk) < 3
        |  THEN list_distinct([array_to_string(tk, ' ')])
        |  ELSE list_distinct(list_transform(range(0, len(tk) - 2),
        |    i -> array_to_string(tk[i+1:i+3], ' '))) END AS sh
-       |FROM ($toksSql)""".stripMargin
+       |FROM (${toksSqlFrom(rel)})""".stripMargin
+  private val shinglesSql = shinglesSqlFrom("documents")
+
+  /** DuckDB composite-quality-score expression over (text, token-list)
+    * refs — mirrors TextAnalysis.qualityScore exactly (shared by ta_quality
+    * and the corpus-cleaning pipeline oracle). */
+  private def qualitySql(text: String, tk: String): String = {
+    val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")
+    s"""round(greatest(0e0,
+       |    least(len($tk)::DOUBLE / 50.0, 1e0) * 0.4 +
+       |    least(round(CASE WHEN len($tk) = 0 THEN 0.0 ELSE
+       |      len(list_filter($tk, x_ -> list_contains([$stop], x_)))::DOUBLE /
+       |      len($tk) END, 6) * 5.0, 1e0) * 0.4 +
+       |    (1e0 - least((round(CASE WHEN length($text) = 0 THEN 0.0 ELSE
+       |      (length($text) - length(regexp_replace($text, '[\\.,;:!\\?]', '', 'g')))
+       |      ::DOUBLE / length($text) END, 6) +
+       |      round(CASE WHEN length($text) = 0 THEN 0.0 ELSE
+       |      (length($text) - length(regexp_replace($text, '[0-9]', '', 'g')))
+       |      ::DOUBLE / length($text) END, 6)) * 5.0, 1e0)) * 0.2), 6)"""
+      .stripMargin
+  }
+
+  /** DuckDB language-ID CASE chain over a token-list ref — mirrors
+    * TextAnalysis.langId. */
+  private def langIdCaseSql(tk: String): String = {
+    val langs = TextAnalysis.markers.keys.toSeq.sorted
+    def hits(l: String) = {
+      val arr = TextAnalysis.markers(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_intersect($tk, [$arr]))"
+    }
+    val chain = langs.map { l =>
+      val isMax = langs.filter(_ != l).map(o => s"${hits(l)} >= ${hits(o)}")
+        .mkString(" AND ")
+      s"WHEN $isMax AND ${hits(l)} > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
 
   /** DuckDB: md5-derived 32-bit hash under a seed (mirrors Dedup.md5Hash32). */
   private def h32Sql(expr: String, seed: String) =
@@ -1156,23 +1193,11 @@ object SparkEntry {
       (s, dir) => t(s, dir, "documents")
         .withColumn("pred_lang", TextAnalysis.langId(col("text")))
         .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n")),
-      Some {
-        val langs = TextAnalysis.markers.keys.toSeq.sorted
-        def hits(l: String) = {
-          val arr = TextAnalysis.markers(l).map(w => s"'$w'").mkString(", ")
-          s"len(list_intersect(tk, [$arr]))"
-        }
-        val chain = langs.map { l =>
-          val isMax = langs.filter(_ != l).map(o => s"${hits(l)} >= ${hits(o)}")
-            .mkString(" AND ")
-          s"WHEN $isMax AND ${hits(l)} > 0 THEN '$l'"
-        }.mkString(" ")
-        s"""WITH toks AS ($toksSql),
-           |d AS (SELECT documents.lang, toks.tk FROM documents
-           |      JOIN toks ON documents.doc_id = toks.id)
-           |SELECT lang, CASE $chain ELSE 'und' END AS pred_lang, count(*) AS n
-           |FROM d GROUP BY 1, 2""".stripMargin
-      }),
+      Some(s"""WITH toks AS ($toksSql),
+              |d AS (SELECT documents.lang, toks.tk FROM documents
+              |      JOIN toks ON documents.doc_id = toks.id)
+              |SELECT lang, ${langIdCaseSql("tk")} AS pred_lang, count(*) AS n
+              |FROM d GROUP BY 1, 2""".stripMargin)),
 
     // Quality features + composite score per document
     Q("ta_quality",
@@ -1200,18 +1225,7 @@ object SparkEntry {
            |  round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
            |    (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
            |    ::DOUBLE / length(text) END, 6) AS digit_ratio,
-           |  round(greatest(0e0,
-           |    least(len(tk)::DOUBLE / 50.0, 1e0) * 0.4 +
-           |    least(round(CASE WHEN len(tk) = 0 THEN 0.0 ELSE
-           |      len(list_filter(tk, x_ -> list_contains([$stop], x_)))::DOUBLE /
-           |      len(tk) END, 6) * 5.0, 1e0) * 0.4 +
-           |    (1e0 - least((round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |      (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))
-           |      ::DOUBLE / length(text) END, 6) +
-           |      round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-           |      (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
-           |      ::DOUBLE / length(text) END, 6)) * 5.0, 1e0)) * 0.2), 6)
-           |    AS quality
+           |  ${qualitySql("text", "tk")} AS quality
            |FROM toks""".stripMargin
       }),
 
@@ -2117,6 +2131,66 @@ object SparkEntry {
              |    ELSE CAST(regexp_extract(raw, '-?\d+(\.\d+)?', 0) AS DOUBLE)
              |  END AS val
              |FROM w""".stripMargin)),
+
+    // End-to-end corpus cleaning — the flagship training-data composition:
+    // quality gate -> language filter -> exact dedup (keep min id per
+    // digest) -> MinHash-LSH near-dup removal (drop the higher id of every
+    // verified pair). One declarative plan over the library operators; the
+    // oracle replays every stage.
+    Q("pipe_clean_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val gated = docs
+          .withColumn("q", TextAnalysis.qualityScore(col("text")))
+          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+          .where(col("q") >= 0.5 && col("pred_lang") === "en")
+        val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val kept = gated.withColumn("rn", row_number().over(wd))
+          .where(col("rn") === 1).drop("rn")
+        val drops = Dedup.minHashLSH(kept, "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+        kept.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("pred_lang"), col("q"))
+      },
+      Some(s"""WITH toks0 AS ($toksSql),
+              |scored AS (
+              |  SELECT d.doc_id, d.text,
+              |    ${qualitySql("d.text", "t.tk")} AS q,
+              |    ${langIdCaseSql("t.tk")} AS pred_lang
+              |  FROM documents d JOIN toks0 t ON d.doc_id = t.id),
+              |gated AS (SELECT * FROM scored
+              |          WHERE q >= 0.5 AND pred_lang = 'en'),
+              |kept AS (
+              |  SELECT doc_id, text, q, pred_lang FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+              |sh0 AS (${shinglesSqlFrom("kept")}),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh0),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, sig, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |pairs AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    a.sig AS a_sig, b.sig AS b_sig
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+              |drops AS (
+              |  SELECT DISTINCT b_id FROM pairs
+              |  WHERE list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    >= 0.5)
+              |SELECT doc_id, pred_lang, q FROM kept
+              |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
 
     // Multimodal REAL decode roundtrip: per-doc PCM WAV payloads are
     // synthesized from closed-form parameters, decoded by the RIFF header

@@ -2145,8 +2145,12 @@ object SparkEntry {
           .withColumn("pred_lang", TextAnalysis.langId(col("text")))
           .where(col("q") >= 0.5 && col("pred_lang") === "en")
         val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        // kept feeds BOTH the LSH candidate generation and the final
+        // anti-join — materialize it once instead of recomputing the
+        // quality/langid expressions per branch
         val kept = gated.withColumn("rn", row_number().over(wd))
           .where(col("rn") === 1).drop("rn")
+          .localCheckpoint()
         val drops = Dedup.minHashLSH(kept, "doc_id", "text",
             shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
           .select(col("b_id").as("doc_id")).distinct()

@@ -44,14 +44,23 @@ object ConnectedComponents {
       val viaEdges = sym
         .join(labels.select($"node".as("v"), $"component"), "v")
         .groupBy($"u".as("node")).agg(min($"component").as("component"))
-      // 2) path halving: follow my label's label; carry the old label so
-      //    convergence is read off the checkpointed result without an
-      //    extra join per round
-      val next = viaEdges
+      // 2) DOUBLE path halving: follow my label's label, twice — each
+      //    extra label join costs far less than a full round (which also
+      //    pays the neighbor-min shuffle, the checkpoint, and the
+      //    convergence probe), and two jumps per round roughly halves the
+      //    number of rounds on chain-shaped components. Carry the old
+      //    label so convergence is read off the checkpointed result
+      //    without an extra join per round.
+      val hop1 = viaEdges
         .join(labels.select($"node".as("component"), $"component".as("c2")),
           Seq("component"), "left")
-        .join(labels.withColumnRenamed("component", "old"), Seq("node"))
         .select($"node", least($"component", coalesce($"c2", $"component"))
+          .as("component"))
+      val next = hop1
+        .join(labels.select($"node".as("component"), $"component".as("c3")),
+          Seq("component"), "left")
+        .join(labels.withColumnRenamed("component", "old"), Seq("node"))
+        .select($"node", least($"component", coalesce($"c3", $"component"))
           .as("component"), $"old")
         .localCheckpoint(true)
       val changed = next.where($"component" =!= $"old").limit(1).count()

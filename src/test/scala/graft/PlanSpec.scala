@@ -48,6 +48,24 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"))
   }
 
+  test("k1: partitioned-sink layout gives partition pruning on readback") {
+    // materialize the partitioned layout the k1 query writes
+    SparkEntry.queries("k1_partitioned_sink")(spark, dir).collect()
+    val pruned = spark.read
+      .parquet(s"/tmp/graft_k1_${new java.io.File(dir).getName}")
+      .where(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    pruned.collect()
+    val p = pruned.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), p.take(2000))
+    assert(p.contains("o_orderpriority"), p.take(2000))
+  }
+
+  test("pipe: the corpus-cleaning pipeline plans without cartesian joins") {
+    val p = plan("pipe_clean_corpus")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("entry: flagship query joins and aggregates without cartesian plans") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString

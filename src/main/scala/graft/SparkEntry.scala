@@ -2264,6 +2264,32 @@ object SparkEntry {
              |  round(tv, 2) AS total_value
              |FROM g""".stripMargin)),
 
+    // Skew-handling primitive under the oracle: two-stage salted distinct
+    // count — result-identical to countDistinct, but the distinct state is
+    // bounded per (key, salt) group instead of per hot key.
+    Q("sk_salted_distinct",
+      (s, dir) => Skew.saltedDistinctCount(t(s, dir, "lineitem"),
+        "l_orderkey", "l_suppkey", saltFactor = 8),
+      Some("""SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_distinct
+             |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
+
+    // TPC-H q6 forecast-revenue-change shape through spark.sql
+    Q("q6_forecast_revenue",
+      (s, dir) => {
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+        s.sql("""
+          SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                 count(*) AS n
+          FROM lineitem
+          WHERE l_discount >= 5e-2 AND l_discount <= 7e-2
+            AND l_quantity < 24""")
+      },
+      Some("""SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             |  count(*) AS n
+             |FROM lineitem
+             |WHERE l_discount >= 5e-2 AND l_discount <= 7e-2
+             |  AND l_quantity < 24""".stripMargin)),
+
     // F20: newline normalization (CRLF/CR -> LF) + line count
     Q("f20_newline_normalize",
       (s, dir) => t(s, dir, "customer").where(col("c_custkey") < 400)

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew-handling primitives (SURVEY §7.4.5 / the brief's "salting
+  * for skew" bullet).
+  *
+  * AQE's runtime skew-join splitting is the first line of defense and needs
+  * no code; these operators are for the cases AQE can't fix:
+  *  - a broadcast-ineligible join where ONE key holds a double-digit
+  *    percentage of the probe side (AQE splits partitions, but a single
+  *    hot key still lands its build row in every split's hash table
+  *    lookup path) -> [[saltedJoin]] spreads the hot key over
+  *    `saltFactor` distinct join keys;
+  *  - per-group state that grows with group size (collect_list/distinct
+  *    buffers) where map-side combine doesn't bound the final reducer ->
+  *    [[saltedDistinctCount]] makes the heavy dedup happen on (key, salt)
+  *    groups before the final per-key merge.
+  *
+  * Both are RESULT-IDENTICAL to their unsalted forms (spec-asserted); the
+  * salt only changes the physical distribution.
+  */
+object Skew {
+
+  /** Equi-join with the build side replicated over `saltFactor` salts and
+    * the probe side salted deterministically from its key's row hash —
+    * a hot probe key spreads across `saltFactor` shuffle partitions.
+    * Build-side rows multiply by `saltFactor`, so use this for small-to-
+    * medium build sides that exceed the broadcast threshold. */
+  def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
+                 saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    // any per-row distribution works; a hash of all probe columns is
+    // deterministic and needs no row ids
+    val salted = probe.withColumn("__salt",
+      pmod(abs(hash(probe.columns.map(col): _*)), lit(saltFactor)))
+    val replicated = build.withColumn("__salt",
+      explode(array((0 until saltFactor).map(lit): _*)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Two-stage distinct count: dedup on (key, salt-of-value) first — the
+    * expensive distinct state is bounded per (key, salt) — then merge the
+    * per-salt partial counts. Identical to countDistinct(valueCol). */
+  def saltedDistinctCount(df: DataFrame, key: String, valueCol: String,
+                          saltFactor: Int): DataFrame = {
+    require(saltFactor >= 1, "saltFactor must be >= 1")
+    // salting by the VALUE keeps each distinct value in exactly one
+    // (key, salt) group, so per-salt distinct counts add up exactly
+    df.withColumn("__salt", pmod(abs(hash(col(valueCol))), lit(saltFactor)))
+      .groupBy(col(key), col("__salt"))
+      .agg(countDistinct(col(valueCol)).as("__partial"))
+      .groupBy(col(key))
+      .agg(sum("__partial").as("n_distinct"))
+  }
+}

@@ -328,6 +328,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map(1L -> true, 2L -> false))
   }
 
+  test("saltedJoin equals the plain equi-join on a skewed key") {
+    // 90% of probe rows share one key — the exact shape salting exists for
+    val probe = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))
+      .toDF("k", "payload")
+    val build = Seq((1L, "hot"), (2L, "cold"), (3L, "unmatched"))
+      .toDF("k", "label")
+    val plain = probe.join(build, "k")
+      .select("k", "payload", "label").as[(Long, Int, String)].collect().sorted
+    val salted = Skew.saltedJoin(probe, build, "k", saltFactor = 8)
+      .select("k", "payload", "label").as[(Long, Int, String)].collect().sorted
+    assert(salted.toSeq == plain.toSeq)
+    assert(plain.length == 1000)
+  }
+
+  test("saltedDistinctCount equals countDistinct on a hot key") {
+    val df = ((1 to 500).map(i => (1L, i % 37)) ++ Seq((2L, 1), (2L, 2)))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(countDistinct("v").as("n_distinct"))
+      .as[(Long, Long)].collect().toMap
+    val salted = Skew.saltedDistinctCount(df, "k", "v", saltFactor = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(salted == plain)
+    assert(plain == Map(1L -> 37L, 2L -> 2L))
+  }
+
   test("multimodal stub plumbing: metadata + chunk sampling") {
     val docs = Seq((1L, "hello world payload bytes"), (2L, "x"))
       .toDF("doc_id", "text")

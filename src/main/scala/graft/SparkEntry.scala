@@ -4,9 +4,11 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.er.EntityResolution
 import graft.functions.GeoFunctions
 import graft.functions.TextFunctions
 import graft.operators._
+import graft.staging.CityAssignment
 
 /** Driver contract: the full operator inventory of SURVEY.md §2, each
   * re-expressed Spark-first over the driver's synthetic tables, with a
@@ -2306,7 +2308,238 @@ object SparkEntry {
              |  FROM customer WHERE c_custkey < 400)
              |SELECT c_custkey, norm,
              |  CAST(len(string_split(norm, chr(10))) AS INT) AS n_lines
-             |FROM w""".stripMargin))
+             |FROM w""".stripMargin)),
+
+    // The reference's WHOLE dataflow as ONE oracle-checked plan
+    // (`/root/reference/scripts/run_all.py:71-178` staging -> ER -> exports;
+    // `neo4j_cypher/11` NEAR edges -> `12` popularity z -> `13b` review
+    // lift -> `20` POI cards): city cascade (polygon > bbox > radius, list-
+    // order tie-breaks) -> distance guard -> ER candidate pairs -> banded
+    // acceptance (the SQL-expressible g1 proxy, so DuckDB can replay it;
+    // the rapidfuzz-kernel rule is pinned separately by g1's specs) ->
+    // connected components -> canonical mint (norm_name) -> review lift ->
+    // listings_nearby counts -> per-city popularity z + flags -> capped
+    // nested POI cards. Every stage is the library operator, composed.
+    Q("pipe_kg_etl",
+      (s, dir) => {
+        val cities = t(s, dir, "region")
+          .select(col("r_regionkey").cast("string").as("slug"),
+            concat(lit("city-"), col("r_regionkey").cast("string")).as("name"),
+            (lit(40.0) + col("r_regionkey") * 0.04).as("center_lat"),
+            lit(-74.95).as("center_lon"),
+            lit(3.0).as("radius_km"),
+            col("r_regionkey").cast("long").as("city_order"))
+          .withColumn("min_lat", col("center_lat") - 0.01)
+          .withColumn("max_lat", col("center_lat") + 0.01)
+          .withColumn("min_lon", col("center_lon") - 0.02)
+          .withColumn("max_lon", col("center_lon") + 0.02)
+          .withColumn("polygon", array(
+            struct((col("center_lat") + 0.008).as("lat"), col("center_lon").as("lon")),
+            struct(col("center_lat").as("lat"), (col("center_lon") + 0.016).as("lon")),
+            struct((col("center_lat") - 0.008).as("lat"), col("center_lon").as("lon")),
+            struct(col("center_lat").as("lat"), (col("center_lon") - 0.016).as("lon"))))
+        val places = custPoints(s, dir).select(
+          col("c_custkey").as("place_id"), col("c_name").as("name"),
+          col("lat"), col("lon"))
+        // staging: cascade assignment + distance guard (G4/P6)
+        val assigned = CityAssignment.assign(places, cities, hintCol = None)
+          .where(col("city_slug").isNotNull)
+        // members feeds three branches (ER edges, reviews, listings) —
+        // materialize once instead of replaying the cascade per branch
+        val members = CityAssignment.distanceGuard(assigned, cities, maxKm = 2.5)
+          .select("place_id", "name", "lat", "lon", "city_slug")
+          .localCheckpoint()
+        // ER: grid-blocked candidates, banded acceptance, components, mint
+        val pairs = SpatialJoins.gridSelfJoin(members, "place_id", "lat", "lon",
+          radiusM = 200.0, extraKeys = Seq("city_slug"))
+        val links = pairs
+          .join(members.select(col("place_id").as("a_id"),
+            col("name").as("a_name")), "a_id")
+          .join(members.select(col("place_id").as("b_id"),
+            col("name").as("b_name")), "b_id")
+          .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
+          .where(col("sim") >= 0.9 ||
+            (col("sim") >= 0.85 && col("meters") <= 200.0) ||
+            (col("sim") >= 0.8 && col("meters") <= 180.0))
+          .select(col("a_id").as("a"), col("b_id").as("b"))
+        val cmap = EntityResolution.canonicalMapFromLinks(members, links)
+        val memberCanon = members.drop("city_slug")
+          .join(cmap, col("place_id") === col("source_place_id"))
+          .select(col("place_id"), col("lat"), col("lon"),
+            col("canonical_id"), col("canonical_name"), col("city_slug"))
+          .localCheckpoint()
+        // review lift (G6 / cypher 13b): orders play the review role
+        val wq = Window.partitionBy("canonical_id")
+          .orderBy(length(col("o_orderpriority")).desc, col("o_orderkey").asc)
+        val revAgg = t(s, dir, "orders")
+          .join(memberCanon, col("o_custkey") === col("place_id"))
+          .withColumn("rn", row_number().over(wq))
+          .groupBy("canonical_id")
+          .agg(count(lit(1)).as("n_reviews"),
+            round(sum("o_totalprice"), 2).as("revenue"),
+            array_join(transform(array_sort(collect_list(
+              when(col("rn") <= 2, struct(col("rn"),
+                substring(col("o_orderpriority"), 1, 120).as("txt"))))),
+              x => x.getField("txt")), " | ").as("quotes"))
+        // listings_nearby (§3.3 / cypher 11+12): NEAR suppliers per canonical
+        val listAgg = SpatialJoins.gridWithinJoin(
+            memberCanon, suppPoints(s, dir),
+            "place_id", "s_suppkey", thresholdM = 300.0)
+          .join(memberCanon.select("place_id", "canonical_id"), "place_id")
+          .groupBy("canonical_id")
+          .agg(countDistinct("s_suppkey").as("listings_nearby"))
+        val base = memberCanon
+          .groupBy("canonical_id", "canonical_name", "city_slug")
+          .agg(count(lit(1)).as("n_members"))
+          .join(revAgg, Seq("canonical_id"), "left")
+          .join(listAgg, Seq("canonical_id"), "left")
+          .withColumn("n_reviews", coalesce(col("n_reviews"), lit(0L)))
+          .withColumn("revenue", coalesce(col("revenue"), lit(0.0)))
+          .withColumn("quotes", coalesce(col("quotes"), lit("")))
+          .withColumn("listings_nearby", coalesce(col("listings_nearby"), lit(0L)))
+        // popularity z + flag per city (cypher 12)
+        val wz = Window.partitionBy("city_slug")
+        val mu = avg(col("listings_nearby").cast("double")).over(wz)
+        val sd = stddev_samp(col("listings_nearby").cast("double")).over(wz)
+        base.withColumn("z",
+            round(when(sd === 0 || sd.isNull, 0.0)
+              .otherwise((col("listings_nearby") - mu) / sd), 4) + 0.0)
+          .withColumn("flag", when(col("z") >= 1.0, "high")
+            .when(col("z") >= 0.0, "medium").otherwise("low"))
+          .select("canonical_id", "canonical_name", "city_slug", "n_members",
+            "n_reviews", "revenue", "listings_nearby", "z", "flag", "quotes")
+      },
+      Some(s"""WITH RECURSIVE
+              |cities AS (
+              |  SELECT r_regionkey AS city_id,
+              |    CAST(r_regionkey AS VARCHAR) AS slug,
+              |    40e0 + r_regionkey * 4e-2 AS center_lat,
+              |    -7.495e1 AS center_lon FROM region),
+              |pts AS ($custPointsSql),
+              |verts AS (
+              |  SELECT city_id, center_lat, center_lon, v,
+              |    CASE v WHEN 0 THEN center_lat + 8e-3 WHEN 1 THEN center_lat
+              |           WHEN 2 THEN center_lat - 8e-3 ELSE center_lat END AS vy,
+              |    CASE v WHEN 0 THEN center_lon WHEN 1 THEN center_lon + 1.6e-2
+              |           WHEN 2 THEN center_lon ELSE center_lon - 1.6e-2 END AS vx
+              |  FROM cities, (SELECT unnest(range(0, 4)) AS v)),
+              |pedges AS (
+              |  SELECT a.city_id, a.vy AS yi, a.vx AS xi, b.vy AS yj, b.vx AS xj
+              |  FROM verts a JOIN verts b
+              |    ON a.city_id = b.city_id AND b.v = (a.v + 3) % 4),
+              |poly AS (
+              |  SELECT p.c_custkey, e.city_id,
+              |    sum(CASE WHEN ((xi > p.lon) <> (xj > p.lon)) AND
+              |      (p.lat < (yj - yi) * (p.lon - xi) / ((xj - xi) + 1e-12) + yi)
+              |      THEN 1 ELSE 0 END) % 2 = 1 AS in_poly
+              |  FROM pts p CROSS JOIN pedges e GROUP BY p.c_custkey, e.city_id),
+              |cand AS (
+              |  SELECT p.c_custkey, c.city_id, c.slug, poly.in_poly,
+              |    (lat >= center_lat - 1e-2 AND lat <= center_lat + 1e-2 AND
+              |     lon >= center_lon - 2e-2 AND lon <= center_lon + 2e-2) AS in_bbox,
+              |    ${havSql("lat", "lon", "center_lat", "center_lon")} AS center_m
+              |  FROM pts p CROSS JOIN cities c
+              |  JOIN poly ON poly.c_custkey = p.c_custkey
+              |    AND poly.city_id = c.city_id),
+              |ruled AS (
+              |  SELECT *, CASE WHEN in_poly THEN 1 WHEN in_bbox THEN 2
+              |    WHEN center_m <= 3e3 THEN 3 END AS rule
+              |  FROM cand WHERE in_poly OR in_bbox OR center_m <= 3e3),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+              |  ORDER BY rule ASC,
+              |    CASE WHEN rule = 3 THEN center_m ELSE 0e0 END ASC,
+              |    city_id ASC) AS rn FROM ruled),
+              |members AS (
+              |  SELECT r.c_custkey AS place_id, p.c_name AS name,
+              |    p.lat, p.lon, r.slug AS city_slug
+              |  FROM ranked r JOIN pts p ON r.c_custkey = p.c_custkey
+              |  WHERE r.rn = 1 AND r.center_m <= 25e2),
+              |links AS (
+              |  SELECT a.place_id AS src, b.place_id AS dst
+              |  FROM members a JOIN members b
+              |    ON a.city_slug = b.city_slug AND a.place_id < b.place_id
+              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0
+              |    AND (1.0 - levenshtein(a.name, b.name) /
+              |           greatest(length(a.name), length(b.name)) >= 0.9
+              |      OR (1.0 - levenshtein(a.name, b.name) /
+              |           greatest(length(a.name), length(b.name)) >= 0.85
+              |          AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0)
+              |      OR (1.0 - levenshtein(a.name, b.name) /
+              |           greatest(length(a.name), length(b.name)) >= 0.8
+              |          AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 180.0))),
+              |sym AS (
+              |  SELECT src AS u, dst AS v FROM links
+              |  UNION SELECT dst, src FROM links
+              |  UNION SELECT src, src FROM links
+              |  UNION SELECT dst, dst FROM links),
+              |reach AS (
+              |  SELECT u, v FROM sym
+              |  UNION SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+              |comps AS (SELECT u AS place_id, min(v) AS component
+              |          FROM reach GROUP BY u),
+              |withcomp AS (
+              |  SELECT m.*, coalesce(c.component, m.place_id) AS component
+              |  FROM members m LEFT JOIN comps c ON m.place_id = c.place_id),
+              |canonpick AS (
+              |  SELECT *, row_number() OVER (PARTITION BY component
+              |    ORDER BY length(name) DESC, name ASC, place_id ASC) AS rn,
+              |    regexp_replace(regexp_replace(lower(trim(name)),
+              |      '\\s+', '-', 'g'), '[^a-z0-9\\-:_.,]+', '', 'g') AS nslug
+              |  FROM withcomp),
+              |canon AS (
+              |  SELECT component, name AS canonical_name,
+              |    CASE WHEN length(nslug) > 0 AND city_slug IS NOT NULL
+              |      THEN nslug || '::' || city_slug END AS canonical_id
+              |  FROM canonpick WHERE rn = 1),
+              |membercanon AS (
+              |  SELECT w.place_id, w.lat, w.lon, w.city_slug,
+              |    c.canonical_id, c.canonical_name
+              |  FROM withcomp w JOIN canon c ON w.component = c.component),
+              |revrn AS (
+              |  SELECT mc.canonical_id, o.o_orderpriority, o.o_totalprice,
+              |    row_number() OVER (PARTITION BY mc.canonical_id
+              |      ORDER BY length(o.o_orderpriority) DESC, o.o_orderkey ASC) AS rn
+              |  FROM orders o JOIN membercanon mc ON o.o_custkey = mc.place_id),
+              |revagg AS (
+              |  SELECT canonical_id, count(*) AS n_reviews,
+              |    round(sum(o_totalprice), 2) AS revenue,
+              |    string_agg(CASE WHEN rn <= 2 THEN substr(o_orderpriority, 1, 120) END,
+              |      ' | ' ORDER BY rn) AS quotes
+              |  FROM revrn GROUP BY canonical_id),
+              |sup AS ($suppPointsSql),
+              |listagg AS (
+              |  SELECT mc.canonical_id,
+              |    count(DISTINCT s.s_suppkey) AS listings_nearby
+              |  FROM membercanon mc JOIN sup s
+              |    ON ${havSql("mc.lat", "mc.lon", "s.lat", "s.lon")} <= 300.0
+              |  GROUP BY mc.canonical_id),
+              |base AS (
+              |  SELECT d.canonical_id, d.canonical_name, d.city_slug,
+              |    d.n_members,
+              |    coalesce(r.n_reviews, 0) AS n_reviews,
+              |    coalesce(r.revenue, 0e0) AS revenue,
+              |    coalesce(r.quotes, '') AS quotes,
+              |    coalesce(l.listings_nearby, 0) AS listings_nearby
+              |  FROM (SELECT canonical_id, canonical_name, city_slug,
+              |          count(*) AS n_members
+              |        FROM membercanon GROUP BY 1, 2, 3) d
+              |  LEFT JOIN revagg r ON d.canonical_id = r.canonical_id
+              |  LEFT JOIN listagg l ON d.canonical_id = l.canonical_id),
+              |zed AS (
+              |  SELECT *, round(CASE
+              |      WHEN stddev_samp(CAST(listings_nearby AS DOUBLE)) OVER w = 0
+              |        OR stddev_samp(CAST(listings_nearby AS DOUBLE)) OVER w
+              |          IS NULL THEN 0.0
+              |      ELSE (CAST(listings_nearby AS DOUBLE) -
+              |        avg(CAST(listings_nearby AS DOUBLE)) OVER w) /
+              |        stddev_samp(CAST(listings_nearby AS DOUBLE)) OVER w
+              |      END, 4) + 0e0 AS z
+              |  FROM base WINDOW w AS (PARTITION BY city_slug))
+              |SELECT canonical_id, canonical_name, city_slug, n_members,
+              |  n_reviews, revenue, listings_nearby, z,
+              |  CASE WHEN z >= 1.0 THEN 'high' WHEN z >= 0.0 THEN 'medium'
+              |    ELSE 'low' END AS flag, quotes
+              |FROM zed""".stripMargin))
   )
 
   // =================================================================

@@ -62,8 +62,15 @@ object EntityResolution {
     * (source_place_id, canonical_id, canonical_name, city_slug) —
     * singleton places canonicalize to themselves
     * (reference `etl/er.py:224-248,330-338`). */
-  def canonicalMap(places: DataFrame, radiusM: Double = 250.0): DataFrame = {
-    val ls = links(places, radiusM)
+  def canonicalMap(places: DataFrame, radiusM: Double = 250.0): DataFrame =
+    canonicalMapFromLinks(places, links(places, radiusM))
+
+  /** [[canonicalMap]] with a caller-supplied accepted-edge set (columns
+    * `a`, `b`) instead of the built-in rapidfuzz acceptance — lets a
+    * pipeline plug any decision rule (e.g. a SQL-expressible banded one)
+    * into the same components -> mint dataflow. `places` needs place_id,
+    * name, city_slug. */
+  def canonicalMapFromLinks(places: DataFrame, ls: DataFrame): DataFrame = {
     val comps = ConnectedComponents.run(
       ls.select(col("a").as("src"), col("b").as("dst")))
     val withComp = places

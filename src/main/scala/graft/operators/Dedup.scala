@@ -106,8 +106,11 @@ object Dedup {
     * 32-bit prime, exact in any engine's 64-bit integers. */
   def minHashSignature(baseHashes: Column, numHashes: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(baseHashes,
-        h => (h * (i * 2 + 3) + i * lit(12582917L)) % 4294967291L)))
+      // empty input -> slot 0, matching minHashSigKernel (array_min over an
+      // empty array is null; the kernel returns 0) — unreachable via
+      // shingles() today, but the two forms must stay value-identical
+      i => coalesce(array_min(transform(baseHashes,
+        h => (h * (i * 2 + 3) + i * lit(12582917L)) % 4294967291L)), lit(0L)))
 
   /** MinHash + LSH banding: near-duplicate candidate pairs with verified
     * signature similarity >= simThreshold.

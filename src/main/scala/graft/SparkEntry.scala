@@ -300,54 +300,100 @@ object SparkEntry {
               |SELECT c_custkey, s_suppkey, round(m, 2) AS meters
               |FROM cand WHERE rn = 1""".stripMargin)),
 
-    // J6: fuzzy name join — best >=threshold name match within a candidate
-    // block. Blocking on (type, first name token) keeps candidate pairs
-    // near-linear in table size — the scale-honest equivalent of the
-    // reference's per-city fuzzy enrichment blocks.
+    // J6: fuzzy name join — best >=threshold edit-similarity match per
+    // part. Candidates come from MinHash-LSH over name token sets
+    // (Dedup.lshCandidatePairs), NOT a natural-language block key: a
+    // vocabulary-bounded key like type|first-token makes blocks grow
+    // linearly with data (and in-block pairs quadratically), while LSH
+    // bucket width is governed by the (bands, rowsPerBand) S-curve at any
+    // scale. Recall contract: a candidate pair with name-token-set
+    // jaccard j surfaces with p = 1-(1-j^2)^8 (S-curve knee ~0.35);
+    // the codegen'd LevRatio verify stage then applies the exact 0.5
+    // edit-similarity threshold to the argmax of the surviving pairs.
+    // The length-band pre-filter is exact for the threshold (sim >= 0.5
+    // implies 2*|len diff| <= greatest(len)), so it only prunes pairs the
+    // argmax+threshold would discard anyway — the oracle replays the LSH
+    // but not the pre-filter, and still hash-matches.
     Q("j6_fuzzy_name_join",
       (s, dir) => {
-        val p = t(s, dir, "part").withColumn("blk",
-          concat(col("p_type"), lit("|"),
-            element_at(split(col("p_name"), " "), 1)))
-        val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-          col("blk"))
-        val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
-          col("blk"))
-        // length-band pre-filter, exact for the 0.5 threshold: sim >= 0.5
-        // needs lev <= 0.5*greatest(len), and lev >= |len diff|, so any
-        // qualifying pair has 2*|len diff| <= greatest(len) — a cheap
-        // integer codegen'd predicate evaluated BEFORE the expensive
-        // levenshtein, cutting the candidate volume roughly in half.
-        val scored = a.join(b, Seq("blk")).where(col("a_key") =!= col("b_key") &&
-            abs(length(col("a_name")) - length(col("b_name"))) * 2 <=
-              greatest(length(col("a_name")), length(col("b_name"))))
-          .withColumn("sim", TextFunctions.levRatioCol(col("a_name"), col("b_name")))
-        // argmax via partial-aggregatable max(struct) instead of a window
-        // sort; lexicographic struct order (sim desc, then b_key asc via
-        // negation) is an exact tiebreak with no magnitude mixing — the
-        // earlier `sim - b_key*1e-9` composite broke once key * 1e-9
-        // exceeded a sim gap (possible at partkey ≳ 4e5). The threshold
-        // applies AFTER the argmax (identical result: if the best is < 0.5
-        // no pair was) so candidates see one aggregate, not filter+agg.
-        scored.groupBy("a_key")
-          .agg(max(struct(col("sim").as("s"), (-col("b_key")).as("nk"))).as("best"))
-          .where(col("best.s") >= 0.5)
-          .select(col("a_key"), (-col("best.nk")).as("b_key"),
-            round(col("best.s"), 4).as("sim"))
+        // Distinct-name collapse: every row with the same name has an
+        // IDENTICAL minhash signature, so row-level LSH would put whole
+        // duplicate-name groups in the same buckets and the candidate join
+        // would be quadratic in group size (measured: 76M pairs at sf0.1,
+        // where part has 64 distinct names over 20k rows). Instead run
+        // LSH + verify over DISTINCT names — sublinear in table size —
+        // and rebuild the per-key answer algebraically:
+        //   - a part whose name occurs >=2 times best-matches the
+        //     smallest OTHER key of its own name group (sim 1.0, since
+        //     levRatio(x,x)=1 and distinct names are strictly < 1);
+        //   - otherwise its best is the name-level argmax, with the
+        //     candidate name's min key as the tiebreak key (matching the
+        //     row-level (sim desc, b_key asc) struct order).
+        // The per-part side then needs only BROADCAST joins against the
+        // tiny name-level frames: the fact table is never shuffled.
+        val parts = t(s, dir, "part").select("p_partkey", "p_name")
+        val k1s = parts.groupBy("p_name")
+          .agg(min("p_partkey").as("k1"), count(lit(1)).as("cnt"))
+        val k2s = parts.join(broadcast(k1s.select("p_name", "k1")), "p_name")
+          .where(col("p_partkey") > col("k1"))
+          .groupBy("p_name").agg(min("p_partkey").as("k2"))
+        val stats = k1s.join(k2s, Seq("p_name"), "left")
+        val dn = k1s.select(col("p_name").as("nm"))
+        val namePairs = Dedup.lshCandidatePairs(dn, "nm", "nm",
+            shingleN = 1, bands = 8, rowsPerBand = 2)
+          .withColumn("sim", TextFunctions.levRatioCol(col("a_id"), col("b_id")))
+        val nameSym = namePairs
+          .select(col("a_id").as("a_nm"), col("b_id").as("b_nm"), col("sim"))
+          .union(namePairs
+            .select(col("b_id").as("a_nm"), col("a_id").as("b_nm"), col("sim")))
+        val nameBest = nameSym
+          .join(k1s.select(col("p_name").as("b_nm"), col("k1").as("bk1")), "b_nm")
+          .groupBy("a_nm")
+          .agg(max(struct(col("sim").as("s"), (-col("bk1")).as("nk"))).as("nbest"))
+        parts.join(broadcast(stats), "p_name")
+          .join(broadcast(nameBest), col("p_name") === col("a_nm"), "left")
+          .withColumn("bs", when(col("cnt") >= 2, lit(1.0))
+            .otherwise(col("nbest.s")))
+          .withColumn("bk", when(col("cnt") >= 2,
+            when(col("p_partkey") === col("k1"), col("k2")).otherwise(col("k1")))
+            .otherwise(-col("nbest.nk")))
+          .where(col("bs") >= 0.5)
+          .select(col("p_partkey").as("a_key"), col("bk").as("b_key"),
+            round(col("bs"), 4).as("sim"))
       },
-      Some("""WITH p AS (SELECT *, p_type || '|' || split_part(p_name, ' ', 1)
-             |             AS blk FROM part),
-             |cand AS (
-             |  SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
-             |    1.0 - levenshtein(a.p_name, b.p_name) /
-             |      greatest(length(a.p_name), length(b.p_name)) AS sim
-             |  FROM p a JOIN p b ON a.blk = b.blk
-             |    AND a.p_partkey <> b.p_partkey
-             |    AND 2 * abs(length(a.p_name) - length(b.p_name)) <=
-             |        greatest(length(a.p_name), length(b.p_name))),
+      Some("""WITH p AS (
+             |  SELECT p_partkey AS id, p_name AS nm,
+             |    list_filter(string_split(trim(regexp_replace(lower(p_name),
+             |      '[^a-z0-9]+', ' ', 'g')), ' '), x -> len(x) > 0) AS tk
+             |  FROM part),
+             |h1 AS (
+             |  SELECT id, nm, list_transform(
+             |    CASE WHEN len(tk) < 1 THEN [''] ELSE list_distinct(tk) END,
+             |    s -> ('0x' || substr(md5('0:' || s), 1, 8))::BIGINT) AS h1
+             |  FROM p),
+             |sig AS (
+             |  SELECT id, nm, list_transform(range(0, 16), i ->
+             |    list_min(list_transform(h1,
+             |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+             |  FROM h1),
+             |banded AS (
+             |  SELECT id, nm, b AS band,
+             |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+             |      sig[b*2+2]::VARCHAR) AS bucket
+             |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+             |scored AS (
+             |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+             |    1.0 - levenshtein(a.nm, b.nm) /
+             |      greatest(length(a.nm), length(b.nm)) AS sim
+             |  FROM banded a JOIN banded b
+             |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+             |sym AS (
+             |  SELECT a_id AS a_key, b_id AS b_key, sim FROM scored
+             |  UNION ALL
+             |  SELECT b_id, a_id, sim FROM scored),
              |best AS (
              |  SELECT a_key, max({'s': sim, 'nk': -b_key}) AS best
-             |  FROM cand GROUP BY a_key)
+             |  FROM sym GROUP BY a_key)
              |SELECT a_key, -((best).nk) AS b_key, round((best).s, 4) AS sim
              |FROM best WHERE (best).s >= 0.5""".stripMargin)),
 

@@ -167,6 +167,22 @@ object Dedup {
       .dropDuplicates("a_id", "b_id")
   }
 
+  /** Public candidate generator: distinct LSH candidate id pairs
+    * (a_id < b_id) with no verify stage — the scale-safe blocking
+    * primitive for any downstream verifier (exact jaccard, edit
+    * distance, embedding cosine). Recall contract: a pair whose
+    * shingle-set jaccard is j surfaces with probability
+    * 1-(1-j^rowsPerBand)^bands (S-curve threshold ~
+    * (1/bands)^(1/rowsPerBand)); pairs well below that are dropped,
+    * which is the documented trade for never materializing
+    * all-pairs-in-block. */
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, bands: Int = 8,
+                        rowsPerBand: Int = 2): DataFrame =
+    lshCandidates(hashedShingleDocs(docs, idCol, textCol, shingleN),
+      bands, rowsPerBand)
+      .select(col("a_id"), col("b_id"))
+
   def minHashLSH(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  simThreshold: Double = 0.5): DataFrame = {

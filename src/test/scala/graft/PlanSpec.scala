@@ -61,6 +61,15 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("o_orderpriority"), p.take(2000))
   }
 
+  test("j6: fact side joins name-level frames by broadcast, no cartesian") {
+    val p = plan("j6_fuzzy_name_join")
+    // the per-part side must only see broadcast joins against the tiny
+    // name-level frames — a SortMergeJoin here would mean the fact table
+    // is being shuffled for the final stitch
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("pipe: the corpus-cleaning pipeline plans without cartesian joins") {
     val p = plan("pipe_clean_corpus")
     assert(!p.contains("CartesianProduct"), p.take(3000))

@@ -3,6 +3,8 @@ package graft.streaming
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Stateful stream processing via flatMapGroupsWithState (SURVEY §2.10 /
@@ -31,8 +33,45 @@ object Sessionize {
     Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total)
 
   /** Sessionize a (possibly unordered within group) event stream: events of
-    * one user belong to the same session while gaps stay below `gapMs`. */
+    * one user belong to the same session while gaps stay below `gapMs`.
+    *
+    * Batch inputs take the window plan ([[sessionizeBatch]]): the typed
+    * fold would buffer one user's entire event history in a single group
+    * invocation (`it.toSeq.sortBy`), which OOMs on a bot user with
+    * millions of events; the lag/cumulative-sum pipeline is the same fold
+    * expressed as window functions, where Spark sorts within partitions
+    * with spill. Streams keep the flatMapGroupsWithState path — state
+    * there is one OPEN session per user, O(1), and cross-micro-batch
+    * merging genuinely needs it. Both paths implement the identical gap
+    * rule, tie-ordered by (ts, event_type). */
   def sessionize(events: Dataset[Event], gapMs: Long = 30 * 60 * 1000L)
+      : Dataset[Session] =
+    if (events.isStreaming) sessionizeTyped(events, gapMs)
+    else sessionizeBatch(events, gapMs)
+
+  /** Batch plan: gap flag via lag, session id via running sum, one
+    * hash-aggregate per (user, session). No per-group materialization —
+    * the window sort spills, the aggregate is partial. */
+  def sessionizeBatch(events: Dataset[Event], gapMs: Long): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_type")
+    val tms = unix_millis(col("ts"))
+    events.toDF()
+      .withColumn("brk",
+        when(tms - lag(tms, 1).over(w) > gapMs, 1).otherwise(0))
+      .withColumn("sid", sum("brk")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min("ts").as("session_start"), max("ts").as("session_end"),
+        count(lit(1)).cast("int").as("n_events"),
+        sum("value").as("total_value"))
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), col("total_value"))
+      .as[Session]
+  }
+
+  private def sessionizeTyped(events: Dataset[Event], gapMs: Long)
       : Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._

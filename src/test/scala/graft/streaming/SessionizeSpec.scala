@@ -62,6 +62,26 @@ class SessionizeSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("batch path plans as window functions, not per-group state") {
+    val events = Seq(
+      Event(1, ts("2024-01-01 10:00:00"), "click", 1.0),
+      Event(1, ts("2024-01-01 11:30:00"), "view", 2.0)
+    ).toDS()
+    val sessions = sessionize(events, gapMs = 30 * 60 * 1000L)
+    val plan = sessions.queryExecution.executedPlan.toString
+    // the batch plan must be the spill-safe window pipeline — a
+    // FlatMapGroupsWithState here means one user's whole history is being
+    // buffered in a single group invocation
+    assert(!plan.contains("FlatMapGroupsWithState"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+    // and the two paths agree on the fold semantics
+    val out = sessions.collect().map(s =>
+      (s.user_id, s.session_start.toString, s.n_events, s.total_value)).toSet
+    assert(out == Set(
+      (1L, "2024-01-01 10:00:00.0", 1, 1.0),
+      (1L, "2024-01-01 11:30:00.0", 1, 2.0)))
+  }
+
   test("sessionization over the events table produces per-user sessions") {
     val events = graft.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .selectExpr("user_id", "ts", "event_type", "value").as[Event]

@@ -2321,6 +2321,21 @@ object SparkEntry {
       Some("""SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_distinct
              |FROM lineitem GROUP BY l_orderkey""".stripMargin)),
 
+    // Salted equi-join under the oracle: result-identical to the plain
+    // join (the oracle IS the plain join), with the hot-key spread and
+    // duplicate-row salt dispersion asserted in SkewSpec.
+    Q("sk_salted_join",
+      (s, dir) => Skew.saltedJoin(
+        t(s, dir, "lineitem").select(col("l_orderkey").as("okey"),
+          col("l_partkey"), col("l_quantity")),
+        t(s, dir, "orders").select(col("o_orderkey").as("okey"),
+          col("o_orderpriority")),
+        "okey", saltFactor = 8),
+      Some("""SELECT l_orderkey AS okey, l_partkey, l_quantity,
+             |  o_orderpriority
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin)),
+
     // TPC-H q6 forecast-revenue-change shape through spark.sql
     Q("q6_forecast_revenue",
       (s, dir) => {

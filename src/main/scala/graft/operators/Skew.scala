@@ -23,21 +23,35 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Join types for which build-side replication is sound: every probe row
+    * carries exactly one salt and the build side carries ALL salts per
+    * key, so probe-row match/no-match is unchanged. Right/full outer are
+    * rejected — an unmatched build row would surface once per salt. */
+  private val probeSidedJoins =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** Equi-join with the build side replicated over `saltFactor` salts and
-    * the probe side salted deterministically from its key's row hash —
-    * a hot probe key spreads across `saltFactor` shuffle partitions.
-    * Build-side rows multiply by `saltFactor`, so use this for small-to-
-    * medium build sides that exceed the broadcast threshold. */
+    * the probe side salted deterministically — a hot probe key spreads
+    * across `saltFactor` shuffle partitions. The salt hashes all probe
+    * columns PLUS monotonically_increasing_id, so even byte-identical
+    * duplicate probe rows (the worst skew case: one hot key, one hot
+    * payload) spread instead of landing on a single salt; the id never
+    * reaches the output, so results stay deterministic. Build-side rows
+    * multiply by `saltFactor` — use for small-to-medium build sides that
+    * exceed the broadcast threshold. Result-identical to
+    * `probe.join(build, Seq(key), joinType)`. */
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
-                 saltFactor: Int): DataFrame = {
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltFactor >= 1, "saltFactor must be >= 1")
-    // any per-row distribution works; a hash of all probe columns is
-    // deterministic and needs no row ids
+    require(probeSidedJoins.contains(joinType.toLowerCase),
+      s"saltedJoin supports probe-sided join types only, got $joinType")
     val salted = probe.withColumn("__salt",
-      pmod(abs(hash(probe.columns.map(col): _*)), lit(saltFactor)))
+      pmod(abs(hash(probe.columns.map(col) :+
+        monotonically_increasing_id(): _*)), lit(saltFactor)))
     val replicated = build.withColumn("__salt",
       explode(array((0 until saltFactor).map(lit): _*)))
-    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+    salted.join(replicated, Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   /** Two-stage distinct count: dedup on (key, salt-of-value) first — the

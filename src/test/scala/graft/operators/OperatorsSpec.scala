@@ -342,6 +342,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(plain.length == 1000)
   }
 
+  test("saltedJoin: probe-sided outer/semi/anti types keep plain-join " +
+    "semantics; build-sided types are rejected") {
+    val probe = Seq((1L, "a"), (2L, "b"), (9L, "no-match")).toDF("k", "p")
+    val build = Seq((1L, "x"), (2L, "y"), (3L, "probe-less")).toDF("k", "b")
+    val left = Skew.saltedJoin(probe, build, "k", 4, "left")
+      .as[(Long, String, String)].collect().toSet
+    assert(left == Set((1L, "a", "x"), (2L, "b", "y"), (9L, "no-match", null)))
+    val anti = Skew.saltedJoin(probe, build, "k", 4, "left_anti")
+      .as[(Long, String)].collect().toSet
+    assert(anti == Set((9L, "no-match")))
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(probe, build, "k", 4, "right")
+    }
+  }
+
+  test("saltedJoin spreads byte-identical hot-key probe rows over " +
+    ">=2 partitions") {
+    // the worst skew shape: every probe row is the SAME key AND payload,
+    // so a salt hashed from row values alone would put all of them on one
+    // shuffle partition — the monotonic-id disambiguator must spread them
+    val probe = (1 to 400).map(_ => (1L, "same")).toDF("k", "p")
+    val build = Seq((1L, "hot")).toDF("k", "b")
+    withSQLConf(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val pids = Skew.saltedJoin(probe, build, "k", 8)
+        .select(org.apache.spark.sql.functions.spark_partition_id())
+        .distinct().count()
+      assert(pids >= 2, s"hot key landed on $pids partition(s)")
+    }
+  }
+
   test("saltedDistinctCount equals countDistinct on a hot key") {
     val df = ((1 to 500).map(i => (1L, i % 37)) ++ Seq((2L, 1), (2L, 2)))
       .toDF("k", "v")

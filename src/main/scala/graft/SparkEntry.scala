@@ -1323,6 +1323,47 @@ object SparkEntry {
               |  (['jpeg', 'png', 'webp'])[(doc_id % 3) + 1] AS fake_format
               |FROM documents""".stripMargin)),
 
+    // Magic-byte sniff + REAL header decode roundtrip: payloads are
+    // synthesized per doc_id in four container formats (PNG with verified
+    // IHDR CRC, JPEG SOF marker walk, BMP little-endian header, RIFF/WAVE
+    // chunk walk), then sniffed and measured back; the oracle is the
+    // closed form of the synthesis parameters. Compressed PIXEL/entropy
+    // decode stays behind decodeStub (no codec libs in env) — format,
+    // dimensions, and validity are the codec-free real capability.
+    Q("mm_format_sniff",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val p = (id % 4) match {
+              case 0 => Multimodal.pngSynth((id % 1000 + 1).toInt,
+                (id % 700 + 1).toInt)
+              case 1 => Multimodal.jpegSynthHeader((id % 800 + 1).toInt,
+                (id % 600 + 1).toInt)
+              case 2 => Multimodal.bmpSynth((id % 640 + 1).toInt,
+                (id % 480 + 1).toInt)
+              case _ => Multimodal.wavSynth(1, 8000,
+                (0 until (id % 20 + 1).toInt)
+                  .map(i => ((id * 13 + i) % 65536 - 32768).toShort))
+            }
+            (id, p)
+          }.toDF("doc_id", "payload")
+        Multimodal.extractSniffedMeta(payloads, "doc_id", "payload").toDF()
+      },
+      Some("""SELECT doc_id,
+             |  CASE doc_id % 4 WHEN 0 THEN 45 WHEN 1 THEN 23 WHEN 2 THEN 54
+             |    ELSE 44 + (doc_id % 20 + 1) * 2 END AS n_bytes,
+             |  (['png', 'jpeg', 'bmp', 'wav'])[(doc_id % 4) + 1] AS format,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 1000 + 1
+             |    WHEN 1 THEN doc_id % 800 + 1 WHEN 2 THEN doc_id % 640 + 1
+             |    ELSE 0 END AS INT) AS width,
+             |  CAST(CASE doc_id % 4 WHEN 0 THEN doc_id % 700 + 1
+             |    WHEN 1 THEN doc_id % 600 + 1 WHEN 2 THEN doc_id % 480 + 1
+             |    ELSE 0 END AS INT) AS height,
+             |  true AS valid
+             |FROM documents""".stripMargin)),
+
     // Streaming-shaped windowed aggregation (batch equivalent of the
     // Structured Streaming path in streaming/EventStream.scala)
     Q("st_window_agg",

@@ -138,12 +138,180 @@ object Multimodal {
       .mapPartitions(_.map { case (id, p) => wavMeta(id, p) })
   }
 
+  // ------------------------------------------- magic-byte format sniffing
+
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  /** REAL codec-free format identification from magic bytes — the first
+    * thing a training-data pipeline does to a binary column (route, filter,
+    * partition by format) and it needs no codec library at any format. */
+  def sniffFormat(p: Array[Byte]): String = {
+    if (p == null || p.length < 4) return "unknown"
+    if ((p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G')
+      "png"
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8) "jpeg"
+    else if (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') "gif"
+    else if (p(0) == 'B' && p(1) == 'M') "bmp"
+    else if (p.length >= 12 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' &&
+        p(3) == 'F') {
+      if (p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E') "wav"
+      else if (p(8) == 'W' && p(9) == 'E' && p(10) == 'B' && p(11) == 'P')
+        "webp"
+      else "riff"
+    }
+    else if (p(0) == 'I' && p(1) == 'D' && p(2) == '3') "mp3"
+    else if ((p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0) "mp3"
+    else "unknown"
+  }
+
+  case class PngMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
+                     bit_depth: Int, color_type: Int, valid: Boolean)
+
+  /** REAL PNG header decode: 8-byte signature, IHDR chunk (big-endian
+    * width/height, bit depth, color type) with its CRC32 VERIFIED — pure
+    * byte math + java.util.zip.CRC32, no codec. Pixel data (IDAT inflate)
+    * is deliberately out of scope; see [[decodeStub]]'s contract note. */
+  def pngMeta(docId: Long, p: Array[Byte]): PngMeta = {
+    def invalid = PngMeta(docId, if (p == null) 0L else p.length.toLong,
+      0, 0, 0, 0, valid = false)
+    if (p == null || p.length < 33) return invalid
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((p(i) & 0xff) != sig(i)) return invalid; i += 1 }
+    if (be32(p, 8) != 13 || p(12) != 'I' || p(13) != 'H' || p(14) != 'D' ||
+        p(15) != 'R') return invalid
+    val crc = new java.util.zip.CRC32
+    crc.update(p, 12, 17) // chunk type + 13 data bytes
+    if (crc.getValue != (be32(p, 29).toLong & 0xffffffffL)) return invalid
+    PngMeta(docId, p.length.toLong, be32(p, 16), be32(p, 20),
+      p(24) & 0xff, p(25) & 0xff, valid = true)
+  }
+
+  /** PNG signature + IHDR (+ correct CRC) + IEND — a valid header-level
+    * PNG stream (no pixel data), the synthesis side of the roundtrip. */
+  def pngSynth(width: Int, height: Int, bitDepth: Int = 8,
+               colorType: Int = 6): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(45)
+    bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte))
+    bb.putInt(13); bb.put("IHDR".getBytes("US-ASCII"))
+    bb.putInt(width); bb.putInt(height)
+    bb.put(bitDepth.toByte); bb.put(colorType.toByte)
+    bb.put(0.toByte); bb.put(0.toByte); bb.put(0.toByte) // compr/filter/interlace
+    val arr = bb.array()
+    val ihdrCrc = new java.util.zip.CRC32; ihdrCrc.update(arr, 12, 17)
+    bb.putInt(ihdrCrc.getValue.toInt)                    // bytes 29..32
+    bb.putInt(0); bb.put("IEND".getBytes("US-ASCII"))    // bytes 33..40
+    val iendCrc = new java.util.zip.CRC32; iendCrc.update(arr, 37, 4)
+    bb.putInt(iendCrc.getValue.toInt)                    // bytes 41..44
+    arr
+  }
+
+  /** REAL JPEG dimension scan: walk the marker segments to the first SOFn
+    * frame header and read big-endian height/width — byte-level marker
+    * arithmetic, no entropy decode. Returns (0,0) when no frame marker. */
+  def jpegDims(p: Array[Byte]): (Int, Int) = {
+    if (p == null || p.length < 4 || (p(0) & 0xff) != 0xff ||
+        (p(1) & 0xff) != 0xd8) return (0, 0)
+    var i = 2
+    while (i + 4 <= p.length) {
+      if ((p(i) & 0xff) != 0xff) return (0, 0) // lost marker sync
+      val m = p(i + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xd9) return (0, 0) // EOI before any SOF
+      else {
+        val len = be16(p, i + 2)
+        if (len < 2 || i + 2 + len > p.length) return (0, 0)
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 &&
+          m != 0xcc
+        if (isSof) {
+          if (len < 7) return (0, 0)
+          return (be16(p, i + 7), be16(p, i + 5)) // (width, height)
+        }
+        i += 2 + len
+      }
+    }
+    (0, 0)
+  }
+
+  /** SOI + SOF0 (given dims, 3 components) + EOI — a marker-valid JPEG
+    * header stream (no entropy data): 23 bytes. */
+  def jpegSynthHeader(width: Int, height: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(23)
+    bb.putShort(0xffd8.toShort)
+    bb.putShort(0xffc0.toShort); bb.putShort(17) // 8 + 3*3
+    bb.put(8.toByte) // precision
+    bb.putShort(height.toShort); bb.putShort(width.toShort)
+    bb.put(3.toByte) // components
+    for (c <- 1 to 3) { bb.put(c.toByte); bb.put(0x11.toByte); bb.put(0.toByte) }
+    bb.putShort(0xffd9.toShort)
+    bb.array()
+  }
+
+  /** 54-byte BITMAPINFOHEADER BMP (no pixel rows) — synthesis side of the
+    * [[bmpMeta]] roundtrip. */
+  def bmpSynth(width: Int, height: Int, bpp: Int = 24): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(54)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(54); bb.putInt(0); bb.putInt(54) // size, reserved, data offset
+    bb.putInt(40) // BITMAPINFOHEADER
+    bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(bpp.toShort)
+    bb.array()
+  }
+
+  case class SniffedMeta(doc_id: Long, n_bytes: Long, format: String,
+                         width: Int, height: Int, valid: Boolean)
+
+  /** Sniff the container format from magic bytes, then dispatch to the
+    * matching REAL header decoder for dimensions/validity. Audio (wav) has
+    * no spatial dims -> (0, 0); unknown formats are invalid. */
+  def sniffAndMeasure(docId: Long, p: Array[Byte]): SniffedMeta = {
+    val n = if (p == null) 0L else p.length.toLong
+    sniffFormat(p) match {
+      case "png" =>
+        val m = pngMeta(docId, p)
+        SniffedMeta(docId, n, "png", m.width, m.height, m.valid)
+      case "jpeg" =>
+        val (w, h) = jpegDims(p)
+        SniffedMeta(docId, n, "jpeg", w, h, w > 0 && h > 0)
+      case "bmp" =>
+        val m = bmpMeta(docId, p)
+        SniffedMeta(docId, n, "bmp", m.width, m.height, m.valid)
+      case "wav" =>
+        val m = wavMeta(docId, p)
+        SniffedMeta(docId, n, "wav", 0, 0, m.valid)
+      case f => SniffedMeta(docId, n, f, 0, 0, valid = false)
+    }
+  }
+
+  /** Per-partition batched sniff+measure over (doc_id, payload) rows. */
+  def extractSniffedMeta(docs: DataFrame, idCol: String, binCol: String)
+      : Dataset[SniffedMeta] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => sniffAndMeasure(id, p) })
+  }
+
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
                        format: String)
 
-  /** STUB decode: a real implementation would hand `payload` to an image
-    * library; this derives deterministic metadata from the bytes so the
-    * plumbing is testable. Marked clearly as a fake. */
+  /** STUB decode — the PERMANENT sandbox contract for compressed PIXEL /
+    * entropy data: this environment ships no codec libraries, so JPEG
+    * entropy decode, PNG IDAT inflate, and MP3 frame synthesis stand
+    * behind this deterministic fake. Everything short of pixel decode is
+    * REAL above: magic-byte format identification ([[sniffFormat]]),
+    * dimensions + validity for PNG (CRC-verified IHDR, [[pngMeta]]),
+    * JPEG (SOF marker walk, [[jpegDims]]), BMP ([[bmpMeta]]) and
+    * RIFF/WAVE incl. PCM samples ([[wavMeta]], [[wavFrames]]). A real
+    * deployment swaps this one function for a codec call inside the same
+    * mapPartitions batch shape. */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(payload)
     MediaMeta(docId, payload.length.toLong,

@@ -328,6 +328,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Map(1L -> true, 2L -> false))
   }
 
+  test("png roundtrip: synth -> sniff -> IHDR decode with CRC verify") {
+    val p = Multimodal.pngSynth(640, 480, bitDepth = 8, colorType = 2)
+    assert(Multimodal.sniffFormat(p) == "png")
+    val m = Multimodal.pngMeta(7L, p)
+    assert(m.valid && m.width == 640 && m.height == 480 &&
+      m.bit_depth == 8 && m.color_type == 2 && m.n_bytes == 45)
+    // corrupt one IHDR data byte: the CRC check must reject it
+    val bad = p.clone(); bad(17) = (bad(17) ^ 0x01).toByte
+    assert(!Multimodal.pngMeta(7L, bad).valid)
+  }
+
+  test("jpeg dimension walk skips leading segments to the first SOF") {
+    // SOI + APP0 (16 bytes of padding) + SOF0(800x600) + EOI
+    val sof = Multimodal.jpegSynthHeader(800, 600)
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16) ++
+      new Array[Byte](14)
+    val p = sof.take(2) ++ app0 ++ sof.drop(2)
+    assert(Multimodal.sniffFormat(p) == "jpeg")
+    assert(Multimodal.jpegDims(p) == ((800, 600)))
+    // truncated before the SOF -> (0, 0), not a crash
+    assert(Multimodal.jpegDims(p.take(10)) == ((0, 0)))
+  }
+
+  test("magic-byte sniffing identifies the container formats") {
+    assert(Multimodal.sniffFormat(Multimodal.bmpSynth(2, 2)) == "bmp")
+    assert(Multimodal.sniffFormat(
+      Multimodal.wavSynth(1, 8000, Seq(1.toShort))) == "wav")
+    assert(Multimodal.sniffFormat("GIF89a".getBytes("US-ASCII")) == "gif")
+    assert(Multimodal.sniffFormat(
+      "RIFF1234WEBP".getBytes("US-ASCII")) == "webp")
+    assert(Multimodal.sniffFormat("ID3x".getBytes("US-ASCII")) == "mp3")
+    assert(Multimodal.sniffFormat("plain text".getBytes) == "unknown")
+    assert(Multimodal.sniffFormat(null) == "unknown")
+  }
+
   test("saltedJoin equals the plain equi-join on a skewed key") {
     // 90% of probe rows share one key — the exact shape salting exists for
     val probe = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))

@@ -38,4 +38,50 @@ class EventStreamSpec extends SparkTestBase {
       .as[(Long, String, Long, Double)].collect().toSet
     assert(batch == got)
   }
+
+  test("checkpoint restart: stop mid-input, resume, exactly-once output " +
+    "with window state recovered across runs") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_restart").toString
+    val (inDir, outDir, ckptDir) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    def run(): Unit = {
+      val q = EventStream.ingest(spark, inDir, outDir, ckptDir)
+      try q.awaitTermination() finally q.stop()
+    }
+    def outRows() = spark.read.parquet(outDir)
+      .select("win_start", "event_type", "n_events", "total_value")
+      .as[(Long, String, Long, Double)].collect().toSeq
+    def hour(h: Int) =
+      Timestamp.valueOf(f"2024-01-01 $h%02d:00:00").getTime / 1000
+    // run 1: hour-0 clicks complete; hour-1 has ONE view so far; the
+    // 03:30 tick advances the watermark (2h delay) to 01:30, closing
+    // only the hour-0 window before the query stops mid-input
+    Seq(
+      Ev(Timestamp.valueOf("2024-01-01 00:10:00"), 1, "click", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:40:00"), 2, "click", 2.0),
+      Ev(Timestamp.valueOf("2024-01-01 01:10:00"), 1, "view", 3.0),
+      Ev(Timestamp.valueOf("2024-01-01 03:30:00"), 9, "tick", 9.0)
+    ).toDF().coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    assert(outRows().toSet == Set((hour(0), "click", 2L, 3.0)),
+      s"run 1 must emit exactly the closed hour-0 window, got ${outRows()}")
+    // run 2 (restart from the checkpoint): a second view joins hour-1 —
+    // its partial count must come from RECOVERED state — and the 06:00
+    // tick moves the watermark to 04:00, closing hours 1 and 3
+    Seq(
+      Ev(Timestamp.valueOf("2024-01-01 01:40:00"), 4, "view", 1.0),
+      Ev(Timestamp.valueOf("2024-01-01 06:00:00"), 9, "tick", 1.0)
+    ).toDF().coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    val afterRestart = outRows()
+    assert(afterRestart.toSet == Set(
+      (hour(0), "click", 2L, 3.0),
+      (hour(1), "view", 2L, 4.0), // 3.0 from run 1's state + 1.0 new
+      (hour(3), "tick", 1L, 9.0)), s"got $afterRestart")
+    assert(afterRestart.size == 3,
+      s"closed windows must not re-emit on restart: $afterRestart")
+    // run 3: restart with NO new input is a no-op, not a replay
+    run()
+    assert(outRows().size == 3, s"idempotent restart violated: ${outRows()}")
+  }
 }

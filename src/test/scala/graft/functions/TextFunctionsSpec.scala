@@ -190,4 +190,29 @@ class TextFunctionsSpec extends AnyFunSuite {
       r >= 0.0 && r <= 1.0
     })
   }
+
+  test("kernels match the committed ground-truth fixture " +
+    "(independent definitional implementation, 100 pairs)") {
+    // src/test/resources/fuzzy_ground_truth.tsv is generated by
+    // tools/gen_fuzzy_fixture.py — an LCS-DP / brute-force-window /
+    // literal-formula implementation written independently of these
+    // kernels, so shared bugs can't self-confirm. Pairs cluster around
+    // the ER acceptance bands plus boundary/degenerate shapes.
+    val in = getClass.getResourceAsStream("/fuzzy_ground_truth.tsv")
+    assert(in != null, "fixture missing from test resources")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().drop(1).toSeq
+    assert(lines.size == 100)
+    lines.foreach { line =>
+      val f = line.split("\t", -1)
+      val (a, b) = (f(0), f(1))
+      def close(got: Double, want: String, what: String): Unit =
+        assert(math.abs(got - want.toDouble) < 1e-9,
+          s"$what('$a', '$b') = $got, fixture says $want")
+      close(ratio(a, b), f(2), "ratio")
+      close(partialRatio(a, b), f(3), "partialRatio")
+      close(tokenSortRatio(a, b), f(4), "tokenSortRatio")
+      close(tokenSetRatio(a, b), f(5), "tokenSetRatio")
+    }
+  }
 }

@@ -59,7 +59,10 @@ object Bench {
           failed += name
           System.err.println(s"BENCH FAILURE $name: ${e.getClass.getName}: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      // per-query progress on stderr (stdout stays the single JSON line)
+      System.err.println(f"BENCH $name $secs%.2fs")
+      name -> secs
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

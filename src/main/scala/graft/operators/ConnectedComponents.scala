@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.StatsTruncate
 
 /** Distributed connected components over an edge DataFrame.
   *
@@ -13,9 +14,14 @@ import org.apache.spark.sql.functions._
   * must be set-stable, not root-stable).
   *
   * Each round is two shuffles (neighbor-min groupBy + label-of-label join);
-  * path halving makes convergence O(log diameter). `localCheckpoint`
-  * truncates lineage every round so plans stay flat no matter how many
-  * rounds run — the driver never accumulates an exponentially growing DAG.
+  * path halving makes convergence O(log diameter). Every round is
+  * `localCheckpoint`ed (lineage truncation) AND stats-truncated
+  * ([[StatsTruncate]]): Spark's checkpoint keeps the pre-checkpoint
+  * plan's size estimate, and because each round joins the previous
+  * labels several times, that estimate compounds multiplicatively per
+  * round — by round ~10 the driver would spend minutes multiplying
+  * million-digit BigInts inside stats estimation. With both truncations
+  * the per-round plan AND its stats stay flat for any round count.
   */
 object ConnectedComponents {
 
@@ -28,15 +34,17 @@ object ConnectedComponents {
     import spark.implicits._
 
     // Symmetrize + self-loops: every node sees itself and both directions.
-    val sym = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
-      .union(edges.select(col(srcCol).as("u"), col(srcCol).as("v")))
-      .union(edges.select(col(dstCol).as("u"), col(dstCol).as("v")))
-      .distinct()
-      .localCheckpoint(true)
+    val sym = StatsTruncate(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
+        .union(edges.select(col(srcCol).as("u"), col(srcCol).as("v")))
+        .union(edges.select(col(dstCol).as("u"), col(dstCol).as("v")))
+        .distinct()
+        .localCheckpoint(true))
 
-    var labels = sym.groupBy($"u".as("node")).agg(min($"v").as("component"))
-      .localCheckpoint(true)
+    var labels = StatsTruncate(
+      sym.groupBy($"u".as("node")).agg(min($"v").as("component"))
+        .localCheckpoint(true))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -63,8 +71,9 @@ object ConnectedComponents {
         .select($"node", least($"component", coalesce($"c3", $"component"))
           .as("component"), $"old")
         .localCheckpoint(true)
-      val changed = next.where($"component" =!= $"old").limit(1).count()
-      labels = next.drop("old")
+      val nextFlat = StatsTruncate(next)
+      val changed = nextFlat.where($"component" =!= $"old").limit(1).count()
+      labels = nextFlat.drop("old")
       converged = changed == 0
       iter += 1
     }

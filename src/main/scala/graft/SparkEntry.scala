@@ -1153,6 +1153,28 @@ object SparkEntry {
               |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
               |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3""".stripMargin)),
 
+    // Embedding near-dup WITHOUT a caller block key: SRP-LSH buckets
+    // generate candidates (8 planes x 4 tables), exact cosine verifies.
+    // Recall is the documented S-curve of the SRP family; the oracle
+    // replays the identical bucketing so the check is exact.
+    Q("dd_embed_lsh",
+      (s, dir) => Dedup.embeddingLshPairs(t(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.3, numPlanes = 8, tables = 4),
+      Some {
+        val buckets = (0 until 4).map(tb =>
+          s"SELECT id, v, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |b AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT x.id AS a_id, y.id AS b_id,
+           |    x.v AS a_v, y.v AS b_v
+           |  FROM b x JOIN b y
+           |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id)
+           |SELECT a_id, b_id, round(${cosSql("a_v", "b_v")}, 6) AS cosine
+           |FROM cand WHERE ${cosSql("a_v", "b_v")} >= 0.3""".stripMargin
+      }),
+
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
       (s, dir) => {
@@ -1301,6 +1323,43 @@ object SparkEntry {
               |    list_transform(tk, t -> ${h32Sql("t", "7")})),
               |    (acc_, h_) -> (acc_ * 1000003 + h_) % 2147483647) AS fp
               |FROM toks""".stripMargin)),
+
+    // PII scrubbing (training-data pipeline op): per-pattern counts on the
+    // raw text + tag-redacted output. Known PII is synthesized into each
+    // doc from its id so the redaction provably fires; patterns are
+    // lookaround-free so Java regex (Spark) and RE2 (DuckDB) agree.
+    Q("ta_pii_redact",
+      (s, dir) => {
+        val withPii = t(s, dir, "documents").withColumn("txt",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"),
+            lit("@example.com or http://ex.org/p/"),
+            col("doc_id").cast("string"), lit(" tel +1 555 01"),
+            pmod(col("doc_id"), lit(100L)).cast("string"), lit(" ip 10.0."),
+            pmod(col("doc_id"), lit(256L)).cast("string"), lit(".7")))
+        withPii.select(
+          (col("doc_id") +: TextAnalysis.piiCounts(col("txt"))) :+
+            TextAnalysis.redactPii(col("txt")).as("redacted"): _*)
+      },
+      Some {
+        val mk = TextAnalysis.PiiPatterns
+        val txt = """text || ' contact user' || doc_id::VARCHAR ||
+                    |'@example.com or http://ex.org/p/' || doc_id::VARCHAR ||
+                    |' tel +1 555 01' || (doc_id % 100)::VARCHAR ||
+                    |' ip 10.0.' || (doc_id % 256)::VARCHAR || '.7'"""
+          .stripMargin.replace("\n", " ")
+        val counts = mk.map { case (kind, re, _) =>
+          s"CAST(len(regexp_extract_all(txt, '$re')) AS INT) AS n_$kind"
+        }.mkString(",\n  ")
+        val redacted = mk.foldLeft("txt") { case (acc, (_, re, tag)) =>
+          s"regexp_replace($acc, '$re', '$tag', 'g')"
+        }
+        s"""WITH w AS (SELECT doc_id, $txt AS txt FROM documents)
+           |SELECT doc_id,
+           |  $counts,
+           |  $redacted AS redacted
+           |FROM w""".stripMargin
+      }),
 
     // Multimodal plumbing: opaque binary column + typed metadata extraction
     // (decode itself is a stub — see operators/Multimodal.scala — but the

@@ -372,4 +372,28 @@ object Dedup {
       .where(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
+    * buckets (sign pattern over random hyperplanes, `tables` independent
+    * hash tables for recall) generate candidates as a bucket equi-join,
+    * then exact cosine verifies. The scale path for
+    * [[embeddingCosinePairs]], whose quadratic-in-block contract needed a
+    * good caller key. Recall: a pair at angle theta shares one table's
+    * bucket with probability (1 - theta/pi)^numPlanes; `tables` tables
+    * union those chances — e.g. cosine 0.9 / 8 planes / 4 tables ->
+    * ~0.86. */
+  def embeddingLshPairs(emb: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.9, numPlanes: Int = 8,
+                        tables: Int = 4): DataFrame = {
+    val b = Similarity.srpBucketed(emb, idCol, vecCol, numPlanes, tables)
+    val a2 = b.select(col("table"), col("bucket"),
+      col("id").as("a_id"), col("v").as("a_v"))
+    val b2 = b.select(col("table"), col("bucket"),
+      col("id").as("b_id"), col("v").as("b_v"))
+    a2.join(b2, Seq("table", "bucket")).where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("cosine", Similarity.cosineCol(col("a_v"), col("b_v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
+  }
 }

@@ -113,19 +113,25 @@ object Similarity {
     }
   private val srpBucketsUdf = udf(srpBucketsKernel _)
 
+  /** (id, vec, table, bucket) rows for a vector frame: one row per SRP
+    * hash table, bucket = the table's sign-pattern key. Distinct tables
+    * use distinct planes (plane index offset by table). The shared
+    * blocking primitive for LSH top-k and LSH near-dup pairs. */
+  def srpBucketed(df: DataFrame, idCol: String, vecCol: String,
+                  numPlanes: Int, tables: Int,
+                  prefix: String = ""): DataFrame =
+    df.select(col(idCol).as(s"${prefix}id"), col(vecCol).as(s"${prefix}v"),
+      posexplode(srpBucketsUdf(col(vecCol), lit(numPlanes), lit(tables))))
+      .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
+
   /** LSH-bucketed ANN top-k: queries only compare against corpus vectors in
     * the same SRP bucket (repeated over `tables` independent hash tables for
     * recall). Scale path for bruteForceTopK. */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               corpusId: String, queryId: String, vecCol: String,
               k: Int, numPlanes: Int = 8, tables: Int = 2): DataFrame = {
-    // distinct tables use distinct planes: plane index offset by table
-    def bucketed(df: DataFrame, id: String, prefix: String): DataFrame =
-      df.select(col(id).as(s"${prefix}_id"), col(vecCol).as(s"${prefix}_v"),
-        posexplode(srpBucketsUdf(col(vecCol), lit(numPlanes), lit(tables))))
-        .withColumnRenamed("col", "bucket").withColumnRenamed("pos", "table")
-    val c = bucketed(corpus, corpusId, "c")
-    val q = bucketed(queries, queryId, "q")
+    val c = srpBucketed(corpus, corpusId, vecCol, numPlanes, tables, "c_")
+    val q = srpBucketed(queries, queryId, vecCol, numPlanes, tables, "q_")
     val cands = c.join(q, Seq("table", "bucket"))
       .dropDuplicates("q_id", "c_id")
       .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))

@@ -88,4 +88,31 @@ object TextAnalysis {
   def fingerprint(c: Column): Column =
     aggregate(toks(c), lit(0L), (acc, t) =>
       pmod(acc * 1000003L + Dedup.md5Hash32(t, lit(7)), lit(2147483647L)))
+
+  /** PII patterns a training-data pipeline scrubs before the corpus ships:
+    * emails, URLs, international-format phone runs, IPv4 literals. Plain
+    * character-class regexes (no lookaround) so Java regex and RE2 agree
+    * — the patterns are deliberately deterministic-first; a production
+    * scrubber would widen them per locale. Replacement order matters:
+    * emails before URLs (an address inside a URL query string must not be
+    * half-eaten), phones before IPs (both are digit runs). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", "https?://[^ ]+", "<URL>"),
+    ("phone", "\\+[0-9][0-9 ]{6,}[0-9]", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** Redacted text: every PII pattern replaced by its tag, codegen'd
+    * regexp_replace chain (no UDF). */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, re, tag)) =>
+      regexp_replace(acc, re, tag)
+    }
+
+  /** Per-pattern match count on the UNREDACTED text, one column per
+    * pattern, named n_<kind>. */
+  def piiCounts(c: Column): Seq[Column] =
+    PiiPatterns.map { case (kind, re, _) =>
+      size(regexp_extract_all(c, lit(re), lit(0))).as(s"n_$kind")
+    }
 }

@@ -24,6 +24,18 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exactly-once-per-key dedup: drops re-deliveries of the same
+    * key arriving within the watermark delay of each other — the streaming
+    * counterpart of exact dedup in a training-data ingest path (at-least-
+    * once sources re-deliver; state is bounded by the watermark, unlike a
+    * plain dropDuplicates whose state grows forever). Batch frames fall
+    * back to plain dropDuplicates. */
+  def dedupedEvents(events: DataFrame, keys: Seq[String],
+                    delay: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
+    else events.dropDuplicates(keys)
+
   /** File-source ingestion: readStream over a directory of parquet events,
     * windowed aggregation, partitioned parquet sink with checkpointing.
     * Returns the running query (caller stops it). */

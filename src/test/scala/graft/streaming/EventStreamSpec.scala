@@ -39,6 +39,31 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == got)
   }
 
+  test("streaming dedup drops re-deliveries across micro-batches " +
+    "within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.dedupedEvents(mem.toDF(), Seq("user_id", "event_type"),
+        delay = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0)) // dup in-batch
+      q.processAllAvailable()
+      // batch 2: same key re-delivered within the watermark + a new key
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 10:05:00"), 1, "click", 9.0),
+        Ev(Timestamp.valueOf("2024-01-01 10:06:00"), 2, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select("user_id", "event_type").as[(Long, String)].collect().toSeq
+      assert(got.sorted == Seq((1L, "click"), (2L, "view")),
+        s"re-delivered keys must be dropped: $got")
+    } finally q.stop()
+  }
+
   test("checkpoint restart: stop mid-input, resume, exactly-once output " +
     "with window state recovered across runs") {
     val base = java.nio.file.Files

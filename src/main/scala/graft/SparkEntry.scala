@@ -1324,6 +1324,47 @@ object SparkEntry {
               |    (acc_, h_) -> (acc_ * 1000003 + h_) % 2147483647) AS fp
               |FROM toks""".stripMargin)),
 
+    // Benchmark decontamination: docs >= 10 checked against the "benchmark"
+    // docs < 10 on shared distinct word 3-grams (>= 2 hits flags a doc)
+    Q("dd_decontaminate",
+      (s, dir) => {
+        val all = t(s, dir, "documents")
+        Dedup.ngramContamination(
+          all.where(col("doc_id") >= 10), all.where(col("doc_id") < 10),
+          "doc_id", "text", shingleN = 3, minHits = 2)
+      },
+      Some(s"""WITH sh0 AS ($shinglesSql),
+              |h AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh0),
+              |d AS (SELECT id AS doc_id, unnest(h1) AS g FROM h WHERE id >= 10),
+              |p AS (SELECT id AS probe_id, unnest(h1) AS g FROM h WHERE id < 10)
+              |SELECT d.doc_id, p.probe_id, count(*) AS n_hits
+              |FROM d JOIN p USING (g)
+              |GROUP BY d.doc_id, p.probe_id
+              |HAVING count(*) >= 2""".stripMargin)),
+
+    // Intra-document repetition signals (Gopher/RefinedWeb-style quality
+    // rules): duplicate word-3-gram fraction + most-common-token fraction
+    Q("ta_repetition",
+      (s, dir) => t(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.dupNgramFrac(col("text"), 3).as("dup_3gram_frac"),
+        TextAnalysis.topTokenFrac(col("text")).as("top_token_frac")),
+      Some(s"""WITH toks AS ($toksSql),
+              |sh AS (
+              |  SELECT id, tk, CASE WHEN len(tk) < 3
+              |    THEN [array_to_string(tk, ' ')]
+              |    ELSE list_transform(range(0, len(tk) - 2),
+              |      i -> array_to_string(tk[i+1:i+3], ' ')) END AS g
+              |  FROM toks)
+              |SELECT id AS doc_id,
+              |  round(1e0 - len(list_distinct(g))::DOUBLE / len(g), 6)
+              |    AS dup_3gram_frac,
+              |  round(coalesce(list_max(list_transform(list_distinct(tk),
+              |    t -> len(list_filter(tk, x -> x = t))))::DOUBLE
+              |    / len(tk), 0e0), 6) AS top_token_frac
+              |FROM sh""".stripMargin)),
+
     // PII scrubbing (training-data pipeline op): per-pattern counts on the
     // raw text + tag-redacted output. Known PII is synthesized into each
     // doc from its id so the redaction provably fires; patterns are

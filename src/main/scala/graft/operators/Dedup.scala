@@ -373,6 +373,26 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("cosine"), 6).as("cosine"))
   }
 
+  /** Benchmark decontamination: flag corpus docs sharing >= `minHits`
+    * distinct word n-grams with any probe (benchmark/test-set) document —
+    * the step a training pipeline runs so eval data doesn't leak into the
+    * corpus. One equi-join on the hashed n-gram, probe side tiny in
+    * practice; per-doc shingles are pre-deduped so the per-(doc, probe)
+    * count IS the distinct overlap. Hot boilerplate n-grams are the skew
+    * risk — raise `shingleN` (real pipelines use 8-13-grams) so shared
+    * grams mean real contamination, not common phrases. */
+  def ngramContamination(docs: DataFrame, probes: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 3,
+                         minHits: Int = 2): DataFrame = {
+    val d = hashedShingleDocs(docs, idCol, textCol, shingleN)
+    val p = hashedShingleDocs(probes, idCol, textCol, shingleN)
+    d.select(col("id").as("doc_id"), explode(col("h1")).as("g"))
+      .join(p.select(col("id").as("probe_id"), explode(col("h1")).as("g")), "g")
+      .groupBy("doc_id", "probe_id").agg(count(lit(1)).as("n_hits"))
+      .where(col("n_hits") >= minHits)
+      .select("doc_id", "probe_id", "n_hits")
+  }
+
   /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
     * buckets (sign pattern over random hyperplanes, `tables` independent
     * hash tables for recall) generate candidates as a bucket equi-join,

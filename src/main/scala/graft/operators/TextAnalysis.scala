@@ -89,6 +89,30 @@ object TextAnalysis {
     aggregate(toks(c), lit(0L), (acc, t) =>
       pmod(acc * 1000003L + Dedup.md5Hash32(t, lit(7)), lit(2147483647L)))
 
+  /** Word n-grams of the token list, NOT deduplicated (short texts fold to
+    * one whole-text shingle, mirroring Dedup.shingles' shape). */
+  private def ngrams(tk: Column, n: Int): Column =
+    when(size(tk) < n, array(array_join(tk, " ")))
+      .otherwise(transform(sequence(lit(0), size(tk) - n),
+        i => array_join(slice(tk, i + 1, lit(n)), " ")))
+
+  /** Duplicate-n-gram fraction (Gopher/RefinedWeb-style repetition
+    * signal): 1 - distinct/total over word n-grams. 0 for empty text. */
+  def dupNgramFrac(c: Column, n: Int = 3): Column = {
+    val sh = ngrams(toks(c), n)
+    round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+  }
+
+  /** Fraction of tokens that are the single most common token — the other
+    * standard intra-doc repetition signal. 0 for empty text. */
+  def topTokenFrac(c: Column): Column = {
+    val tk = toks(c)
+    round(coalesce(
+      array_max(transform(array_distinct(tk),
+        t => size(filter(tk, x => x === t)))).cast("double") /
+        size(tk), lit(0.0)), 6)
+  }
+
   /** PII patterns a training-data pipeline scrubs before the corpus ships:
     * emails, URLs, international-format phone runs, IPv4 literals. Plain
     * character-class regexes (no lookaround) so Java regex and RE2 agree

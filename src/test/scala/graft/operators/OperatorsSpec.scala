@@ -443,4 +443,51 @@ class OperatorsSpec extends SparkTestBase {
       .as[String].collect().toSeq
     assert(out == Seq("en", "de", "und"))
   }
+
+  test("repetition signals: duplicate-3gram and top-token fractions") {
+    val df = Seq(
+      Tuple1("a b c a b c a b c"), // 7 3-grams, 3 distinct -> 4/7 dup
+      Tuple1("all distinct words here now"),
+      Tuple1("")
+    ).toDF("text")
+    val out = df.select(
+      TextAnalysis.dupNgramFrac(col("text"), 3).as("d"),
+      TextAnalysis.topTokenFrac(col("text")).as("t"))
+      .as[(Double, Double)].collect().toSeq
+    assert(out(0)._1 == math.rint((1.0 - 3.0 / 7) * 1e6) / 1e6)
+    assert(out(0)._2 == math.rint(3.0 / 9 * 1e6) / 1e6)
+    assert(out(1) == ((0.0, 0.2)))
+    assert(out(2) == ((0.0, 0.0)))
+  }
+
+  test("ngramContamination flags docs sharing >= minHits 3-grams " +
+    "with a probe set") {
+    val docs = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "quick brown fox somewhere else entirely today"),
+      (12L, "completely unrelated text with no overlap at all")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, "the quick brown fox jumps high"))
+      .toDF("doc_id", "text")
+    val out = Dedup.ngramContamination(docs, probes, "doc_id", "text",
+        shingleN = 3, minHits = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // doc 10 shares "the quick brown", "quick brown fox", "brown fox jumps";
+    // doc 11 shares only "quick brown fox"; doc 12 shares none
+    assert(out == Set((10L, 1L, 3L)))
+  }
+
+  test("redactPii replaces every pattern and counts match") {
+    val df = Seq(Tuple1(
+      "mail a.b+c@ex-amp.le.org see https://x.io/p?q=1 call +44 20 7946 0958 host 192.168.0.1 done"))
+      .toDF("text")
+    val out = df.select(
+      TextAnalysis.redactPii(col("text")).as("r"),
+      struct(TextAnalysis.piiCounts(col("text")): _*).as("c"))
+      .select("r", "c.n_email", "c.n_url", "c.n_phone", "c.n_ip")
+      .as[(String, Int, Int, Int, Int)].collect().head
+    assert(out._1 ==
+      "mail <EMAIL> see <URL> call <PHONE> host <IP> done", out._1)
+    assert((out._2, out._3, out._4, out._5) == ((1, 1, 1, 1)))
+  }
 }

@@ -75,6 +75,21 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("pipe_kg_etl: the end-to-end dataflow plans without cartesians " +
+    "beyond broadcast dims") {
+    val p = plan("pipe_kg_etl")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dd_embed_lsh / dd_decontaminate: candidate generation is a " +
+    "bucket equi-join, never nested-loop") {
+    for (q <- Seq("dd_embed_lsh", "dd_decontaminate")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+    }
+  }
+
   test("entry: flagship query joins and aggregates without cartesian plans") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString

@@ -351,6 +351,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(Multimodal.jpegDims(p.take(10)) == ((0, 0)))
   }
 
+  test("png/jpeg/bmp roundtrips hold for arbitrary dimensions (property)") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val dims = Gen.chooseNum(1, 100000)
+    val jdims = Gen.chooseNum(1, 65535)
+    val prop = Prop.forAll(dims, dims,
+      Gen.oneOf(1, 2, 4, 8, 16), Gen.oneOf(0, 2, 3, 4, 6)) {
+        (w: Int, h: Int, depth: Int, ct: Int) =>
+      val m = Multimodal.pngMeta(1L, Multimodal.pngSynth(w, h, depth, ct))
+      m.valid && m.width == w && m.height == h &&
+        m.bit_depth == depth && m.color_type == ct
+    } && Prop.forAll(jdims, jdims) { (w: Int, h: Int) =>
+      Multimodal.jpegDims(Multimodal.jpegSynthHeader(w, h)) == ((w, h))
+    } && Prop.forAll(dims, dims) { (w: Int, h: Int) =>
+      val m = Multimodal.bmpMeta(1L, Multimodal.bmpSynth(w, h))
+      m.valid && m.width == w && m.height == h
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("magic-byte sniffing identifies the container formats") {
     assert(Multimodal.sniffFormat(Multimodal.bmpSynth(2, 2)) == "bmp")
     assert(Multimodal.sniffFormat(

@@ -1464,6 +1464,30 @@ object SparkEntry {
              |  true AS valid
              |FROM documents""".stripMargin)),
 
+    // K6: bucketed co-located join — both sides written bucketBy the join
+    // key, so the join plans WITHOUT a shuffle exchange (PlanSpec gate).
+    // This is the 100 TB answer for repeated fact-to-fact joins on a
+    // stable key: pay the layout once at ingest, never shuffle again.
+    Q("k6_bucketed_join",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"/tmp/graft_bucketed/${tag}_lineitem")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
+        t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .write.mode("overwrite").format("parquet")
+          .option("path", s"/tmp/graft_bucketed/${tag}_orders")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)
+        s.table(lt).join(s.table(ot),
+            col("l_orderkey") === col("o_orderkey"))
+          .select("l_orderkey", "l_partkey", "l_quantity", "o_orderpriority")
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_quantity, o_orderpriority
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""
+        .stripMargin)),
+
     // Streaming-shaped windowed aggregation (batch equivalent of the
     // Structured Streaming path in streaming/EventStream.scala)
     Q("st_window_agg",

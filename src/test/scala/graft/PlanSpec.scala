@@ -75,6 +75,19 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("k6: bucketed co-located join plans with no shuffle exchange") {
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val df = SparkEntry.queries("k6_bucketed_join")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle: ${p.take(3000)}")
+      assert(p.contains("SelectedBucketsCount") || p.contains("Bucketed: true"),
+        p.take(3000))
+    }
+  }
+
   test("pipe_kg_etl: the end-to-end dataflow plans without cartesians " +
     "beyond broadcast dims") {
     val p = plan("pipe_kg_etl")

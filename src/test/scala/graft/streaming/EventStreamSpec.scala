@@ -39,6 +39,25 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == got)
   }
 
+  test("stream-static join enriches a stream against a broadcast dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = mem.toDF()
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Ev(Timestamp.valueOf("2024-01-01 10:01:00"), 3, "view", 2.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich_out").select("user_id", "tier")
+        .as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "gold"), (3L, null)))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops re-deliveries across micro-batches " +
     "within the watermark") {
     implicit val sqlCtx = spark.sqlContext

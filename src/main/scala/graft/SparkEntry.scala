@@ -1324,6 +1324,40 @@ object SparkEntry {
               |    (acc_, h_) -> (acc_ * 1000003 + h_) % 2147483647) AS fp
               |FROM toks""".stripMargin)),
 
+    // Deterministic dataset mixing: per-source sampling fractions decided
+    // by a seeded key hash — same rows make the cut on any cluster or
+    // partitioning (df.sample's per-partition RNG cannot promise that),
+    // and the oracle replays the identical integer arithmetic.
+    Q("ds_mix_sample",
+      (s, dir) => Sampling.mixBySource(t(s, dir, "documents"), "doc_id",
+          "source", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25,
+            "src3" -> 0.1), seed = 7)
+        .select("doc_id", "source", "lang"),
+      Some(s"""SELECT doc_id, source, lang FROM documents
+              |WHERE ${h32Sql("doc_id::VARCHAR", "7")} % 1000000 <
+              |  CASE source WHEN 'src0' THEN 1000000 WHEN 'src1' THEN 500000
+              |    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
+              |    ELSE -1 END""".stripMargin)),
+
+    // Curriculum-style quality binning: ntile quartiles over the composite
+    // quality score (deterministic tie order by doc_id)
+    Q("ds_quality_bins",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality"))
+        d.withColumn("bin", ntile(4).over(
+            Window.orderBy(col("quality").desc, col("doc_id").asc)))
+          .select(col("doc_id"), col("quality"), col("bin"))
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |q AS (SELECT id AS doc_id, ${qualitySql("text", "tk")} AS quality
+              |      FROM toks)
+              |SELECT doc_id, quality,
+              |  CAST(ntile(4) OVER (ORDER BY quality DESC, doc_id ASC) AS INT)
+              |    AS bin
+              |FROM q""".stripMargin)),
+
     // Benchmark decontamination: docs >= 10 checked against the "benchmark"
     // docs < 10 on shared distinct word 3-grams (>= 2 hits flags a doc)
     Q("dd_decontaminate",

@@ -498,6 +498,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Set((10L, 1L, 3L)))
   }
 
+  test("deterministic sampling: same rows make the cut under any " +
+    "partitioning; mix fractions are roughly honored") {
+    val df = (1L to 4000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val a = Sampling.deterministicSample(df, "id", 0.5, seed = 1)
+      .as[(Long, String)].collect().toSet
+    val b = Sampling.deterministicSample(df.repartition(13), "id", 0.5, seed = 1)
+      .as[(Long, String)].collect().toSet
+    assert(a == b, "sample must not depend on partitioning")
+    assert(math.abs(a.size - 2000) < 200, s"got ${a.size} of 4000 at 0.5")
+    val mixed = Sampling.mixBySource(df, "id", "src",
+      Map("src0" -> 1.0, "src1" -> 0.25), seed = 1)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(mixed("src0") == 1000L, s"frac 1.0 keeps everything: $mixed")
+    assert(math.abs(mixed("src1") - 250) < 80, s"got $mixed")
+    assert(!mixed.contains("src2") && !mixed.contains("src3"),
+      "unlisted strata are dropped")
+  }
+
   test("redactPii replaces every pattern and counts match") {
     val df = Seq(Tuple1(
       "mail a.b+c@ex-amp.le.org see https://x.io/p?q=1 call +44 20 7946 0958 host 192.168.0.1 done"))

@@ -2443,6 +2443,116 @@ object SparkEntry {
               |SELECT doc_id, pred_lang, q FROM kept
               |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
 
+    // The canonical LLM training-data pipeline as ONE oracle-checked plan:
+    // quality + language + repetition gates -> exact dedup -> MinHash-LSH
+    // near-dup removal -> benchmark decontamination (vs the doc_id < 10
+    // probe set) -> deterministic per-source mixing -> PII-redacted
+    // output (md5 of the redacted text proves the scrub end-to-end).
+    // Every stage is the library operator; DuckDB replays all of them.
+    Q("pipe_training_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val gated = docs
+          .withColumn("q", TextAnalysis.qualityScore(col("text")))
+          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+          .withColumn("rep", TextAnalysis.dupNgramFrac(col("text"), 3))
+          .where(col("q") >= 0.5 && col("pred_lang") === "en" &&
+            col("rep") <= 0.2)
+        val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val kept = gated.withColumn("rn", row_number().over(wd))
+          .where(col("rn") === 1).drop("rn")
+          .localCheckpoint()
+        val nearDrops = Dedup.minHashLSH(kept, "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+        val contaminated = Dedup.ngramContamination(kept,
+            docs.where(col("doc_id") < 10), "doc_id", "text",
+            shingleN = 3, minHits = 2)
+          .select("doc_id").distinct()
+        val clean = kept.join(nearDrops, Seq("doc_id"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        val mixed = Sampling.mixBySource(clean, "doc_id", "source",
+          (0 until 20).map(i =>
+            s"src$i" -> (if (i % 2 == 0) 1.0 else 0.5)).toMap, seed = 11)
+        mixed.select(col("doc_id"), col("source"), col("pred_lang"), col("q"),
+          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+      },
+      Some {
+        val mixCase = (0 until 20).map(i =>
+          s"WHEN 'src$i' THEN ${if (i % 2 == 0) 1000000 else 500000}")
+          .mkString(" ")
+        val redacted = TextAnalysis.PiiPatterns
+          .foldLeft("text") { case (acc, (_, re, tag)) =>
+            s"regexp_replace($acc, '$re', '$tag', 'g')"
+          }
+        s"""WITH toks0 AS ($toksSql),
+           |scored AS (
+           |  SELECT d.doc_id, d.text, d.source,
+           |    ${qualitySql("d.text", "t.tk")} AS q,
+           |    ${langIdCaseSql("t.tk")} AS pred_lang,
+           |    round(1e0 - len(list_distinct(CASE WHEN len(t.tk) < 3
+           |      THEN [array_to_string(t.tk, ' ')]
+           |      ELSE list_transform(range(0, len(t.tk) - 2),
+           |        i -> array_to_string(t.tk[i+1:i+3], ' ')) END))::DOUBLE /
+           |      len(CASE WHEN len(t.tk) < 3
+           |      THEN [array_to_string(t.tk, ' ')]
+           |      ELSE list_transform(range(0, len(t.tk) - 2),
+           |        i -> array_to_string(t.tk[i+1:i+3], ' ')) END), 6) AS rep
+           |  FROM documents d JOIN toks0 t ON d.doc_id = t.id),
+           |gated AS (SELECT * FROM scored
+           |          WHERE q >= 0.5 AND pred_lang = 'en' AND rep <= 0.2),
+           |kept AS (
+           |  SELECT doc_id, text, source, q, pred_lang FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+           |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+           |sh0 AS (${shinglesSqlFrom("kept")}),
+           |h1 AS (
+           |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+           |  FROM sh0),
+           |sig AS (
+           |  SELECT id, list_transform(range(0, 16), i ->
+           |    list_min(list_transform(h1,
+           |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+           |  FROM h1),
+           |banded AS (
+           |  SELECT id, sig, b AS band,
+           |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+           |      sig[b*2+2]::VARCHAR) AS bucket
+           |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+           |pairs AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+           |    a.sig AS a_sig, b.sig AS b_sig
+           |  FROM banded a JOIN banded b
+           |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+           |drops AS (
+           |  SELECT DISTINCT b_id FROM pairs
+           |  WHERE list_sum(list_transform(range(1, 17), i ->
+           |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+           |    >= 0.5),
+           |psh AS (${shinglesSqlFrom(
+              "(SELECT doc_id, text FROM documents WHERE doc_id < 10) prb")}),
+           |ph1 AS (
+           |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+           |  FROM psh),
+           |contam AS (
+           |  SELECT DISTINCT doc_id FROM (
+           |    SELECT dg.id AS doc_id, pg.id AS probe_id
+           |    FROM (SELECT id, unnest(h1) AS g FROM h1) dg
+           |    JOIN (SELECT id, unnest(h1) AS g FROM ph1) pg USING (g)
+           |    GROUP BY dg.id, pg.id HAVING count(*) >= 2)),
+           |clean AS (
+           |  SELECT * FROM kept
+           |  WHERE doc_id NOT IN (SELECT b_id FROM drops)
+           |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+           |mixed AS (
+           |  SELECT * FROM clean
+           |  WHERE ${h32Sql("doc_id::VARCHAR", "11")} % 1000000 <
+           |    CASE source $mixCase ELSE -1 END)
+           |SELECT doc_id, source, pred_lang, q,
+           |  md5($redacted) AS redacted_md5
+           |FROM mixed""".stripMargin
+      }),
+
     // Multimodal REAL decode roundtrip: per-doc PCM WAV payloads are
     // synthesized from closed-form parameters, decoded by the RIFF header
     // parser (genuine byte-level decode, no codec libs), and the oracle

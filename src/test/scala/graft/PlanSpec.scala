@@ -70,9 +70,11 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("pipe: the corpus-cleaning pipeline plans without cartesian joins") {
-    val p = plan("pipe_clean_corpus")
-    assert(!p.contains("CartesianProduct"), p.take(3000))
+  test("pipe: the corpus pipelines plan without cartesian joins") {
+    for (q <- Seq("pipe_clean_corpus", "pipe_training_corpus")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+    }
   }
 
   test("k6: bucketed co-located join plans with no shuffle exchange") {

@@ -89,29 +89,55 @@ object TextAnalysis {
     aggregate(toks(c), lit(0L), (acc, t) =>
       pmod(acc * 1000003L + Dedup.md5Hash32(t, lit(7)), lit(2147483647L)))
 
-  /** Word n-grams of the token list, NOT deduplicated (short texts fold to
-    * one whole-text shingle, mirroring Dedup.shingles' shape). */
-  private def ngrams(tk: Column, n: Int): Column =
-    when(size(tk) < n, array(array_join(tk, " ")))
-      .otherwise(transform(sequence(lit(0), size(tk) - n),
-        i => array_join(slice(tk, i + 1, lit(n)), " ")))
+  /** One-pass JIT kernel for both repetition signals. The expression form
+    * (array_distinct/filter over word arrays) is interpreted per element
+    * AND quadratic for the top-token count — measured 30s for the corpus
+    * at sf0.1 vs ~1s for this kernel. Rounding replicates Spark's
+    * round(x, 6) (BigDecimal HALF_UP) so oracle parity is bit-exact. */
+  def repetitionKernel(text: String): (Double, Double) = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tk = Dedup.tokensKernel(text)
+    if (tk.isEmpty) return (0.0, 0.0)
+    // duplicate word-3-gram fraction (short texts fold to one shingle)
+    val n = 3
+    val total = math.max(tk.length - n + 1, 1)
+    val seen = new java.util.HashSet[String]()
+    if (tk.length < n) seen.add(tk.mkString(" "))
+    else {
+      var i = 0
+      while (i <= tk.length - n) {
+        seen.add(s"${tk(i)} ${tk(i + 1)} ${tk(i + 2)}")
+        i += 1
+      }
+    }
+    // most-common-token fraction
+    val counts = new java.util.HashMap[String, Int]()
+    var maxC = 0
+    var j = 0
+    while (j < tk.length) {
+      val c = counts.merge(tk(j), 1, Integer.sum)
+      if (c > maxC) maxC = c
+      j += 1
+    }
+    (r6(1.0 - seen.size.toDouble / total), r6(maxC.toDouble / tk.length))
+  }
+  private val repetitionUdf = udf(repetitionKernel _)
 
   /** Duplicate-n-gram fraction (Gopher/RefinedWeb-style repetition
-    * signal): 1 - distinct/total over word n-grams. 0 for empty text. */
+    * signal): 1 - distinct/total over word 3-grams. 0 for empty text. */
   def dupNgramFrac(c: Column, n: Int = 3): Column = {
-    val sh = ngrams(toks(c), n)
-    round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh), 6)
+    require(n == 3, "kernel is specialized to 3-grams")
+    repetitionUdf(c).getField("_1")
   }
 
   /** Fraction of tokens that are the single most common token — the other
     * standard intra-doc repetition signal. 0 for empty text. */
-  def topTokenFrac(c: Column): Column = {
-    val tk = toks(c)
-    round(coalesce(
-      array_max(transform(array_distinct(tk),
-        t => size(filter(tk, x => x === t)))).cast("double") /
-        size(tk), lit(0.0)), 6)
-  }
+  def topTokenFrac(c: Column): Column = repetitionUdf(c).getField("_2")
+
+  /** Both repetition signals from ONE kernel evaluation (use this in
+    * pipelines so the tokenization isn't repeated per signal). */
+  def repetitionSignals(c: Column): Column = repetitionUdf(c)
 
   /** PII patterns a training-data pipeline scrubs before the corpus ships:
     * emails, URLs, international-format phone runs, IPv4 literals. Plain

@@ -1343,9 +1343,13 @@ object SparkEntry {
     // quality score (deterministic tie order by doc_id)
     Q("ds_quality_bins",
       (s, dir) => {
+        // exchange barrier: the interpreted quality HOF must materialize
+        // BEFORE the global ntile sort, or projection collapse re-evaluates
+        // it through the window (measured ~10x on the corpus)
         val d = t(s, dir, "documents")
           .select(col("doc_id"),
             TextAnalysis.qualityScore(col("text")).as("quality"))
+          .repartition(col("doc_id"))
         d.withColumn("bin", ntile(4).over(
             Window.orderBy(col("quality").desc, col("doc_id").asc)))
           .select(col("doc_id"), col("quality"), col("bin"))
@@ -1506,11 +1510,15 @@ object SparkEntry {
       (s, dir) => {
         val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
         val (lt, ot) = (s"graft_bkt_lineitem_$tag", s"graft_bkt_orders_$tag")
+        // coalesce(8) before the bucketed write: 8 tasks x 8 buckets = 64
+        // files instead of numPartitions x 8 tiny ones
         t(s, dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+          .coalesce(8)
           .write.mode("overwrite").format("parquet")
           .option("path", s"/tmp/graft_bucketed/${tag}_lineitem")
           .bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(lt)
         t(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          .coalesce(8)
           .write.mode("overwrite").format("parquet")
           .option("path", s"/tmp/graft_bucketed/${tag}_orders")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(ot)

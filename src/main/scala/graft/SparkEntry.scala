@@ -419,7 +419,76 @@ object SparkEntry {
              |FROM region JOIN nation ON r_regionkey = n_regionkey
              |JOIN supplier ON n_nationkey = s_nationkey
              |JOIN lineitem ON s_suppkey = l_suppkey
-             |GROUP BY r_name""".stripMargin))
+             |GROUP BY r_name""".stripMargin)),
+
+    // J12: backward as-of join — each purchase gets the user's most recent
+    // prior click within 2h (AsOfJoin union+window formulation; oracle is
+    // DuckDB's native ASOF JOIN, an independent implementation).
+    Q("j12_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        // one row per (user, ts) so the as-of pick is deterministic
+        val clicks = ev.where(col("event_type") === "click")
+          .groupBy("user_id", "ts").agg(max("event_id").as("click_id"))
+        AsOfJoin.backward(purchases, clicks, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            payload = Seq("click_id" -> "click_id", "ts" -> "click_ts"),
+            within = Some((lt, rt) => rt >= lt - expr("INTERVAL 2 HOURS")))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"), col("click_id"),
+            (unix_micros(col("ts")) - unix_micros(col("click_ts")))
+              .as("gap_us"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, ts AS cts, max(event_id) AS click_id
+             |      FROM events WHERE event_type = 'click'
+             |      GROUP BY user_id, ts)
+             |SELECT p.event_id, p.user_id, epoch_us(p.ts) AS p_us,
+             |  CASE WHEN c.cts >= p.ts - INTERVAL 2 HOUR
+             |    THEN c.click_id END AS click_id,
+             |  CASE WHEN c.cts >= p.ts - INTERVAL 2 HOUR
+             |    THEN epoch_us(p.ts) - epoch_us(c.cts) END AS gap_us
+             |FROM p ASOF LEFT JOIN c
+             |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin)),
+
+    // J13: interval range join — clicks inside each purchase's trailing
+    // 30-minute window, as a bucketed equi-join (RangeJoin), never a
+    // per-key nested loop. Oracle is the naive inequality join.
+    Q("j13_range_join",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("p_us"))
+          .withColumn("w_start", col("p_us") - lit(1800000000L))
+        val c = ev.where(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("c_us"),
+            col("value"))
+        val pairs = RangeJoin.intervalPoint(p, c, Seq("user_id"),
+          startCol = "w_start", endCol = "p_us", pointCol = "c_us",
+          bucketWidth = 1800000000L)
+        val perPurchase = pairs.groupBy("event_id")
+          .agg(count(lit(1)).as("n_clicks"),
+            (round(sum("value"), 2) + lit(0.0)).as("click_value"))
+        p.join(perPurchase, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("p_us"),
+            coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+            (coalesce(col("click_value"), lit(0.0)) + lit(0.0))
+              .as("click_value"))
+      },
+      Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS p_us
+             |           FROM events WHERE event_type = 'purchase'),
+             |c AS (SELECT user_id, epoch_us(ts) AS c_us, value
+             |      FROM events WHERE event_type = 'click')
+             |SELECT p.event_id, p.user_id, p.p_us,
+             |  count(c.c_us) AS n_clicks,
+             |  coalesce(round(sum(c.value), 2), 0e0) + 0e0 AS click_value
+             |FROM p LEFT JOIN c ON p.user_id = c.user_id
+             |  AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
+             |GROUP BY p.event_id, p.user_id, p.p_us""".stripMargin))
   )
 
   // =================================================================

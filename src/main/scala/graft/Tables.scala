@@ -16,7 +16,11 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // `div` is exact integral division; a plain `/` would promote to
+      // double, whose 256 ns ulp at 2024-epoch nanos misrounds ~12% of
+      // microsecond values (invisible at second granularity, fatal for
+      // any query that surfaces epoch micros).
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 }

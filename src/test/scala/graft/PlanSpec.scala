@@ -105,6 +105,17 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("j12/j13: as-of and range joins plan as single-shuffle window / " +
+    "equi-join — no nested loop, no cartesian") {
+    val asof = plan("j12_asof_join")
+    assert(!asof.contains("CartesianProduct") &&
+      !asof.contains("BroadcastNestedLoopJoin"), asof.take(2000))
+    assert(asof.contains("Window"), asof.take(2000)) // union+window formulation
+    val rng = plan("j13_range_join")
+    assert(!rng.contains("CartesianProduct") &&
+      !rng.contains("BroadcastNestedLoopJoin"), rng.take(2000))
+  }
+
   test("entry: flagship query joins and aggregates without cartesian plans") {
     val df = SparkEntry.entry(spark)
     val p = df.queryExecution.executedPlan.toString

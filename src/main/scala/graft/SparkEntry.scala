@@ -650,7 +650,61 @@ object SparkEntry {
       },
       Some("""SELECT (SELECT count(*) FROM lineitem) AS n_lineitem,
              |  (SELECT count(*) FROM orders) AS n_orders,
-             |  (SELECT count(*) FROM documents) AS n_documents""".stripMargin))
+             |  (SELECT count(*) FROM documents) AS n_documents""".stripMargin)),
+
+    // A14: exact interpolated quantiles per group. `percentile` is Spark's
+    // exact sort-based aggregate — right for bounded group sizes under the
+    // oracle; at 100 TB swap in approx_percentile (t-digest, mergeable
+    // partials) and accept the documented error bound.
+    Q("a14_quantiles",
+      (s, dir) => t(s, dir, "orders").groupBy("o_orderpriority")
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99")),
+      Some("""SELECT o_orderpriority,
+             |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+             |  round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+             |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // A15: rollup (grouping sets) — subtotal lattice in one pass instead
+    // of unioned re-aggregations; partials merge map-side per grouping set.
+    Q("a15_rollup",
+      (s, dir) => t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
+
+    // A16: pivot — wide per-category columns from a long table; Spark's
+    // pivot plans as a single aggregate with conditional partials (values
+    // list given explicitly so no extra distinct pass is needed).
+    Q("a16_pivot",
+      (s, dir) => t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("error"), lit(0L)).as("n_error"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("view"), lit(0L)).as("n_view")),
+      Some("""SELECT user_id,
+             |  count(*) FILTER (event_type = 'click') AS n_click,
+             |  count(*) FILTER (event_type = 'error') AS n_error,
+             |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+             |  count(*) FILTER (event_type = 'signup') AS n_signup,
+             |  count(*) FILTER (event_type = 'view') AS n_view
+             |FROM events GROUP BY user_id""".stripMargin))
   )
 
   // =================================================================

@@ -1435,6 +1435,25 @@ object SparkEntry {
               |    AS n_subwords
               |FROM toks""".stripMargin)),
 
+    // Corpus TF-IDF: per-document top term under smoothed idf
+    Q("ta_tfidf",
+      (s, dir) => TextAnalysis.tfidfTop(t(s, dir, "documents"),
+        "doc_id", "text"),
+      Some(s"""WITH toks AS ($toksSql),
+              |tf AS (SELECT id, t_ AS term, count(*) AS tf
+              |       FROM (SELECT id, unnest(tk) AS t_ FROM toks)
+              |       GROUP BY id, t_),
+              |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+              |n AS (SELECT count(*) AS n FROM documents),
+              |scored AS (
+              |  SELECT tf.id, tf.term,
+              |    tf.tf * (ln((n.n + 1e0) / (dfreq.df + 1e0)) + 1e0) AS s
+              |  FROM tf JOIN dfreq USING (term), n),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY id
+              |    ORDER BY s DESC, term ASC) AS rn FROM scored)
+              |SELECT id AS doc_id, term AS top_term, round(s, 4) AS tfidf
+              |FROM ranked WHERE rn = 1""".stripMargin)),
+
     // Rolling-hash document fingerprint
     Q("ta_fingerprint",
       (s, dir) => t(s, dir, "documents")

@@ -165,4 +165,31 @@ object TextAnalysis {
     PiiPatterns.map { case (kind, re, _) =>
       size(regexp_extract_all(c, lit(re), lit(0))).as(s"n_$kind")
     }
+
+  /** Corpus TF-IDF: each document's top term by tf * (ln((N+1)/(df+1)) + 1)
+    * (smoothed idf; ties broken by term ascending). Output columns:
+    * (idCol, top_term, tfidf).
+    *
+    * Shape at scale: tokenize -> per-(doc, term) counts (map-side partial
+    * agg) -> per-term document frequency (second partial agg over the much
+    * smaller distinct set) -> shuffled equi-join back on term -> one
+    * row_number window per doc. The corpus size N rides along as a
+    * broadcast single-row frame, so nothing collects to the driver; every
+    * stage is a hash aggregate or equi-join AQE can re-plan. Documents
+    * with no tokens produce no row. */
+  def tfidfTop(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String): org.apache.spark.sql.DataFrame = {
+    val terms = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
+    val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf", col("tf") *
+        (log((col("n") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0)))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(idCol)
+      .orderBy(col("tfidf").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col(idCol), col("term").as("top_term"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
 }

@@ -465,6 +465,31 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq("en", "de", "und"))
   }
 
+  test("tfidfTop picks the highest-tfidf term with term-asc tiebreak") {
+    // N=3. "apple" df=1, "cat"/"dog" df=3 (common), "zebra" df=1.
+    val df = Seq(
+      (1L, "apple apple cat dog"),
+      (2L, "cat dog zebra"),
+      (3L, "cat dog dog")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTop(df, "doc_id", "text")
+      .as[(Long, String, Double)].collect().sortBy(_._1).toSeq
+    def idf(dfreq: Int) = math.log(4.0 / (dfreq + 1.0)) + 1.0
+    def r4(x: Double) = math.rint(x * 1e4) / 1e4
+    // doc 1: apple tf=2 rare beats cat/dog tf=1 common
+    // doc 2: zebra rare beats the common pair
+    // doc 3: dog tf=2 beats cat tf=1 (same idf); tf*idf = 2*1.0 = 2.0
+    assert(out == Seq(
+      (1L, "apple", r4(2 * idf(1))),
+      (2L, "zebra", r4(1 * idf(1))),
+      (3L, "dog", r4(2 * idf(3)))))
+    // tie case: equal tf and df -> lexicographically first term wins
+    val tie = TextAnalysis.tfidfTop(
+        Seq((9L, "beta alfa")).toDF("doc_id", "text"), "doc_id", "text")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(tie.map(x => (x._1, x._2)) == Seq((9L, "alfa")))
+  }
+
   test("repetition signals: duplicate-3gram and top-token fractions") {
     val df = Seq(
       Tuple1("a b c a b c a b c"), // 7 3-grams, 3 distinct -> 4/7 dup

@@ -886,6 +886,10 @@ object SparkEntry {
     // F25: JSON extraction from the events props column
     Q("f25_json_extract",
       (s, dir) => t(s, dir, "events")
+        // events ships as ONE parquet row group, so the scan is one task;
+        // rebalance (2 MB shuffle) before the per-row JSON parse or the
+        // whole extraction serializes on a single core
+        .repartition(col("event_id"))
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k")),

@@ -1209,6 +1209,74 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
+    // Cluster-level dedup: LSH pair graph -> connected components ->
+    // canonical keep (longest text, min-id tiebreak). The transitive-
+    // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's
+    // pairwise-greedy drop; singleton docs are their own component.
+    Q("dd_cluster_keep",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val cc = ConnectedComponents.run(pairs)
+          .withColumnRenamed("node", "doc_id")
+        val labeled = docs.join(cc, Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+        val w = Window.partitionBy("component")
+          .orderBy(length(col("text")).desc, col("doc_id").asc)
+        labeled.withColumn("rn", row_number().over(w))
+          .select(col("doc_id"), col("component"),
+            (col("rn") === 1).cast("int").as("keep"))
+      },
+      Some(s"""WITH RECURSIVE sh AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, sig, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    a.sig AS a_sig, b.sig AS b_sig
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+              |pairs AS (
+              |  SELECT a_id, b_id FROM cand
+              |  WHERE list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    >= 0.5),
+              |sym AS (
+              |  SELECT a_id AS u, b_id AS v FROM pairs
+              |  UNION SELECT b_id, a_id FROM pairs
+              |  UNION SELECT a_id, a_id FROM pairs
+              |  UNION SELECT b_id, b_id FROM pairs),
+              |reach AS (
+              |  SELECT u, v FROM sym
+              |  UNION
+              |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+              |comp AS (SELECT u AS node, min(v) AS component
+              |         FROM reach GROUP BY u),
+              |lab AS (
+              |  SELECT d.doc_id, d.text,
+              |    coalesce(c.component, d.doc_id) AS component
+              |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node),
+              |ranked AS (
+              |  SELECT doc_id, component, row_number() OVER (
+              |    PARTITION BY component
+              |    ORDER BY length(text) DESC, doc_id ASC) AS rn
+              |  FROM lab)
+              |SELECT doc_id, component,
+              |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
+              |FROM ranked""".stripMargin)),
+
     // SimHash fingerprint near-dup pairs (hamming <= 3, byte-blocked:
     // 4 = maxHamming+1 chunks give pigeonhole-guaranteed recall)
     Q("dd_simhash",
@@ -1457,6 +1525,30 @@ object SparkEntry {
               |    ORDER BY s DESC, term ASC) AS rn FROM scored)
               |SELECT id AS doc_id, term AS top_term, round(s, 4) AS tfidf
               |FROM ranked WHERE rn = 1""".stripMargin)),
+
+    // Inverted-index build: per-term document frequency + capped sorted
+    // posting head. Distinct (term, doc) pairs partial-aggregate before
+    // the per-term shuffle; the collect is capped so no term's posting
+    // list materializes unbounded state (same discipline as a3/a11).
+    Q("ta_postings",
+      (s, dir) => t(s, dir, "documents")
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"),
+          col("doc_id"))
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          array_join(transform(
+            slice(array_sort(collect_list(col("doc_id"))), 1, 5),
+            x => x.cast("string")), ",").as("posting_head")),
+      Some(s"""WITH toks AS ($toksSql),
+              |pairs AS (SELECT DISTINCT id, t_ AS term
+              |          FROM (SELECT id, unnest(tk) AS t_ FROM toks)),
+              |ranked AS (SELECT term, id, row_number() OVER (
+              |    PARTITION BY term ORDER BY id) AS rn FROM pairs)
+              |SELECT term, count(*) AS df,
+              |  string_agg(CASE WHEN rn <= 5 THEN CAST(id AS VARCHAR) END,
+              |    ',' ORDER BY id) AS posting_head
+              |FROM ranked GROUP BY term""".stripMargin)),
 
     // Rolling-hash document fingerprint
     Q("ta_fingerprint",

@@ -36,6 +36,37 @@ object EventStream {
       events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(keys)
     else events.dropDuplicates(keys)
 
+  /** Stream-stream interval self-join: each purchase event pairs with the
+    * same user's click events from the trailing attribution window — the
+    * streaming counterpart of the batch `RangeJoin` query (j13). Both
+    * sides carry event-time watermarks, and the join condition bounds
+    * click time against purchase time from BOTH directions, so Spark can
+    * compute a state eviction horizon for each side instead of buffering
+    * the streams forever (the state-cleanup contract of stream-stream
+    * joins). Works on batch frames too (plain interval join) for
+    * result-parity testing. */
+  def attributedPurchases(events: DataFrame,
+                          window: String = "30 minutes",
+                          delay: String = "1 hour"): DataFrame = {
+    val purchases = {
+      val p = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      if (p.isStreaming) p.withWatermark("p_ts", delay) else p
+    }
+    val clicks = {
+      val c = events.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      if (c.isStreaming) c.withWatermark("c_ts", delay) else c
+    }
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("user_id"), unix_timestamp(col("p_ts")).as("p_s"),
+        unix_timestamp(col("c_ts")).as("c_s"), col("p_value"))
+  }
+
   /** File-source ingestion: readStream over a directory of parquet events,
     * windowed aggregation, partitioned parquet sink with checkpointing.
     * Returns the running query (caller stops it). */

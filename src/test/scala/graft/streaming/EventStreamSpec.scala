@@ -39,6 +39,37 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == got)
   }
 
+  test("stream-stream interval self-join attributes clicks to purchases " +
+    "with bounded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 09:20:00"), 1, "click", 0.0), // too old
+      Ev(Timestamp.valueOf("2024-01-01 09:40:00"), 1, "click", 0.0), // in window
+      Ev(Timestamp.valueOf("2024-01-01 09:55:00"), 2, "click", 0.0), // other user
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 9.99),
+      Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "click", 0.0), // equal ts
+      Ev(Timestamp.valueOf("2024-01-01 10:05:00"), 3, "purchase", 5.0) // no clicks
+    )
+    val q = EventStream.attributedPurchases(mem.toDF())
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(events: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_out")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    def s(t: String) = Timestamp.valueOf(t).getTime / 1000
+    assert(got == Set(
+      (1L, s("2024-01-01 10:00:00"), s("2024-01-01 09:40:00"), 9.99),
+      (1L, s("2024-01-01 10:00:00"), s("2024-01-01 10:00:00"), 9.99)))
+    // batch parity: the same operator over a batch frame agrees
+    val batch = EventStream.attributedPurchases(events.toDF())
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(batch == got)
+  }
+
   test("stream-static join enriches a stream against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

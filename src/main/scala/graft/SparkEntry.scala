@@ -1783,6 +1783,23 @@ object SparkEntry {
              |  count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Streaming attribution operator on its batch path (the stream path —
+    // watermarks + state eviction — is pinned by EventStreamSpec's
+    // stream/batch parity test; this row puts the join semantics under
+    // the DuckDB oracle).
+    Q("st_attribution",
+      (s, dir) => graft.streaming.EventStream
+        .attributedPurchases(t(s, dir, "events")),
+      Some("""SELECT p.user_id,
+             |  epoch_ms(p.ts) // 1000 AS p_s,
+             |  epoch_ms(c.ts) // 1000 AS c_s,
+             |  p.value AS p_value
+             |FROM events p JOIN events c
+             |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
+        .stripMargin)),
+
     // S5: template extraction UDTF shape (1 row -> N listing rows)
     Q("s5_template_extract",
       (s, dir) => t(s, dir, "part")

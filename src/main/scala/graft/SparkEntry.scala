@@ -1699,6 +1699,44 @@ object SparkEntry {
               |  (['jpeg', 'png', 'webp'])[(doc_id % 3) + 1] AS fake_format
               |FROM documents""".stripMargin)),
 
+    // REAL pixel transform on an uncompressed format: synthesize full
+    // 24bpp BMPs (header + padded bottom-up pixel rows), nearest-neighbor
+    // resize them to 4x3, re-encode, and checksum the RE-ENCODED bytes —
+    // decode -> transform -> encode as pure distributed byte arithmetic.
+    // The oracle replays the closed form of source-pixel sampling.
+    Q("mm_bmp_resize",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            (id, Multimodal.bmpSynthPixels(
+              (id % 6 + 2).toInt, (id % 5 + 2).toInt))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractBmpResized(payloads, "doc_id", "payload",
+            outW = 4, outH = 3).toDF()
+          .select("doc_id", "out_w", "out_h", "n_bytes", "pix_sum", "px_last")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id, i, j,
+             |    (i * (doc_id % 6 + 2)) // 4 AS sx,
+             |    (j * (doc_id % 5 + 2)) // 3 AS sy
+             |  FROM documents,
+             |    (SELECT unnest(range(0, 4)) AS i),
+             |    (SELECT unnest(range(0, 3)) AS j)),
+             |packed AS (
+             |  SELECT doc_id, i, j,
+             |    ((sx * 3 + sy * 17 + 11) % 256) * 65536 +
+             |    ((sx * 11 + sy * 5 + 7) % 256) * 256 +
+             |    ((sx * 7 + sy * 13 + 3) % 256) AS v
+             |  FROM px)
+             |SELECT doc_id, 4 AS out_w, 3 AS out_h,
+             |  CAST(90 AS BIGINT) AS n_bytes,
+             |  CAST(sum(v) AS BIGINT) AS pix_sum,
+             |  CAST(max(CASE WHEN i = 3 AND j = 2 THEN v END) AS BIGINT)
+             |    AS px_last
+             |FROM packed GROUP BY doc_id""".stripMargin)),
+
     // Magic-byte sniff + REAL header decode roundtrip: payloads are
     // synthesized per doc_id in four container formats (PNG with verified
     // IHDR CRC, JPEG SOF marker walk, BMP little-endian header, RIFF/WAVE

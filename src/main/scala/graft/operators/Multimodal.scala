@@ -332,6 +332,122 @@ object Multimodal {
       }
   }
 
+  // -------------------------------------- real pixel ops (uncompressed BMP)
+
+  /** 54-byte BMP header (BITMAPFILEHEADER + BITMAPINFOHEADER) for a 24bpp
+    * bottom-up image of the given dimensions. */
+  private def bmpHeader(width: Int, height: Int): java.nio.ByteBuffer = {
+    val stride = ((width * 3 + 3) / 4) * 4
+    val data = stride * height
+    val bb = java.nio.ByteBuffer.allocate(54 + data)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte); bb.put('M'.toByte)
+    bb.putInt(54 + data); bb.putInt(0); bb.putInt(54)
+    bb.putInt(40); bb.putInt(width); bb.putInt(height)
+    bb.putShort(1); bb.putShort(24)
+    bb.putInt(0); bb.putInt(data) // BI_RGB, sizeImage
+    bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+    bb
+  }
+
+  /** Row stride of a 24bpp BMP: pixel rows pad to 4-byte boundaries. */
+  private def stride24(width: Int): Int = ((width * 3 + 3) / 4) * 4
+
+  /** Full 24bpp BMP with REAL pixel data (bottom-up rows, 4-byte padded):
+    * channel values are a fixed function of image coordinates so decoders
+    * and the DuckDB oracle can replay them:
+    * B=(7x+13y+3)%256, G=(11x+5y+7)%256, R=(3x+17y+11)%256. */
+  def bmpSynthPixels(width: Int, height: Int): Array[Byte] = {
+    val a = bmpHeader(width, height).array()
+    val stride = stride24(width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = 54 + stride * (height - 1 - y) + x * 3
+        a(o) = ((x * 7 + y * 13 + 3) % 256).toByte
+        a(o + 1) = ((x * 11 + y * 5 + 7) % 256).toByte
+        a(o + 2) = ((x * 3 + y * 17 + 11) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
+  /** REAL nearest-neighbor resize of a 24bpp bottom-up BMP — decode,
+    * pixel transform, re-encode, all pure byte arithmetic (BMP stores raw
+    * pixels, so unlike the entropy-coded formats no codec is needed).
+    * Source pixel for output (x, y) is (x*srcW/outW, y*srcH/outH) in
+    * integer math. Throws IllegalArgumentException on malformed input. */
+  def bmpResizeNearest(p: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, "output dimensions must be positive")
+    require(p != null && p.length >= 54 &&
+      p(0) == 'B'.toByte && p(1) == 'M'.toByte, "not a BMP payload")
+    val srcW = le32(p, 18); val srcH = le32(p, 22)
+    val off = le32(p, 10); val bpp = le16(p, 28)
+    require(bpp == 24 && srcW > 0 && srcH > 0, "24bpp bottom-up BMP required")
+    val srcStride = stride24(srcW)
+    require(p.length >= off + srcStride * srcH, "truncated pixel array")
+    val outStride = stride24(outW)
+    val a = bmpHeader(outW, outH).array()
+    var y = 0
+    while (y < outH) {
+      val srcY = y * srcH / outH
+      val srcRow = off + srcStride * (srcH - 1 - srcY)
+      val outRow = 54 + outStride * (outH - 1 - y)
+      var x = 0
+      while (x < outW) {
+        val so = srcRow + (x * srcW / outW) * 3
+        val oo = outRow + x * 3
+        a(oo) = p(so); a(oo + 1) = p(so + 1); a(oo + 2) = p(so + 2)
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
+  case class BmpResized(doc_id: Long, out_w: Int, out_h: Int, n_bytes: Long,
+                        pix_sum: Long, px_last: Long, valid: Boolean)
+
+  /** Per-partition batched resize + checksum over (doc_id, payload) rows.
+    * The checksum re-reads the RE-ENCODED output bytes (not the source),
+    * so it proves the full decode -> transform -> encode loop: pix_sum is
+    * the sum of packed RGB over all output pixels, px_last the packed RGB
+    * of the bottom-right pixel. */
+  def extractBmpResized(docs: DataFrame, idCol: String, binCol: String,
+                        outW: Int, outH: Int): Dataset[BmpResized] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        try {
+          val r = bmpResizeNearest(p, outW, outH)
+          val outStride = stride24(outW)
+          var sum = 0L; var last = 0L
+          var y = 0
+          while (y < outH) {
+            var x = 0
+            while (x < outW) {
+              val o = 54 + outStride * (outH - 1 - y) + x * 3
+              val v = (r(o + 2) & 0xff) * 65536L + (r(o + 1) & 0xff) * 256L +
+                (r(o) & 0xff)
+              sum += v
+              if (x == outW - 1 && y == outH - 1) last = v
+              x += 1
+            }
+            y += 1
+          }
+          BmpResized(id, outW, outH, r.length.toLong, sum, last, valid = true)
+        } catch {
+          case _: IllegalArgumentException =>
+            BmpResized(id, 0, 0, if (p == null) 0L else p.length.toLong,
+              0L, 0L, valid = false)
+        }
+      })
+  }
+
   /** Frame-sampling shape for video-like payloads: split a payload into
     * fixed-size chunks and keep every k-th — demonstrates the 1-row->N-rows
     * explode pattern binary pipelines need. */

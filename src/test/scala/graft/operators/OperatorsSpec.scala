@@ -318,6 +318,45 @@ class OperatorsSpec extends SparkTestBase {
     assert(!Multimodal.bmpMeta(2L, "PNG...".getBytes).valid)
   }
 
+  test("bmp pixel synth/resize: golden 1x1 pick, identity roundtrip, " +
+    "padded odd widths") {
+    // downsize 2x2 -> 1x1 keeps source pixel (0,0): B=3, G=7, R=11
+    val one = Multimodal.bmpResizeNearest(Multimodal.bmpSynthPixels(2, 2), 1, 1)
+    val m = Multimodal.bmpMeta(0L, one)
+    assert(m.valid && m.width == 1 && m.height == 1 && m.bits_per_pixel == 24)
+    assert(one.length == 54 + 4) // stride of width 1 pads 3 -> 4 bytes
+    assert((one(54) & 0xff) == 3 && (one(55) & 0xff) == 7 &&
+      (one(56) & 0xff) == 11)
+    // same-size resize is the identity on the full byte array (incl.
+    // padding), for widths on and off the 4-byte stride boundary
+    for ((w, h) <- Seq((4, 3), (3, 2), (5, 7), (1, 1))) {
+      val src = Multimodal.bmpSynthPixels(w, h)
+      assert(java.util.Arrays.equals(
+        Multimodal.bmpResizeNearest(src, w, h), src), s"identity $w x $h")
+    }
+    // upscale 1x2 -> 2x4: each output row y samples source row y*2/4
+    val up = Multimodal.bmpResizeNearest(Multimodal.bmpSynthPixels(1, 2), 2, 4)
+    def px(a: Array[Byte], w: Int, h: Int, x: Int, y: Int): Seq[Int] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val o = 54 + stride * (h - 1 - y) + x * 3
+      Seq(a(o) & 0xff, a(o + 1) & 0xff, a(o + 2) & 0xff)
+    }
+    val src12 = Multimodal.bmpSynthPixels(1, 2)
+    assert(px(up, 2, 4, 0, 0) == px(src12, 1, 2, 0, 0))
+    assert(px(up, 2, 4, 1, 1) == px(src12, 1, 2, 0, 0))
+    assert(px(up, 2, 4, 0, 2) == px(src12, 1, 2, 0, 1))
+    assert(px(up, 2, 4, 1, 3) == px(src12, 1, 2, 0, 1))
+    // malformed inputs are rejected, and the extractor flags them invalid
+    intercept[IllegalArgumentException] {
+      Multimodal.bmpResizeNearest("nope".getBytes, 2, 2)
+    }
+    val flagged = Multimodal.extractBmpResized(
+        Seq((1L, Multimodal.bmpSynthPixels(3, 3)), (2L, "x".getBytes))
+          .toDF("doc_id", "payload"), "doc_id", "payload", 2, 2)
+      .collect().sortBy(_.doc_id)
+    assert(flagged(0).valid && !flagged(1).valid)
+  }
+
   test("extractWavMeta runs the decoder per-partition over binary columns") {
     val docs = Seq(
       (1L, Multimodal.wavSynth(1, 16000, Seq[Short](1, 2, 3, 4))),

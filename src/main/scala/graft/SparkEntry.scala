@@ -2885,6 +2885,38 @@ object SparkEntry {
              |    AS duration_ms
              |FROM documents""".stripMargin)),
 
+    // REAL audio transform: decimate the synthesized PCM by 2 (keep every
+    // other frame, halve the rate), re-encode, and read the metadata +
+    // first-channel sample sum back from the RE-ENCODED bytes. Oracle is
+    // the closed form of which source samples survive.
+    Q("mm_wav_resample",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val channels = (id % 2 + 1).toInt
+            val rate = 8000 + (id % 3).toInt * 4000
+            val n = (id % 50 + 10).toInt
+            val samples = (0 until n * channels)
+              .map(i => (((id * 31 + i * 7) % 65536) - 32768).toShort)
+            (id, Multimodal.wavSynth(channels, rate, samples))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractWavDownsampled(payloads, "doc_id", "payload",
+            factor = 2).toDF()
+          .select("doc_id", "n_bytes", "sample_rate", "n_samples", "ch_sum")
+      },
+      Some("""SELECT doc_id,
+             |  44 + ((doc_id % 50 + 10 + 1) // 2) * (doc_id % 2 + 1) * 2
+             |    AS n_bytes,
+             |  CAST((8000 + (doc_id % 3) * 4000) // 2 AS INT) AS sample_rate,
+             |  (doc_id % 50 + 10 + 1) // 2 AS n_samples,
+             |  CAST(list_sum(list_transform(
+             |    range(0, (doc_id % 50 + 10 + 1) // 2),
+             |    j -> ((doc_id * 31 + 2 * j * (doc_id % 2 + 1) * 7) % 65536)
+             |      - 32768)) AS BIGINT) AS ch_sum
+             |FROM documents""".stripMargin)),
+
     // §2.10: gap-based sessionization — the flatMapGroupsWithState
     // operator's batch path, hash-verified against a lag/cumulative-sum
     // sessionizer in SQL (same (ts, event_type) fold order, same ms gap

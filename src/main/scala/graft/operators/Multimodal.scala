@@ -88,28 +88,84 @@ object Multimodal {
   /** REAL PCM frame sampling: every k-th frame's first-channel amplitude
     * (16-bit signed) from a RIFF/WAVE payload — the audio analogue of video
     * frame extraction, 1 row -> N rows. */
+  /** Locate the RIFF `data` chunk: (offset, byte length), or None. The
+    * caller has usually validated the header via [[wavMeta]] already, but
+    * the walk guards negative sizes anyway. */
+  private def dataChunk(payload: Array[Byte]): Option[(Int, Int)] = {
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val id = new String(payload, off, 4, "US-ASCII")
+      val size = le32(payload, off + 4)
+      if (size < 0) return None
+      if (id == "data")
+        return Some((off + 8, math.min(size, payload.length - off - 8)))
+      off += 8 + size + (size & 1)
+    }
+    None
+  }
+
   def wavFrames(docId: Long, payload: Array[Byte],
                 everyK: Int): Seq[(Long, Long, Int)] = {
     val meta = wavMeta(docId, payload)
     if (!meta.valid || meta.bits_per_sample != 16) return Seq.empty
-    // find the data chunk again (cheap: headers are tiny); meta.valid has
-    // already rejected negative chunk sizes, but guard the walk anyway
-    var off = 12
-    var dataOff = -1; var dataLen = 0
-    while (off + 8 <= payload.length && dataOff < 0) {
-      val id = new String(payload, off, 4, "US-ASCII")
-      val size = le32(payload, off + 4)
-      if (size < 0) return Seq.empty
-      if (id == "data") { dataOff = off + 8; dataLen = math.min(size, payload.length - dataOff) }
-      off += 8 + size + (size & 1)
+    dataChunk(payload) match {
+      case None => Seq.empty
+      case Some((dataOff, dataLen)) =>
+        val frameBytes = meta.channels * 2
+        val n = dataLen / frameBytes
+        (0 until n by everyK).map { i =>
+          val o = dataOff + i * frameBytes
+          (docId, i.toLong, le16(payload, o).toShort.toInt)
+        }
     }
-    if (dataOff < 0) return Seq.empty
-    val frameBytes = meta.channels * 2
-    val n = dataLen / frameBytes
-    (0 until n by everyK).map { i =>
-      val o = dataOff + i * frameBytes
-      (docId, i.toLong, le16(payload, o).toShort.toInt)
-    }
+  }
+
+  /** REAL PCM decimation: keep every `factor`-th frame (all channels) and
+    * re-encode at `rate / factor` — the audio counterpart of
+    * [[bmpResizeNearest]]: decode -> transform -> encode in pure byte
+    * arithmetic. (Nearest-sample decimation, not a low-pass resampler —
+    * the aliasing tradeoff a real pipeline would address inside the same
+    * batch shape.) Throws IllegalArgumentException on malformed input. */
+  def wavDownsample(p: Array[Byte], factor: Int): Array[Byte] = {
+    require(factor > 0, "factor must be positive")
+    val meta = wavMeta(0L, p)
+    require(meta.valid && meta.bits_per_sample == 16,
+      "16-bit PCM WAV required")
+    val (dataOff, dataLen) = dataChunk(p).getOrElse(
+      throw new IllegalArgumentException("no data chunk"))
+    val fb = meta.channels * 2
+    val n = dataLen / fb
+    val samples = for {
+      f <- 0 until n by factor
+      c <- 0 until meta.channels
+    } yield le16(p, dataOff + f * fb + c * 2).toShort
+    wavSynth(meta.channels, meta.sample_rate / factor, samples)
+  }
+
+  case class WavResampled(doc_id: Long, n_bytes: Long, sample_rate: Int,
+                          n_samples: Long, ch_sum: Long, valid: Boolean)
+
+  /** Per-partition batched downsample + re-decode over (doc_id, payload)
+    * rows: the output metadata and first-channel sample sum are read back
+    * from the RE-ENCODED bytes, proving the full loop. */
+  def extractWavDownsampled(docs: DataFrame, idCol: String, binCol: String,
+                            factor: Int): Dataset[WavResampled] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        try {
+          val out = wavDownsample(p, factor)
+          val m = wavMeta(id, out)
+          val sum = wavFrames(id, out, 1).iterator.map(_._3.toLong).sum
+          WavResampled(id, out.length.toLong, m.sample_rate, m.n_samples,
+            sum, valid = true)
+        } catch {
+          case _: IllegalArgumentException =>
+            WavResampled(id, if (p == null) 0L else p.length.toLong,
+              0, 0L, 0L, valid = false)
+        }
+      })
   }
 
   /** Canonical 44-byte-header PCM WAV encoder — the synthesis side of the

@@ -357,6 +357,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(flagged(0).valid && !flagged(1).valid)
   }
 
+  test("wavDownsample keeps every k-th frame across channels and halves " +
+    "the rate") {
+    // stereo, 4 frames: (1,2) (3,4) (5,6) (7,8) -> keep frames 0 and 2
+    val src = Multimodal.wavSynth(2, 16000,
+      Seq[Short](1, 2, 3, 4, 5, 6, 7, 8))
+    val out = Multimodal.wavDownsample(src, 2)
+    val m = Multimodal.wavMeta(0L, out)
+    assert(m.valid && m.channels == 2 && m.sample_rate == 8000 &&
+      m.n_samples == 2)
+    // first-channel frames of the output are source frames 0 and 2
+    assert(Multimodal.wavFrames(0L, out, 1).map(_._3) == Seq(1, 5))
+    // factor 1 is the identity
+    assert(java.util.Arrays.equals(Multimodal.wavDownsample(src, 1), src))
+    intercept[IllegalArgumentException] {
+      Multimodal.wavDownsample("RIFFgarbage".getBytes, 2)
+    }
+  }
+
   test("extractWavMeta runs the decoder per-partition over binary columns") {
     val docs = Seq(
       (1L, Multimodal.wavSynth(1, 16000, Seq[Short](1, 2, 3, 4))),

@@ -205,4 +205,29 @@ object Sources {
       .select(col("title"), col("text")).as[(String, String)]
       .flatMap { case (title, text) => parseListings(title, text) }
   }
+
+  /** Small-files compaction: rewrite a parquet dataset into files of
+    * roughly `targetFileBytes` each. Streaming sinks and fine-grained
+    * partitioned writes accumulate thousands of tiny files whose per-file
+    * open cost dominates scans and whose single row groups cap scan
+    * parallelism (see SCALE.md); periodic compaction is part of operating
+    * any 100 TB parquet layout. Sizing comes from the source file listing
+    * (no data pass); the rewrite is one round-robin repartition. Writes to
+    * a NEW directory — atomic swap is the caller's (catalog's) concern.
+    * Returns the output file count. */
+  def compactParquet(spark: SparkSession, inDir: String, outDir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val fs = new org.apache.hadoop.fs.Path(inDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.listStatus(new org.apache.hadoop.fs.Path(inDir))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) /
+      targetFileBytes).toInt
+    spark.read.parquet(inDir).repartition(nFiles)
+      .write.mode("overwrite").parquet(outDir)
+    fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
 }

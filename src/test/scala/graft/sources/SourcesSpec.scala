@@ -180,6 +180,24 @@ class SourcesSpec extends SparkTestBase {
     assert(out == Set((1L, "vienna"), (2L, "vienna"), (3L, "graz")))
   }
 
+  test("compactParquet rewrites a many-tiny-files layout into few files " +
+    "with identical contents") {
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val in = s"$base/in"; val out = s"$base/out"
+    // 24 single-row files
+    spark.range(24).repartition(24).write.parquet(in)
+    val fs = new org.apache.hadoop.fs.Path(in)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inFiles = fs.listStatus(new org.apache.hadoop.fs.Path(in))
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    assert(inFiles > 10) // AQE may drop a few empty partitions' files
+    val outFiles = Sources.compactParquet(spark, in, out,
+      targetFileBytes = 1L * 1024 * 1024)
+    assert(outFiles == 1) // 24 tiny files are far below one 1 MB target
+    val got = spark.read.parquet(out).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 24L))
+  }
+
   test("csvWithHeader writes a header-only file for empty frames") {
     val out = Files.createTempDirectory("graft_csv_empty")
       .resolve("links").toString

@@ -454,6 +454,38 @@ object SparkEntry {
              |FROM p ASOF LEFT JOIN c
              |  ON p.user_id = c.user_id AND p.ts >= c.cts""".stripMargin)),
 
+    // J12b: forward as-of — each click attributed to the user's NEXT
+    // purchase within 2h (first(ignoreNulls) over the following frame).
+    Q("j14_asof_forward",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val clicks = ev.where(col("event_type") === "click")
+          .select("event_id", "user_id", "ts")
+        val purchases = ev.where(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("purchase_id"))
+        AsOfJoin.forward(clicks, purchases, Seq("user_id"),
+            leftTime = "ts", rightTime = "ts",
+            payload = Seq("purchase_id" -> "purchase_id",
+              "ts" -> "purchase_ts"),
+            within = Some((lt, rt) => rt <= lt + expr("INTERVAL 2 HOURS")))
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("c_us"), col("purchase_id"),
+            (unix_micros(col("purchase_ts")) - unix_micros(col("ts")))
+              .as("wait_us"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events
+             |           WHERE event_type = 'click'),
+             |p AS (SELECT user_id, ts AS pts, max(event_id) AS purchase_id
+             |      FROM events WHERE event_type = 'purchase'
+             |      GROUP BY user_id, ts)
+             |SELECT c.event_id, c.user_id, epoch_us(c.ts) AS c_us,
+             |  CASE WHEN p.pts <= c.ts + INTERVAL 2 HOUR
+             |    THEN p.purchase_id END AS purchase_id,
+             |  CASE WHEN p.pts <= c.ts + INTERVAL 2 HOUR
+             |    THEN epoch_us(p.pts) - epoch_us(c.ts) END AS wait_us
+             |FROM c ASOF LEFT JOIN p
+             |  ON c.user_id = p.user_id AND c.ts <= p.pts""".stripMargin)),
+
     // J13: interval range join — clicks inside each purchase's trailing
     // 30-minute window, as a bucketed equi-join (RangeJoin), never a
     // per-key nested loop. Oracle is the naive inequality join.

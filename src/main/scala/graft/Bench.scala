@@ -64,11 +64,23 @@ object Bench {
       System.err.println(f"BENCH $name $secs%.2fs")
       name -> secs
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    // The driver captures only the TAIL of stdout (a few KB): a JSON line
+    // carrying all ~120 per-query times at full double precision gets cut
+    // mid-line and fails to parse (round-2 BENCH had "parsed": null). Keep
+    // the contract line short: total over ALL queries, but only a headline
+    // subset in the per-query map, times rounded to ms. Full per-query
+    // times already stream to stderr above.
+    val headline = Set(
+      "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
+      "q6_forecast_revenue", "q10_returned_items", "j6_fuzzy_name_join",
+      "g2_connected_components", "g6_component_lift", "g10_listings_nearby",
+      "dd_minhash_lsh", "ann_brute_topk", "pipe_kg_etl", "pipe_training_corpus",
+      "st_sessionize", "j12_asof_join", "sk_salted_join")
+    val qs = results.collect { case (k, v) if headline(k) =>
+      "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

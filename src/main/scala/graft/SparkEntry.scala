@@ -1594,6 +1594,21 @@ object SparkEntry {
               |    (acc_, h_) -> (acc_ * 1000003 + h_) % 2147483647) AS fp
               |FROM toks""".stripMargin)),
 
+    // Token-window document chunking: 64-token windows, 16-token overlap
+    // (stride 48), tail kept, one chunk for short/empty docs
+    Q("ta_chunk",
+      (s, dir) => TextAnalysis.chunk(t(s, dir, "documents"), "doc_id",
+        "text", chunkSize = 64, overlap = 16),
+      Some(s"""WITH toks AS ($toksSql),
+              |c AS (SELECT id, tk, CASE WHEN len(tk) <= 64 THEN 1
+              |  ELSE CAST(ceil((len(tk) - 64) / 48e0) AS INT) + 1 END AS nc
+              |  FROM toks),
+              |e AS (SELECT id, tk, unnest(range(0, nc)) AS i FROM c)
+              |SELECT id AS doc_id, i::BIGINT AS chunk_id,
+              |  len(tk[i*48+1 : i*48+64])::BIGINT AS n_tokens,
+              |  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
+              |FROM e""".stripMargin)),
+
     // Deterministic dataset mixing: per-source sampling fractions decided
     // by a seeded key hash — same rows make the cut on any cluster or
     // partitioning (df.sample's per-partition RNG cannot promise that),

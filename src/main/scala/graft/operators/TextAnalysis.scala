@@ -166,6 +166,34 @@ object TextAnalysis {
       size(regexp_extract_all(c, lit(re), lit(0))).as(s"n_$kind")
     }
 
+  /** Token-window document chunking (context-length packing prep for LLM
+    * training): fixed `chunkSize`-token windows advancing by
+    * `chunkSize - overlap` so consecutive chunks share `overlap` tokens;
+    * the final window is the (possibly short) tail, so every token lands
+    * in at least one chunk. Docs with <= chunkSize tokens — including
+    * empty ones — yield exactly one chunk.
+    *
+    * Shape at scale: tokenize + per-row explode, all codegen'd builtins
+    * (sequence/slice/concat_ws), no shuffle and no UDF — a corpus chunks
+    * in a single narrow stage regardless of size. Output:
+    * (idCol, chunk_id, n_tokens, chunk_text). */
+  def chunk(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, chunkSize: Int = 64,
+            overlap: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize,
+      s"overlap must be in [0, chunkSize): $overlap vs $chunkSize")
+    val stride = chunkSize - overlap
+    val n = size(col("tk"))
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ceil((n - lit(chunkSize)).cast("double") / lit(stride)).cast("int") + 1)
+    val piece = slice(col("tk"), col("chunk_id") * stride + 1, lit(chunkSize))
+    docs.select(col(idCol), toks(col(textCol)).as("tk"))
+      .withColumn("chunk_id", explode(sequence(lit(0), nChunks - 1)))
+      .select(col(idCol), col("chunk_id").cast("long").as("chunk_id"),
+        size(piece).cast("long").as("n_tokens"),
+        concat_ws(" ", piece).as("chunk_text"))
+  }
+
   /** Corpus TF-IDF: each document's top term by tf * (ln((N+1)/(df+1)) + 1)
     * (smoothed idf; ties broken by term ascending). Output columns:
     * (idCol, top_term, tfidf).

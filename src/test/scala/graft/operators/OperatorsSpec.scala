@@ -547,6 +547,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(tie.map(x => (x._1, x._2)) == Seq((9L, "alfa")))
   }
 
+  test("chunk: overlap-window invariants, tail kept, short/empty docs") {
+    val toks150 = (1 to 150).map(i => s"w$i")
+    val df = Seq(
+      (1L, toks150.mkString(" ")),
+      (2L, "just five little words here"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunk(df, "doc_id", "text",
+        chunkSize = 10, overlap = 2)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+
+    // nc = ceil((150-10)/8)+1 = 19; chunk i covers tokens [8i+1, 8i+10]
+    val c1 = out(1L)
+    assert(c1.size == 19)
+    assert(c1.map(_._2) == (0L until 19L))
+    assert(c1.init.forall(_._3 == 10L) && c1.last._3 == 6L)
+    // consecutive chunks share exactly `overlap` tokens
+    c1.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4.split(" ").takeRight(2).toSeq ==
+        b._4.split(" ").take(2).toSeq)
+    }
+    // reconstruction: chunk0 ++ later-chunks-minus-overlap == the tokens
+    val rebuilt = c1.head._4.split(" ").toSeq ++
+      c1.tail.flatMap(_._4.split(" ").drop(2))
+    assert(rebuilt == toks150)
+
+    assert(out(2L) == Seq((2L, 0L, 5L, "just five little words here")))
+    assert(out(3L) == Seq((3L, 0L, 0L, "")))
+  }
+
   test("repetition signals: duplicate-3gram and top-token fractions") {
     val df = Seq(
       Tuple1("a b c a b c a b c"), // 7 3-grams, 3 distinct -> 4/7 dup

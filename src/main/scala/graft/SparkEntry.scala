@@ -1485,6 +1485,37 @@ object SparkEntry {
               |  CAST(rank AS INT) AS rank
               |FROM ranked WHERE rank <= 5""".stripMargin)),
 
+    // Lloyd k-means over the embedding corpus: k=8 centroids seeded from
+    // the 8 smallest vec_ids, 2 iterations, euclidean assignment
+    Q("ann_kmeans",
+      (s, dir) => Similarity.kmeans(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2),
+      Some {
+        def sq(a: String, b: String) = foldSql(
+          s"list_transform(range(0, 64), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
+        s"""WITH v AS (SELECT vec_id,
+           |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
+           |a1 AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT v.vec_id, v.v, c0.cid, row_number() OVER (
+           |      PARTITION BY v.vec_id
+           |      ORDER BY ${sq("v.v", "c0.cv")} ASC, c0.cid ASC) AS rn
+           |    FROM v CROSS JOIN c0) WHERE rn = 1),
+           |c1 AS (
+           |  SELECT cid, list(m ORDER BY d) AS cv FROM (
+           |    SELECT a1.cid, d.d, avg(a1.v[d.d+1]) AS m
+           |    FROM a1, range(0, 64) AS d(d)
+           |    GROUP BY a1.cid, d.d)
+           |  GROUP BY cid)
+           |SELECT vec_id, CAST(cid AS INT) AS cluster,
+           |  round(dist, 6) AS dist FROM (
+           |  SELECT v.vec_id, c1.cid, sqrt(${sq("v.v", "c1.cv")}) AS dist,
+           |    row_number() OVER (PARTITION BY v.vec_id
+           |      ORDER BY ${sq("v.v", "c1.cv")} ASC, c1.cid ASC) AS rn
+           |  FROM v CROSS JOIN c1) WHERE rn = 1""".stripMargin
+      }),
+
     // Language-ID heuristic over marker stopword hits
     Q("ta_langid",
       (s, dir) => t(s, dir, "documents")

@@ -190,4 +190,80 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
+
+  /** Squared-euclidean JIT kernel over double vectors (sequential fold —
+    * same accumulation order as the oracle's list_reduce). */
+  def sqDistKernel(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = a(i) - b(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Lloyd k-means over an embedding column, deterministic end to end:
+    * centroids initialize from the `k` smallest-id vectors (cluster label =
+    * that id), ties in the nearest-centroid argmin break by label
+    * ascending, and the driver never sees a vector — only the k x dim
+    * centroid model (the standard Lloyd driver loop, like MLlib's).
+    *
+    * Per iteration: one narrow pass scoring every vector against the
+    * broadcast centroid array (no crossJoin row blowup, no window), then
+    * one shuffle keyed (cluster, dim) for the element-wise means — k*dim
+    * aggregate rows collect back as the next model. Work per iteration is
+    * O(rows * k * dim) map-side + an O(k * dim) shuffle, so the plan holds
+    * at any corpus size; `iters` bounds the fixpoint like the CC loop.
+    *
+    * Output: (idCol, cluster, dist) — final assignment with euclidean
+    * distance rounded to 6 (absorbs cross-engine sum-order ulps). */
+  def kmeans(vectors: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters > 0)
+    val spark = vectors.sparkSession
+    val v = vectors.select(col(idCol).as("v_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+
+    var model: Array[(Int, Seq[Double])] = v.orderBy("v_id").limit(k)
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Double](1)))
+
+    def nearestUdf(cents: Array[(Int, Seq[Double])]) =
+      udf((vec: Seq[Double]) => {
+        var bestId = cents(0)._1
+        var bestD = sqDistKernel(vec, cents(0)._2)
+        var i = 1
+        while (i < cents.length) {
+          val d = sqDistKernel(vec, cents(i)._2)
+          if (d < bestD || (d == bestD && cents(i)._1 < bestId)) {
+            bestD = d; bestId = cents(i)._1
+          }
+          i += 1
+        }
+        (bestId, math.sqrt(bestD))
+      })
+
+    var it = 1
+    while (it < iters) {
+      val assigned = v.withColumn("cluster",
+        nearestUdf(model)(col("v")).getField("_1"))
+      model = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("d", "x")))
+        .groupBy("cluster", "d").agg(avg("x").as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)
+        }
+        .toArray.sortBy(_._1)
+      it += 1
+    }
+    val fin = nearestUdf(model)
+    v.withColumn("a", fin(col("v")))
+      .select(col("v_id").as(idCol), col("a._1").as("cluster"),
+        round(col("a._2"), 6).as("dist"))
+  }
 }

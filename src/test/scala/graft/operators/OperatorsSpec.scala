@@ -547,6 +547,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(tie.map(x => (x._1, x._2)) == Seq((9L, "alfa")))
   }
 
+  test("kmeans: deterministic Lloyd assignment converges on separated blobs") {
+    val pts = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f)),
+      (2L, Array(1f, 0f, 0f, 0f)),
+      (3L, Array(0f, 1f, 0f, 0f)),
+      (4L, Array(9f, 10f, 10f, 10f)),
+      (5L, Array(10f, 9f, 10f, 10f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.kmeans(pts, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Int, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._2) == Seq(0, 1, 0, 0, 1, 1))
+    // converged centroid 0 = mean of vecs {0,2,3} = (1/3, 1/3, 0, 0)
+    val d0 = math.sqrt(2 * (1.0 / 3) * (1.0 / 3))
+    assert(out(0)._3 == math.rint(d0 * 1e6) / 1e6)
+    // singleton-k degenerate case: everything lands in cluster 0
+    val one = Similarity.kmeans(pts, "vec_id", "embedding", k = 1, iters = 2)
+      .as[(Long, Int, Double)].collect()
+    assert(one.forall(_._2 == 0))
+  }
+
   test("chunk: overlap-window invariants, tail kept, short/empty docs") {
     val toks150 = (1 to 150).map(i => s"w$i")
     val df = Seq(

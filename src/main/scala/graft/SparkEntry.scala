@@ -736,7 +736,30 @@ object SparkEntry {
              |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
              |  count(*) FILTER (event_type = 'signup') AS n_signup,
              |  count(*) FILTER (event_type = 'view') AS n_view
-             |FROM events GROUP BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id""".stripMargin)),
+
+    // A17: time-RANGE window frame — per-customer trailing-30-day order
+    // revenue. A range frame (value-bounded, peer-inclusive) is a
+    // different physical window than the row-bounded frames elsewhere in
+    // the registry; the frame key is epoch seconds so both engines bound
+    // the frame with exact integer arithmetic.
+    Q("a17_rolling_window",
+      (s, dir) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("d"))
+          .rangeBetween(-30L * 86400, 0)
+        t(s, dir, "orders")
+          // NTZ parquet date + UTC session tz: cast through TimestampType
+          // for epoch seconds identical to DuckDB's naive epoch_ms
+          .withColumn("d", col("o_orderdate").cast("timestamp").cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"), col("d"),
+            round(sum("o_totalprice").over(w), 2).as("roll30"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, epoch_ms(o_orderdate) // 1000 AS d,
+             |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             |    ORDER BY epoch_ms(o_orderdate) // 1000
+             |    RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 2)
+             |    AS roll30
+             |FROM orders""".stripMargin))
   )
 
   // =================================================================

@@ -834,7 +834,26 @@ object SparkEntry {
       (s, dir) => t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
         .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))),
       Some("""SELECT c_nationkey AS nationkey FROM customer
-             |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin))
+             |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin)),
+
+    // U4: unpivot/melt — wide measure columns to (measure, value) rows,
+    // the inverse reshape of a16_pivot. Narrow per-row expansion, no
+    // shuffle. The oracle spells it as the equivalent UNION ALL.
+    Q("u4_unpivot",
+      (s, dir) => t(s, dir, "lineitem")
+        .where(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "value"),
+      Some {
+        val arms = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+          .map(m => s"""SELECT l_orderkey, l_linenumber, '$m' AS measure,
+                       |  $m AS value FROM lineitem
+                       |WHERE l_orderkey < 1000""".stripMargin)
+        arms.mkString("\nUNION ALL\n")
+      })
   )
 
   // =================================================================

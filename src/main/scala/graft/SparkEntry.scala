@@ -716,6 +716,22 @@ object SparkEntry {
              |FROM lineitem
              |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin)),
 
+    // A15b: full CUBE lattice — adds the (·, linestatus) cross-slices the
+    // rollup hierarchy omits, still one pass with grouping-set partials
+    Q("a18_cube",
+      (s, dir) => t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty")),
+      Some("""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             |  coalesce(l_linestatus, 'ALL') AS linestatus,
+             |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+             |FROM lineitem
+             |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin)),
+
     // A16: pivot — wide per-category columns from a long table; Spark's
     // pivot plans as a single aggregate with conditional partials (values
     // list given explicitly so no extra distinct pass is needed).

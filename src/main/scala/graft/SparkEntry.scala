@@ -2516,6 +2516,56 @@ object SparkEntry {
              |WHERE r_name = 'ASIA'
              |GROUP BY n_name""".stripMargin)),
 
+    // TPC-H q4 shape: correlated EXISTS decorrelates to a left semi join
+    // (late-shipping lines flag their order) — grouped priority counts
+    Q("q4_order_priority",
+      (s, dir) => {
+        Seq("orders", "lineitem")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS order_count
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+            AND o_orderdate < TIMESTAMP '1997-04-01'
+            AND EXISTS (SELECT 1 FROM lineitem
+                        WHERE l_orderkey = o_orderkey
+                          AND l_shipdate > o_orderdate)
+          GROUP BY o_orderpriority""")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS order_count
+             |FROM orders
+             |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+             |  AND o_orderdate < TIMESTAMP '1997-04-01'
+             |  AND EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey
+             |                AND l_shipdate > o_orderdate)
+             |GROUP BY o_orderpriority""".stripMargin)),
+
+    // TPC-H q14 shape: conditional-aggregate ratio (promo revenue share
+    // in one ship month), dim join broadcast-able on part
+    Q("q14_promo_share",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT round(1e2 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                   THEN l_extendedprice * (1e0 - l_discount) ELSE 0e0 END)
+                 / sum(l_extendedprice * (1e0 - l_discount)), 4)
+                 AS promo_share,
+                 count(*) AS n
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+            AND l_shipdate < TIMESTAMP '1997-04-01'""")
+      },
+      Some("""SELECT round(1e2 * sum(CASE WHEN p_type LIKE 'PROMO%'
+             |         THEN l_extendedprice * (1e0 - l_discount) ELSE 0e0 END)
+             |       / sum(l_extendedprice * (1e0 - l_discount)), 4)
+             |       AS promo_share,
+             |       count(*) AS n
+             |FROM lineitem JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+             |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
+
     // J4 via the OPTIMIZER RULE: the join is written naively as a radius
     // predicate; SpatialJoinRule (plans/SpatialRewrite) rewrites it into
     // the grid-blocked equi-join — same results as the hand-built j4

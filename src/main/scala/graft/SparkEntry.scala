@@ -1724,8 +1724,11 @@ object SparkEntry {
           .select(col("doc_id"),
             TextAnalysis.qualityScore(col("text")).as("quality"))
           .repartition(col("doc_id"))
-        d.withColumn("bin", ntile(4).over(
-            Window.orderBy(col("quality").desc, col("doc_id").asc)))
+        // distributed exact ntile: a bare NTILE() OVER (ORDER BY ...) is a
+        // single-partition window — the one 100x bottleneck this registry
+        // had left; globalNtile keeps the sort range-partitioned
+        graft.operators.Ranking.globalNtile(d, 4,
+            Seq(col("quality").desc, col("doc_id").asc), "bin")
           .select(col("doc_id"), col("quality"), col("bin"))
       },
       Some(s"""WITH toks AS ($toksSql),

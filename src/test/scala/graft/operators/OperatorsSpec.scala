@@ -547,6 +547,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(tie.map(x => (x._1, x._2)) == Seq((9L, "alfa")))
   }
 
+  test("globalNtile matches the window NTILE on every remainder case") {
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 4, 7); rows <- Seq(2, 4, 23, 100)) {
+      val df = (1 to rows).map(i => (i.toLong, (i * 7919 % 100).toDouble))
+        .toDF("id", "score")
+      val viaWindow = df.withColumn("bin", ntile(n).over(
+          Window.orderBy(col("score").desc, col("id").asc)))
+        .as[(Long, Double, Int)].collect().sortBy(_._1).toSeq
+      val viaRanking = Ranking.globalNtile(df, n,
+          Seq(col("score").desc, col("id").asc), "bin", numPartitions = 5)
+        .as[(Long, Double, Int)].collect().sortBy(_._1).toSeq
+      assert(viaRanking == viaWindow, s"n=$n rows=$rows")
+    }
+  }
+
   test("kmeans: deterministic Lloyd assignment converges on separated blobs") {
     val pts = Seq(
       (0L, Array(0f, 0f, 0f, 0f)),

@@ -1960,6 +1960,25 @@ object SparkEntry {
              |  count(DISTINCT user_id) AS n_users
              |FROM events GROUP BY 1""".stripMargin)),
 
+    // Sliding-window aggregation (1h window, 30m slide): every event lands
+    // in exactly 2 overlapping windows — the sliding counterpart of
+    // st_window_agg's tumbling shape; the oracle replays the window
+    // membership by exploding both candidate starts per event
+    Q("st_sliding_agg",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select(unix_timestamp(col("window.start")).as("win_start"),
+          col("n_events"), col("total_value")),
+      Some("""WITH e AS (
+             |  SELECT value, (epoch_ms(ts) // 1000) // 1800 * 1800
+             |    - k.k * 1800 AS win_start
+             |  FROM events, (SELECT unnest([0, 1]) AS k) k)
+             |SELECT win_start, count(*) AS n_events,
+             |  round(sum(value), 2) AS total_value
+             |FROM e GROUP BY win_start""".stripMargin)),
+
     // Streaming attribution operator on its batch path (the stream path —
     // watermarks + state eviction — is pinned by EventStreamSpec's
     // stream/batch parity test; this row puts the join semantics under

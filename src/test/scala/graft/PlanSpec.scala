@@ -48,6 +48,12 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("LeftSemi"))
   }
 
+  test("q4: correlated EXISTS decorrelates to a semi join") {
+    val p = plan("q4_order_priority")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("k1: partitioned-sink layout gives partition pruning on readback") {
     // materialize the partitioned layout the k1 query writes
     SparkEntry.queries("k1_partitioned_sink")(spark, dir).collect()

@@ -614,6 +614,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(3L) == Seq((3L, 0L, 0L, "")))
   }
 
+  test("chunk invariants hold across a (size, overlap, length) grid") {
+    for ((size, overlap) <- Seq((8, 0), (10, 2), (16, 15), (5, 4))) {
+      val stride = size - overlap
+      val lens = Seq(0, 1, size - 1, size, size + 1, 3 * size, 97)
+      val df = lens.zipWithIndex.map { case (n, i) =>
+        (i.toLong, (1 to n).map(k => s"t$k").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = TextAnalysis.chunk(df, "doc_id", "text", size, overlap)
+        .as[(Long, Long, Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+      for ((n, i) <- lens.zipWithIndex) {
+        val chunks = out(i.toLong)
+        val expected = if (n <= size) 1
+          else math.ceil((n - size).toDouble / stride).toInt + 1
+        assert(chunks.size == expected, s"size=$size overlap=$overlap n=$n")
+        // every token covered exactly once after dropping the overlap
+        val rebuilt = chunks.head._4.split(" ").filter(_.nonEmpty).toSeq ++
+          chunks.tail.flatMap(_._4.split(" ").drop(overlap))
+        assert(rebuilt == (1 to n).map(k => s"t$k"),
+          s"size=$size overlap=$overlap n=$n")
+      }
+    }
+  }
+
   test("repetition signals: duplicate-3gram and top-token fractions") {
     val df = Seq(
       Tuple1("a b c a b c a b c"), // 7 3-grams, 3 distinct -> 4/7 dup

@@ -1589,9 +1589,13 @@ object SparkEntry {
     Q("ta_quality",
       (s, dir) => {
         val d = t(s, dir, "documents")
-        val feats = TextAnalysis.qualityFeatures(col("text"))
-        d.select(col("doc_id") +: feats.map { case (n, c) => c.as(n) } :+
-          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+        // ONE kernel evaluation per row (struct), fields projected after
+        val names = Seq("n_chars", "n_tokens", "mean_token_len",
+          "punct_ratio", "stopword_ratio", "digit_ratio", "quality")
+        d.select(col("doc_id"),
+            TextAnalysis.qualityStruct(col("text")).as("q"))
+          .select(col("doc_id") +: names.zipWithIndex.map { case (nm, i) =>
+            col(s"q._${i + 1}").as(nm) }: _*)
       },
       Some {
         val stop = TextAnalysis.markers("en").map(w => s"'$w'").mkString(", ")

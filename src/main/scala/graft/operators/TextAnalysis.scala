@@ -40,9 +40,75 @@ object TextAnalysis {
     }
   }
 
+  /** One-pass JIT kernel for the whole quality block. The expression form
+    * below drives interpreted higher-order functions per token (~0.5 ms/doc
+    * on the corpus — same lesson as repetitionKernel); this kernel
+    * replicates the EXACT arithmetic — codepoint-counted lengths (Spark
+    * `length` counts code points, not UTF-16 units), the same sequential
+    * double folds, round(x,6) as BigDecimal HALF_UP, the same composition
+    * order — so oracle parity stays bit-exact (spec'd against the
+    * expression form, including non-BMP text). Fields: (n_chars, n_tokens,
+    * mean_token_len, punct_ratio, stopword_ratio, digit_ratio, quality). */
+  def qualityKernel(text: String)
+      : (Long, Long, Double, Double, Double, Double, Double) = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nChars = text.codePointCount(0, text.length)
+    val n = nChars.toDouble
+    val tk = Dedup.tokensKernel(text)
+    val nTok = tk.length
+    var sumLen = 0.0
+    var stopHits = 0
+    var i = 0
+    while (i < nTok) {
+      sumLen += tk(i).length
+      if (enMarkerSet.contains(tk(i))) stopHits += 1
+      i += 1
+    }
+    var punct = 0
+    var digits = 0
+    var j = 0
+    while (j < text.length) {
+      val ch = text.charAt(j)
+      if (ch == '.' || ch == ',' || ch == ';' || ch == ':' ||
+        ch == '!' || ch == '?') punct += 1
+      if (ch >= '0' && ch <= '9') digits += 1
+      j += 1
+    }
+    val meanTok = r6(if (nTok == 0) 0.0 else sumLen / nTok)
+    val punctR = r6(if (n == 0) 0.0 else punct / n)
+    val stopR = r6(if (nTok == 0) 0.0 else stopHits.toDouble / nTok)
+    val digitR = r6(if (n == 0) 0.0 else digits / n)
+    val lenScore = math.min(nTok.toDouble / 50.0, 1.0)
+    val stopScore = math.min(stopR * 5.0, 1.0)
+    val noise = punctR + digitR
+    val quality = r6(math.max(0.0,
+      lenScore * 0.4 + stopScore * 0.4 +
+        (1.0 - math.min(noise * 5.0, 1.0)) * 0.2))
+    (nChars.toLong, nTok.toLong, meanTok, punctR, stopR, digitR, quality)
+  }
+  private val enMarkerSet: Set[String] = markers("en").toSet
+  private val qualityUdf = udf(qualityKernel _)
+
+  /** All quality features + composite score from ONE kernel evaluation,
+    * as a struct column (fields _1.._7 per qualityKernel). */
+  def qualityStruct(c: Column): Column = qualityUdf(c)
+
   /** Quality-scoring feature block: length, token count, mean token length,
-    * punctuation ratio, stopword ratio, uppercase ratio, digit ratio. */
+    * punctuation ratio, stopword ratio, digit ratio — kernel-backed. */
   def qualityFeatures(c: Column): Seq[(String, Column)] = {
+    val q = qualityUdf(c)
+    Seq("n_chars" -> q.getField("_1"), "n_tokens" -> q.getField("_2"),
+      "mean_token_len" -> q.getField("_3"), "punct_ratio" -> q.getField("_4"),
+      "stopword_ratio" -> q.getField("_5"), "digit_ratio" -> q.getField("_6"))
+  }
+
+  /** Composite quality score in [0,1] — kernel-backed. */
+  def qualityScore(c: Column): Column = qualityUdf(c).getField("_7")
+
+  /** Expression-only form of the feature block (the kernel's definitional
+    * reference; kept for the parity spec). */
+  def qualityFeaturesExpr(c: Column): Seq[(String, Column)] = {
     val n = length(c).cast("double")
     val t = toks(c)
     val stop = array(markers("en").map(lit): _*)
@@ -64,9 +130,10 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: favors mid-length docs with low
-    * punctuation/digit noise and a natural stopword rate. */
-  def qualityScore(c: Column): Column = {
-    val f = qualityFeatures(c).toMap
+    * punctuation/digit noise and a natural stopword rate (expression-only
+    * definitional reference for the parity spec). */
+  def qualityScoreExpr(c: Column): Column = {
+    val f = qualityFeaturesExpr(c).toMap
     val lenScore = least(f("n_tokens").cast("double") / 50.0, lit(1.0))
     val stopScore = least(f("stopword_ratio") * 5.0, lit(1.0))
     val noise = f("punct_ratio") + f("digit_ratio")

@@ -638,6 +638,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("qualityKernel is bit-identical to the expression form") {
+    val texts = Seq(
+      "", "the and of to a in is it for with", "no stopwords here at all",
+      "a" * 300, "punct... heavy!!! text??? 12345 67890",
+      "short", "Café 𝄞 non-BMP codepoint mix 42.",
+      (1 to 80).map(i => s"word$i").mkString(" "),
+      "the the the the the 1.2.3;4:5!6?7")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaKernel = df.select(col("id"),
+        TextAnalysis.qualityStruct(col("text")).as("q"))
+      .as[(Long, (Long, Long, Double, Double, Double, Double, Double))]
+      .collect().sortBy(_._1).toSeq
+    val exprCols = TextAnalysis.qualityFeaturesExpr(col("text"))
+      .map { case (n, c) => c.as(n) } :+
+      TextAnalysis.qualityScoreExpr(col("text")).as("quality")
+    val viaExpr = df.select(col("id") +: exprCols: _*)
+      .as[(Long, Long, Long, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(viaKernel.map(x => (x._1, x._2._1, x._2._2, x._2._3, x._2._4,
+      x._2._5, x._2._6, x._2._7)) == viaExpr)
+  }
+
   test("repetition signals: duplicate-3gram and top-token fractions") {
     val df = Seq(
       Tuple1("a b c a b c a b c"), // 7 3-grams, 3 distinct -> 4/7 dup

@@ -146,9 +146,20 @@ object TextAnalysis {
 
   /** BPE-ish subword count estimate: words are split at letter/digit
     * boundaries and every 4 chars — a cheap deterministic proxy for a real
-    * tokenizer's piece count. */
-  def subwordCount(c: Column): Column =
-    aggregate(toks(c), lit(0L), (acc, t) => acc + ceil(length(t) / lit(4.0)).cast("long"))
+    * tokenizer's piece count. Kernel-backed (the aggregate-HOF form is
+    * interpreted per token); pure integer math, so parity is trivial. */
+  def subwordCount(c: Column): Column = subwordUdf(c)
+  def subwordKernel(text: String): Long = {
+    val tk = Dedup.tokensKernel(text)
+    var s = 0L
+    var i = 0
+    while (i < tk.length) {
+      s += (tk(i).length + 3) / 4
+      i += 1
+    }
+    s
+  }
+  private val subwordUdf = udf(subwordKernel _)
 
   /** Polynomial rolling-hash document fingerprint over tokens
     * (base 1000003, mod 2^31-1), engine-agnostic arithmetic. */

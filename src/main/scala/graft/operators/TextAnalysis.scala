@@ -162,10 +162,23 @@ object TextAnalysis {
   private val subwordUdf = udf(subwordKernel _)
 
   /** Polynomial rolling-hash document fingerprint over tokens
-    * (base 1000003, mod 2^31-1), engine-agnostic arithmetic. */
-  def fingerprint(c: Column): Column =
-    aggregate(toks(c), lit(0L), (acc, t) =>
-      pmod(acc * 1000003L + Dedup.md5Hash32(t, lit(7)), lit(2147483647L)))
+    * (base 1000003, mod 2^31-1), engine-agnostic arithmetic.
+    * Kernel-backed: the aggregate-HOF form computes an md5 per token
+    * through interpreted expressions; the kernel is the same exact
+    * integer fold (acc < 2^31, so acc*1000003 + h32 < 2^51 — no
+    * overflow, and every value is non-negative so % == pmod). */
+  def fingerprint(c: Column): Column = fingerprintUdf(c)
+  def fingerprintKernel(text: String): Long = {
+    val tk = Dedup.tokensKernel(text)
+    var acc = 0L
+    var i = 0
+    while (i < tk.length) {
+      acc = (acc * 1000003L + Dedup.md5Hash32Kernel(tk(i), 7)) % 2147483647L
+      i += 1
+    }
+    acc
+  }
+  private val fingerprintUdf = udf(fingerprintKernel _)
 
   /** One-pass JIT kernel for both repetition signals. The expression form
     * (array_distinct/filter over word arrays) is interpreted per element

@@ -54,6 +54,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("ta_chunk / u4: narrow reshapes plan with zero exchanges") {
+    val chunk = plan("ta_chunk")
+    assert(!chunk.contains("Exchange"), chunk.take(3000))
+    val unpivot = plan("u4_unpivot")
+    assert(!unpivot.contains("Exchange"), unpivot.take(3000))
+  }
+
   test("k1: partitioned-sink layout gives partition pruning on readback") {
     // materialize the partitioned layout the k1 query writes
     SparkEntry.queries("k1_partitioned_sink")(spark, dir).collect()

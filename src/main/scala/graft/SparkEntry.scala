@@ -118,6 +118,18 @@ object SparkEntry {
       },
       Some("SELECT count(*) AS n_regions, min(r_name) AS first_region FROM region")),
 
+    // K7: ORC sink/source roundtrip (columnar format beside parquet) —
+    // full-content identity proven by hashing the read-back rows against
+    // the parquet-sourced oracle
+    Q("k7_orc_roundtrip",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_orc_rt_${new java.io.File(dir).getName}"
+        t(s, dir, "documents").select("doc_id", "source", "lang", "text")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).select("doc_id", "source", "lang", "text")
+      },
+      Some("SELECT doc_id, source, lang, text FROM documents")),
+
     // K5/A11: nested-doc export — capped per-group sub-arrays rendered as a
     // deterministic JSON string (manual concat: byte-identical cross-engine)
     Q("k5_nested_doc",

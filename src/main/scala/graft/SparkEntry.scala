@@ -1755,6 +1755,32 @@ object SparkEntry {
               |    AS bin
               |FROM q""".stripMargin)),
 
+    // Sequence packing for training: docs fill fixed 512-token bins in
+    // doc_id order within each source shard (contiguous greedy fill; a
+    // doc belongs to the bin holding its first token). Per-source
+    // windows keep the cumulative sum distributed — no global order.
+    Q("ds_pack_sequences",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("seq_id", expr("(cum - n_tokens) div 512"))
+          .select("doc_id", "source", "n_tokens", "seq_id")
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |d AS (SELECT t.id AS doc_id, doc.source,
+              |        len(t.tk)::BIGINT AS n_tokens
+              |      FROM toks t JOIN documents doc ON t.id = doc.doc_id),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS cum
+              |      FROM d)
+              |SELECT doc_id, source, n_tokens,
+              |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
+              |FROM c""".stripMargin)),
+
     // Benchmark decontamination: docs >= 10 checked against the "benchmark"
     // docs < 10 on shared distinct word 3-grams (>= 2 hits flags a doc)
     Q("dd_decontaminate",

@@ -50,7 +50,21 @@ object Bench {
     // A crashing query must surface as a failure, not as a near-zero time
     // that *improves* the total.
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated subset for local iteration.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_(n)) }
+    val results = selected.map { case (name, fn) =>
+      // Isolate each query's measurement from the previous one's debris:
+      // checkpoint blocks pile up in the block manager across 131
+      // back-to-back queries and deferred GC lands inside LATER queries'
+      // timings (round-3 bench: everything after `t1` ran 2-4x its true
+      // time). Dropping dead blocks + a forced GC between queries keeps
+      // each number attributable to its own query.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      System.gc()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graft.StatsTruncate
+import org.apache.spark.sql.graft.CheckpointOps
 
 /** Distributed connected components over an edge DataFrame.
   *
@@ -13,15 +13,17 @@ import org.apache.spark.sql.graft.StatsTruncate
   * depends only on component membership (SURVEY §7.4.2: cluster identity
   * must be set-stable, not root-stable).
   *
-  * Each round is two shuffles (neighbor-min groupBy + label-of-label join);
-  * path halving makes convergence O(log diameter). Every round is
-  * `localCheckpoint`ed (lineage truncation) AND stats-truncated
-  * ([[StatsTruncate]]): Spark's checkpoint keeps the pre-checkpoint
-  * plan's size estimate, and because each round joins the previous
-  * labels several times, that estimate compounds multiplicatively per
-  * round — by round ~10 the driver would spend minutes multiplying
-  * million-digit BigInts inside stats estimation. With both truncations
-  * the per-round plan AND its stats stay flat for any round count.
+  * Each round is two shuffles (neighbor-min groupBy + label-of-label join)
+  * and exactly ONE Spark job: [[CheckpointOps.checkpointDiff]] materializes
+  * the round into persisted blocks while an accumulator counts changed
+  * labels in the same pass (no separate convergence-probe job), caps the
+  * carried size estimate (join-size products otherwise compound per round
+  * into million-digit BigInts inside stats estimation), and hands back the
+  * RDD handle so the PREVIOUS round's blocks are unpersisted as soon as the
+  * new round is on disk/memory — without that, a long run of CC-using
+  * queries piles dead checkpoint blocks into the block manager until
+  * deferred GC lands inside later queries' wall time (round-3 bench: 2-4x
+  * inflation of everything after the checkpoint-heavy queries).
   */
 object ConnectedComponents {
 
@@ -34,31 +36,30 @@ object ConnectedComponents {
     import spark.implicits._
 
     // Symmetrize + self-loops: every node sees itself and both directions.
-    val sym = StatsTruncate(
+    val (sym, symRdd) = CheckpointOps.checkpoint(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .union(edges.select(col(dstCol).as("u"), col(srcCol).as("v")))
         .union(edges.select(col(srcCol).as("u"), col(srcCol).as("v")))
         .union(edges.select(col(dstCol).as("u"), col(dstCol).as("v")))
-        .distinct()
-        .localCheckpoint(true))
+        .distinct())
 
-    var labels = StatsTruncate(
-      sym.groupBy($"u".as("node")).agg(min($"v").as("component"))
-        .localCheckpoint(true))
+    var (labels, labelsRdd) = CheckpointOps.checkpoint(
+      sym.groupBy($"u".as("node")).agg(min($"v").as("component")))
+    val debug = sys.env.contains("SPARK_GRAFT_CC_DEBUG")
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
+      val roundT0 = System.nanoTime()
       // 1) neighbor-min: min label over my neighborhood (incl. self-loop)
       val viaEdges = sym
         .join(labels.select($"node".as("v"), $"component"), "v")
         .groupBy($"u".as("node")).agg(min($"component").as("component"))
       // 2) DOUBLE path halving: follow my label's label, twice — each
       //    extra label join costs far less than a full round (which also
-      //    pays the neighbor-min shuffle, the checkpoint, and the
-      //    convergence probe), and two jumps per round roughly halves the
-      //    number of rounds on chain-shaped components. Carry the old
-      //    label so convergence is read off the checkpointed result
-      //    without an extra join per round.
+      //    pays the neighbor-min shuffle and the materialization), and two
+      //    jumps per round roughly halves the number of rounds on
+      //    chain-shaped components. Carry the old label so convergence is
+      //    counted inside the materialization pass itself.
       val hop1 = viaEdges
         .join(labels.select($"node".as("component"), $"component".as("c2")),
           Seq("component"), "left")
@@ -70,13 +71,19 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("component", "old"), Seq("node"))
         .select($"node", least($"component", coalesce($"c3", $"component"))
           .as("component"), $"old")
-        .localCheckpoint(true)
-      val nextFlat = StatsTruncate(next)
-      val changed = nextFlat.where($"component" =!= $"old").limit(1).count()
+      // one job: materialize + count(component != old); cols are (node=0,
+      // component=1, old=2)
+      val (nextFlat, nextRdd, changed) =
+        CheckpointOps.checkpointDiff(next, 1, 2)
+      labelsRdd.unpersist(false) // previous round's blocks are dead now
       labels = nextFlat.drop("old")
+      labelsRdd = nextRdd
       converged = changed == 0
       iter += 1
+      if (debug) System.err.println(
+        f"CC round $iter: ${(System.nanoTime() - roundT0) / 1e9}%.2fs changed=$changed")
     }
+    symRdd.unpersist(false) // labels is materialized; the edge set is dead
     labels
   }
 }

@@ -459,9 +459,47 @@ object TextFunctions {
   def levRatioCol(a: Column, b: Column): Column =
     graft.plans.FuzzyExpressions.levRatio(a, b)
 
-  /** SHA1 composite ID over ''-joined parts (reference
-    * `etl/reviews_jsonl.py:39-46` — byte-parity with None->"" handled by
-    * coalescing inputs before the call). */
+  /** SHA1 composite ID, byte-parity with the reference's `_sha1_id`
+    * (`etl/reviews_jsonl.py:39-46`, `etl/airbnb/reviews_jsonl.py:10-16`):
+    * every part is utf-8 encoded and followed by a 0x1f separator —
+    * including the LAST part (the reference appends the separator inside
+    * its loop, so the digest input is `p1<0x1f>p2<0x1f>…pn<0x1f>`, not
+    * `p1<0x1f>…pn`). None/null parts hash as "". Pinned against an
+    * independently generated hashlib fixture in `Sha1ParitySpec`. */
   def sha1Id(parts: Column*): Column =
-    sha1(concat_ws("\u001f", parts.map(p => coalesce(p, lit(""))): _*))
+    sha1(concat(parts.flatMap(p =>
+      Seq(coalesce(p.cast("string"), lit("")), lit("\u001f"))): _*))
+
+  /** The older pipe-suffixed variant (`etl/reviews.py:32-36`): each part is
+    * `str(p) + "|"` — again with the trailing separator on the last part.
+    * NOTE: this variant has NO None->"" guard in the reference; a Python
+    * None becomes the literal string "None". Nulls here are passed through
+    * (concat of a null is null), so callers replicating the reference's
+    * `(r.get('review_text') or '')` call sites should pre-coalesce. */
+  def sha1IdPipe(parts: Column*): Column =
+    sha1(concat(parts.flatMap(p =>
+      Seq(p.cast("string"), lit("|"))): _*))
+
+  /** Full review-id mint of the reference's Yelp/Reddit JSONL export
+    * (`etl/reviews_jsonl.py:211-215,263-267`): newline-normalized text
+    * truncated to 512 CODEPOINTS, then `<source>:sha1(place_id, ts, text)`.
+    * Spark's `substring` counts codepoints like Python slicing, so the
+    * truncation is parity-exact even across non-BMP characters. */
+  def reviewId(source: Column, placeId: Column, scrapedAt: Column,
+               text: Column): Column =
+    concat(source, lit(":"),
+      sha1Id(placeId, scrapedAt, substring(newlineNormalizeCol(text), 1, 512)))
+
+  /** Airbnb synthesized review id (`etl/airbnb/reviews_jsonl.py:128-132`):
+    * sha1Id("airbnb", listing_id, date, reviewer_id, text[:256]) — no
+    * source prefix outside the hash. */
+  def airbnbReviewId(listingId: Column, date: Column, reviewerId: Column,
+                     text: Column): Column =
+    sha1Id(lit("airbnb"), listingId, date, reviewerId,
+      substring(newlineNormalizeCol(text), 1, 256))
+
+  /** CRLF/CR -> LF as a column expr (reference `_normalize_text`,
+    * `etl/reviews_jsonl.py:48-52`). */
+  def newlineNormalizeCol(c: Column): Column =
+    regexp_replace(c, "\r\n|\r", "\n")
 }

@@ -3497,7 +3497,11 @@ object SparkEntry {
           .where(col("sim") >= 0.9 ||
             (col("sim") >= 0.85 && col("meters") <= 200.0) ||
             (col("sim") >= 0.8 && col("meters") <= 180.0))
-          .select(col("a_id").as("a"), col("b_id").as("b"))
+          // carry the city: both endpoints share it (grid join co-key), and
+          // it routes canonicalMapFromLinks onto the single-shuffle
+          // per-city union-find instead of the iterative CC fixpoint
+          .select(col("a_id").as("a"), col("b_id").as("b"),
+            col("a_city_slug").as("city_slug"))
         val cmap = EntityResolution.canonicalMapFromLinks(members, links)
         val memberCanon = members.drop("city_slug")
           .join(cmap, col("place_id") === col("source_place_id"))

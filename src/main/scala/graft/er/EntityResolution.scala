@@ -71,8 +71,18 @@ object EntityResolution {
     * into the same components -> mint dataflow. `places` needs place_id,
     * name, city_slug. */
   def canonicalMapFromLinks(places: DataFrame, ls: DataFrame): DataFrame = {
-    val comps = ConnectedComponents.run(
-      ls.select(col("a").as("src"), col("b").as("dst")))
+    // When the link set carries its city (as links() emits), components are
+    // city-bounded by construction (reference `etl/er.py:303-305`), so the
+    // single-shuffle per-city union-find replaces the iterative fixpoint
+    // (~18 driver rounds -> one exchange; see ConnectedComponents.runScoped).
+    val comps =
+      if (ls.columns.contains("city_slug"))
+        ConnectedComponents.runScoped(
+          ls.select(col("city_slug"), col("a").as("src"), col("b").as("dst")),
+          "city_slug")
+          .select(col("node"), col("component"))
+      else ConnectedComponents.run(
+        ls.select(col("a").as("src"), col("b").as("dst")))
     val withComp = places
       .join(comps.withColumnRenamed("node", "place_id"), Seq("place_id"), "left")
       .withColumn("component", coalesce(col("component"), col("place_id")))

@@ -86,4 +86,70 @@ object ConnectedComponents {
     symRdd.unpersist(false) // labels is materialized; the edge set is dead
     labels
   }
+
+  /** Connected components when a partition column is KNOWN to bound every
+    * component — e.g. the reference's per-city ER blocking
+    * (`/root/reference/etl/er.py:303-305`: candidate pairs are generated
+    * within a city, so no component can span cities).
+    *
+    * That bound turns the iterative fixpoint into a SINGLE shuffle: group
+    * edges by the scope column and run an in-memory union-find per group
+    * (path halving + min-member labeling, deterministic: identical output
+    * to [[run]] on the same edges). Where [[run]] pays O(log n) driver
+    * rounds of 2 shuffles each — ~18 rounds on the sf0.1 ER graph — this
+    * is one exchange and one pass, and at 100 TB it shuffles each edge
+    * exactly once, partitioned by city, with no driver-side loop at all.
+    *
+    * Memory contract: one scope group's nodes+edges must fit in an
+    * executor's task memory (cities are bounded — the largest real city's
+    * place graph is ~10^5-10^6 edges, a few tens of MB). If a scope can
+    * exceed that, fall back to [[run]] or pre-contract within the scope.
+    *
+    * @return DataFrame(scopeCol, node, component) — only nodes that appear
+    *         in `edges`, like [[run]]. */
+  def runScoped(edges: DataFrame, scopeCol: String,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val sel = edges.select(col(scopeCol), col(srcCol), col(dstCol))
+    val idType = sel.schema(1).dataType
+    val ordering: Ordering[Any] = idType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Ordering.by((v: Any) => v.asInstanceOf[Number].longValue)
+      case StringType => Ordering.by((v: Any) => v.asInstanceOf[String])
+      case _ => Ordering.by((v: Any) => String.valueOf(v))
+    }
+    val outSchema = StructType(Seq(
+      sel.schema.fields(0).copy(name = scopeCol),
+      StructField("node", idType), StructField("component", idType)))
+    val enc = Encoders.row(outSchema)
+    sel.groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+      .flatMapGroups { (_, rows) =>
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var root = x
+          while (parent(root) != root) root = parent(root)
+          var cur = x // path halving
+          while (parent(cur) != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+          root
+        }
+        var scopeVal: Any = null
+        rows.foreach { r =>
+          scopeVal = r.get(0)
+          val a = r.get(1); val b = r.get(2)
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val ra = find(a); val rb = find(b)
+          if (ra != rb) parent(ra) = rb
+        }
+        val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
+        parent.keysIterator.foreach { n =>
+          val r = find(n)
+          minOf.get(r) match {
+            case Some(m) => if (ordering.lt(n, m)) minOf(r) = n
+            case None => minOf(r) = n
+          }
+        }
+        parent.keysIterator.map(n => Row(scopeVal, n, minOf(find(n))))
+      }(enc)
+  }
 }

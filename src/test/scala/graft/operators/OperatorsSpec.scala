@@ -78,6 +78,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(comps.values.forall(_ == 0L))
   }
 
+  test("runScoped equals run on a scope-bounded graph (long and string ids)") {
+    // two scopes, several components each, incl. a chain and a singleton edge
+    val edges = Seq(
+      ("v", 1L, 2L), ("v", 2L, 3L), ("v", 9L, 8L),
+      ("g", 4L, 5L), ("g", 6L, 6L), ("g", 5L, 7L)).toDF("city", "src", "dst")
+    val scoped = ConnectedComponents.runScoped(edges, "city")
+      .select("node", "component").as[(Long, Long)].collect().toMap
+    val global = ConnectedComponents.run(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(scoped == global)
+    assert(scoped(3L) == 1L && scoped(7L) == 4L && scoped(6L) == 6L && scoped(8L) == 8L)
+    // string ids order lexicographically, matching run()'s min() semantics
+    val sEdges = Seq(("v", "yelp:b", "wv:a"), ("v", "wv:a", "osm:z"))
+      .toDF("city", "src", "dst")
+    val sScoped = ConnectedComponents.runScoped(sEdges, "city")
+      .select("node", "component").as[(String, String)].collect().toMap
+    val sGlobal = ConnectedComponents.run(sEdges)
+      .as[(String, String)].collect().toMap
+    assert(sScoped == sGlobal && sScoped("yelp:b") == "osm:z")
+  }
+
   test("TopKDistinct keeps longest-first, suppresses near-duplicates, caps at k") {
     val docs = Seq(
       ("s", "the quick brown fox jumps over the lazy dog entirely"),

@@ -155,8 +155,19 @@ object Sources {
                        lat: Option[Double], lon: Option[Double],
                        address: Option[String], content: Option[String])
 
-  private val TemplateRe =
-    """(?s)\{\{\s*(see|do|eat|drink|sleep|buy|listing|marker)\s*\|(.*?)\}\}""".r
+  /** Byte-for-byte the reference fallback regex
+    * (`wikivoyage_xml.py:88`: `\{\{([^\{\}\|]+)\|([^\}]*)\}\}`). The
+    * param group REFUSES `}`, so a stray single `}` inside params kills
+    * the whole match (listing dropped), and a nested `{{inner|...}}`
+    * template terminates the outer match at the INNER `}}` — the inner
+    * params bleed into the outer field map and the inner template is
+    * never emitted on its own. Property-tested against a transliteration
+    * of the reference algorithm in `SourcesSpec`. The name group accepts
+    * any case; filtering happens after lowercase, like the reference's
+    * `strip().lower() in LISTING_TEMPLATES` (`wikivoyage_xml.py:89-91`). */
+  private val TemplateRe = """(?s)\{\{([^{}|]+)\|([^}]*)\}\}""".r
+  private val ListingTemplates =
+    Set("see", "do", "eat", "drink", "sleep", "buy", "listing", "marker")
   private val FloatRe = """-?\d+(?:\.\d+)?""".r
 
   /** First float-looking token in a dirty string, e.g. "48.2°N"
@@ -172,23 +183,38 @@ object Sources {
   }
 
   /** Extract listing templates from one page's wikitext: 1 page -> N rows
-    * (the UDTF shape, SURVEY §2.11). Pure JVM kernel; wrap with flatMap. */
+    * (the UDTF shape, SURVEY §2.11). Pure JVM kernel; wrap with flatMap.
+    *
+    * Field semantics mirror the reference extraction + loader
+    * (`wikivoyage_xml.py:92-98,171-197`): duplicate keys last-wins (dict
+    * assignment), name falls back name→alt→title, lon prefers `long` over
+    * `lon`, address falls back address→addr→street→directions, content
+    * takes the first non-blank of content→description→desc→summary→alt —
+    * all with Python truthiness, so an EMPTY value falls through to the
+    * next key in the chain. Rows without lat/lon are KEPT here (that
+    * filter is the loader's, `wikivoyage_xml.py:176-177`, applied by
+    * callers that need reference-loader parity). */
   def parseListings(pageTitle: String, text: String): Seq[WvListing] = {
     if (text == null) return Seq.empty
     TemplateRe.findAllMatchIn(text).flatMap { m =>
-      val template = m.group(1)
-      val kv = m.group(2).split("\\|").iterator.flatMap { part =>
-        part.split("=", 2) match {
-          case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
-          case _ => None
+      val template = m.group(1).trim.toLowerCase
+      if (!ListingTemplates(template)) None
+      else {
+        val kv = m.group(2).split("\\|", -1).iterator.flatMap { part =>
+          part.split("=", 2) match {
+            case Array(k, v) => Some(k.trim.toLowerCase -> v.trim)
+            case _ => None
+          }
+        }.toMap // Iterator.toMap: later duplicates overwrite, like dict assignment
+        def first(keys: String*): Option[String] =
+          keys.iterator.flatMap(k => kv.get(k).filter(_.nonEmpty)).nextOption()
+        first("name", "alt", "title").map { name =>
+          WvListing(pageTitle, template, name,
+            kv.get("lat").flatMap(dirtyFloat),
+            first("long", "lon").flatMap(dirtyFloat),
+            first("address", "addr", "street", "directions"),
+            first("content", "description", "desc", "summary", "alt"))
         }
-      }.toMap
-      kv.get("name").filter(_.nonEmpty).map { name =>
-        WvListing(pageTitle, template, name,
-          kv.get("lat").flatMap(dirtyFloat),
-          kv.get("long").orElse(kv.get("lon")).flatMap(dirtyFloat),
-          kv.get("address").filter(_.nonEmpty),
-          kv.get("content").filter(_.nonEmpty))
       }
     }.toSeq
   }

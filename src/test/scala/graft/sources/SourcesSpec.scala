@@ -27,6 +27,121 @@ class SourcesSpec extends SparkTestBase {
     assert(ls(1).address.contains("Wollzeile 5"))
   }
 
+  // ---- reference fallback-parser parity (wikivoyage_xml.py:82-99,171-197) ----
+
+  /** Transliteration of the reference's fallback regex parse + loader field
+    * rules, used as the parity oracle: `_parse_wikitext_regex`
+    * (`wikivoyage_xml.py:88-98`: `\{\{([^\{\}\|]+)\|([^\}]*)\}\}` with
+    * IGNORECASE|DOTALL, `re.split(r"\s*\|\s*")`, dict last-wins) composed
+    * with the loader's field fallback chains
+    * (`wikivoyage_xml.py:173-197`, Python truthiness). */
+  private def referenceParse(title: String, text: String): Seq[Sources.WvListing] = {
+    import java.util.regex.Pattern
+    val tpl = Pattern.compile("\\{\\{([^\\{\\}\\|]+)\\|([^\\}]*)\\}\\}",
+      Pattern.CASE_INSENSITIVE | Pattern.DOTALL)
+    val floatRx = Pattern.compile("[-+]?\\d+(?:\\.\\d+)?")
+    val listingSet = Set("see", "do", "eat", "drink", "sleep", "buy", "listing", "marker")
+    def toFloat(s: Option[String]): Option[Double] = s.flatMap { t =>
+      val m = floatRx.matcher(t.trim)
+      if (m.find()) Some(m.group(0).toDouble) else None
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Sources.WvListing]
+    val m = tpl.matcher(text)
+    while (m.find()) {
+      val tname = m.group(1).trim.toLowerCase
+      if (listingSet(tname)) {
+        val fields = scala.collection.mutable.HashMap.empty[String, String]
+        m.group(2).split("\\s*\\|\\s*", -1).foreach { part =>
+          if (part.contains("=")) {
+            val kv = part.split("=", 2)
+            fields(kv(0).trim.toLowerCase) = kv(1).trim
+          }
+        }
+        def get(keys: String*): Option[String] =
+          keys.iterator.flatMap(k => fields.get(k).filter(_.nonEmpty)).nextOption()
+        get("name", "alt", "title").foreach { nm =>
+          out += Sources.WvListing(title, tname, nm,
+            toFloat(fields.get("lat")), toFloat(get("long", "lon")),
+            get("address", "addr", "street", "directions"),
+            get("content", "description", "desc", "summary", "alt"))
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("parseListings nested-template semantics match the reference fallback") {
+    // A nested {{marker}} inside a param: the outer match terminates at the
+    // INNER `}}`, the inner params bleed into the outer field map (name
+    // last-wins -> "B"), and the inner template is NOT emitted on its own.
+    val nested = "{{see|name=A|content=has {{marker|name=B}} tail}}"
+    val got = Sources.parseListings("P", nested)
+    assert(got == referenceParse("P", nested))
+    assert(got.map(_.name) == Seq("B"))
+    assert(got.head.content.contains("has {{marker"))
+
+    // A stray single `}` inside params kills the whole match (param group
+    // refuses `}`): listing dropped, exactly like the reference.
+    val stray = "{{see|name=A}b|lat=1|long=2}}"
+    assert(Sources.parseListings("P", stray) == referenceParse("P", stray))
+    assert(Sources.parseListings("P", stray).isEmpty)
+
+    // Template names match case-insensitively (re.IGNORECASE + lower()).
+    val upper = "{{See|name=X|lat=1|long=2}} {{EAT|name=Y}}"
+    assert(Sources.parseListings("P", upper) == referenceParse("P", upper))
+    assert(Sources.parseListings("P", upper).map(_.template) == Seq("see", "eat"))
+
+    // Non-listing names (incl. ones with listing-word prefixes) are skipped.
+    val other = "{{see also|name=N}} {{infobox|name=M}} {{do|name=Walk}}"
+    assert(Sources.parseListings("P", other) == referenceParse("P", other))
+    assert(Sources.parseListings("P", other).map(_.name) == Seq("Walk"))
+
+    // Extra braces around a well-formed template still match at the inner
+    // opener (the name group refuses `{`).
+    val braces = "{{{{see|name=Z|lat=3|long=4}}}}"
+    assert(Sources.parseListings("P", braces) == referenceParse("P", braces))
+    assert(Sources.parseListings("P", braces).map(_.name) == Seq("Z"))
+
+    // Python-truthiness fallbacks: empty name falls to alt, empty long to
+    // lon, content chain to description.
+    val fb = "{{sleep|name=|alt=Alt Inn|lat=+48.2|long=|lon=16.3°E|description=d}}"
+    assert(Sources.parseListings("P", fb) == referenceParse("P", fb))
+    val l = Sources.parseListings("P", fb).head
+    assert(l.name == "Alt Inn" && l.lat.contains(48.2) &&
+      l.lon.contains(16.3) && l.content.contains("d"))
+  }
+
+  test("parseListings property: parity with reference on random nested wikitext") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val tplName = Gen.oneOf("see", "See", "DO", "eat", "drink", "sleep", "buy",
+      "listing", "Marker", "infobox", "see also", "flag", "Listing ")
+    val key = Gen.oneOf("name", "alt", "title", "lat", "long", "lon",
+      "address", "addr", "street", "content", "desc", "summary", "note", "Name")
+    val value = Gen.oneOf("", "A", "Café X", "48.2°N", "+16.37", "-3.5 east",
+      "no digits", "a=b", "  padded  ", "multi word value", "12")
+    val param = Gen.zip(key, value).map { case (k, v) => s"$k=$v" }
+    val flatTpl = for {
+      n <- tplName
+      ps <- Gen.listOfN(4, param)
+    } yield s"{{$n|${ps.mkString("|")}}}"
+    // values that embed a nested template or stray braces
+    val nastyTpl = for {
+      n <- tplName
+      inner <- flatTpl
+      ps <- Gen.listOfN(2, param)
+      glue <- Gen.oneOf(s"content=has $inner tail", s"note=brace } here",
+        s"content=open {{ only", s"desc=$inner")
+    } yield s"{{$n|${ps.mkString("|")}|$glue}}"
+    val chunk = Gen.frequency(3 -> flatTpl, 2 -> nastyTpl,
+      1 -> Gen.oneOf(" filler text ", "}}", "{{", " {not a template} "))
+    val page = Gen.listOf(chunk).map(_.mkString("\n"))
+    val prop = Prop.forAll(page) { text =>
+      Sources.parseListings("P", text) == referenceParse("P", text)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(500), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("listingsFromPages skips non-main namespaces and redirects") {
     val pages = Seq(
       ("Vienna", 0, null.asInstanceOf[java.lang.Boolean],

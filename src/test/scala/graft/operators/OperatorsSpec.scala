@@ -38,6 +38,80 @@ class OperatorsSpec extends SparkTestBase {
     assert(brute == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("gridSelfJoin + AQE splits a hot downtown cell across tasks (skew)") {
+    // The er.py:164-194 dense-downtown scenario: the reference caps each
+    // grid bin at 400 scan pairs and silently drops the rest; here nothing
+    // is dropped and the oversized cell must not become one straggler task.
+    // 2000 points inside ONE 0.01-deg cell (max extent ~60 m, so every pair
+    // matches a 100 m radius) + 500 points spread one-per-cell elsewhere.
+    val hot = (0 until 2000).map(i =>
+      (i.toLong, 48.2000 + (i % 45) * 1e-5, 16.3700 + (i / 45) * 1e-5))
+    val sparse = (0 until 500).map(i =>
+      (100000L + i, 40.0 + (i % 100) * 0.1, 10.0 + (i / 100) * 0.1))
+    val df = (hot ++ sparse).toDF("id", "lat", "lon").repartition(8)
+
+    val taskRecords = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null && m.shuffleReadMetrics.recordsRead > 0)
+          taskRecords.add(m.shuffleReadMetrics.recordsRead)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      withSQLConf(
+        "spark.sql.adaptive.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        // toy-scale thresholds (shuffle sizes are COMPRESSED map-output
+        // bytes): the hot cell's partition must read as skewed against the
+        // near-empty median and split into several chunks
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8192",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4096",
+        // a broadcast join would erase the shuffle under test
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.shuffle.partitions" -> "8") {
+        val out = SpatialJoins.gridSelfJoin(df, "id", "lat", "lon", radiusM = 100.0)
+        // Execute THIS dataset's adaptive plan (count()/write would build a
+        // separate QueryExecution and leave this one un-executed, so its
+        // AQE runtime decisions — the thing under test — would never fire).
+        val qe = out.queryExecution
+        val rdd = qe.executedPlan.execute()
+        val cnt = rdd.count()
+        // every hot pair once, nothing dropped, no cross-cell false pairs
+        assert(cnt == 2000L * 1999 / 2)
+        val plan = qe.executedPlan.toString
+        assert(plan.contains("skew=true"), s"no skew split in plan:\n${plan.take(3000)}")
+        // the split adds partitions beyond the static shuffle width: the
+        // hot cell's 2M-pair production runs as several chunk-tasks, not one
+        assert(rdd.getNumPartitions > 8, s"join stayed at ${rdd.getNumPartitions} partitions")
+      }
+      // listener events are delivered async; wait for the queue to go quiet
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (taskRecords.size == last) stable += 1 else { stable = 0; last = taskRecords.size }
+      }
+      import scala.jdk.CollectionConverters._
+      val recs = taskRecords.asScala.toVector.sorted
+      // The unsplit hot partition would run as ONE task reading the hot
+      // cell's a- and b-side together. The split spreads that across
+      // several chunk-tasks, each reading its a-chunk + the full (small)
+      // b-side — so multiple mid-size readers must exist. (A single LARGE
+      // reader may legitimately remain: AQE coalesces the hot cell's 8
+      // NEIGHBOR-cell partitions — thousands of a-side records with zero
+      // b-side matches, i.e. high input but no join work — into one task.)
+      assert(recs.nonEmpty)
+      assert(recs.count(_ >= 500) >= 2, s"hot cell not spread: $recs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("gridWithinJoin returns every pair within the radius, once") {
     val left = Seq((1L, 48.2000, 16.3700)).toDF("lid", "lat", "lon")
     val right = Seq(

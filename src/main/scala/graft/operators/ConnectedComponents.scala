@@ -50,25 +50,29 @@ object ConnectedComponents {
     var iter = 0
     while (!converged && iter < maxIter) {
       val roundT0 = System.nanoTime()
-      // 1) neighbor-min: min label over my neighborhood (incl. self-loop)
+      // 1) neighbor-min: min label over my neighborhood (incl. self-loop).
+      //    The self-loop join row (u,u) carries u's own PREVIOUS label, so
+      //    the old label for convergence counting falls out of this same
+      //    groupBy — one whole labels join per round saved vs joining the
+      //    previous frame back on node.
       val viaEdges = sym
         .join(labels.select($"node".as("v"), $"component"), "v")
-        .groupBy($"u".as("node")).agg(min($"component").as("component"))
+        .groupBy($"u".as("node"))
+        .agg(min($"component").as("component"),
+          max(when($"v" === $"u", $"component")).as("old"))
       // 2) DOUBLE path halving: follow my label's label, twice — each
       //    extra label join costs far less than a full round (which also
       //    pays the neighbor-min shuffle and the materialization), and two
       //    jumps per round roughly halves the number of rounds on
-      //    chain-shaped components. Carry the old label so convergence is
-      //    counted inside the materialization pass itself.
+      //    chain-shaped components.
       val hop1 = viaEdges
         .join(labels.select($"node".as("component"), $"component".as("c2")),
           Seq("component"), "left")
         .select($"node", least($"component", coalesce($"c2", $"component"))
-          .as("component"))
+          .as("component"), $"old")
       val next = hop1
         .join(labels.select($"node".as("component"), $"component".as("c3")),
           Seq("component"), "left")
-        .join(labels.withColumnRenamed("component", "old"), Seq("node"))
         .select($"node", least($"component", coalesce($"c3", $"component"))
           .as("component"), $"old")
       // one job: materialize + count(component != old); cols are (node=0,

@@ -206,30 +206,135 @@ object Sources {
             case _ => None
           }
         }.toMap // Iterator.toMap: later duplicates overwrite, like dict assignment
-        def first(keys: String*): Option[String] =
-          keys.iterator.flatMap(k => kv.get(k).filter(_.nonEmpty)).nextOption()
-        first("name", "alt", "title").map { name =>
-          WvListing(pageTitle, template, name,
-            kv.get("lat").flatMap(dirtyFloat),
-            first("long", "lon").flatMap(dirtyFloat),
-            first("address", "addr", "street", "directions"),
-            first("content", "description", "desc", "summary", "alt"))
-        }
+        listingFromFields(pageTitle, template, kv)
       }
     }.toSeq
   }
 
+  /** The loader's field fallback chains (`wikivoyage_xml.py:171-197`),
+    * shared by both parse paths. */
+  private def listingFromFields(pageTitle: String, template: String,
+                                kv: Map[String, String]): Option[WvListing] = {
+    def first(keys: String*): Option[String] =
+      keys.iterator.flatMap(k => kv.get(k).filter(_.nonEmpty)).nextOption()
+    first("name", "alt", "title").map { name =>
+      WvListing(pageTitle, template, name,
+        kv.get("lat").flatMap(dirtyFloat),
+        first("long", "lon").flatMap(dirtyFloat),
+        first("address", "addr", "street", "directions"),
+        first("content", "description", "desc", "summary", "alt"))
+    }
+  }
+
+  /** The reference's PRIMARY wikitext path, re-derived: mwparserfromhell's
+    * recursive template walk (`wikivoyage_xml.py:102-115`,
+    * `filter_templates(recursive=True)`), where [[parseListings]] is its
+    * regex FALLBACK. Differences that matter:
+    *
+    *   - a template nested inside a param value is emitted AS ITS OWN
+    *     listing and the outer param keeps the nested source text verbatim
+    *     (the fallback bleeds the inner params into the outer map and
+    *     drops the inner template);
+    *   - params split on TOP-LEVEL `|` only and key/value on the first
+    *     top-level `=`, so nested `{{…|…=…}}` text never fragments the
+    *     outer param list;
+    *   - a lone `}` inside a value is plain text (the fallback's param
+    *     group refuses `}` and drops the whole listing);
+    *   - an unclosed `{{` is plain text, but closed templates nested
+    *     under it still emit (same as mwparserfromhell);
+    *   - unnamed params get positional keys "1", "2", … like
+    *     mwparserfromhell `Template.params`.
+    *
+    * Templates are emitted in document order of their OPENING braces.
+    * `{{{…}}}` parameter nodes are out of scope (never used by listing
+    * markup); a brace-run prefix simply fails the template-name filter. */
+  def parseListingsNested(pageTitle: String, text: String): Seq[WvListing] = {
+    if (text == null) return Seq.empty
+    val found = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val open = scala.collection.mutable.Stack.empty[Int]
+    var i = 0
+    val n = text.length
+    while (i < n) {
+      if (i + 1 < n && text.charAt(i) == '{' && text.charAt(i + 1) == '{') {
+        open.push(i); i += 2
+      } else if (i + 1 < n && text.charAt(i) == '}' && text.charAt(i + 1) == '}'
+                 && open.nonEmpty) {
+        val start = open.pop()
+        found += ((start, text.substring(start + 2, i)))
+        i += 2
+      } else i += 1
+    }
+    // stack leftovers are unclosed `{{` -> plain text, not emitted
+    found.sortBy(_._1).iterator.flatMap { case (_, body) =>
+      val segs = splitTopLevel(body, '|')
+      val template = segs.head.trim.toLowerCase
+      if (!ListingTemplates(template)) None
+      else {
+        var pos = 0
+        var kv = Map.empty[String, String]
+        segs.tail.foreach { part =>
+          val eq = topLevelIndexOf(part, '=')
+          if (eq >= 0)
+            kv += part.substring(0, eq).trim.toLowerCase -> part.substring(eq + 1).trim
+          else { pos += 1; kv += pos.toString -> part.trim }
+        }
+        listingFromFields(pageTitle, template, kv)
+      }
+    }.toSeq
+  }
+
+  /** Split on `sep` at brace depth 0 (nested `{{…}}` stays intact). */
+  private def splitTopLevel(s: String, sep: Char): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s.charAt(i) == '{' && s.charAt(i + 1) == '{') {
+        depth += 1; cur.append("{{"); i += 2
+      } else if (i + 1 < s.length && s.charAt(i) == '}' && s.charAt(i + 1) == '}'
+                 && depth > 0) {
+        depth -= 1; cur.append("}}"); i += 2
+      } else if (s.charAt(i) == sep && depth == 0) {
+        out += cur.result(); cur.clear(); i += 1
+      } else { cur.append(s.charAt(i)); i += 1 }
+    }
+    out += cur.result()
+    out.result()
+  }
+
+  /** First index of `c` at brace depth 0, or -1. */
+  private def topLevelIndexOf(s: String, c: Char): Int = {
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s.charAt(i) == '{' && s.charAt(i + 1) == '{') {
+        depth += 1; i += 2
+      } else if (i + 1 < s.length && s.charAt(i) == '}' && s.charAt(i + 1) == '}'
+                 && depth > 0) {
+        depth -= 1; i += 2
+      } else if (s.charAt(i) == c && depth == 0) return i
+      else i += 1
+    }
+    -1
+  }
+
   /** Dataset-level wrapper: pages(title, ns, redirect, text) -> listings.
     * Skips non-main-namespace and redirect pages
-    * (reference `wikivoyage_xml.py:154-169`). */
-  def listingsFromPages(pages: DataFrame): Dataset[WvListing] = {
+    * (reference `wikivoyage_xml.py:154-169`). `nested = true` selects the
+    * mwparserfromhell-equivalent recursive kernel (the reference's primary
+    * path); default is the regex-fallback kernel. */
+  def listingsFromPages(pages: DataFrame,
+                        nested: Boolean = false): Dataset[WvListing] = {
     val spark = pages.sparkSession
     import spark.implicits._
+    val kernel: (String, String) => Seq[WvListing] =
+      if (nested) parseListingsNested else parseListings
     pages
       .where(coalesce(col("ns"), lit(0)) === 0)
       .where(col("redirect").isNull || !col("redirect"))
       .select(col("title"), col("text")).as[(String, String)]
-      .flatMap { case (title, text) => parseListings(title, text) }
+      .flatMap { case (title, text) => kernel(title, text) }
   }
 
   /** Small-files compaction: rewrite a parquet dataset into files of

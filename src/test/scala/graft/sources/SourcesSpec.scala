@@ -142,6 +142,61 @@ class SourcesSpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("parseListingsNested: mwparserfromhell-style recursive semantics") {
+    // nested template: BOTH emitted, outer keeps the nested source verbatim
+    val nested = "{{see|name=A|content=has {{marker|name=B}} tail}}"
+    val got = Sources.parseListingsNested("P", nested)
+    assert(got.map(l => (l.template, l.name)) == Seq("see" -> "A", "marker" -> "B"))
+    assert(got.head.content.contains("has {{marker|name=B}} tail"))
+
+    // a nested template's `=`/`|` never fragments the outer param list
+    val inVal = "{{see|name={{flag|a=b|c}} Cafe|lat=1|long=2}}"
+    val v = Sources.parseListingsNested("P", inVal)
+    assert(v.map(_.template) == Seq("see")) // flag is not a listing template
+    assert(v.head.name == "{{flag|a=b|c}} Cafe" && v.head.lat.contains(1.0))
+
+    // a lone `}` is plain text (fallback drops the listing; mwph keeps it)
+    val stray = "{{see|name=A}b|lat=1|long=2}}"
+    assert(Sources.parseListingsNested("P", stray).map(_.name) == Seq("A}b"))
+
+    // unclosed outer is text, but its closed inner template still emits
+    val unclosed = "{{see|name=Lost {{eat|name=Inner|lat=3|long=4}}"
+    assert(Sources.parseListingsNested("P", unclosed)
+      .map(l => (l.template, l.name)) == Seq("eat" -> "Inner"))
+
+    // positional params get keys "1","2",... (mwph Template.params)
+    val positional = "{{see|Foo|name=X|Bar}}"
+    assert(Sources.parseListingsNested("P", positional).map(_.name) == Seq("X"))
+
+    // three levels deep, document order of opening braces
+    val deep = "{{see|name=L1|content={{eat|name=L2|content={{buy|name=L3}}}}}}"
+    assert(Sources.parseListingsNested("P", deep).map(_.name) == Seq("L1", "L2", "L3"))
+  }
+
+  test("parseListingsNested property: agrees with the fallback on flat wikitext") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // On brace-free well-formed templates the two reference paths coincide.
+    val tplName = Gen.oneOf("see", "See", "DO", "eat", "sleep", "listing",
+      "marker", "infobox", "see also")
+    val key = Gen.oneOf("name", "alt", "title", "lat", "long", "lon",
+      "address", "content", "desc", "note")
+    val value = Gen.oneOf("", "A", "Café X", "48.2°N", "+16.37", "a=b",
+      "  padded  ", "multi word value")
+    val param = Gen.zip(key, value).map { case (k, v) => s"$k=$v" }
+    val flatTpl = for {
+      n <- tplName
+      ps <- Gen.listOfN(4, param)
+    } yield s"{{$n|${ps.mkString("|")}}}"
+    val chunk = Gen.frequency(3 -> flatTpl,
+      1 -> Gen.oneOf(" filler ", " {not a template} "))
+    val page = Gen.listOf(chunk).map(_.mkString("\n"))
+    val prop = Prop.forAll(page) { text =>
+      Sources.parseListingsNested("P", text) == Sources.parseListings("P", text)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("listingsFromPages skips non-main namespaces and redirects") {
     val pages = Seq(
       ("Vienna", 0, null.asInstanceOf[java.lang.Boolean],

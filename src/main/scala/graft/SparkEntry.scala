@@ -3679,7 +3679,92 @@ object SparkEntry {
               |  n_reviews, revenue, listings_nearby, z,
               |  CASE WHEN z >= 1.0 THEN 'high' WHEN z >= 0.0 THEN 'medium'
               |    ELSE 'low' END AS flag, quotes
-              |FROM zed""".stripMargin))
+              |FROM zed""".stripMargin)),
+
+    // K9: the reference loader's EXACT Wikivoyage place rows — the
+    // name/lat/lon presence gate and the composite place_id mint
+    // `wv:{slug(title)}:{slug(name)}:{lat:.5f},{lon:.5f}` of
+    // wikivoyage_xml.py:72-76,171-211 (slug: strip/lower, whitespace->'-',
+    // drop chars outside [a-z0-9-:_.,], cap 120; 'Café' exercises the
+    // accent-drop since slug does NOT deaccent). Listing fields are driven
+    // from part columns (the parse step itself is oracle-gated by
+    // s4/s5 and kernel-spec'd); every 7th row loses lat -> gated out.
+    Q("k9_wv_places",
+      (s, dir) => {
+        def slugWv(c: Column): Column = substring(
+          regexp_replace(regexp_replace(lower(trim(c)), "\\s+", "-"),
+            "[^a-z0-9\\-:_.,]+", ""), 1, 120)
+        def fmt5(c: Column): Column = format_string("%.5f", c)
+        t(s, dir, "part")
+          .withColumn("title",
+            concat(lit("City "), pmod(col("p_partkey"), lit(25)).cast("string")))
+          .withColumn("tpl",
+            when(pmod(col("p_partkey"), lit(3)) === 0, lit("see"))
+              .when(pmod(col("p_partkey"), lit(3)) === 1, lit("eat"))
+              .otherwise(lit("sleep")))
+          .withColumn("nm", concat(lit("Café "), col("p_name")))
+          .withColumn("lat",
+            when(pmod(col("p_partkey"), lit(7)) === 0, lit(null).cast("double"))
+              .otherwise(lit(40.0003) +
+                (col("p_partkey") % 97).cast("double") * 0.002))
+          .withColumn("lon", lit(-75.0) +
+            pmod(floor(col("p_partkey") / 97.0), lit(89.0)) * 0.002)
+          .where(col("nm").isNotNull && col("nm") =!= "" &&
+            col("lat").isNotNull && col("lon").isNotNull)
+          .select(
+            concat(lit("wv:"), slugWv(col("title")), lit(":"), slugWv(col("nm")),
+              lit(":"), fmt5(col("lat")), lit(","), fmt5(col("lon")))
+              .as("place_id"),
+            lit("wikivoyage").as("source"), col("nm").as("name"),
+            col("lat"), col("lon"), col("tpl").as("type"),
+            col("title").as("city_hint"))
+      },
+      Some("""WITH base AS (
+             |  SELECT 'City ' || CAST(p_partkey % 25 AS VARCHAR) AS title,
+             |    CASE CAST(p_partkey % 3 AS INTEGER) WHEN 0 THEN 'see'
+             |      WHEN 1 THEN 'eat' ELSE 'sleep' END AS tpl,
+             |    'Café ' || p_name AS nm,
+             |    CASE WHEN p_partkey % 7 = 0 THEN NULL
+             |      ELSE 4.00003e1 + (p_partkey % 97) * 2e-3 END AS lat,
+             |    -75e0 + (floor(p_partkey / 97e0) % 89e0) * 2e-3 AS lon
+             |  FROM part),
+             |slugged AS (
+             |  SELECT *,
+             |    substr(regexp_replace(regexp_replace(lower(trim(title)),
+             |      '\s+', '-', 'g'), '[^a-z0-9\-:_.,]+', '', 'g'), 1, 120) AS ts,
+             |    substr(regexp_replace(regexp_replace(lower(trim(nm)),
+             |      '\s+', '-', 'g'), '[^a-z0-9\-:_.,]+', '', 'g'), 1, 120) AS ns
+             |  FROM base)
+             |SELECT 'wv:' || ts || ':' || ns || ':' || printf('%.5f', lat)
+             |    || ',' || printf('%.5f', lon) AS place_id,
+             |  'wikivoyage' AS source, nm AS name, lat, lon, tpl AS type,
+             |  title AS city_hint
+             |FROM slugged
+             |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
+             |  AND lon IS NOT NULL""".stripMargin)),
+
+    // DS: deterministic train/val/test split — hash the stable doc id (not
+    // position, not random()) so membership is reproducible across runs,
+    // cluster layouts, and re-partitioning, and survives appends without
+    // reshuffling old docs between splits. The md5-derived bucket is the
+    // cross-engine-stable randomness rule (SparkEntry header note).
+    Q("ds_train_split",
+      (s, dir) => {
+        val bucket = pmod(
+          Dedup.md5Hash32(col("doc_id").cast("string"), lit(42)), lit(100L))
+        t(s, dir, "documents")
+          .select(col("doc_id"), bucket.as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, lit("train"))
+              .when(col("bucket") < 90, lit("val")).otherwise(lit("test")))
+      },
+      Some(s"""SELECT doc_id,
+              |  ${h32Sql("CAST(doc_id AS VARCHAR)", "42")} % 100 AS bucket,
+              |  CASE WHEN ${h32Sql("CAST(doc_id AS VARCHAR)", "42")} % 100 < 80
+              |    THEN 'train'
+              |    WHEN ${h32Sql("CAST(doc_id AS VARCHAR)", "42")} % 100 < 90
+              |    THEN 'val' ELSE 'test' END AS split
+              |FROM documents""".stripMargin))
   )
 
   // =================================================================

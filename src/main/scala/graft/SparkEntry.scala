@@ -1494,6 +1494,54 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
+    // Incremental (append-batch) dedup: every 4th doc is the "new batch",
+    // the rest are the already-indexed corpus — batch-vs-index and
+    // batch-vs-batch candidates only; the indexed corpus is never paired
+    // against itself (the steady-state ingest shape at 100 TB).
+    Q("dd_incremental",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val index = Dedup.minHashIndex(
+          docs.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2)
+        Dedup.incrementalMinHash(index,
+          docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25)
+      },
+      Some(s"""WITH sh AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, sig, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |old AS (SELECT * FROM banded WHERE id % 4 <> 0),
+              |new AS (SELECT * FROM banded WHERE id % 4 = 0),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    'vs_index' AS kind, a.sig AS a_sig, b.sig AS b_sig
+              |  FROM old a JOIN new b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+              |  UNION
+              |  SELECT DISTINCT a.id, b.id, 'within_batch', a.sig, b.sig
+              |  FROM new a JOIN new b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+              |SELECT a_id, b_id, kind,
+              |  list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    AS sig_sim
+              |FROM cand
+              |WHERE list_sum(list_transform(range(1, 17), i ->
+              |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |  >= 0.25""".stripMargin)),
+
     // Cluster-level dedup: LSH pair graph -> connected components ->
     // canonical keep (longest text, min-id tiebreak). The transitive-
     // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's

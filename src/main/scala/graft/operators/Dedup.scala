@@ -183,6 +183,51 @@ object Dedup {
       bands, rowsPerBand)
       .select(col("a_id"), col("b_id"))
 
+  /** Persistable LSH index of a corpus: (id, sig, band, bucket). Write it
+    * once (e.g. parquet partitioned/bucketed by `bucket`) and append
+    * batches probe it via [[incrementalMinHash]] — the indexed corpus is
+    * never re-shingled, re-signed, or re-paired against itself. At 100 TB
+    * this turns steady-state dedup from O(corpus) per ingest into
+    * O(batch + matching buckets). */
+  def minHashIndex(docs: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, bands: Int = 8,
+                   rowsPerBand: Int = 2): DataFrame =
+    lshBanded(hashedShingleDocs(docs, idCol, textCol, shingleN),
+      bands, rowsPerBand)
+
+  /** Append-batch near-dup detection: candidate pairs between the new
+    * batch and an existing [[minHashIndex]] (`kind = vs_index`, a = index
+    * side) plus within the batch itself (`kind = within_batch`, a_id <
+    * b_id), both verified on full-signature agreement like [[minHashLSH]].
+    * Index and batch must share band/rowsPerBand geometry (same bucket
+    * keys) — the verify stage then needs no text access at all.
+    * Output: (a_id, b_id, kind, sig_sim). */
+  def incrementalMinHash(index: DataFrame, newDocs: DataFrame, idCol: String,
+                         textCol: String, shingleN: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 2,
+                         simThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val newBanded = minHashIndex(newDocs, idCol, textCol, shingleN,
+      bands, rowsPerBand)
+    def side(df: DataFrame, p: String) = df.select(col("band"), col("bucket"),
+      col("id").as(s"${p}_id"), col("sig").as(s"${p}_sig"))
+    val vsIndex = side(index, "a").join(side(newBanded, "b"),
+        Seq("band", "bucket"))
+      .where(col("a_id") =!= col("b_id")) // re-ingested id is not its own dup
+      .withColumn("kind", lit("vs_index"))
+    val within = side(newBanded, "a").join(side(newBanded, "b"),
+        Seq("band", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("kind", lit("within_batch"))
+    vsIndex.unionByName(within)
+      .dropDuplicates("a_id", "b_id", "kind")
+      .withColumn("sig_sim",
+        size(filter(zip_with(col("a_sig"), col("b_sig"), (x, y) => x === y),
+          e => e)).cast("double") / numHashes)
+      .where(col("sig_sim") >= simThreshold)
+      .select(col("a_id"), col("b_id"), col("kind"), col("sig_sim"))
+  }
+
   def minHashLSH(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  simThreshold: Double = 0.5): DataFrame = {

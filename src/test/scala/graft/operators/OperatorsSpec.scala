@@ -307,6 +307,38 @@ class OperatorsSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("incrementalMinHash partitions the full-corpus pairs by membership") {
+    // A batch probed against an index must surface exactly the full-corpus
+    // LSH pairs that touch the batch (same signatures, same buckets), and
+    // no index-vs-index pair — re-running dedup over the whole corpus and
+    // splitting its output is the correctness contract of the incremental
+    // path.
+    val base = "spark engines shuffle data across partitions when joining " +
+      "large tables with hash keys and sort merge strategies"
+    val other = "totally unrelated content about cooking pasta with " +
+      "tomatoes and basil in a large pot of salted water"
+    val docs = Seq(
+      (1L, base), (2L, base + " extra"), (3L, other),
+      (4L, base + " appended"), (5L, other + " tonight"), (6L, base)
+    ).toDF("doc_id", "text")
+    val isBatch = (id: Long) => id >= 4L
+    val full = Dedup.minHashLSH(docs, "doc_id", "text", simThreshold = 0.25)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val index = Dedup.minHashIndex(docs.where(col("doc_id") < 4), "doc_id", "text")
+    val incr = Dedup.incrementalMinHash(index, docs.where(col("doc_id") >= 4),
+        "doc_id", "text", simThreshold = 0.25)
+      .select("a_id", "b_id", "kind").as[(Long, Long, String)].collect().toSet
+    val expectedVsIndex = full.collect {
+      case (a, b) if isBatch(a) != isBatch(b) =>
+        (if (isBatch(a)) b else a, if (isBatch(a)) a else b, "vs_index")
+    }
+    val expectedWithin = full.collect {
+      case (a, b) if isBatch(a) && isBatch(b) => (a, b, "within_batch")
+    }
+    assert(incr == expectedVsIndex ++ expectedWithin)
+    assert(incr.exists(_._3 == "vs_index") && incr.exists(_._3 == "within_batch"))
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

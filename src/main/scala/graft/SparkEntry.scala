@@ -3791,6 +3791,25 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // SK: bloom-pruned exact semi join — fact rows are dropped by a
+    // compact driver-held sketch BEFORE the join shuffle (Catalyst's
+    // runtime-filter pattern as an explicit operator); the exact semi
+    // join over survivors makes false positives invisible, so the result
+    // is precisely the plain IN-subquery's.
+    Q("sk_bloom_prune",
+      (s, dir) => Prune.bloomSemiJoin(
+          t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part").where(col("p_size") >= 48).select("p_partkey"),
+          "p_partkey", expectedKeys = 4096, numBits = 1L << 16)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("l_extendedprice"), 2).as("revenue")),
+      Some("""SELECT l_returnflag, count(*) AS n,
+             |  round(sum(l_extendedprice), 2) AS revenue
+             |FROM lineitem
+             |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size >= 48)
+             |GROUP BY l_returnflag""".stripMargin)),
+
     // DS: deterministic train/val/test split — hash the stable doc id (not
     // position, not random()) so membership is reproducible across runs,
     // cluster layouts, and re-partitioning, and survives appends without

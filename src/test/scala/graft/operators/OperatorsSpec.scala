@@ -339,6 +339,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(incr.exists(_._3 == "vs_index") && incr.exists(_._3 == "within_batch"))
   }
 
+  test("bloomSemiJoin equals the exact semi join and prunes before the shuffle") {
+    val fact = spark.range(0, 20000).toDF("k")
+      .withColumn("payload", col("k") * 2)
+    val dim = spark.range(0, 20000).toDF("d")
+      .where(col("d") % 100 === 0) // 200 keys of 20000
+    val got = Prune.bloomSemiJoin(fact, "k", dim, "d",
+      expectedKeys = 256, numBits = 1L << 12)
+    val exact = fact.join(dim.withColumnRenamed("d", "k"), Seq("k"), "left_semi")
+    assert(got.collect().map(_.getLong(0)).sorted.toSeq ==
+      exact.collect().map(_.getLong(0)).sorted.toSeq)
+    // the probe is a native codegen expression in the executed plan, and
+    // the bloom pass kills (almost) all non-members before the join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(2000))
+    val survivors = fact.where(Prune.mightContain(
+      Prune.bloomOf(dim, "d", 256, 1L << 12), col("k"))).count()
+    assert(survivors < 2000, s"bloom pruned nothing: $survivors of 20000")
+    // empty dim prunes everything without erroring
+    assert(Prune.bloomSemiJoin(fact, "k", dim.where(lit(false)), "d")
+      .count() == 0)
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

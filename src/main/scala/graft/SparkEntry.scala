@@ -3791,6 +3791,24 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // K10: Z-order layout roundtrip — rewrite points clustered on the
+    // (lat, lon) Morton curve, read back through a lat band; values must
+    // survive the interleave/sort/write/scan unchanged (the pruning WIN
+    // is pinned by the OperatorsSpec file-min/max test; this row pins
+    // correctness of the layout path end-to-end).
+    Q("k10_zorder_roundtrip",
+      (s, dir) => {
+        val out = s"/tmp/graft_zorder_rt_${new java.io.File(dir).getName}"
+        Layout.zorderWrite(custPoints(s, dir).select("c_custkey", "lat", "lon"),
+          Seq(("lat", 40.0, 40.2), ("lon", -75.0, -74.8)), out, numFiles = 8)
+        s.read.parquet(out)
+          .where(col("lat") >= 40.05 && col("lat") < 40.1)
+          .agg(count(lit(1)).as("n"), sum("c_custkey").as("key_sum"))
+      },
+      Some(s"""WITH pts AS ($custPointsSql)
+              |SELECT count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum
+              |FROM pts WHERE lat >= 4.005e1 AND lat < 4.01e1""".stripMargin)),
+
     // SK: bloom-pruned exact semi join — fact rows are dropped by a
     // compact driver-held sketch BEFORE the join shuffle (Catalyst's
     // runtime-filter pattern as an explicit operator); the exact semi

@@ -361,6 +361,42 @@ class OperatorsSpec extends SparkTestBase {
       .count() == 0)
   }
 
+  test("zorderWrite clusters both dimensions; a y-box prunes most files") {
+    // 40k points on a [0,1)^2 grid. An x-sorted layout answers x-boxes
+    // well but every file spans all of y, so a y-only box must open ALL
+    // files; the Z-curve layout tiles both dimensions, so the same box
+    // intersects only the files whose y-range crosses the band.
+    import java.nio.file.Files
+    val n = 40000
+    val pts = spark.range(n).toDF("id")
+      .withColumn("x", (pmod(col("id") * 7919, lit(n.toLong))).cast("double") / n)
+      .withColumn("y", (pmod(col("id") * 104729, lit(n.toLong))).cast("double") / n)
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val sortedDir = s"$base/xsorted"; val zDir = s"$base/zorder"
+    pts.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.parquet(sortedDir)
+    Layout.zorderWrite(pts, Seq(("x", 0.0, 1.0), ("y", 0.0, 1.0)), zDir, 16)
+
+    // round-trip: nothing lost or duplicated
+    assert(spark.read.parquet(zDir).count() == n)
+    assert(spark.read.parquet(zDir).agg(sum("id")).head.getLong(0) ==
+      n.toLong * (n - 1) / 2)
+
+    def filesHittingYBox(dir: String, lo: Double, hi: Double): (Long, Long) = {
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("y").as("ymin"), max("y").as("ymax"))
+      (perFile.count(),
+        perFile.where(col("ymax") >= lo && col("ymin") <= hi).count())
+    }
+    val (sortedTotal, sortedHit) = filesHittingYBox(sortedDir, 0.40, 0.45)
+    val (zTotal, zHit) = filesHittingYBox(zDir, 0.40, 0.45)
+    assert(sortedTotal == 16 && zTotal == 16)
+    assert(sortedHit == 16) // x-sort cannot prune a y-box at all
+    assert(zHit <= 8, s"z-order pruned too little: $zHit of $zTotal files")
+    assert(zHit < sortedHit)
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

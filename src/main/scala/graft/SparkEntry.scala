@@ -3791,6 +3791,33 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // ST: ordered conversion funnel over the event log — earliest-
+    // completion greedy matching (step i+1 strictly after the earliest
+    // valid completion of step i), one partial-aggregatable shuffle per
+    // step, no per-user event list ever materialized.
+    Q("st_funnel",
+      (s, dir) => Funnel.funnelDepth(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase")),
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t1
+             |  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |  (CASE WHEN v.t0 IS NOT NULL THEN 1 ELSE 0 END +
+             |   CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END +
+             |   CASE WHEN p.t2 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN v ON u.user_id = v.user_id
+             |LEFT JOIN c ON u.user_id = c.user_id
+             |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin)),
+
     // K10: Z-order layout roundtrip — rewrite points clustered on the
     // (lat, lon) Morton curve, read back through a lat band; values must
     // survive the interleave/sort/write/scan unchanged (the pruning WIN

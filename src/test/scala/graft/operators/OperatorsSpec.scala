@@ -397,6 +397,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(zHit < sortedHit)
   }
 
+  test("funnelDepth: earliest-completion, strictly-ordered steps") {
+    val ev = Seq(
+      (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L), // full
+      (2L, "click", 5L), (2L, "view", 10L), (2L, "purchase", 20L),  // click precedes first view -> doesn't count
+      (3L, "view", 10L), (3L, "click", 10L),                        // simultaneous is NOT strictly after
+      (4L, "error", 1L),                                            // never enters
+      (5L, "view", 10L), (5L, "click", 15L),                        // stops at 2
+      (6L, "view", 10L), (6L, "click", 15L), (6L, "purchase", 12L)  // purchase before its click
+    ).toDF("user_id", "event_type", "tsl")
+      .withColumn("ts", timestamp_micros(col("tsl")))
+    val got = Funnel.funnelDepth(ev, "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 2, 6L -> 2))
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

@@ -3791,6 +3791,48 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // GR: PageRank over the supplier proximity graph — fixed 5 power
+    // iterations (deterministic, oracle-reproducible: no floating-point
+    // convergence epsilon), simplified dangling handling (teleport share
+    // only). The oracle unrolls the same 5 iterations in SQL; doubles
+    // agree because both sides compose the identical expression shapes,
+    // and the output rounds to 6 decimals.
+    Q("gr_pagerank",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = edges.union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.run(bidir, iterations = 5)
+          .select(col("node"), (round(col("rank"), 6) + 0.0).as("rank"))
+      },
+      Some {
+        val iterSql = (k: Int) =>
+          s"""m$k AS (
+             |  SELECT e.dst AS node, sum(r.rank / deg.deg) AS mass
+             |  FROM e JOIN r${k - 1} r ON e.src = r.node
+             |  JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |r$k AS (
+             |  SELECT nd.node,
+             |    (1e0 - 85e-2) / nn.n + 85e-2 * coalesce(m$k.mass, 0e0) AS rank
+             |  FROM nodes nd CROSS JOIN nn
+             |  LEFT JOIN m$k ON nd.node = m$k.node)"""
+        s"""WITH sup AS ($suppPointsSql),
+           |e AS (
+           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+           |  FROM sup a JOIN sup b
+           |    ON a.s_suppkey <> b.s_suppkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+           |${(1 to 5).map(iterSql).mkString(",\n")}
+           |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
+      }),
+
     // ST: ordered conversion funnel over the event log — earliest-
     // completion greedy matching (step i+1 strictly after the earliest
     // valid completion of step i), one partial-aggregatable shuffle per

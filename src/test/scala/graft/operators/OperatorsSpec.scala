@@ -413,6 +413,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 2, 6L -> 2))
   }
 
+  test("pageRank matches hand-computed power iterations") {
+    // star: 1->2 and 3->2; node 2 is dangling (keeps teleport share only)
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r2 = PageRank.run(star, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    val teleport = (1.0 - 0.85) / 3.0
+    // iter2: sources have no in-mass; 2 receives both sources' full rank
+    assert(math.abs(r2(1L) - teleport) < 1e-12)
+    assert(math.abs(r2(3L) - teleport) < 1e-12)
+    assert(math.abs(r2(2L) - (teleport + 0.85 * 2 * teleport)) < 1e-12)
+    // cycle: uniform 1/3 is the exact fixpoint from the uniform start
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val rc = PageRank.run(cyc, iterations = 5).as[(Long, Double)].collect()
+    rc.foreach { case (_, r) => assert(math.abs(r - 1.0 / 3) < 1e-12) }
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

@@ -3791,6 +3791,39 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // A19: weekly cohort retention — users cohorted by first-activity
+    // week, counted per (cohort, week offset). Two partial-agg shuffles
+    // on user + one on the (small) cohort grid; week math is
+    // Monday-aligned date_trunc in both engines, offsets via floor to
+    // sidestep the engines' different double->int cast rounding.
+    Q("a19_cohort_retention",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val cohort = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+        ev.select(col("user_id"), date_trunc("week", col("ts")).as("active_week"))
+          .distinct()
+          .join(cohort, Seq("user_id"))
+          .withColumn("week_offset",
+            floor(datediff(col("active_week"), col("cohort_week")) / 7)
+              .cast("int"))
+          .groupBy(col("cohort_week").cast("date").as("cohort_week"),
+            col("week_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+      },
+      Some("""WITH cohort AS (
+             |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+             |  FROM events GROUP BY user_id),
+             |activity AS (
+             |  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+             |  FROM events)
+             |SELECT CAST(c.cohort_week AS DATE) AS cohort_week,
+             |  CAST(floor(date_diff('day', c.cohort_week, a.active_week) / 7e0)
+             |    AS INTEGER) AS week_offset,
+             |  count(DISTINCT a.user_id) AS n_users
+             |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+             |GROUP BY 1, 2""".stripMargin)),
+
     // GR: PageRank over the supplier proximity graph — fixed 5 power
     // iterations (deterministic, oracle-reproducible: no floating-point
     // convergence epsilon), simplified dangling handling (teleport share

@@ -3791,6 +3791,48 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // MM: FULL PNG pixel decode — payloads are real PNGs (zlib-deflated
+    // IDAT, row filters cycling through None/Sub/Up/Average/Paeth since
+    // every height >= 5), decoded back through chunk-CRC walk + inflate +
+    // unfilter; the checksum reads the DECODED pixels, so the oracle's
+    // closed form over the synthesis parameters proves the whole
+    // compressed-pixel path. (JPEG entropy decode remains the one
+    // declared stub — PNG left the stub this round because zlib ships in
+    // the JDK.)
+    Q("mm_png_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 6 + 2).toInt
+            val h = (id % 5 + 5).toInt
+            (id, Multimodal.pngEncodeRgb(w, h, Multimodal.rgbSynthPixels(w, h)))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractPngPixels(payloads, "doc_id", "payload").toDF()
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, CAST(doc_id % 6 + 2 AS INTEGER) AS w,
+             |    CAST(doc_id % 5 + 5 AS INTEGER) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h, i, j FROM dims,
+             |    (SELECT unnest(range(0, 8)) AS i),
+             |    (SELECT unnest(range(0, 10)) AS j)
+             |  WHERE i < w AND j < h),
+             |packed AS (
+             |  SELECT doc_id, w, h, i, j,
+             |    ((i * 3 + j * 17 + 11) % 256) * 65536 +
+             |    ((i * 11 + j * 5 + 7) % 256) * 256 +
+             |    ((i * 7 + j * 13 + 3) % 256) AS v
+             |  FROM px)
+             |SELECT doc_id, max(w) AS width, max(h) AS height,
+             |  CAST(sum(v) AS BIGINT) AS pix_sum,
+             |  CAST(max(CASE WHEN i = w - 1 AND j = h - 1 THEN v END)
+             |    AS BIGINT) AS px_last,
+             |  TRUE AS valid
+             |FROM packed GROUP BY doc_id""".stripMargin)),
+
     // A19: weekly cohort retention — users cohorted by first-activity
     // week, counted per (cohort, week offset). Two partial-agg shuffles
     // on user + one on the (small) cohort grid; week math is

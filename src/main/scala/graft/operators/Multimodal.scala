@@ -358,16 +358,18 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
                        format: String)
 
-  /** STUB decode — the PERMANENT sandbox contract for compressed PIXEL /
-    * entropy data: this environment ships no codec libraries, so JPEG
-    * entropy decode, PNG IDAT inflate, and MP3 frame synthesis stand
-    * behind this deterministic fake. Everything short of pixel decode is
-    * REAL above: magic-byte format identification ([[sniffFormat]]),
-    * dimensions + validity for PNG (CRC-verified IHDR, [[pngMeta]]),
-    * JPEG (SOF marker walk, [[jpegDims]]), BMP ([[bmpMeta]]) and
-    * RIFF/WAVE incl. PCM samples ([[wavMeta]], [[wavFrames]]). A real
-    * deployment swaps this one function for a codec call inside the same
-    * mapPartitions batch shape. */
+  /** STUB decode — the PERMANENT sandbox contract for ENTROPY-coded
+    * data: this environment ships no codec libraries, so JPEG entropy
+    * decode (Huffman+DCT) and MP3 frame synthesis stand behind this
+    * deterministic fake. Everything else is REAL: magic-byte format
+    * identification ([[sniffFormat]]), dimensions + validity for PNG
+    * (CRC-verified IHDR, [[pngMeta]]), JPEG (SOF marker walk,
+    * [[jpegDims]]), BMP ([[bmpMeta]]), RIFF/WAVE incl. PCM samples
+    * ([[wavMeta]], [[wavFrames]]) — and since round 4 FULL PNG pixel
+    * decode ([[pngDecodeRgb]]: zlib inflate is in the JDK, and the five
+    * row filters are pure byte arithmetic). A real deployment swaps this
+    * one function for a codec call inside the same mapPartitions batch
+    * shape. */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(payload)
     MediaMeta(docId, payload.length.toLong,
@@ -500,6 +502,217 @@ object Multimodal {
           case _: IllegalArgumentException =>
             BmpResized(id, 0, 0, if (p == null) 0L else p.length.toLong,
               0L, 0L, valid = false)
+        }
+      })
+  }
+
+  // -------------------------------------- real PNG codec (zlib via JDK)
+
+  /** PNG's "compression" is zlib (RFC 1950) + five per-row byte filters —
+    * both available without codec libraries (`java.util.zip` + plain
+    * arithmetic). Scope: 8-bit RGB (color type 2), non-interlaced — the
+    * dominant lossless-image shape; anything else throws
+    * IllegalArgumentException rather than mis-decoding. */
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    .map(_.toByte)
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes("US-ASCII")
+    val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+    bb.putInt(data.length); bb.put(t); bb.put(data)
+    val crc = new java.util.zip.CRC32
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  private def paethPredictor(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** Predictor for byte x of a row under filter `f` (0=None 1=Sub 2=Up
+    * 3=Average 4=Paeth), from the RECONSTRUCTED neighbors. */
+  private def pngPredict(f: Int, left: Int, up: Int, upLeft: Int): Int =
+    f match {
+      case 0 => 0
+      case 1 => left
+      case 2 => up
+      case 3 => (left + up) / 2
+      case 4 => paethPredictor(left, up, upLeft)
+      case other => throw new IllegalArgumentException(s"bad filter $other")
+    }
+
+  /** Encode row-major RGB bytes as a real PNG. Each row's filter type is
+    * `y % 5`, so every filter (None/Sub/Up/Average/Paeth) appears in any
+    * image of height >= 5 — roundtrip tests exercise the whole filter
+    * algebra, not just the trivial path. */
+  def pngEncodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgb.length}")
+    val bpp = 3
+    val stride = width * bpp
+    val raw = new Array[Byte](height * (1 + stride))
+    var y = 0
+    while (y < height) {
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = rgb(y * stride + x) & 0xff
+        val left = if (x >= bpp) rgb(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) rgb((y - 1) * stride + x - bpp) & 0xff
+                 else 0
+        raw(y * (1 + stride) + 1 + x) =
+          ((cur - pngPredict(f, left, up, ul)) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+    ihdr.putInt(width); ihdr.putInt(height)
+    ihdr.put(8.toByte); ihdr.put(2.toByte) // bit depth 8, color type RGB
+    ihdr.put(0.toByte); ihdr.put(0.toByte); ihdr.put(0.toByte)
+    PngSig ++ pngChunk("IHDR", ihdr.array()) ++
+      pngChunk("IDAT", out.toByteArray) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Decoded image: row-major RGB bytes. */
+  case class PngImage(width: Int, height: Int, rgb: Array[Byte])
+
+  /** FULL PNG pixel decode for 8-bit RGB non-interlaced images: chunk
+    * walk with CRC verification, IDAT concatenation, zlib inflate, and
+    * per-row unfiltering. Throws IllegalArgumentException on anything
+    * malformed or out of scope. */
+  def pngDecodeRgb(p: Array[Byte]): PngImage = {
+    require(p != null && p.length > 8 + 12 &&
+      p.take(8).sameElements(PngSig), "not a PNG")
+    var off = 8
+    var w = 0; var h = 0; var seenIhdr = false; var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && off + 12 <= p.length) {
+      val len = java.nio.ByteBuffer.wrap(p, off, 4).getInt
+      require(len >= 0 && off + 12 + len <= p.length, "truncated chunk")
+      val typ = new String(p, off + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(p, off + 4, 4 + len)
+      require(crc.getValue.toInt ==
+        java.nio.ByteBuffer.wrap(p, off + 8 + len, 4).getInt,
+        s"bad CRC in $typ")
+      typ match {
+        case "IHDR" =>
+          require(len == 13, "bad IHDR length")
+          val ib = java.nio.ByteBuffer.wrap(p, off + 8, 13)
+          w = ib.getInt; h = ib.getInt
+          val depth = ib.get(); val color = ib.get()
+          ib.get(); ib.get() // compression, filter method (always 0)
+          val interlace = ib.get()
+          require(depth == 8 && color == 2 && interlace == 0,
+            "only 8-bit RGB non-interlaced supported")
+          seenIhdr = true
+        case "IDAT" => idat.write(p, off + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped
+      }
+      off += 12 + len
+    }
+    require(seenIhdr && done && w > 0 && h > 0, "missing IHDR/IEND")
+    val bpp = 3
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var filled = 0
+    try {
+      while (filled < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, filled, raw.length - filled)
+        require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+        filled += n
+      }
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new IllegalArgumentException("corrupt zlib stream", e)
+    } finally inflater.end()
+    require(filled == raw.length, s"IDAT decoded $filled of ${raw.length}")
+    val rgb = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val f = raw(y * (1 + stride)) & 0xff
+      var x = 0
+      while (x < stride) {
+        val filt = raw(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) rgb(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) rgb((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) rgb((y - 1) * stride + x - bpp) & 0xff
+                 else 0
+        rgb(y * stride + x) = ((filt + pngPredict(f, left, up, ul)) & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    PngImage(w, h, rgb)
+  }
+
+  /** Row-major RGB synth pixels (same channel formulas as
+    * [[bmpSynthPixels]], so oracles share the closed form):
+    * R=(3x+17y+11)%256, G=(11x+5y+7)%256, B=(7x+13y+3)%256. */
+  def rgbSynthPixels(width: Int, height: Int): Array[Byte] = {
+    val a = new Array[Byte](width * height * 3)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        a(o) = ((x * 3 + y * 17 + 11) % 256).toByte
+        a(o + 1) = ((x * 11 + y * 5 + 7) % 256).toByte
+        a(o + 2) = ((x * 7 + y * 13 + 3) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
+  case class PngPixels(doc_id: Long, width: Int, height: Int,
+                       pix_sum: Long, px_last: Long, valid: Boolean)
+
+  /** Per-partition batched FULL PNG decode + checksum over
+    * (doc_id, payload): pix_sum sums packed RGB (R*65536+G*256+B) over
+    * every DECODED pixel, px_last is the bottom-right pixel — both read
+    * from the post-inflate, post-unfilter bytes, so they prove the whole
+    * compressed-pixel path. */
+  def extractPngPixels(docs: DataFrame, idCol: String, binCol: String)
+      : Dataset[PngPixels] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        try {
+          val img = pngDecodeRgb(p)
+          var sum = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            sum += (img.rgb(i) & 0xff) * 65536L +
+              (img.rgb(i + 1) & 0xff) * 256L + (img.rgb(i + 2) & 0xff)
+            i += 3
+          }
+          val o = img.rgb.length - 3
+          val last = (img.rgb(o) & 0xff) * 65536L +
+            (img.rgb(o + 1) & 0xff) * 256L + (img.rgb(o + 2) & 0xff)
+          PngPixels(id, img.width, img.height, sum, last, valid = true)
+        } catch {
+          case _: IllegalArgumentException =>
+            PngPixels(id, 0, 0, 0L, 0L, valid = false)
         }
       })
   }

@@ -3791,6 +3791,27 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // DS: deterministic IMPORTANCE sampling — keep probability scales
+    // with a per-doc weight (here length-derived, capped), decided by the
+    // doc's stable hash bucket, so the sample is reproducible across
+    // runs/layouts and appends never resample old docs. The threshold is
+    // kept in exact integer space (min(n_chars,2000)*5 of 10000) so both
+    // engines compare identical integers — no double boundary rounding.
+    Q("ds_weighted_sample",
+      (s, dir) => {
+        val bucket = pmod(
+          Dedup.md5Hash32(col("doc_id").cast("string"), lit(7)), lit(10000L))
+        t(s, dir, "documents")
+          .withColumn("bucket", bucket)
+          .where(col("bucket") < least(col("n_chars"), lit(2000L)) * 5)
+          .select(col("doc_id"), col("n_chars"), col("bucket"))
+      },
+      Some(s"""SELECT doc_id, n_chars,
+              |  ${h32Sql("CAST(doc_id AS VARCHAR)", "7")} % 10000 AS bucket
+              |FROM documents
+              |WHERE ${h32Sql("CAST(doc_id AS VARCHAR)", "7")} % 10000 <
+              |  least(n_chars, 2000) * 5""".stripMargin)),
+
     // MM: FULL PNG pixel decode — payloads are real PNGs (zlib-deflated
     // IDAT, row filters cycling through None/Sub/Up/Average/Paeth since
     // every height >= 5), decoded back through chunk-CRC walk + inflate +

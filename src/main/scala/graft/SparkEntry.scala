@@ -8,6 +8,7 @@ import graft.er.EntityResolution
 import graft.functions.GeoFunctions
 import graft.functions.TextFunctions
 import graft.operators._
+import graft.sources.Sources
 import graft.staging.CityAssignment
 
 /** Driver contract: the full operator inventory of SURVEY.md §2, each
@@ -3790,6 +3791,43 @@ object SparkEntry {
              |FROM slugged
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
+
+    // K11: copy-on-write MERGE upsert — the reference's Cypher
+    // never-clobber-with-null upsert discipline as a batch parquet op
+    // (SURVEY G5's extension point): matched keys coalesce per column
+    // (the null c_name update must NOT erase the existing name),
+    // update-only keys insert, target-only keys carry through.
+    Q("k11_merge_upsert",
+      (s, dir) => {
+        val base = s"/tmp/graft_merge_base_${new java.io.File(dir).getName}"
+        val out = s"/tmp/graft_merge_out_${new java.io.File(dir).getName}"
+        val target = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        target.write.mode("overwrite").parquet(base)
+        val updates = target.where(pmod(col("c_custkey"), lit(10)) === 0)
+          .select(col("c_custkey"), lit(null).cast("string").as("c_name"),
+            (col("c_acctbal") + 1000.0).as("c_acctbal"))
+          .unionByName(target.where(pmod(col("c_custkey"), lit(7)) === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              concat(lit("new-"), col("c_custkey").cast("string")).as("c_name"),
+              lit(0.0).as("c_acctbal")))
+        Sources.mergeParquet(s, base, updates, "c_custkey", out)
+        s.read.parquet(out)
+      },
+      Some("""WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+             |upd AS (
+             |  SELECT c_custkey, CAST(NULL AS VARCHAR) AS c_name,
+             |    c_acctbal + 1e3 AS c_acctbal
+             |  FROM t WHERE c_custkey % 10 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'new-' || CAST(c_custkey AS VARCHAR),
+             |    0e0
+             |  FROM t WHERE c_custkey % 7 = 0)
+             |SELECT coalesce(u.c_custkey, t.c_custkey) AS c_custkey,
+             |  coalesce(u.c_name, t.c_name) AS c_name,
+             |  coalesce(u.c_acctbal, t.c_acctbal) AS c_acctbal
+             |FROM t FULL OUTER JOIN upd u ON t.c_custkey = u.c_custkey"""
+        .stripMargin)),
 
     // DS: deterministic IMPORTANCE sampling — keep probability scales
     // with a per-doc weight (here length-derived, capped), decided by the

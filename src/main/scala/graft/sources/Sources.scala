@@ -337,6 +337,39 @@ object Sources {
       .flatMap { case (title, text) => kernel(title, text) }
   }
 
+  /** Copy-on-write MERGE (upsert) into a parquet dataset — the batch
+    * analogue of the reference's Cypher `MERGE … ON MATCH SET x =
+    * coalesce(new.x, old.x)` upserts (`neo4j_cypher/02_load_cities
+    * .cypher:27-38`, `03_load_places_and_canonical.cypher:13-14`), i.e.
+    * the SURVEY §2 G5 extension point. Semantics per key:
+    *
+    *   - matched: every column takes `coalesce(update, existing)` — the
+    *     reference's never-clobber-with-null discipline;
+    *   - update-only keys: inserted as-is;
+    *   - target-only keys: carried unchanged.
+    *
+    * One full-outer shuffle join on the key; writes a NEW directory
+    * (copy-on-write — atomic swap is the caller's/catalog's concern, as
+    * with [[compactParquet]]). Updates must be unique per key (pre-
+    * aggregate them first); enforced because a duplicate silently winning
+    * by join order would be nondeterministic.
+    * Returns the merged row count. */
+  def mergeParquet(spark: SparkSession, targetDir: String, updates: DataFrame,
+                   keyCol: String, outDir: String): Long = {
+    val target = spark.read.parquet(targetDir)
+    require(updates.columns.sameElements(target.columns),
+      s"update schema ${updates.columns.mkString(",")} must match target " +
+        s"${target.columns.mkString(",")}")
+    val dupKeys = updates.groupBy(col(keyCol)).count().where(col("count") > 1)
+    require(dupKeys.isEmpty, "updates contain duplicate keys")
+    val t = target.alias("t")
+    val u = updates.alias("u")
+    val merged = t.join(u, t(keyCol) === u(keyCol), "full_outer")
+      .select(target.columns.map(c => coalesce(u(c), t(c)).as(c)).toSeq: _*)
+    merged.write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * roughly `targetFileBytes` each. Streaming sinks and fine-grained
     * partitioned writes accumulate thousands of tiny files whose per-file

@@ -368,6 +368,26 @@ class SourcesSpec extends SparkTestBase {
     assert(got.toSeq == (0L until 24L))
   }
 
+  test("mergeParquet: never-clobber-with-null upsert semantics") {
+    val base = Files.createTempDirectory("graft_merge").toString
+    Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("id", "name", "bal")
+      .write.parquet(s"$base/t")
+    val updates = Seq(
+      (1L, null.asInstanceOf[String], 99.0), // matched: bal updates, name KEPT
+      (3L, "carol", 30.0)                    // new key: inserted
+    ).toDF("id", "name", "bal")
+    val n = Sources.mergeParquet(spark, s"$base/t", updates, "id", s"$base/out")
+    assert(n == 3)
+    val got = spark.read.parquet(s"$base/out")
+      .as[(Long, String, Double)].collect().toSet
+    assert(got == Set((1L, "alice", 99.0), (2L, "bob", 20.0),
+      (3L, "carol", 30.0)))
+    // nondeterministic duplicate update keys are rejected, not last-wins
+    val dup = Seq((1L, "x", 1.0), (1L, "y", 2.0)).toDF("id", "name", "bal")
+    intercept[IllegalArgumentException](
+      Sources.mergeParquet(spark, s"$base/t", dup, "id", s"$base/out2"))
+  }
+
   test("csvWithHeader writes a header-only file for empty frames") {
     val out = Files.createTempDirectory("graft_csv_empty")
       .resolve("links").toString

@@ -3892,6 +3892,27 @@ object SparkEntry {
              |  TRUE AS valid
              |FROM packed GROUP BY doc_id""".stripMargin)),
 
+    // GR: exact triangle count, oriented two-join formulation — every
+    // triangle {a<b<c} counted once as wedge (a,b)+(b,c) closed by (a,c).
+    Q("gr_triangles",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        PageRank.closedWedges(edges)
+          .agg(count(lit(1)).as("n_triangles"))
+      },
+      Some(s"""WITH sup AS ($suppPointsSql),
+              |e AS (
+              |  SELECT a.s_suppkey AS a, b.s_suppkey AS b
+              |  FROM sup a JOIN sup b
+              |    ON a.s_suppkey < b.s_suppkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0)
+              |SELECT count(*) AS n_triangles
+              |FROM e e1
+              |JOIN e e2 ON e1.b = e2.a
+              |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin)),
+
     // A19: weekly cohort retention — users cohorted by first-activity
     // week, counted per (cohort, week offset). Two partial-agg shuffles
     // on user + one on the (small) cohort grid; week math is

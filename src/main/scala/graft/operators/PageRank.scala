@@ -62,4 +62,29 @@ object PageRank {
     outEdgesRdd.unpersist(false)
     ranks
   }
+
+  /** Exact global triangle count over an UNDIRECTED edge set (directions
+    * and duplicates collapsed; self-loops dropped). The classic oriented
+    * two-join formulation: every triangle {a<b<c} is counted exactly once
+    * as wedge (a,b)+(b,c) closed by edge (a,c) — two shuffle equi-joins,
+    * no row ever expands beyond the wedge set. At scale, orienting edges
+    * low-degree -> high-degree instead of by id bounds the wedge count by
+    * O(m^1.5) on skewed graphs; id orientation keeps the oracle SQL
+    * byte-parallel and is fine for the near-uniform-degree graphs here. */
+  def closedWedges(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    import edges.sparkSession.implicits._
+    val e = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where($"a" =!= $"b").distinct()
+    e.select($"a", $"b")
+      .join(e.select($"a".as("b"), $"b".as("c")), "b")
+      .join(e.select($"a", $"b".as("c")), Seq("a", "c"), "left_semi")
+      .select($"a", $"b", $"c")
+  }
+
+  def triangleCount(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): Long =
+    closedWedges(edges, srcCol, dstCol).count()
 }

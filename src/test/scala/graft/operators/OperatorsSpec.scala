@@ -483,6 +483,31 @@ class OperatorsSpec extends SparkTestBase {
     // pb>pc; here pa=5>0, pb=5>0 -> c=95
   }
 
+  test("triangleCount collapses directions/dups and counts exactly") {
+    // K4 on {1,2,3,4} has 4 triangles; edges arrive in mixed directions
+    // with duplicates and a self-loop; the pendant edge (4,5) adds none.
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (1L, 4L),
+      (2L, 3L), (2L, 4L), (3L, 4L), (4L, 4L), (4L, 5L), (2L, 3L))
+      .toDF("src", "dst")
+    assert(PageRank.triangleCount(edges) == 4)
+    // triangle-free: a path graph
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    assert(PageRank.triangleCount(path) == 0)
+  }
+
+  test("pageRank conserves mass up to dangling loss") {
+    // total rank = teleport mass + damped received mass; nodes with
+    // out-edges forward everything, dangling nodes forward nothing, so
+    // sum(rank) <= 1 and >= teleport share — a structural invariant any
+    // implementation bug (double-count, lost join rows) would break.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
+      .toDF("src", "dst")
+    val total = PageRank.run(edges, iterations = 8)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(total <= 1.0 + 1e-9, s"mass created: $total")
+    assert(total >= 0.15 - 1e-9, s"teleport mass lost: $total")
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

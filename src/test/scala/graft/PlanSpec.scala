@@ -135,4 +135,16 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
     assert(df.count() > 0) // the driver's smoke check
   }
+
+  test("round-4 queries plan without cartesians; bloom probe is native") {
+    for (q <- Seq("st_funnel", "gr_pagerank", "gr_triangles",
+        "a19_cohort_retention", "dd_incremental", "k9_wv_places",
+        "ds_train_split", "ds_weighted_sample")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+    }
+    // the bloom prune's codegen might_contain probe survives into the
+    // executed plan (not rewritten into something driver-side)
+    assert(plan("sk_bloom_prune").contains("might_contain"))
+  }
 }

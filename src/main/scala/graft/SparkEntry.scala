@@ -3892,6 +3892,52 @@ object SparkEntry {
              |  TRUE AS valid
              |FROM packed GROUP BY doc_id""".stripMargin)),
 
+    // ST: the funnel under a conversion window — each step must land
+    // within 48h of the previous step's completion (earliest-completion
+    // greedy under the same cascaded min-agg shape).
+    Q("st_funnel_windowed",
+      (s, dir) => Funnel.funnelDepth(t(s, dir, "events"),
+        "user_id", "event_type", "ts", Seq("view", "click", "purchase"),
+        horizonSeconds = Some(172800L)),
+      Some("""WITH v AS (
+             |  SELECT user_id, min(ts) AS t0 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |c AS (
+             |  SELECT e.user_id, min(e.ts) AS t1
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |    AND e.ts > v.t0 AND e.ts <= v.t0 + INTERVAL 172800 SECONDS
+             |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+             |p AS (
+             |  SELECT e.user_id, min(e.ts) AS t2
+             |  FROM events e JOIN c ON e.user_id = c.user_id
+             |    AND e.ts > c.t1 AND e.ts <= c.t1 + INTERVAL 172800 SECONDS
+             |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+             |SELECT u.user_id,
+             |  (CASE WHEN v.t0 IS NOT NULL THEN 1 ELSE 0 END +
+             |   CASE WHEN c.t1 IS NOT NULL THEN 1 ELSE 0 END +
+             |   CASE WHEN p.t2 IS NOT NULL THEN 1 ELSE 0 END) AS depth
+             |FROM (SELECT DISTINCT user_id FROM events) u
+             |LEFT JOIN v ON u.user_id = v.user_id
+             |LEFT JOIN c ON u.user_id = c.user_id
+             |LEFT JOIN p ON u.user_id = p.user_id""".stripMargin)),
+
+    // DS: exact-k deterministic uniform sample — the k docs with the
+    // smallest stable hash values (ORDER BY hash LIMIT k in both
+    // engines): a fixed-size sample that is reproducible across runs and
+    // partitionings, computed distributed as a global top-k (partial
+    // per-partition heads), never a full sort to one task.
+    Q("ds_exact_k_sample",
+      (s, dir) => {
+        val h = pmod(
+          Dedup.md5Hash32(col("doc_id").cast("string"), lit(99)), lit(1000000L))
+        t(s, dir, "documents")
+          .select(col("doc_id"), h.as("h"))
+          .orderBy(col("h"), col("doc_id")).limit(25)
+      },
+      Some(s"""SELECT doc_id,
+              |  ${h32Sql("CAST(doc_id AS VARCHAR)", "99")} % 1000000 AS h
+              |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin)),
+
     // GR: exact triangle count, oriented two-join formulation — every
     // triangle {a<b<c} counted once as wedge (a,b)+(b,c) closed by (a,c).
     Q("gr_triangles",

@@ -19,11 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** @return (userCol, depth) — depth in [0, steps.size]: the length of
+  /** @param horizonSeconds if set, step i+1 must also happen within this
+    *        many seconds AFTER step i's completion (the usual product-
+    *        funnel conversion window); unset = any later time counts.
+    * @return (userCol, depth) — depth in [0, steps.size]: the length of
     *         the longest prefix of `steps` completed in order. Users
     *         present in `events` but never reaching step 1 have depth 0. */
   def funnelDepth(events: DataFrame, userCol: String, typeCol: String,
-                  tsCol: String, steps: Seq[String]): DataFrame = {
+                  tsCol: String, steps: Seq[String],
+                  horizonSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val stepTimes = steps.zipWithIndex
       .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
@@ -33,8 +37,11 @@ object Funnel {
           case None =>
             slice.groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
           case Some(prev) =>
+            val after = col(tsCol) > col(s"t${i - 1}")
+            val within = horizonSeconds.fold(lit(true))(h =>
+              col(tsCol) <= col(s"t${i - 1}") + expr(s"INTERVAL $h SECONDS"))
             slice.join(prev, Seq(userCol))
-              .where(col(tsCol) > col(s"t${i - 1}"))
+              .where(after && within)
               .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))
         }
         acc :+ cur.select(col(userCol), col(s"t$i"))

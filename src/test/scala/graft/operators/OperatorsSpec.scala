@@ -411,6 +411,17 @@ class OperatorsSpec extends SparkTestBase {
         Seq("view", "click", "purchase"))
       .as[(Long, Int)].collect().toMap
     assert(got == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 0, 5L -> 2, 6L -> 2))
+
+    // conversion window: click lands 100 s after view — a 50 s horizon
+    // excludes it, a 100 s horizon includes it (boundary is inclusive)
+    val evH = Seq((9L, "view", 0L), (9L, "click", 100_000_000L))
+      .toDF("user_id", "event_type", "tsl")
+      .withColumn("ts", timestamp_micros(col("tsl")))
+    def depthAt(h: Long) = Funnel.funnelDepth(evH, "user_id", "event_type",
+        "ts", Seq("view", "click"), horizonSeconds = Some(h))
+      .as[(Long, Int)].collect().head._2
+    assert(depthAt(50L) == 1)
+    assert(depthAt(100L) == 2)
   }
 
   test("pageRank matches hand-computed power iterations") {

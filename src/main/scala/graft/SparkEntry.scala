@@ -3938,6 +3938,28 @@ object SparkEntry {
               |  ${h32Sql("CAST(doc_id AS VARCHAR)", "99")} % 1000000 AS h
               |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin)),
 
+    // DQ: declarative quality-constraint report — every constraint is
+    // one aggregate expression inside a single partial-agg pass (one scan
+    // no matter how many checks), emitting a tiny violations report.
+    Q("dq_constraint_report",
+      (s, dir) => DataChecks.checkReport(t(s, dir, "orders"),
+        uniqueCols = Seq("o_orderkey"),
+        nonNullCols = Seq("o_custkey", "o_orderstatus"),
+        ranges = Seq("o_totalprice" -> (0.0, 400000.0))),
+      Some("""SELECT 'unique' AS "check", 'o_orderkey' AS "column",
+             |  count(o_orderkey) - count(DISTINCT o_orderkey) AS violations
+             |FROM orders
+             |UNION ALL
+             |SELECT 'non_null', 'o_custkey',
+             |  count(*) FILTER (WHERE o_custkey IS NULL) FROM orders
+             |UNION ALL
+             |SELECT 'non_null', 'o_orderstatus',
+             |  count(*) FILTER (WHERE o_orderstatus IS NULL) FROM orders
+             |UNION ALL
+             |SELECT 'range', 'o_totalprice',
+             |  count(*) FILTER (WHERE o_totalprice < 0e0 OR o_totalprice > 4e5)
+             |FROM orders""".stripMargin)),
+
     // GR: exact triangle count, oriented two-join formulation — every
     // triangle {a<b<c} counted once as wedge (a,b)+(b,c) closed by (a,c).
     Q("gr_triangles",

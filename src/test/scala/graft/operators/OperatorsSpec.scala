@@ -519,6 +519,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(total >= 0.15 - 1e-9, s"teleport mass lost: $total")
   }
 
+  test("checkReport counts unique/non-null/range violations in one pass") {
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(5.0)),
+      (1L, java.lang.Double.valueOf(50.0)),      // duplicate key, above range
+      (2L, null.asInstanceOf[java.lang.Double]), // null value (not a range hit)
+      (3L, java.lang.Double.valueOf(-1.0))       // below range
+    ).toDF("id", "v")
+    val got = DataChecks.checkReport(df, uniqueCols = Seq("id"),
+        nonNullCols = Seq("v"), ranges = Seq("v" -> (0.0, 10.0)))
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("unique", "id", 1L), ("non_null", "v", 1L),
+      ("range", "v", 2L)))
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

@@ -3938,6 +3938,66 @@ object SparkEntry {
               |  ${h32Sql("CAST(doc_id AS VARCHAR)", "99")} % 1000000 AS h
               |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin)),
 
+    // TA: corpus self-surprisal — per-doc mean unigram -ln p(token) with
+    // p estimated from THIS corpus's token counts (the model-free quality
+    // signal: boilerplate-heavy docs score low, rare-vocabulary docs
+    // high). Token counts are one partial-agg shuffle, the corpus total
+    // is a broadcast scalar frame, and the per-doc mean is a second
+    // partial agg — no driver-side state.
+    Q("ta_self_surprisal",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
+        val counts = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val total = toks.agg(count(lit(1)).cast("double").as("n_total"))
+        toks.join(counts, "tok")
+          .crossJoin(broadcast(total))
+          .groupBy(col("doc_id"))
+          .agg((round(avg(log(col("n_total") / col("c"))), 6) + 0.0)
+            .as("surprisal"))
+      },
+      Some(s"""WITH tk0 AS ($toksSql),
+              |tk AS (SELECT id, unnest(tk) AS tok FROM tk0),
+              |cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+              |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total FROM tk)
+              |SELECT tk.id AS doc_id,
+              |  round(avg(ln(tot.n_total / cnt.c)), 6) + 0e0 AS surprisal
+              |FROM tk JOIN cnt USING (tok) CROSS JOIN tot
+              |GROUP BY tk.id""".stripMargin)),
+
+    // TS: resample to a dense hourly series with forward fill — the
+    // gap-fill step downstream time-series consumers assume; per-key grid
+    // via sequence/explode (no global-calendar cross join), one running
+    // last(ignoreNulls) window per key.
+    Q("ts_gap_fill",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") < 4)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        TimeSeries.gapFill(hourly, "user_id", "h", "v", 3600L)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    round(sum(value), 2) + 0e0 AS v
+             |  FROM events WHERE user_id < 4 GROUP BY 1, 2),
+             |spans AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1
+             |  FROM hourly GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(h0, h1, INTERVAL 3600 SECONDS)) AS h
+             |  FROM spans),
+             |j AS (
+             |  SELECT g.user_id, g.h, hourly.v
+             |  FROM grid g LEFT JOIN hourly
+             |    ON g.user_id = hourly.user_id AND g.h = hourly.h)
+             |SELECT user_id, h,
+             |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+             |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |    AS v,
+             |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
+             |FROM j""".stripMargin)),
+
     // DQ: declarative quality-constraint report — every constraint is
     // one aggregate expression inside a single partial-agg pass (one scan
     // no matter how many checks), emitting a tiny violations report.

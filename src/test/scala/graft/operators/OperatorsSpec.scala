@@ -533,6 +533,24 @@ class OperatorsSpec extends SparkTestBase {
       ("range", "v", 2L)))
   }
 
+  test("gapFill densifies the series and forward-fills values") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 13:00:00"), 7.0), // 2 missing buckets before it
+      (2L, ts("2024-01-01 10:00:00"), 1.0)  // single observation: no grid
+    ).toDF("k", "h", "v")
+    val got = TimeSeries.gapFill(obs, "k", "h", "v", 3600L)
+      .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", 5.0, 0),
+      (1L, "2024-01-01 11:00:00.0", 5.0, 1),
+      (1L, "2024-01-01 12:00:00.0", 5.0, 1),
+      (1L, "2024-01-01 13:00:00.0", 7.0, 0),
+      (2L, "2024-01-01 10:00:00.0", 1.0, 0)))
+  }
+
   test("simHash is stable and near-dups have small hamming distance") {
     val df = Seq(
       (1L, "spark shuffles data across many partitions efficiently"),

@@ -358,18 +358,19 @@ object Multimodal {
   case class MediaMeta(doc_id: Long, n_bytes: Long, width: Int, height: Int,
                        format: String)
 
-  /** STUB decode — the PERMANENT sandbox contract for ENTROPY-coded
-    * data: this environment ships no codec libraries, so JPEG entropy
-    * decode (Huffman+DCT) and MP3 frame synthesis stand behind this
-    * deterministic fake. Everything else is REAL: magic-byte format
-    * identification ([[sniffFormat]]), dimensions + validity for PNG
-    * (CRC-verified IHDR, [[pngMeta]]), JPEG (SOF marker walk,
-    * [[jpegDims]]), BMP ([[bmpMeta]]), RIFF/WAVE incl. PCM samples
-    * ([[wavMeta]], [[wavFrames]]) — and since round 4 FULL PNG pixel
-    * decode ([[pngDecodeRgb]]: zlib inflate is in the JDK, and the five
-    * row filters are pure byte arithmetic). A real deployment swaps this
-    * one function for a codec call inside the same mapPartitions batch
-    * shape. */
+  /** STUB decode — now standing in ONLY for MP3 frame synthesis (and
+    * other perceptual-audio codecs): the one decode this engine still
+    * fakes deterministically. Everything image-side is REAL, no codec
+    * library involved: magic-byte format identification
+    * ([[sniffFormat]]), dimensions + validity for PNG (CRC-verified
+    * IHDR, [[pngMeta]]), BMP ([[bmpMeta]]), RIFF/WAVE incl. PCM samples
+    * ([[wavMeta]], [[wavFrames]]), FULL PNG pixel decode (round 4,
+    * [[pngDecodeRgb]]: zlib is in the JDK, row filters are byte
+    * arithmetic) and since round 5 FULL baseline JPEG entropy decode
+    * ([[graft.operators.Jpeg.decodeBaseline]]: Huffman + dequantize +
+    * IDCT + YCbCr->RGB, all integer/double arithmetic). A real
+    * deployment swaps this one function for an audio-codec call inside
+    * the same mapPartitions batch shape. */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(payload)
     MediaMeta(docId, payload.length.toLong,
@@ -619,6 +620,10 @@ object Multimodal {
           val interlace = ib.get()
           require(depth == 8 && color == 2 && interlace == 0,
             "only 8-bit RGB non-interlaced supported")
+          // bound allocations BEFORE sizing arrays: a crafted IHDR must
+          // throw IllegalArgumentException, not NegativeArraySize/OOM
+          require(w > 0 && h > 0 && w.toLong * h <= (1L << 26),
+            s"unreasonable dimensions ${w}x$h")
           seenIhdr = true
         case "IDAT" => idat.write(p, off + 8, len)
         case "IEND" => done = true
@@ -636,7 +641,13 @@ object Multimodal {
     try {
       while (filled < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, filled, raw.length - filled)
-        require(n > 0 || !inflater.needsInput(), "truncated IDAT stream")
+        // zlib FDICT is legal zlib but invalid in PNG; without this check
+        // inflate() returns 0 forever (needsInput()==false, finished()==
+        // false) and a crafted payload would spin the task instead of
+        // throwing. Likewise any other 0-progress state = truncated.
+        require(!inflater.needsDictionary(),
+          "zlib preset dictionary not valid in PNG")
+        require(n > 0 || inflater.finished(), "truncated IDAT stream")
         filled += n
       }
     } catch {
@@ -713,6 +724,42 @@ object Multimodal {
         } catch {
           case _: IllegalArgumentException =>
             PngPixels(id, 0, 0, 0L, 0L, valid = false)
+        }
+      })
+  }
+
+  case class JpegPixels(doc_id: Long, width: Int, height: Int,
+                        pix_sum: Long, px_last: Long, valid: Boolean)
+
+  /** Per-partition batched FULL baseline JPEG decode + checksum over
+    * (doc_id, payload): the exact mirror of [[extractPngPixels]] for the
+    * entropy-coded format — pix_sum/px_last are read from the
+    * post-Huffman, post-IDCT, post-color-convert pixels, so they prove
+    * the whole compressed path ([[graft.operators.Jpeg.decodeBaseline]]).
+    * Out-of-scope streams (progressive/arithmetic/12-bit) and malformed
+    * payloads surface `valid = false`. */
+  def extractJpegPixels(docs: DataFrame, idCol: String, binCol: String)
+      : Dataset[JpegPixels] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        try {
+          val img = Jpeg.decodeBaseline(p)
+          var sum = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            sum += (img.rgb(i) & 0xff) * 65536L +
+              (img.rgb(i + 1) & 0xff) * 256L + (img.rgb(i + 2) & 0xff)
+            i += 3
+          }
+          val o = img.rgb.length - 3
+          val last = (img.rgb(o) & 0xff) * 65536L +
+            (img.rgb(o + 1) & 0xff) * 256L + (img.rgb(o + 2) & 0xff)
+          JpegPixels(id, img.width, img.height, sum, last, valid = true)
+        } catch {
+          case _: IllegalArgumentException =>
+            JpegPixels(id, 0, 0, 0L, 0L, valid = false)
         }
       })
   }

@@ -4092,7 +4092,11 @@ object SparkEntry {
              |FROM orders""".stripMargin)),
 
     // GR: exact triangle count, oriented two-join formulation — every
-    // triangle {a<b<c} counted once as wedge (a,b)+(b,c) closed by (a,c).
+    // triangle counted once as a wedge at its (degree, id)-smallest
+    // vertex, closed by the oriented third edge. Low-degree-first
+    // orientation (round 5) bounds the wedge set by O(m^1.5) on
+    // hub-skewed graphs; the oracle's id-oriented SQL counts the same
+    // set, so parity is unchanged.
     Q("gr_triangles",
       (s, dir) => {
         val edges = SpatialJoins.gridSelfJoin(
@@ -4181,6 +4185,52 @@ object SparkEntry {
            |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
            |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
            |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+           |${(1 to 5).map(iterSql).mkString(",\n")}
+           |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
+      }),
+
+    // GR: the standard dangling-mass formulation — the DIRECTED proximity
+    // edges (a_id < b_id) leave max-id nodes with no out-edges; their
+    // rank mass is redistributed uniformly each round so ranks sum to 1.
+    // One extra 1-row aggregate per round (broadcast), state still
+    // (node, rank); the oracle unrolls the same 5 rounds with a per-round
+    // dangling-mass CTE.
+    Q("gr_pagerank_dangling",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        PageRank.run(edges, iterations = 5, redistributeDangling = true)
+          .select(col("node"), (round(col("rank"), 6) + 0.0).as("rank"))
+      },
+      Some {
+        val iterSql = (k: Int) =>
+          s"""m$k AS (
+             |  SELECT e.dst AS node, sum(r.rank / deg.deg) AS mass
+             |  FROM e JOIN r${k - 1} r ON e.src = r.node
+             |  JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |d$k AS (
+             |  SELECT coalesce(sum(r.rank), 0e0) AS dm
+             |  FROM r${k - 1} r LEFT JOIN deg ON r.node = deg.src
+             |  WHERE deg.src IS NULL),
+             |r$k AS (
+             |  SELECT nd.node,
+             |    (1e0 - 85e-2) / nn.n
+             |      + 85e-2 * (coalesce(m$k.mass, 0e0) + d$k.dm / nn.n) AS rank
+             |  FROM nodes nd CROSS JOIN nn CROSS JOIN d$k
+             |  LEFT JOIN m$k ON nd.node = m$k.node)"""
+        s"""WITH sup AS ($suppPointsSql),
+           |e AS (
+           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+           |  FROM sup a JOIN sup b
+           |    ON a.s_suppkey < b.s_suppkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |nodes AS (
+           |  SELECT src AS node FROM e UNION SELECT dst FROM e),
            |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
            |r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
            |${(1 to 5).map(iterSql).mkString(",\n")}

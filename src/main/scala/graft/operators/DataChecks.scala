@@ -20,17 +20,22 @@ object DataChecks {
   def checkReport(df: DataFrame, uniqueCols: Seq[String] = Nil,
                   nonNullCols: Seq[String] = Nil,
                   ranges: Seq[(String, (Double, Double))] = Nil): DataFrame = {
-    val aggs =
-      uniqueCols.map(c => (count(when(col(c).isNotNull, 1)) -
-        countDistinct(col(c))).as(s"unique__$c")) ++
-      nonNullCols.map(c =>
-        count(when(col(c).isNull, 1)).as(s"non_null__$c")) ++
+    val exprs =
+      uniqueCols.map(c => ("unique", c, count(when(col(c).isNotNull, 1)) -
+        countDistinct(col(c)))) ++
+      nonNullCols.map(c => ("non_null", c, count(when(col(c).isNull, 1)))) ++
       ranges.map { case (c, (lo, hi)) =>
-        count(when(col(c) < lo || col(c) > hi, 1)).as(s"range__$c") }
-    require(aggs.nonEmpty, "no constraints given")
+        ("range", c, count(when(col(c) < lo || col(c) > hi, 1))) }
+    require(exprs.nonEmpty, "no constraints given")
+    // aliases are index-prefixed so the same (kind, column) pair can be
+    // constrained twice (e.g. two ranges) without an ambiguous-column
+    // AnalysisException when reading the wide row back
+    val aggs = exprs.zipWithIndex.map { case ((chk, c, e), i) =>
+      e.as(s"${i}__${chk}__$c")
+    }
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val rows = wide.columns.map { n =>
-      val Array(chk, c) = n.split("__", 2)
+      val Array(_, chk, c) = n.split("__", 3)
       struct(lit(chk).as("check"), lit(c).as("column"),
         col(s"`$n`").as("violations"))
     }

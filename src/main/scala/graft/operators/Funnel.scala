@@ -22,6 +22,12 @@ object Funnel {
   /** @param horizonSeconds if set, step i+1 must also happen within this
     *        many seconds AFTER step i's completion (the usual product-
     *        funnel conversion window); unset = any later time counts.
+    *        For timestamp/date `tsCol` the bound is a calendar interval;
+    *        for a NUMERIC `tsCol` it is added in the column's own unit —
+    *        pass epoch-seconds values with an epoch-seconds column.
+    *        (The streaming twin, FunnelStream, takes `horizonMs` in
+    *        MILLISECONDS because its state timers are epoch-millis —
+    *        convert when writing batch/stream parity tests.)
     * @return (userCol, depth) — depth in [0, steps.size]: the length of
     *         the longest prefix of `steps` completed in order. Users
     *         present in `events` but never reaching step 1 have depth 0. */
@@ -29,6 +35,15 @@ object Funnel {
                   tsCol: String, steps: Seq[String],
                   horizonSeconds: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    import org.apache.spark.sql.types._
+    // only forced when a horizon is set — orderable non-numeric ts
+    // columns stay usable for the unbounded funnel
+    lazy val tsIsTemporal = events.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType | DateType => true
+      case _: NumericType => false
+      case other => throw new IllegalArgumentException(
+        s"tsCol must be temporal or numeric, got $other")
+    }
     val stepTimes = steps.zipWithIndex
       .foldLeft(Vector.empty[DataFrame]) { case (acc, (step, i)) =>
         val slice = events.where(col(typeCol) === step)
@@ -39,7 +54,9 @@ object Funnel {
           case Some(prev) =>
             val after = col(tsCol) > col(s"t${i - 1}")
             val within = horizonSeconds.fold(lit(true))(h =>
-              col(tsCol) <= col(s"t${i - 1}") + expr(s"INTERVAL $h SECONDS"))
+              if (tsIsTemporal)
+                col(tsCol) <= col(s"t${i - 1}") + expr(s"INTERVAL $h SECONDS")
+              else col(tsCol) <= col(s"t${i - 1}") + lit(h))
             slice.join(prev, Seq(userCol))
               .where(after && within)
               .groupBy(col(userCol)).agg(min(col(tsCol)).as(s"t$i"))

@@ -23,9 +23,16 @@ import org.apache.spark.sql.graft.CheckpointOps
   */
 object PageRank {
 
-  /** @return DataFrame(node, rank) for every node appearing as src or dst. */
+  /** @param redistributeDangling when true, each round adds the total
+    *        rank mass sitting on dangling nodes (no out-edges) back
+    *        uniformly — the standard formulation where ranks sum to 1.
+    *        The redistribution term is ONE extra aggregate per round
+    *        (a 1-row broadcast, state stays (node, rank)); false keeps
+    *        the simplified teleport-only dangling handling.
+    * @return DataFrame(node, rank) for every node appearing as src or dst. */
   def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+          iterations: Int = 5, damping: Double = 0.85,
+          redistributeDangling: Boolean = false): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -36,6 +43,12 @@ object PageRank {
     // out-degree rides with each edge so a round is select+shuffle, no join
     val (outEdges, outEdgesRdd) = CheckpointOps.checkpoint(
       e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), Seq("src")))
+    // dangling = appears only as dst; tiny (node) set, computed once
+    val (dangling, danglingRdd) =
+      if (!redistributeDangling) (null: DataFrame, null)
+      else CheckpointOps.checkpoint(
+        nodes.join(e.select($"src".as("node")).distinct(),
+          Seq("node"), "left_anti"))
 
     val nNodes = nodes.count().toDouble
     val teleport = (1.0 - damping) / nNodes
@@ -47,11 +60,23 @@ object PageRank {
         .join(ranks.select($"node".as("src"), $"rank"), "src")
         .groupBy($"dst".as("node"))
         .agg(sum($"rank" / $"deg").as("in_mass"))
-      val next = nodes
-        .join(contribs, Seq("node"), "left")
-        .select($"node",
-          (lit(teleport) + lit(damping) * coalesce($"in_mass", lit(0.0)))
-            .as("rank"))
+      val next = if (!redistributeDangling) {
+        nodes.join(contribs, Seq("node"), "left")
+          .select($"node",
+            (lit(teleport) + lit(damping) * coalesce($"in_mass", lit(0.0)))
+              .as("rank"))
+      } else {
+        // one extra aggregate: the round's dangling mass, broadcast as a
+        // single row so the update stays one distributed expression
+        val dMass = ranks.join(dangling, Seq("node"), "left_semi")
+          .agg(coalesce(sum($"rank"), lit(0.0)).as("d_mass"))
+        nodes.join(contribs, Seq("node"), "left")
+          .crossJoin(broadcast(dMass))
+          .select($"node",
+            (lit(teleport) + lit(damping) *
+              (coalesce($"in_mass", lit(0.0)) + $"d_mass" / lit(nNodes)))
+              .as("rank"))
+      }
       val (nextFlat, nextRdd) = CheckpointOps.checkpoint(next)
       ranksRdd.unpersist(false)
       ranks = nextFlat
@@ -60,28 +85,74 @@ object PageRank {
     }
     nodesRdd.unpersist(false)
     outEdgesRdd.unpersist(false)
+    if (danglingRdd != null) danglingRdd.unpersist(false)
     ranks
   }
 
-  /** Exact global triangle count over an UNDIRECTED edge set (directions
-    * and duplicates collapsed; self-loops dropped). The classic oriented
-    * two-join formulation: every triangle {a<b<c} is counted exactly once
-    * as wedge (a,b)+(b,c) closed by edge (a,c) — two shuffle equi-joins,
-    * no row ever expands beyond the wedge set. At scale, orienting edges
-    * low-degree -> high-degree instead of by id bounds the wedge count by
-    * O(m^1.5) on skewed graphs; id orientation keeps the oracle SQL
-    * byte-parallel and is fine for the near-uniform-degree graphs here. */
-  def closedWedges(edges: DataFrame, srcCol: String = "src",
-                   dstCol: String = "dst"): DataFrame = {
+  /** The wedge set of the DEGREE-oriented graph: every undirected edge
+    * {u,v} (directions/dups collapsed, self-loops dropped) is directed
+    * from the (degree, id)-smaller endpoint to the larger, and a wedge is
+    * a pair of out-edges (ctr->x, ctr->y) with x before y in the same
+    * order. Low-degree-first orientation is what bounds the wedge count
+    * by O(m^1.5) on skewed graphs — a hub of degree d under id
+    * orientation can center Θ(d²) wedges, but under degree orientation
+    * its out-degree (and every node's) is at most O(sqrt(m)).
+    * Exposed for the skew spec; [[closedWedges]] closes these. */
+  /** Canonical undirected simple edges: {a < b}, dups/self-loops gone. */
+  private def undirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame = {
     import edges.sparkSession.implicits._
-    val e = edges
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where($"a" =!= $"b").distinct()
-    e.select($"a", $"b")
-      .join(e.select($"a".as("b"), $"b".as("c")), "b")
-      .join(e.select($"a", $"b".as("c")), Seq("a", "c"), "left_semi")
-      .select($"a", $"b", $"c")
+  }
+
+  private def wedgesOf(und: DataFrame): DataFrame = {
+    import und.sparkSession.implicits._
+    val deg = und.select($"a".as("n")).union(und.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.select($"n".as("a"), $"d".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"d".as("db")), "b")
+    // orient low (degree, id) -> high; carry the head's order key so the
+    // wedge pairing below needs no extra degree join
+    val loFirst = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+    val oriented = withDeg.select(
+      when(loFirst, $"a").otherwise($"b").as("u"),
+      when(loFirst, $"b").otherwise($"a").as("v"),
+      when(loFirst, $"db").otherwise($"da").as("dv"))
+    oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.u") === col("o2.u"))
+      .where(col("o1.dv") < col("o2.dv") ||
+        (col("o1.dv") === col("o2.dv") && col("o1.v") < col("o2.v")))
+      .select(col("o1.u").as("ctr"), col("o1.v").as("x"),
+        col("o2.v").as("y"))
+  }
+
+  def orientedWedges(edges: DataFrame, srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame =
+    wedgesOf(undirected(edges, srcCol, dstCol))
+
+  /** Exact global triangle enumeration over an UNDIRECTED edge set: the
+    * oriented two-join formulation — each triangle appears exactly once
+    * as a wedge at its (degree, id)-smallest vertex, closed by the
+    * oriented edge between the other two. Two shuffle equi-joins; with
+    * the low-degree-first orientation of [[orientedWedges]] no row set
+    * ever exceeds O(m^1.5) even on hub-skewed graphs. Rows are returned
+    * id-sorted (a < b < c) regardless of degree order. */
+  def closedWedges(edges: DataFrame, srcCol: String = "src",
+                   dstCol: String = "dst"): DataFrame = {
+    import edges.sparkSession.implicits._
+    val und = undirected(edges, srcCol, dstCol)
+    // wedge legs (x, y) are (degree, id)-ordered; the closing edge is
+    // stored id-canonical, so the semi-join canonicalizes the pair
+    wedgesOf(und)
+      .join(und, least($"x", $"y") === und("a") &&
+        greatest($"x", $"y") === und("b"), "left_semi")
+      .select(array_sort(array($"ctr", $"x", $"y")).as("t"))
+      .select($"t".getItem(0).as("a"), $"t".getItem(1).as("b"),
+        $"t".getItem(2).as("c"))
   }
 
   def triangleCount(edges: DataFrame, srcCol: String = "src",

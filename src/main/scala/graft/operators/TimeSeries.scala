@@ -20,9 +20,12 @@ object TimeSeries {
 
   /** @param stepSeconds bucket width; observations must already be
     *                    bucket-aligned (pre-truncate with date_trunc)
-    * @return (keyCol, bucket, value, was_gap) — `value` forward-filled,
-    *         null until the key's first observation; `was_gap` = 1 where
-    *         the bucket had no observation. */
+    * @return (keyCol, bucket, value, was_gap) — `value` forward-filled
+    *         from the last non-null observation, null until the key's
+    *         first one; `was_gap` = 1 where the bucket had NO observation
+    *         row (an observed-but-null value keeps was_gap = 0 — presence
+    *         is tracked with a marker column, not value nullness — and is
+    *         carried over by the fill like a gap is). */
   def gapFill(observations: DataFrame, keyCol: String, bucketCol: String,
               valueCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, "step must be positive")
@@ -33,9 +36,10 @@ object TimeSeries {
         expr(s"INTERVAL $stepSeconds SECONDS"))).as(bucketCol))
     val w = Window.partitionBy(keyCol).orderBy(bucketCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(observations, Seq(keyCol, bucketCol), "left")
+    grid.join(observations.withColumn("__observed", lit(1)),
+        Seq(keyCol, bucketCol), "left")
       .select(col(keyCol), col(bucketCol),
         last(col(valueCol), ignoreNulls = true).over(w).as(valueCol),
-        when(col(valueCol).isNull, 1).otherwise(0).as("was_gap"))
+        when(col("__observed").isNull, 1).otherwise(0).as("was_gap"))
   }
 }

@@ -30,11 +30,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object FunnelStream {
 
   case class Event(user_id: Long, ts: Timestamp, event_type: String)
-  case class FunnelState(stepTimes: Vector[Long], pending: List[(Long, String)])
+  case class FunnelState(stepTimes: Vector[Long], pending: List[(Long, String)],
+                         lastSeen: Long = 0L)
   case class StepReached(user_id: Long, depth: Int, reached_at: Timestamp)
 
+  /** @param stateTtlMs if set, a user whose newest event is older than
+    *        this (event-time) is dropped from the state store — without
+    *        it, per-user FunnelState lives forever and store size grows
+    *        monotonically with user cardinality on a long-running stream.
+    *        An expired user who returns restarts at depth 0. */
   def transitions(events: Dataset[Event], steps: Seq[String],
-                  horizonMs: Option[Long] = None): Dataset[StepReached] = {
+                  horizonMs: Option[Long] = None,
+                  stateTtlMs: Option[Long] = None): Dataset[StepReached] = {
     val spark = events.sparkSession
     import spark.implicits._
     val streaming = events.isStreaming
@@ -77,11 +84,20 @@ object FunnelStream {
             // advance drains exactly the newly-ripe prefix (arming at the
             // newest would keep pushing the drain out as events arrive)
             val wm = state.getCurrentWatermarkMs()
-            val (ripe, hold) = (st.pending ++ incoming).partition(_._1 <= wm)
+            val all = st.pending ++ incoming
+            val lastSeen = (st.lastSeen :: all.map(_._1)).max
+            val (ripe, hold) = all.partition(_._1 <= wm)
             val (nt, outs) = advance(st.stepTimes, ripe)
-            state.update(FunnelState(nt, hold))
-            if (hold.nonEmpty)
-              state.setTimeoutTimestamp(hold.map(_._1).min)
+            val expireAt = stateTtlMs.map(ttl => lastSeen + ttl)
+            if (hold.isEmpty && expireAt.exists(_ <= wm)) {
+              state.remove() // inactive past the TTL: free the store slot
+            } else {
+              state.update(FunnelState(nt, hold, lastSeen))
+              if (hold.nonEmpty) state.setTimeoutTimestamp(hold.map(_._1).min)
+              else expireAt.foreach(state.setTimeoutTimestamp)
+              // (min(hold) and expireAt are both > wm here, as
+              // EventTimeTimeout requires)
+            }
             outs.iterator
           }
       }
@@ -91,8 +107,11 @@ object FunnelStream {
     * buffer discipline and `EventTimeTimeout` require. */
   def transitionsStream(events: Dataset[Event], steps: Seq[String],
                         horizonMs: Option[Long] = None,
-                        delay: String = "10 seconds"): Dataset[StepReached] = {
+                        delay: String = "10 seconds",
+                        stateTtlMs: Option[Long] = None)
+      : Dataset[StepReached] = {
     import events.sparkSession.implicits._
-    transitions(events.withWatermark("ts", delay).as[Event], steps, horizonMs)
+    transitions(events.withWatermark("ts", delay).as[Event], steps, horizonMs,
+      stateTtlMs)
   }
 }

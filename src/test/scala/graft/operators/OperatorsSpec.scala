@@ -506,6 +506,43 @@ class OperatorsSpec extends SparkTestBase {
     assert(PageRank.triangleCount(path) == 0)
   }
 
+  test("degree orientation keeps the wedge set bounded on a hub graph") {
+    // star-plus-rim: hub 0 joined to 1..60, rim path i—(i+1). Under id
+    // orientation the hub (id 0, degree 60) centers C(60,2)=1770 wedges;
+    // low-degree-first orientation points every star edge INTO the hub,
+    // so the wedge set stays linear in m — the O(m^1.5) discipline.
+    val n = 60
+    val star = (1 to n).map(i => (0L, i.toLong))
+    val rim = (1 until n).map(i => (i.toLong, (i + 1).toLong))
+    val edges = (star ++ rim).toDF("src", "dst")
+    val m = star.size + rim.size
+    val wedges = PageRank.orientedWedges(edges).count()
+    assert(wedges <= 2L * m, s"wedges=$wedges for m=$m — hub not tamed")
+    // and the triangles themselves stay exact: each rim edge closes one
+    // triangle with the hub
+    assert(PageRank.triangleCount(edges) == n - 1)
+    val tri = PageRank.closedWedges(edges).as[(Long, Long, Long)]
+      .collect().toSet
+    assert(tri == (1 until n).map(i => (0L, i.toLong, i + 1L)).toSet)
+  }
+
+  test("dangling-mass redistribution makes ranks sum to 1") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
+      .toDF("src", "dst")
+    val total = PageRank.run(edges, iterations = 8,
+        redistributeDangling = true)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass not conserved: $total")
+    // hand-check one round: 1->2, 3->2; node 2 is dangling with rank 1/3
+    val star = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val r1 = PageRank.run(star, iterations = 1, redistributeDangling = true)
+      .as[(Long, Double)].collect().toMap
+    val t = (1.0 - 0.85) / 3.0
+    assert(math.abs(r1(1L) - (t + 0.85 * (1.0 / 9))) < 1e-12)
+    assert(math.abs(r1(2L) - (t + 0.85 * (2.0 / 3 + 1.0 / 9))) < 1e-12)
+    assert(math.abs(r1(3L) - (t + 0.85 * (1.0 / 9))) < 1e-12)
+  }
+
   test("pageRank conserves mass up to dangling loss") {
     // total rank = teleport mass + damped received mass; nodes with
     // out-edges forward everything, dangling nodes forward nothing, so
@@ -549,6 +586,55 @@ class OperatorsSpec extends SparkTestBase {
       (1L, "2024-01-01 12:00:00.0", 5.0, 1),
       (1L, "2024-01-01 13:00:00.0", 7.0, 0),
       (2L, "2024-01-01 10:00:00.0", 1.0, 0)))
+  }
+
+  test("checkReport allows duplicate (kind, column) constraints") {
+    // two ranges on the same column (and a doubled unique) used to build
+    // duplicate agg aliases and die with an ambiguous-column reference
+    val df = Seq((1L, 5.0), (1L, 50.0), (2L, -3.0)).toDF("id", "v")
+    val got = DataChecks.checkReport(df, uniqueCols = Seq("id", "id"),
+        ranges = Seq("v" -> (0.0, 10.0), "v" -> (-10.0, 100.0)))
+      .as[(String, String, Long)].collect()
+    assert(got.toSeq.sorted == Seq(
+      ("range", "v", 2L),  // 50.0 and -3.0 outside [0,10]
+      ("range", "v", 0L),  // all inside [-10,100]
+      ("unique", "id", 1L), ("unique", "id", 1L)).sorted)
+    assert(got.length == 4) // both duplicates reported, not collapsed
+  }
+
+  test("gapFill keeps was_gap=0 for observed-but-null values") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 11:00:00"), None), // observed, value null
+      (1L, ts("2024-01-01 13:00:00"), Some(7.0))
+    ).toDF("k", "h", "v")
+    val got = TimeSeries.gapFill(obs, "k", "h", "v", 3600L)
+      .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+      .map(r => (r._2.toString, r._3, r._4)).toSet
+    // 11:00 was OBSERVED (was_gap=0) even though its value is null and the
+    // fill carries 5.0 over it; 12:00 is a true gap (was_gap=1)
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 5.0, 0),
+      ("2024-01-01 11:00:00.0", 5.0, 0),
+      ("2024-01-01 12:00:00.0", 5.0, 1),
+      ("2024-01-01 13:00:00.0", 7.0, 0)))
+  }
+
+  test("funnelDepth horizon works on numeric epoch columns too") {
+    // ts is epoch-SECONDS as a plain long; the horizon must be added in
+    // the column's own unit, not via a timestamp INTERVAL
+    val ev = Seq((9L, "view", 0L), (9L, "click", 100L))
+      .toDF("user_id", "event_type", "ts")
+    def depthAt(h: Long) = Funnel.funnelDepth(ev, "user_id", "event_type",
+        "ts", Seq("view", "click"), horizonSeconds = Some(h))
+      .as[(Long, Int)].collect().head._2
+    assert(depthAt(50L) == 1)
+    assert(depthAt(100L) == 2)
+    // an unusable ts type fails fast with a clear message
+    val bad = Seq((1L, "view", "not-a-time")).toDF("user_id", "event_type", "ts")
+    intercept[IllegalArgumentException](Funnel.funnelDepth(bad, "user_id",
+      "event_type", "ts", Seq("view", "click"), horizonSeconds = Some(1L)))
   }
 
   test("simHash is stable and near-dups have small hamming distance") {

@@ -75,4 +75,37 @@ class FunnelStreamSpec extends SparkTestBase {
       assert(fin.contains((7L, 3)), s"purchase never drained: $fin")
     } finally query.stop()
   }
+
+  test("state TTL expires inactive users so a returning user restarts") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // 60 s inactivity TTL; without it the late click would reach depth 2
+    val out = transitionsStream(input.toDS(), Seq("view", "click"),
+      delay = "10 seconds", stateTtlMs = Some(60000L))
+    val query = out.writeStream.format("memory").queryName("funnel_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(Event(9, ts("2024-01-01 10:00:00"), "view"))
+      // another user's traffic advances the watermark far past the TTL,
+      // firing user 9's expiry timer
+      input.addData(Event(99, ts("2024-01-01 10:30:00"), "view"))
+      query.processAllAvailable()
+      // user 9 returns with a click: state is gone, so it does NOT extend
+      // the old view to depth 2
+      input.addData(Event(9, ts("2024-01-01 10:31:00"), "click"))
+      input.addData(Event(99, ts("2024-01-01 10:45:00"), "view"))
+      query.processAllAvailable()
+      // and a fresh view restarts the funnel at depth 1
+      input.addData(Event(9, ts("2024-01-01 10:46:00"), "view"))
+      input.addData(Event(99, ts("2024-01-01 11:30:00"), "view"))
+      query.processAllAvailable()
+      val got = spark.table("funnel_ttl").as[StepReached].collect()
+        .filter(_.user_id == 9L)
+        .map(t => (t.depth, t.reached_at.toString)).toSet
+      assert(got == Set(
+        (1, "2024-01-01 10:00:00.0"),
+        (1, "2024-01-01 10:46:00.0")), s"got $got")
+    } finally query.stop()
+  }
 }

@@ -1543,6 +1543,58 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
+    // The same append-batch probe against a PERSISTED index, bucketed by
+    // the probe keys (band, bucket): the standing corpus index pays its
+    // layout once at write; each ingest then shuffles only the batch —
+    // PlanSpec asserts the index side plans with no exchange. Results
+    // are identical to dd_incremental (same oracle).
+    Q("dd_incremental_bucketed",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = s"graft_mh_index_$tag"
+        val docs = t(s, dir, "documents")
+        Dedup.writeMinHashIndex(Dedup.minHashIndex(
+            docs.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2),
+          tbl, s"/tmp/graft_bucketed/${tag}_mh_index")
+        Dedup.incrementalMinHash(s.table(tbl),
+          docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25)
+      },
+      Some(s"""WITH sh AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, sig, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |old AS (SELECT * FROM banded WHERE id % 4 <> 0),
+              |new AS (SELECT * FROM banded WHERE id % 4 = 0),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    'vs_index' AS kind, a.sig AS a_sig, b.sig AS b_sig
+              |  FROM old a JOIN new b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+              |  UNION
+              |  SELECT DISTINCT a.id, b.id, 'within_batch', a.sig, b.sig
+              |  FROM new a JOIN new b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+              |SELECT a_id, b_id, kind,
+              |  list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    AS sig_sim
+              |FROM cand
+              |WHERE list_sum(list_transform(range(1, 17), i ->
+              |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |  >= 0.25""".stripMargin)),
+
     // Cluster-level dedup: LSH pair graph -> connected components ->
     // canonical keep (longest text, min-id tiebreak). The transitive-
     // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's

@@ -195,6 +195,19 @@ object Dedup {
     lshBanded(hashedShingleDocs(docs, idCol, textCol, shingleN),
       bands, rowsPerBand)
 
+  /** Persist a [[minHashIndex]] bucketed (and sorted) by its probe keys
+    * (band, bucket): every [[incrementalMinHash]] probe then plans with
+    * NO exchange on the index side — only the (small) append batch
+    * shuffles, which is the whole point of keeping a standing index at
+    * 100 TB. Parquet bucketing needs a catalog entry, hence table name +
+    * explicit path. */
+  def writeMinHashIndex(index: DataFrame, table: String, path: String,
+                        numBuckets: Int = 8): Unit =
+    index.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
   /** Append-batch near-dup detection: candidate pairs between the new
     * batch and an existing [[minHashIndex]] (`kind = vs_index`, a = index
     * side) plus within the batch itself (`kind = within_batch`, a_id <

@@ -103,6 +103,46 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dd_incremental_bucketed: the saved index side probes with no " +
+    "exchange") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // isolate the vs-index probe join (the full query also contains the
+      // within-batch self-join, which legitimately shuffles both sides)
+      val all = spark.read.parquet(s"$dir/documents.parquet")
+      val tbl = "graft_mh_index_planspec"
+      Dedup.writeMinHashIndex(Dedup.minHashIndex(
+          all.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text"),
+        tbl, "/tmp/graft_bucketed/planspec_mh_index")
+      val probe = Dedup.minHashIndex(
+        all.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text")
+      val joined = spark.table(tbl)
+        .select(col("band"), col("bucket"), col("id").as("a_id"))
+        .join(probe.select(col("band"), col("bucket"), col("id").as("b_id")),
+          Seq("band", "bucket"))
+      joined.collect()
+      val smj = joined.queryExecution.executedPlan.collectFirst {
+        case s: SortMergeJoinExec => s
+      }.getOrElse(fail("expected a SortMergeJoin"))
+      // the index (left) side must come sorted+partitioned straight off
+      // the bucketed files: zero shuffles; the batch side pays the only one
+      val leftShuffles = smj.left.collect { case e: ShuffleExchangeExec => e }
+      val rightShuffles = smj.right.collect { case e: ShuffleExchangeExec => e }
+      assert(leftShuffles.isEmpty,
+        s"index side must not shuffle:\n${smj.left.toString.take(3000)}")
+      assert(rightShuffles.nonEmpty, "probe side should carry the exchange")
+      val bucketedScan = smj.left.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(bucketedScan.nonEmpty,
+        s"index side must be a bucketed scan:\n${smj.left.toString.take(3000)}")
+    }
+  }
+
   test("pipe_kg_etl: the end-to-end dataflow plans without cartesians " +
     "beyond broadcast dims") {
     val p = plan("pipe_kg_etl")

@@ -291,16 +291,28 @@ object TextAnalysis {
     *
     * Shape at scale: tokenize -> per-(doc, term) counts (map-side partial
     * agg) -> per-term document frequency (second partial agg over the much
-    * smaller distinct set) -> shuffled equi-join back on term -> one
+    * smaller distinct set) -> equi-join back on term -> one
     * row_number window per doc. The corpus size N rides along as a
     * broadcast single-row frame, so nothing collects to the driver; every
     * stage is a hash aggregate or equi-join AQE can re-plan. Documents
-    * with no tokens produce no row. */
+    * with no tokens produce no row.
+    *
+    * Vocabulary skew: the join-back key is the TERM, and natural-language
+    * term frequency is Zipfian — a stop word's partition carries a large
+    * share of all (doc, term) rows. The build side is one row per term,
+    * so AQE's skew-join split handles it (splitting the probe side is
+    * always safe against a 1-row-per-key build side); when the distinct
+    * vocabulary is known to fit in executor memory (it usually is: even
+    * web-scale corpora hold ~10^7-10^8 terms), pass
+    * `broadcastVocab = true` to skip the term shuffle entirely. */
   def tfidfTop(docs: org.apache.spark.sql.DataFrame, idCol: String,
-               textCol: String): org.apache.spark.sql.DataFrame = {
+               textCol: String,
+               broadcastVocab: Boolean = false)
+      : org.apache.spark.sql.DataFrame = {
     val terms = docs.select(col(idCol), explode(toks(col(textCol))).as("term"))
     val tf = terms.groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq0 = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfreq = if (broadcastVocab) broadcast(dfreq0) else dfreq0
     val n = docs.agg(count(lit(1)).as("n"))
     val scored = tf.join(dfreq, "term").crossJoin(broadcast(n))
       .withColumn("tfidf", col("tf") *

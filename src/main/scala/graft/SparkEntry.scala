@@ -4015,6 +4015,49 @@ object SparkEntry {
              |  TRUE AS valid
              |FROM packed GROUP BY doc_id""".stripMargin)),
 
+    // MM: FULL GIF decode — the LZW sibling of mm_png_decode /
+    // mm_jpeg_decode: payloads are real GIF89a streams (dictionary-built
+    // LZW with width growth, every 3rd doc interlaced) from the pure-JVM
+    // encoder; decode runs sub-block reassembly -> LZW -> palette ->
+    // deinterlace. GIF is lossless, so the oracle replays the palette and
+    // index closed forms exactly.
+    Q("mm_gif_decode",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 11 + 3).toInt
+            val h = (id % 8 + 3).toInt
+            (id, Gif.gifSynth(id, w, h))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractGifPixels(payloads, "doc_id", "payload").toDF()
+      },
+      Some("""WITH dims AS (
+             |  SELECT doc_id, CAST(doc_id % 1000 AS INTEGER) AS idi,
+             |    CAST(doc_id % 11 + 3 AS INTEGER) AS w,
+             |    CAST(doc_id % 8 + 3 AS INTEGER) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, w, h, x, y,
+             |    (x * 7 + y * 13 + idi) % 256 AS ci
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 13)) AS x),
+             |    (SELECT unnest(range(0, 10)) AS y)
+             |  WHERE x < w AND y < h),
+             |packed AS (
+             |  SELECT doc_id, w, h, x, y,
+             |    ((ci * 5 + 7) % 256) * 65536 +
+             |    ((ci * 11 + 3) % 256) * 256 +
+             |    ((ci * 17 + 29) % 256) AS v
+             |  FROM px)
+             |SELECT doc_id, max(w) AS width, max(h) AS height,
+             |  CAST(sum(v) AS BIGINT) AS pix_sum,
+             |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN v END)
+             |    AS BIGINT) AS px_last,
+             |  TRUE AS valid
+             |FROM packed GROUP BY doc_id""".stripMargin)),
+
     // ST: the funnel under a conversion window — each step must land
     // within 48h of the previous step's completion (earliest-completion
     // greedy under the same cascaded min-agg shape).

@@ -728,6 +728,39 @@ object Multimodal {
       })
   }
 
+  case class GifPixels(doc_id: Long, width: Int, height: Int,
+                       pix_sum: Long, px_last: Long, valid: Boolean)
+
+  /** Per-partition batched GIF decode + checksum over (doc_id, payload) —
+    * the LZW sibling of [[extractPngPixels]]/[[extractJpegPixels]];
+    * checksums read the post-LZW, post-palette, post-deinterlace pixels
+    * ([[graft.operators.Gif.decodeGif]]). */
+  def extractGifPixels(docs: DataFrame, idCol: String, binCol: String)
+      : Dataset[GifPixels] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        try {
+          val img = Gif.decodeGif(p)
+          var sum = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            sum += (img.rgb(i) & 0xff) * 65536L +
+              (img.rgb(i + 1) & 0xff) * 256L + (img.rgb(i + 2) & 0xff)
+            i += 3
+          }
+          val o = img.rgb.length - 3
+          val last = (img.rgb(o) & 0xff) * 65536L +
+            (img.rgb(o + 1) & 0xff) * 256L + (img.rgb(o + 2) & 0xff)
+          GifPixels(id, img.width, img.height, sum, last, valid = true)
+        } catch {
+          case _: IllegalArgumentException =>
+            GifPixels(id, 0, 0, 0L, 0L, valid = false)
+        }
+      })
+  }
+
   case class JpegPixels(doc_id: Long, width: Int, height: Int,
                         pix_sum: Long, px_last: Long, valid: Boolean)
 

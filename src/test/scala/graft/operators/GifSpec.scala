@@ -1,0 +1,99 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** GIF/LZW codec verification: lossless roundtrips against the closed
+  * synthesis form (the same form the DuckDB oracle replays), raw-LZW
+  * properties, interlacing, and malformed-input rejection. */
+class GifSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def expectedRgb(id: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val idi = (id % 1000).toInt
+    val idx = (x * 7 + y * 13 + idi) % 256
+    ((idx * 5 + 7) % 256, (idx * 11 + 3) % 256, (idx * 17 + 29) % 256)
+  }
+
+  test("gifSynth roundtrips bit-exactly (sequential and interlaced)") {
+    // id % 3 == 0 synthesizes interlaced streams — both orders covered
+    for (id <- Seq(0L, 1L, 2L, 3L, 7L, 42L, 999L, 123456L)) {
+      val w = (id % 11 + 3).toInt
+      val h = (id % 8 + 3).toInt
+      val img = Gif.decodeGif(Gif.gifSynth(id, w, h))
+      assert(img.width == w && img.height == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val o = (y * w + x) * 3
+        val got = (img.rgb(o) & 0xff, img.rgb(o + 1) & 0xff,
+          img.rgb(o + 2) & 0xff)
+        assert(got == expectedRgb(id, x, y),
+          s"id=$id pixel ($x,$y): got $got want ${expectedRgb(id, x, y)}")
+      }
+    }
+  }
+
+  test("LZW roundtrips arbitrary index streams, including repetitive " +
+    "runs that grow the dictionary and overflow it") {
+    val rnd = new scala.util.Random(11)
+    for (minCode <- Seq(2, 4, 8)) {
+      val nSyms = 1 << minCode
+      // three shapes: random, heavily repetitive (dictionary growth +
+      // KwKwK patterns), and one long run (forces 4096-entry overflow
+      // + mid-stream clear at minCode 2)
+      val streams = Seq(
+        Array.fill(500)(rnd.nextInt(nSyms).toByte),
+        Array.tabulate(3000)(i => ((i / 7) % nSyms).toByte),
+        Array.fill(30000)(1.toByte))
+      for (s <- streams) {
+        val enc = Gif.lzwEncode(s, minCode)
+        val dec = Gif.lzwDecode(enc, minCode, s.length)
+        assert(dec.length == s.length &&
+          java.util.Arrays.equals(dec, s),
+          s"minCode=$minCode len=${s.length} roundtrip mismatch")
+        // real compression on the repetitive shapes, not code bloat
+        if (s.length >= 3000) assert(enc.length < s.length)
+      }
+    }
+  }
+
+  test("interlace row order is the four standard passes") {
+    assert(Gif.interlaceRows(10) ==
+      Seq(0, 8, 4, 2, 6, 1, 3, 5, 7, 9))
+    assert(Gif.interlaceRows(1) == Seq(0))
+    // a permutation of all rows at any height
+    for (h <- 1 to 30)
+      assert(Gif.interlaceRows(h).sorted == (0 until h))
+  }
+
+  test("malformed GIFs throw rather than mis-decode") {
+    val good = Gif.gifSynth(5L, 9, 6)
+    intercept[IllegalArgumentException](Gif.decodeGif(null))
+    intercept[IllegalArgumentException](
+      Gif.decodeGif("NOTAGIF!!".getBytes))
+    for (cut <- Seq(4, 12, 20, good.length / 2, good.length - 2))
+      intercept[IllegalArgumentException](Gif.decodeGif(good.take(cut)))
+    // absurd dimensions rejected before allocation
+    val big = good.clone()
+    big(6) = 0xff.toByte; big(7) = 0xff.toByte
+    big(8) = 0xff.toByte; big(9) = 0xff.toByte
+    intercept[IllegalArgumentException](Gif.decodeGif(big))
+  }
+
+  test("extractGifPixels decodes a batch and flags bad payloads") {
+    val rows = Seq(
+      (3L, Gif.gifSynth(3L, 9, 6)),   // interlaced (3 % 3 == 0)
+      (4L, Gif.gifSynth(4L, 7, 7)),
+      (9L, Array[Byte](9, 9, 9, 9))
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.extractGifPixels(rows, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(3L).valid && out(3L).width == 9 && out(3L).height == 6)
+    assert(out(4L).valid && out(4L).width == 7)
+    assert(!out(9L).valid)
+    var sum = 0L
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val (r, g, b) = expectedRgb(3L, x, y)
+      sum += r * 65536L + g * 256L + b
+    }
+    assert(out(3L).pix_sum == sum)
+  }
+}

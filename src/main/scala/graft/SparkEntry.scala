@@ -4332,6 +4332,38 @@ object SparkEntry {
            |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
       }),
 
+    // GR: multi-source BFS shortest hop distances (3-hop bound) over the
+    // symmetrized proximity graph — frontier-only edge join + min-merge
+    // per round, (node, dist) state; the oracle is a bounded recursive
+    // CTE min-ed per node.
+    Q("gr_bfs_dist",
+      (s, dir) => {
+        val pts = suppPoints(s, dir)
+        val edges = SpatialJoins.gridSelfJoin(
+            pts, "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = edges.union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = pts.where(pmod(col("s_suppkey"), lit(10)) === 1)
+          .select(col("s_suppkey").as("node"))
+        PageRank.bfsDistances(bidir, seeds, maxHops = 3)
+      },
+      Some(s"""WITH RECURSIVE sup AS ($suppPointsSql),
+              |e AS (
+              |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+              |  FROM sup a JOIN sup b
+              |    ON a.s_suppkey <> b.s_suppkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+              |seeds AS (
+              |  SELECT s_suppkey AS node FROM sup WHERE s_suppkey % 10 = 1),
+              |walk(node, d) AS (
+              |  SELECT node, 0 FROM seeds
+              |  UNION ALL
+              |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
+              |  WHERE w.d < 3)
+              |SELECT node, CAST(min(d) AS INTEGER) AS dist
+              |FROM walk GROUP BY node""".stripMargin)),
+
     // ST: ordered conversion funnel over the event log — earliest-
     // completion greedy matching (step i+1 strictly after the earliest
     // valid completion of step i), one partial-aggregatable shuffle per

@@ -158,4 +158,42 @@ object PageRank {
   def triangleCount(edges: DataFrame, srcCol: String = "src",
                     dstCol: String = "dst"): Long =
     closedWedges(edges, srcCol, dstCol).count()
+
+  /** Multi-source BFS shortest hop distances, bounded at `maxHops`
+    * rounds: the frontier pattern — each round joins ONLY the nodes
+    * first reached in the previous round against the edge list, then
+    * min-merges into the distance state. Two shuffles per round (edge
+    * join + min agg) on the [[org.apache.spark.sql.graft.CheckpointOps]]
+    * round machinery; state is (node, dist) only, and the per-round join
+    * input shrinks to the frontier, not the whole reached set.
+    *
+    * Directed along src->dst; pass a symmetrized edge list for
+    * undirected distance. Unreached nodes are absent from the output
+    * (callers left-join if they want nulls).
+    *
+    * @param sources DataFrame with a `node` column (distance-0 seeds) */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    var (dist, distRdd) = CheckpointOps.checkpoint(
+      sources.select($"node").distinct().select($"node", lit(0).as("dist")))
+    var hop = 1
+    while (hop <= maxHops) {
+      val frontier = dist.where($"dist" === (hop - 1)).select($"node")
+      val reached = e.join(frontier.select($"node".as("src")), "src")
+        .select($"dst".as("node"), lit(hop).as("dist"))
+      val next = dist.union(reached)
+        .groupBy($"node").agg(min($"dist").as("dist"))
+      val (nextFlat, nextRdd) = CheckpointOps.checkpoint(next)
+      distRdd.unpersist(false)
+      dist = nextFlat
+      distRdd = nextRdd
+      hop += 1
+    }
+    dist
+  }
 }

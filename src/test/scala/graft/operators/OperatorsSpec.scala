@@ -526,6 +526,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(tri == (1 until n).map(i => (0L, i.toLong, i + 1L)).toSet)
   }
 
+  test("bfsDistances finds multi-source shortest hops within the bound") {
+    // path 1-2-3-4-5 plus a shortcut 6->4; seeds {1, 6}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 4L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L, 6L).toDF("node")
+    val got = PageRank.bfsDistances(edges, seeds, maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    // 4 is reached in 1 hop via 6 (not 3 via 1); 5 in 2 via the shortcut
+    assert(got == Map(1L -> 0, 6L -> 0, 2L -> 1, 3L -> 2, 4L -> 1, 5L -> 2))
+    // the hop bound truncates: from seed 1 only, node 5 is 4 hops away
+    val far = PageRank.bfsDistances(edges, Seq(1L).toDF("node"), maxHops = 3)
+      .as[(Long, Int)].collect().toMap
+    assert(far == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+  }
+
   test("dangling-mass redistribution makes ranks sum to 1") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
       .toDF("src", "dst")

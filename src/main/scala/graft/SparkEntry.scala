@@ -4058,6 +4058,47 @@ object SparkEntry {
              |  TRUE AS valid
              |FROM packed GROUP BY doc_id""".stripMargin)),
 
+    // MM: audio spectral analysis — synthesize one 64-sample 16-bit PCM
+    // sine per doc (bin k0 = id%26+3, amplitude 1000, samples
+    // floor(1000*sin(2*pi*k0*x/64)+0.5) — a closed form BOTH engines can
+    // regenerate), decode, DFT, report the peak bin + its magnitude.
+    // The peak magnitude ~ N*A/2 dwarfs the rounding-leakage floor, so
+    // the argmax is engine-robust; magnitudes round to 2 decimals
+    // (cross-engine double sums differ ~1e-10 relative).
+    Q("mm_wav_spectrum",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val k0 = (id % 26 + 3).toInt
+            val samples = (0 until 64).map(x => math.floor(
+              1000 * math.sin(2 * math.Pi * k0 * x / 64) + 0.5).toInt.toShort)
+            (id, Multimodal.wavSynth(1, 8000, samples))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractWavSpectrum(payloads, "doc_id", "payload").toDF()
+      },
+      Some("""WITH param AS (
+             |  SELECT doc_id, CAST(doc_id % 26 + 3 AS INTEGER) AS k0
+             |  FROM documents),
+             |samp AS (
+             |  SELECT doc_id, k0, x,
+             |    FLOOR(1000 * sin(2 * pi() * k0 * x / 64) + 0.5e0) AS s
+             |  FROM param, (SELECT unnest(range(0, 64)) AS x)),
+             |spec AS (
+             |  SELECT doc_id, k,
+             |    sqrt(pow(sum(s * cos(2 * pi() * k * x / 64)), 2) +
+             |         pow(sum(s * sin(2 * pi() * k * x / 64)), 2)) AS mag
+             |  FROM samp, (SELECT unnest(range(0, 33)) AS k)
+             |  GROUP BY doc_id, k),
+             |best AS (
+             |  SELECT doc_id, k, mag, row_number() OVER (
+             |    PARTITION BY doc_id ORDER BY mag DESC, k ASC) AS rn
+             |  FROM spec)
+             |SELECT doc_id, CAST(k AS INTEGER) AS peak_bin,
+             |  round(mag, 2) AS peak_mag, TRUE AS valid
+             |FROM best WHERE rn = 1""".stripMargin)),
+
     // ST: the funnel under a conversion window — each step must land
     // within 48h of the previous step's completion (earliest-completion
     // greedy under the same cascaded min-agg shape).

@@ -728,6 +728,67 @@ object Multimodal {
       })
   }
 
+  case class WavSpectrum(doc_id: Long, peak_bin: Int, peak_mag: Double,
+                         valid: Boolean)
+
+  /** REAL audio spectral analysis: decode 16-bit PCM, window the first
+    * `nFft` first-channel samples, compute the DFT magnitude spectrum
+    * (bins 0..nFft/2) and report the peak bin — the feature-extraction
+    * step an audio curation pipeline runs per clip (dominant frequency /
+    * tone detection). Pure double arithmetic; the per-partition batch
+    * shape matches the other extractors, and at 100 TB the per-row cost
+    * is a fixed nFft^2/2 multiply-adds (swap in an FFT kernel inside the
+    * same mapPartitions if nFft grows).
+    *
+    * Determinism contract with the oracle: the magnitude is
+    * sqrt(sum(s*cos)^2 + sum(s*sin)^2) with angles (2*pi*k*x)/nFft in
+    * that association order, rounded HALF_UP to 2 decimals — argmax ties
+    * break toward the smaller bin. */
+  def extractWavSpectrum(docs: DataFrame, idCol: String, binCol: String,
+                         nFft: Int = 64): Dataset[WavSpectrum] = {
+    require(nFft > 0, "nFft must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val meta = wavMeta(id, p)
+        val chunk = if (meta.valid && meta.bits_per_sample == 16)
+          dataChunk(p) else None
+        chunk match {
+          case Some((off, len))
+              if len / (meta.channels * 2) >= nFft && meta.channels > 0 =>
+            val fb = meta.channels * 2
+            val s = new Array[Double](nFft)
+            var x = 0
+            while (x < nFft) {
+              s(x) = le16(p, off + x * fb).toShort.toDouble
+              x += 1
+            }
+            var bestK = 0
+            var bestMag = -1.0
+            var k = 0
+            while (k <= nFft / 2) {
+              var re = 0.0
+              var im = 0.0
+              var i = 0
+              while (i < nFft) {
+                val ang = 2 * math.Pi * k * i / nFft
+                re += s(i) * math.cos(ang)
+                im += s(i) * math.sin(ang)
+                i += 1
+              }
+              val mag = math.sqrt(re * re + im * im)
+              if (mag > bestMag) { bestMag = mag; bestK = k }
+              k += 1
+            }
+            val rounded = BigDecimal(bestMag)
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+            WavSpectrum(id, bestK, rounded, valid = true)
+          case _ => WavSpectrum(id, 0, 0.0, valid = false)
+        }
+      })
+  }
+
   case class GifPixels(doc_id: Long, width: Int, height: Int,
                        pix_sum: Long, px_last: Long, valid: Boolean)
 

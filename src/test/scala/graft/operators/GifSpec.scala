@@ -78,6 +78,26 @@ class GifSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Gif.decodeGif(big))
   }
 
+  test("extractWavSpectrum finds the synthesized tone's bin") {
+    def tone(k0: Int, amp: Int = 1000): Array[Byte] =
+      Multimodal.wavSynth(1, 8000, (0 until 64).map(x => math.floor(
+        amp * math.sin(2 * math.Pi * k0 * x / 64) + 0.5).toInt.toShort))
+    val rows = Seq(
+      (1L, tone(5)),
+      (2L, tone(19)),
+      (3L, Multimodal.wavSynth(1, 8000, Seq.fill(8)(0.toShort))), // too short
+      (4L, Array[Byte](1, 2, 3)) // not a WAV
+    ).toDF("doc_id", "payload")
+    val out = Multimodal.extractWavSpectrum(rows, "doc_id", "payload")
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out(1L).valid && out(1L).peak_bin == 5)
+    assert(out(2L).valid && out(2L).peak_bin == 19)
+    // |DFT| at the tone bin is ~ N*A/2 = 32000 for a pure sine
+    assert(math.abs(out(1L).peak_mag - 32000.0) < 50.0,
+      s"peak magnitude ${out(1L).peak_mag}")
+    assert(!out(3L).valid && !out(4L).valid)
+  }
+
   test("extractGifPixels decodes a batch and flags bad payloads") {
     val rows = Seq(
       (3L, Gif.gifSynth(3L, 9, 6)),   // interlaced (3 % 3 == 0)

@@ -4373,6 +4373,41 @@ object SparkEntry {
            |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
       }),
 
+    // GR: synchronous label propagation (community detection), 3 fixed
+    // rounds, min-label tiebreak — per round one (node, label) count
+    // shuffle + one partial-agg argmax (max(struct(c, -label))), no
+    // window; the oracle unrolls the same rounds with a windowed argmax.
+    Q("gr_label_prop",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = edges.union(
+          edges.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.labelPropagation(bidir, iterations = 3)
+      },
+      Some {
+        val iterSql = (k: Int) =>
+          s"""cnt$k AS (
+             |  SELECT e.dst AS node, l.label, count(*) AS c
+             |  FROM e JOIN l${k - 1} l ON e.src = l.node
+             |  GROUP BY 1, 2),
+             |l$k AS (
+             |  SELECT node, min(label) AS label FROM (
+             |    SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
+             |    FROM cnt$k) t
+             |  WHERE c = mx GROUP BY node)"""
+        s"""WITH sup AS ($suppPointsSql),
+           |e AS (
+           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+           |  FROM sup a JOIN sup b
+           |    ON a.s_suppkey <> b.s_suppkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+           |${(1 to 3).map(iterSql).mkString(",\n")}
+           |SELECT node, label FROM l3""".stripMargin
+      }),
+
     // GR: multi-source BFS shortest hop distances (3-hop bound) over the
     // symmetrized proximity graph — frontier-only edge join + min-merge
     // per round, (node, dist) state; the oracle is a bounded recursive

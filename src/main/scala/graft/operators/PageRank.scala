@@ -159,6 +159,56 @@ object PageRank {
                     dstCol: String = "dst"): Long =
     closedWedges(edges, srcCol, dstCol).count()
 
+  /** SYNCHRONOUS label propagation (community detection) for a fixed
+    * iteration count: every node starts as its own label; each round
+    * every node adopts the most frequent label among its neighbors,
+    * ties broken toward the SMALLEST label — fully deterministic (the
+    * async/random-order variants of LPA are not reproducible, and a
+    * fixed round count sidesteps the oscillation non-termination of
+    * synchronous LPA on bipartite structures).
+    *
+    * Per round: one (node, label) count shuffle + one argmax partial
+    * agg (`max(struct(count, -label))` — map-side combinable, no
+    * window). State is (node, label) only, on the CheckpointOps round
+    * machinery like [[run]].
+    *
+    * @param edges treated as directed influence dst <- src; pass a
+    *              symmetrized list for the usual undirected semantics */
+  def labelPropagation(edges: DataFrame, srcCol: String = "src",
+                       dstCol: String = "dst",
+                       iterations: Int = 3): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val (nodes, nodesRdd) = CheckpointOps.checkpoint(
+      e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct())
+    var (labels, labelsRdd) = CheckpointOps.checkpoint(
+      nodes.select($"node", $"node".as("label")))
+    var iter = 0
+    while (iter < iterations) {
+      val counts = e
+        .join(labels.select($"node".as("src"), $"label"), "src")
+        .groupBy($"dst", $"label").agg(count(lit(1)).as("c"))
+      // argmax(count) with min-label tiebreak, as one partial agg:
+      // max over (c, -label) picks the largest count, then the most
+      // negative -label = smallest label
+      val next = counts
+        .groupBy($"dst".as("node"))
+        .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
+        .select($"node", (-$"m.nl").as("label"))
+      val (nextFlat, nextRdd) = CheckpointOps.checkpoint(
+        nodes.join(next, Seq("node"), "left") // isolated dsts keep a row
+          .select($"node", coalesce($"label", $"node").as("label")))
+      labelsRdd.unpersist(false)
+      labels = nextFlat
+      labelsRdd = nextRdd
+      iter += 1
+    }
+    nodesRdd.unpersist(false)
+    labels
+  }
+
   /** Multi-source BFS shortest hop distances, bounded at `maxHops`
     * rounds: the frontier pattern — each round joins ONLY the nodes
     * first reached in the previous round against the edge list, then

@@ -526,6 +526,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(tri == (1 until n).map(i => (0L, i.toLong, i + 1L)).toSet)
   }
 
+  test("labelPropagation converges two bridged triangles to two " +
+    "communities") {
+    // triangles {1,2,3} and {10,11,12} with bridge 3-10; 3 synchronous
+    // rounds (hand-unrolled, min-label tiebreak) settle each triangle on
+    // its own community without merging across the bridge
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.labelPropagation(sym, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L))
+  }
+
   test("bfsDistances finds multi-source shortest hops within the bound") {
     // path 1-2-3-4-5 plus a shortcut 6->4; seeds {1, 6}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 4L))

@@ -4058,6 +4058,72 @@ object SparkEntry {
              |  TRUE AS valid
              |FROM packed GROUP BY doc_id""".stripMargin)),
 
+    // DD/MM: image near-duplicate pairs over REAL decoded pixels — the
+    // capstone tying the codecs into the dedup story. Each doc pair
+    // (doc_id//2) renders the same deterministic 9x8 grayscale pattern,
+    // the odd variant nudged +1 at (0,0); payloads rotate through the
+    // three LOSSLESS encoders (PNG / GIF / BMP) so the decode dispatch
+    // is exercised and the oracle closed form holds bit-exactly. dHash
+    // + pigeonhole chunk blocking (exact recall at the budget) + a
+    // codegen'd bit_count(xor) verify; the oracle recomputes every
+    // hash from the formula and all-pairs-joins the bit tables.
+    Q("dd_image_phash",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id / 2
+            val v = (id % 2).toInt
+            // multiplicative-hash mixing makes adjacent-pixel comparisons
+            // behave like coin flips, so DIFFERENT groups sit ~32 bits
+            // apart (blocking prunes them) while the odd variant's +1
+            // nudge at (0,0) moves its pair by at most one bit
+            val gray = Array.tabulate(9 * 8) { i =>
+              val x = i % 9; val y = i / 9
+              (((x + 9L * y + 1L) * (g % 4096 + 7L) + g % 4096)
+                * 2654435761L % 100003L % 200L + 28L).toInt +
+                (if (v == 1 && x == 0 && y == 0) 1 else 0)
+            }
+            val rgb = Array.tabulate(9 * 8 * 3)(i => gray(i / 3).toByte)
+            val p = (g % 3).toInt match {
+              case 0 => Multimodal.pngEncodeRgb(9, 8, rgb)
+              case 1 =>
+                val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+                Gif.encodeGif(9, 8, pal, gray.map(_.toByte))
+              case _ => Multimodal.bmpEncodeRgb(9, 8, rgb)
+            }
+            (id, p)
+          }.toDF("doc_id", "payload")
+        Multimodal.imageDHashPairs(payloads, "doc_id", "payload",
+          maxHamming = 4)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v
+             |  FROM documents),
+             |cell AS (
+             |  SELECT doc_id, x, y,
+             |    ((x + 9 * y + 1) * (g % 4096 + 7) + g % 4096)
+             |      * 2654435761 % 100003 % 200 + 28
+             |      + CASE WHEN v = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END
+             |      AS gr
+             |  FROM d,
+             |    (SELECT unnest(range(0, 9)) AS x),
+             |    (SELECT unnest(range(0, 8)) AS y)),
+             |bits AS (
+             |  SELECT a.doc_id, a.y * 8 + a.x AS k,
+             |    CASE WHEN b.gr > a.gr THEN 1 ELSE 0 END AS bit
+             |  FROM cell a JOIN cell b
+             |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 8),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |    sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+             |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming
+             |FROM pairs WHERE hamming <= 4""".stripMargin)),
+
     // MM: audio spectral analysis — synthesize one 64-sample 16-bit PCM
     // sine per doc (bin k0 = id%26+3, amplitude 1000, samples
     // floor(1000*sin(2*pi*k0*x/64)+0.5) — a closed form BOTH engines can

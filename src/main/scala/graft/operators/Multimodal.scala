@@ -434,6 +434,27 @@ object Multimodal {
     a
   }
 
+  /** Encode row-major RGB as a 24bpp bottom-up BMP — the synthesis
+    * sibling of the BMP branch in [[decodeImageRgb]]. */
+  def bmpEncodeRgb(width: Int, height: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0 && rgb.length == width * height * 3,
+      "RGB plane size mismatch")
+    val a = bmpHeader(width, height).array()
+    val stride = stride24(width)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val o = (y * width + x) * 3
+        val so = 54 + stride * (height - 1 - y) + x * 3
+        a(so) = rgb(o + 2); a(so + 1) = rgb(o + 1); a(so + 2) = rgb(o)
+        x += 1
+      }
+      y += 1
+    }
+    a
+  }
+
   /** REAL nearest-neighbor resize of a 24bpp bottom-up BMP — decode,
     * pixel transform, re-encode, all pure byte arithmetic (BMP stores raw
     * pixels, so unlike the entropy-coded formats no codec is needed).
@@ -856,6 +877,121 @@ object Multimodal {
             JpegPixels(id, 0, 0, 0L, 0L, valid = false)
         }
       })
+  }
+
+  // ------------------------------------------- image near-dup (dHash)
+
+  /** Decode any supported image payload to row-major RGB by magic-byte
+    * dispatch: PNG / baseline JPEG / GIF / 24bpp BMP. Throws
+    * IllegalArgumentException on unsupported or malformed payloads. */
+  def decodeImageRgb(p: Array[Byte]): (Int, Int, Array[Byte]) =
+    sniffFormat(p) match {
+      case "png" =>
+        val img = pngDecodeRgb(p); (img.width, img.height, img.rgb)
+      case "jpeg" =>
+        val img = Jpeg.decodeBaseline(p); (img.width, img.height, img.rgb)
+      case "gif" =>
+        val img = Gif.decodeGif(p); (img.width, img.height, img.rgb)
+      case "bmp" =>
+        val m = bmpMeta(0L, p)
+        require(m.valid && m.bits_per_pixel == 24 && m.width > 0 &&
+          m.height > 0, "unsupported BMP")
+        val stride = stride24(m.width)
+        val off = le32(p, 10)
+        require(p.length >= off + stride * m.height, "truncated BMP")
+        val rgb = new Array[Byte](m.width * m.height * 3)
+        var y = 0
+        while (y < m.height) {
+          var x = 0
+          while (x < m.width) {
+            val so = off + stride * (m.height - 1 - y) + x * 3
+            val o = (y * m.width + x) * 3
+            rgb(o) = p(so + 2); rgb(o + 1) = p(so + 1); rgb(o + 2) = p(so)
+            x += 1
+          }
+          y += 1
+        }
+        (m.width, m.height, rgb)
+      case f => throw new IllegalArgumentException(s"unsupported format $f")
+    }
+
+  /** 64-bit difference hash of an RGB image: nearest-resize to the
+    * standard 9x8 grid, integer grayscale (299r+587g+114b)/1000, bit
+    * (y*8+x) = gray(x+1,y) > gray(x,y). Perceptual: brightness shifts
+    * and small recompressions keep the comparisons, so near-identical
+    * images land within a few bits of each other. */
+  def dHash64(rgb: Array[Byte], w: Int, h: Int): Long = {
+    require(w > 0 && h > 0 && rgb.length == w * h * 3, "bad RGB plane")
+    val g = new Array[Int](9 * 8)
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 9) {
+        val o = ((y * h / 8) * w + (x * w / 9)) * 3
+        g(y * 9 + x) = (299 * (rgb(o) & 0xff) + 587 * (rgb(o + 1) & 0xff) +
+          114 * (rgb(o + 2) & 0xff)) / 1000
+        x += 1
+      }
+      y += 1
+    }
+    var hash = 0L
+    y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y * 9 + x + 1) > g(y * 9 + x)) hash |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** Image near-duplicate pairs over a binary column: decode (format-
+    * dispatched), dHash, then pigeonhole bit-chunk blocking — the 64-bit
+    * hash splits into maxHamming+1 chunks, so any pair within the budget
+    * shares at least one chunk (EXACT recall, same discipline as
+    * `Dedup.simHashPairs`) — and a codegen'd bit_count(xor) verify.
+    * Candidate generation is a bucket equi-join, never all-pairs; at
+    * 100 TB the hash+chunk pass is narrow per-partition work and only
+    * the (chunk, value)-keyed join shuffles. Undecodable payloads are
+    * dropped (they can't be near anything).
+    * Output: (a_id, b_id, hamming), a_id < b_id. */
+  def imageDHashPairs(docs: DataFrame, idCol: String, binCol: String,
+                      maxHamming: Int = 4): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "hamming budget in [0,64)")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nChunks = maxHamming + 1
+    val hashed = docs.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        try {
+          val (w, h, rgb) = decodeImageRgb(p)
+          Some((id, dHash64(rgb, w, h)))
+        } catch { case _: IllegalArgumentException => None }
+      }).toDF("id", "hash")
+    // chunk c covers bits [c*64/nChunks, (c+1)*64/nChunks)
+    val chunks = hashed.select(col("id"), col("hash"),
+      explode(array((0 until nChunks).map { c =>
+        val lo = c * 64 / nChunks
+        val hi = (c + 1) * 64 / nChunks
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("hash"), lo)
+            .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1))
+            .as("v"))
+      }: _*)).as("ch"))
+      .select(col("id"), col("hash"), col("ch.c"), col("ch.v"))
+    val a = chunks.select(col("c"), col("v"), col("id").as("a_id"),
+      col("hash").as("a_hash"))
+    val b = chunks.select(col("c"), col("v"), col("id").as("b_id"),
+      col("hash").as("b_hash"))
+    a.join(b, Seq("c", "v"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("a_hash").bitwiseXOR(col("b_hash"))).as("hamming"))
+      .dropDuplicates("a_id", "b_id")
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Frame-sampling shape for video-like payloads: split a payload into

@@ -78,6 +78,63 @@ class GifSpec extends SparkTestBase {
     intercept[IllegalArgumentException](Gif.decodeGif(big))
   }
 
+  test("decodeImageRgb dispatches PNG/GIF/BMP to identical pixels") {
+    val w = 9; val h = 8
+    val gray = Array.tabulate(w * h)(i => ((i * 37 + 5) % 256))
+    val rgb = Array.tabulate(w * h * 3)(i => gray(i / 3).toByte)
+    val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+    val png = Multimodal.decodeImageRgb(Multimodal.pngEncodeRgb(w, h, rgb))
+    val gif = Multimodal.decodeImageRgb(
+      Gif.encodeGif(w, h, pal, gray.map(_.toByte)))
+    val bmp = Multimodal.decodeImageRgb(Multimodal.bmpEncodeRgb(w, h, rgb))
+    assert(png._1 == w && png._2 == h)
+    assert(java.util.Arrays.equals(png._3, rgb))
+    assert(java.util.Arrays.equals(gif._3, rgb))
+    assert(java.util.Arrays.equals(bmp._3, rgb))
+    // the JPEG branch dispatches too (lossy: dims only)
+    val jp = Multimodal.decodeImageRgb(Jpeg.jpegSynth(1L, 9, 8))
+    assert(jp._1 == 9 && jp._2 == 8)
+    intercept[IllegalArgumentException](
+      Multimodal.decodeImageRgb("no image here".getBytes))
+  }
+
+  test("dHash is brightness-invariant and pairs have exact recall") {
+    val w = 9; val h = 8
+    def img(seed: Int, bump: Int): Array[Byte] = {
+      val gray = Array.tabulate(w * h) { i =>
+        val x = i % 9; val y = i / 9
+        (x * (3 + seed % 5) + y * (7 + seed % 3) + seed * 13) % 200 + 28 +
+          (if (bump == 1 && x == 0 && y == 0) 1 else 0)
+      }
+      Array.tabulate(w * h * 3)(i => gray(i / 3).toByte)
+    }
+    // global +1 brightness never changes a comparison
+    val base = img(7, 0)
+    val brighter = base.map(b => ((b & 0xff) + 1).toByte)
+    assert(Multimodal.dHash64(base, w, h) ==
+      Multimodal.dHash64(brighter, w, h))
+    // exact recall: blocked pairs == brute force over the hashes
+    val docs = (0L until 20L).map { id =>
+      (id, Multimodal.pngEncodeRgb(w, h, img((id / 2).toInt, (id % 2).toInt)))
+    }.toDF("doc_id", "payload")
+    val got = Multimodal.imageDHashPairs(docs, "doc_id", "payload",
+        maxHamming = 4)
+      .select("a_id", "b_id", "hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    val hashes = (0L until 20L).map { id =>
+      id -> Multimodal.dHash64(img((id / 2).toInt, (id % 2).toInt), w, h)
+    }
+    val brute = (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 4
+    } yield (a, b, d)).toSet
+    assert(got == brute)
+    // every intra-group pair survives (the bump flips at most bit 0)
+    for (g <- 0L until 10L)
+      assert(got.exists(p => p._1 == 2 * g && p._2 == 2 * g + 1),
+        s"group $g pair missing")
+  }
+
   test("extractWavSpectrum finds the synthesized tone's bin") {
     def tone(k0: Int, amp: Int = 1000): Array[Byte] =
       Multimodal.wavSynth(1, 8000, (0 until 64).map(x => math.floor(

@@ -4165,6 +4165,53 @@ object SparkEntry {
              |  round(mag, 2) AS peak_mag, TRUE AS valid
              |FROM best WHERE rn = 1""".stripMargin)),
 
+    // TA: corpus BIGRAM surprisal — per-doc mean -ln p(tok | prev) with
+    // the conditional estimated from this corpus's own bigram/context
+    // counts (the stronger sibling of ta_self_surprisal's unigram
+    // model; repetitive boilerplate scores near zero, unusual word
+    // orders score high). Positions via posexplode, bigrams via a
+    // position self-join on the doc key; counts are two partial-agg
+    // shuffles; the count join-back is term-keyed (the documented
+    // vocabulary-skew shape — AQE-splittable, broadcastable when the
+    // bigram vocabulary fits). Docs with fewer than 2 tokens emit no
+    // row, same as the SQL's bigram set being empty.
+    Q("ta_bigram_surprisal",
+      (s, dir) => {
+        val toks = t(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(Dedup.tokens(col("text"))).as(Seq("pos", "tok")))
+        val bg = toks.alias("a")
+          .join(toks.alias("b"),
+            col("a.doc_id") === col("b.doc_id") &&
+              col("b.pos") === col("a.pos") + 1)
+          .select(col("a.doc_id"), col("a.tok").as("w1"),
+            col("b.tok").as("w2"))
+        val bigramC = bg.groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).as("bc"))
+        val contextC = bg.groupBy(col("w1")).agg(count(lit(1)).as("cc"))
+        bg.join(bigramC, Seq("w1", "w2"))
+          .join(contextC, Seq("w1"))
+          .groupBy(col("doc_id"))
+          .agg((round(avg(log(col("cc").cast("double") / col("bc"))), 6)
+            + 0.0).as("bigram_surprisal"))
+      },
+      Some(s"""WITH tk0 AS ($toksSql),
+              |tok AS (
+              |  SELECT id, unnest(tk) AS tok,
+              |    unnest(range(1, len(tk) + 1)) AS pos
+              |  FROM tk0),
+              |bg AS (
+              |  SELECT a.id, a.tok AS w1, b.tok AS w2
+              |  FROM tok a JOIN tok b
+              |    ON a.id = b.id AND b.pos = a.pos + 1),
+              |bc AS (SELECT w1, w2, count(*) AS bc FROM bg GROUP BY 1, 2),
+              |cc AS (SELECT w1, count(*) AS cc FROM bg GROUP BY 1)
+              |SELECT bg.id AS doc_id,
+              |  round(avg(ln(CAST(cc.cc AS DOUBLE) / bc.bc)), 6) + 0e0
+              |    AS bigram_surprisal
+              |FROM bg JOIN bc USING (w1, w2) JOIN cc USING (w1)
+              |GROUP BY bg.id""".stripMargin)),
+
     // ST: the funnel under a conversion window — each step must land
     // within 48h of the previous step's completion (earliest-completion
     // greedy under the same cascaded min-agg shape).

@@ -4079,10 +4079,17 @@ object SparkEntry {
             // behave like coin flips, so DIFFERENT groups sit ~32 bits
             // apart (blocking prunes them) while the odd variant's +1
             // nudge at (0,0) moves its pair by at most one bit
+            // the QUADRATIC mix matters twice: a wide class space
+            // (g % 1000003) keeps groups collision-free at any probe SF,
+            // and the product of two affine terms de-linearizes the
+            // pixel sequence so dHash bits are unbiased coin flips —
+            // an affine rotation made whole hashes near-constant and
+            // skewed the chunk buckets into quadratic candidate blowup
             val gray = Array.tabulate(9 * 8) { i =>
               val x = i % 9; val y = i / 9
-              (((x + 9L * y + 1L) * (g % 4096 + 7L) + g % 4096)
-                * 2654435761L % 100003L % 200L + 28L).toInt +
+              val gm = g % 1000003
+              ((x + 9L * y + 1L + gm) * (x + 9L * y + 13L + 2L * gm)
+                % 100003L % 200L + 28L).toInt +
                 (if (v == 1 && x == 0 && y == 0) 1 else 0)
             }
             val rgb = Array.tabulate(9 * 8 * 3)(i => gray(i / 3).toByte)
@@ -4103,8 +4110,9 @@ object SparkEntry {
              |  FROM documents),
              |cell AS (
              |  SELECT doc_id, x, y,
-             |    ((x + 9 * y + 1) * (g % 4096 + 7) + g % 4096)
-             |      * 2654435761 % 100003 % 200 + 28
+             |    (x + 9 * y + 1 + g % 1000003)
+             |      * (x + 9 * y + 13 + 2 * (g % 1000003))
+             |      % 100003 % 200 + 28
              |      + CASE WHEN v = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END
              |      AS gr
              |  FROM d,

@@ -4266,6 +4266,60 @@ object SparkEntry {
               |  ${h32Sql("CAST(doc_id AS VARCHAR)", "99")} % 1000000 AS h
               |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin)),
 
+    // DS: per-stratum exact-k sample — the stratified sibling of
+    // ds_exact_k_sample: smallest-k by stable hash WITHIN each source,
+    // via a per-stratum window (shuffle on source, rank inside each
+    // partition — parallel across strata; a pathologically hot stratum
+    // would switch to the same smallest-k aggregator shape t3 uses).
+    Q("ds_stratified_k",
+      (s, dir) => {
+        val h = pmod(
+          Dedup.md5Hash32(col("doc_id").cast("string"), lit(41)), lit(1000000L))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("source"), h.as("h"))
+          .withColumn("rn", row_number().over(w))
+          .where(col("rn") <= 10)
+          .select(col("doc_id"), col("source"), col("h"))
+      },
+      Some(s"""WITH t AS (
+              |  SELECT doc_id, source,
+              |    ${h32Sql("CAST(doc_id AS VARCHAR)", "41")} % 1000000 AS h
+              |  FROM documents)
+              |SELECT doc_id, source, h FROM (
+              |  SELECT doc_id, source, h, row_number() OVER (
+              |    PARTITION BY source ORDER BY h, doc_id) AS rn
+              |  FROM t)
+              |WHERE rn <= 10""".stripMargin)),
+
+    // DS: per-group winsorization — clamp a heavy-tailed metric at its
+    // group's p05/p95 (robust-scaling prep). The cuts frame is one
+    // partial-agg percentile pass over tiny group cardinality, broadcast
+    // back; the clamp itself is a narrow codegen'd pass. percentile <->
+    // quantile_cont interpolation parity is already pinned by a14.
+    Q("ds_winsorize",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val cuts = o.groupBy("o_orderpriority").agg(
+          expr("percentile(o_totalprice, 0.05)").as("lo"),
+          expr("percentile(o_totalprice, 0.95)").as("hi"))
+        o.join(broadcast(cuts), Seq("o_orderpriority"))
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            (round(least(greatest(col("o_totalprice"), col("lo")),
+              col("hi")), 2) + 0.0).as("v_winsor"))
+      },
+      Some("""WITH cuts AS (
+             |  SELECT o_orderpriority,
+             |    quantile_cont(o_totalprice, 0.05) AS lo,
+             |    quantile_cont(o_totalprice, 0.95) AS hi
+             |  FROM orders GROUP BY 1)
+             |SELECT o_orderkey, o.o_orderpriority,
+             |  round(LEAST(GREATEST(o_totalprice, lo), hi), 2) + 0e0
+             |    AS v_winsor
+             |FROM orders o JOIN cuts USING (o_orderpriority)"""
+        .stripMargin)),
+
     // TA: corpus self-surprisal — per-doc mean unigram -ln p(token) with
     // p estimated from THIS corpus's token counts (the model-free quality
     // signal: boilerplate-heavy docs score low, rare-vocabulary docs

@@ -131,6 +131,32 @@ class JpegSpec extends SparkTestBase {
     }
   }
 
+  test("4:2:2 subsampled stream roundtrips bit-exactly on exact-span planes") {
+    // horizontal-only chroma subsampling: Y at full width, chroma at
+    // half width, full height — MCU is 2 Y blocks + 1 Cb + 1 Cr
+    val w = 19; val h = 10
+    val mcusX = (w + 15) / 16; val mcusY = (h + 7) / 8
+    val (yFull, _, _) = Jpeg.jpegSynthPlanes(13L, mcusX * 16, mcusY * 8)
+    val (_, cbHalf, crHalf) = Jpeg.jpegSynthPlanes(29L, mcusX * 8, mcusY * 8)
+    val img = Jpeg.decodeBaseline(Jpeg.encodeBaseline(w, h,
+      Seq(yFull, cbHalf, crHalf), Seq((2, 1), (1, 1), (1, 1))))
+    assert(img.width == w && img.height == h)
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    for (y <- 0 until h; x <- 0 until w) {
+      val yv = yFull.data(y * yFull.w + x)
+      val cb = cbHalf.data(y * cbHalf.w + x / 2)
+      val cr = crHalf.data(y * crHalf.w + x / 2)
+      val want = (cl(math.floor(yv + 1.402 * (cr - 128) + 0.5).toInt),
+        cl(math.floor(
+          yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5).toInt),
+        cl(math.floor(yv + 1.772 * (cb - 128) + 0.5).toInt))
+      val o = (y * w + x) * 3
+      val got = (img.rgb(o) & 0xff, img.rgb(o + 1) & 0xff,
+        img.rgb(o + 2) & 0xff)
+      assert(got == want, s"pixel ($x,$y): got $got, want $want")
+    }
+  }
+
   test("grayscale single-component stream roundtrips bit-exactly") {
     val w = 19; val h = 9
     val pw = (w + 7) / 8 * 8; val ph = (h + 7) / 8 * 8

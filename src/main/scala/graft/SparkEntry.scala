@@ -2322,6 +2322,23 @@ object SparkEntry {
              |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
         .stripMargin)),
 
+    // ST: the LEFT-OUTER attribution — purchases with no click in the
+    // window survive with null click columns; streaming mode emits them
+    // on watermark expiry (outer stream-stream join state contract),
+    // batch mode (checked here) is the plain left interval join.
+    Q("st_attribution_outer",
+      (s, dir) => graft.streaming.EventStream
+        .attributedPurchasesOuter(t(s, dir, "events")),
+      Some("""SELECT p.user_id,
+             |  epoch_ms(p.ts) // 1000 AS p_s,
+             |  epoch_ms(c.ts) // 1000 AS c_s,
+             |  p.value AS p_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
+        .stripMargin)),
+
     // S5: template extraction UDTF shape (1 row -> N listing rows)
     Q("s5_template_extract",
       (s, dir) => t(s, dir, "part")

@@ -67,6 +67,36 @@ object EventStream {
         unix_timestamp(col("c_ts")).as("c_s"), col("p_value"))
   }
 
+  /** LEFT-OUTER stream-stream interval join: like [[attributedPurchases]]
+    * but purchases with NO click in the attribution window still emit,
+    * with null click columns — in streaming mode Spark holds the
+    * unmatched purchase until the watermark proves no matching click can
+    * still arrive, then emits the null-padded row (the outer-join state
+    * eviction contract). Batch frames take the plain left interval join,
+    * which is what the oracle checks. */
+  def attributedPurchasesOuter(events: DataFrame,
+                               window: String = "30 minutes",
+                               delay: String = "1 hour"): DataFrame = {
+    val purchases = {
+      val p = events.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("value").as("p_value"))
+      if (p.isStreaming) p.withWatermark("p_ts", delay) else p
+    }
+    val clicks = {
+      val c = events.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+      if (c.isStreaming) c.withWatermark("c_ts", delay) else c
+    }
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $window") &&
+          col("c_ts") <= col("p_ts"),
+        "left_outer")
+      .select(col("user_id"), unix_timestamp(col("p_ts")).as("p_s"),
+        unix_timestamp(col("c_ts")).as("c_s"), col("p_value"))
+  }
+
   /** File-source ingestion: readStream over a directory of parquet events,
     * windowed aggregation, partitioned parquet sink with checkpointing.
     * Returns the running query (caller stops it). */

@@ -70,6 +70,52 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == got)
   }
 
+  test("left-outer stream-stream join emits unmatched purchases on " +
+    "watermark expiry") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = EventStream.attributedPurchasesOuter(mem.toDF())
+      .writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 09:40:00"), 1, "click", 0.0),
+        Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 9.99),
+        Ev(Timestamp.valueOf("2024-01-01 10:05:00"), 3, "purchase", 5.0))
+      q.processAllAvailable()
+      // user 3's clickless purchase cannot emit yet: a click up to
+      // 10:05 (+1h delay) may still arrive. The GLOBAL watermark is the
+      // min over both sides' watermark nodes, and each side only sees
+      // rows surviving its event_type filter — so advancing it needs a
+      // far-future CLICK and a far-future PURCHASE (a 'view' would be
+      // filtered before either watermark operator and move nothing).
+      mem.addData(
+        Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0),
+        Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 9, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("attr_outer_out")
+      .as[(Long, Long, Option[Long], Double)].collect().toSet
+    def s(t: String) = Timestamp.valueOf(t).getTime / 1000
+    // user 9's 14:00 purchase matches its own 14:00 click immediately;
+    // its presence also proves matched rows don't wait for the horizon
+    assert(got == Set(
+      (1L, s("2024-01-01 10:00:00"), Some(s("2024-01-01 09:40:00")), 9.99),
+      (9L, s("2024-01-01 14:00:00"), Some(s("2024-01-01 14:00:00")), 1.0),
+      (3L, s("2024-01-01 10:05:00"), None, 5.0)), s"got $got")
+    // batch parity: plain left interval join over the same events gives
+    // the same rows
+    val batch = EventStream.attributedPurchasesOuter(Seq(
+        Ev(Timestamp.valueOf("2024-01-01 09:40:00"), 1, "click", 0.0),
+        Ev(Timestamp.valueOf("2024-01-01 10:00:00"), 1, "purchase", 9.99),
+        Ev(Timestamp.valueOf("2024-01-01 10:05:00"), 3, "purchase", 5.0),
+        Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 9, "click", 0.0),
+        Ev(Timestamp.valueOf("2024-01-01 14:00:00"), 9, "purchase", 1.0))
+        .toDF())
+      .as[(Long, Long, Option[Long], Double)].collect().toSet
+    assert(batch == got)
+  }
+
   test("stream-static join enriches a stream against a broadcast dim") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Ev]

@@ -3861,6 +3861,49 @@ object SparkEntry {
              |WHERE nm IS NOT NULL AND nm <> '' AND lat IS NOT NULL
              |  AND lon IS NOT NULL""".stripMargin)),
 
+    // K12: snapshot diff (CDC extraction) — the inverse of K11's MERGE:
+    // recover the added/removed/changed/unchanged delta between two full
+    // snapshots with one full-outer key join and a null-safe struct
+    // compare. The "new" snapshot drops every 11th key, bumps every 7th
+    // balance, and mints keys from every 13th.
+    Q("k12_snapshot_diff",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+        val newSnap = c.where(pmod(col("c_custkey"), lit(11)) =!= 0)
+          .withColumn("c_acctbal",
+            when(pmod(col("c_custkey"), lit(7)) === 0,
+              col("c_acctbal") + 10.0).otherwise(col("c_acctbal")))
+          .unionByName(c.where(pmod(col("c_custkey"), lit(13)) === 0)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              concat(lit("new-"), col("c_custkey").cast("string"))
+                .as("c_name"),
+              lit(0.0).as("c_acctbal")))
+        Sources.snapshotDiff(c, newSnap, "c_custkey")
+      },
+      Some("""WITH c AS (
+             |  SELECT c_custkey, c_name, c_acctbal FROM customer),
+             |n AS (
+             |  SELECT c_custkey, c_name,
+             |    CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1e1
+             |      ELSE c_acctbal END AS c_acctbal
+             |  FROM c WHERE c_custkey % 11 <> 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000,
+             |    'new-' || CAST(c_custkey AS VARCHAR), 0e0
+             |  FROM c WHERE c_custkey % 13 = 0)
+             |SELECT coalesce(n.c_custkey, o.c_custkey) AS c_custkey,
+             |  CASE WHEN o.c_custkey IS NULL THEN 'added'
+             |    WHEN n.c_custkey IS NULL THEN 'removed'
+             |    WHEN o.c_name IS NOT DISTINCT FROM n.c_name
+             |      AND o.c_acctbal IS NOT DISTINCT FROM n.c_acctbal
+             |      THEN 'unchanged'
+             |    ELSE 'changed' END AS change,
+             |  o.c_name AS old_c_name, o.c_acctbal AS old_c_acctbal,
+             |  n.c_name AS new_c_name, n.c_acctbal AS new_c_acctbal
+             |FROM c o FULL OUTER JOIN n ON o.c_custkey = n.c_custkey"""
+        .stripMargin)),
+
     // K11: copy-on-write MERGE upsert — the reference's Cypher
     // never-clobber-with-null upsert discipline as a batch parquet op
     // (SURVEY G5's extension point): matched keys coalesce per column

@@ -370,6 +370,46 @@ object Sources {
     spark.read.parquet(outDir).count()
   }
 
+  /** Snapshot diff (CDC extraction): classify every key across two
+    * snapshot frames of the same schema as `added` / `removed` /
+    * `changed` / `unchanged` — the change-data-capture companion to
+    * [[mergeParquet]] (MERGE applies a delta; this RECOVERS the delta
+    * between two full snapshots, e.g. for incremental downstream
+    * refresh or audit). One full-outer shuffle join on the key; the
+    * row-equality check compares the non-key columns as a struct, so
+    * any column count works and nulls compare positionally (null-safe).
+    * Keys must be unique per snapshot (same discipline as MERGE).
+    * @return (keyCol, change) plus both sides' non-key columns
+    *         prefixed old_/new_ */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCol: String): DataFrame = {
+    require(oldSnap.columns.sameElements(newSnap.columns),
+      "snapshots must share a schema")
+    val others = oldSnap.columns.filterNot(_ == keyCol).toSeq
+    def unique(df: DataFrame) =
+      df.groupBy(col(keyCol)).count().where(col("count") > 1).isEmpty
+    require(unique(oldSnap) && unique(newSnap),
+      "snapshot keys must be unique")
+    // string-qualified refs: both snapshots usually share lineage (one
+    // derived from the other), so df("col") hits the ambiguous-self-join
+    // guard — alias-path resolution doesn't
+    val oc = (c: String) => col(s"__diff_o.$c")
+    val nc = (c: String) => col(s"__diff_n.$c")
+    val oStruct = struct(others.map(oc): _*)
+    val nStruct = struct(others.map(nc): _*)
+    oldSnap.alias("__diff_o")
+      .join(newSnap.alias("__diff_n"), oc(keyCol) === nc(keyCol),
+        "full_outer")
+      .select(
+        coalesce(nc(keyCol), oc(keyCol)).as(keyCol) +:
+        when(oc(keyCol).isNull, "added")
+          .when(nc(keyCol).isNull, "removed")
+          .when(oStruct <=> nStruct, "unchanged")
+          .otherwise("changed").as("change") +:
+        (others.map(c => oc(c).as(s"old_$c")) ++
+          others.map(c => nc(c).as(s"new_$c"))): _*)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * roughly `targetFileBytes` each. Streaming sinks and fine-grained
     * partitioned writes accumulate thousands of tiny files whose per-file

@@ -64,6 +64,28 @@ class GifSpec extends SparkTestBase {
       assert(Gif.interlaceRows(h).sorted == (0 until h))
   }
 
+  test("GIF87a headers and local color tables decode") {
+    // hand-assembled: no global table, the image carries a 2-color LOCAL
+    // table; GIF87a signature
+    val pal = Array[Byte](10, 20, 30, 40, 50, 60)
+    val idx = Array[Byte](0, 1, 1, 0)
+    val lzw = Gif.lzwEncode(idx, 2)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    out.write("GIF87a".getBytes("US-ASCII"))
+    u16(2); u16(2); out.write(0x00); out.write(0); out.write(0) // no GCT
+    out.write(0x2c); u16(0); u16(0); u16(2); u16(2)
+    out.write(0x80) // LCT flag, size exp 0 -> 2 colors
+    out.write(pal, 0, pal.length)
+    out.write(2) // LZW min code size
+    out.write(lzw.length); out.write(lzw, 0, lzw.length); out.write(0)
+    out.write(0x3b)
+    val img = Gif.decodeGif(out.toByteArray)
+    assert(img.width == 2 && img.height == 2)
+    assert(img.rgb.toSeq == Seq[Byte](10, 20, 30, 40, 50, 60,
+      40, 50, 60, 10, 20, 30))
+  }
+
   test("malformed GIFs throw rather than mis-decode") {
     val good = Gif.gifSynth(5L, 9, 6)
     intercept[IllegalArgumentException](Gif.decodeGif(null))

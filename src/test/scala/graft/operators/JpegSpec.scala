@@ -286,6 +286,21 @@ class JpegSpec extends SparkTestBase {
     }
   }
 
+  test("APPn and COM segments are skipped without disturbing the decode") {
+    val plain = Jpeg.jpegSynth(3L, 10, 7)
+    // splice a JFIF-ish APP0 and a COM right after SOI
+    val app0 = Array[Byte](0xff.toByte, 0xe0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val comment = "hello".getBytes("US-ASCII")
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0,
+      (2 + comment.length).toByte) ++ comment
+    val spliced = plain.take(2) ++ app0 ++ com ++ plain.drop(2)
+    val a = Jpeg.decodeBaseline(plain)
+    val b = Jpeg.decodeBaseline(spliced)
+    assert(a.width == b.width && a.height == b.height)
+    assert(java.util.Arrays.equals(a.rgb, b.rgb))
+  }
+
   test("out-of-scope and malformed streams throw, never hang") {
     val good = Jpeg.jpegSynth(5L, 9, 8)
     // progressive SOF2

@@ -368,6 +368,27 @@ class SourcesSpec extends SparkTestBase {
     assert(got.toSeq == (0L until 24L))
   }
 
+  test("snapshotDiff classifies keys and compares nulls null-safely") {
+    val oldS = Seq((1L, Option("a")), (2L, None: Option[String]),
+      (3L, Option("c")), (4L, Option("d"))).toDF("k", "v")
+    val newS = Seq((1L, Option("a")), (2L, None: Option[String]),
+      (3L, Option("x")), (5L, Option("e"))).toDF("k", "v")
+    val got = Sources.snapshotDiff(oldS, newS, "k")
+      .select("k", "change").as[(Long, String)].collect().toMap
+    // null -> null is UNCHANGED (null-safe struct compare), not changed
+    assert(got == Map(1L -> "unchanged", 2L -> "unchanged",
+      3L -> "changed", 4L -> "removed", 5L -> "added"))
+    // new/old values surface on the change rows
+    val row3 = Sources.snapshotDiff(oldS, newS, "k")
+      .where(col("k") === 3).select("old_v", "new_v")
+      .as[(String, String)].collect().head
+    assert(row3 == ("c", "x"))
+    // duplicate snapshot keys are rejected, not silently joined
+    val dup = Seq((1L, "a"), (1L, "b")).toDF("k", "v")
+    intercept[IllegalArgumentException](
+      Sources.snapshotDiff(dup, newS, "k"))
+  }
+
   test("mergeParquet: never-clobber-with-null upsert semantics") {
     val base = Files.createTempDirectory("graft_merge").toString
     Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("id", "name", "bal")

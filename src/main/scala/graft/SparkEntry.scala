@@ -4192,6 +4192,96 @@ object SparkEntry {
              |SELECT a_id, b_id, CAST(hamming AS INTEGER) AS hamming
              |FROM pairs WHERE hamming <= 4""".stripMargin)),
 
+    // PIPE: the end-to-end IMAGE corpus dedup — the multimodal capstone
+    // composing this round's codecs into one plan: render payloads in
+    // three formats -> sniff each container's REAL magic bytes ->
+    // decode (format-dispatched) -> dHash -> pigeonhole-blocked near-dup
+    // pairs -> connected components -> min-id canonical keep. Mirrors
+    // pipe_clean_corpus's shape with images instead of text; the oracle
+    // replays the hash closed form and closes the pair graph with a
+    // recursive CTE.
+    Q("pipe_image_dedup",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id / 2
+            val v = (id % 2).toInt
+            val gray = Array.tabulate(9 * 8) { i =>
+              val x = i % 9; val y = i / 9
+              val gm = g % 1000003
+              ((x + 9L * y + 1L + gm) * (x + 9L * y + 13L + 2L * gm)
+                % 100003L % 200L + 28L).toInt +
+                (if (v == 1 && x == 0 && y == 0) 1 else 0)
+            }
+            val rgb = Array.tabulate(9 * 8 * 3)(i => gray(i / 3).toByte)
+            val p = (g % 3).toInt match {
+              case 0 => Multimodal.pngEncodeRgb(9, 8, rgb)
+              case 1 =>
+                val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+                Gif.encodeGif(9, 8, pal, gray.map(_.toByte))
+              case _ => Multimodal.bmpEncodeRgb(9, 8, rgb)
+            }
+            (id, p)
+          }.toDF("doc_id", "payload")
+        val formats = Multimodal
+          .extractSniffedMeta(payloads, "doc_id", "payload").toDF()
+          .select(col("doc_id"), col("format"))
+        val pairs = Multimodal.imageDHashPairs(payloads, "doc_id", "payload",
+            maxHamming = 4)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val cc = ConnectedComponents.run(pairs)
+          .withColumnRenamed("node", "doc_id")
+        formats.join(cc, Seq("doc_id"), "left")
+          .withColumn("component", coalesce(col("component"), col("doc_id")))
+          .select(col("doc_id"), col("component"), col("format"),
+            (col("doc_id") === col("component")).cast("int").as("keep"))
+      },
+      Some("""WITH RECURSIVE d AS (
+             |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v
+             |  FROM documents),
+             |cell AS (
+             |  SELECT doc_id, x, y,
+             |    (x + 9 * y + 1 + g % 1000003)
+             |      * (x + 9 * y + 13 + 2 * (g % 1000003))
+             |      % 100003 % 200 + 28
+             |      + CASE WHEN v = 1 AND x = 0 AND y = 0 THEN 1 ELSE 0 END
+             |      AS gr
+             |  FROM d,
+             |    (SELECT unnest(range(0, 9)) AS x),
+             |    (SELECT unnest(range(0, 8)) AS y)),
+             |bits AS (
+             |  SELECT a.doc_id, a.y * 8 + a.x AS k,
+             |    CASE WHEN b.gr > a.gr THEN 1 ELSE 0 END AS bit
+             |  FROM cell a JOIN cell b
+             |    ON a.doc_id = b.doc_id AND a.y = b.y AND b.x = a.x + 1
+             |  WHERE a.x < 8),
+             |pairs AS (
+             |  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM bits a JOIN bits b ON a.k = b.k AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2
+             |  HAVING sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) <= 4),
+             |sym AS (
+             |  SELECT a_id AS u, b_id AS v FROM pairs
+             |  UNION SELECT b_id, a_id FROM pairs
+             |  UNION SELECT a_id, a_id FROM pairs
+             |  UNION SELECT b_id, b_id FROM pairs),
+             |reach AS (
+             |  SELECT u, v FROM sym
+             |  UNION
+             |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+             |comp AS (SELECT u AS node, min(v) AS component
+             |         FROM reach GROUP BY u)
+             |SELECT d.doc_id,
+             |  coalesce(c.component, d.doc_id) AS component,
+             |  (['png', 'gif', 'bmp'])[CAST(d.g % 3 AS INTEGER) + 1]
+             |    AS format,
+             |  CAST(d.doc_id = coalesce(c.component, d.doc_id) AS INTEGER)
+             |    AS keep
+             |FROM d LEFT JOIN comp c ON d.doc_id = c.node"""
+        .stripMargin)),
+
     // MM: audio spectral analysis — synthesize one 64-sample 16-bit PCM
     // sine per doc (bin k0 = id%26+3, amplitude 1000, samples
     // floor(1000*sin(2*pi*k0*x/64)+0.5) — a closed form BOTH engines can

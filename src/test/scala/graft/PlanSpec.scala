@@ -84,9 +84,11 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("pipe: the corpus pipelines plan without cartesian joins") {
-    for (q <- Seq("pipe_clean_corpus", "pipe_training_corpus")) {
+    for (q <- Seq("pipe_clean_corpus", "pipe_training_corpus",
+        "pipe_image_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
     }
   }
 

@@ -4416,6 +4416,38 @@ object SparkEntry {
               |  ${h32Sql("CAST(doc_id AS VARCHAR)", "99")} % 1000000 AS h
               |FROM documents ORDER BY h, doc_id LIMIT 25""".stripMargin)),
 
+    // TA: corpus Zipf slope — the log-log linear fit of token frequency
+    // against rank, the one-number check that a corpus has natural
+    // long-tail token statistics (template/boilerplate corpora flatten
+    // it). Frequencies are one partial-agg shuffle; the rank window runs
+    // over the VOCABULARY (orders of magnitude smaller than the corpus —
+    // the documented single-partition-window exception, same as the
+    // k-means model or bloom sketch); the fit is covar_pop/var_pop in
+    // both engines, rounded to 6.
+    Q("ta_zipf_slope",
+      (s, dir) => {
+        val freq = t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+          .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)
+        freq.withColumn("rank", row_number().over(w))
+          .agg((round(
+            covar_pop(log(col("rank")), log(col("c"))) /
+              var_pop(log(col("rank"))), 6) + 0.0).as("zipf_slope"))
+      },
+      Some(s"""WITH tk0 AS ($toksSql),
+              |tk AS (SELECT unnest(tk) AS tok FROM tk0),
+              |freq AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+              |ranked AS (
+              |  SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC)
+              |    AS rank
+              |  FROM freq)
+              |SELECT round(
+              |  covar_pop(ln(rank), ln(c)) / var_pop(ln(rank)), 6) + 0e0
+              |  AS zipf_slope
+              |FROM ranked""".stripMargin)),
+
     // DS: per-stratum exact-k sample — the stratified sibling of
     // ds_exact_k_sample: smallest-k by stable hash WITHIN each source,
     // via a per-stratum window (shuffle on source, rank inside each

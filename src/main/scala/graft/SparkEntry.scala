@@ -4419,19 +4419,19 @@ object SparkEntry {
     // TA: corpus Zipf slope — the log-log linear fit of token frequency
     // against rank, the one-number check that a corpus has natural
     // long-tail token statistics (template/boilerplate corpora flatten
-    // it). Frequencies are one partial-agg shuffle; the rank window runs
-    // over the VOCABULARY (orders of magnitude smaller than the corpus —
-    // the documented single-partition-window exception, same as the
-    // k-means model or bloom sketch); the fit is covar_pop/var_pop in
-    // both engines, rounded to 6.
+    // it). Frequencies are one partial-agg shuffle; the vocabulary rank is
+    // exact-distributed via Ranking.globalRank (range-partitioned sort +
+    // per-partition prefix offsets — vocabulary is UNBOUNDED at web scale,
+    // 10^8-10^9 distinct tokens, so a bare global window would funnel it
+    // through one task); the fit is covar_pop/var_pop in both engines,
+    // rounded to 6.
     Q("ta_zipf_slope",
       (s, dir) => {
         val freq = t(s, dir, "documents")
           .select(explode(Dedup.tokens(col("text"))).as("tok"))
           .groupBy(col("tok")).agg(count(lit(1)).as("c"))
-        val w = org.apache.spark.sql.expressions.Window
-          .orderBy(col("c").desc, col("tok").asc)
-        freq.withColumn("rank", row_number().over(w))
+        graft.operators.Ranking
+          .globalRank(freq, Seq(col("c").desc, col("tok").asc), "rank")
           .agg((round(
             covar_pop(log(col("rank")), log(col("c"))) /
               var_pop(log(col("rank"))), 6) + 0.0).as("zipf_slope"))
@@ -4449,21 +4449,19 @@ object SparkEntry {
               |FROM ranked""".stripMargin)),
 
     // DS: per-stratum exact-k sample — the stratified sibling of
-    // ds_exact_k_sample: smallest-k by stable hash WITHIN each source,
-    // via a per-stratum window (shuffle on source, rank inside each
-    // partition — parallel across strata; a pathologically hot stratum
-    // would switch to the same smallest-k aggregator shape t3 uses).
+    // ds_exact_k_sample: smallest-k by stable hash WITHIN each source, as
+    // a bounded k-heap partial-agg Aggregator (Sampling.SmallestK, the t3
+    // shape). A per-stratum window would sort each source's ENTIRE
+    // stratum on one task — with a handful of sources that is the whole
+    // table through ~n_sources tasks; the aggregator shuffles only
+    // k-bounded buffers and is map-side combinable.
     Q("ds_stratified_k",
       (s, dir) => {
         val h = pmod(
           Dedup.md5Hash32(col("doc_id").cast("string"), lit(41)), lit(1000000L))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
-        t(s, dir, "documents")
-          .select(col("doc_id"), col("source"), h.as("h"))
-          .withColumn("rn", row_number().over(w))
-          .where(col("rn") <= 10)
-          .select(col("doc_id"), col("source"), col("h"))
+        graft.operators.Sampling.stratifiedSmallestK(
+          t(s, dir, "documents"), col("doc_id"), col("source"), h,
+          k = 10, keyOut = "doc_id", stratumOut = "source", hOut = "h")
       },
       Some(s"""WITH t AS (
               |  SELECT doc_id, source,

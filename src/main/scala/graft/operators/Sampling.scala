@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling and mixing for training-data pipelines.
@@ -28,6 +29,40 @@ object Sampling {
                           seed: Int = 0): DataFrame =
     df.where(keyedCut(col(keyCol), fraction, seed))
 
+  /** Per-stratum exact-k smallest-hash sample WITHOUT a per-stratum window
+    * sort: `PARTITION BY stratum ORDER BY h ... ROW_NUMBER() <= k` funnels
+    * each stratum's ENTIRE row set through one window task — with a handful
+    * of strata (the normal case for a training-data mix) that is the whole
+    * table through ~n_strata tasks. This computes the identical result as a
+    * bounded k-heap [[SmallestK]] Aggregator: partial aggregation keeps at
+    * most k `(h, key)` pairs per stratum per map task (map-side
+    * combinable), the merge is k-bounded, and the only shuffle moves
+    * O(n_strata * k * n_map_tasks) tiny buffers — never rows.
+    *
+    * Determinism: the k smallest by `(h, key)` is a set property of the
+    * stratum, independent of partitioning, so the output matches the window
+    * formulation row-for-row whenever `(h, key)` is unique per row (key
+    * uniqueness suffices).
+    *
+    * @return DataFrame(keyOut, stratumCol, hOut) — one row per kept sample.
+    */
+  def stratifiedSmallestK(df: DataFrame, keyCol: Column, stratumCol: Column,
+                          hCol: Column, k: Int, keyOut: String = "key",
+                          stratumOut: String = "stratum",
+                          hOut: String = "h"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(stratumCol.cast("string"), keyCol.cast("long"),
+        hCol.cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .agg(new SmallestK(k).toColumn.name("kept"))
+      .toDF(stratumOut, "kept")
+      .select(col(stratumOut), explode(col("kept")).as("p"))
+      .select(col("p._1").as(keyOut), col(stratumOut),
+        col("p._2").as(hOut))
+  }
+
   /** Dataset mixing: per-stratum sampling fractions (e.g. source/language
     * weights when composing a training corpus). Strata absent from
     * `fractions` are dropped — the mix IS the contract. */
@@ -43,4 +78,41 @@ object Sampling {
     df.where(pmod(Dedup.md5Hash32(col(keyCol).cast("string"), lit(seed)),
       lit(Denom)) < cut)
   }
+}
+
+/** Bounded k-heap "smallest k rows by (h, key)" Aggregator — the
+  * partial-aggregation shape `TopKDistinct` (t3) demonstrates, specialized
+  * to keyed-hash sampling. State is a sorted list capped at k `(key, h)`
+  * pairs: `reduce` inserts and re-caps (k is small — 10s, not 10^6 — so a
+  * sorted-list insert beats heap bookkeeping), `merge` concatenates and
+  * re-caps. Both are associative and commutative on the "k smallest by
+  * (h, key)" lattice, so Spark runs it map-side-combine first: no row ever
+  * crosses the shuffle, only k-bounded buffers.
+  */
+class SmallestK(k: Int)
+    extends Aggregator[(String, Long, Long), List[(Long, Long)],
+      Seq[(Long, Long)]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  // order by (h, key): the sample keeps the k smallest hashes, key tiebreak
+  private def keep(xs: List[(Long, Long)]): List[(Long, Long)] =
+    xs.sortBy { case (key, h) => (h, key) }.take(k)
+
+  override def zero: List[(Long, Long)] = Nil
+
+  override def reduce(buf: List[(Long, Long)],
+                      in: (String, Long, Long)): List[(Long, Long)] =
+    keep((in._2, in._3) :: buf)
+
+  override def merge(a: List[(Long, Long)],
+                     b: List[(Long, Long)]): List[(Long, Long)] =
+    keep(a ++ b)
+
+  override def finish(buf: List[(Long, Long)]): Seq[(Long, Long)] = keep(buf)
+
+  override def bufferEncoder: Encoder[List[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Long)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Long)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Long)]]()
 }

@@ -178,6 +178,20 @@ class PlanSpec extends SparkTestBase {
     assert(df.count() > 0) // the driver's smoke check
   }
 
+  test("ds_stratified_k / ta_zipf_slope: no single-task window in the " +
+    "sampling and ranking plans") {
+    // both were round-5 weak marks: a per-stratum row_number sort and a
+    // bare global rank window. The replacements (bounded k-heap partial
+    // aggregation; range-partitioned prefix-offset rank) must leave NO
+    // window operator anywhere in the executed plans.
+    val strat = plan("ds_stratified_k")
+    assert(!strat.contains("Window"), strat.take(3000))
+    assert(!strat.contains("Exchange SinglePartition"), strat.take(3000))
+    assert(strat.contains("Aggregate"), strat.take(3000)) // the k-heap agg
+    val zipf = plan("ta_zipf_slope")
+    assert(!zipf.contains("Window"), zipf.take(3000))
+  }
+
   test("round-4 queries plan without cartesians; bloom probe is native") {
     for (q <- Seq("st_funnel", "gr_pagerank", "gr_triangles",
         "a19_cohort_retention", "dd_incremental", "k9_wv_places",

@@ -1016,6 +1016,48 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("globalRank matches the window ROW_NUMBER under any partitioning") {
+    import org.apache.spark.sql.expressions.Window
+    for (rows <- Seq(1, 2, 23, 100); parts <- Seq(1, 5)) {
+      val df = (1 to rows).map(i => (i.toLong, (i * 7919 % 100).toDouble))
+        .toDF("id", "score").repartition(7)
+      val viaWindow = df.withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("id").asc)).cast("long"))
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      val viaRanking = Ranking.globalRank(df,
+          Seq(col("score").desc, col("id").asc), "rank",
+          numPartitions = parts)
+        .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(viaRanking == viaWindow, s"rows=$rows parts=$parts")
+    }
+  }
+
+  test("stratifiedSmallestK matches the per-stratum window formulation " +
+    "and keeps partial-agg buffers k-bounded") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map { i =>
+      (i.toLong, s"src_${i % 3}", (i * 7919 % 1000).toLong)
+    }.toDF("doc_id", "source", "h").repartition(13)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    val viaWindow = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 10).select("doc_id", "source", "h")
+      .as[(Long, String, Long)].collect().sortBy(x => (x._2, x._3, x._1)).toSeq
+    val viaAgg = Sampling.stratifiedSmallestK(df, col("doc_id"),
+        col("source"), col("h"), k = 10, keyOut = "doc_id",
+        stratumOut = "source", hOut = "h")
+      .as[(Long, String, Long)].collect().sortBy(x => (x._2, x._3, x._1)).toSeq
+    assert(viaAgg == viaWindow)
+    // the aggregator state itself is k-bounded regardless of input order
+    val agg = new SmallestK(3)
+    val buf = (1 to 100).foldLeft(agg.zero) { (b, i) =>
+      agg.reduce(b, ("s", i.toLong, (1000 - i).toLong))
+    }
+    assert(buf.size == 3)
+    assert(agg.merge(buf, buf).size == 3)
+    assert(agg.finish(buf).map(_._2) == Seq(900L, 901L, 902L))
+  }
+
   test("kmeans: deterministic Lloyd assignment converges on separated blobs") {
     val pts = Seq(
       (0L, Array(0f, 0f, 0f, 0f)),

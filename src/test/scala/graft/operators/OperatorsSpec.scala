@@ -173,6 +173,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(sScoped == sGlobal && sScoped("yelp:b") == "osm:z")
   }
 
+  test("localContract preserves node set and connectivity; contracted " +
+    "run matches the uncontracted fixpoint on a random graph") {
+    // star forest of each partition's local components: same nodes, same
+    // components, never more rows than distinct nodes per partition
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 4L), (7L, 7L))
+      .toDF("src", "dst").repartition(2)
+    val stars = ConnectedComponents.localContract(edges)
+      .as[(Long, Long)].collect().toSeq
+    // every node survives as a src (incl. each local min's self-row) …
+    assert(stars.map(_._1).distinct.sorted == Seq(1L, 2L, 3L, 4L, 5L, 7L))
+    // … and the star forest has the same components as the raw edges
+    val viaStars = ConnectedComponents.run(
+      stars.toDF("src", "dst"), contractPasses = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(viaStars == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 4L, 7L -> 7L))
+    // deterministic xorshift-mixed pseudo-random graph, 300 nodes: the
+    // contracted run (default) must equal contractPasses = 0 exactly
+    val rnd = (1 to 400).map { i =>
+      val a = (i * 2654435761L) % 300
+      val b = (i * 40503L + 17) % 300
+      (a, b)
+    }.toDF("src", "dst").repartition(11)
+    val contracted = ConnectedComponents.run(rnd)
+      .as[(Long, Long)].collect().toMap
+    val plain = ConnectedComponents.run(rnd, contractPasses = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(contracted == plain)
+  }
+
   test("TopKDistinct keeps longest-first, suppresses near-duplicates, caps at k") {
     val docs = Seq(
       ("s", "the quick brown fox jumps over the lazy dog entirely"),

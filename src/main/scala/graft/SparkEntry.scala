@@ -2143,26 +2143,55 @@ object SparkEntry {
            |FROM w""".stripMargin
       }),
 
-    // Multimodal plumbing: opaque binary column + typed metadata extraction
-    // (decode itself is a stub — see operators/Multimodal.scala — but the
-    // schema/partitioning/batch plumbing is real and oracle-checked)
+    // Multimodal plumbing: opaque binary column + typed metadata
+    // extraction, decode REAL end-to-end — payloads are synthesized in
+    // five actual container formats (PNG/JPEG/BMP/WAV/GIF), then
+    // extractMeta sniffs the magic bytes and reads dimensions from each
+    // format's own header structures (CRC-verified PNG IHDR, JPEG SOF
+    // walk, BMP/GIF LE descriptors, RIFF chunk walk). The oracle replays
+    // the closed form of the synthesis parameters; GIF's LZW-compressed
+    // byte length has no closed form, so n_bytes is NULL for gif rows on
+    // both sides (dims still checked).
     Q("mm_binary_meta",
-      (s, dir) => t(s, dir, "documents")
-        .withColumn("payload", to_binary(col("text"), lit("utf-8")))
-        .select(col("doc_id"),
-          octet_length(col("payload")).cast("long").as("n_bytes"),
-          (pmod(Dedup.md5Hash32(col("text"), lit(11)), lit(1920L)) + 1L)
-            .as("fake_width"),
-          (pmod(Dedup.md5Hash32(col("text"), lit(12)), lit(1080L)) + 1L)
-            .as("fake_height"),
-          element_at(array(lit("jpeg"), lit("png"), lit("webp")),
-            (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("fake_format")),
-      Some(s"""SELECT doc_id,
-              |  octet_length(encode(text))::BIGINT AS n_bytes,
-              |  ${h32Sql("text", "11")} % 1920 + 1 AS fake_width,
-              |  ${h32Sql("text", "12")} % 1080 + 1 AS fake_height,
-              |  (['jpeg', 'png', 'webp'])[(doc_id % 3) + 1] AS fake_format
-              |FROM documents""".stripMargin)),
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val p = (id % 5) match {
+              case 0 => Multimodal.pngSynth((id % 300 + 1).toInt,
+                (id % 200 + 1).toInt)
+              case 1 => Multimodal.jpegSynthHeader((id % 500 + 1).toInt,
+                (id % 400 + 1).toInt)
+              case 2 => Multimodal.bmpSynth((id % 320 + 1).toInt,
+                (id % 240 + 1).toInt)
+              case 3 => Multimodal.wavSynth(1, 8000,
+                (0 until (id % 10 + 1).toInt)
+                  .map(i => ((id * 7 + i) % 65536 - 32768).toShort))
+              case _ => graft.operators.Gif.gifSynth(id,
+                (id % 50 + 1).toInt, (id % 40 + 1).toInt)
+            }
+            (id, p)
+          }.toDF("doc_id", "payload")
+        Multimodal.extractMeta(payloads, "doc_id", "payload").toDF()
+          .select(col("doc_id"),
+            when(col("format") === "gif", lit(null).cast("long"))
+              .otherwise(col("n_bytes")).as("n_bytes"),
+            col("width"), col("height"), col("format"))
+      },
+      Some("""SELECT doc_id,
+             |  CAST(CASE doc_id % 5 WHEN 0 THEN 45 WHEN 1 THEN 23
+             |    WHEN 2 THEN 54 WHEN 3 THEN 44 + (doc_id % 10 + 1) * 2
+             |    ELSE NULL END AS BIGINT) AS n_bytes,
+             |  CAST(CASE doc_id % 5 WHEN 0 THEN doc_id % 300 + 1
+             |    WHEN 1 THEN doc_id % 500 + 1 WHEN 2 THEN doc_id % 320 + 1
+             |    WHEN 3 THEN 0 ELSE doc_id % 50 + 1 END AS INT) AS width,
+             |  CAST(CASE doc_id % 5 WHEN 0 THEN doc_id % 200 + 1
+             |    WHEN 1 THEN doc_id % 400 + 1 WHEN 2 THEN doc_id % 240 + 1
+             |    WHEN 3 THEN 0 ELSE doc_id % 40 + 1 END AS INT) AS height,
+             |  (['png', 'jpeg', 'bmp', 'wav', 'gif'])[(doc_id % 5) + 1]
+             |    AS format
+             |FROM documents""".stripMargin)),
 
     // REAL pixel transform on an uncompressed format: synthesize full
     // 24bpp BMPs (header + padded bottom-up pixel rows), nearest-neighbor
@@ -2206,9 +2235,9 @@ object SparkEntry {
     // synthesized per doc_id in four container formats (PNG with verified
     // IHDR CRC, JPEG SOF marker walk, BMP little-endian header, RIFF/WAVE
     // chunk walk), then sniffed and measured back; the oracle is the
-    // closed form of the synthesis parameters. Compressed PIXEL/entropy
-    // decode stays behind decodeStub (no codec libs in env) — format,
-    // dimensions, and validity are the codec-free real capability.
+    // closed form of the synthesis parameters. Full PIXEL decode of the
+    // compressed formats is real too — mm_png_decode / mm_jpeg_decode /
+    // mm_gif_decode exercise the pure-JVM codecs end to end.
     Q("mm_format_sniff",
       (s, dir) => {
         val spark = s

@@ -982,14 +982,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(plain == Map(1L -> 37L, 2L -> 2L))
   }
 
-  test("multimodal stub plumbing: metadata + chunk sampling") {
+  test("multimodal real-metadata plumbing: format dispatch + chunk sampling") {
+    // real payloads in three formats + one junk row: extractMeta must
+    // dispatch on magic bytes and read REAL header dims, not fakes
+    val payloads = Seq(
+      (1L, Multimodal.pngSynth(33, 21)),
+      (2L, Multimodal.bmpSynth(17, 9)),
+      (3L, Gif.gifSynth(7L, 12, 5)),
+      (4L, "not an image".getBytes("UTF-8")))
+    val metaDf = payloads.toDF("doc_id", "payload")
+    val meta = Multimodal.extractMeta(metaDf, "doc_id", "payload")
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).format == "png" &&
+      meta(1L).width == 33 && meta(1L).height == 21)
+    assert(meta(2L).format == "bmp" &&
+      meta(2L).width == 17 && meta(2L).height == 9)
+    assert(meta(3L).format == "gif" &&
+      meta(3L).width == 12 && meta(3L).height == 5)
+    assert(meta(4L).format == "unknown" &&
+      meta(4L).width == 0 && meta(4L).height == 0)
     val docs = Seq((1L, "hello world payload bytes"), (2L, "x"))
       .toDF("doc_id", "text")
       .withColumn("payload", to_binary(col("text"), lit("utf-8")))
-    val meta = Multimodal.extractMeta(docs, "doc_id", "payload").collect()
-    assert(meta.length == 2)
-    assert(meta.forall(m => m.width >= 1 && m.width <= 1920))
-    assert(meta.find(_.doc_id == 1L).get.n_bytes == 25L)
     val chunks = Multimodal.sampleChunks(docs, "doc_id", "payload",
       chunkBytes = 8, everyK = 2).collect()
     assert(chunks.map(_.getLong(0)).toSet == Set(1L, 2L))

@@ -110,7 +110,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // methodology is declared IN the JSON so cross-round comparisons can't
+    // silently mix min-of-2 headline numbers with single-pass totals
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_method":"single_pass","queries":$qs,"queries_method":"best_of_2","n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

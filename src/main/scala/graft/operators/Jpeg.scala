@@ -766,13 +766,37 @@ object Jpeg {
       }
       mcu += 1
     }
-    // a well-formed baseline stream closes the single scan with EOI;
-    // every entropy byte holds >=1 real bit, so bytePos sits exactly past
-    // the scan data (stuffing included) once the last MCU decodes
+    // a well-formed baseline stream closes the single scan with EOI, but
+    // T.81 B.1.1.2 permits any number of 0xFF fill bytes before a marker
+    // and real-world writers also emit trailing COM/APPn/DNL segments
+    // between the scan and EOI — tolerate both instead of demanding EOI
+    // at the exact byte position (rejecting such files would silently
+    // drop conformant web-corpus payloads as undecodable)
     locally {
-      val at = br.bytePos
-      require(at + 2 <= p.length && (p(at) & 0xff) == 0xff &&
-        (p(at + 1) & 0xff) == 0xd9, "missing EOI after scan")
+      var at = br.bytePos
+      var foundEoi = false
+      var guard = 0
+      while (!foundEoi && guard < 64) {
+        require(at + 2 <= p.length && (p(at) & 0xff) == 0xff,
+          "missing EOI after scan")
+        while (at + 1 < p.length && (p(at + 1) & 0xff) == 0xff)
+          at += 1 // fill bytes
+        require(at + 2 <= p.length, "missing EOI after scan")
+        val m = p(at + 1) & 0xff
+        if (m == 0xd9) foundEoi = true
+        else {
+          // a trailing marker segment (COM/APPn/DNL…) with 2-byte length;
+          // bare markers (RST, stuffed 0x00) are invalid after the scan
+          require(m != 0 && (m < 0xd0 || m > 0xd7),
+            "unexpected marker after scan")
+          require(at + 4 <= p.length, "truncated post-scan segment")
+          val len = ((p(at + 2) & 0xff) << 8) | (p(at + 3) & 0xff)
+          require(len >= 2, "bad post-scan segment length")
+          at += 2 + len
+        }
+        guard += 1
+      }
+      require(foundEoi, "missing EOI after scan")
     }
 
     // upsample (replication) + color convert

@@ -791,8 +791,10 @@ object Multimodal {
         val chunk = if (meta.valid && meta.bits_per_sample == 16)
           dataChunk(p) else None
         chunk match {
+          // channels > 0 must be checked FIRST: a zero-channel chunk would
+          // divide by zero in the sample-count guard
           case Some((off, len))
-              if len / (meta.channels * 2) >= nFft && meta.channels > 0 =>
+              if meta.channels > 0 && len / (meta.channels * 2) >= nFft =>
             val fb = meta.channels * 2
             val s = new Array[Double](nFft)
             var x = 0

@@ -379,16 +379,22 @@ object Sources {
     * row-equality check compares the non-key columns as a struct, so
     * any column count works and nulls compare positionally (null-safe).
     * Keys must be unique per snapshot (same discipline as MERGE).
+    * @param checkUnique when true (default), eagerly asserts key
+    *        uniqueness on both snapshots — two extra aggregate scans.
+    *        Pass false at scale when uniqueness is already guaranteed by
+    *        the writer (e.g. both snapshots are MERGE outputs, whose key
+    *        discipline is enforced on write): the diff itself never
+    *        needs the check, it only guards against garbage-in.
     * @return (keyCol, change) plus both sides' non-key columns
     *         prefixed old_/new_ */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
-                   keyCol: String): DataFrame = {
+                   keyCol: String, checkUnique: Boolean = true): DataFrame = {
     require(oldSnap.columns.sameElements(newSnap.columns),
       "snapshots must share a schema")
     val others = oldSnap.columns.filterNot(_ == keyCol).toSeq
     def unique(df: DataFrame) =
       df.groupBy(col(keyCol)).count().where(col("count") > 1).isEmpty
-    require(unique(oldSnap) && unique(newSnap),
+    require(!checkUnique || (unique(oldSnap) && unique(newSnap)),
       "snapshot keys must be unique")
     // string-qualified refs: both snapshots usually share lineage (one
     // derived from the other), so df("col") hits the ambiguous-self-join

@@ -301,6 +301,30 @@ class JpegSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(a.rgb, b.rgb))
   }
 
+  test("fill bytes and trailing segments before EOI are tolerated") {
+    val plain = Jpeg.jpegSynth(9L, 11, 6)
+    val a = Jpeg.decodeBaseline(plain)
+    // T.81 permits 0xFF fill bytes before any marker; real writers also
+    // emit trailing COM/APPn segments between the scan and EOI
+    val eoi = plain.length - 2
+    assert((plain(eoi) & 0xff) == 0xff && (plain(eoi + 1) & 0xff) == 0xd9)
+    val fill = Array.fill(5)(0xff.toByte)
+    val comment = "trailer".getBytes("US-ASCII")
+    val com = Array[Byte](0xff.toByte, 0xfe.toByte, 0,
+      (2 + comment.length).toByte) ++ comment
+    for (spliced <- Seq(
+        plain.take(eoi) ++ fill ++ plain.drop(eoi),          // fill before EOI
+        plain.take(eoi) ++ com ++ plain.drop(eoi),           // trailing COM
+        plain.take(eoi) ++ fill ++ com ++ fill ++ plain.drop(eoi))) {
+      val b = Jpeg.decodeBaseline(spliced)
+      assert(a.width == b.width && a.height == b.height)
+      assert(java.util.Arrays.equals(a.rgb, b.rgb))
+    }
+    // but scan data with NO EOI anywhere must still throw
+    intercept[IllegalArgumentException](
+      Jpeg.decodeBaseline(plain.take(eoi)))
+  }
+
   test("out-of-scope and malformed streams throw, never hang") {
     val good = Jpeg.jpegSynth(5L, 9, 8)
     // progressive SOF2

@@ -3066,6 +3066,60 @@ object SparkEntry {
     (40.05, -74.95), (40.12, -74.90), (40.08, -74.82),
     (40.02, -74.85), (40.00, -74.92))
 
+  /** Closed-form oracle for the exact-integer JPEG pixel synthesis —
+    * shared by mm_jpeg_decode (baseline) and mm_jpeg_progressive
+    * (SOF2): both streams carry the same coefficients, so they decode
+    * to identical pixels. */
+  private val jpegPixelsOracle: Option[String] = Some(
+    """WITH dims AS (
+             |  SELECT doc_id, CAST(doc_id % 1000 AS INTEGER) AS idi,
+             |    CAST(doc_id % 9 + 4 AS INTEGER) AS w,
+             |    CAST(doc_id % 7 + 4 AS INTEGER) AS h
+             |  FROM documents),
+             |px AS (
+             |  SELECT doc_id, idi, w, h, x, y,
+             |    CAST(x // 8 AS INTEGER) AS bx,
+             |    CAST(y // 8 AS INTEGER) AS by,
+             |    CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
+             |    CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
+             |  FROM dims,
+             |    (SELECT unnest(range(0, 12)) AS x),
+             |    (SELECT unnest(range(0, 10)) AS y)
+             |  WHERE x < w AND y < h),
+             |ycc AS (
+             |  SELECT doc_id, w, h, x, y,
+             |    40 + (bx*29 + by*17 + idi*3) % 176
+             |      + ((bx + by + idi) % 7 - 3) * sx
+             |      + ((2*bx + by + idi) % 5 - 2) * sy
+             |      + ((bx + 2*by + idi) % 3 - 1) * sx * sy AS yv,
+             |    70 + (13*bx + 7*by + 5*idi) % 116
+             |      + ((bx + idi) % 3 - 1) * sx
+             |      + ((by + idi) % 3 - 1) * sy AS cb,
+             |    70 + (11*bx + 19*by + 7*idi) % 116
+             |      + ((by + idi) % 3 - 1) * sx
+             |      + ((bx + 2*idi) % 3 - 1) * sy AS cr
+             |  FROM px),
+             |rgb AS (
+             |  SELECT doc_id, w, h, x, y,
+             |    LEAST(255, GREATEST(0, CAST(FLOOR(
+             |      yv + 1.402e0 * (cr - 128) + 0.5e0) AS INTEGER))) AS r,
+             |    LEAST(255, GREATEST(0, CAST(FLOOR(
+             |      yv - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128)
+             |      + 0.5e0) AS INTEGER))) AS g,
+             |    LEAST(255, GREATEST(0, CAST(FLOOR(
+             |      yv + 1.772e0 * (cb - 128) + 0.5e0) AS INTEGER))) AS b
+             |  FROM ycc),
+             |packed AS (
+             |  SELECT doc_id, w, h, x, y,
+             |    r * 65536 + g * 256 + b AS v
+             |  FROM rgb)
+             |SELECT doc_id, max(w) AS width, max(h) AS height,
+             |  CAST(sum(v) AS BIGINT) AS pix_sum,
+             |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN v END)
+             |    AS BIGINT) AS px_last,
+             |  TRUE AS valid
+             |FROM packed GROUP BY doc_id""".stripMargin)
+
   private val tailQueries = Seq(
     // S4: streaming-XML page ingest — the dump is synthesized from table
     // rows, split on the page delimiter exactly as the distributed
@@ -4063,54 +4117,28 @@ object SparkEntry {
           }.toDF("doc_id", "payload")
         Multimodal.extractJpegPixels(payloads, "doc_id", "payload").toDF()
       },
-      Some("""WITH dims AS (
-             |  SELECT doc_id, CAST(doc_id % 1000 AS INTEGER) AS idi,
-             |    CAST(doc_id % 9 + 4 AS INTEGER) AS w,
-             |    CAST(doc_id % 7 + 4 AS INTEGER) AS h
-             |  FROM documents),
-             |px AS (
-             |  SELECT doc_id, idi, w, h, x, y,
-             |    CAST(x // 8 AS INTEGER) AS bx,
-             |    CAST(y // 8 AS INTEGER) AS by,
-             |    CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
-             |    CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
-             |  FROM dims,
-             |    (SELECT unnest(range(0, 12)) AS x),
-             |    (SELECT unnest(range(0, 10)) AS y)
-             |  WHERE x < w AND y < h),
-             |ycc AS (
-             |  SELECT doc_id, w, h, x, y,
-             |    40 + (bx*29 + by*17 + idi*3) % 176
-             |      + ((bx + by + idi) % 7 - 3) * sx
-             |      + ((2*bx + by + idi) % 5 - 2) * sy
-             |      + ((bx + 2*by + idi) % 3 - 1) * sx * sy AS yv,
-             |    70 + (13*bx + 7*by + 5*idi) % 116
-             |      + ((bx + idi) % 3 - 1) * sx
-             |      + ((by + idi) % 3 - 1) * sy AS cb,
-             |    70 + (11*bx + 19*by + 7*idi) % 116
-             |      + ((by + idi) % 3 - 1) * sx
-             |      + ((bx + 2*idi) % 3 - 1) * sy AS cr
-             |  FROM px),
-             |rgb AS (
-             |  SELECT doc_id, w, h, x, y,
-             |    LEAST(255, GREATEST(0, CAST(FLOOR(
-             |      yv + 1.402e0 * (cr - 128) + 0.5e0) AS INTEGER))) AS r,
-             |    LEAST(255, GREATEST(0, CAST(FLOOR(
-             |      yv - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128)
-             |      + 0.5e0) AS INTEGER))) AS g,
-             |    LEAST(255, GREATEST(0, CAST(FLOOR(
-             |      yv + 1.772e0 * (cb - 128) + 0.5e0) AS INTEGER))) AS b
-             |  FROM ycc),
-             |packed AS (
-             |  SELECT doc_id, w, h, x, y,
-             |    r * 65536 + g * 256 + b AS v
-             |  FROM rgb)
-             |SELECT doc_id, max(w) AS width, max(h) AS height,
-             |  CAST(sum(v) AS BIGINT) AS pix_sum,
-             |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN v END)
-             |    AS BIGINT) AS px_last,
-             |  TRUE AS valid
-             |FROM packed GROUP BY doc_id""".stripMargin)),
+      jpegPixelsOracle),
+
+    // The SOF2 counterpart of mm_jpeg_decode: the SAME exact-integer
+    // planes emitted as a progressive multi-scan stream (spectral bands +
+    // successive approximation + restarts) — the decoder reassembles
+    // coefficients across scans and must land on the identical pixels,
+    // which the shared closed-form oracle checks. Web crawls carry
+    // progressive JPEGs at double-digit percentages; this is the row
+    // proving the engine decodes them for real.
+    Q("mm_jpeg_progressive",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 9 + 4).toInt
+            val h = (id % 7 + 4).toInt
+            (id, Jpeg.jpegSynthProgressive(id, w, h))
+          }.toDF("doc_id", "payload")
+        Multimodal.extractJpegPixels(payloads, "doc_id", "payload").toDF()
+      },
+      jpegPixelsOracle),
 
     // MM: FULL GIF decode — the LZW sibling of mm_png_decode /
     // mm_jpeg_decode: payloads are real GIF89a streams (dictionary-built

@@ -10,12 +10,13 @@ package graft.operators
   * JPEG needs no external library — like round 4's PNG work (zlib is in
   * the JDK), baseline JPEG is integer/double arithmetic end to end.
   *
-  * Scope: baseline DCT (SOF0) and extended sequential (SOF1) Huffman
-  * streams, 8-bit precision, 1 or 3 components, sampling factors 1-2,
-  * single interleaved scan, DRI/RSTn. Progressive (SOF2), arithmetic
-  * coding, 12-bit, and hierarchical streams throw
-  * IllegalArgumentException — callers surface `valid = false` rather
-  * than mis-decoding.
+  * Scope: baseline DCT (SOF0), extended sequential (SOF1), and — since
+  * round 6 — full progressive (SOF2: spectral selection + successive
+  * approximation, [[decodeProgressive]]) Huffman streams; 8-bit
+  * precision, 1 or 3 components, sampling factors 1-2, DRI/RSTn.
+  * [[decode]] dispatches on the SOF marker. Arithmetic coding, 12-bit,
+  * and hierarchical streams throw IllegalArgumentException — callers
+  * surface `valid = false` rather than mis-decoding.
   *
   * Determinism contract (what the DuckDB oracle relies on): every
   * rounding site is `floor(x + 0.5)` on IEEE doubles with the literal
@@ -799,7 +800,16 @@ object Jpeg {
       require(foundEoi, "missing EOI after scan")
     }
 
-    // upsample (replication) + color convert
+    planesToRgb(width, height, planes, planeW, compSh, compSv, hMax, vMax)
+  }
+
+  /** Upsample (replication) + YCbCr->RGB color convert of decoded
+    * component planes — shared by the sequential and progressive paths. */
+  private def planesToRgb(width: Int, height: Int,
+                          planes: Array[Array[Int]], planeW: Array[Int],
+                          compSh: Array[Int], compSv: Array[Int],
+                          hMax: Int, vMax: Int): JpegImage = {
+    val nc = planes.length
     val rgb = new Array[Byte](width * height * 3)
     var y = 0
     while (y < height) {
@@ -883,6 +893,19 @@ object Jpeg {
       restartInterval = if (id % 4 == 0) 2 else 0)
   }
 
+  /** [[jpegSynth]]'s progressive sibling: the same exact-integer-DCT
+    * planes emitted as a SOF2 multi-scan stream (spectral bands + one
+    * successive-approximation level, restarts on every 4th id) — decodes
+    * to the identical pixels, so the two share one closed-form oracle. */
+  def jpegSynthProgressive(id: Long, w: Int, h: Int): Array[Byte] = {
+    val pw = ceilDiv(w, 8) * 8
+    val ph = ceilDiv(h, 8) * 8
+    val (yP, cbP, crP) = jpegSynthPlanes(id, pw, ph)
+    encodeProgressive(w, h, Seq(yP, cbP, crP), Seq((1, 1), (1, 1), (1, 1)),
+      QuantUnit, QuantUnit, al = 1,
+      restartInterval = if (id % 4 == 0) 2 else 0)
+  }
+
   /** General RGB 4:4:4 encode at a quality setting: RGB->YCbCr with the
     * JFIF constants (floor(x+0.5), clamp), edge-replication padding,
     * Annex K tables scaled by `quality`. */
@@ -916,5 +939,708 @@ object Jpeg {
       Seq(EncPlane(pw, ph, yP), EncPlane(pw, ph, cbP), EncPlane(pw, ph, crP)),
       Seq((1, 1), (1, 1), (1, 1)),
       scaledQuant(StdQuantLuma, quality), scaledQuant(StdQuantChroma, quality))
+  }
+
+  // ---------------------------------------------- progressive (SOF2)
+
+  /** Full progressive JPEG decode (ITU-T T.81 Annex G, Huffman): spectral
+    * selection AND successive approximation, DC first/refinement scans
+    * (interleaved or single-component), non-interleaved AC first scans
+    * with EOB-run coding, AC refinement scans with correction bits,
+    * DRI/RSTn inside any scan, DHT/DQT redefinition between scans.
+    *
+    * Coefficients accumulate per component over the MCU-padded block
+    * grid; AC scans cover the component's non-interleaved grid (T.81
+    * A.2.2 — the padded remainder blocks carry DC only, and no visible
+    * pixel samples them). After EOI: dequantize + IDCT + the same
+    * upsample/color path the sequential decoder uses.
+    *
+    * Same 8-bit / 1-or-3-component / sampling-1-2 scope as
+    * [[decodeBaseline]]; throws IllegalArgumentException on malformed or
+    * out-of-scope input. */
+  def decodeProgressive(p: Array[Byte]): JpegImage = {
+    require(p != null && p.length >= 4 &&
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8, "not a JPEG")
+    var pos = 2
+    def be16(o: Int): Int = {
+      require(o + 2 <= p.length, "truncated segment")
+      ((p(o) & 0xff) << 8) | (p(o + 1) & 0xff)
+    }
+    val quant = new Array[Array[Int]](4)
+    val dcTab = new Array[HuffTable](4)
+    val acTab = new Array[HuffTable](4)
+    var width = 0; var height = 0
+    var compId: Array[Int] = null
+    var compSh: Array[Int] = null
+    var compSv: Array[Int] = null
+    var compQ: Array[Int] = null
+    var restartInterval = 0
+    var sawSof = false
+    var sawScan = false
+    var mcusX = 0; var mcusY = 0; var hMax = 0; var vMax = 0
+    var bW: Array[Int] = null; var bH: Array[Int] = null // padded block grid
+    var nW: Array[Int] = null; var nH: Array[Int] = null // non-interleaved
+    var coefs: Array[Array[Int]] = null // (by*bW+bx)*64 + natural index
+
+    /** Decode one scan\'s entropy data; returns the byte position just
+      * past it. */
+    def runScan(start: Int, scanComp: Array[Int], scanDc: Array[Int],
+                scanAc: Array[Int], ss: Int, se: Int, ah: Int,
+                al: Int): Int = {
+      val br = new BitReader(p, start)
+      var eobrun = 0
+      val pred = new Array[Int](compId.length)
+      var rstIdx = 0
+      def maybeRestart(unit: Int): Unit =
+        if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+          br.restart(rstIdx % 8); rstIdx += 1
+          java.util.Arrays.fill(pred, 0); eobrun = 0
+        }
+      if (ss == 0) {
+        require(se == 0, "DC scan must have Se = 0")
+        def dcUnit(c: Int, s: Int, base: Int): Unit =
+          if (ah == 0) {
+            val t = dcTab(scanDc(s))
+            require(t != null, "missing DC table")
+            val dsz = t.decode(br)
+            require(dsz <= 11, "bad DC size")
+            pred(c) += extend(br.receive(dsz), dsz)
+            coefs(c)(base) = pred(c) << al
+          } else if (br.nextBit() == 1) coefs(c)(base) |= 1 << al
+        if (scanComp.length > 1) {
+          // interleaved: the frame\'s MCU grid, sh x sv blocks per comp
+          var mcu = 0
+          val nM = mcusX * mcusY
+          while (mcu < nM) {
+            maybeRestart(mcu)
+            val mx = mcu % mcusX; val my = mcu / mcusX
+            var s = 0
+            while (s < scanComp.length) {
+              val c = scanComp(s)
+              var bv = 0
+              while (bv < compSv(c)) {
+                var bh = 0
+                while (bh < compSh(c)) {
+                  dcUnit(c, s,
+                    ((my * compSv(c) + bv) * bW(c) + mx * compSh(c) + bh) * 64)
+                  bh += 1
+                }
+                bv += 1
+              }
+              s += 1
+            }
+            mcu += 1
+          }
+        } else {
+          val c = scanComp(0)
+          var b = 0
+          val total = nW(c) * nH(c)
+          while (b < total) {
+            maybeRestart(b)
+            dcUnit(c, 0, ((b / nW(c)) * bW(c) + b % nW(c)) * 64)
+            b += 1
+          }
+        }
+      } else {
+        // AC scan: never interleaved (T.81 G.1.1.1.1)
+        require(scanComp.length == 1, "AC scans must be single-component")
+        require(ss <= se && se <= 63, "bad spectral selection")
+        val c = scanComp(0)
+        val act = acTab(scanAc(0))
+        require(act != null, "missing AC table")
+        val co = coefs(c)
+        def acFirst(base: Int): Unit =
+          if (eobrun > 0) eobrun -= 1
+          else {
+            var k = ss
+            while (k <= se) {
+              val rs = act.decode(br)
+              val r = rs >> 4; val s = rs & 15
+              if (s == 0) {
+                if (r == 15) k += 16 // ZRL
+                else {
+                  eobrun = (1 << r) - 1
+                  if (r > 0) eobrun += br.receive(r)
+                  k = se + 1 // EOB covers the rest of this block
+                }
+              } else {
+                k += r
+                require(k <= se, "AC run overflows band")
+                co(base + Zigzag(k)) = extend(br.receive(s), s) << al
+                k += 1
+              }
+            }
+          }
+        def acRefine(base: Int): Unit = {
+          val p1 = 1 << al
+          var k = ss
+          if (eobrun == 0) {
+            var atEob = false
+            while (k <= se && !atEob) {
+              val rs = act.decode(br)
+              var r = rs >> 4; val s = rs & 15
+              var newval = 0
+              if (s == 0) {
+                if (r != 15) { // EOBn: run includes this block
+                  eobrun = 1 << r
+                  if (r > 0) eobrun += br.receive(r)
+                  atEob = true
+                } // r == 15 (ZRL): pass 16 zero-history coefficients
+              } else {
+                require(s == 1, "bad refinement magnitude")
+                newval = if (br.nextBit() == 1) p1 else -p1
+              }
+              if (!atEob) {
+                // advance past r zero-history coefficients, emitting a
+                // correction bit at every nonzero-history one passed
+                var placed = false
+                while (k <= se && !placed) {
+                  val z = base + Zigzag(k)
+                  if (co(z) != 0) {
+                    if (br.nextBit() == 1 && (co(z) & p1) == 0)
+                      co(z) += (if (co(z) >= 0) p1 else -p1)
+                  } else if (r == 0) {
+                    if (newval != 0) co(z) = newval
+                    placed = true
+                  } else r -= 1
+                  k += 1
+                }
+              }
+            }
+          }
+          if (eobrun > 0) {
+            // EOB region: correction bits only, for the rest of the band
+            while (k <= se) {
+              val z = base + Zigzag(k)
+              if (co(z) != 0 && br.nextBit() == 1 && (co(z) & p1) == 0)
+                co(z) += (if (co(z) >= 0) p1 else -p1)
+              k += 1
+            }
+            eobrun -= 1
+          }
+        }
+        var b = 0
+        val total = nW(c) * nH(c)
+        while (b < total) {
+          maybeRestart(b)
+          val base = ((b / nW(c)) * bW(c) + b % nW(c)) * 64
+          if (ah == 0) acFirst(base) else acRefine(base)
+          b += 1
+        }
+      }
+      br.bytePos
+    }
+
+    var done = false
+    while (!done) {
+      require(pos + 2 <= p.length, "truncated stream")
+      require((p(pos) & 0xff) == 0xff, "lost marker sync")
+      while (pos + 1 < p.length && (p(pos + 1) & 0xff) == 0xff)
+        pos += 1 // fill bytes
+      val m = p(pos + 1) & 0xff
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else if (m == 0xd9) done = true
+      else {
+        val len = be16(pos + 2)
+        require(len >= 2 && pos + 2 + len <= p.length, "bad segment length")
+        val seg = pos + 4
+        val segLen = len - 2
+        var nextPos = pos + 2 + len
+        m match {
+          case 0xc2 => // progressive DCT, Huffman
+            require(!sawSof, "multiple SOF")
+            require(segLen >= 6, "short SOF")
+            require((p(seg) & 0xff) == 8, "only 8-bit precision supported")
+            height = be16(seg + 1); width = be16(seg + 3)
+            val nc = p(seg + 5) & 0xff
+            require(nc == 1 || nc == 3, "1 or 3 components supported")
+            require(segLen >= 6 + 3 * nc, "short SOF component list")
+            require(width > 0 && height > 0, "bad dimensions")
+            require(width.toLong * height <= 64L * 1024 * 1024,
+              "image too large")
+            compId = new Array[Int](nc); compSh = new Array[Int](nc)
+            compSv = new Array[Int](nc); compQ = new Array[Int](nc)
+            var c = 0
+            while (c < nc) {
+              compId(c) = p(seg + 6 + 3 * c) & 0xff
+              val sf = p(seg + 7 + 3 * c) & 0xff
+              compSh(c) = sf >> 4; compSv(c) = sf & 0x0f
+              require(compSh(c) >= 1 && compSh(c) <= 2 &&
+                compSv(c) >= 1 && compSv(c) <= 2,
+                "sampling factors 1-2 supported")
+              compQ(c) = p(seg + 8 + 3 * c) & 0xff
+              require(compQ(c) < 4, "bad quant table id")
+              c += 1
+            }
+            hMax = compSh.max; vMax = compSv.max
+            mcusX = ceilDiv(width, 8 * hMax)
+            mcusY = ceilDiv(height, 8 * vMax)
+            bW = Array.tabulate(nc)(c => mcusX * compSh(c))
+            bH = Array.tabulate(nc)(c => mcusY * compSv(c))
+            nW = Array.tabulate(nc)(c =>
+              ceilDiv(ceilDiv(width * compSh(c), hMax), 8))
+            nH = Array.tabulate(nc)(c =>
+              ceilDiv(ceilDiv(height * compSv(c), vMax), 8))
+            coefs = Array.tabulate(nc)(c => new Array[Int](bW(c) * bH(c) * 64))
+            sawSof = true
+          case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+               0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              f"decodeProgressive expects SOF2, found 0xFF$m%02x")
+          case 0xc4 => // DHT — may be redefined between scans
+            var o = seg
+            while (o < seg + segLen) {
+              require(o + 17 <= seg + segLen, "short DHT")
+              val tc = (p(o) & 0xff) >> 4
+              val th = p(o) & 0x0f
+              require(tc <= 1 && th < 4, "bad DHT header")
+              val bits = Array.tabulate(16)(i => p(o + 1 + i) & 0xff)
+              val n = bits.sum
+              require(n <= 256 && o + 17 + n <= seg + segLen, "bad DHT count")
+              val huffval = Array.tabulate(n)(i => p(o + 17 + i) & 0xff)
+              val tab = new HuffTable(bits, huffval)
+              if (tc == 0) dcTab(th) = tab else acTab(th) = tab
+              o += 17 + n
+            }
+          case 0xdb => // DQT
+            var o = seg
+            while (o < seg + segLen) {
+              val pq = (p(o) & 0xff) >> 4
+              val tq = p(o) & 0x0f
+              require(pq <= 1 && tq < 4, "bad DQT header")
+              val n = if (pq == 0) 64 else 128
+              require(o + 1 + n <= seg + segLen, "short DQT")
+              val q = new Array[Int](64)
+              var k = 0
+              while (k < 64) {
+                q(Zigzag(k)) =
+                  if (pq == 0) p(o + 1 + k) & 0xff
+                  else ((p(o + 1 + 2 * k) & 0xff) << 8) |
+                    (p(o + 2 + 2 * k) & 0xff)
+                k += 1
+              }
+              quant(tq) = q
+              o += 1 + n
+            }
+          case 0xdd =>
+            require(segLen >= 2, "short DRI")
+            restartInterval = be16(seg)
+          case 0xda => // SOS: one of the progression\'s scans
+            require(sawSof, "SOS before SOF")
+            val ns = p(seg) & 0xff
+            require(ns >= 1 && ns <= compId.length, "bad scan components")
+            require(segLen >= 4 + 2 * ns, "short SOS")
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val id = p(seg + 1 + 2 * c) & 0xff
+              val idx = compId.indexOf(id)
+              require(idx >= 0, "SOS names unknown component")
+              scanComp(c) = idx
+              val tt = p(seg + 2 + 2 * c) & 0xff
+              scanDc(c) = tt >> 4; scanAc(c) = tt & 0x0f
+              c += 1
+            }
+            val ss = p(seg + 1 + 2 * ns) & 0xff
+            val se = p(seg + 2 + 2 * ns) & 0xff
+            val aa = p(seg + 3 + 2 * ns) & 0xff
+            nextPos = runScan(pos + 2 + len, scanComp, scanDc, scanAc,
+              ss, se, aa >> 4, aa & 0x0f)
+            sawScan = true
+          case _ => () // APPn / COM / DNL skipped
+        }
+        pos = nextPos
+      }
+    }
+    require(sawSof && sawScan, "no SOF2 frame or no scan before EOI")
+
+    // dequantize + IDCT every padded block into component planes
+    val nc = compId.length
+    val planeW = Array.tabulate(nc)(c => bW(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Int](planeW(c) * bH(c) * 8))
+    val block = new Array[Int](64)
+    var c = 0
+    while (c < nc) {
+      val q = quant(compQ(c))
+      require(q != null, "missing quant table")
+      val co = coefs(c)
+      var by = 0
+      while (by < bH(c)) {
+        var bx = 0
+        while (bx < bW(c)) {
+          val base = (by * bW(c) + bx) * 64
+          var i = 0
+          while (i < 64) { block(i) = co(base + i) * q(i); i += 1 }
+          val s = idctBlock(block)
+          val ox = bx * 8; val oy = by * 8
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              planes(c)((oy + y) * planeW(c) + ox + x) =
+                clamp255(math.floor(s(y * 8 + x) + 128.0 + 0.5).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    planesToRgb(width, height, planes, planeW, compSh, compSv, hMax, vMax)
+  }
+
+  /** Scan the marker stream for the frame type and dispatch: SOF0/SOF1 ->
+    * [[decodeBaseline]], SOF2 -> [[decodeProgressive]]. This is the entry
+    * real corpora should use — web crawls carry progressive JPEGs at
+    * double-digit percentages. */
+  def decode(p: Array[Byte]): JpegImage = {
+    require(p != null && p.length >= 4 &&
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8, "not a JPEG")
+    var pos = 2
+    while (pos + 4 <= p.length) {
+      require((p(pos) & 0xff) == 0xff, "lost marker sync")
+      while (pos + 1 < p.length && (p(pos + 1) & 0xff) == 0xff) pos += 1
+      val m = p(pos + 1) & 0xff
+      if (m == 0xc0 || m == 0xc1) return decodeBaseline(p)
+      if (m == 0xc2) return decodeProgressive(p)
+      if ((m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8) || m == 0xd9)
+        throw new IllegalArgumentException(
+          f"unsupported frame type before SOF, marker 0xFF$m%02x")
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) pos += 2
+      else {
+        val len = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+        require(len >= 2 && pos + 2 + len <= p.length, "bad segment length")
+        pos += 2 + len
+      }
+    }
+    throw new IllegalArgumentException("no SOF marker found")
+  }
+
+  /** AC successive-approximation point transform: T.81 G.1.2.1 divides
+    * magnitudes, so truncation is toward zero (an arithmetic shift would
+    * floor negatives one too far). DC uses the arithmetic shift. */
+  private def ptAc(v: Int, al: Int): Int =
+    if (v >= 0) v >> al else -((-v) >> al)
+
+  /** Progressive (SOF2) encoder: spectral selection + successive
+    * approximation, the scan script web encoders commonly emit — DC
+    * first (interleaved, point transform `al`), DC refinement bits down
+    * to 0, then per component AC bands 1..5 and 6..63 first at `al`
+    * followed by refinement passes down to 0. Per-scan optimal Huffman
+    * tables (table id 0 redefined before each scan); optional DRI/RSTn.
+    * Exists so the decoder can be specced against real multi-scan
+    * streams without external fixtures; the coefficient math is shared
+    * with [[encodeBaseline]], so decode(encodeProgressive(x)) must equal
+    * decode(encodeBaseline(x)) pixel-for-pixel. */
+  def encodeProgressive(width: Int, height: Int, planes: Seq[EncPlane],
+                        sampling: Seq[(Int, Int)],
+                        quantLuma: Array[Int] = QuantUnit,
+                        quantChroma: Array[Int] = QuantUnit,
+                        al: Int = 1,
+                        restartInterval: Int = 0): Array[Byte] = {
+    val nc = planes.length
+    require(nc == 1 || nc == 3, "1 or 3 components")
+    require(sampling.length == nc, "one sampling factor pair per plane")
+    require(width > 0 && height > 0, "positive dimensions")
+    require(al >= 0 && al <= 10, "al in 0..10")
+    sampling.foreach { case (h, v) =>
+      require(h >= 1 && h <= 2 && v >= 1 && v <= 2, "sampling factors 1-2")
+    }
+    val hMax = sampling.map(_._1).max
+    val vMax = sampling.map(_._2).max
+    val mcusX = ceilDiv(width, 8 * hMax)
+    val mcusY = ceilDiv(height, 8 * vMax)
+    planes.zip(sampling).foreach { case (pl, (sh, sv)) =>
+      require(pl.w == mcusX * 8 * sh && pl.h == mcusY * 8 * sv,
+        s"plane must be padded to ${mcusX * 8 * sh}x${mcusY * 8 * sv}, " +
+          s"got ${pl.w}x${pl.h}")
+      require(pl.data.length == pl.w * pl.h, "plane data length mismatch")
+    }
+    val quantOf = (c: Int) => if (c == 0) quantLuma else quantChroma
+    val bW = Array.tabulate(nc)(c => mcusX * sampling(c)._1)
+    val bH = Array.tabulate(nc)(c => mcusY * sampling(c)._2)
+    val nW = Array.tabulate(nc)(c =>
+      ceilDiv(ceilDiv(width * sampling(c)._1, hMax), 8))
+    val nH = Array.tabulate(nc)(c =>
+      ceilDiv(ceilDiv(height * sampling(c)._2, vMax), 8))
+
+    // quantized coefficients per component over the padded block grid
+    val co = Array.tabulate(nc) { c =>
+      val (pl, q) = (planes(c), quantOf(c))
+      val out = new Array[Int](bW(c) * bH(c) * 64)
+      val s = new Array[Double](64)
+      var by = 0
+      while (by < bH(c)) {
+        var bx = 0
+        while (bx < bW(c)) {
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              s(y * 8 + x) = pl.data((by * 8 + y) * pl.w + bx * 8 + x) - 128.0
+              x += 1
+            }
+            y += 1
+          }
+          val f = fdctBlock(s)
+          val base = (by * bW(c) + bx) * 64
+          var i = 0
+          while (i < 64) {
+            out(base + i) = math.round(f(i) / q(i)).toInt
+            i += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      out
+    }
+
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    def marker(m: Int): Unit = { u8(0xff); u8(m) }
+    marker(0xd8) // SOI
+    val nTbl = if (nc == 1) 1 else 2
+    marker(0xdb); u16(2 + nTbl * 65) // DQT
+    var t = 0
+    while (t < nTbl) {
+      u8(t)
+      val q = if (t == 0) quantLuma else quantChroma
+      var k = 0
+      while (k < 64) { u8(q(Zigzag(k))); k += 1 }
+      t += 1
+    }
+    marker(0xc2); u16(8 + 3 * nc); u8(8); u16(height); u16(width); u8(nc)
+    var c0 = 0
+    while (c0 < nc) {
+      u8(c0 + 1); u8((sampling(c0)._1 << 4) | sampling(c0)._2)
+      u8(if (c0 == 0) 0 else 1)
+      c0 += 1
+    }
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+
+    /** Two-pass scan emission: the generator calls the sink once to count
+      * symbol frequencies and once to write codes — identical control
+      * flow both times, so the stream always matches its own table. */
+    trait Sink {
+      def sym(s: Int): Unit
+      def bits(v: Int, n: Int): Unit
+      def restartMark(): Unit
+    }
+    final class FreqSink extends Sink {
+      val freq = new Array[Int](256)
+      def sym(s: Int): Unit = freq(s) += 1
+      def bits(v: Int, n: Int): Unit = ()
+      def restartMark(): Unit = ()
+    }
+    final class WriteSink(codes: Array[(Int, Int)]) extends Sink {
+      val bw = new BitWriter(out)
+      private var rstIdx = 0
+      def sym(s: Int): Unit = {
+        val (code, len) = codes(s)
+        require(len > 0, s"symbol $s has no code")
+        bw.put(code, len)
+      }
+      def bits(v: Int, n: Int): Unit = if (n > 0) bw.put(v, n)
+      def restartMark(): Unit = {
+        bw.flush()
+        marker(0xd0 + rstIdx % 8)
+        rstIdx += 1
+      }
+    }
+    /** Emit DHT (class/id 0) + SOS + entropy for one scan. `gen` drives a
+      * sink; `tblClass` < 0 means the scan uses no Huffman table (DC
+      * refinement). */
+    def scan(comps: Seq[Int], ss: Int, se: Int, ah: Int, sal: Int,
+             tblClass: Int)(gen: Sink => Unit): Unit = {
+      var codes: Array[(Int, Int)] = null
+      if (tblClass >= 0) {
+        val fs = new FreqSink
+        gen(fs)
+        val (bits, huffval) = buildHuffman(fs.freq)
+        marker(0xc4); u16(2 + 1 + 16 + huffval.length)
+        u8((tblClass << 4) | 0)
+        bits.foreach(u8); huffval.foreach(u8)
+        codes = assignCodes(bits, huffval)
+      }
+      marker(0xda); u16(6 + 2 * comps.length); u8(comps.length)
+      comps.foreach { c => u8(c + 1); u8(0) } // Td = Ta = 0
+      u8(ss); u8(se); u8((ah << 4) | sal)
+      val ws = new WriteSink(
+        if (codes != null) codes else Array.fill(256)((0, 0)))
+      gen(ws)
+      ws.bw.flush()
+    }
+
+    // ---- DC scans: interleaved over the frame MCU grid
+    def dcScan(sal: Int, refine: Boolean): Unit =
+      scan(0 until nc, 0, 0, if (refine) sal + 1 else 0, sal,
+          if (refine) -1 else 0) { sink =>
+        val pred = new Array[Int](nc)
+        var mcu = 0
+        val nM = mcusX * mcusY
+        while (mcu < nM) {
+          if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+            sink.restartMark()
+            java.util.Arrays.fill(pred, 0)
+          }
+          val mx = mcu % mcusX; val my = mcu / mcusX
+          var c = 0
+          while (c < nc) {
+            val (sh, sv) = sampling(c)
+            var bv = 0
+            while (bv < sv) {
+              var bh = 0
+              while (bh < sh) {
+                val qc0 = co(c)(((my * sv + bv) * bW(c) + mx * sh + bh) * 64)
+                if (!refine) {
+                  val v = qc0 >> sal // DC point transform: arithmetic shift
+                  val diff = v - pred(c)
+                  pred(c) = v
+                  val dsz = if (diff == 0) 0 else bitSize(math.abs(diff))
+                  sink.sym(dsz)
+                  if (dsz > 0)
+                    sink.bits(
+                      if (diff < 0) diff + (1 << dsz) - 1 else diff, dsz)
+                } else sink.bits((qc0 >> sal) & 1, 1)
+                bh += 1
+              }
+              bv += 1
+            }
+            c += 1
+          }
+          mcu += 1
+        }
+      }
+
+    // ---- AC first scan (Ah = 0) for one component band
+    def acFirstScan(c: Int, ss: Int, se: Int, sal: Int): Unit =
+      scan(Seq(c), ss, se, 0, sal, 1) { sink =>
+        var eobrun = 0
+        def flushEob(): Unit = if (eobrun > 0) {
+          val r = bitSize(eobrun) - 1
+          sink.sym(r << 4)
+          if (r > 0) sink.bits(eobrun - (1 << r), r)
+          eobrun = 0
+        }
+        val cc = co(c)
+        var b = 0
+        val total = nW(c) * nH(c)
+        while (b < total) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            flushEob(); sink.restartMark()
+          }
+          val base = ((b / nW(c)) * bW(c) + b % nW(c)) * 64
+          var r = 0
+          var k = ss
+          while (k <= se) {
+            val v = ptAc(cc(base + Zigzag(k)), sal)
+            if (v == 0) r += 1
+            else {
+              flushEob()
+              while (r > 15) { sink.sym(0xf0); r -= 16 }
+              val sz = bitSize(math.abs(v))
+              sink.sym((r << 4) | sz)
+              sink.bits(if (v < 0) v + (1 << sz) - 1 else v, sz)
+              r = 0
+            }
+            k += 1
+          }
+          if (r > 0) { // trailing zeros -> this block joins the EOB run
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          }
+          b += 1
+        }
+        flushEob()
+      }
+
+    // ---- AC refinement scan (Ah = sal + 1, Al = sal): mirrors the
+    // decoder's advance loop so correction bits land positionally
+    def acRefineScan(c: Int, ss: Int, se: Int, sal: Int): Unit =
+      scan(Seq(c), ss, se, sal + 1, sal, 1) { sink =>
+        var eobrun = 0
+        val brEob = new scala.collection.mutable.ArrayBuffer[Int]()
+        def flushEob(): Unit = if (eobrun > 0) {
+          val r = bitSize(eobrun) - 1
+          sink.sym(r << 4)
+          if (r > 0) sink.bits(eobrun - (1 << r), r)
+          brEob.foreach(bit => sink.bits(bit, 1))
+          brEob.clear()
+          eobrun = 0
+        }
+        val cc = co(c)
+        var b = 0
+        val total = nW(c) * nH(c)
+        while (b < total) {
+          if (restartInterval > 0 && b > 0 && b % restartInterval == 0) {
+            flushEob(); sink.restartMark()
+          }
+          val base = ((b / nW(c)) * bW(c) + b % nW(c)) * 64
+          def qv(k: Int): Int = cc(base + Zigzag(k))
+          def hist(k: Int): Boolean = ptAc(qv(k), sal + 1) != 0
+          def newSig(k: Int): Boolean = !hist(k) && ptAc(qv(k), sal) != 0
+          def corrBit(k: Int): Int = (math.abs(qv(k)) >> sal) & 1
+          // last newly-significant position; -1 if none (all-EOB block)
+          var keob = -1
+          var j = ss
+          while (j <= se) { if (newSig(j)) keob = j; j += 1 }
+          var k = ss
+          while (k <= se && keob >= 0 && k <= keob) {
+            // next newly-significant coefficient and the zero-history
+            // run length before it
+            var kn = k
+            var r = 0
+            while (!newSig(kn)) { if (!hist(kn)) r += 1; kn += 1 }
+            flushEob()
+            while (r > 15) {
+              sink.sym(0xf0) // ZRL: decoder passes 16 zero-history coefs
+              var cnt = 0
+              while (cnt < 16) {
+                if (hist(k)) sink.bits(corrBit(k), 1) else cnt += 1
+                k += 1
+              }
+              r -= 16
+            }
+            sink.sym((r << 4) | 1)
+            sink.bits(if (qv(kn) > 0) 1 else 0, 1)
+            while (k < kn) { // corrections passed on the way to kn
+              if (hist(k)) sink.bits(corrBit(k), 1)
+              k += 1
+            }
+            k = kn + 1
+          }
+          if (keob < se) { // trailing region joins the EOB run
+            var j2 = math.max(k, ss)
+            while (j2 <= se) { if (hist(j2)) brEob += corrBit(j2); j2 += 1 }
+            eobrun += 1
+            if (eobrun == 0x7fff) flushEob()
+          }
+          b += 1
+        }
+        flushEob()
+      }
+
+    // ---- the progression script
+    dcScan(al, refine = false)
+    var a = al - 1
+    while (a >= 0) { dcScan(a, refine = true); a -= 1 }
+    var c = 0
+    while (c < nc) {
+      for ((bs, be) <- Seq((1, 5), (6, 63))) {
+        acFirstScan(c, bs, be, al)
+        var aa = al - 1
+        while (aa >= 0) { acRefineScan(c, bs, be, aa); aa -= 1 }
+      }
+      c += 1
+    }
+    marker(0xd9) // EOI
+    out.toByteArray
   }
 }

@@ -877,7 +877,7 @@ object Multimodal {
     docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
         try {
-          val img = Jpeg.decodeBaseline(p)
+          val img = Jpeg.decode(p) // dispatches baseline OR progressive
           var sum = 0L
           var i = 0
           while (i < img.rgb.length) {
@@ -899,14 +899,15 @@ object Multimodal {
   // ------------------------------------------- image near-dup (dHash)
 
   /** Decode any supported image payload to row-major RGB by magic-byte
-    * dispatch: PNG / baseline JPEG / GIF / 24bpp BMP. Throws
-    * IllegalArgumentException on unsupported or malformed payloads. */
+    * dispatch: PNG / JPEG (baseline AND progressive) / GIF / 24bpp BMP.
+    * Throws IllegalArgumentException on unsupported or malformed
+    * payloads. */
   def decodeImageRgb(p: Array[Byte]): (Int, Int, Array[Byte]) =
     sniffFormat(p) match {
       case "png" =>
         val img = pngDecodeRgb(p); (img.width, img.height, img.rgb)
       case "jpeg" =>
-        val img = Jpeg.decodeBaseline(p); (img.width, img.height, img.rgb)
+        val img = Jpeg.decode(p); (img.width, img.height, img.rgb)
       case "gif" =>
         val img = Gif.decodeGif(p); (img.width, img.height, img.rgb)
       case "bmp" =>

@@ -325,6 +325,72 @@ class JpegSpec extends SparkTestBase {
       Jpeg.decodeBaseline(plain.take(eoi)))
   }
 
+  test("progressive decode equals sequential decode of the same planes") {
+    // both encoders quantize the SAME coefficients, so the two decoders
+    // must agree pixel-for-pixel on every sampling layout and dimension
+    for (id <- Seq(0L, 3L, 17L, 123L); (w, h) <- Seq((9, 8), (21, 13), (32, 24))) {
+      val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+      val (yP, cbP, crP) = Jpeg.jpegSynthPlanes(id, mcusX * 8, mcusY * 8)
+      val planes = Seq(yP, cbP, crP)
+      val samp = Seq((1, 1), (1, 1), (1, 1))
+      val seqBytes = Jpeg.encodeBaseline(w, h, planes, samp)
+      val progBytes = Jpeg.encodeProgressive(w, h, planes, samp, al = 2)
+      val a = Jpeg.decodeBaseline(seqBytes)
+      val b = Jpeg.decodeProgressive(progBytes)
+      assert(a.width == b.width && a.height == b.height, s"id=$id $w x $h")
+      assert(java.util.Arrays.equals(a.rgb, b.rgb), s"id=$id $w x $h")
+      // and the dispatching entry picks the right path for both
+      assert(java.util.Arrays.equals(Jpeg.decode(progBytes).rgb, b.rgb))
+      assert(java.util.Arrays.equals(Jpeg.decode(seqBytes).rgb, a.rgb))
+    }
+  }
+
+  test("progressive decode handles 4:2:0 subsampling and restart markers") {
+    val w = 21; val h = 13 // partial MCUs both axes, dummy padded blocks
+    val mcusX = (w + 15) / 16; val mcusY = (h + 15) / 16
+    val (yFull, _, _) = Jpeg.jpegSynthPlanes(7L, mcusX * 16, mcusY * 16)
+    val (_, cbHalf, crHalf) = Jpeg.jpegSynthPlanes(11L, mcusX * 8, mcusY * 8)
+    val planes = Seq(yFull, cbHalf, crHalf)
+    val samp = Seq((2, 2), (1, 1), (1, 1))
+    val seq420 = Jpeg.decodeBaseline(Jpeg.encodeBaseline(w, h, planes, samp))
+    for (rst <- Seq(0, 1, 2); al <- Seq(0, 1, 2)) {
+      val prog = Jpeg.decodeProgressive(Jpeg.encodeProgressive(
+        w, h, planes, samp, al = al, restartInterval = rst))
+      assert(prog.width == w && prog.height == h)
+      assert(java.util.Arrays.equals(prog.rgb, seq420.rgb),
+        s"rst=$rst al=$al")
+    }
+  }
+
+  test("progressive decode handles grayscale and lossy quant tables") {
+    val w = 17; val h = 11
+    val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+    val (yP, cbP, crP) = Jpeg.jpegSynthPlanes(42L, mcusX * 8, mcusY * 8)
+    val gray = Jpeg.decodeProgressive(Jpeg.encodeProgressive(
+      w, h, Seq(yP), Seq((1, 1)), al = 1))
+    val graySeq = Jpeg.decodeBaseline(Jpeg.encodeBaseline(
+      w, h, Seq(yP), Seq((1, 1))))
+    assert(java.util.Arrays.equals(gray.rgb, graySeq.rgb))
+    // realistic lossy tables: big AC magnitudes shrink, exercising the
+    // successive-approximation significance transitions
+    val ql = Jpeg.scaledQuant(Jpeg.StdQuantLuma, 85)
+    val qc = Jpeg.scaledQuant(Jpeg.StdQuantChroma, 85)
+    val lossySeq = Jpeg.decodeBaseline(Jpeg.encodeBaseline(
+      w, h, Seq(yP, cbP, crP), Seq((1, 1), (1, 1), (1, 1)), ql, qc))
+    val lossyProg = Jpeg.decodeProgressive(Jpeg.encodeProgressive(
+      w, h, Seq(yP, cbP, crP), Seq((1, 1), (1, 1), (1, 1)), ql, qc, al = 3))
+    assert(java.util.Arrays.equals(lossyProg.rgb, lossySeq.rgb))
+  }
+
+  test("decodeBaseline still rejects progressive; decode dispatches it") {
+    val w = 10; val h = 7
+    val (yP, _, _) = Jpeg.jpegSynthPlanes(5L, 16, 8)
+    val prog = Jpeg.encodeProgressive(w, h, Seq(yP), Seq((1, 1)), al = 1)
+    intercept[IllegalArgumentException](Jpeg.decodeBaseline(prog))
+    val img = Jpeg.decode(prog)
+    assert(img.width == w && img.height == h)
+  }
+
   test("out-of-scope and malformed streams throw, never hang") {
     val good = Jpeg.jpegSynth(5L, 9, 8)
     // progressive SOF2

@@ -1455,6 +1455,37 @@ object SparkEntry {
     s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END"
   }
 
+  /** The image-corpus render behind `pipe_image_dedup` (and the scale
+    * probe tool `graft.tools.ProbeImagePairs`): one tiny image per doc in
+    * three real container formats, where ids 2g/2g+1 form a near-dup pair
+    * (a single +1 on the corner pixel). */
+  private[graft] def imageCorpus(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = s
+    import spark.implicits._
+    t(s, dir, "documents").select(col("doc_id")).as[Long]
+      .map { id =>
+        val g = id / 2
+        val v = (id % 2).toInt
+        val gray = Array.tabulate(9 * 8) { i =>
+          val x = i % 9; val y = i / 9
+          val gm = g % 1000003
+          ((x + 9L * y + 1L + gm) * (x + 9L * y + 13L + 2L * gm)
+            % 100003L % 200L + 28L).toInt +
+            (if (v == 1 && x == 0 && y == 0) 1 else 0)
+        }
+        val rgb = Array.tabulate(9 * 8 * 3)(i => gray(i / 3).toByte)
+        val p = (g % 3).toInt match {
+          case 0 => Multimodal.pngEncodeRgb(9, 8, rgb)
+          case 1 =>
+            val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
+            Gif.encodeGif(9, 8, pal, gray.map(_.toByte))
+          case _ => Multimodal.bmpEncodeRgb(9, 8, rgb)
+        }
+        (id, p)
+      }.toDF("doc_id", "payload")
+  }
+
   private val pipelineQueries = Seq(
     // Exact dedup by content digest
     Q("dd_exact",
@@ -4267,29 +4298,7 @@ object SparkEntry {
     // recursive CTE.
     Q("pipe_image_dedup",
       (s, dir) => {
-        val spark = s
-        import spark.implicits._
-        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
-          .map { id =>
-            val g = id / 2
-            val v = (id % 2).toInt
-            val gray = Array.tabulate(9 * 8) { i =>
-              val x = i % 9; val y = i / 9
-              val gm = g % 1000003
-              ((x + 9L * y + 1L + gm) * (x + 9L * y + 13L + 2L * gm)
-                % 100003L % 200L + 28L).toInt +
-                (if (v == 1 && x == 0 && y == 0) 1 else 0)
-            }
-            val rgb = Array.tabulate(9 * 8 * 3)(i => gray(i / 3).toByte)
-            val p = (g % 3).toInt match {
-              case 0 => Multimodal.pngEncodeRgb(9, 8, rgb)
-              case 1 =>
-                val pal = Array.tabulate(256 * 3)(i => (i / 3).toByte)
-                Gif.encodeGif(9, 8, pal, gray.map(_.toByte))
-              case _ => Multimodal.bmpEncodeRgb(9, 8, rgb)
-            }
-            (id, p)
-          }.toDF("doc_id", "payload")
+        val payloads = imageCorpus(s, dir)
         val formats = Multimodal
           .extractSniffedMeta(payloads, "doc_id", "payload").toDF()
           .select(col("doc_id"), col("format"))

@@ -903,7 +903,10 @@ object Jpeg {
     val (yP, cbP, crP) = jpegSynthPlanes(id, pw, ph)
     encodeProgressive(w, h, Seq(yP, cbP, crP), Seq((1, 1), (1, 1), (1, 1)),
       QuantUnit, QuantUnit, al = 1,
-      restartInterval = if (id % 4 == 0) 2 else 0)
+      restartInterval = if (id % 4 == 0) 2 else 0,
+      // static tables: per-scan optimal table builds dominate on tiny
+      // images; decoded pixels are identical either way
+      optimalTables = false)
   }
 
   /** General RGB 4:4:4 encode at a quality setting: RGB->YCbCr with the
@@ -1327,22 +1330,48 @@ object Jpeg {
   private def ptAc(v: Int, al: Int): Int =
     if (v >= 0) v >> al else -((-v) >> al)
 
+  /** Static progressive Huffman tables for `optimalTables = false`: DC
+    * covers sizes 0..11; AC covers ALL 256 symbols (every (run, size)
+    * pair, every EOBn run bucket, ZRL) under a plausible frequency prior
+    * — any progressive symbol stream encodes against them. Built once
+    * through the validated [[buildHuffman]] length-limited procedure. */
+  private lazy val staticDcTable: (Array[Int], Array[Int]) =
+    buildHuffman(Array.tabulate(256)(i => if (i <= 11) 1 << (12 - i) else 0))
+  private lazy val staticAcProgTable: (Array[Int], Array[Int]) =
+    buildHuffman(Array.tabulate(256) { i =>
+      val r = i >> 4; val sz = i & 15
+      if (sz == 0) math.max(1, 4096 >> (2 * math.min(r, 6)))
+      else math.max(1, 8192 >> (r + 2 * sz))
+    })
+  private lazy val staticDcCodes: Array[(Int, Int)] =
+    assignCodes(staticDcTable._1, staticDcTable._2)
+  private lazy val staticAcProgCodes: Array[(Int, Int)] =
+    assignCodes(staticAcProgTable._1, staticAcProgTable._2)
+
   /** Progressive (SOF2) encoder: spectral selection + successive
     * approximation, the scan script web encoders commonly emit — DC
     * first (interleaved, point transform `al`), DC refinement bits down
     * to 0, then per component AC bands 1..5 and 6..63 first at `al`
-    * followed by refinement passes down to 0. Per-scan optimal Huffman
-    * tables (table id 0 redefined before each scan); optional DRI/RSTn.
+    * followed by refinement passes down to 0. Optional DRI/RSTn.
     * Exists so the decoder can be specced against real multi-scan
     * streams without external fixtures; the coefficient math is shared
     * with [[encodeBaseline]], so decode(encodeProgressive(x)) must equal
-    * decode(encodeBaseline(x)) pixel-for-pixel. */
+    * decode(encodeBaseline(x)) pixel-for-pixel.
+    *
+    * @param optimalTables true (default): per-scan optimal Huffman
+    *        tables, table id 0 redefined before every scan — exercises
+    *        the decoder's between-scan DHT handling. false: the static
+    *        all-symbol tables above, emitted ONCE before the first scan
+    *        (T.81 tables persist across scans) — skips the per-scan
+    *        frequency pass and table build, the dominant cost when
+    *        encoding many small images (the corpus-synthesis path). */
   def encodeProgressive(width: Int, height: Int, planes: Seq[EncPlane],
                         sampling: Seq[(Int, Int)],
                         quantLuma: Array[Int] = QuantUnit,
                         quantChroma: Array[Int] = QuantUnit,
                         al: Int = 1,
-                        restartInterval: Int = 0): Array[Byte] = {
+                        restartInterval: Int = 0,
+                        optimalTables: Boolean = true): Array[Byte] = {
     val nc = planes.length
     require(nc == 1 || nc == 3, "1 or 3 components")
     require(sampling.length == nc, "one sampling factor pair per plane")
@@ -1454,20 +1483,30 @@ object Jpeg {
         rstIdx += 1
       }
     }
-    /** Emit DHT (class/id 0) + SOS + entropy for one scan. `gen` drives a
-      * sink; `tblClass` < 0 means the scan uses no Huffman table (DC
-      * refinement). */
+    def emitDht(clazz: Int, tab: (Array[Int], Array[Int])): Unit = {
+      val (bits, huffval) = tab
+      marker(0xc4); u16(2 + 1 + 16 + huffval.length)
+      u8((clazz << 4) | 0)
+      bits.foreach(u8); huffval.foreach(u8)
+    }
+    if (!optimalTables) { // static tables persist across all scans
+      emitDht(0, staticDcTable); emitDht(1, staticAcProgTable)
+    }
+    /** Emit DHT (class/id 0, optimal mode only) + SOS + entropy for one
+      * scan. `gen` drives a sink; `tblClass` < 0 means the scan uses no
+      * Huffman table (DC refinement). */
     def scan(comps: Seq[Int], ss: Int, se: Int, ah: Int, sal: Int,
              tblClass: Int)(gen: Sink => Unit): Unit = {
       var codes: Array[(Int, Int)] = null
       if (tblClass >= 0) {
-        val fs = new FreqSink
-        gen(fs)
-        val (bits, huffval) = buildHuffman(fs.freq)
-        marker(0xc4); u16(2 + 1 + 16 + huffval.length)
-        u8((tblClass << 4) | 0)
-        bits.foreach(u8); huffval.foreach(u8)
-        codes = assignCodes(bits, huffval)
+        if (optimalTables) {
+          val fs = new FreqSink
+          gen(fs)
+          val tab = buildHuffman(fs.freq)
+          emitDht(tblClass, tab)
+          codes = assignCodes(tab._1, tab._2)
+        } else codes =
+          if (tblClass == 0) staticDcCodes else staticAcProgCodes
       }
       marker(0xda); u16(6 + 2 * comps.length); u8(comps.length)
       comps.foreach { c => u8(c + 1); u8(0) } // Td = Ta = 0

@@ -342,6 +342,12 @@ class JpegSpec extends SparkTestBase {
       // and the dispatching entry picks the right path for both
       assert(java.util.Arrays.equals(Jpeg.decode(progBytes).rgb, b.rgb))
       assert(java.util.Arrays.equals(Jpeg.decode(seqBytes).rgb, a.rgb))
+      // the static-table fast path (tables emitted once, persisting
+      // across scans) must decode to the same pixels as optimal tables
+      val statBytes = Jpeg.encodeProgressive(w, h, planes, samp, al = 2,
+        optimalTables = false)
+      assert(java.util.Arrays.equals(
+        Jpeg.decodeProgressive(statBytes).rgb, b.rgb), s"static id=$id")
     }
   }
 

@@ -388,6 +388,33 @@ class JpegSpec extends SparkTestBase {
     assert(java.util.Arrays.equals(lossyProg.rgb, lossySeq.rgb))
   }
 
+  test("progressive stress: lossy tables + deep approximation across " +
+    "many plane patterns stays pixel-identical to sequential") {
+    // strong quantization scatters sparse nonzero coefficients through
+    // the zigzag order, driving the rare refinement shapes (long
+    // zero-history runs -> ZRL-in-refinement, cross-block EOB runs with
+    // buffered correction bits); any encoder/decoder desync breaks the
+    // pixel-exact equality
+    val ql = Jpeg.scaledQuant(Jpeg.StdQuantLuma, 50)
+    val qc = Jpeg.scaledQuant(Jpeg.StdQuantChroma, 50)
+    for (id <- 0L until 12L) {
+      val w = (id % 13 + 12).toInt; val h = (id % 11 + 10).toInt
+      val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+      val (yP, cbP, crP) = Jpeg.jpegSynthPlanes(id * 7 + 3, mcusX * 8, mcusY * 8)
+      val planes = Seq(yP, cbP, crP)
+      val samp = Seq((1, 1), (1, 1), (1, 1))
+      val seqImg = Jpeg.decodeBaseline(
+        Jpeg.encodeBaseline(w, h, planes, samp, ql, qc))
+      for (al <- Seq(1, 3); opt <- Seq(true, false)) {
+        val prog = Jpeg.decodeProgressive(Jpeg.encodeProgressive(
+          w, h, planes, samp, ql, qc, al = al,
+          restartInterval = (id % 3).toInt, optimalTables = opt))
+        assert(java.util.Arrays.equals(prog.rgb, seqImg.rgb),
+          s"id=$id al=$al opt=$opt")
+      }
+    }
+  }
+
   test("decodeBaseline still rejects progressive; decode dispatches it") {
     val w = 10; val h = 7
     val (yP, _, _) = Jpeg.jpegSynthPlanes(5L, 16, 8)

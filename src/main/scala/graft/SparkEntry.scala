@@ -4574,6 +4574,33 @@ object SparkEntry {
              |FROM orders o JOIN cuts USING (o_orderpriority)"""
         .stripMargin)),
 
+    // DS: temperature-scaled stratum mixing (the mT5/UniMax rule:
+    // keep-rate (min_size/size_s)^(1-alpha)) — rates are DERIVED on the
+    // cluster from one n_strata-row size aggregate and broadcast back,
+    // never a driver round-trip; membership is the same seeded integer
+    // hash-cut every sampler here uses, so the oracle replays the
+    // identical arithmetic (octet_length sizes keep both engines on the
+    // same byte counts).
+    Q("ds_temperature_mix",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+          .withColumn("n_bytes", octet_length(col("text")))
+        Sampling.temperatureMix(d, "doc_id", "source", "n_bytes",
+            alpha = 0.3, seed = 11)
+          .select(col("doc_id"), col("source"))
+      },
+      Some(s"""WITH sz AS (
+              |  SELECT source, CAST(sum(strlen(text)) AS DOUBLE) AS s
+              |  FROM documents GROUP BY source),
+              |r AS (
+              |  SELECT source,
+              |    pow((SELECT min(s) FROM sz) / s, 1e0 - 3e-1) AS rate
+              |  FROM sz)
+              |SELECT d.doc_id, d.source
+              |FROM documents d JOIN r ON d.source = r.source
+              |WHERE ${h32Sql("CAST(d.doc_id AS VARCHAR)", "11")} % 1000000 <
+              |  CAST(floor(rate * 1000000) AS BIGINT)""".stripMargin)),
+
     // TA: corpus self-surprisal — per-doc mean unigram -ln p(token) with
     // p estimated from THIS corpus's token counts (the model-free quality
     // signal: boilerplate-heavy docs score low, rare-vocabulary docs
@@ -4867,6 +4894,43 @@ object SparkEntry {
               |  SELECT e.dst, w.d + 1 FROM walk w JOIN e ON e.src = w.node
               |  WHERE w.d < 3)
               |SELECT node, CAST(min(d) AS INTEGER) AS dist
+              |FROM walk GROUP BY node""".stripMargin)),
+
+    // GR: bounded weighted shortest paths — frontier-relaxation
+    // Bellman-Ford (3 rounds) over the symmetrized proximity graph with
+    // deterministic integer edge weights; each round relaxes only the
+    // out-edges of nodes the previous round improved, then min-merges
+    // into the (node, dist) state. The oracle min-folds a bounded
+    // recursive CTE accumulating weight along ≤3-edge walks.
+    Q("gr_sssp",
+      (s, dir) => {
+        val pts = suppPoints(s, dir)
+        val e0 = SpatialJoins.gridSelfJoin(
+            pts, "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+            e0.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7)) + 1)
+        val seeds = pts.where(pmod(col("s_suppkey"), lit(10)) === 1)
+          .select(col("s_suppkey").as("node"))
+        PageRank.shortestPaths(bidir, seeds, maxRounds = 3)
+      },
+      Some(s"""WITH RECURSIVE sup AS ($suppPointsSql),
+              |e AS (
+              |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst,
+              |    (a.s_suppkey * 31 + b.s_suppkey) % 7 + 1 AS w
+              |  FROM sup a JOIN sup b
+              |    ON a.s_suppkey <> b.s_suppkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+              |seeds AS (
+              |  SELECT s_suppkey AS node FROM sup WHERE s_suppkey % 10 = 1),
+              |walk(node, hops, wt) AS (
+              |  SELECT node, 0, CAST(0 AS BIGINT) FROM seeds
+              |  UNION ALL
+              |  SELECT e.dst, wk.hops + 1, wk.wt + e.w
+              |  FROM walk wk JOIN e ON e.src = wk.node
+              |  WHERE wk.hops < 3)
+              |SELECT node, CAST(min(wt) AS BIGINT) AS dist
               |FROM walk GROUP BY node""".stripMargin)),
 
     // ST: ordered conversion funnel over the event log — earliest-

@@ -246,4 +246,58 @@ object PageRank {
     }
     dist
   }
+
+  /** Bounded-round single/multi-source shortest paths over WEIGHTED edges
+    * (integer weights — FP min-merge would be engine-dependent at ties):
+    * frontier-relaxation Bellman-Ford. Round r relaxes only the out-edges
+    * of nodes whose distance improved in round r-1, then min-merges into
+    * the distance state; after `maxRounds` rounds the state holds the
+    * exact minimum weight over all paths of at most `maxRounds` edges
+    * (any ≤r-edge path's prefix value settled by round r-1 and its
+    * improvement round triggered the extension's relaxation — frontier
+    * pruning drops only relaxations that cannot improve anything).
+    *
+    * Per round: one shuffle on dst (map-side partial min) + one
+    * full-outer min-merge join on the (node, dist) state — the same
+    * frontier discipline as [[bfsDistances]] with weights replacing hop
+    * counts, on the CheckpointOps round machinery. Unreached nodes are
+    * absent from the output.
+    *
+    * @param edges   (src, dst, w) with non-negative integral w
+    * @param sources DataFrame with a `node` column (distance-0 seeds) */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    srcCol: String = "src", dstCol: String = "dst",
+                    weightCol: String = "w", maxRounds: Int = 3): DataFrame = {
+    require(maxRounds >= 0, "maxRounds must be non-negative")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("long").as("w"))
+    var (dist, distRdd) = CheckpointOps.checkpoint(
+      sources.select($"node").distinct()
+        .select($"node", lit(0L).as("dist")))
+    var frontier = dist
+    var round = 1
+    while (round <= maxRounds) {
+      val relax = e
+        .join(frontier.select($"node".as("src"), $"dist"), "src")
+        .select($"dst".as("node"), ($"dist" + $"w").as("cand"))
+        .groupBy($"node").agg(min($"cand").as("cand"))
+      // full-outer min-merge: keep the improved flag so the next round
+      // relaxes only nodes this round actually changed
+      val (merged, mergedRdd) = CheckpointOps.checkpoint(
+        dist.join(relax, Seq("node"), "full_outer")
+          .select($"node",
+            least(coalesce($"dist", $"cand"), coalesce($"cand", $"dist"))
+              .as("dist"),
+            ($"cand".isNotNull && ($"dist".isNull || $"cand" < $"dist"))
+              .as("improved")))
+      distRdd.unpersist(false)
+      dist = merged.select($"node", $"dist")
+      frontier = merged.where($"improved").select($"node", $"dist")
+      distRdd = mergedRdd
+      round += 1
+    }
+    dist
+  }
 }

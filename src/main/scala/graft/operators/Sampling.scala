@@ -63,6 +63,37 @@ object Sampling {
         col("p._2").as(hOut))
   }
 
+  /** Temperature-scaled stratum mixing (the multilingual-sampling rule of
+    * mT5/UniMax: stratum probability ∝ size^alpha): each stratum keeps
+    * rows at rate (min_size / size_s)^(1 - alpha), so the smallest
+    * stratum keeps everything and larger strata downsample toward the
+    * temperature-flattened distribution. Unlike [[mixBySource]] the rates
+    * are DERIVED from the data (one tiny n_strata-row aggregate,
+    * broadcast back — never a driver round-trip), which is how a real
+    * corpus mix is specified when stratum sizes aren't known up front.
+    * Row membership is the same seeded-hash integer cut as every sampler
+    * here — deterministic under any partitioning and replayable by the
+    * oracle.
+    *
+    * @param sizeCol per-row contribution to the stratum size (token or
+    *                char count; `lit(1)` weights by row count)
+    * @return input rows that make the cut, plus a `rate` column */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     sizeCol: String, alpha: Double = 0.3,
+                     seed: Int = 0): DataFrame = {
+    val sizes = df.groupBy(col(stratumCol))
+      .agg(sum(col(sizeCol)).as("_sz"))
+    val minSz = sizes.agg(min(col("_sz")).as("_min"))
+    val rates = sizes.crossJoin(broadcast(minSz))
+      .select(col(stratumCol),
+        pow(col("_min").cast("double") / col("_sz").cast("double"),
+          lit(1.0 - alpha)).as("rate"))
+    // integer cut points (floor(rate * 1e6)), same discipline as keyedCut
+    df.join(broadcast(rates), Seq(stratumCol))
+      .where(pmod(Dedup.md5Hash32(col(keyCol).cast("string"), lit(seed)),
+        lit(Denom)) < floor(col("rate") * Denom).cast("long"))
+  }
+
   /** Dataset mixing: per-stratum sampling fractions (e.g. source/language
     * weights when composing a training corpus). Strata absent from
     * `fractions` are dropped — the mix IS the contract. */

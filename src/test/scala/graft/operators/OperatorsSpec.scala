@@ -585,6 +585,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(far == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("shortestPaths holds the exact min over bounded-edge weighted " +
+    "paths, re-relaxing nodes the frontier improves late") {
+    // cheap chain 1-2-3-4 (w=1 each) vs a heavy shortcut 1->4 (w=10),
+    // plus 4->5 (w=1): node 4 improves TWICE (round 1 via the shortcut,
+    // round 3 via the chain), and 5's best ≤3-edge path goes through the
+    // early, worse value of 4 — exactly the case frontier pruning must
+    // not get wrong
+    val edges = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+      (1L, 4L, 10L), (4L, 5L, 1L)).toDF("src", "dst", "w")
+    val seeds = Seq(1L).toDF("node")
+    val d2 = PageRank.shortestPaths(edges, seeds, maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 10L, 5L -> 11L))
+    val d3 = PageRank.shortestPaths(edges, seeds, maxRounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 11L))
+    val d4 = PageRank.shortestPaths(edges, seeds, maxRounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert(d4(5L) == 4L, s"round-4 re-relaxation of node 4 missed: $d4")
+  }
+
   test("dangling-mass redistribution makes ranks sum to 1") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
       .toDF("src", "dst")
@@ -1250,6 +1271,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(mixed("src1") - 250) < 80, s"got $mixed")
     assert(!mixed.contains("src2") && !mixed.contains("src3"),
       "unlisted strata are dropped")
+  }
+
+  test("temperatureMix keeps the smallest stratum whole and downsamples " +
+    "larger strata at (min/size)^(1-alpha), invariant to partitioning") {
+    val df = ((1L to 100L).map(i => (i, "small")) ++
+      (101L to 1700L).map(i => (i, "big"))).toDF("id", "strat")
+      .withColumn("sz", lit(1))
+    val out = Sampling.temperatureMix(df, "id", "strat", "sz",
+      alpha = 0.3, seed = 3)
+    assert(out.columns.contains("rate"))
+    val counts = out.groupBy("strat").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts("small") == 100L, s"min stratum must keep all: $counts")
+    val want = math.pow(100.0 / 1600.0, 0.7) * 1600 // ≈ 230
+    assert(math.abs(counts("big") - want) < 80, s"got $counts want ~$want")
+    val a = out.select("id").as[Long].collect().toSet
+    val b = Sampling.temperatureMix(df.repartition(13), "id", "strat", "sz",
+      alpha = 0.3, seed = 3).select("id").as[Long].collect().toSet
+    assert(a == b, "membership must not depend on partitioning")
   }
 
   test("redactPii replaces every pattern and counts match") {

@@ -4601,6 +4601,23 @@ object SparkEntry {
               |WHERE ${h32Sql("CAST(d.doc_id AS VARCHAR)", "11")} % 1000000 <
               |  CAST(floor(rate * 1000000) AS BIGINT)""".stripMargin)),
 
+    // DS: weighted sampling without replacement (Efraimidis–Spirakis
+    // A-ES): u^(1/w) scores from the seeded hash with byte-length
+    // weights, global top-k planned as per-partition heaps + a k-row
+    // merge (TakeOrderedAndProject — asserted in PlanSpec, never a
+    // global sort).
+    Q("ds_weighted_k",
+      (s, dir) => Sampling.weightedTopK(t(s, dir, "documents"),
+          "doc_id", octet_length(col("text")), k = 20, seed = 17)
+        .select(col("doc_id"), col("source")),
+      Some(s"""SELECT doc_id, source FROM (
+              |  SELECT doc_id, source,
+              |    pow((${h32Sql("CAST(doc_id AS VARCHAR)", "17")} % 1000000
+              |        + 5e-1) / 1e6,
+              |      1e0 / strlen(text)) AS es_key
+              |  FROM documents)
+              |ORDER BY es_key DESC, doc_id ASC LIMIT 20""".stripMargin)),
+
     // TA: corpus self-surprisal — per-doc mean unigram -ln p(token) with
     // p estimated from THIS corpus's token counts (the model-free quality
     // signal: boilerplate-heavy docs score low, rare-vocabulary docs
@@ -4932,6 +4949,45 @@ object SparkEntry {
               |  WHERE wk.hops < 3)
               |SELECT node, CAST(min(wt) AS BIGINT) AS dist
               |FROM walk GROUP BY node""".stripMargin)),
+
+    // GR: bounded k-core peeling — 3 synchronous rounds of deleting
+    // nodes whose surviving-subgraph degree is < 3 (the fixpoint is the
+    // exact 3-core; synchronous removal makes the bounded version
+    // order-independent and deterministic). One partial-agg degree
+    // count + two semi-joins per round, edge set shrinking
+    // monotonically; the oracle unrolls the identical rounds as
+    // chained CTE stages.
+    Q("gr_kcore",
+      (s, dir) => {
+        // the customer lattice is a genuine 2-D grid (the supplier strip
+        // is near-1-D with max degree 2 — its 3-core is empty); at 250 m
+        // lat/lon neighbors connect (222/170 m) but diagonals (280 m)
+        // don't, so peeling eats exactly one boundary layer per round
+        val pts = custPoints(s, dir)
+        val e0 = SpatialJoins.gridSelfJoin(
+            pts, "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.kCorePeel(bidir, k = 3, rounds = 3)
+      },
+      Some {
+        def peel(i: Int) =
+          s"""k$i AS (SELECT src AS node FROM e${i - 1}
+             |  GROUP BY src HAVING count(*) >= 3),
+             |e$i AS (SELECT e.src, e.dst FROM e${i - 1} e
+             |  WHERE e.src IN (SELECT node FROM k$i)
+             |    AND e.dst IN (SELECT node FROM k$i))""".stripMargin
+        s"""WITH pts AS ($custPointsSql),
+           |e0 AS (
+           |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+           |  FROM pts a JOIN pts b
+           |    ON a.c_custkey <> b.c_custkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+           |${(1 to 3).map(peel).mkString(",\n")}
+           |SELECT src AS node, count(*) AS deg FROM e3 GROUP BY src"""
+          .stripMargin
+      }),
 
     // ST: ordered conversion funnel over the event log — earliest-
     // completion greedy matching (step i+1 strictly after the earliest

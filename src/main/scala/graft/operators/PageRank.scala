@@ -247,6 +247,43 @@ object PageRank {
     dist
   }
 
+  /** Bounded k-core peeling: `rounds` SYNCHRONOUS rounds of deleting
+    * every node whose degree in the surviving subgraph is < k; the
+    * fixpoint of this process is the exact k-core, and the bounded
+    * version is deterministic at any round count (synchronous removal
+    * has no peel-order dependence, unlike sequential peeling). Returns
+    * the surviving nodes with their within-subgraph degree.
+    *
+    * Per round: one partial-agg degree count + two semi-joins keeping
+    * only edges whose BOTH endpoints survive. The edge set shrinks
+    * monotonically, so per-round cost decays; state is the edge list
+    * itself on the CheckpointOps round machinery.
+    *
+    * @param edges symmetrized, duplicate-free undirected edge list
+    *              (each arc once per direction) — degree = out-degree */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "need k >= 1 and rounds >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    var (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var round = 0
+    while (round < rounds) {
+      val keep = e.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .where($"deg" >= k).select($"src".as("node"))
+      val (e2, e2Rdd) = CheckpointOps.checkpoint(
+        e.join(keep.select($"node".as("src")), Seq("src"), "left_semi")
+          .join(keep.select($"node".as("dst")), Seq("dst"), "left_semi")
+          .select($"src", $"dst"))
+      eRdd.unpersist(false)
+      e = e2
+      eRdd = e2Rdd
+      round += 1
+    }
+    e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+  }
+
   /** Bounded-round single/multi-source shortest paths over WEIGHTED edges
     * (integer weights — FP min-merge would be engine-dependent at ties):
     * frontier-relaxation Bellman-Ford. Round r relaxes only the out-edges

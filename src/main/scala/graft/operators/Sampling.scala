@@ -94,6 +94,26 @@ object Sampling {
         lit(Denom)) < floor(col("rate") * Denom).cast("long"))
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    * every row draws u hash-uniform in (0, 1) from its key and scores
+    * u^(1/w); the k LARGEST scores are a weighted-without-replacement
+    * draw (each row's inclusion probability proportional to its weight
+    * among the remaining rows). Deterministic in (key, seed) like every
+    * sampler here, and the global top-k plans as per-partition top-k
+    * heaps + a k-row merge (TakeOrderedAndProject) — never a global
+    * sort, never more than k rows to the driver side of the plan.
+    *
+    * @param weightCol strictly positive weights (token/byte counts...)
+    * @return the k sampled rows plus their `es_key` score */
+  def weightedTopK(df: DataFrame, keyCol: String, weightCol: Column,
+                   k: Int, seed: Int): DataFrame = {
+    val u = (pmod(Dedup.md5Hash32(col(keyCol).cast("string"), lit(seed)),
+      lit(Denom)).cast("double") + 0.5) / Denom.toDouble
+    df.withColumn("es_key", pow(u, lit(1.0) / weightCol.cast("double")))
+      .orderBy(col("es_key").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Dataset mixing: per-stratum sampling fractions (e.g. source/language
     * weights when composing a training corpus). Strata absent from
     * `fractions` are dropped — the mix IS the contract. */

@@ -192,6 +192,13 @@ class PlanSpec extends SparkTestBase {
     assert(!zipf.contains("Window"), zipf.take(3000))
   }
 
+  test("ds_weighted_k: the global top-k is per-partition heaps + k-row " +
+    "merge, never a global sort") {
+    val p = plan("ds_weighted_k")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
   test("round-4 queries plan without cartesians; bloom probe is native") {
     for (q <- Seq("st_funnel", "gr_pagerank", "gr_triangles",
         "a19_cohort_retention", "dd_incremental", "k9_wv_places",

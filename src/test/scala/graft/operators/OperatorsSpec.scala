@@ -606,6 +606,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(d4(5L) == 4L, s"round-4 re-relaxation of node 4 missed: $d4")
   }
 
+  test("kCorePeel cascades removals round by round and converges to " +
+    "the exact k-core") {
+    // 4-clique {1,2,3,4} with a dangling tail 4-5-6-7: the 2-core is the
+    // clique alone, but the tail peels one node per round (7, then 6,
+    // then 5) — bounded rounds expose the cascade
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val r1 = PageRank.kCorePeel(sym, k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // round 1 removed only 7 (deg 1); 6 now dangles at deg 1
+    assert(r1 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 4L,
+      5L -> 2L, 6L -> 1L), s"got $r1")
+    val r3 = PageRank.kCorePeel(sym, k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // three rounds fully peel the tail: the exact 2-core is the clique
+    assert(r3 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $r3")
+    // k above the clique degree empties the graph
+    assert(PageRank.kCorePeel(sym, k = 4, rounds = 2).count() == 0)
+  }
+
   test("dangling-mass redistribution makes ranks sum to 1") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (5L, 4L))
       .toDF("src", "dst")
@@ -1290,6 +1311,23 @@ class OperatorsSpec extends SparkTestBase {
     val b = Sampling.temperatureMix(df.repartition(13), "id", "strat", "sz",
       alpha = 0.3, seed = 3).select("id").as[Long].collect().toSet
     assert(a == b, "membership must not depend on partitioning")
+  }
+
+  test("weightedTopK: heavy weights dominate the without-replacement " +
+    "draw; the cut is the true global top-k and partition-invariant") {
+    val df = (1L to 500L).map(i => (i, if (i == 42L) 1000000L else 1L))
+      .toDF("id", "w")
+    val top = Sampling.weightedTopK(df, "id", col("w"), k = 5, seed = 9)
+      .select("id").as[Long].collect()
+    // u^(1/1e6) ~ 1 for any u: the heavy row always makes the draw
+    assert(top.contains(42L), s"heavy row missing from $top")
+    // the k rows are exactly the head of the full ranking
+    val full = Sampling.weightedTopK(df, "id", col("w"), k = 500, seed = 9)
+      .select("id").as[Long].collect()
+    assert(top.toSeq == full.take(5).toSeq)
+    val rep = Sampling.weightedTopK(df.repartition(13), "id", col("w"),
+      k = 5, seed = 9).select("id").as[Long].collect()
+    assert(top.toSeq == rep.toSeq, "draw must not depend on partitioning")
   }
 
   test("redactPii replaces every pattern and counts match") {

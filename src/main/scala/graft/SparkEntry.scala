@@ -4846,6 +4846,57 @@ object SparkEntry {
            |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
       }),
 
+    // GR: personalized PageRank — teleport AND dangling mass restart
+    // uniformly over the seed set (s_suppkey % 10 = 1), making rank a
+    // proximity-to-seeds measure; directed a<b edges leave real
+    // dangling nodes, exercising the seed-return term. Same unrolled
+    // oracle as the other PageRank rows with the restart vector as a
+    // 0/1 CASE.
+    Q("gr_ppr",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val seeds = suppPoints(s, dir)
+          .where(pmod(col("s_suppkey"), lit(10)) === 1)
+          .select(col("s_suppkey").as("node"))
+        PageRank.personalized(edges, seeds, iterations = 5)
+          .select(col("node"), (round(col("rank"), 6) + 0.0).as("rank"))
+      },
+      Some {
+        val iterSql = (k: Int) =>
+          s"""m$k AS (
+             |  SELECT e.dst AS node, sum(r.rank / deg.deg) AS mass
+             |  FROM e JOIN r${k - 1} r ON e.src = r.node
+             |  JOIN deg ON e.src = deg.src
+             |  GROUP BY e.dst),
+             |d$k AS (
+             |  SELECT coalesce(sum(r.rank), 0e0) AS dm
+             |  FROM r${k - 1} r LEFT JOIN deg ON r.node = deg.src
+             |  WHERE deg.src IS NULL),
+             |r$k AS (
+             |  SELECT sd.node,
+             |    (sd.s / sn.n) * ((1e0 - 85e-2) + 85e-2 * d$k.dm)
+             |      + 85e-2 * coalesce(m$k.mass, 0e0) AS rank
+             |  FROM sd CROSS JOIN sn CROSS JOIN d$k
+             |  LEFT JOIN m$k ON sd.node = m$k.node)"""
+        s"""WITH sup AS ($suppPointsSql),
+           |e AS (
+           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+           |  FROM sup a JOIN sup b
+           |    ON a.s_suppkey < b.s_suppkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |nodes AS (
+           |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |sd AS (SELECT node,
+           |  CASE WHEN node % 10 = 1 THEN 1e0 ELSE 0e0 END AS s FROM nodes),
+           |sn AS (SELECT sum(s) AS n FROM sd),
+           |r0 AS (SELECT sd.node, sd.s / sn.n AS rank FROM sd CROSS JOIN sn),
+           |${(1 to 5).map(iterSql).mkString(",\n")}
+           |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
+      }),
+
     // GR: synchronous label propagation (community detection), 3 fixed
     // rounds, min-label tiebreak — per round one (node, label) count
     // shuffle + one partial-agg argmax (max(struct(c, -label))), no

@@ -89,6 +89,65 @@ object PageRank {
     ranks
   }
 
+  /** Personalized PageRank: the teleport (and dangling) mass restarts
+    * at the SEED set — uniformly over seeds — instead of over all
+    * nodes, turning rank into proximity-to-seeds (the recommendation /
+    * similarity primitive). Same round shape as [[run]]: contribution
+    * scatter + partial-agg sum, one 1-row dangling aggregate broadcast
+    * per round; the restart vector rides as a 0/1 flag on the node
+    * state so no per-round join against the seed list. Dangling mass
+    * returns to the seeds, so total mass stays exactly 1.
+    *
+    * @param seeds DataFrame with a `node` column; seeds outside the
+    *              graph's node set are ignored (at least one must be
+    *              inside). */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val (nodes, nodesRdd) = CheckpointOps.checkpoint(
+      e.select($"src".as("node")).union(e.select($"dst".as("node")))
+        .distinct()
+        .join(seeds.select($"node").distinct()
+          .select($"node", lit(1.0).as("s")), Seq("node"), "left")
+        .select($"node", coalesce($"s", lit(0.0)).as("s")))
+    val (outEdges, outEdgesRdd) = CheckpointOps.checkpoint(
+      e.join(e.groupBy($"src").agg(count(lit(1)).as("deg")), Seq("src")))
+    val (dangling, danglingRdd) = CheckpointOps.checkpoint(
+      nodes.select($"node").join(e.select($"src".as("node")).distinct(),
+        Seq("node"), "left_anti"))
+    val nSeeds = nodes.agg(sum($"s")).head.getDouble(0)
+    require(nSeeds > 0, "no seed is present in the graph")
+    var (ranks, ranksRdd) = CheckpointOps.checkpoint(
+      nodes.select($"node", ($"s" / nSeeds).as("rank")))
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = outEdges
+        .join(ranks.select($"node".as("src"), $"rank"), "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum($"rank" / $"deg").as("in_mass"))
+      val dMass = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum($"rank"), lit(0.0)).as("d_mass"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dMass))
+        .select($"node",
+          (($"s" / nSeeds) * (lit(1.0 - damping) + lit(damping) * $"d_mass")
+            + lit(damping) * coalesce($"in_mass", lit(0.0))).as("rank"))
+      val (nextFlat, nextRdd) = CheckpointOps.checkpoint(next)
+      ranksRdd.unpersist(false)
+      ranks = nextFlat
+      ranksRdd = nextRdd
+      iter += 1
+    }
+    nodesRdd.unpersist(false)
+    outEdgesRdd.unpersist(false)
+    danglingRdd.unpersist(false)
+    ranks
+  }
+
   /** The wedge set of the DEGREE-oriented graph: every undirected edge
     * {u,v} (directions/dups collapsed, self-loops dropped) is directed
     * from the (degree, id)-smaller endpoint to the larger, and a wedge is

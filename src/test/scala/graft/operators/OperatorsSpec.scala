@@ -606,6 +606,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(d4(5L) == 4L, s"round-4 re-relaxation of node 4 missed: $d4")
   }
 
+  test("personalized PageRank restarts at the seeds, conserves mass " +
+    "through dangling nodes, and gives unreachable nodes zero rank") {
+    // cycle 1-2-3 with a dangling spur 1->4 and an in-only node 5->1;
+    // seed {1}: teleport AND node 4's dangling mass return to 1
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val r2 = PageRank.personalized(edges, seeds, iterations = 2)
+      .as[(Long, Double)].collect().toMap
+    // hand-unrolled: r1 = (1 -> .15, 2 -> .425, 4 -> .425, 3 -> 0)
+    assert(math.abs(r2(1L) - 0.51125) < 1e-12, s"got $r2")
+    assert(math.abs(r2(2L) - 0.06375) < 1e-12, s"got $r2")
+    assert(math.abs(r2(3L) - 0.36125) < 1e-12, s"got $r2")
+    assert(math.abs(r2(4L) - 0.06375) < 1e-12, s"got $r2")
+    // nothing walks to 5 and it gets no teleport: exactly zero
+    assert(r2(5L) == 0.0, s"got $r2")
+    val total = PageRank.personalized(edges, seeds, iterations = 8)
+      .agg(sum("rank")).head.getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9, s"mass not conserved: $total")
+  }
+
   test("kCorePeel cascades removals round by round and converges to " +
     "the exact k-core") {
     // 4-clique {1,2,3,4} with a dangling tail 4-5-6-7: the 2-core is the

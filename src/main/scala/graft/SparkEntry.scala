@@ -1763,6 +1763,30 @@ object SparkEntry {
               |SELECT a_id, b_id, round(jaccard, 6) AS jaccard
               |FROM j WHERE jaccard >= 0.03""".stripMargin)),
 
+    // EXACT-recall token-set similarity join via prefix filtering
+    // (PPJoin family): rarest-first global token order, per-doc
+    // (n - ceil(t*n) + 1)-token prefixes, prefix equi-join + length
+    // bound, exact intersection verify. Because the filter is LOSSLESS,
+    // the oracle is the brute-force all-pairs Jaccard — any missed or
+    // extra pair hash-mismatches.
+    Q("dd_prefix_jaccard",
+      (s, dir) => Dedup.prefixJaccardPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.95),
+      Some(s"""WITH toks AS ($toksSql),
+              |t AS (SELECT DISTINCT id, unnest(tk) AS tok FROM toks),
+              |sz AS (SELECT id, count(*) AS n FROM t GROUP BY id),
+              |inter AS (
+              |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS o
+              |  FROM t a JOIN t b ON a.tok = b.tok AND a.id < b.id
+              |  GROUP BY 1, 2),
+              |j AS (
+              |  SELECT a_id, b_id,
+              |    CAST(o AS DOUBLE) / (sa.n + sb.n - o) AS jaccard
+              |  FROM inter JOIN sz sa ON a_id = sa.id
+              |              JOIN sz sb ON b_id = sb.id)
+              |SELECT a_id, b_id, round(jaccard, 6) + 0e0 AS jaccard
+              |FROM j WHERE jaccard >= 95e-2""".stripMargin)),
+
     // Embedding near-dup pairs (cosine >= 0.3, label-blocked)
     Q("dd_embed_cosine",
       (s, dir) => Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id",

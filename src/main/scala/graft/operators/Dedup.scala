@@ -415,6 +415,59 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** EXACT-recall token-set similarity self-join via prefix filtering
+    * (the PPJoin family, Xiao et al. 2008 — public algorithm): under a
+    * global rarest-first token order, any pair with distinct-token
+    * Jaccard >= t shares at least one token inside EACH side's
+    * (n - ceil(t*n) + 1)-token prefix — J >= t forces overlap
+    * o >= t*|A∪B| >= t*n for both n, and if a side's prefix missed all
+    * common tokens the remaining ceil(t*n) - 1 < o positions could not
+    * hold them — so joining prefixes only is lossless. That is the
+    * complement of [[ngramJaccardPairs]]: exact recall at the threshold
+    * instead of LSH's probabilistic recall.
+    *
+    * Shape: distinct (id, token) postings -> global df counts (one
+    * partial agg) -> per-doc rarest-first prefix (per-DOC window,
+    * bounded by doc length) -> prefix equi-join + Jaccard length bound
+    * (min n >= t * max n) -> exact intersection-count verify. Joining
+    * on the RAREST tokens is what bounds candidate fan-out: a token's
+    * join bucket is its df, prefixes preferentially hold low-df tokens,
+    * and stopword-class tokens land outside every prefix at realistic
+    * thresholds. */
+  def prefixJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                         threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok").join(sz, "id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("tok"), col("n"))
+    val cand = prefix.select(col("id").as("a_id"), col("tok"),
+        col("n").as("na"))
+      .join(prefix.select(col("id").as("b_id"), col("tok"),
+        col("n").as("nb")), "tok")
+      .where(col("a_id") < col("b_id") &&
+        least(col("na"), col("nb")).cast("double") >=
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
+      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("o"))
+      .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .withColumn("jaccard",
+        col("o").cast("double") / (col("na") + col("nb") - col("o")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (round(col("jaccard"), 6) + 0.0).as("jaccard"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, with coarse
     * magnitude bucketing as the blocking key (norm-ball blocking); see
     * Similarity.scala for the top-k search variants. */

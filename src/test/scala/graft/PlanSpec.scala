@@ -192,6 +192,13 @@ class PlanSpec extends SparkTestBase {
     assert(!zipf.contains("Window"), zipf.take(3000))
   }
 
+  test("dd_prefix_jaccard: candidate generation is a prefix-token " +
+    "equi-join, never a cartesian") {
+    val p = plan("dd_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("ds_weighted_k: the global top-k is per-partition heaps + k-row " +
     "merge, never a global sort") {
     val p = plan("ds_weighted_k")

@@ -606,6 +606,40 @@ class OperatorsSpec extends SparkTestBase {
     assert(d4(5L) == 4L, s"round-4 re-relaxation of node 4 missed: $d4")
   }
 
+  test("prefixJaccardPairs equals the brute-force exact join — the " +
+    "prefix filter is lossless at the threshold boundary") {
+    // 8 templates of 12..40 tokens; each doc substitutes 0..2 template
+    // tokens with unique ones, so same-template Jaccard is
+    // (n - max_subs) / (n + max_subs): straddles 0.95 — e.g. n=40
+    // max=1 -> 39/41 = .951 (in), n=36 max=1 -> 35/37 = .946 (out)
+    // NB: tokens must be pure alnum — the tokenizer splits on "_"
+    val docs = (1 to 80).map { i =>
+      val tmpl = i % 8
+      val n = 12 + tmpl * 4
+      val toks = (0 until n).map { k =>
+        if (k < i % 3) s"uniq${i}x$k" else s"t${tmpl}x$k" }
+      (i.toLong, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val toks = docs.select(col("doc_id").as("id"),
+      explode(Dedup.tokens(col("text"))).as("tok")).distinct()
+    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val brute = toks.select(col("id").as("a_id"), col("tok"))
+      .join(toks.select(col("id").as("b_id"), col("tok")), "tok")
+      .where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("o"))
+      .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
+      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
+      .where(col("o").cast("double") /
+        (col("na") + col("nb") - col("o")) >= 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(got == brute,
+      s"missed ${brute -- got}, extra ${got -- brute}")
+    assert(got.contains((7L, 31L)), "boundary .951 pair must be in")
+    assert(!got.contains((22L, 54L)), ".946 pair must be out")
+  }
+
   test("personalized PageRank restarts at the seeds, conserves mass " +
     "through dangling nodes, and gives unreachable nodes zero rank") {
     // cycle 1-2-3 with a dangling spur 1->4 and an in-only node 5->1;

@@ -446,23 +446,50 @@ object Dedup {
     val prefix = toks.join(dfreq, "tok").join(sz, "id")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("tok"), col("n"))
+      .select(col("id"), col("tok"), col("n"), col("rn"))
+    // candidate pruning, both lossless:
+    // - Jaccard length bound: J >= t needs min(n) >= t * max(n);
+    // - PPJoin positional bound: all common tokens of a qualifying pair
+    //   sit at or after its FIRST common token (position rn in each
+    //   prefix), so overlap <= 1 + min(na - pa, nb - pb); J >= t needs
+    //   overlap >= t/(1+t) * (na+nb). The first common token of a true
+    //   pair passes, so filtering per joined row keeps exact recall
+    //   (the + 0.5 slack keeps sub-ulp float error from ever pruning an
+    //   integer-boundary true pair).
     val cand = prefix.select(col("id").as("a_id"), col("tok"),
-        col("n").as("na"))
+        col("n").as("na"), col("rn").as("pa"))
       .join(prefix.select(col("id").as("b_id"), col("tok"),
-        col("n").as("nb")), "tok")
+        col("n").as("nb"), col("rn").as("pb")), "tok")
       .where(col("a_id") < col("b_id") &&
         least(col("na"), col("nb")).cast("double") >=
-          lit(threshold) * greatest(col("na"), col("nb")).cast("double"))
+          lit(threshold) * greatest(col("na"), col("nb")).cast("double") &&
+        (least(col("na") - col("pa"), col("nb") - col("pb")) + lit(1))
+          .cast("double") + lit(0.5) >=
+          lit(threshold / (1 + threshold)) *
+            (col("na") + col("nb")).cast("double"))
       .select("a_id", "b_id").distinct()
+    // verify on per-doc token-ID ARRAYS, one codegen'd intersect per
+    // pair — a posting-level count join would shuffle |pair| x |doc|
+    // rows, and long-array intersects run ~10x cheaper than string-array
+    // ones at 2M+ candidates. Token ids come from Ranking.globalRank
+    // over the distinct vocabulary (dense, EXACT, collision-free —
+    // unlike hashing, which would diverge from the token-level oracle;
+    // and no single-task window). The id-array frame is one row per
+    // doc: broadcast at this dim size (at cluster scale it exceeds the
+    // threshold and hash-joins by id).
+    val tids = graft.operators.Ranking.globalRank(
+      dfreq.select("tok"), Seq(col("tok").asc), "tid")
+    val arr = toks.join(tids, "tok")
+      .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("ts"))
     cand
-      .join(toks.select(col("id").as("a_id"), col("tok")), "a_id")
-      .join(toks.select(col("id").as("b_id"), col("tok")), Seq("b_id", "tok"))
-      .groupBy("a_id", "b_id").agg(count(lit(1)).as("o"))
-      .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
-      .join(sz.select(col("id").as("b_id"), col("n").as("nb")), "b_id")
-      .withColumn("jaccard",
-        col("o").cast("double") / (col("na") + col("nb") - col("o")))
+      .join(broadcast(arr.select(col("id").as("a_id"), col("ts").as("a_ts"))),
+        "a_id")
+      .join(broadcast(arr.select(col("id").as("b_id"), col("ts").as("b_ts"))),
+        "b_id")
+      .withColumn("o",
+        size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
+      .withColumn("jaccard", col("o").cast("double") /
+        (size(col("a_ts")) + size(col("b_ts")) - col("o")))
       .where(col("jaccard") >= threshold)
       .select(col("a_id"), col("b_id"),
         (round(col("jaccard"), 6) + 0.0).as("jaccard"))

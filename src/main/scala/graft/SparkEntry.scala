@@ -1048,6 +1048,32 @@ object SparkEntry {
       Some("""SELECT c_nationkey AS nationkey FROM customer
              |INTERSECT SELECT s_nationkey FROM supplier""".stripMargin)),
 
+    // U5/U6: multiset (ALL) set ops — bag semantics where duplicate
+    // multiplicity matters (EXCEPT ALL subtracts occurrence counts;
+    // INTERSECT ALL keeps the minimum). Spark plans both as a single
+    // count-respecting aggregate join, not a distinct.
+    Q("u5_except_all",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"))
+        .exceptAll(t(s, dir, "customer")
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey").as("custkey"))),
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |EXCEPT ALL
+             |SELECT c_custkey FROM customer
+             |WHERE c_mktsegment = 'BUILDING'""".stripMargin)),
+
+    Q("u6_intersect_all",
+      (s, dir) => t(s, dir, "orders")
+        .select(col("o_custkey").as("custkey"))
+        .intersectAll(t(s, dir, "lineitem")
+          .where(col("l_quantity") >= 45)
+          .select(pmod(col("l_orderkey"), lit(1500)).as("custkey"))),
+      Some("""SELECT o_custkey AS custkey FROM orders
+             |INTERSECT ALL
+             |SELECT l_orderkey % 1500 FROM lineitem
+             |WHERE l_quantity >= 45""".stripMargin)),
+
     // U4: unpivot/melt — wide measure columns to (measure, value) rows,
     // the inverse reshape of a16_pivot. Narrow per-row expansion, no
     // shuffle. The oracle spells it as the equivalent UNION ALL.
@@ -4701,6 +4727,41 @@ object SparkEntry {
              |    AS v,
              |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
              |FROM j""".stripMargin)),
+
+    // TS: OHLC resampling bars — downsample the event stream to hourly
+    // open/high/low/close/volume bars per event type. Open/close are
+    // value-at-argmin/argmax over (ts, event_id): ONE partial-agg
+    // min/max(struct) pass (the a4 argmax discipline — map-side
+    // combinable, no per-bucket window sort); the oracle spells the
+    // same pick as a row_number window. Raw stored doubles pass
+    // through untouched — no arithmetic, no rounding needed.
+    Q("ts_ohlc_bars",
+      (s, dir) => t(s, dir, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("bucket"))
+        .agg(
+          min(struct(col("ts"), col("event_id"), col("value"))).as("mo"),
+          max(struct(col("ts"), col("event_id"), col("value"))).as("mc"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          count(lit(1)).as("n"))
+        .select(col("event_type"), col("bucket"),
+          col("mo.value").as("open"), col("mc.value").as("close"),
+          col("high"), col("low"), col("n")),
+      Some("""WITH b AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+             |    ts, event_id, value
+             |  FROM events),
+             |r AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY event_type, bucket
+             |      ORDER BY ts, event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type, bucket) AS cnt
+             |  FROM b)
+             |SELECT event_type, bucket,
+             |  max(CASE WHEN rn = 1 THEN value END) AS open,
+             |  max(CASE WHEN rn = cnt THEN value END) AS close,
+             |  max(value) AS high, min(value) AS low, count(*) AS n
+             |FROM r GROUP BY 1, 2""".stripMargin)),
 
     // DQ: declarative quality-constraint report — every constraint is
     // one aggregate expression inside a single partial-agg pass (one scan

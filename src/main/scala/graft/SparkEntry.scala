@@ -1813,6 +1813,73 @@ object SparkEntry {
               |SELECT a_id, b_id, round(jaccard, 6) + 0e0 AS jaccard
               |FROM j WHERE jaccard >= 95e-2""".stripMargin)),
 
+    // Blocking-quality eval — the step a real dedup pipeline runs before
+    // trusting a blocking scheme: MinHash-LSH raw candidates (shingle
+    // space, simThreshold 0 = pre-verify banding output) scored against
+    // the exact-recall prefix-join truth set (token space): pairs
+    // completeness (recall of true pairs) and reduction ratio (fraction
+    // of the all-pairs space avoided). One row; every count is a 1-row
+    // broadcast aggregate, the all-pairs denominator is arithmetic on
+    // the doc count — never a cartesian.
+    //
+    // The measured report IS the point: at sf0.01 completeness is 0.012
+    // at reduction 0.9996 — this corpus's token-level near-dups are
+    // largely token REORDERS, which order-sensitive 3-gram shingles
+    // cannot see. That mismatch (order-insensitive truth vs
+    // order-sensitive blocking) is precisely what this eval exists to
+    // catch before a 100 TB run trusts its blocking recall.
+    Q("dd_blocking_quality",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val cand = Dedup.minHashLSH(docs, "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.0)
+        val truth = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.95)
+        Dedup.blockingQuality(cand, truth, docs, "doc_id")
+      },
+      Some(s"""WITH sh AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+              |  FROM banded a JOIN banded b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+              |toks AS ($toksSql),
+              |tt AS (SELECT DISTINCT id, unnest(tk) AS tok FROM toks),
+              |sz AS (SELECT id, count(*) AS n FROM tt GROUP BY id),
+              |ov AS (
+              |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS o
+              |  FROM tt a JOIN tt b ON a.tok = b.tok AND a.id < b.id
+              |  GROUP BY 1, 2),
+              |truth AS (
+              |  SELECT a_id, b_id FROM ov
+              |  JOIN sz sa ON a_id = sa.id JOIN sz sb ON b_id = sb.id
+              |  WHERE CAST(o AS DOUBLE) / (sa.n + sb.n - o) >= 95e-2),
+              |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n
+              |       FROM documents)
+              |SELECT
+              |  (SELECT count(*) FROM cand) AS n_candidates,
+              |  (SELECT count(*) FROM truth) AS n_truth,
+              |  (SELECT count(*) FROM truth JOIN cand USING (a_id, b_id))
+              |    AS n_hit,
+              |  round(CAST((SELECT count(*) FROM truth JOIN cand
+              |      USING (a_id, b_id)) AS DOUBLE) /
+              |    (SELECT count(*) FROM truth), 6) + 0e0
+              |    AS pairs_completeness,
+              |  round(1e0 - CAST((SELECT count(*) FROM cand) AS DOUBLE) /
+              |    ((SELECT n FROM nd) * ((SELECT n FROM nd) - 1e0) / 2e0), 6)
+              |    + 0e0 AS reduction_ratio""".stripMargin)),
+
     // Embedding near-dup pairs (cosine >= 0.3, label-blocked)
     Q("dd_embed_cosine",
       (s, dir) => Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id",

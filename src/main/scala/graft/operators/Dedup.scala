@@ -495,6 +495,36 @@ object Dedup {
         (round(col("jaccard"), 6) + 0.0).as("jaccard"))
   }
 
+  /** Blocking-quality report: the two numbers that decide whether a
+    * candidate-generation scheme is usable at scale — pairs
+    * completeness (what fraction of TRUE pairs the blocking catches)
+    * and reduction ratio (what fraction of the all-pairs space it
+    * avoids; you want both near 1). One row out; every count is a
+    * 1-row aggregate frame crossJoin-broadcast together — the all-pairs
+    * denominator comes from the doc count, never a cartesian.
+    *
+    * @param cand  candidate pairs (a_id, b_id), a < b
+    * @param truth ground-truth pairs (a_id, b_id), a < b */
+  def blockingQuality(cand: DataFrame, truth: DataFrame,
+                      docs: DataFrame, idCol: String): DataFrame = {
+    val c = cand.select(col("a_id"), col("b_id")).distinct()
+    val t = truth.select(col("a_id"), col("b_id")).distinct()
+    val nc = c.agg(count(lit(1)).as("n_candidates"))
+    val nt = t.agg(count(lit(1)).as("n_truth"))
+    val nh = t.join(c, Seq("a_id", "b_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val nd = docs.select(col(idCol)).distinct()
+      .agg(count(lit(1)).cast("double").as("n_docs"))
+    nc.crossJoin(broadcast(nt)).crossJoin(broadcast(nh))
+      .crossJoin(broadcast(nd))
+      .select(col("n_candidates"), col("n_truth"), col("n_hit"),
+        (round(col("n_hit").cast("double") / col("n_truth"), 6) + 0.0)
+          .as("pairs_completeness"),
+        (round(lit(1.0) - col("n_candidates").cast("double") /
+          (col("n_docs") * (col("n_docs") - lit(1.0)) / lit(2.0)), 6) + 0.0)
+          .as("reduction_ratio"))
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, with coarse
     * magnitude bucketing as the blocking key (norm-ball blocking); see
     * Similarity.scala for the top-k search variants. */

@@ -640,6 +640,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(!got.contains((22L, 54L)), ".946 pair must be out")
   }
 
+  test("blockingQuality reports exact completeness and reduction") {
+    val docs = (1L to 10L).toDF("id")
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val cand = Seq((1L, 2L), (3L, 4L), (7L, 8L), (7L, 9L))
+      .toDF("a_id", "b_id")
+    val r = Dedup.blockingQuality(cand, truth, docs, "id").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 3L, 2L)))
+    assert(r.getDouble(3) == 0.666667, "round(2/3, 6)")
+    // 10 docs -> 45 possible pairs; 4 candidates -> 1 - 4/45
+    assert(r.getDouble(4) == 0.911111, s"got ${r.getDouble(4)}")
+  }
+
   test("personalized PageRank restarts at the seeds, conserves mass " +
     "through dangling nodes, and gives unreachable nodes zero rank") {
     // cycle 1-2-3 with a dangling spur 1->4 and an in-only node 5->1;

@@ -4998,6 +4998,52 @@ object SparkEntry {
            |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
       }),
 
+    // GR: weighted PageRank — rank splits over out-edges by edge weight
+    // (rank * w / weighted out-degree) on the symmetrized proximity
+    // graph with the same deterministic integer weights as gr_sssp;
+    // 5 unrolled rounds in the oracle, rank rounded to 6 like the other
+    // PageRank rows.
+    Q("gr_wpagerank",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = edges.union(
+            edges.select(col("dst").as("src"), col("src").as("dst")))
+          .withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7)) + 1)
+        PageRank.weighted(bidir, iterations = 5)
+          .select(col("node"), (round(col("rank"), 6) + 0.0).as("rank"))
+      },
+      Some {
+        val iterSql = (k: Int) =>
+          s"""m$k AS (
+             |  SELECT e.dst AS node, sum(r.rank * e.w / wd.wdeg) AS mass
+             |  FROM e JOIN r${k - 1} r ON e.src = r.node
+             |  JOIN wd ON e.src = wd.src
+             |  GROUP BY e.dst),
+             |r$k AS (
+             |  SELECT nd.node,
+             |    (1e0 - 85e-2) / nn.n + 85e-2 * coalesce(m$k.mass, 0e0) AS rank
+             |  FROM nodes nd CROSS JOIN nn
+             |  LEFT JOIN m$k ON nd.node = m$k.node)"""
+        s"""WITH sup AS ($suppPointsSql),
+           |e0 AS (
+           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+           |  FROM sup a JOIN sup b
+           |    ON a.s_suppkey <> b.s_suppkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+           |e AS (
+           |  SELECT src, dst,
+           |    CAST((src * 31 + dst) % 7 + 1 AS DOUBLE) AS w
+           |  FROM e0),
+           |wd AS (SELECT src, sum(w) AS wdeg FROM e GROUP BY src),
+           |nodes AS (SELECT DISTINCT src AS node FROM e),
+           |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           |r0 AS (SELECT node, 1e0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+           |${(1 to 5).map(iterSql).mkString(",\n")}
+           |SELECT node, round(rank, 6) + 0e0 AS rank FROM r5""".stripMargin
+      }),
+
     // GR: personalized PageRank — teleport AND dangling mass restart
     // uniformly over the seed set (s_suppkey % 10 = 1), making rank a
     // proximity-to-seeds measure; directed a<b edges leave real

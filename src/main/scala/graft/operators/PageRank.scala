@@ -89,6 +89,54 @@ object PageRank {
     ranks
   }
 
+  /** WEIGHTED PageRank: a node's rank splits over its out-edges in
+    * proportion to edge weight (contribution = rank * w / weighted
+    * out-degree) instead of uniformly — the standard variant for
+    * affinity/traffic graphs. Identical round shape to [[run]]'s
+    * simplified formulation: the weighted degree rides with each edge
+    * (computed once), each round is one partial-agg contribution
+    * shuffle + the node join-back. Rank sums are floating-point
+    * order-dependent; callers round (the oracle rounds to 6, like the
+    * other PageRank rows).
+    *
+    * @param edges (src, dst, w) with positive weights */
+  def weighted(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", weightCol: String = "w",
+               iterations: Int = 5, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(weightCol).cast("double").as("w"))
+    val (nodes, nodesRdd) = CheckpointOps.checkpoint(
+      e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct())
+    val (outEdges, outEdgesRdd) = CheckpointOps.checkpoint(
+      e.join(e.groupBy($"src").agg(sum($"w").as("wdeg")), Seq("src")))
+    val nNodes = nodes.count().toDouble
+    val teleport = (1.0 - damping) / nNodes
+    var (ranks, ranksRdd) = CheckpointOps.checkpoint(
+      nodes.select($"node", lit(1.0 / nNodes).as("rank")))
+    var iter = 0
+    while (iter < iterations) {
+      val contribs = outEdges
+        .join(ranks.select($"node".as("src"), $"rank"), "src")
+        .groupBy($"dst".as("node"))
+        .agg(sum($"rank" * $"w" / $"wdeg").as("in_mass"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select($"node",
+          (lit(teleport) + lit(damping) * coalesce($"in_mass", lit(0.0)))
+            .as("rank"))
+      val (nextFlat, nextRdd) = CheckpointOps.checkpoint(next)
+      ranksRdd.unpersist(false)
+      ranks = nextFlat
+      ranksRdd = nextRdd
+      iter += 1
+    }
+    nodesRdd.unpersist(false)
+    outEdgesRdd.unpersist(false)
+    ranks
+  }
+
   /** Personalized PageRank: the teleport (and dangling) mass restarts
     * at the SEED set — uniformly over seeds — instead of over all
     * nodes, turning rank into proximity-to-seeds (the recommendation /

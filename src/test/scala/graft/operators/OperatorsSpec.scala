@@ -640,6 +640,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(!got.contains((22L, 54L)), ".946 pair must be out")
   }
 
+  test("weighted PageRank splits rank over out-edges by weight") {
+    // 1 -> 2 (w=1), 1 -> 3 (w=3), 2 -> 1 (w=1); one hand-unrolled round
+    val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L))
+      .toDF("src", "dst", "w")
+    val r1 = PageRank.weighted(edges, iterations = 1)
+      .as[(Long, Double)].collect().toMap
+    val t = 0.15 / 3
+    assert(math.abs(r1(1L) - (t + 0.85 / 3)) < 1e-12, s"got $r1")
+    assert(math.abs(r1(2L) - (t + 0.85 / 12)) < 1e-12, s"got $r1")
+    assert(math.abs(r1(3L) - (t + 0.85 / 4)) < 1e-12, s"got $r1")
+    // the heavier edge carries 3x the contribution
+    assert(r1(3L) > r1(2L))
+  }
+
   test("blockingQuality reports exact completeness and reduction") {
     val docs = (1L to 10L).toDF("id")
     val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")

@@ -24,6 +24,25 @@ object EventStream {
       .select(unix_timestamp(col("window.start")).as("win_start"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Watermarked OHLC resampling bars: per (event_type, 1-hour window)
+    * open/high/low/close/volume where open/close are value-at-argmin/
+    * argmax over (ts, value) — the same one-pass min/max(struct)
+    * partial-agg shape as the batch `ts_ohlc_bars` query, and because
+    * struct min/max are plain aggregates it streams under a watermark
+    * exactly like [[windowedCounts]] (no per-window sort, no arbitrary
+    * state). Works on batch frames too for result-parity testing. */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(min(struct(col("ts"), col("value"))).as("mo"),
+        max(struct(col("ts"), col("value"))).as("mc"),
+        max("value").as("high"), min("value").as("low"),
+        count(lit(1)).as("n"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("mo.value").as("open"),
+        col("mc.value").as("close"), col("high"), col("low"), col("n"))
+
   /** Streaming exactly-once-per-key dedup: drops re-deliveries of the same
     * key arriving within the watermark delay of each other — the streaming
     * counterpart of exact dedup in a training-data ingest path (at-least-

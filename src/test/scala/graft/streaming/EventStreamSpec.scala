@@ -39,6 +39,39 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == got)
   }
 
+  test("streaming OHLC bars match the batch equivalent and pick " +
+    "open/close by event time") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val events = Seq(
+      Ev(Timestamp.valueOf("2024-01-01 00:10:00"), 1, "click", 5.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:20:00"), 2, "click", 2.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:50:00"), 3, "click", 7.0),
+      Ev(Timestamp.valueOf("2024-01-01 00:30:00"), 1, "view", 9.0),
+      Ev(Timestamp.valueOf("2024-01-01 01:10:00"), 2, "click", 3.0)
+    )
+    mem.addData(events: _*)
+    val q = EventStream.ohlcBars(mem.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ohlc_out")
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    val h0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000
+    val h1 = Timestamp.valueOf("2024-01-01 01:00:00").getTime / 1000
+    // click hour 0: open = earliest (5.0), close = latest (7.0),
+    // high/low span the middle dip
+    assert(got == Set(
+      (h0, "click", 5.0, 7.0, 7.0, 2.0, 3L),
+      (h0, "view", 9.0, 9.0, 9.0, 9.0, 1L),
+      (h1, "click", 3.0, 3.0, 3.0, 3.0, 1L)), s"got $got")
+    val batch = EventStream.ohlcBars(events.toDF())
+      .as[(Long, String, Double, Double, Double, Double, Long)]
+      .collect().toSet
+    assert(batch == got)
+  }
+
   test("stream-stream interval self-join attributes clicks to purchases " +
     "with bounded state") {
     implicit val sqlCtx = spark.sqlContext

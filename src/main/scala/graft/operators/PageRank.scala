@@ -167,7 +167,16 @@ object PageRank {
     val (dangling, danglingRdd) = CheckpointOps.checkpoint(
       nodes.select($"node").join(e.select($"src".as("node")).distinct(),
         Seq("node"), "left_anti"))
-    val nSeeds = nodes.agg(sum($"s")).head.getDouble(0)
+    val nSeedsRow = nodes.agg(sum($"s")).head
+    if (nSeedsRow.isNullAt(0)) {
+      // empty edge set -> no nodes at all: the rank table is empty (the
+      // same answer the SQL formulation gives), not an error
+      nodesRdd.unpersist(false)
+      outEdgesRdd.unpersist(false)
+      danglingRdd.unpersist(false)
+      return nodes.select($"node", $"s".as("rank"))
+    }
+    val nSeeds = nSeedsRow.getDouble(0)
     require(nSeeds > 0, "no seed is present in the graph")
     var (ranks, ranksRdd) = CheckpointOps.checkpoint(
       nodes.select($"node", ($"s" / nSeeds).as("rank")))

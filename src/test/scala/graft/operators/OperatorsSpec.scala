@@ -687,6 +687,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(total - 1.0) < 1e-9, s"mass not conserved: $total")
   }
 
+  test("personalized PageRank on an empty edge set returns an empty " +
+    "rank table (not an error)") {
+    // the sf0.001 proximity graph IS empty — bench must not throw there
+    val edges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = PageRank.personalized(edges, seeds, iterations = 3)
+    assert(out.columns.toSeq == Seq("node", "rank"))
+    assert(out.count() == 0)
+  }
+
   test("kCorePeel cascades removals round by round and converges to " +
     "the exact k-core") {
     // 4-clique {1,2,3,4} with a dangling tail 4-5-6-7: the 2-core is the

@@ -5323,7 +5323,98 @@ object SparkEntry {
               |    THEN 'train'
               |    WHEN ${h32Sql("CAST(doc_id AS VARCHAR)", "42")} % 100 < 90
               |    THEN 'val' ELSE 'test' END AS split
-              |FROM documents""".stripMargin))
+              |FROM documents""".stripMargin)),
+
+    // SK: HyperLogLog distinct-count sketch (p=12, m=4096 registers) per
+    // order priority, next to the exact count it approximates. The whole
+    // point at 100 TB: the exact global COUNT DISTINCT shuffles every
+    // distinct value, the sketch shuffles <=4096 register rows per group
+    // per task (map-side max-combine). Deterministic under the md5 parity
+    // hash, leading-zero rank via binary-string length (integer-exact in
+    // both engines), register fold sums exact powers of two (order-proof
+    // in IEEE double) — so even the ESTIMATE is oracle-exact.
+    Q("sk_hll_distinct",
+      (s, dir) => {
+        val est = Sketches.hllDistinct(
+          t(s, dir, "orders"), Seq("o_orderpriority"), "o_custkey", p = 12)
+        val exact = t(s, dir, "orders").groupBy("o_orderpriority")
+          .agg(countDistinct("o_custkey").as("exact"))
+        est.join(exact, Seq("o_orderpriority"))
+          .select(col("o_orderpriority"),
+            (round(col("hll_estimate"), 4) + 0.0).as("est"), col("exact"))
+      },
+      Some {
+        val hv = h32Sql("CAST(o_custkey AS VARCHAR)", "0")
+        s"""WITH h AS (
+           |  SELECT o_orderpriority AS grp, $hv AS hv FROM orders),
+           |regs AS (
+           |  SELECT grp, hv >> 20 AS idx,
+           |    max(CASE WHEN (hv & 1048575) = 0 THEN 21
+           |        ELSE 20 - (length(bin(hv & 1048575)) - 1) END) AS mj
+           |  FROM h GROUP BY grp, idx),
+           |folded AS (
+           |  SELECT grp, sum(pow(2e0, -mj)) AS s_present,
+           |    count(*) AS present FROM regs GROUP BY grp),
+           |est AS (
+           |  SELECT grp,
+           |    (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+           |      / (s_present + (4096 - present)) AS raw,
+           |    CAST(4096 - present AS DOUBLE) AS v
+           |  FROM folded),
+           |ex AS (SELECT o_orderpriority AS grp,
+           |       count(DISTINCT o_custkey) AS exact FROM orders GROUP BY grp)
+           |SELECT grp AS o_orderpriority,
+           |  round(CASE
+           |    WHEN raw <= 2.5 * 4096 AND v > 0 THEN 4096e0 * ln(4096e0 / v)
+           |    WHEN raw > 4294967296e0 / 30 THEN
+           |      -4294967296e0 * ln(1 - raw / 4294967296e0)
+           |    ELSE raw END, 4) + 0e0 AS est,
+           |  exact
+           |FROM est JOIN ex USING (grp)""".stripMargin
+      }),
+
+    // SK: count-min frequency sketch (depth 4 x width 1024) over the
+    // token multiset, point-queried for a fixed probe list, next to the
+    // exact counts. Counter table shuffles at sketch size (<=4096 rows)
+    // regardless of corpus size; integer counters make estimate parity
+    // exact. est >= exact always (one-sided CMS error).
+    Q("sk_cms_freq",
+      (s, dir) => {
+        val probeToks = Seq("join", "hash", "row", "batch", "scan",
+          "customer", "column", "filter", "merge", "vector")
+        import s.implicits._
+        val toks = t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        val counters = Sketches.cmsBuild(toks, "tok")
+        val exact = toks.where(col("tok").isin(probeToks: _*))
+          .groupBy("tok").agg(count(lit(1)).as("exact"))
+        Sketches.cmsEstimate(counters, probeToks.toDF("tok"), "tok")
+          .withColumnRenamed("item", "tok")
+          .join(exact, Seq("tok"), "left")
+          .select(col("tok"), col("cms_estimate").as("est"),
+            coalesce(col("exact"), lit(0L)).as("exact"))
+      },
+      Some {
+        val probeList = "'join', 'hash', 'row', 'batch', 'scan', " +
+          "'customer', 'column', 'filter', 'merge', 'vector'"
+        s"""WITH toks AS ($toksSql),
+           |tok AS (SELECT unnest(tk) AS t_ FROM toks),
+           |seeds AS (SELECT unnest([1, 2, 3, 4]) AS seed),
+           |counters AS (
+           |  SELECT seed, ${h32Sql("t_", "seed")} % 1024 AS bucket,
+           |    count(*) AS cnt
+           |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+           |probes AS (SELECT unnest([$probeList]) AS tok),
+           |addr AS (SELECT tok, seed, ${h32Sql("tok", "seed")} % 1024 AS bucket
+           |         FROM probes CROSS JOIN seeds),
+           |est AS (SELECT tok, min(coalesce(cnt, 0)) AS est
+           |        FROM addr LEFT JOIN counters USING (seed, bucket)
+           |        GROUP BY tok),
+           |exact AS (SELECT t_ AS tok, count(*) AS exact FROM tok
+           |          WHERE t_ IN ($probeList) GROUP BY 1)
+           |SELECT tok, est, coalesce(exact, 0) AS exact
+           |FROM est LEFT JOIN exact USING (tok)""".stripMargin
+      })
   )
 
   // =================================================================

@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable cardinality / frequency sketches as pure Catalyst plans.
+  *
+  * At 100 TB the exact answers these approximate (global COUNT DISTINCT,
+  * per-item frequencies over an unbounded vocabulary) force a full shuffle
+  * of every distinct value; the sketch versions shuffle only fixed-size
+  * register/counter tables (KB per group), which is the entire point. Both
+  * sketches here are *deterministic* functions of the input set under the
+  * repo's md5 parity hash ([[Dedup.md5Hash32]]), and both aggregation
+  * trees are order-independent (max for HLL registers, integer sum for CMS
+  * counters; the HLL register fold sums exact powers of two, which is
+  * associative in IEEE double at these sizes) — so unlike typical sketch
+  * libraries the results are exactly reproducible by the DuckDB oracle.
+  *
+  * Extends the reference's exact-aggregation surface
+  * (`/root/reference/diagnostics/spotcheck.py:105-133` counts per city;
+  * `etl/er.py:214-231` exact group sizes) with the approximate versions a
+  * web-scale corpus needs.
+  *
+  * HyperLogLog: Flajolet et al., "HyperLogLog: the analysis of a
+  * near-optimal cardinality estimation algorithm" (AofA 2007).
+  * Count-Min: Cormode & Muthukrishnan, "An improved data stream summary:
+  * the count-min sketch and its applications" (J. Algorithms 2005).
+  */
+object Sketches {
+
+  /** Standard HLL bias-correction constant for m = 2^p registers. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** (register index, rank) of one value under the 32-bit parity hash:
+    * index = top p bits, rank = 1 + leading-zero count of the remaining
+    * (32-p)-bit suffix. The leading-zero count is computed from the
+    * length of the suffix's binary string — integer-exact and expressible
+    * identically in any SQL engine with a bin() function. */
+  def hllRegister(value: Column, p: Int): (Column, Column) = {
+    require(p >= 4 && p <= 18, s"p=$p out of the supported [4,18] range")
+    val low = 32 - p
+    val h = Dedup.md5Hash32(value, lit(0))
+    val idx = shiftright(h, low) // h < 2^32, so arithmetic shift is logical
+    val w = h.bitwiseAND(lit((1L << low) - 1))
+    val rho = when(w === 0, lit(low + 1))
+      .otherwise(lit(low) - (length(bin(w)) - lit(1)))
+    (idx, rho)
+  }
+
+  /** Per-group HyperLogLog distinct-count estimate of `valueCol` (cast to
+    * string before hashing so the parity hash sees stable bytes).
+    *
+    * Shape: one narrow projection, then two partial-aggregating shuffles —
+    * (group, register) max-rank, then a group-level register fold. Map-side
+    * combine bounds shuffle rows at m = 2^p per group per task regardless
+    * of input size; no value list is ever collected. The estimate applies
+    * the standard small-range (linear counting) and 32-bit large-range
+    * corrections. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 12): DataFrame = {
+    val m = 1 << p
+    val (idx, rho) = hllRegister(col(valueCol).cast("string"), p)
+    val regs = df
+      .select(groupCols.map(col) :+ idx.as("hll_idx") :+ rho.as("hll_rho"): _*)
+      .groupBy((groupCols :+ "hll_idx").map(col): _*)
+      .agg(max("hll_rho").as("mj"))
+    val two32 = 4294967296.0 // 2^32
+    regs
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("mj"))).as("s_present"),
+        count(lit(1)).as("present"))
+      // empty registers contribute 2^-0 = 1 each; V = empty-register count
+      .withColumn("s_all", col("s_present") + (lit(m) - col("present")))
+      .withColumn("raw", lit(hllAlpha(m) * m.toDouble * m) / col("s_all"))
+      .withColumn("v", (lit(m) - col("present")).cast("double"))
+      .withColumn("hll_estimate",
+        when(col("raw") <= 2.5 * m && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+          .when(col("raw") > two32 / 30.0,
+            lit(-two32) * log(lit(1.0) - col("raw") / two32))
+          .otherwise(col("raw")))
+      .select(groupCols.map(col) :+ col("hll_estimate"): _*)
+  }
+
+  /** Count-min sketch counters over the multiset `itemCol`: `depth`
+    * independent hash rows (seeds 1..depth) of `width` buckets each.
+    *
+    * The explode multiplies the *map-side* row count by `depth`, but
+    * partial aggregation collapses every task's output to at most
+    * depth*width counter rows before the (only) shuffle — the network
+    * cost is the sketch size, not the data size. */
+  def cmsBuild(df: DataFrame, itemCol: String, depth: Int = 4,
+               width: Int = 1024): DataFrame = {
+    val seeds = array((1 to depth).map(lit): _*)
+    df.select(col(itemCol).cast("string").as("item"),
+        explode(seeds).as("seed"))
+      .select(col("seed"),
+        pmod(Dedup.md5Hash32(col("item"), col("seed")), lit(width.toLong))
+          .as("bucket"))
+      .groupBy("seed", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for each probe item: min over the depth rows
+    * of the addressed counters (0 when a row was never touched). The
+    * counter table is at most depth*width rows BY CONSTRUCTION, so it is
+    * broadcast — the classic CMS deployment shape (ship the sketch to the
+    * probes), and the probe side streams with zero shuffle. (Broadcasting
+    * the probes instead would be unsupported for the outer side of the
+    * join and fall back to a shuffle.) */
+  def cmsEstimate(counters: DataFrame, probes: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val seeds = array((1 to depth).map(lit): _*)
+    val addressed = probes
+      .select(col(itemCol).cast("string").as("item"), explode(seeds).as("seed"))
+      .withColumn("bucket",
+        pmod(Dedup.md5Hash32(col("item"), col("seed")), lit(width.toLong)))
+    addressed
+      .join(broadcast(counters), Seq("seed", "bucket"), "left")
+      .groupBy("item")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+}

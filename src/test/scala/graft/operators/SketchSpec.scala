@@ -38,4 +38,63 @@ class SketchSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact <= 0.01,
       s"exact=$exact approx=$approx")
   }
+
+  // ----------------------------------------------------- graft.Sketches
+  // The library's own sketches are DETERMINISTIC under the md5 parity
+  // hash, so beyond error bounds we can pin exact invariances: register
+  // parity with a JVM reference, duplicate-insensitivity, and partition-
+  // layout-insensitivity (the register fold sums exact powers of two).
+
+  test("hllRegister matches a scalar JVM reference implementation") {
+    import spark.implicits._
+    val vals = (1 to 500).map(i => s"v$i")
+    val df = vals.toDF("v")
+    val (idx, rho) = Sketches.hllRegister(col("v"), p = 12)
+    val got = df.select(col("v"), idx.as("idx"), rho.as("rho"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    vals.foreach { v =>
+      val h = Dedup.md5Hash32Kernel(v, 0)
+      val w = h & 0xFFFFFL
+      val expRho =
+        if (w == 0) 21 else 20 - (63 - java.lang.Long.numberOfLeadingZeros(w))
+      assert(got(v) == ((h >>> 20, expRho)), s"mismatch for $v (h=$h)")
+    }
+  }
+
+  test("hllDistinct estimates 5000 distinct within the m=4096 error bound") {
+    val df = spark.range(5000).selectExpr("id % 2 AS grp", "id AS v")
+    val est = Sketches.hllDistinct(df, Seq("grp"), "v", p = 12)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // rsd for m=4096 is 1.04/sqrt(m) ~ 1.6%; allow 3 sigma
+    Seq(0L, 1L).foreach { g =>
+      assert(math.abs(est(g) - 2500.0) / 2500.0 <= 0.05, s"grp=$g est=${est(g)}")
+    }
+  }
+
+  test("hllDistinct is exactly duplicate- and partition-insensitive") {
+    val base = spark.range(3000).selectExpr("0L AS grp", "id AS v")
+    val dup = base.union(base).union(base)
+    val e1 = Sketches.hllDistinct(base, Seq("grp"), "v").head().getDouble(1)
+    val e2 = Sketches.hllDistinct(dup, Seq("grp"), "v").head().getDouble(1)
+    val e3 = Sketches.hllDistinct(dup.repartition(7), Seq("grp"), "v")
+      .head().getDouble(1)
+    assert(e1 == e2 && e2 == e3, s"$e1 / $e2 / $e3")
+  }
+
+  test("cmsEstimate is one-sided: est >= exact, absent items near zero") {
+    import spark.implicits._
+    // skewed multiset: item k appears k times, k in 1..200
+    val items = (1 to 200).flatMap(k => Seq.fill(k)(s"item$k")).toDF("it")
+    val n = items.count()
+    val counters = Sketches.cmsBuild(items, "it", depth = 4, width = 1024)
+    val probes = Seq("item200", "item150", "item7", "nosuchitem").toDF("it")
+    val est = Sketches.cmsEstimate(counters, probes, "it")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("item200") >= 200 && est("item150") >= 150 && est("item7") >= 7)
+    // CMS error bound: est <= exact + eps*N with eps ~ e/width
+    val slack = (math.E / 1024 * n).ceil.toLong
+    assert(est("item200") <= 200 + slack && est("nosuchitem") <= slack,
+      est.toString)
+  }
 }

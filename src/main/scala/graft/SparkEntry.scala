@@ -4830,6 +4830,88 @@ object SparkEntry {
              |  max(value) AS high, min(value) AS low, count(*) AS n
              |FROM r GROUP BY 1, 2""".stripMargin)),
 
+    // TS: bounded exponentially-weighted moving average over each user's
+    // hourly value series. alpha = 0.5 makes every weight a power of two
+    // (exact in doubles), so the smoothed series is bit-reproducible by
+    // the oracle evaluating the same left-to-right 8-term sum; the
+    // truncated normalizer is the closed-form geometric sum. One window
+    // (= one shuffle) regardless of lookback.
+    Q("ts_ewma",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") < 4)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        TimeSeries.ewmaBounded(hourly, "user_id", "h", "v", lookback = 8)
+      },
+      Some(("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    round(sum(value), 2) + 0e0 AS v
+             |  FROM events WHERE user_id < 4 GROUP BY 1, 2)
+             |SELECT user_id, h, v,
+             |  round((0e0""" +
+             (0 until 8).map(i =>
+               s"\n             |    + coalesce(lag(v, $i) OVER w, 0e0)" +
+               s" * pow(0.5e0, $i)").mkString + """)
+             |    / (2e0 - pow(0.5e0,
+             |        CAST(least(row_number() OVER w, 8) AS DOUBLE) - 1e0)),
+             |    4) + 0e0 AS ewma
+             |FROM hourly
+             |WINDOW w AS (PARTITION BY user_id ORDER BY h)""").stripMargin)),
+
+    // TS: linear-interpolation resampling — the gap-fill grid, but each
+    // missing bucket gets the time-weighted blend of the surrounding
+    // observations (held flat after the last one, null before the
+    // first). Same scale shape as ts_gap_fill: per-key grid fan-out, one
+    // (key, bucket) join, prev/next as two running windows over one
+    // shuffle.
+    Q("ts_interp",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") % 5 === 2)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        TimeSeries.interpolate(hourly, "user_id", "h", "v", 3600L)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    round(sum(value), 2) + 0e0 AS v
+             |  FROM events WHERE user_id % 5 = 2 GROUP BY 1, 2),
+             |spans AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1
+             |  FROM hourly GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(h0, h1, INTERVAL 3600 SECONDS)) AS h
+             |  FROM spans),
+             |j AS (
+             |  SELECT g.user_id, g.h, hourly.v,
+             |    CASE WHEN hourly.user_id IS NOT NULL THEN 1 END AS obs
+             |  FROM grid g LEFT JOIN hourly
+             |    ON g.user_id = hourly.user_id AND g.h = hourly.h),
+             |k AS (
+             |  SELECT user_id, h, v, obs,
+             |    last_value(v IGNORE NULLS) OVER wb AS pv,
+             |    first_value(v IGNORE NULLS) OVER wf AS nv,
+             |    last_value(CASE WHEN obs = 1 THEN h END IGNORE NULLS)
+             |      OVER wb AS pt,
+             |    first_value(CASE WHEN obs = 1 THEN h END IGNORE NULLS)
+             |      OVER wf AS nt
+             |  FROM j
+             |  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |  wf AS (PARTITION BY user_id ORDER BY h
+             |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+             |SELECT user_id, h,
+             |  round(CASE WHEN obs = 1 THEN v
+             |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv +
+             |      (nv - pv) *
+             |      ((CAST(epoch_us(h) AS DOUBLE) -
+             |        CAST(epoch_us(pt) AS DOUBLE)) /
+             |       (CAST(epoch_us(nt) AS DOUBLE) -
+             |        CAST(epoch_us(pt) AS DOUBLE)))
+             |    WHEN pv IS NOT NULL THEN pv END, 4) + 0e0 AS v,
+             |  CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS was_gap
+             |FROM k""".stripMargin)),
+
     // DQ: declarative quality-constraint report — every constraint is
     // one aggregate expression inside a single partial-agg pass (one scan
     // no matter how many checks), emitting a tiny violations report.

@@ -42,4 +42,71 @@ object TimeSeries {
         last(col(valueCol), ignoreNulls = true).over(w).as(valueCol),
         when(col("__observed").isNull, 1).otherwise(0).as("was_gap"))
   }
+
+  /** Bounded-lookback exponentially-weighted moving average (the
+    * "adjusted" EWM: y_t = sum_i w^i x_{t-i} / sum_i w^i over the last
+    * `lookback` rows), alpha fixed at 0.5 so every weight is a power of
+    * two — EXACT in IEEE doubles, which keeps the estimate reproducible
+    * bit-for-bit by an independent engine evaluating the same left-to-
+    * right sum. Expressed as `lookback` explicit lag() terms inside ONE
+    * window — a single shuffle on the key, sort-with-spill within
+    * partitions, no per-group materialization.
+    *
+    * The truncated-weight normalizer for a row with rn prior rows is the
+    * closed-form geometric sum 2 - 0.5^(m-1), m = min(rn, lookback) —
+    * exact in doubles for any m, no per-term null bookkeeping. */
+  def ewmaBounded(observations: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String, lookback: Int = 8): DataFrame = {
+    require(lookback >= 1 && lookback <= 48, "lookback must be in [1, 48]")
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+    // left-fold i = 0..lookback-1 so the float addition order is the
+    // documented contract (matched term-for-term by the SQL oracle)
+    val num = (0 until lookback).foldLeft(lit(0.0)) { (acc, i) =>
+      acc + coalesce(lag(col(valueCol), i).over(w), lit(0.0)) *
+        lit(math.pow(0.5, i))
+    }
+    val m = least(row_number().over(w), lit(lookback)).cast("double")
+    val den = lit(2.0) - pow(lit(0.5), m - lit(1.0))
+    observations.select(col(keyCol), col(bucketCol), col(valueCol),
+      (round(num / den, 4) + lit(0.0)).as("ewma"))
+  }
+
+  /** Linear-interpolation resampling: the gapFill grid, but gap buckets
+    * get the time-weighted blend of the surrounding observations instead
+    * of a carried-forward copy — `v = prev + (next - prev) * dt_frac` —
+    * holding the last value after the final observation (no extrapolation
+    * before the first; those rows surface null). Same scale shape as
+    * gapFill: per-key sequence fan-out, one (key, bucket) join, and the
+    * prev/next scans are two running windows over the same single
+    * shuffle. */
+  def interpolate(observations: DataFrame, keyCol: String, bucketCol: String,
+                  valueCol: String, stepSeconds: Long): DataFrame = {
+    require(stepSeconds > 0, "step must be positive")
+    val spans = observations.groupBy(col(keyCol))
+      .agg(min(col(bucketCol)).as("h0"), max(col(bucketCol)).as("h1"))
+    val grid = spans.select(col(keyCol),
+      explode(sequence(col("h0"), col("h1"),
+        expr(s"INTERVAL $stepSeconds SECONDS"))).as(bucketCol))
+    val back = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy(bucketCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obs = observations.withColumn("__observed", lit(1))
+    val joined = grid.join(obs, Seq(keyCol, bucketCol), "left")
+    val prevV = last(col(valueCol), ignoreNulls = true).over(back)
+    val nextV = first(col(valueCol), ignoreNulls = true).over(fwd)
+    val prevT = last(when(col("__observed").isNotNull, col(bucketCol)),
+      ignoreNulls = true).over(back)
+    val nextT = first(when(col("__observed").isNotNull, col(bucketCol)),
+      ignoreNulls = true).over(fwd)
+    val us = (c: org.apache.spark.sql.Column) => unix_micros(c).cast("double")
+    val frac = (us(col(bucketCol)) - us(prevT)) / (us(nextT) - us(prevT))
+    val blended = when(col("__observed").isNotNull, col(valueCol))
+      .when(prevV.isNotNull && nextV.isNotNull,
+        prevV + (nextV - prevV) * frac)
+      .when(prevV.isNotNull, prevV)
+    joined.select(col(keyCol), col(bucketCol),
+      (round(blended, 4) + lit(0.0)).as(valueCol),
+      when(col("__observed").isNull, 1).otherwise(0).as("was_gap"))
+  }
 }

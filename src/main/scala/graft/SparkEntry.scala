@@ -2524,6 +2524,30 @@ object SparkEntry {
              |  AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts"""
         .stripMargin)),
 
+    // ST: watermarked OHLC bars on the batch path (withWatermark is a
+    // no-op on batch frames; the streaming path — watermark-bounded
+    // state, availableNow — is pinned against this exact frame by
+    // EventStreamSpec's parity test). Open/close tie-break is
+    // min/max(struct(ts, value)): same ts -> min value opens, max
+    // value closes; the oracle replays it with ORDER BY ts, value.
+    Q("st_ohlc",
+      (s, dir) => graft.streaming.EventStream.ohlcBars(t(s, dir, "events")),
+      Some("""WITH b AS (
+             |  SELECT event_type, date_trunc('hour', ts) AS bucket,
+             |    ts, value
+             |  FROM events),
+             |r AS (
+             |  SELECT *,
+             |    row_number() OVER (PARTITION BY event_type, bucket
+             |      ORDER BY ts, value) AS rn,
+             |    count(*) OVER (PARTITION BY event_type, bucket) AS cnt
+             |  FROM b)
+             |SELECT CAST(epoch(bucket) AS BIGINT) AS win_start, event_type,
+             |  max(CASE WHEN rn = 1 THEN value END) AS open,
+             |  max(CASE WHEN rn = cnt THEN value END) AS close,
+             |  max(value) AS high, min(value) AS low, count(*) AS n
+             |FROM r GROUP BY 1, 2""".stripMargin)),
+
     // S5: template extraction UDTF shape (1 row -> N listing rows)
     Q("s5_template_extract",
       (s, dir) => t(s, dir, "part")
@@ -4901,14 +4925,14 @@ object SparkEntry {
              |  wf AS (PARTITION BY user_id ORDER BY h
              |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
              |SELECT user_id, h,
-             |  round(CASE WHEN obs = 1 THEN v
+             |  floor((CASE WHEN obs = 1 THEN v
              |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN pv +
              |      (nv - pv) *
              |      ((CAST(epoch_us(h) AS DOUBLE) -
              |        CAST(epoch_us(pt) AS DOUBLE)) /
              |       (CAST(epoch_us(nt) AS DOUBLE) -
              |        CAST(epoch_us(pt) AS DOUBLE)))
-             |    WHEN pv IS NOT NULL THEN pv END, 4) + 0e0 AS v,
+             |    WHEN pv IS NOT NULL THEN pv END) * 1e4 + 0.5e0) / 1e4 AS v,
              |  CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS was_gap
              |FROM k""".stripMargin)),
 

@@ -474,18 +474,18 @@ object Dedup {
     // ones at 2M+ candidates. Token ids come from Ranking.globalRank
     // over the distinct vocabulary (dense, EXACT, collision-free —
     // unlike hashing, which would diverge from the token-level oracle;
-    // and no single-task window). The id-array frame is one row per
-    // doc: broadcast at this dim size (at cluster scale it exceeds the
-    // threshold and hash-joins by id).
+    // and no single-task window). The id-array frame is one row per doc
+    // but O(corpus) rows total, so no broadcast hint — both verify joins
+    // are keyed equi-joins on the doc id, and Spark/AQE picks broadcast
+    // only when the side actually fits under the threshold; at 100 TB
+    // corpus the scale-safe shuffled hash join is the default.
     val tids = graft.operators.Ranking.globalRank(
       dfreq.select("tok"), Seq(col("tok").asc), "tid")
     val arr = toks.join(tids, "tok")
       .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("ts"))
     cand
-      .join(broadcast(arr.select(col("id").as("a_id"), col("ts").as("a_ts"))),
-        "a_id")
-      .join(broadcast(arr.select(col("id").as("b_id"), col("ts").as("b_ts"))),
-        "b_id")
+      .join(arr.select(col("id").as("a_id"), col("ts").as("a_ts")), "a_id")
+      .join(arr.select(col("id").as("b_id"), col("ts").as("b_ts")), "b_id")
       .withColumn("o",
         size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
       .withColumn("jaccard", col("o").cast("double") /

@@ -54,7 +54,13 @@ object TimeSeries {
     *
     * The truncated-weight normalizer for a row with rn prior rows is the
     * closed-form geometric sum 2 - 0.5^(m-1), m = min(rn, lookback) —
-    * exact in doubles for any m, no per-term null bookkeeping. */
+    * exact in doubles for any m, no per-term null bookkeeping.
+    *
+    * Null observations inside the lookback contribute 0 to the numerator
+    * while the normalizer still counts their weight (the estimate leans
+    * toward 0 in their presence) — a deliberate no-bookkeeping contract,
+    * matched term-for-term by the oracle; pre-filter or gap-fill nulls
+    * upstream if unbiasedness matters. */
   def ewmaBounded(observations: DataFrame, keyCol: String, bucketCol: String,
                   valueCol: String, lookback: Int = 8): DataFrame = {
     require(lookback >= 1 && lookback <= 48, "lookback must be in [1, 48]")
@@ -78,7 +84,21 @@ object TimeSeries {
     * before the first; those rows surface null). Same scale shape as
     * gapFill: per-key sequence fan-out, one (key, bucket) join, and the
     * prev/next scans are two running windows over the same single
-    * shuffle. */
+    * shuffle.
+    *
+    * Determinism contract: the emitted value is quantized to 4 decimals
+    * with `floor(v * 1e4 + 0.5) / 1e4` — pure IEEE multiply/add/floor,
+    * reproduced bit-for-bit by any engine — NOT a decimal `round`, whose
+    * midpoint behavior (`x.xxxx5`, reachable whenever dt_frac = k/2^m)
+    * differs between exact-BigDecimal and scaled-multiply
+    * implementations.
+    *
+    * Observed-but-null values: like gapFill, presence is tracked with a
+    * marker column, so a bucket whose observation carries a null value
+    * keeps was_gap = 0 but contributes nothing to prev/next — the blend
+    * anchors prevV on the last NON-null value while prevT anchors on the
+    * last OBSERVED bucket (matched by the oracle; documented, not
+    * load-bearing for well-formed series). */
   def interpolate(observations: DataFrame, keyCol: String, bucketCol: String,
                   valueCol: String, stepSeconds: Long): DataFrame = {
     require(stepSeconds > 0, "step must be positive")
@@ -106,7 +126,7 @@ object TimeSeries {
         prevV + (nextV - prevV) * frac)
       .when(prevV.isNotNull, prevV)
     joined.select(col(keyCol), col(bucketCol),
-      (round(blended, 4) + lit(0.0)).as(valueCol),
+      (floor(blended * lit(1e4) + lit(0.5)) / lit(1e4)).as(valueCol),
       when(col("__observed").isNull, 1).otherwise(0).as("was_gap"))
   }
 }

@@ -83,6 +83,13 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("dd_prefix_jaccard: verify joins stay keyed equi-joins, no " +
+       "unconditional broadcast of the O(corpus) id-array frame") {
+    val p = plan("dd_prefix_jaccard")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
   test("pipe: the corpus pipelines plan without cartesian joins") {
     for (q <- Seq("pipe_clean_corpus", "pipe_training_corpus",
         "pipe_image_dedup")) {

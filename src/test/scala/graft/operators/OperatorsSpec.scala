@@ -813,6 +813,75 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-01 13:00:00.0", 7.0, 0)))
   }
 
+  test("ewmaBounded weights the last `lookback` rows with powers of two") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2.0),
+      (1L, ts("2024-01-01 11:00:00"), 4.0),
+      (1L, ts("2024-01-01 12:00:00"), 8.0)
+    ).toDF("k", "h", "v")
+    val got = TimeSeries.ewmaBounded(obs, "k", "h", "v", lookback = 2)
+      .as[(Long, java.sql.Timestamp, Double, Double)].collect()
+      .map(r => (r._2.toString, r._4)).toSet
+    // rn < lookback: single-term sum over normalizer 1; rn >= lookback:
+    // (v + 0.5*prev) / 1.5 with the window truncated to the last 2 rows
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", 2.0),
+      ("2024-01-01 11:00:00.0", 3.3333),  // (4 + 1) / 1.5
+      ("2024-01-01 12:00:00.0", 6.6667))) // (8 + 2) / 1.5, 2.0 term dropped
+  }
+
+  test("interpolate blends interior gaps by time fraction") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 5.0),
+      (1L, ts("2024-01-01 13:00:00"), 8.0), // two gap buckets before it
+      (2L, ts("2024-01-01 10:00:00"), 1.5)  // single observation: no grid
+    ).toDF("k", "h", "v")
+    val got = TimeSeries.interpolate(obs, "k", "h", "v", 3600L)
+      .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+      .map(r => (r._1, r._2.toString, r._3, r._4)).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00.0", 5.0, 0),
+      (1L, "2024-01-01 11:00:00.0", 6.0, 1), // 5 + 3 * 1/3
+      (1L, "2024-01-01 12:00:00.0", 7.0, 1), // 5 + 3 * 2/3
+      (1L, "2024-01-01 13:00:00.0", 8.0, 0),
+      (2L, "2024-01-01 10:00:00.0", 1.5, 0)))
+  }
+
+  test("interpolate quantizes 4th-decimal midpoints half-up (engine-independent)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // blend = (0 + 13/16) / 2 = 0.40625 EXACT in doubles — a true 4th-
+    // decimal midpoint, where decimal-round implementations disagree;
+    // floor(v*1e4 + 0.5)/1e4 must resolve it half-up in every engine
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 0.0),
+      (1L, ts("2024-01-01 12:00:00"), 0.8125)
+    ).toDF("k", "h", "v")
+    val got = TimeSeries.interpolate(obs, "k", "h", "v", 3600L)
+      .as[(Long, java.sql.Timestamp, Double, Int)].collect()
+      .map(r => (r._2.toString, r._3)).toSet
+    assert(got.contains(("2024-01-01 11:00:00.0", 0.4063)))
+  }
+
+  test("interpolate holds flat after the last non-null value and keeps " +
+       "was_gap=0 on observed-but-null rows") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val obs = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(5.0)),
+      (1L, ts("2024-01-01 12:00:00"), None) // observed, value null
+    ).toDF("k", "h", "v")
+    val got = TimeSeries.interpolate(obs, "k", "h", "v", 3600L)
+      .as[(Long, java.sql.Timestamp, Option[Double], Int)].collect()
+      .map(r => (r._2.toString, r._3, r._4)).toSet
+    // 11:00 is a gap with no later non-null value → held flat at 5.0;
+    // 12:00 was OBSERVED so its (null) value is emitted as-is, was_gap=0
+    assert(got == Set(
+      ("2024-01-01 10:00:00.0", Some(5.0), 0),
+      ("2024-01-01 11:00:00.0", Some(5.0), 1),
+      ("2024-01-01 12:00:00.0", None, 0)))
+  }
+
   test("funnelDepth horizon works on numeric epoch columns too") {
     // ts is epoch-SECONDS as a plain long; the horizon must be added in
     // the column's own unit, not via a timestamp INTERVAL

@@ -2428,6 +2428,75 @@ object SparkEntry {
              |  true AS valid
              |FROM documents""".stripMargin)),
 
+    // MM: REAL MPEG audio frame walk (ISO 11172-3 header arithmetic —
+    // sync, bitrate/samplerate tables, per-layer frame lengths) over
+    // per-doc synthesized Layer III streams; the oracle is the closed
+    // form of the synthesis parameters. Entropy decode is NOT needed
+    // for any of these fields — this is the metadata a pipeline routes
+    // audio on (duration, bitrate, rate).
+    Q("mm_mp3_meta",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val p = MpegAudio.mp3SynthFrames((id % 5 + 1).toInt,
+              (id % 14 + 1).toInt, (id % 3).toInt)
+            MpegAudio.mp3Meta(id, p)
+          }.toDF()
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, doc_id % 5 + 1 AS n,
+             |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+             |      [CAST(doc_id % 14 + 1 AS INT)] AS kbps,
+             |    ([44100,48000,32000])[CAST(doc_id % 3 + 1 AS INT)] AS sr
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(n * ((144 * kbps * 1000) // sr) AS BIGINT) AS n_bytes,
+             |  CAST(1 AS INT) AS version, CAST(3 AS INT) AS layer,
+             |  CAST(kbps AS INT) AS bitrate_kbps,
+             |  CAST(sr AS INT) AS sample_rate,
+             |  CAST(1 AS INT) AS channels, CAST(n AS INT) AS n_frames,
+             |  CAST((n * 1152 * 1000) // sr AS BIGINT) AS duration_ms,
+             |  false AS vbr, true AS valid
+             |FROM g""".stripMargin)),
+
+    // MM: REAL MPEG-1 Layer I subband decode — bit allocation,
+    // scalefactor, and the spec's requantization formula
+    // s'' = (2^nb/(2^nb-1)) * (s''' + 2^(1-nb)) — over per-doc
+    // synthesized single-subband frames. The oracle replays the exact
+    // requantization arithmetic (documented operation order, dyadic
+    // constants, power-of-two scalefactors) per sample — 12 rows per
+    // doc, bit-exact doubles with NO rounding on either side.
+    Q("mm_mp1_subbands",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val nb = (id % 14 + 2).toInt
+            val sb = (id % 32).toInt
+            val frame = MpegAudio.mp1Synth(sb, nb - 1, (3 * (id % 21)).toInt,
+              sIdx => ((id * 7 + sIdx * 13) % (1L << nb)).toInt)
+            val dec = MpegAudio.decodeLayer1(frame)
+            (0 until 12).map(sIdx => (id, sIdx, dec.sub(0)(sb * 12 + sIdx)))
+          }.toDF("doc_id", "s", "v")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, CAST(doc_id % 14 + 2 AS INT) AS nb,
+             |    doc_id % 21 AS k
+             |  FROM documents),
+             |e AS (
+             |  SELECT doc_id, nb, k, unnest(range(0, 12)) AS s FROM g)
+             |SELECT doc_id, CAST(s AS INT) AS s,
+             |  ((CAST((doc_id * 7 + s * 13) % (1 << nb) AS DOUBLE) /
+             |      CAST(1 << (nb - 1) AS DOUBLE)
+             |    - 1e0 + 2e0 / CAST(1 << nb AS DOUBLE))
+             |   * (CAST(1 << nb AS DOUBLE) /
+             |      (CAST(1 << nb AS DOUBLE) - 1e0)))
+             |  * (2e0 / CAST(1 << k AS DOUBLE)) AS v
+             |FROM e""".stripMargin)),
+
     // K6: bucketed co-located join — both sides written bucketBy the join
     // key, so the join plans WITHOUT a shuffle exchange (PlanSpec gate).
     // This is the 100 TB answer for repeated fact-to-fact joins on a

@@ -80,14 +80,19 @@ object AsOfJoin {
 
     val unioned = probe.unionByName(quote, allowMissingColumns = true)
 
-    val w = Window.partitionBy(on.map(col): _*)
-      .orderBy(col(T).asc, col(TAG).asc)
-    val frame =
-      if (isForward) w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      else w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Both directions run as a RUNNING prefix frame (last ignoreNulls):
+    // forward reverses the sort instead of using a [current,
+    // unboundedFollowing) frame, which WindowExec evaluates by
+    // re-scanning from every row to partition end — O(n^2) per key.
+    // The reversed running prefix is the linear form of the same scan;
+    // at equal (T, TAG) the tie contract is unchanged (probe frames
+    // include equal-time quotes in both directions).
+    val frame = (if (isForward)
+        Window.partitionBy(on.map(col): _*).orderBy(col(T).desc, col(TAG).desc)
+      else Window.partitionBy(on.map(col): _*).orderBy(col(T).asc, col(TAG).asc))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     def pick(c: String): Column =
-      if (isForward) first(col(c), ignoreNulls = true).over(frame)
-      else last(col(c), ignoreNulls = true).over(frame)
+      last(col(c), ignoreNulls = true).over(frame)
 
     val carried = unioned.select(unioned.columns.map {
       case c if c == RT || outNames.contains(c) => pick(c).as(c)

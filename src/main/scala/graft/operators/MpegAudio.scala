@@ -1,0 +1,328 @@
+package graft.operators
+
+/** REAL MPEG audio (ISO/IEC 11172-3) byte-level support, no codec libs:
+  *
+  *  - [[mp3Meta]]: frame-header walk for ALL layers (I/II/III) and
+  *    versions (MPEG-1/2/2.5) — sync scan, bitrate/samplerate tables,
+  *    per-layer frame-length arithmetic, ID3v2 skip, VBR detection.
+  *    This is the metadata a training-data pipeline actually routes on
+  *    (duration, bitrate, rate, channel mode) and it needs no entropy
+  *    decode at any layer.
+  *  - [[decodeLayer1]]: REAL MPEG-1 Layer I subband decode — bit
+  *    allocation, scalefactors, and the spec's requantization formula
+  *    s'' = (2^nb / (2^nb - 1)) * (s''' + 2^(1-nb)) with MSB-inverted
+  *    two's-complement fractions (11172-3 §2.4.3.3) — emitting the
+  *    32-subband x 12-sample plane per channel. The polyphase synthesis
+  *    window (tabulated in the spec's annex B table B.3) is the one
+  *    step deliberately left out: subband samples are the spectral
+  *    features pipelines consume (energy, activity), mirroring
+  *    [[Multimodal.extractWavSpectrum]]'s role for PCM.
+  *  - [[mp1Synth]] / [[mp3SynthFrames]]: the synthesis side of both
+  *    roundtrips, used by the oracle queries and specs.
+  *
+  * Layer III entropy decode (big-values Huffman + IMDCT) and joint
+  * stereo remain the declared extension point — see
+  * [[Multimodal.decodeStub]].
+  *
+  * Determinism contract: requantization is evaluated in the documented
+  * operation order `((c/2^(nb-1) - 1 + 2/2^nb) * (2^nb/(2^nb-1))) * sf`
+  * — every constant a dyadic double — so an independent engine
+  * evaluating the same order reproduces values bit-for-bit; scalefactor
+  * indices divisible by 3 give exact power-of-two scalefactors (the
+  * oracle rows use only those).
+  *
+  * Reference behavior anchor: the reference pipeline treats audio as
+  * opaque binaries with sniffed metadata (etl/sources, binary columns);
+  * this module is the Spark-side extension grading that contract up to
+  * real frame arithmetic.
+  */
+object MpegAudio {
+
+  // ------------------------------------------------------------ tables
+
+  /** kbps by (version, layer, index 1..14); index 0 = free-format. */
+  private val kbpsV1 = Array(
+    Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448), // L1
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384),    // L2
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320))     // L3
+  private val kbpsV2 = Array(
+    Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256),    // L1
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160),         // L2
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160))         // L3
+
+  private val srV1 = Array(44100, 48000, 32000)
+  private val srV2 = Array(22050, 24000, 16000)
+  private val srV25 = Array(11025, 12000, 8000)
+
+  /** Scalefactors, 11172-3 table B.1: sf(i) = 2 * 2^(-i/3), i = 0..62.
+    * Indices divisible by 3 are exact powers of two (computed exactly);
+    * the rest go through StrictMath.pow for platform determinism. */
+  val scalefactor: Array[Double] = Array.tabulate(63) { i =>
+    if (i % 3 == 0) 2.0 / (1L << (i / 3)).toDouble
+    else 2.0 * StrictMath.pow(2.0, -i / 3.0)
+  }
+
+  // ------------------------------------------------------- header walk
+
+  /** One parsed frame header. version: 1, 2, or 25 (for 2.5). layer:
+    * 1/2/3. frameBytes includes the 4 header bytes. */
+  final case class FrameHeader(version: Int, layer: Int, bitrateKbps: Int,
+                               sampleRate: Int, channels: Int, padding: Int,
+                               crc: Boolean, mode: Int, frameBytes: Int,
+                               samplesPerFrame: Int)
+
+  /** Parse the 4-byte header at `off`; None when not a valid, walkable
+    * frame header (bad sync, reserved fields, free-format bitrate). */
+  def parseFrameHeader(p: Array[Byte], off: Int): Option[FrameHeader] = {
+    if (p == null || off + 4 > p.length) return None
+    val b1 = p(off) & 0xff; val b2 = p(off + 1) & 0xff
+    val b3 = p(off + 2) & 0xff; val b4 = p(off + 3) & 0xff
+    if (b1 != 0xff || (b2 & 0xe0) != 0xe0) return None
+    val versionBits = (b2 >> 3) & 3
+    val layerBits = (b2 >> 1) & 3
+    if (versionBits == 1 || layerBits == 0) return None // reserved
+    val version = versionBits match {
+      case 3 => 1
+      case 2 => 2
+      case _ => 25
+    }
+    val layer = 4 - layerBits // 3->I, 2->II, 1->III
+    val bitrateIdx = (b3 >> 4) & 0xf
+    val srIdx = (b3 >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None
+    val kbps = (if (version == 1) kbpsV1 else kbpsV2)(layer - 1)(bitrateIdx)
+    val sr = (version match {
+      case 1 => srV1
+      case 2 => srV2
+      case _ => srV25
+    })(srIdx)
+    val padding = (b3 >> 1) & 1
+    val mode = (b4 >> 6) & 3
+    val channels = if (mode == 3) 1 else 2
+    val bps = kbps * 1000
+    val frameBytes = layer match {
+      case 1 => (12 * bps / sr + padding) * 4
+      case 2 => 144 * bps / sr + padding
+      case _ => // Layer III: MPEG-2/2.5 halve the frame
+        (if (version == 1) 144 else 72) * bps / sr + padding
+    }
+    val spf = layer match {
+      case 1 => 384
+      case 2 => 1152
+      case _ => if (version == 1) 1152 else 576
+    }
+    Some(FrameHeader(version, layer, kbps, sr, channels, padding,
+      crc = (b2 & 1) == 0, mode, frameBytes, spf))
+  }
+
+  /** ID3v2 tag length at the stream head (0 when absent): "ID3" + 2
+    * version bytes + flags + 4 syncsafe size bytes + payload. */
+  def id3v2Length(p: Array[Byte]): Int = {
+    if (p == null || p.length < 10) return 0
+    if (p(0) != 'I' || p(1) != 'D' || p(2) != '3') return 0
+    val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+      ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+    10 + size
+  }
+
+  final case class Mp3Meta(doc_id: Long, n_bytes: Long, version: Int,
+                           layer: Int, bitrate_kbps: Int, sample_rate: Int,
+                           channels: Int, n_frames: Int, duration_ms: Long,
+                           vbr: Boolean, valid: Boolean)
+
+  /** Walk every frame from the first valid header after any ID3v2 tag.
+    * Reported bitrate is the FIRST frame's; `vbr` flags any frame that
+    * differs. Trailing bytes that do not parse as a header end the walk
+    * (a truncated final frame does not count). */
+  def mp3Meta(docId: Long, p: Array[Byte]): Mp3Meta = {
+    val n = if (p == null) 0L else p.length.toLong
+    def invalid = Mp3Meta(docId, n, 0, 0, 0, 0, 0, 0, 0L, vbr = false,
+      valid = false)
+    if (p == null) return invalid
+    var off = id3v2Length(p)
+    parseFrameHeader(p, off) match {
+      case None => invalid
+      case Some(first) =>
+        var frames = 0
+        var sampleSum = 0L
+        var vbr = false
+        var h: Option[FrameHeader] = Some(first)
+        while (h.isDefined && off + h.get.frameBytes <= p.length) {
+          val fh = h.get
+          frames += 1
+          sampleSum += fh.samplesPerFrame
+          if (fh.bitrateKbps != first.bitrateKbps) vbr = true
+          off += fh.frameBytes
+          h = parseFrameHeader(p, off)
+        }
+        Mp3Meta(docId, n, first.version, first.layer, first.bitrateKbps,
+          first.sampleRate, first.channels, frames,
+          sampleSum * 1000L / first.sampleRate, vbr, valid = frames > 0)
+    }
+  }
+
+  // ---------------------------------------------- Layer I subband decode
+
+  private final class BitReader(p: Array[Byte], var bitPos: Long) {
+    def read(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val byte = p((bitPos >> 3).toInt) & 0xff
+        val bit = (byte >> (7 - (bitPos & 7)).toInt) & 1
+        v = (v << 1) | bit
+        bitPos += 1; i += 1
+      }
+      v
+    }
+  }
+
+  /** The spec's Layer I requantization in the documented operation
+    * order (see class scaladoc); every input is a dyadic double, so the
+    * result is engine-reproducible. code in [0, 2^nb), nb in [2, 15]. */
+  def dequantLayer1(code: Int, nb: Int, sfIdx: Int): Double = {
+    val half = (1L << (nb - 1)).toDouble
+    val full = (1L << nb).toDouble
+    ((code.toDouble / half - 1.0 + 2.0 / full) * (full / (full - 1.0))) *
+      scalefactor(sfIdx)
+  }
+
+  /** Decoded Layer I frame: `sub(ch)(sb * 12 + s)` = requantized
+    * subband sample, 0.0 where the subband has no allocation. */
+  final case class Mp1Frame(sampleRate: Int, bitrateKbps: Int,
+                            channels: Int, alloc: Array[Array[Int]],
+                            sfIdx: Array[Array[Int]],
+                            sub: Array[Array[Double]])
+
+  /** Decode the first MPEG-1 Layer I frame at the stream head (after
+    * any ID3v2 tag). Mono, stereo, and dual-channel modes; joint
+    * (intensity) stereo is out of decode scope and throws. */
+  def decodeLayer1(p: Array[Byte]): Mp1Frame = {
+    val off = id3v2Length(p)
+    val fh = parseFrameHeader(p, off).getOrElse(
+      throw new IllegalArgumentException("no valid frame header"))
+    require(fh.layer == 1 && fh.version == 1,
+      s"not an MPEG-1 Layer I frame (v${fh.version} L${fh.layer})")
+    require(fh.mode != 1,
+      "joint (intensity) stereo is out of decode scope")
+    require(off + fh.frameBytes <= p.length, "truncated frame")
+    val nch = fh.channels
+    val br = new BitReader(p, (off + 4).toLong * 8)
+    if (fh.crc) br.read(16)
+    val alloc = Array.ofDim[Int](nch, 32)
+    var sb = 0
+    while (sb < 32) {
+      var ch = 0
+      while (ch < nch) {
+        val a = br.read(4)
+        require(a != 15, s"forbidden allocation 15 at subband $sb")
+        alloc(ch)(sb) = a
+        ch += 1
+      }
+      sb += 1
+    }
+    val sf = Array.ofDim[Int](nch, 32)
+    sb = 0
+    while (sb < 32) {
+      var ch = 0
+      while (ch < nch) {
+        if (alloc(ch)(sb) != 0) {
+          val idx = br.read(6)
+          require(idx < 63, s"forbidden scalefactor 63 at subband $sb")
+          sf(ch)(sb) = idx
+        }
+        ch += 1
+      }
+      sb += 1
+    }
+    val out = Array.fill(nch)(new Array[Double](32 * 12))
+    var s = 0
+    while (s < 12) {
+      sb = 0
+      while (sb < 32) {
+        var ch = 0
+        while (ch < nch) {
+          val a = alloc(ch)(sb)
+          if (a != 0) {
+            val nb = a + 1
+            out(ch)(sb * 12 + s) = dequantLayer1(br.read(nb), nb, sf(ch)(sb))
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      s += 1
+    }
+    Mp1Frame(fh.sampleRate, fh.bitrateKbps, nch, alloc, sf, out)
+  }
+
+  // ------------------------------------------------------------- synth
+
+  private final class BitWriter(val buf: Array[Byte]) {
+    private var bitPos = 0L
+    def seekByte(b: Int): Unit = bitPos = b.toLong * 8
+    def write(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        val bit = (v >> i) & 1
+        val bi = (bitPos >> 3).toInt
+        buf(bi) = (buf(bi) | (bit << (7 - (bitPos & 7)).toInt)).toByte
+        bitPos += 1; i -= 1
+      }
+    }
+  }
+
+  private def header(versionBits: Int, layerBits: Int, bitrateIdx: Int,
+                     srIdx: Int, mode: Int): Array[Int] = Array(
+    0xff,
+    0xe0 | (versionBits << 3) | (layerBits << 1) | 1, // no CRC
+    (bitrateIdx << 4) | (srIdx << 2),                 // no padding
+    mode << 6)
+
+  /** `n` marker-valid MPEG-1 Layer III frames (header + zero body) —
+    * the synthesis side of the [[mp3Meta]] walk. */
+  def mp3SynthFrames(n: Int, bitrateIdx: Int, srIdx: Int): Array[Byte] = {
+    require(n >= 1 && bitrateIdx >= 1 && bitrateIdx <= 14 && srIdx >= 0 &&
+      srIdx <= 2, "out of range")
+    val kbps = kbpsV1(2)(bitrateIdx)
+    val frameBytes = 144 * kbps * 1000 / srV1(srIdx)
+    val out = new Array[Byte](frameBytes * n)
+    val h = header(3, 1, bitrateIdx, srIdx, mode = 3)
+    var f = 0
+    while (f < n) {
+      var i = 0
+      while (i < 4) { out(f * frameBytes + i) = h(i).toByte; i += 1 }
+      f += 1
+    }
+    out
+  }
+
+  /** One MPEG-1 Layer I MONO frame with a single allocated subband:
+    * allocation `a` (nb = a + 1 bits), scalefactor index `sfIdx`, and
+    * the 12 codes produced by `code(s)`. The synthesis side of
+    * [[decodeLayer1]]; every other subband is silent. */
+  def mp1Synth(activeSb: Int, a: Int, sfIdx: Int, code: Int => Int,
+               bitrateIdx: Int = 4, srIdx: Int = 2): Array[Byte] = {
+    require(activeSb >= 0 && activeSb < 32 && a >= 1 && a <= 14 &&
+      sfIdx >= 0 && sfIdx < 63, "out of range")
+    val kbps = kbpsV1(0)(bitrateIdx)
+    val frameBytes = 12 * kbps * 1000 / srV1(srIdx) * 4
+    val buf = new Array[Byte](frameBytes)
+    val h = header(3, 3, bitrateIdx, srIdx, mode = 3)
+    var i = 0
+    while (i < 4) { buf(i) = h(i).toByte; i += 1 }
+    val w = new BitWriter(buf)
+    w.seekByte(4)
+    var sb = 0
+    while (sb < 32) { w.write(if (sb == activeSb) a else 0, 4); sb += 1 }
+    w.write(sfIdx, 6)
+    val nb = a + 1
+    var s = 0
+    while (s < 12) {
+      val c = code(s)
+      require(c >= 0 && c < (1 << nb), s"code out of range at $s")
+      w.write(c, nb)
+      s += 1
+    }
+    buf
+  }
+}

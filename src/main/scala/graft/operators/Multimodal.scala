@@ -378,14 +378,21 @@ object Multimodal {
     MediaMeta(docId, s.n_bytes, s.width, s.height, s.format)
   }
 
-  /** EXTENSION POINT (referenced by no query or oracle row): where a
-    * perceptual-audio codec (MP3/AAC) would plug in. This engine decodes
-    * every image format for real (PNG/JPEG/GIF/BMP pixels; see
+  /** EXTENSION POINT (referenced by no query or oracle row): where
+    * full perceptual-audio PCM reconstruction would plug in. Since
+    * round 7 the engine decodes MPEG audio frames for real —
+    * [[MpegAudio.mp3Meta]] walks all-layer frame headers (bitrate/
+    * rate/duration/VBR) and [[MpegAudio.decodeLayer1]] requantizes
+    * MPEG-1 Layer I subband samples per ISO 11172-3 §2.4.3.3 — on top
+    * of every image format (PNG/JPEG/GIF/BMP pixels; see
     * [[decodeImageRgb]]) and WAV/PCM audio incl. DFT spectra
-    * ([[extractWavSpectrum]]); a pure-JVM MPEG audio decoder is the one
-    * codec a real deployment would take from a library instead. Until
-    * then this deterministic fake documents the MediaMeta contract such
-    * a codec must satisfy. */
+    * ([[extractWavSpectrum]]). What remains out of scope, permanently
+    * scoped to a library in a real deployment: Layer III entropy
+    * decode (big-values Huffman + IMDCT), joint-stereo reconstruction,
+    * and the polyphase synthesis window (spec annex table B.3 —
+    * empirical coefficients, not derivable from first principles).
+    * This deterministic fake documents the MediaMeta contract such a
+    * codec must satisfy. */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(payload)
     MediaMeta(docId, payload.length.toLong,

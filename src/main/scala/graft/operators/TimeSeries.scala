@@ -109,15 +109,21 @@ object TimeSeries {
         expr(s"INTERVAL $stepSeconds SECONDS"))).as(bucketCol))
     val back = Window.partitionBy(keyCol).orderBy(bucketCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = Window.partitionBy(keyCol).orderBy(bucketCol)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // "first non-null at-or-after current" == "last non-null in the
+    // DESCENDING running prefix" (buckets are unique per key, so the
+    // reversal is exact). A [current, unboundedFollowing) frame would
+    // re-scan from every row to partition end — O(n^2) per key in
+    // WindowExec (measured 11x the gapFill sibling at sf0.1); the
+    // descending running frame is the linear form of the same scan.
+    val fwd = Window.partitionBy(keyCol).orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obs = observations.withColumn("__observed", lit(1))
     val joined = grid.join(obs, Seq(keyCol, bucketCol), "left")
     val prevV = last(col(valueCol), ignoreNulls = true).over(back)
-    val nextV = first(col(valueCol), ignoreNulls = true).over(fwd)
+    val nextV = last(col(valueCol), ignoreNulls = true).over(fwd)
     val prevT = last(when(col("__observed").isNotNull, col(bucketCol)),
       ignoreNulls = true).over(back)
-    val nextT = first(when(col("__observed").isNotNull, col(bucketCol)),
+    val nextT = last(when(col("__observed").isNotNull, col(bucketCol)),
       ignoreNulls = true).over(fwd)
     val us = (c: org.apache.spark.sql.Column) => unix_micros(c).cast("double")
     val frac = (us(col(bucketCol)) - us(prevT)) / (us(nextT) - us(prevT))

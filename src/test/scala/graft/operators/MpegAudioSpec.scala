@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MPEG audio (ISO 11172-3) verification: all-layer frame-header walk
+  * against the closed synthesis form, ID3v2 skipping, VBR detection,
+  * and the MPEG-1 Layer I subband requantization roundtrip. */
+class MpegAudioSpec extends AnyFunSuite {
+
+  private val kbpsL3 =
+    Array(32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val srV1 = Array(44100, 48000, 32000)
+
+  test("mp3Meta walks synthesized Layer III frames: count, bitrate, " +
+       "rate, duration match the closed form") {
+    for (n <- Seq(1, 3, 5); brIdx <- Seq(1, 7, 14); srIdx <- 0 to 2) {
+      val p = MpegAudio.mp3SynthFrames(n, brIdx, srIdx)
+      val m = MpegAudio.mp3Meta(7L, p)
+      val kbps = kbpsL3(brIdx - 1); val sr = srV1(srIdx)
+      assert(m.valid && !m.vbr)
+      assert(m.version == 1 && m.layer == 3 && m.channels == 1)
+      assert(m.bitrate_kbps == kbps, s"br $brIdx")
+      assert(m.sample_rate == sr)
+      assert(m.n_frames == n)
+      assert(m.n_bytes == n.toLong * (144 * kbps * 1000 / sr))
+      assert(m.duration_ms == n.toLong * 1152 * 1000 / sr)
+    }
+  }
+
+  test("mp3Meta skips an ID3v2 tag and flags mixed-bitrate streams VBR") {
+    val f1 = MpegAudio.mp3SynthFrames(1, 5, 0)
+    val f2 = MpegAudio.mp3SynthFrames(1, 9, 0)
+    val id3 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 1, 3) ++
+      new Array[Byte](131) // syncsafe size 0x83 = 131 payload bytes
+    val m = MpegAudio.mp3Meta(1L, id3 ++ f1 ++ f2)
+    assert(m.valid && m.vbr && m.n_frames == 2)
+    assert(m.bitrate_kbps == kbpsL3(4)) // FIRST frame's bitrate
+    // a truncated final frame does not count
+    val cut = MpegAudio.mp3Meta(1L, f1 ++ f2.dropRight(1))
+    assert(cut.n_frames == 1 && !cut.vbr)
+  }
+
+  test("parseFrameHeader rejects bad sync, reserved fields, free format") {
+    def hdr(b1: Int, b2: Int, b3: Int, b4: Int) =
+      MpegAudio.parseFrameHeader(Array(b1.toByte, b2.toByte, b3.toByte,
+        b4.toByte), 0)
+    assert(hdr(0xfe, 0xfb, 0x92, 0xc0).isEmpty) // broken sync
+    assert(hdr(0xff, 0xeb, 0x92, 0xc0).isEmpty) // reserved version (01)
+    assert(hdr(0xff, 0xf9, 0x92, 0xc0).isEmpty) // reserved layer (00)
+    assert(hdr(0xff, 0xfb, 0x02, 0xc0).isEmpty) // free-format bitrate
+    assert(hdr(0xff, 0xfb, 0xf2, 0xc0).isEmpty) // forbidden bitrate 15
+    assert(hdr(0xff, 0xfb, 0x9e, 0xc0).isEmpty) // reserved samplerate
+    assert(hdr(0xff, 0xfb, 0x92, 0xc0).nonEmpty) // valid V1 L3
+    assert(MpegAudio.mp3Meta(1L, Array.fill[Byte](64)(0x20)).valid == false)
+  }
+
+  test("Layer I roundtrip: synthesized codes requantize to the closed " +
+       "form; silent subbands stay zero") {
+    for (id <- Seq(0L, 1L, 17L, 255L, 9999L)) {
+      val sb = (id % 32).toInt
+      val a = (id % 14 + 1).toInt; val nb = a + 1
+      val sfi = (3 * (id % 21)).toInt
+      def code(s: Int): Int = ((id * 7 + s * 13) % (1L << nb)).toInt
+      val frame = MpegAudio.mp1Synth(sb, a, sfi, code)
+      val dec = MpegAudio.decodeLayer1(frame)
+      assert(dec.channels == 1 && dec.sampleRate == 32000)
+      for (s <- 0 until 12)
+        assert(dec.sub(0)(sb * 12 + s) ==
+          MpegAudio.dequantLayer1(code(s), nb, sfi), s"id=$id s=$s")
+      for (other <- 0 until 32 if other != sb; s <- 0 until 12)
+        assert(dec.sub(0)(other * 12 + s) == 0.0)
+    }
+  }
+
+  test("dequantLayer1 matches hand-computed spec values and brackets " +
+       "the quantizer grid symmetrically") {
+    // nb=2, sf index 3 (sf = 1.0): s''' in {-1, -1/2, 0, +1/2}
+    // s'' = (4/3) * (s''' + 1/2)
+    assert(MpegAudio.dequantLayer1(0, 2, 3) == (4.0 / 3.0) * -0.5)
+    assert(MpegAudio.dequantLayer1(1, 2, 3) == 0.0)
+    assert(MpegAudio.dequantLayer1(2, 2, 3) == (4.0 / 3.0) * 0.5)
+    // scalefactor index 0 doubles everything (table head = 2.0)
+    assert(MpegAudio.dequantLayer1(2, 2, 0) ==
+      MpegAudio.dequantLayer1(2, 2, 3) * 2.0)
+    // grid symmetry: code c and its mirror sum to twice the midpoint
+    for (nb <- 2 to 15; c <- Seq(0, 1, (1 << nb) - 2)) {
+      val mid = MpegAudio.dequantLayer1(1 << (nb - 1), nb, 3)
+      val lo = MpegAudio.dequantLayer1(c, nb, 3)
+      val hi = MpegAudio.dequantLayer1((1 << nb) - c, nb, 3)
+      assert(math.abs(lo + hi - 2 * mid) < 1e-12, s"nb=$nb c=$c")
+    }
+  }
+
+  test("decodeLayer1 rejects joint stereo, wrong layers, truncation") {
+    // V1 Layer I joint-stereo header (mode bits 01)
+    val joint = Array(0xff, 0xff, 0x42, 0x40).map(_.toByte) ++
+      new Array[Byte](256)
+    intercept[IllegalArgumentException](MpegAudio.decodeLayer1(joint))
+    // Layer III stream is walkable but not Layer-I-decodable
+    val l3 = MpegAudio.mp3SynthFrames(1, 5, 0)
+    intercept[IllegalArgumentException](MpegAudio.decodeLayer1(l3))
+    // truncated Layer I frame
+    val ok = MpegAudio.mp1Synth(3, 4, 6, _ => 5)
+    intercept[IllegalArgumentException](
+      MpegAudio.decodeLayer1(ok.dropRight(ok.length / 2)))
+    assert(MpegAudio.decodeLayer1(ok).sub(0)(3 * 12) ==
+      MpegAudio.dequantLayer1(5, 5, 6))
+  }
+}

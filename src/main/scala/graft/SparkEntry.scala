@@ -5548,6 +5548,65 @@ object SparkEntry {
            |FROM est JOIN ex USING (grp)""".stripMargin
       }),
 
+    // SK: MERGEABLE HLL rollup — per-day register tables (the
+    // persistable daily sketch a 100 TB pipeline writes at ingest)
+    // max-merged across days WITHOUT re-scanning events, then estimated.
+    // Register max commutes with sharding, so the merged estimate is
+    // bit-identical to the direct one (SketchSpec pins the identity);
+    // the oracle computes the direct form, which is the same number by
+    // that identity. Merge input is <= m rows per (group, day) — KB of
+    // sketch state, never data.
+    Q("sk_hll_merge",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .withColumn("day", date_trunc("day", col("ts")))
+        val daily = Sketches.hllRegisters(
+          ev, Seq("event_type", "day"), "user_id", p = 12)
+        val est = Sketches.hllEstimate(
+          Sketches.hllMerge(daily, Seq("event_type")), Seq("event_type"),
+          p = 12)
+        val exact = t(s, dir, "events").groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact"))
+        val shards = daily.select("event_type", "day").distinct()
+          .groupBy("event_type").agg(count(lit(1)).as("n_shards"))
+        est.join(exact, Seq("event_type")).join(shards, Seq("event_type"))
+          .select(col("event_type"),
+            (round(col("hll_estimate"), 4) + 0.0).as("est"),
+            col("exact"), col("n_shards"))
+      },
+      Some {
+        val hv = h32Sql("CAST(user_id AS VARCHAR)", "0")
+        s"""WITH h AS (
+           |  SELECT event_type AS grp, $hv AS hv FROM events),
+           |regs AS (
+           |  SELECT grp, hv >> 20 AS idx,
+           |    max(CASE WHEN (hv & 1048575) = 0 THEN 21
+           |        ELSE 20 - (length(bin(hv & 1048575)) - 1) END) AS mj
+           |  FROM h GROUP BY grp, idx),
+           |folded AS (
+           |  SELECT grp, sum(pow(2e0, -mj)) AS s_present,
+           |    count(*) AS present FROM regs GROUP BY grp),
+           |est AS (
+           |  SELECT grp,
+           |    (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+           |      / (s_present + (4096 - present)) AS raw,
+           |    CAST(4096 - present AS DOUBLE) AS v
+           |  FROM folded),
+           |ex AS (SELECT event_type AS grp,
+           |       count(DISTINCT user_id) AS exact FROM events GROUP BY grp),
+           |sh AS (SELECT event_type AS grp,
+           |       count(DISTINCT date_trunc('day', ts)) AS n_shards
+           |       FROM events GROUP BY grp)
+           |SELECT grp AS event_type,
+           |  round(CASE
+           |    WHEN raw <= 2.5 * 4096 AND v > 0 THEN 4096e0 * ln(4096e0 / v)
+           |    WHEN raw > 4294967296e0 / 30 THEN
+           |      -4294967296e0 * ln(1 - raw / 4294967296e0)
+           |    ELSE raw END, 4) + 0e0 AS est,
+           |  exact, n_shards
+           |FROM est JOIN ex USING (grp) JOIN sh USING (grp)""".stripMargin
+      }),
+
     // SK: count-min frequency sketch (depth 4 x width 1024) over the
     // token multiset, point-queried for a fixed probe list, next to the
     // exact counts. Counter table shuffles at sketch size (<=4096 rows)

@@ -52,23 +52,32 @@ object Sketches {
     (idx, rho)
   }
 
-  /** Per-group HyperLogLog distinct-count estimate of `valueCol` (cast to
-    * string before hashing so the parity hash sees stable bytes).
-    *
-    * Shape: one narrow projection, then two partial-aggregating shuffles —
-    * (group, register) max-rank, then a group-level register fold. Map-side
-    * combine bounds shuffle rows at m = 2^p per group per task regardless
-    * of input size; no value list is ever collected. The estimate applies
-    * the standard small-range (linear counting) and 32-bit large-range
-    * corrections. */
-  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
-                  p: Int = 12): DataFrame = {
-    val m = 1 << p
+  /** Per-group HLL register table `(groupCols..., hll_idx, mj)` — the
+    * PERSISTABLE sketch state. Build it per shard (per day, per source,
+    * per ingest batch), write it out, and later [[hllMerge]] across
+    * shards without ever re-scanning the data: registers merge by max,
+    * so `estimate(merge(shards)) == estimate(direct)` EXACTLY (spec'd).
+    * This is the 100 TB daily-rollup shape — the merge input is
+    * KB-sized sketch tables, not the corpus. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int = 12): DataFrame = {
     val (idx, rho) = hllRegister(col(valueCol).cast("string"), p)
-    val regs = df
-      .select(groupCols.map(col) :+ idx.as("hll_idx") :+ rho.as("hll_rho"): _*)
+    df.select(groupCols.map(col) :+ idx.as("hll_idx") :+ rho.as("hll_rho"): _*)
       .groupBy((groupCols :+ "hll_idx").map(col): _*)
       .agg(max("hll_rho").as("mj"))
+  }
+
+  /** Max-merge register tables down to `groupCols` (dropping shard
+    * columns the build grouped by). Output rows <= m per group. */
+  def hllMerge(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy((groupCols :+ "hll_idx").map(col): _*)
+      .agg(max("mj").as("mj"))
+
+  /** Estimate distinct counts from a register table (small-range linear
+    * counting and 32-bit large-range corrections applied). */
+  def hllEstimate(regs: DataFrame, groupCols: Seq[String],
+                  p: Int = 12): DataFrame = {
+    val m = 1 << p
     val two32 = 4294967296.0 // 2^32
     regs
       .groupBy(groupCols.map(col): _*)
@@ -86,6 +95,23 @@ object Sketches {
           .otherwise(col("raw")))
       .select(groupCols.map(col) :+ col("hll_estimate"): _*)
   }
+
+  /** Per-group HyperLogLog distinct-count estimate of `valueCol` (cast to
+    * string before hashing so the parity hash sees stable bytes).
+    *
+    * Shape: one narrow projection, then two partial-aggregating shuffles —
+    * (group, register) max-rank, then a group-level register fold. Map-side
+    * combine bounds shuffle rows at m = 2^p per group per task regardless
+    * of input size; no value list is ever collected. */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 12): DataFrame =
+    hllEstimate(hllRegisters(df, groupCols, valueCol, p), groupCols, p)
+
+  /** Sum-merge CMS counter tables built per shard ([[cmsBuild]] with the
+    * shard column in a pre-select): integer counters are additive, so the
+    * merged sketch equals the direct one EXACTLY (spec'd). */
+  def cmsMerge(counters: DataFrame): DataFrame =
+    counters.groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
 
   /** Count-min sketch counters over the multiset `itemCol`: `depth`
     * independent hash rows (seeds 1..depth) of `width` buckets each.

@@ -82,6 +82,36 @@ class SketchSpec extends SparkTestBase {
     assert(e1 == e2 && e2 == e3, s"$e1 / $e2 / $e3")
   }
 
+  test("hllMerge of per-shard registers is bit-identical to the direct " +
+       "estimate (max commutes with sharding)") {
+    val df = spark.range(4000)
+      .selectExpr("id % 3 AS grp", "id % 5 AS shard", "id % 1700 AS v")
+    val direct = Sketches.hllDistinct(df, Seq("grp"), "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sharded = Sketches.hllEstimate(
+      Sketches.hllMerge(
+        Sketches.hllRegisters(df, Seq("grp", "shard"), "v"), Seq("grp")),
+      Seq("grp"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(direct == sharded, s"$direct vs $sharded")
+  }
+
+  test("cmsMerge of per-shard counter tables equals the direct sketch " +
+       "(integer counters are additive)") {
+    import spark.implicits._
+    val items = (1 to 300).flatMap(k => Seq.fill(k % 7 + 1)(s"t$k"))
+      .zipWithIndex.map { case (it, i) => (it, i % 4) }.toDF("it", "shard")
+    val direct = Sketches.cmsBuild(items, "it")
+    val merged = Sketches.cmsMerge(
+      (0 until 4).map(sh => Sketches.cmsBuild(items.where(col("shard") === sh),
+        "it")).reduce(_ unionByName _))
+    val probes = Seq("t1", "t100", "t299", "absent").toDF("it")
+    def probe(c: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsEstimate(c, probes, "it")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probe(direct) == probe(merged))
+  }
+
   test("cmsEstimate is one-sided: est >= exact, absent items near zero") {
     import spark.implicits._
     // skewed multiset: item k appears k times, k in 1..200

@@ -5607,6 +5607,45 @@ object SparkEntry {
            |FROM est JOIN ex USING (grp) JOIN sh USING (grp)""".stripMargin
       }),
 
+    // SK: mergeable QUANTILE sketch — fixed-range equi-width histogram
+    // (1024 buckets over the known price domain) + interpolated
+    // quantile read-off. The histogram is the persistable/additive
+    // state (histMerge identity spec'd); the cumulative walk is over
+    // <= 1024 sketch rows, never data. Deterministic by construction
+    // (unlike t-digest/KLL), so the oracle replays it exactly; emitted
+    // values use the floor(v*1e4+0.5)/1e4 quantization because dyadic
+    // bucket edges make decimal-round midpoints reachable.
+    Q("sk_hist_quantile",
+      (s, dir) => {
+        val hist = Sketches.histogramCounts(
+          t(s, dir, "lineitem"), "l_extendedprice",
+          lo = 0.0, hi = 122880.0, bins = 1024)
+        Sketches.histQuantiles(hist, Seq(0.5, 0.9, 0.99),
+          lo = 0.0, hi = 122880.0, bins = 1024)
+      },
+      Some("""WITH h AS (
+             |  SELECT least(1023, greatest(0, CAST(floor(
+             |      (l_extendedprice - 0e0) / 122880e0 * 1024e0) AS INT)))
+             |    AS bucket, count(*) AS cnt
+             |  FROM lineitem GROUP BY 1),
+             |c AS (
+             |  SELECT bucket, CAST(cnt AS DOUBLE) AS cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY bucket) AS DOUBLE) AS cum
+             |  FROM h),
+             |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM h),
+             |q AS (SELECT unnest([5e-1, 9e-1, 99e-2]) AS q),
+             |pick AS (
+             |  SELECT q, min(bucket) AS bucket
+             |  FROM q CROSS JOIN n CROSS JOIN c
+             |  WHERE cum >= q * n GROUP BY q),
+             |sel AS (
+             |  SELECT p.q, c.bucket, c.cnt, c.cum, n.n
+             |  FROM pick p JOIN c ON p.bucket = c.bucket CROSS JOIN n)
+             |SELECT q,
+             |  floor((0e0 + 120e0 * (CAST(bucket AS DOUBLE) +
+             |    (q * n - (cum - cnt)) / cnt)) * 1e4 + 5e-1) / 1e4 AS value
+             |FROM sel""".stripMargin)),
+
     // SK: count-min frequency sketch (depth 4 x width 1024) over the
     // token multiset, point-queried for a fixed probe list, next to the
     // exact counts. Counter table shuffles at sketch size (<=4096 rows)

@@ -113,6 +113,58 @@ object Sketches {
   def cmsMerge(counters: DataFrame): DataFrame =
     counters.groupBy("seed", "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Fixed-range equi-width histogram `(bucket, cnt)` — the mergeable
+    * QUANTILE sketch completing the trio (HLL cardinality, CMS
+    * frequency): integer counts are additive across shards
+    * ([[histMerge]]), so per-day histograms roll up without re-scanning
+    * data, and unlike t-digest/KLL the result is a deterministic
+    * function of the input multiset — reproducible by the oracle.
+    * `[lo, hi)` comes from domain knowledge (price caps, score ranges),
+    * NOT a data scan; out-of-range values clamp to the edge buckets.
+    * Resolution is (hi-lo)/bins per quantile — the documented accuracy
+    * contract. */
+  def histogramCounts(df: DataFrame, valueCol: String, lo: Double,
+                      hi: Double, bins: Int = 1024): DataFrame = {
+    require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
+    df.select(least(lit(bins - 1), greatest(lit(0),
+        floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) *
+          lit(bins.toDouble)).cast("int"))).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Sum-merge histogram tables built per shard. */
+  def histMerge(hists: DataFrame): DataFrame =
+    hists.groupBy("bucket").agg(sum("cnt").as("cnt"))
+
+  /** Interpolated quantiles from histogram counts. The cumulative walk
+    * is a window over <= bins rows BY CONSTRUCTION (sketch-sized, like
+    * the CMS broadcast) — never the data. Emitted values quantize with
+    * `floor(v*1e4 + 0.5)/1e4` (bucket edges are often dyadic, so
+    * decimal-round midpoints are REACHABLE here — same pitfall as
+    * ts_interp) and the blend is evaluated in the documented order
+    * `lo + width * (bucket + (q*n - (cum - cnt)) / cnt)` for oracle
+    * reproducibility. */
+  def histQuantiles(hist: DataFrame, qs: Seq[Double], lo: Double,
+                    hi: Double, bins: Int = 1024): DataFrame = {
+    val spark = hist.sparkSession
+    import spark.implicits._
+    val width = (hi - lo) / bins
+    val w = org.apache.spark.sql.expressions.Window.orderBy("bucket")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = hist.select(col("bucket"), col("cnt").cast("double").as("cnt"),
+      sum("cnt").over(w).cast("double").as("cum"))
+    val n = hist.agg(sum("cnt").cast("double").as("n"))
+    qs.toDF("q").crossJoin(broadcast(n)).crossJoin(broadcast(cum))
+      .where(col("cum") >= col("q") * col("n"))
+      .groupBy("q", "n")
+      .agg(min(struct(col("bucket"), col("cnt"), col("cum"))).as("m"))
+      .select(col("q"),
+        (floor((lit(lo) + lit(width) * (col("m.bucket").cast("double") +
+          (col("q") * col("n") - (col("m.cum") - col("m.cnt"))) /
+            col("m.cnt"))) * lit(1e4) + lit(0.5)) / lit(1e4)).as("value"))
+  }
+
   /** Count-min sketch counters over the multiset `itemCol`: `depth`
     * independent hash rows (seeds 1..depth) of `width` buckets each.
     *

@@ -112,6 +112,34 @@ class SketchSpec extends SparkTestBase {
     assert(probe(direct) == probe(merged))
   }
 
+  test("histQuantiles interpolates within buckets; histMerge of shards " +
+       "is identical; out-of-range values clamp to edge buckets") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val hist = Sketches.histogramCounts(df, "v", lo = 0.0, hi = 100.0,
+      bins = 100)
+    val got = Sketches.histQuantiles(hist, Seq(0.01, 0.5), lo = 0.0,
+        hi = 100.0, bins = 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // bucket b holds value b (1..99; 100 clamps into 99): p50 pos = 50
+    // lands at bucket 50's upper edge -> 51.0; p01 at bucket 1's -> 2.0
+    assert(got(0.5) == 51.0 && got(0.01) == 2.0, got.toString)
+    // merge identity: per-shard histograms sum to the direct sketch
+    val sharded = Sketches.histMerge(
+      (0 until 3).map(sh => Sketches.histogramCounts(
+        df.where(pmod(col("v").cast("int"), lit(3)) === sh), "v",
+        0.0, 100.0, 100)).reduce(_ unionByName _))
+    val mergedQ = Sketches.histQuantiles(sharded, Seq(0.01, 0.5), 0.0,
+        100.0, 100)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(mergedQ == got)
+    // clamping: far-out values land in the edge buckets
+    val edges = Sketches.histogramCounts(
+      Seq(-5.0, 1000.0).toDF("v"), "v", 0.0, 10.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(edges == Map(0 -> 1L, 9 -> 1L), edges.toString)
+  }
+
   test("cmsEstimate is one-sided: est >= exact, absent items near zero") {
     import spark.implicits._
     // skewed multiset: item k appears k times, k in 1..200

@@ -90,6 +90,15 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("ts_interp / j14: forward-looking scans plan as running-prefix " +
+       "windows, never an UnboundedFollowing frame (O(n^2) per key)") {
+    for (q <- Seq("ts_interp", "j14_asof_forward")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("unboundedfollowing") &&
+        !p.toUpperCase.contains("UNBOUNDED FOLLOWING"), s"$q: ${p.take(3000)}")
+    }
+  }
+
   test("pipe: the corpus pipelines plan without cartesian joins") {
     for (q <- Seq("pipe_clean_corpus", "pipe_training_corpus",
         "pipe_image_dedup")) {

@@ -2241,6 +2241,25 @@ object SparkEntry {
               |GROUP BY d.doc_id, p.probe_id
               |HAVING count(*) >= 2""".stripMargin)),
 
+    // DD: per-document duplicated-text fraction — the share of each
+    // doc's distinct 3-gram shingles that appear in >= 2 docs corpus-
+    // wide (the "mostly boilerplate?" filter signal). One shingle-df
+    // partial agg + a vocab-keyed join-back; floor(f*1e6+0.5)/1e6
+    // quantization because power-of-two shingle counts make decimal
+    // midpoints reachable.
+    Q("dd_dup_fraction",
+      (s, dir) => Dedup.dupShingleFraction(
+        t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH s AS ($shinglesSql),
+              |e AS (SELECT id, unnest(sh) AS g FROM s),
+              |d AS (SELECT g, count(*) AS df FROM e GROUP BY g),
+              |j AS (SELECT e.id, d.df FROM e JOIN d USING (g))
+              |SELECT id AS doc_id, count(*) AS n_shingles,
+              |  count(*) FILTER (WHERE df >= 2) AS n_dup,
+              |  floor((CAST(count(*) FILTER (WHERE df >= 2) AS DOUBLE) /
+              |    CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS dup_frac
+              |FROM j GROUP BY id""".stripMargin)),
+
     // Intra-document repetition signals (Gopher/RefinedWeb-style quality
     // rules): duplicate word-3-gram fraction + most-common-token fraction
     Q("ta_repetition",

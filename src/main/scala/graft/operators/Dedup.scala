@@ -561,6 +561,36 @@ object Dedup {
       .select("doc_id", "probe_id", "n_hits")
   }
 
+  /** Per-document duplicated-text fraction: the share of a doc's
+    * DISTINCT word n-gram shingles that appear in >= `minDocs` docs
+    * corpus-wide — the cleanliness signal behind "drop mostly-
+    * boilerplate documents" filters (C4/RefinedWeb-style), and the
+    * document-level complement of the pairwise dedup operators.
+    *
+    * Shape: per-doc distinct shingles explode -> corpus shingle
+    * document-frequency (partial agg; per-doc distinctness makes the
+    * count a doc count) -> df join-back on the shingle (the documented
+    * vocab-skew key, same as TF-IDF) -> per-doc counts. No pairs, no
+    * cartesian — linear in total shingles at any corpus size.
+    *
+    * dup_frac quantizes with floor(f*1e6 + 0.5)/1e6: ratios of shingle
+    * counts are dyadic whenever the denominator is a power of two, so
+    * decimal-round midpoints are REACHABLE (the ts_interp pitfall). */
+  def dupShingleFraction(docs: DataFrame, idCol: String, textCol: String,
+                         n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2 (1 would flag everything)")
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(shingles(col(textCol), n)).as("sh"))
+    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    sh.join(df, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= minDocs, lit(1))).as("n_dup"))
+      .select(col("doc_id"), col("n_shingles"), col("n_dup"),
+        (floor(col("n_dup").cast("double") / col("n_shingles").cast("double")
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("dup_frac"))
+  }
+
   /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
     * buckets (sign pattern over random hyperplanes, `tables` independent
     * hash tables for recall) generate candidates as a bucket equi-join,

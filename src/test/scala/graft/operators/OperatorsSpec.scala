@@ -1419,6 +1419,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(2) == ((0.0, 0.0)))
   }
 
+  test("dupShingleFraction scores each doc by its corpus-duplicated " +
+       "shingle share") {
+    val docs = Seq(
+      (1L, "a b c d"),  // shingles {a b c, b c d}
+      (2L, "a b c x"),  // shingles {a b c, b c x} -> shares "a b c" with 1
+      (3L, "q w e"),    // one unique shingle
+      (4L, "hi there")  // < 3 tokens: the whole text is the shingle
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupShingleFraction(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((2L, 1L, 0.5)), 2L -> ((2L, 1L, 0.5)),
+      3L -> ((1L, 0L, 0.0)), 4L -> ((1L, 0L, 0.0))))
+  }
+
   test("ngramContamination flags docs sharing >= minHits 3-grams " +
     "with a probe set") {
     val docs = Seq(

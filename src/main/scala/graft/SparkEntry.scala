@@ -2251,7 +2251,7 @@ object SparkEntry {
       (s, dir) => Dedup.dupShingleFraction(
         t(s, dir, "documents"), "doc_id", "text"),
       Some(s"""WITH s AS ($shinglesSql),
-              |e AS (SELECT id, unnest(sh) AS g FROM s),
+              |e AS (SELECT id, ${h32Sql("unnest(sh)", "0")} AS g FROM s),
               |d AS (SELECT g, count(*) AS df FROM e GROUP BY g),
               |j AS (SELECT e.id, d.df FROM e JOIN d USING (g))
               |SELECT id AS doc_id, count(*) AS n_shingles,

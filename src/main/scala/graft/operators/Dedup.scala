@@ -579,10 +579,21 @@ object Dedup {
   def dupShingleFraction(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "minDocs >= 2 (1 would flag everything)")
+    // JIT kernel + barrier + co-partitioning: shingles hash to LONGS
+    // map-side (hashedShinglesKernel — the string-shingle explode
+    // shuffles ~10x the bytes and the interpreted transform chain costs
+    // 1.5x on top), and repartition(g) pins the kernel behind ONE
+    // exchange that BOTH consumers (the df agg and the join-back)
+    // reuse — without the barrier the pipeline runs twice and collapses
+    // into the join projection; keying it by `g` makes the agg and the
+    // join exchange-free on top. Hash collisions merge shingles — the
+    // same deterministic contract as ngramContamination, mirrored by
+    // the oracle.
     val sh = docs.select(col(idCol).as("doc_id"),
-      explode(shingles(col(textCol), n)).as("sh"))
-    val df = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    sh.join(df, "sh")
+      explode(hashedShinglesUdf(col(textCol), lit(n))).as("g"))
+      .repartition(col("g"))
+    val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
+    sh.join(df, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         count(when(col("df") >= minDocs, lit(1))).as("n_dup"))

@@ -2516,6 +2516,64 @@ object SparkEntry {
              |  * (2e0 / CAST(1 << k AS DOUBLE)) AS v
              |FROM e""".stripMargin)),
 
+    // PIPE: audio-corpus capstone — synth a mixed audio corpus (MPEG
+    // Layer III streams + RIFF/WAVE PCM), sniff the container from
+    // magic bytes, dispatch to the matching REAL frame walk
+    // (MpegAudio.mp3Meta / Multimodal.wavMeta), and aggregate
+    // per-format corpus stats: the route-by-format + duration-budget
+    // accounting every audio ingest does before any sample decode.
+    // One narrow per-partition pass + a 2-group partial agg.
+    Q("pipe_audio_corpus",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val stats = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val p =
+              if (id % 2 == 0)
+                MpegAudio.mp3SynthFrames((id % 5 + 1).toInt,
+                  (id % 14 + 1).toInt, (id % 3).toInt)
+              else Multimodal.wavSynth(1, (8000 + (id % 3) * 4000).toInt,
+                (0 until (id % 40 + 5).toInt).map(i =>
+                  ((id * 13 + i) % 65536 - 32768).toShort))
+            val dur = Multimodal.sniffFormat(p) match {
+              case "mp3" => MpegAudio.mp3Meta(id, p).duration_ms
+              case "wav" => Multimodal.wavMeta(id, p).duration_ms
+              case _ => -1L
+            }
+            (id, Multimodal.sniffFormat(p), p.length.toLong, dur)
+          }.toDF("doc_id", "format", "n_bytes", "duration_ms")
+        stats.where(col("duration_ms") >= 0)
+          .groupBy("format")
+          .agg(count(lit(1)).as("n_docs"),
+            sum("n_bytes").as("total_bytes"),
+            sum("duration_ms").as("total_ms"),
+            min("duration_ms").as("min_ms"),
+            max("duration_ms").as("max_ms"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    CASE WHEN doc_id % 2 = 0 THEN 'mp3' ELSE 'wav' END AS format,
+             |    doc_id % 5 + 1 AS n,
+             |    ([32,40,48,56,64,80,96,112,128,160,192,224,256,320])
+             |      [CAST(doc_id % 14 + 1 AS INT)] AS kbps,
+             |    ([44100,48000,32000])[CAST(doc_id % 3 + 1 AS INT)] AS sr,
+             |    8000 + (doc_id % 3) * 4000 AS wr,
+             |    doc_id % 40 + 5 AS ns
+             |  FROM documents),
+             |p AS (
+             |  SELECT doc_id, format,
+             |    CASE WHEN format = 'mp3' THEN n * ((144 * kbps * 1000) // sr)
+             |         ELSE 44 + ns * 2 END AS n_bytes,
+             |    CASE WHEN format = 'mp3' THEN (n * 1152 * 1000) // sr
+             |         ELSE (ns * 1000) // wr END AS duration_ms
+             |  FROM g)
+             |SELECT format, count(*) AS n_docs,
+             |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             |  CAST(sum(duration_ms) AS BIGINT) AS total_ms,
+             |  min(duration_ms) AS min_ms, max(duration_ms) AS max_ms
+             |FROM p GROUP BY format""".stripMargin)),
+
     // K6: bucketed co-located join — both sides written bucketBy the join
     // key, so the join plans WITHOUT a shuffle exchange (PlanSpec gate).
     // This is the 100 TB answer for repeated fact-to-fact joins on a

@@ -716,7 +716,41 @@ object SparkEntry {
              |  coalesce(round(sum(c.value), 2), 0e0) + 0e0 AS click_value
              |FROM p LEFT JOIN c ON p.user_id = c.user_id
              |  AND c.c_us >= p.p_us - 1800000000 AND c.c_us < p.p_us
-             |GROUP BY p.event_id, p.user_id, p.p_us""".stripMargin))
+             |GROUP BY p.event_id, p.user_id, p.p_us""".stripMargin)),
+
+    // J15: interval x interval OVERLAP join — purchase attribution
+    // windows overlapping click activity windows per user. Both sides
+    // explode to covered epoch buckets, join as a plain equi-join on
+    // (user, bucket), and each pair surfaces exactly once at the first
+    // shared bucket (no distinct pass); the exact overlap predicate is
+    // re-checked so results equal the naive inequality join. The
+    // interval x point sibling is j13.
+    Q("j15_interval_overlap",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val p = ev.where(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id"),
+            (unix_micros(col("ts")) - lit(1800000000L)).as("p_start"),
+            unix_micros(col("ts")).as("p_end"))
+        val c = ev.where(col("event_type") === "click")
+          .select(col("event_id").as("c_id"), col("user_id"),
+            (unix_micros(col("ts")) - lit(600000000L)).as("c_start"),
+            (unix_micros(col("ts")) + lit(600000000L)).as("c_end"))
+        RangeJoin.intervalOverlap(p, c, Seq("user_id"),
+          "p_start", "p_end", "c_start", "c_end",
+          bucketWidth = 1800000000L)
+          .select("user_id", "p_id", "c_id")
+      },
+      Some("""SELECT p.user_id, p.event_id AS p_id, c.event_id AS c_id
+             |FROM (SELECT event_id, user_id,
+             |        epoch_us(ts) - 1800000000 AS ps, epoch_us(ts) AS pe
+             |      FROM events WHERE event_type = 'purchase') p
+             |JOIN (SELECT event_id, user_id,
+             |        epoch_us(ts) - 600000000 AS cs,
+             |        epoch_us(ts) + 600000000 AS ce
+             |      FROM events WHERE event_type = 'click') c
+             |  ON p.user_id = c.user_id
+             |  AND p.ps <= c.ce AND c.cs <= p.pe""".stripMargin))
   )
 
   // =================================================================

@@ -62,4 +62,42 @@ object RangeJoin {
              else col(pointCol) < col(endCol)
     iv.join(pt, (keys :+ B).toSeq, "inner").where(lo && hi).drop(B)
   }
+
+  /** Pairs every left interval with every right interval of the same keys
+    * that OVERLAPS it (closed bounds: lStart <= rEnd AND rStart <= lEnd) —
+    * the interval x interval sibling of [[intervalPoint]] (session
+    * overlap, co-occurrence windows, genomic ranges). Both sides explode
+    * to their covered buckets and join as a plain equi-join on
+    * (keys :+ bucket); overlapping intervals always share at least one
+    * bucket, and each pair is kept ONLY at the first bucket both cover
+    * (`max` of the two start buckets) — exactly-once output with no
+    * distinct pass over the pair set. The exact overlap predicate is
+    * re-checked after the join, so results equal the naive inequality
+    * join with the candidate set bounded per bucket. */
+  def intervalOverlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+                      leftStart: String, leftEnd: String,
+                      rightStart: String, rightEnd: String,
+                      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collide = (left.columns.toSet -- keys)
+      .intersect(right.columns.toSet -- keys)
+    require(collide.isEmpty,
+      s"non-key columns collide across sides: ${collide.mkString(", ")}")
+    def bucketOf(c: String) =
+      ((col(c).cast("long") - pmod(col(c).cast("long"), lit(bucketWidth))) /
+        lit(bucketWidth)).cast("long")
+    val B = "__rj_bucket"
+    val l = left
+      .where(col(leftStart).isNotNull && col(leftEnd).isNotNull)
+      .withColumn(B,
+        explode(sequence(bucketOf(leftStart), bucketOf(leftEnd))))
+    val r = right
+      .where(col(rightStart).isNotNull && col(rightEnd).isNotNull)
+      .withColumn(B,
+        explode(sequence(bucketOf(rightStart), bucketOf(rightEnd))))
+    l.join(r, (keys :+ B).toSeq, "inner")
+      .where(col(B) === greatest(bucketOf(leftStart), bucketOf(rightStart)) &&
+        col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .drop(B)
+  }
 }

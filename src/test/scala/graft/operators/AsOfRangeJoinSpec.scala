@@ -135,6 +135,23 @@ class AsOfRangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("rangeJoin intervalOverlap equals the brute-force overlap join " +
+       "with every pair exactly once") {
+    val l = intervals.toDF("iv_id", "k", "s", "e")
+    val r = intervals.map { case (id, k, s, e) => (id + 5000L, k, s, e) }
+      .toDF("rv_id", "k", "rs", "re")
+    val rows = RangeJoin.intervalOverlap(l, r, Seq("k"), "s", "e",
+        "rs", "re", bucketWidth = 64L)
+      .select("iv_id", "rv_id").as[(Long, Long)].collect()
+    val brute = (for {
+      (aId, ak, as_, ae) <- intervals
+      (bId, bk, bs, be) <- intervals
+      if ak == bk && as_ <= be && bs <= ae
+    } yield (aId, bId + 5000L)).toSet
+    assert(rows.length == rows.toSet.size, "duplicate pairs emitted")
+    assert(rows.toSet == brute)
+  }
+
   test("rangeJoin rejects colliding non-key columns and bad widths") {
     val iv = intervals.toDF("iv_id", "k", "s", "e")
     val pt = points.toDF("pt_id", "k", "s", "v") // 's' collides

@@ -579,19 +579,26 @@ object Dedup {
   def dupShingleFraction(docs: DataFrame, idCol: String, textCol: String,
                          n: Int = 3, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, "minDocs >= 2 (1 would flag everything)")
-    // JIT kernel + barrier + co-partitioning: shingles hash to LONGS
-    // map-side (hashedShinglesKernel — the string-shingle explode
-    // shuffles ~10x the bytes and the interpreted transform chain costs
-    // 1.5x on top), and repartition(g) pins the kernel behind ONE
-    // exchange that BOTH consumers (the df agg and the join-back)
-    // reuse — without the barrier the pipeline runs twice and collapses
-    // into the join projection; keying it by `g` makes the agg and the
-    // join exchange-free on top. Hash collisions merge shingles — the
-    // same deterministic contract as ngramContamination, mirrored by
-    // the oracle.
+    // JIT kernel + cache: shingles hash to LONGS map-side
+    // (hashedShinglesKernel — the string-shingle explode shuffles ~10x
+    // the bytes and the interpreted transform chain costs 1.5x on top).
+    // The shingle frame feeds TWO consumers (the df agg and the
+    // join-back); persisting it keeps the kernel single-execution
+    // WITHOUT pinning an exchange on `g` — shingle document-frequency
+    // is Zipfian (this operator exists to find high-df boilerplate), so
+    // a user-forced repartition(g) would put a 1e8-doc shingle's rows
+    // in ONE partition that AQE refuses to skew-split (user-specified
+    // repartition origin). With planner-inserted exchanges instead, the
+    // groupBy's partial agg bounds the hot key map-side and AQE's
+    // skew-join split handles the join-back's probe side (the df build
+    // side is one row per key) — the same vocab-skew rule as ta_tfidf.
+    // The cache is MEMORY_AND_DISK and LRU-evicted; at cluster scale it
+    // is the same bytes the dropped repartition wrote to shuffle disk.
+    // Hash collisions merge shingles — the same deterministic contract
+    // as ngramContamination, mirrored by the oracle.
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(hashedShinglesUdf(col(textCol), lit(n))).as("g"))
-      .repartition(col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
     sh.join(df, "g")
       .groupBy("doc_id")

@@ -233,4 +233,18 @@ class PlanSpec extends SparkTestBase {
     // executed plan (not rewritten into something driver-side)
     assert(plan("sk_bloom_prune").contains("might_contain"))
   }
+
+  test("dd_dup_fraction: no user-forced exchange on the Zipf-skewed " +
+    "shingle key; the shingle frame is cached, not re-keyed") {
+    // The round-7 weak mark: a pinned repartition(g) put a hot shingle's
+    // rows in ONE partition AQE refuses to skew-split (user-specified
+    // repartition origin). The replacement persists the shingle frame
+    // (kernel still single-execution) and leaves every exchange
+    // planner-inserted (ENSURE_REQUIREMENTS), which AQE CAN skew-split.
+    val p = plan("dd_dup_fraction")
+    assert(!p.contains("REPARTITION_BY_COL"), p.take(3000))
+    assert(!p.contains("REPARTITION_BY_NUM"), p.take(3000))
+    assert(p.contains("InMemoryTableScan"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
 }

@@ -24,7 +24,10 @@ import org.apache.spark.sql.functions._
   * stitch chunk boundaries with the last quote of the previous chunk.)
   *
   * Contract: right rows with a null time never match; left rows with a null
-  * time get null payload. If several right rows share (keys, time), an
+  * time get null payload (enforced explicitly — under the forward
+  * direction's descending sort a null-time probe would otherwise sort
+  * NULLS LAST with every quote in its prefix and pick up the earliest
+  * quote's payload). If several right rows share (keys, time), an
   * arbitrary one wins — pre-aggregate the right side to one row per
   * (keys, time) for deterministic output.
   */
@@ -94,10 +97,18 @@ object AsOfJoin {
     def pick(c: String): Column =
       last(col(c), ignoreNulls = true).over(frame)
 
-    val carried = unioned.select(unioned.columns.map {
+    val carriedRaw = unioned.select(unioned.columns.map {
       case c if c == RT || outNames.contains(c) => pick(c).as(c)
       case c => col(c)
     }: _*).where(col(TAG) === probeTag)
+
+    // Null-time probes never match (contract): backward's asc NULLS FIRST
+    // sort gives them an empty prefix naturally, but forward's desc
+    // NULLS LAST sort puts every quote in their prefix — null the carried
+    // columns explicitly so both directions honor the contract.
+    val carried = (outNames :+ RT).foldLeft(carriedRaw) { (df, out) =>
+      df.withColumn(out, when(col(leftTime).isNotNull, col(out)))
+    }
 
     val bounded = within match {
       case None => carried

@@ -21,7 +21,12 @@ import org.apache.spark.sql.functions._
   * as buckets get wider than intervals.
   *
   * Contract: range columns must be integral (epoch micros, keys, offsets);
-  * intervals must satisfy start <= end; null starts/ends/points never match.
+  * intervals must satisfy start <= end — malformed rows (end < start) are
+  * dropped like nulls, not silently exploded through a descending bucket
+  * sequence. Null starts/ends/points never match. One interval of length L
+  * still fans out to L/bucketWidth candidate rows — keep bucketWidth near
+  * the typical interval length, and cap pathological interval lengths
+  * upstream if the domain allows them.
   */
 object RangeJoin {
 
@@ -50,7 +55,8 @@ object RangeJoin {
 
     val B = "__rj_bucket"
     val iv = intervals
-      .where(col(startCol).isNotNull && col(endCol).isNotNull)
+      .where(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
       .withColumn(B, explode(sequence(bucketOf(startCol), bucketOf(endCol))))
     val pt = points
       .where(col(pointCol).isNotNull)
@@ -88,11 +94,13 @@ object RangeJoin {
         lit(bucketWidth)).cast("long")
     val B = "__rj_bucket"
     val l = left
-      .where(col(leftStart).isNotNull && col(leftEnd).isNotNull)
+      .where(col(leftStart).isNotNull && col(leftEnd).isNotNull &&
+        col(leftStart) <= col(leftEnd))
       .withColumn(B,
         explode(sequence(bucketOf(leftStart), bucketOf(leftEnd))))
     val r = right
-      .where(col(rightStart).isNotNull && col(rightEnd).isNotNull)
+      .where(col(rightStart).isNotNull && col(rightEnd).isNotNull &&
+        col(rightStart) <= col(rightEnd))
       .withColumn(B,
         explode(sequence(bucketOf(rightStart), bucketOf(rightEnd))))
     l.join(r, (keys :+ B).toSeq, "inner")

@@ -121,14 +121,21 @@ object Sketches {
     * function of the input multiset — reproducible by the oracle.
     * `[lo, hi)` comes from domain knowledge (price caps, score ranges),
     * NOT a data scan; out-of-range values clamp to the edge buckets.
-    * Resolution is (hi-lo)/bins per quantile — the documented accuracy
-    * contract. */
+    * Null and NaN values are EXCLUDED (they are not observations of the
+    * distribution — counting them as bucket 0 would inflate n and the
+    * low quantiles). The clamp runs in long arithmetic BEFORE the int
+    * cast: a raw floor(...) is BIGINT, and a pre-clamp long->int cast
+    * wraps for values ~2^31 bucket-widths outside [lo, hi), which would
+    * send an extreme high value to bucket 0. Resolution is (hi-lo)/bins
+    * per quantile — the documented accuracy contract. */
   def histogramCounts(df: DataFrame, valueCol: String, lo: Double,
                       hi: Double, bins: Int = 1024): DataFrame = {
     require(bins >= 2 && hi > lo, "need bins >= 2 and hi > lo")
-    df.select(least(lit(bins - 1), greatest(lit(0),
-        floor((col(valueCol).cast("double") - lit(lo)) / lit(hi - lo) *
-          lit(bins.toDouble)).cast("int"))).as("bucket"))
+    val v = col(valueCol).cast("double")
+    df.where(v.isNotNull && !isnan(v))
+      .select(least(lit((bins - 1).toLong), greatest(lit(0L),
+        floor((v - lit(lo)) / lit(hi - lo) * lit(bins.toDouble))))
+        .cast("int").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
   }
 

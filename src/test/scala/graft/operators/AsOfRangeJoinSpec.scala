@@ -95,6 +95,15 @@ class AsOfRangeJoinSpec extends SparkTestBase {
     assert(got == Map(1L -> Some(7.0), // equal time matches (<=)
                       2L -> None,      // only later/null quotes exist
                       3L -> None))     // null probe time never matches
+    // the FORWARD direction must honor the same null-probe contract: its
+    // descending sort puts null-time probes NULLS LAST (every quote in the
+    // running prefix), so the operator nulls the carry explicitly
+    val fwd = AsOfJoin.forward(probe, quote, Seq("k"), "t", "qt",
+        Seq("payload" -> "p"))
+      .select("probe_id", "p").as[(Long, Option[Double])].collect().toMap
+    assert(fwd == Map(1L -> Some(7.0), // equal time matches (>=)
+                      2L -> Some(7.0), // quote at 100 is the next future
+                      3L -> None))     // null probe time never matches
   }
 
   test("asof rejects payload names colliding with left columns") {
@@ -150,6 +159,41 @@ class AsOfRangeJoinSpec extends SparkTestBase {
     } yield (aId, bId + 5000L)).toSet
     assert(rows.length == rows.toSet.size, "duplicate pairs emitted")
     assert(rows.toSet == brute)
+  }
+
+  test("rangeJoin intervalOverlap with NO keys is a global overlap join") {
+    // keys = Seq.empty joins on the bucket alone — the global variant
+    // (every interval against every interval, still bucket-bounded)
+    val l = intervals.take(60).toDF("iv_id", "k", "s", "e")
+    val r = intervals.drop(60).take(60)
+      .map { case (id, k, s, e) => (id + 5000L, k, s, e) }
+      .toDF("rv_id", "rk", "rs", "re")
+    val rows = RangeJoin.intervalOverlap(l, r, Seq.empty, "s", "e",
+        "rs", "re", bucketWidth = 64L)
+      .select("iv_id", "rv_id").as[(Long, Long)].collect()
+    val brute = (for {
+      (aId, _, as_, ae) <- intervals.take(60)
+      (bId, _, bs, be) <- intervals.drop(60).take(60)
+      if as_ <= be && bs <= ae
+    } yield (aId, bId + 5000L)).toSet
+    assert(rows.length == rows.toSet.size, "duplicate pairs emitted")
+    assert(rows.toSet == brute)
+  }
+
+  test("rangeJoin drops malformed intervals (end < start) like nulls") {
+    val iv = Seq((1L, 0L, 10L, 5L),   // inverted: dropped
+                 (2L, 0L, 10L, 20L))  // well-formed
+      .toDF("iv_id", "k", "s", "e")
+    val pt = Seq((100L, 0L, 12L, 1.0)).toDF("pt_id", "k", "t", "v")
+    val got = RangeJoin.intervalPoint(iv, pt, Seq("k"), "s", "e", "t", 64L)
+      .select("iv_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+    val ov = RangeJoin.intervalOverlap(
+        Seq((1L, 0L, 10L, 5L), (2L, 0L, 10L, 20L)).toDF("a_id", "k", "s", "e"),
+        Seq((9L, 0L, 0L, 100L)).toDF("b_id", "k", "rs", "re"),
+        Seq("k"), "s", "e", "rs", "re", 64L)
+      .select("a_id").as[Long].collect().toSet
+    assert(ov == Set(2L))
   }
 
   test("rangeJoin rejects colliding non-key columns and bad widths") {

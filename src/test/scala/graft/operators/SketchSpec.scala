@@ -133,11 +133,19 @@ class SketchSpec extends SparkTestBase {
         100.0, 100)
       .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(mergedQ == got)
-    // clamping: far-out values land in the edge buckets
+    // clamping: far-out values land in the edge buckets — including values
+    // beyond 2^31 bucket-widths out, where a pre-clamp long->int cast
+    // would wrap the bucket index and break the edge-clamp contract
     val edges = Sketches.histogramCounts(
-      Seq(-5.0, 1000.0).toDF("v"), "v", 0.0, 10.0, 10)
+      Seq(-5.0, 1000.0, -1e18, 1e18).toDF("v"), "v", 0.0, 10.0, 10)
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(edges == Map(0 -> 1L, 9 -> 1L), edges.toString)
+    assert(edges == Map(0 -> 2L, 9 -> 2L), edges.toString)
+    // null and NaN are not observations: excluded, never bucket 0
+    val withNulls = Sketches.histogramCounts(
+      Seq(Some(1.0), None, Some(Double.NaN), Some(9.0))
+        .toDF("v"), "v", 0.0, 10.0, 10)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(withNulls == Map(1 -> 1L, 9 -> 1L), withNulls.toString)
   }
 
   test("cmsEstimate is one-sided: est >= exact, absent items near zero") {

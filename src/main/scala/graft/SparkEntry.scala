@@ -5798,7 +5798,65 @@ object SparkEntry {
            |          WHERE t_ IN ($probeList) GROUP BY 1)
            |SELECT tok, est, coalesce(exact, 0) AS exact
            |FROM est LEFT JOIN exact USING (tok)""".stripMargin
-      })
+      }),
+
+    // TA: byte-level BPE token statistics under the COMMITTED merges
+    // fixture (graft/bpe_merges.txt, trained deterministically by
+    // tools.BpeTrain — the public GPT-2 scheme applied per whitespace
+    // word). Real token counts, not the word-count proxy: this is what
+    // sequence packing and mixture budgeting actually meter. The
+    // oracle replays the encode as a recursive CTE over the DISTINCT
+    // words (same min-rank merge loop; one leftmost occurrence per
+    // step, equivalent for training-consistent tables — see Bpe's
+    // scaladoc and BpeSpec).
+    Q("ta_bpe_tokens",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.functions.Bpe.tokenStats(col("text")).as("st"))
+        .select(col("doc_id"), col("st._1").as("n_words"),
+          col("st._2").as("n_tokens")),
+      Some(s"""WITH RECURSIVE
+              |${graft.functions.Bpe.oracleCtesSql("documents")},
+              |agg AS (
+              |  SELECT bw.doc_id, count(*) AS n_words, sum(b.n_tok) AS n_tokens
+              |  FROM bpe_words bw JOIN bpe b USING (w)
+              |  GROUP BY bw.doc_id)
+              |SELECT doc.doc_id,
+              |  CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+              |  CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+              |FROM documents doc LEFT JOIN agg a USING (doc_id)""".stripMargin)),
+
+    // DS: sequence packing budgeted by REAL BPE token counts (the
+    // ds_pack_sequences shape — contiguous greedy fill into 512-token
+    // bins per source shard — with the proxy word count replaced by
+    // the tokenizer the training run would actually meter with).
+    Q("ds_pack_tokens",
+      (s, dir) => {
+        val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+          graft.functions.Bpe.tokenCount(col("text")).as("n_tokens"))
+        val w = Window.partitionBy("source").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("cum", sum("n_tokens").over(w))
+          .withColumn("seq_id", expr("(cum - n_tokens) div 512"))
+          .select("doc_id", "source", "n_tokens", "seq_id")
+      },
+      Some(s"""WITH RECURSIVE
+              |${graft.functions.Bpe.oracleCtesSql("documents")},
+              |agg AS (
+              |  SELECT bw.doc_id, CAST(sum(b.n_tok) AS BIGINT) AS n_tokens
+              |  FROM bpe_words bw JOIN bpe b USING (w)
+              |  GROUP BY bw.doc_id),
+              |d AS (
+              |  SELECT doc.doc_id, doc.source,
+              |    CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens
+              |  FROM documents doc LEFT JOIN agg a USING (doc_id)),
+              |c AS (SELECT doc_id, source, n_tokens,
+              |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |          ROWS UNBOUNDED PRECEDING) AS cum
+              |      FROM d)
+              |SELECT doc_id, source, n_tokens,
+              |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
+              |FROM c""".stripMargin))
   )
 
   // =================================================================

@@ -2550,6 +2550,53 @@ object SparkEntry {
              |  * (2e0 / CAST(1 << k AS DOUBLE)) AS v
              |FROM e""".stripMargin)),
 
+    // MM: REAL ISO-BMFF (MP4) box walk — the VIDEO leg of the
+    // multimodal column set (ISO/IEC 14496-12 box grammar: size+type
+    // headers, nesting, skip-unknown-by-size). Extracts major brand,
+    // mvhd timescale/duration, per-trak hdlr handler + stsd codec
+    // fourcc, tkhd 16.16 fixed-point dimensions — the fields a 100 TB
+    // ingest routes and budgets video on. Payloads synthesize real
+    // nested boxes per doc_id (incl. a free box the walk must skip);
+    // the oracle is the closed form of the synthesis parameters.
+    Q("mm_mp4_meta",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val ts = Seq(600, 1000, 90000)((id % 3).toInt)
+            val vc = Seq("avc1", "hev1", "vp09")((id % 3).toInt)
+            val p = Mp4.mp4Synth("isom", ts, id % 5000 + 1, vc,
+              (id % 640 + 16).toInt, (id % 360 + 16).toInt,
+              withAudio = id % 2 == 1, mdatBytes = (id % 100).toInt)
+            Mp4.mp4Meta(id, p)
+          }.toDF()
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    ([600, 1000, 90000])[CAST(doc_id % 3 + 1 AS INT)] AS ts,
+             |    (['avc1', 'hev1', 'vp09'])[CAST(doc_id % 3 + 1 AS INT)]
+             |      AS vc,
+             |    doc_id % 5000 + 1 AS dur,
+             |    doc_id % 2 = 1 AS with_audio,
+             |    doc_id % 100 AS mdat
+             |  FROM documents)
+             |SELECT doc_id,
+             |  -- ftyp 24 + free 14 + moov(8 + mvhd 108 + video trak 221)
+             |  -- + mdat hdr 8 = 383 fixed; audio trak adds another 221
+             |  CAST(383 + mdat + CASE WHEN with_audio
+             |    THEN 221 ELSE 0 END AS BIGINT) AS n_bytes,
+             |  'isom' AS major_brand, CAST(ts AS INT) AS timescale,
+             |  CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+             |  CAST(1 + CASE WHEN with_audio THEN 1 ELSE 0 END AS INT)
+             |    AS n_tracks,
+             |  vc AS video_codec,
+             |  CASE WHEN with_audio THEN 'mp4a' ELSE '' END AS audio_codec,
+             |  CAST(doc_id % 640 + 16 AS INT) AS width,
+             |  CAST(doc_id % 360 + 16 AS INT) AS height,
+             |  true AS valid
+             |FROM g""".stripMargin)),
+
     // PIPE: audio-corpus capstone — synth a mixed audio corpus (MPEG
     // Layer III streams + RIFF/WAVE PCM), sniff the container from
     // magic bytes, dispatch to the matching REAL frame walk

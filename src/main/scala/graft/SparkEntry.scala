@@ -1694,6 +1694,77 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
+    // ST: streaming dedup against the STANDING index — continuous-
+    // ingest shape: micro-batches arrive in order, each probes the
+    // persisted bucketed index plus all earlier batches, then appends
+    // its signatures so later batches dedup against it. The registry
+    // row runs DedupStream.ingestFold (the deterministic batch-
+    // sequenced path); the foreachBatch streaming path is pinned
+    // stream ≡ batch by DedupStreamSpec over a MemoryStream — the
+    // st_ohlc gating pattern. B1 x B2 pairs surface as vs_index (B1
+    // was already ingested when B2 arrived), NOT within_batch — the
+    // semantic difference vs dd_incremental's one-shot batch.
+    Q("st_dedup_index",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = s"graft_mh_stream_$tag"
+        val docs = t(s, dir, "documents")
+        Dedup.writeMinHashIndex(Dedup.minHashIndex(
+            docs.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2),
+          tbl, s"/tmp/graft_bucketed/${tag}_stream_index")
+        graft.streaming.DedupStream.ingestFold(s.table(tbl),
+          Seq(docs.where(pmod(col("doc_id"), lit(8)) === 0),
+            docs.where(pmod(col("doc_id"), lit(8)) === 4)),
+          "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+          simThreshold = 0.25)
+      },
+      Some(s"""WITH sh AS ($shinglesSql),
+              |h1 AS (
+              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+              |  FROM sh),
+              |sig AS (
+              |  SELECT id, list_transform(range(0, 16), i ->
+              |    list_min(list_transform(h1,
+              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+              |  FROM h1),
+              |banded AS (
+              |  SELECT id, sig, b AS band,
+              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+              |      sig[b*2+2]::VARCHAR) AS bucket
+              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+              |old AS (SELECT * FROM banded WHERE id % 4 <> 0),
+              |b1 AS (SELECT * FROM banded WHERE id % 8 = 0),
+              |b2 AS (SELECT * FROM banded WHERE id % 8 = 4),
+              |i2 AS (SELECT * FROM old UNION ALL SELECT * FROM b1),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    'vs_index' AS kind, 0 AS batch_id, a.sig AS a_sig,
+              |    b.sig AS b_sig
+              |  FROM old a JOIN b1 b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+              |  UNION
+              |  SELECT DISTINCT a.id, b.id, 'within_batch', 0, a.sig, b.sig
+              |  FROM b1 a JOIN b1 b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+              |  UNION
+              |  SELECT DISTINCT a.id, b.id, 'vs_index', 1, a.sig, b.sig
+              |  FROM i2 a JOIN b2 b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+              |  UNION
+              |  SELECT DISTINCT a.id, b.id, 'within_batch', 1, a.sig, b.sig
+              |  FROM b2 a JOIN b2 b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+              |SELECT a_id, b_id, kind,
+              |  list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    AS sig_sim,
+              |  CAST(batch_id AS BIGINT) AS batch_id
+              |FROM cand
+              |WHERE list_sum(list_transform(range(1, 17), i ->
+              |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |  >= 0.25""".stripMargin)),
+
     // Cluster-level dedup: LSH pair graph -> connected components ->
     // canonical keep (longest text, min-id tiebreak). The transitive-
     // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's

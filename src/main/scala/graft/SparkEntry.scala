@@ -3438,6 +3438,94 @@ object SparkEntry {
              |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
              |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin)),
 
+    // TPC-H q7 shape (volume shipping): the bidirectional two-nation
+    // trade flow by ship year — a 5-join tree where BOTH nation dims
+    // enter by broadcast under different aliases and the date-range
+    // predicate pushes to the lineitem scan (PlanSpec asserts both).
+    Q("q7_nation_volume",
+      (s, dir) => {
+        Seq("supplier", "lineitem", "orders", "customer", "nation")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT supp_nation, cust_nation, l_year,
+                 round(sum(volume), 2) AS revenue
+          FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   l_extendedprice * (1e0 - l_discount) AS volume
+            FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00') shipping
+          GROUP BY supp_nation, cust_nation, l_year""")
+      },
+      Some("""SELECT supp_nation, cust_nation, l_year,
+             |       round(sum(volume), 2) AS revenue
+             |FROM (
+             |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             |         year(l_shipdate) AS l_year,
+             |         l_extendedprice * (1e0 - l_discount) AS volume
+             |  FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+             |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+             |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+             |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+             |    AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |    AND l_shipdate <= TIMESTAMP '1996-12-31 00:00:00') shipping
+             |GROUP BY supp_nation, cust_nation, l_year""".stripMargin)),
+
+    // TPC-H q9 shape (product-type profit): profit by supplier nation
+    // and order year for a part-name family. The corpus has no partsupp
+    // table, so supply cost is the documented proxy 1% of p_retailprice
+    // per unit — the join tree (lineitem against part + supplier +
+    // orders + nation, part filtered BEFORE the join) is the point.
+    // Profit sums as exact integer ten-thousandths (4-decimal inputs ->
+    // amt4 integral; long sums are ORDER-INDEPENDENT, unlike double
+    // sums whose engine-specific order left one of 175 groups on a
+    // rounding midpoint) and quantizes once at the end with the
+    // identical-IEEE-ops floor form.
+    Q("q9_product_profit",
+      (s, dir) => {
+        Seq("part", "supplier", "lineitem", "orders", "nation")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT nation, o_year,
+                 floor(CAST(sum(amt4) AS DOUBLE) / 1e2 + 5e-1) / 1e2
+                   AS sum_profit
+          FROM (
+            SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                   CAST(floor((l_extendedprice * (1e0 - l_discount)
+                     - 1e-2 * p_retailprice * l_quantity) * 1e4 + 5e-1)
+                     AS BIGINT) AS amt4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE p_name LIKE '%rod%') profit
+          GROUP BY nation, o_year""")
+      },
+      Some("""SELECT nation, o_year,
+             |  floor(CAST(sum(amt4) AS DOUBLE) / 1e2 + 5e-1) / 1e2
+             |    AS sum_profit
+             |FROM (
+             |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             |         CAST(floor((l_extendedprice * (1e0 - l_discount)
+             |           - 1e-2 * p_retailprice * l_quantity) * 1e4 + 5e-1)
+             |           AS BIGINT) AS amt4
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN nation ON s_nationkey = n_nationkey
+             |  WHERE p_name LIKE '%rod%') profit
+             |GROUP BY nation, o_year""".stripMargin)),
+
     // J4 via the OPTIMIZER RULE: the join is written naively as a radius
     // predicate; SpatialJoinRule (plans/SpatialRewrite) rewrites it into
     // the grid-blocked equi-join — same results as the hand-built j4

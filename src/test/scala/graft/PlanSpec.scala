@@ -234,6 +234,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan("sk_bloom_prune").contains("might_contain"))
   }
 
+  test("q7/q9: dim sides of the TPC-H join trees enter by broadcast, " +
+    "and the q7 date range reaches the lineitem scan") {
+    val q7 = plan("q7_nation_volume")
+    assert(!q7.contains("CartesianProduct"), q7.take(3000))
+    // both nation aliases + supplier/customer dims broadcast at this sf
+    assert("BroadcastHashJoin".r.findAllIn(q7).size >= 3, q7.take(3000))
+    assert(q7.contains("PushedFilters") &&
+      q7.contains("IsNotNull(l_shipdate)"), q7.take(3000))
+    val q9 = plan("q9_product_profit")
+    assert(!q9.contains("CartesianProduct"), q9.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(q9).size >= 3, q9.take(3000))
+    // the part-name family filter prunes BEFORE the join: it reaches
+    // the part scan as a pushed StringContains
+    assert(q9.contains("StringContains(p_name,rod)"), q9.take(3000))
+  }
+
   test("dd_dup_fraction: no user-forced exchange on the Zipf-skewed " +
     "shingle key; the shingle frame is cached, not re-keyed") {
     // The round-7 weak mark: a pinned repartition(g) put a hot shingle's

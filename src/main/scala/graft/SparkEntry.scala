@@ -2621,6 +2621,52 @@ object SparkEntry {
              |  * (2e0 / CAST(1 << k AS DOUBLE)) AS v
              |FROM e""".stripMargin)),
 
+    // MM: REAL MPEG-1 Layer II subband decode — the alloc-table (B.2a)
+    // variant of the Layer I path: per-subband allocation classes,
+    // scfsi scalefactor sharing (scfsi=0 here: three independent
+    // per-part scalefactors, all exact powers of two), and 36 samples
+    // per subband. The oracle replays the generalized requantization
+    // C*(c/2^(nb-1) - 1 + D)*sf per sample — bit-exact doubles, no
+    // rounding on either side (IEEE multiplication commutes, so the
+    // C-first kernel order and the X-first oracle order agree).
+    Q("mm_mp2_subbands",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val allocIdx = (id % 15 + 1).toInt
+            val nb = allocIdx + 1
+            val levels = (1 << nb) - 1
+            val sb = (id % 3).toInt // class-0 subband: ungrouped levels
+            val sfi = Array((3 * (id % 21)).toInt,
+              (3 * ((id + 4) % 21)).toInt, (3 * ((id + 8) % 21)).toInt)
+            val frame = MpegAudio.mp2Synth(sb, allocIdx, 0, sfi,
+              sIdx => ((id * 7 + sIdx * 13) % levels).toInt)
+            val dec = MpegAudio.decodeLayer2(frame)
+            (0 until 36).map(sIdx => (id, sIdx, dec.sub(0)(sb * 36 + sIdx)))
+          }.toDF("doc_id", "s", "v")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, CAST(doc_id % 15 + 2 AS INT) AS nb
+             |  FROM documents),
+             |e AS (SELECT doc_id, nb, unnest(range(0, 36)) AS s FROM g),
+             |k AS (
+             |  SELECT doc_id, nb, s,
+             |    CAST((doc_id * 7 + s * 13) % ((1 << nb) - 1) AS DOUBLE)
+             |      AS c,
+             |    CASE CAST(s // 12 AS INT) WHEN 0 THEN doc_id % 21
+             |      WHEN 1 THEN (doc_id + 4) % 21
+             |      ELSE (doc_id + 8) % 21 END AS kp
+             |  FROM e)
+             |SELECT doc_id, CAST(s AS INT) AS s,
+             |  ((c / CAST(1 << (nb - 1) AS DOUBLE) - 1e0 +
+             |      2e0 / CAST(1 << nb AS DOUBLE))
+             |    * (CAST(1 << nb AS DOUBLE) /
+             |       CAST((1 << nb) - 1 AS DOUBLE)))
+             |  * (2e0 / CAST(1 << kp AS DOUBLE)) AS v
+             |FROM k""".stripMargin)),
+
     // MM: REAL ISO-BMFF (MP4) box walk — the VIDEO leg of the
     // multimodal column set (ISO/IEC 14496-12 box grammar: size+type
     // headers, nesting, skip-unknown-by-size). Extracts major brand,

@@ -17,12 +17,16 @@ package graft.operators
   *    step deliberately left out: subband samples are the spectral
   *    features pipelines consume (energy, activity), mirroring
   *    [[Multimodal.extractWavSpectrum]]'s role for PCM.
-  *  - [[mp1Synth]] / [[mp3SynthFrames]]: the synthesis side of both
-  *    roundtrips, used by the oracle queries and specs.
+  *  - [[decodeLayer2]]: REAL MPEG-1 Layer II decode — allocation
+  *    table B.2a classes, scfsi scalefactor sharing, grouped
+  *    3/5/9-level triplet codes, and the generalized B.4
+  *    requantization (round 8).
+  *  - [[mp1Synth]] / [[mp2Synth]] / [[mp3SynthFrames]]: the synthesis
+  *    side of the roundtrips, used by the oracle queries and specs.
   *
-  * Layer III entropy decode (big-values Huffman + IMDCT) and joint
-  * stereo remain the declared extension point — see
-  * [[Multimodal.decodeStub]].
+  * Layer III entropy decode (big-values Huffman + IMDCT), joint
+  * stereo, and the B.2b/c/d allocation tables remain the declared
+  * extension point — see [[Multimodal.decodeStub]].
   *
   * Determinism contract: requantization is evaluated in the documented
   * operation order `((c/2^(nb-1) - 1 + 2/2^nb) * (2^nb/(2^nb-1))) * sf`
@@ -255,6 +259,182 @@ object MpegAudio {
     Mp1Frame(fh.sampleRate, fh.bitrateKbps, nch, alloc, sf, out)
   }
 
+  // --------------------------------------------- Layer II subband decode
+
+  /** Table B.2a allocation classes (ISO 11172-3): per subband, the
+    * number of allocation bits and the level count per allocation
+    * index. sblimit = 27; class sets as published. Streams using the
+    * other allocation tables (B.2b/c/d, selected by sample rate and
+    * per-channel bitrate) are the declared extension point alongside
+    * Layer III entropy decode. */
+  private val l2LevelsClass: Array[Array[Int]] = Array(
+    // class 0 (sb 0-2), nbal 4
+    Array(3, 7, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095, 8191,
+      16383, 32767, 65535),
+    // class 1 (sb 3-10), nbal 4
+    Array(3, 5, 7, 9, 15, 31, 63, 127, 255, 511, 1023, 2047, 4095,
+      8191, 65535),
+    // class 2 (sb 11-22), nbal 3
+    Array(3, 5, 7, 9, 15, 31, 65535),
+    // class 3 (sb 23-26), nbal 2
+    Array(3, 5, 65535))
+  private def l2Class(sb: Int): Int =
+    if (sb < 3) 0 else if (sb < 11) 1 else if (sb < 23) 2 else 3
+  private def l2Nbal(sb: Int): Int = Array(4, 4, 3, 2)(l2Class(sb))
+  final val L2SbLimit = 27
+
+  /** (codeBits, grouped) per level count: 3/5/9-level subbands pack a
+    * sample TRIPLET into one 5/7/10-bit group code; the rest send three
+    * nb-bit codes with nb = log2(levels + 1). */
+  def l2CodeBits(levels: Int): (Int, Boolean) = levels match {
+    case 3 => (5, true)
+    case 5 => (7, true)
+    case 9 => (10, true)
+    case _ =>
+      val nb = 32 - Integer.numberOfLeadingZeros(levels)
+      require((1 << nb) - 1 == levels, s"not a B.2a level count: $levels")
+      (nb, false)
+  }
+
+  /** Layer II requantization, the Layer I formula generalized to the
+    * B.4 quantization classes: s'' = C * (s''' + D) * sf with
+    * s''' = c / 2^(nb-1) - 1 and nb the smallest width holding the
+    * levels (2 / 3 / 4 for the grouped 3 / 5 / 9). C = 2^nb / levels
+    * — 4/3, 8/5, 16/9 grouped; 2^nb/(2^nb - 1) otherwise, exactly the
+    * Layer I constant — and D = 1/2 grouped (symmetric mid-tread),
+    * 2^(1-nb) otherwise. Every operand is a dyadic double or a ratio
+    * of dyadics evaluated in a fixed order — engine-reproducible. */
+  def dequantLayer2(code: Int, levels: Int, sfIdx: Int): Double = {
+    val (bitsPerCode, grouped) = l2CodeBits(levels)
+    val nb = if (grouped) levels match {
+      case 3 => 2
+      case 5 => 3
+      case _ => 4 // 9 levels
+    } else bitsPerCode
+    val half = (1L << (nb - 1)).toDouble
+    val c = (1L << nb).toDouble / levels.toDouble
+    val d = if (grouped) 0.5 else 2.0 / (1L << nb).toDouble
+    (c * (code.toDouble / half - 1.0 + d)) * scalefactor(sfIdx)
+  }
+
+  /** Decoded Layer II frame: `sub(ch)(sb * 36 + s)` = requantized
+    * subband sample (36 samples = 12 triplets per subband), 0.0 where
+    * unallocated. `sfIdx(ch)(sb)` holds the PART-0 scalefactor index. */
+  final case class Mp2Frame(sampleRate: Int, bitrateKbps: Int,
+                            channels: Int, alloc: Array[Array[Int]],
+                            sfIdx: Array[Array[Int]],
+                            sub: Array[Array[Double]])
+
+  /** Decode the first MPEG-1 Layer II frame at the stream head (after
+    * any ID3v2 tag), allocation table B.2a. Handles scfsi scalefactor
+    * sharing (0: three, 1: parts 01|2, 2: one, 3: 0|12) and grouped
+    * 3/5/9-level triplet codes. Mono/stereo/dual; intensity stereo is
+    * out of decode scope and throws. */
+  def decodeLayer2(p: Array[Byte]): Mp2Frame = {
+    val off = id3v2Length(p)
+    val fh = parseFrameHeader(p, off).getOrElse(
+      throw new IllegalArgumentException("no valid frame header"))
+    require(fh.layer == 2 && fh.version == 1,
+      s"not an MPEG-1 Layer II frame (v${fh.version} L${fh.layer})")
+    require(fh.mode != 1, "joint (intensity) stereo is out of decode scope")
+    require(off + fh.frameBytes <= p.length, "truncated frame")
+    val nch = fh.channels
+    val br = new BitReader(p, (off + 4).toLong * 8)
+    if (fh.crc) br.read(16)
+    val alloc = Array.ofDim[Int](nch, L2SbLimit)
+    var sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < nch) {
+        alloc(ch)(sb) = br.read(l2Nbal(sb))
+        ch += 1
+      }
+      sb += 1
+    }
+    val scfsi = Array.ofDim[Int](nch, L2SbLimit)
+    sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < nch) {
+        if (alloc(ch)(sb) != 0) scfsi(ch)(sb) = br.read(2)
+        ch += 1
+      }
+      sb += 1
+    }
+    // sf(ch)(sb)(part) for parts 0/1/2 (12 samples each)
+    val sf = Array.ofDim[Int](nch, L2SbLimit, 3)
+    sb = 0
+    while (sb < L2SbLimit) {
+      var ch = 0
+      while (ch < nch) {
+        if (alloc(ch)(sb) != 0) {
+          def rd(): Int = {
+            val i = br.read(6)
+            require(i < 63, s"forbidden scalefactor 63 at subband $sb")
+            i
+          }
+          scfsi(ch)(sb) match {
+            case 0 =>
+              sf(ch)(sb)(0) = rd(); sf(ch)(sb)(1) = rd(); sf(ch)(sb)(2) = rd()
+            case 1 =>
+              val a = rd(); val b = rd()
+              sf(ch)(sb)(0) = a; sf(ch)(sb)(1) = a; sf(ch)(sb)(2) = b
+            case 2 =>
+              val a = rd()
+              sf(ch)(sb)(0) = a; sf(ch)(sb)(1) = a; sf(ch)(sb)(2) = a
+            case _ =>
+              val a = rd(); val b = rd()
+              sf(ch)(sb)(0) = a; sf(ch)(sb)(1) = b; sf(ch)(sb)(2) = b
+          }
+        }
+        ch += 1
+      }
+      sb += 1
+    }
+    val out = Array.fill(nch)(new Array[Double](L2SbLimit * 36))
+    var gr = 0
+    while (gr < 12) { // 12 triplets of samples
+      sb = 0
+      while (sb < L2SbLimit) {
+        var ch = 0
+        while (ch < nch) {
+          val a = alloc(ch)(sb)
+          if (a != 0) {
+            val levels = l2LevelsClass(l2Class(sb))(a - 1)
+            val (bits, grouped) = l2CodeBits(levels)
+            val part = gr / 4
+            val sfi = sf(ch)(sb)(part)
+            if (grouped) {
+              val c = br.read(bits)
+              require(c < levels * levels * levels,
+                s"group code out of range at subband $sb")
+              var k = 0
+              var rest = c
+              while (k < 3) {
+                out(ch)(sb * 36 + gr * 3 + k) =
+                  dequantLayer2(rest % levels, levels, sfi)
+                rest /= levels
+                k += 1
+              }
+            } else {
+              var k = 0
+              while (k < 3) {
+                out(ch)(sb * 36 + gr * 3 + k) =
+                  dequantLayer2(br.read(bits), levels, sfi)
+                k += 1
+              }
+            }
+          }
+          ch += 1
+        }
+        sb += 1
+      }
+      gr += 1
+    }
+    Mp2Frame(fh.sampleRate, fh.bitrateKbps, nch, alloc, sf.map(_.map(_(0))),
+      out)
+  }
+
   // ------------------------------------------------------------- synth
 
   private final class BitWriter(val buf: Array[Byte]) {
@@ -294,6 +474,70 @@ object MpegAudio {
       f += 1
     }
     out
+  }
+
+  /** One MPEG-1 Layer II MONO frame (allocation table B.2a) with a
+    * single allocated subband: allocation index `allocIdx` into the
+    * subband's B.2a class, scfsi mode, up to three 6-bit scalefactor
+    * indices (consumed per the scfsi contract), and 36 sample codes
+    * from `code(s)` (packed into triplet group codes when the level
+    * count is 3/5/9). The synthesis side of [[decodeLayer2]]. */
+  def mp2Synth(activeSb: Int, allocIdx: Int, scfsi: Int,
+               sfIdx: Array[Int], code: Int => Int,
+               bitrateIdx: Int = 8, srIdx: Int = 2): Array[Byte] = {
+    require(activeSb >= 0 && activeSb < L2SbLimit, "subband out of range")
+    val levelsTab = l2LevelsClass(l2Class(activeSb))
+    require(allocIdx >= 1 && allocIdx <= levelsTab.length,
+      s"allocIdx out of range for subband $activeSb")
+    require(scfsi >= 0 && scfsi <= 3, "scfsi out of range")
+    require(sfIdx.forall(i => i >= 0 && i < 63), "scalefactor out of range")
+    val levels = levelsTab(allocIdx - 1)
+    val (bits, grouped) = l2CodeBits(levels)
+    val kbps = kbpsV1(1)(bitrateIdx)
+    val frameBytes = 144 * kbps * 1000 / srV1(srIdx)
+    val buf = new Array[Byte](frameBytes)
+    val h = header(3, 2, bitrateIdx, srIdx, mode = 3)
+    var i = 0
+    while (i < 4) { buf(i) = h(i).toByte; i += 1 }
+    val w = new BitWriter(buf)
+    w.seekByte(4)
+    var sb = 0
+    while (sb < L2SbLimit) {
+      w.write(if (sb == activeSb) allocIdx else 0, l2Nbal(sb))
+      sb += 1
+    }
+    w.write(scfsi, 2)
+    val nSf = scfsi match {
+      case 0 => 3
+      case 2 => 1
+      case _ => 2
+    }
+    i = 0
+    while (i < nSf) { w.write(sfIdx(i), 6); i += 1 }
+    var gr = 0
+    while (gr < 12) {
+      if (grouped) {
+        var c = 0
+        var k = 2
+        while (k >= 0) {
+          val s = code(gr * 3 + k)
+          require(s >= 0 && s < levels, s"code out of range at ${gr * 3 + k}")
+          c = c * levels + s
+          k -= 1
+        }
+        w.write(c, bits)
+      } else {
+        var k = 0
+        while (k < 3) {
+          val s = code(gr * 3 + k)
+          require(s >= 0 && s < levels, s"code out of range at ${gr * 3 + k}")
+          w.write(s, bits)
+          k += 1
+        }
+      }
+      gr += 1
+    }
+    buf
   }
 
   /** One MPEG-1 Layer I MONO frame with a single allocated subband:

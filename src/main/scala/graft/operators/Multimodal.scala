@@ -382,17 +382,20 @@ object Multimodal {
     * full perceptual-audio PCM reconstruction would plug in. Since
     * round 7 the engine decodes MPEG audio frames for real —
     * [[MpegAudio.mp3Meta]] walks all-layer frame headers (bitrate/
-    * rate/duration/VBR) and [[MpegAudio.decodeLayer1]] requantizes
-    * MPEG-1 Layer I subband samples per ISO 11172-3 §2.4.3.3 — on top
-    * of every image format (PNG/JPEG/GIF/BMP pixels; see
-    * [[decodeImageRgb]]) and WAV/PCM audio incl. DFT spectra
-    * ([[extractWavSpectrum]]). What remains out of scope, permanently
-    * scoped to a library in a real deployment: Layer III entropy
-    * decode (big-values Huffman + IMDCT), joint-stereo reconstruction,
-    * and the polyphase synthesis window (spec annex table B.3 —
-    * empirical coefficients, not derivable from first principles).
-    * This deterministic fake documents the MediaMeta contract such a
-    * codec must satisfy. */
+    * rate/duration/VBR), [[MpegAudio.decodeLayer1]] requantizes
+    * MPEG-1 Layer I subband samples per ISO 11172-3 §2.4.3.3, and
+    * (round 8) [[MpegAudio.decodeLayer2]] decodes Layer II —
+    * allocation table B.2a classes, scfsi scalefactor sharing,
+    * grouped 3/5/9-level triplet codes — on top of every image format
+    * (PNG/JPEG/GIF/BMP pixels; see [[decodeImageRgb]]) and WAV/PCM
+    * audio incl. DFT spectra ([[extractWavSpectrum]]). What remains
+    * out of scope, permanently scoped to a library in a real
+    * deployment: Layer III entropy decode (big-values Huffman +
+    * IMDCT), joint-stereo reconstruction, the B.2b/c/d allocation
+    * tables, and the polyphase synthesis window (spec annex table
+    * B.3 — empirical coefficients, not derivable from first
+    * principles). This deterministic fake documents the MediaMeta
+    * contract such a codec must satisfy. */
   def decodeStub(docId: Long, payload: Array[Byte]): MediaMeta = {
     val h = java.util.Arrays.hashCode(payload)
     MediaMeta(docId, payload.length.toLong,

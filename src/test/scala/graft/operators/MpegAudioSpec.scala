@@ -106,4 +106,75 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(MpegAudio.decodeLayer1(ok).sub(0)(3 * 12) ==
       MpegAudio.dequantLayer1(5, 5, 6))
   }
+
+  test("Layer II roundtrip: ungrouped codes requantize to the closed " +
+       "form under every scfsi sharing mode; silent subbands stay zero") {
+    for (id <- Seq(0L, 1L, 17L, 255L, 9999L); scfsi <- 0 to 3) {
+      val sb = (id % 3).toInt // class-0 subband: 2^nb - 1 levels
+      val allocIdx = (id % 15 + 1).toInt
+      val levels = (1 << (allocIdx + 1)) - 1
+      val sfi = Array((3 * (id % 21)).toInt, (3 * ((id + 5) % 21)).toInt,
+        (3 * ((id + 11) % 21)).toInt)
+      def code(s: Int): Int = ((id * 7 + s * 13) % levels).toInt
+      val frame = MpegAudio.mp2Synth(sb, allocIdx, scfsi, sfi, code)
+      val dec = MpegAudio.decodeLayer2(frame)
+      assert(dec.channels == 1 && dec.sampleRate == 32000)
+      // effective per-part scalefactor under the scfsi contract
+      def part(s: Int): Int = s / 12
+      def eff(pt: Int): Int = scfsi match {
+        case 0 => sfi(pt)
+        case 1 => if (pt < 2) sfi(0) else sfi(1)
+        case 2 => sfi(0)
+        case _ => if (pt == 0) sfi(0) else sfi(1)
+      }
+      for (s <- 0 until 36)
+        assert(dec.sub(0)(sb * 36 + s) ==
+          MpegAudio.dequantLayer2(code(s), levels, eff(part(s))),
+          s"id=$id scfsi=$scfsi s=$s")
+      for (other <- 0 until MpegAudio.L2SbLimit if other != sb;
+           s <- 0 until 36)
+        assert(dec.sub(0)(other * 36 + s) == 0.0)
+    }
+  }
+
+  test("Layer II grouped 3/5/9-level triplets unpack in sample order " +
+       "and requantize symmetrically") {
+    // subband 11 (class 2): allocIdx 1/2/4 -> 3/5/9 levels (grouped)
+    for ((allocIdx, levels) <- Seq((1, 3), (2, 5), (4, 9))) {
+      def code(s: Int): Int = (s * 5 + 1) % levels
+      val frame = MpegAudio.mp2Synth(11, allocIdx, 2, Array(3), code)
+      val dec = MpegAudio.decodeLayer2(frame)
+      for (s <- 0 until 36)
+        assert(dec.sub(0)(11 * 36 + s) ==
+          MpegAudio.dequantLayer2(code(s), levels, 3),
+          s"levels=$levels s=$s")
+    }
+    // hand-checked spec values at sf index 3 (sf = 1.0):
+    // 3 levels: C=4/3, D=1/2, requantized endpoints -2/3 and +2/3
+    assert(MpegAudio.dequantLayer2(0, 3, 3) == (4.0 / 3.0) * -0.5)
+    assert(MpegAudio.dequantLayer2(1, 3, 3) == 0.0)
+    assert(MpegAudio.dequantLayer2(2, 3, 3) == (4.0 / 3.0) * 0.5)
+    // 5 levels: C=8/5, D=1/2 -> end points -4/5 and +4/5
+    assert(MpegAudio.dequantLayer2(0, 5, 3) == 1.6 * -0.5)
+    assert(MpegAudio.dequantLayer2(4, 5, 3) == 1.6 * 0.5)
+    // 9 levels: C=16/9, D=1/2 -> end points -8/9 and +8/9
+    assert(MpegAudio.dequantLayer2(0, 9, 3) == (16.0 / 9.0) * -0.5)
+    assert(MpegAudio.dequantLayer2(8, 9, 3) == (16.0 / 9.0) * 0.5)
+    // the quantizer grid is symmetric for every B.2a level count
+    for (levels <- Seq(3, 5, 7, 9, 15, 31, 63, 65535)) {
+      val lo = MpegAudio.dequantLayer2(0, levels, 3)
+      val hi = MpegAudio.dequantLayer2(levels - 1, levels, 3)
+      assert(math.abs(lo + hi) < 1e-12, s"levels=$levels")
+    }
+  }
+
+  test("decodeLayer2 rejects Layer I/III input and truncation") {
+    val l1 = MpegAudio.mp1Synth(3, 4, 6, _ => 5)
+    intercept[IllegalArgumentException](MpegAudio.decodeLayer2(l1))
+    val ok = MpegAudio.mp2Synth(0, 3, 2, Array(6), _ => 1)
+    intercept[IllegalArgumentException](
+      MpegAudio.decodeLayer2(ok.dropRight(ok.length / 2)))
+    assert(MpegAudio.decodeLayer2(ok).sub(0)(0) ==
+      MpegAudio.dequantLayer2(1, 15, 6))
+  }
 }

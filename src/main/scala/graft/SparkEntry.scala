@@ -3572,6 +3572,230 @@ object SparkEntry {
              |  WHERE p_name LIKE '%rod%') profit
              |GROUP BY nation, o_year""".stripMargin)),
 
+    // TPC-H q8 shape (national market share): one nation's share of a
+    // region's import volume by order year — the 7-join tree with
+    // nation entering TWICE under different roles. Numerator and
+    // denominator sum exact integer ten-thousandths (the q9 lesson);
+    // the ratio divides once at the end with identical IEEE ops.
+    Q("q8_market_share",
+      (s, dir) => {
+        Seq("part", "lineitem", "supplier", "orders", "customer", "nation",
+          "region").foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT o_year,
+                 floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN amt4
+                     ELSE 0 END) AS DOUBLE) / CAST(sum(amt4) AS DOUBLE)
+                   * 1e4 + 5e-1) / 1e4 AS mkt_share
+          FROM (
+            SELECT year(o_orderdate) AS o_year,
+                   CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4
+                     + 5e-1) AS BIGINT) AS amt4,
+                   n2.n_name AS nation
+            FROM part JOIN lineitem ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            JOIN nation n2 ON s_nationkey = n2.n_nationkey
+            WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00') all_nations
+          GROUP BY o_year""")
+      },
+      Some("""SELECT o_year,
+             |  floor(CAST(sum(CASE WHEN nation = 'NATION_3' THEN amt4
+             |      ELSE 0 END) AS DOUBLE) / CAST(sum(amt4) AS DOUBLE)
+             |    * 1e4 + 5e-1) / 1e4 AS mkt_share
+             |FROM (
+             |  SELECT year(o_orderdate) AS o_year,
+             |    CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4
+             |      + 5e-1) AS BIGINT) AS amt4,
+             |    n2.n_name AS nation
+             |  FROM part JOIN lineitem ON p_partkey = l_partkey
+             |  JOIN supplier ON s_suppkey = l_suppkey
+             |  JOIN orders ON o_orderkey = l_orderkey
+             |  JOIN customer ON c_custkey = o_custkey
+             |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |  JOIN region ON n1.n_regionkey = r_regionkey
+             |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+             |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+             |    AND o_orderdate <= TIMESTAMP '1996-12-31 00:00:00'
+             |  ) all_nations
+             |GROUP BY o_year""".stripMargin)),
+
+    // TPC-H q13 shape (customer order-count distribution): LEFT join
+    // with a join-level predicate (the filter must NOT drop orderless
+    // customers — they are the c_count = 0 bucket), double aggregation.
+    Q("q13_customer_distribution",
+      (s, dir) => {
+        Seq("customer", "orders")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT c_count, count(*) AS custdist
+          FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey) c_orders
+          GROUP BY c_count""")
+      },
+      Some("""SELECT c_count, count(*) AS custdist
+             |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+             |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |        AND o_orderpriority <> '1-URGENT'
+             |      GROUP BY c_custkey) c_orders
+             |GROUP BY c_count""".stripMargin)),
+
+    // TPC-H q17 shape (small-quantity revenue): per-part average
+    // quantity as a correlated bound. The below-a-fifth-of-average
+    // test runs in EXACT integer arithmetic (qty * 5 * n < sum_qty —
+    // quantities are integral), so no engine's division order can
+    // flip a boundary row; the one output value quantizes once.
+    Q("q17_small_quantity",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT floor(CAST(sum(ext2) AS DOUBLE) / 1e2 / 7e0 * 1e2 + 5e-1)
+                   / 1e2 AS avg_yearly
+          FROM (
+            SELECT CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)
+                     AS ext2
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            JOIN (SELECT l_partkey AS agg_pk,
+                         sum(CAST(l_quantity AS BIGINT)) AS sq,
+                         count(*) AS nq
+                  FROM lineitem GROUP BY l_partkey) agg
+              ON agg_pk = p_partkey
+            WHERE p_brand = 'Brand#13'
+              AND CAST(l_quantity AS BIGINT) * 5 * nq < sq) small""")
+      },
+      Some("""SELECT floor(CAST(sum(ext2) AS DOUBLE) / 1e2 / 7e0 * 1e2
+             |         + 5e-1) / 1e2 AS avg_yearly
+             |FROM (
+             |  SELECT CAST(floor(l_extendedprice * 1e2 + 5e-1) AS BIGINT)
+             |           AS ext2
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  JOIN (SELECT l_partkey AS agg_pk,
+             |               sum(CAST(l_quantity AS BIGINT)) AS sq,
+             |               count(*) AS nq
+             |        FROM lineitem GROUP BY l_partkey) agg
+             |    ON agg_pk = p_partkey
+             |  WHERE p_brand = 'Brand#13'
+             |    AND CAST(l_quantity AS BIGINT) * 5 * nq < sq) small"""
+        .stripMargin)),
+
+    // TPC-H q18 shape (large-volume orders): HAVING-style semi filter
+    // on a grouped fact, then enrich with customer + order dims.
+    // Quantities are integral so the 300 threshold is exact.
+    Q("q18_large_orders",
+      (s, dir) => {
+        Seq("customer", "orders", "lineitem")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT c_name, c_custkey, o_orderkey, year(o_orderdate) AS o_year,
+                 o_totalprice, sum_qty
+          FROM (SELECT l_orderkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                         AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN customer ON c_custkey = o_custkey""")
+      },
+      Some("""SELECT c_name, c_custkey, o_orderkey, year(o_orderdate)
+             |         AS o_year,
+             |       o_totalprice, sum_qty
+             |FROM (SELECT l_orderkey,
+             |             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+             |               AS sum_qty
+             |      FROM lineitem GROUP BY l_orderkey
+             |      HAVING sum(CAST(l_quantity AS BIGINT)) > 300) big
+             |JOIN orders ON o_orderkey = l_orderkey
+             |JOIN customer ON c_custkey = o_custkey""".stripMargin)),
+
+    // TPC-H q19 shape (disjunctive predicate revenue): three OR'd
+    // brand/size/quantity bands — the planner must still push the
+    // common p_partkey equi-key and evaluate the disjunction as a
+    // post-join filter, never a cartesian.
+    Q("q19_disjunct_revenue",
+      (s, dir) => {
+        Seq("lineitem", "part")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          SELECT floor(CAST(sum(amt4) AS DOUBLE) / 1e4 * 1e2 + 5e-1) / 1e2
+                   AS revenue
+          FROM (
+            SELECT CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4
+                     + 5e-1) AS BIGINT) AS amt4
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 30)) matched""")
+      },
+      Some("""SELECT floor(CAST(sum(amt4) AS DOUBLE) / 1e4 * 1e2 + 5e-1)
+             |         / 1e2 AS revenue
+             |FROM (
+             |  SELECT CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4
+             |           + 5e-1) AS BIGINT) AS amt4
+             |  FROM lineitem JOIN part ON p_partkey = l_partkey
+             |  WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+             |         AND l_quantity BETWEEN 1 AND 11)
+             |     OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+             |         AND l_quantity BETWEEN 10 AND 20)
+             |     OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+             |         AND l_quantity BETWEEN 20 AND 30)) matched"""
+        .stripMargin)),
+
+    // TPC-H q22 shape (global sales opportunity): above-average-balance
+    // customers in selected "country codes" (c_nationkey stands in —
+    // the corpus has no phone column) with no URGENT orders (every
+    // customer here has SOME order, so the classic no-orders predicate
+    // would be vacuous): scalar-subquery threshold + anti join. The above-average test is the exact
+    // integer cross-multiplication bal2 * n > s2 — no engine's
+    // summation order can flip a boundary customer — and balances are
+    // 2-decimal so sum(bal2)/1e2 is one exact division.
+    Q("q22_sales_opportunity",
+      (s, dir) => {
+        Seq("customer", "orders")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql("""
+          WITH sel AS (
+            SELECT c_custkey, c_nationkey,
+                   CAST(floor(c_acctbal * 1e2 + 5e-1) AS BIGINT) AS bal2
+            FROM customer WHERE c_nationkey % 5 = 0),
+          pos AS (
+            SELECT sum(bal2) AS s2, count(*) AS n
+            FROM sel WHERE bal2 > 0)
+          SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+                 CAST(sum(bal2) AS DOUBLE) / 1e2 AS totacctbal
+          FROM sel CROSS JOIN pos
+          WHERE bal2 * n > s2
+            AND NOT EXISTS (SELECT 1 FROM orders
+                            WHERE o_custkey = c_custkey
+                              AND o_orderpriority = '1-URGENT')
+          GROUP BY c_nationkey""")
+      },
+      Some("""WITH sel AS (
+             |  SELECT c_custkey, c_nationkey,
+             |         CAST(floor(c_acctbal * 1e2 + 5e-1) AS BIGINT) AS bal2
+             |  FROM customer WHERE c_nationkey % 5 = 0),
+             |pos AS (
+             |  SELECT sum(bal2) AS s2, count(*) AS n
+             |  FROM sel WHERE bal2 > 0)
+             |SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+             |       CAST(sum(bal2) AS DOUBLE) / 1e2 AS totacctbal
+             |FROM sel CROSS JOIN pos
+             |WHERE bal2 * n > s2
+             |  AND NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
+             |GROUP BY c_nationkey""".stripMargin)),
+
     // J4 via the OPTIMIZER RULE: the join is written naively as a radius
     // predicate; SpatialJoinRule (plans/SpatialRewrite) rewrites it into
     // the grid-blocked equi-join — same results as the hand-built j4

@@ -250,6 +250,23 @@ class PlanSpec extends SparkTestBase {
     assert(q9.contains("StringContains(p_name,rod)"), q9.take(3000))
   }
 
+  test("q8-q22 shapes: disjunctive q19 stays an equi-join, q22's NOT " +
+    "EXISTS decorrelates to an anti join, nothing goes cartesian") {
+    for (q <- Seq("q8_market_share", "q13_customer_distribution",
+        "q17_small_quantity", "q18_large_orders", "q19_disjunct_revenue")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
+    }
+    // the three OR'd brand/size/quantity bands must not defeat the
+    // p_partkey equi-key
+    assert(plan("q19_disjunct_revenue").contains("BroadcastHashJoin") ||
+      plan("q19_disjunct_revenue").contains("SortMergeJoin"))
+    val q22 = plan("q22_sales_opportunity")
+    assert(q22.contains("LeftAnti"), q22.take(3000))
+    assert(!q22.contains("CartesianProduct"), q22.take(3000))
+  }
+
   test("dd_dup_fraction: no user-forced exchange on the Zipf-skewed " +
     "shingle key; the shingle frame is cached, not re-keyed") {
     // The round-7 weak mark: a pinned repartition(g) put a hot shingle's

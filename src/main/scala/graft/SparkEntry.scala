@@ -2038,6 +2038,47 @@ object SparkEntry {
               |  CAST(rank AS INT) AS rank
               |FROM scored WHERE rank <= 5""".stripMargin)),
 
+    // ANN: SQ8 scalar quantization + asymmetric-distance scan + exact
+    // rerank (the faiss SQ pattern): the corpus lives as 64-byte int8
+    // codes (4x smaller at rest/in cache — the 100 TB bandwidth win),
+    // every candidate is scored with ADC cosine on dequantized bin
+    // centers, the top-16 per query rerank EXACTLY on the original
+    // floats, and the exact top-5 ships. Codes/dequant/fold arithmetic
+    // is engine-identical, so the oracle replays it bit-for-bit.
+    Q("ann_sq_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.sqTopK(
+          emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
+          "vec_id", "vec_id", "embedding", k = 5, rerank = 16)
+      },
+      Some {
+        val code = "least(255, greatest(0, " +
+          "CAST(floor((x::DOUBLE - (-5e-1)) / 1e0 * 256e0) AS INT)))"
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+           |           WHERE vec_id < 5),
+           |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+           |      WHERE vec_id >= 5),
+           |dq AS (
+           |  SELECT c_id, list_transform(c_v, x ->
+           |    (-5e-1) + ($code::DOUBLE + 5e-1) * (1e0 / 256e0)) AS dv
+           |  FROM c),
+           |approx AS (
+           |  SELECT q_id, c_id,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${cosSql("dv", "q_v")} DESC, c_id ASC) AS arank
+           |  FROM dq CROSS JOIN q),
+           |cand AS (SELECT q_id, c_id FROM approx WHERE arank <= 16),
+           |exact AS (
+           |  SELECT q_id, c_id, ${cosSql("c_v", "q_v")} AS cosine,
+           |    row_number() OVER (PARTITION BY q_id
+           |      ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
+           |  FROM cand JOIN c USING (c_id) JOIN q USING (q_id))
+           |SELECT q_id, c_id, round(cosine, 6) AS cosine,
+           |  CAST(rank AS INT) AS rank
+           |FROM exact WHERE rank <= 5""".stripMargin
+      }),
+
     // IVF-style coarse assignment (every 50th vector is a "centroid")
     Q("ann_ivf_assign",
       (s, dir) => {

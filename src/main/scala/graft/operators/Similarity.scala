@@ -266,4 +266,84 @@ object Similarity {
       .select(col("v_id").as(idCol), col("a._1").as("cluster"),
         round(col("a._2"), 6).as("dist"))
   }
+
+  // ------------------------------------------------- scalar quantization
+
+  /** Int8 scalar-quantization codes over a FIXED [lo, hi) domain (the
+    * faiss SQ8 shape): code = clamp(floor((v - lo)/(hi - lo) * 256)).
+    * Like [[Sketches.histogramCounts]], the range comes from domain
+    * knowledge, NOT a data scan — at rest a 64-dim float vector becomes
+    * 64 bytes (4x smaller; the at-scale win is cache footprint and
+    * shuffle bytes, and codes survive in columnar storage). */
+  def sqCodesKernel(v: Seq[Float], lo: Double, hi: Double): Seq[Int] = {
+    val out = new Array[Int](v.length)
+    var i = 0
+    while (i < v.length) {
+      val c = math.floor((v(i).toDouble - lo) / (hi - lo) * 256.0).toInt
+      out(i) = if (c < 0) 0 else if (c > 255) 255 else c
+      i += 1
+    }
+    out.toSeq
+  }
+  private val sqCodesUdf = udf(sqCodesKernel _)
+
+  /** Asymmetric distance computation (ADC): cosine between a DEQUANTIZED
+    * code vector (bin centers: lo + (code + 0.5) * (hi-lo)/256) and a
+    * full-precision query — the standard SQ search arithmetic. Same
+    * sequential fold order as [[cosineKernel]] for oracle parity. */
+  def sqAdcCosineKernel(codes: Seq[Int], q: Seq[Float], lo: Double,
+                        hi: Double): Double = {
+    val step = (hi - lo) / 256.0
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    val n = math.min(codes.length, q.length)
+    while (i < n) {
+      val x = lo + (codes(i).toDouble + 0.5) * step
+      val y = q(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    val sa = math.sqrt(na)
+    val sb = math.sqrt(nb)
+    if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
+  }
+  private val sqAdcUdf = udf(sqAdcCosineKernel _)
+
+  /** SQ8 approximate top-k with exact rerank: quantize the corpus to
+    * int8 codes, score every (code, query) pair with ADC cosine, keep
+    * the top `rerank` candidates per query by approximate score, then
+    * re-score ONLY those on the original float vectors and emit the
+    * exact top `k`. Same output contract as [[bruteForceTopK]];
+    * recall depends on `rerank / k` headroom and quantization error
+    * (SQ8 over a unit-ish domain is near-lossless for cosine ranking).
+    * The scan side carries 64-byte codes instead of 256-byte floats —
+    * the at-scale memory-bandwidth win — and the exact pass touches
+    * only `rerank` rows per query. */
+  def sqTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+             queryId: String, vecCol: String, k: Int, rerank: Int,
+             lo: Double = -0.5, hi: Double = 0.5): DataFrame = {
+    require(rerank >= k, "rerank must be >= k")
+    val c = corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
+    val codes = c.select(col("c_id"),
+      sqCodesUdf(col("c_v"), lit(lo), lit(hi)).as("cd"))
+    val q = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+    val approx = codes.crossJoin(broadcast(q))
+      .withColumn("approx", sqAdcUdf(col("cd"), col("q_v"), lit(lo), lit(hi)))
+    val wa = Window.partitionBy("q_id")
+      .orderBy(col("approx").desc, col("c_id").asc)
+    val cand = approx.withColumn("arank", row_number().over(wa))
+      .where(col("arank") <= rerank)
+      .select("q_id", "c_id")
+    val we = Window.partitionBy("q_id")
+      .orderBy(col("cosine").desc, col("c_id").asc)
+    cand.join(c, "c_id").join(broadcast(q), "q_id")
+      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
+      .withColumn("rank", row_number().over(we)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
 }

@@ -955,6 +955,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(2) == Set(10L, 11L, 20L, 21L))
   }
 
+  test("sqTopK: int8 codes round-trip within a half bin; ADC + exact " +
+    "rerank reproduces the brute-force top-k on real embeddings") {
+    // quantization error bound: |dequant(code(v)) - v| <= step/2
+    val step = 1.0 / 256.0
+    val vs = Seq(-0.5f, -0.123f, 0.0f, 0.23f, 0.499f)
+    val codes = Similarity.sqCodesKernel(vs, -0.5, 0.5)
+    assert(codes.forall(c => c >= 0 && c <= 255))
+    vs.zip(codes).foreach { case (v, c) =>
+      val dq = -0.5 + (c + 0.5) * step
+      assert(math.abs(dq - v) <= step / 2 + 1e-9, s"v=$v c=$c dq=$dq")
+    }
+    // clamping: out-of-domain values land on the edge codes
+    assert(Similarity.sqCodesKernel(Seq(-9.0f, 9.0f), -0.5, 0.5) ==
+      Seq(0, 255))
+    // end-to-end parity with brute force on the real embeddings table
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val brute = Similarity.bruteForceTopK(
+        emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val sq = Similarity.sqTopK(
+        emb.where(col("vec_id") >= 5), emb.where(col("vec_id") < 5),
+        "vec_id", "vec_id", "embedding", k = 5, rerank = 16)
+      .select("q_id", "c_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(sq == brute,
+      s"SQ8+rerank diverged from brute force: ${sq.diff(brute)}")
+  }
+
   test("ivfAssign maps every vector to its best centroid") {
     val vecs = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
       (3L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")

@@ -6317,6 +6317,117 @@ object SparkEntry {
            |FROM est LEFT JOIN exact USING (tok)""".stripMargin
       }),
 
+    // SK: KMV bottom-k distinct sketch — the fourth mergeable sketch
+    // (HLL counts, CMS frequencies, histogram quantiles; KMV adds SET
+    // operations). k smallest distinct parity hashes per group; the
+    // bounded Aggregator keeps buffers k-sized through partial agg.
+    // Deterministic function of the value SET -> the oracle replays
+    // the bottom-k with a row_number scan. Groups that never fill k
+    // slots report their EXACT distinct count.
+    Q("sk_kmv_distinct",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val sk = Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k = 64)
+        val exact = ev.groupBy("event_type")
+          .agg(countDistinct("user_id").as("exact"))
+        sk.select(col("event_type"), size(col("kmv")).as("n_kept"),
+            (floor(Sketches.kmvEstimate(col("kmv"), 64) * lit(1e4) +
+              lit(0.5)) / lit(1e4)).as("est"))
+          .join(exact, "event_type")
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT event_type,
+              |    ${h32Sql("user_id::VARCHAR", "0")} AS h
+              |  FROM events),
+              |r AS (
+              |  SELECT event_type, h,
+              |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+              |      AS rn
+              |  FROM h),
+              |k AS (
+              |  SELECT event_type, count(*) AS n_kept,
+              |    max(CASE WHEN rn = 64 THEN h END) AS kth
+              |  FROM r WHERE rn <= 64 GROUP BY event_type),
+              |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact
+              |       FROM events GROUP BY 1)
+              |SELECT event_type, CAST(n_kept AS INT) AS n_kept,
+              |  floor((CASE WHEN n_kept < 64 THEN n_kept::DOUBLE
+              |    ELSE 63e0 * 4294967296e0 / kth::DOUBLE END) * 1e4 + 5e-1)
+              |    / 1e4 AS est,
+              |  exact
+              |FROM k JOIN ex USING (event_type)""".stripMargin)),
+
+    // SK: KMV set-operation estimates — union and INTERSECTION
+    // cardinality of two groups' value sets from their k-sized
+    // sketches alone (the estimator HLL registers cannot provide
+    // without inclusion-exclusion error blowup): bottom-k of the
+    // combined hashes sketches the union; the share of it present in
+    // both inputs estimates Jaccard; intersection = jaccard * union.
+    Q("sk_kmv_intersect",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+          .where(col("event_type").isin("click", "purchase"))
+        val sk = Sketches.kmvSketch(ev, Seq("event_type"), "user_id", k = 64)
+        val a = sk.where(col("event_type") === "click")
+          .select(col("kmv").as("ka"))
+        val b = sk.where(col("event_type") === "purchase")
+          .select(col("kmv").as("kb"))
+        val u = ev.select("user_id").distinct()
+          .agg(count(lit(1)).as("exact_union"))
+        val i = t(s, dir, "events").groupBy("user_id")
+          .agg(countDistinct(when(col("event_type") === "click",
+              lit(1))).as("hc"),
+            countDistinct(when(col("event_type") === "purchase",
+              lit(1))).as("hp"))
+          .where(col("hc") > 0 && col("hp") > 0)
+          .agg(count(lit(1)).as("exact_inter"))
+        val q = (c: Column) => floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+        a.crossJoin(broadcast(b))
+          .withColumn("e", Sketches.kmvSetEstimates(col("ka"), col("kb"), 64))
+          .crossJoin(broadcast(u)).crossJoin(broadcast(i))
+          .select(q(col("e.est_union")).as("est_union"),
+            q(col("e.est_inter")).as("est_inter"),
+            col("exact_union"), col("exact_inter"))
+      },
+      Some(s"""WITH h AS (
+              |  SELECT DISTINCT event_type,
+              |    ${h32Sql("user_id::VARCHAR", "0")} AS h
+              |  FROM events WHERE event_type IN ('click', 'purchase')),
+              |r AS (
+              |  SELECT event_type, h,
+              |    row_number() OVER (PARTITION BY event_type ORDER BY h)
+              |      AS rn
+              |  FROM h),
+              |ka AS (SELECT list(h ORDER BY h) AS ks FROM r
+              |       WHERE event_type = 'click' AND rn <= 64),
+              |kb AS (SELECT list(h ORDER BY h) AS ks FROM r
+              |       WHERE event_type = 'purchase' AND rn <= 64),
+              |un AS (
+              |  SELECT list_sort(list_distinct(ka.ks || kb.ks))[1:64] AS u,
+              |    ka.ks AS a, kb.ks AS b
+              |  FROM ka CROSS JOIN kb),
+              |est AS (
+              |  SELECT
+              |    CASE WHEN len(u) < 64 THEN len(u)::DOUBLE
+              |      ELSE 63e0 * 4294967296e0 / u[64]::DOUBLE END AS eu,
+              |    len(list_intersect(list_intersect(u, a), b))::DOUBLE /
+              |      len(u)::DOUBLE AS j
+              |  FROM un),
+              |exu AS (SELECT count(DISTINCT user_id) AS exact_union
+              |        FROM events
+              |        WHERE event_type IN ('click', 'purchase')),
+              |exi AS (
+              |  SELECT count(*) AS exact_inter FROM (
+              |    SELECT user_id FROM events GROUP BY user_id
+              |    HAVING count(DISTINCT CASE WHEN event_type = 'click'
+              |        THEN 1 END) > 0
+              |      AND count(DISTINCT CASE WHEN event_type = 'purchase'
+              |        THEN 1 END) > 0))
+              |SELECT floor(eu * 1e4 + 5e-1) / 1e4 AS est_union,
+              |  floor((j * eu) * 1e4 + 5e-1) / 1e4 AS est_inter,
+              |  exact_union, exact_inter
+              |FROM est CROSS JOIN exu CROSS JOIN exi""".stripMargin)),
+
     // TA: byte-level BPE token statistics under the COMMITTED merges
     // fixture (graft/bpe_merges.txt, trained deterministically by
     // tools.BpeTrain — the public GPT-2 scheme applied per whitespace

@@ -210,4 +210,83 @@ object Sketches {
       .groupBy("item")
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
+
+  // ------------------------------------------------------- KMV bottom-k
+
+  /** Per-group KMV (k minimum values) sketch: the k smallest DISTINCT
+    * 32-bit parity hashes of `valueCol`, as one sorted array column
+    * `kmv`. The fourth mergeable sketch (HLL cardinality, CMS
+    * frequency, histogram quantiles — KMV adds SET OPERATIONS:
+    * union/intersection cardinalities, which HLL registers cannot give
+    * without inclusion-exclusion error blowup). State is k longs per
+    * group; the bounded-heap Aggregator keeps partial aggregation
+    * k-bounded map-side, so only k-sized buffers cross the shuffle —
+    * the sketch shape. Deterministic function of the input SET (bottom
+    * k of distinct hashes), so merge(shards) == direct EXACTLY and the
+    * oracle replays it with a row_number scan. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int = 64): DataFrame = {
+    val agg = udaf(new BottomKDistinct(k))
+    val h = Dedup.md5Hash32(col(valueCol).cast("string"), lit(0))
+    df.select(groupCols.map(col) :+ h.as("kmv_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("kmv_h")).as("kmv"))
+  }
+
+  /** Bottom-k merge of sketch arrays down to `groupCols` (dropping
+    * shard columns): explode, re-bottom-k. Identity: merging per-shard
+    * sketches equals the direct sketch (both are the k smallest
+    * distinct hashes of the union) — spec'd. */
+  def kmvMerge(sketches: DataFrame, groupCols: Seq[String],
+               k: Int = 64): DataFrame = {
+    val agg = udaf(new BottomKDistinct(k))
+    sketches.select(groupCols.map(col) :+
+        explode(col("kmv")).as("kmv_h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("kmv_h")).as("kmv"))
+  }
+
+  /** Distinct-count estimate from a sketch array: exact size when the
+    * group never filled k slots (the sketch SAW every distinct value);
+    * otherwise (k-1) * 2^32 / kth-smallest-hash — the classic KMV
+    * estimator, a deterministic closed form of the array. */
+  def kmvEstimate(kmv: Column, k: Int = 64): Column =
+    when(size(kmv) < k, size(kmv).cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(4294967296.0) /
+        element_at(kmv, k).cast("double"))
+
+  /** Union + intersection cardinality estimates for two sketch arrays
+    * (the KMV set-operation estimator): K = bottom-k of the combined
+    * hashes is a valid sketch of A UNION B; the share of K's members
+    * present in BOTH input sketches estimates the Jaccard similarity;
+    * intersection = jaccard * union. Returns (est_union, est_inter)
+    * as a struct column; evaluation order is fixed for oracle parity. */
+  def kmvSetEstimates(a: Column, b: Column, k: Int = 64): Column = {
+    val union = slice(array_sort(array_distinct(concat(a, b))), 1, k)
+    val inBoth = size(array_intersect(array_intersect(union, a), b))
+    val estU = kmvEstimate(union, k)
+    val j = inBoth.cast("double") / size(union).cast("double")
+    struct(estU.as("est_union"), (j * estU).as("est_inter"))
+  }
+}
+
+/** Bounded "k smallest DISTINCT longs" Aggregator — the [[SmallestK]]
+  * partial-aggregation shape with set semantics (KMV needs distinct
+  * hashes: a re-observed value must not occupy a second slot). State is
+  * a sorted, deduplicated list capped at k; reduce/merge re-cap, both
+  * associative and commutative on the bottom-k-set lattice, so Spark
+  * map-side combines and only k-bounded buffers cross the shuffle. */
+class BottomKDistinct(k: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, List[Long], Seq[Long]] {
+  require(k > 0, s"k must be positive, got $k")
+  private def keep(xs: List[Long]): List[Long] = xs.distinct.sorted.take(k)
+  override def zero: List[Long] = Nil
+  override def reduce(buf: List[Long], h: Long): List[Long] = keep(h :: buf)
+  override def merge(a: List[Long], b: List[Long]): List[Long] = keep(a ++ b)
+  override def finish(buf: List[Long]): Seq[Long] = keep(buf)
+  override def bufferEncoder: org.apache.spark.sql.Encoder[List[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[Long]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }

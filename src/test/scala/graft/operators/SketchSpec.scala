@@ -148,6 +148,53 @@ class SketchSpec extends SparkTestBase {
     assert(withNulls == Map(1 -> 1L, 9 -> 1L), withNulls.toString)
   }
 
+  test("kmvSketch: merge of per-shard sketches IS the direct sketch; " +
+    "estimates hit exact counts under k and land within KMV error over") {
+    import spark.implicits._
+    // 5000 distinct values sharded 4 ways
+    val vals = (1 to 5000).map(v => (s"v$v", v % 4)).toDF("v", "shard")
+    val direct = Sketches.kmvSketch(vals, Seq.empty, "v", k = 64)
+      .select("kmv").as[Seq[Long]].head()
+    val sharded = Sketches.kmvMerge(
+        Sketches.kmvSketch(vals, Seq("shard"), "v", k = 64),
+        Seq.empty, k = 64)
+      .select("kmv").as[Seq[Long]].head()
+    assert(direct == sharded, "merge(shards) != direct")
+    assert(direct.length == 64 && direct == direct.sorted &&
+      direct.distinct.length == 64)
+    // estimator: within the ~1/sqrt(k) relative-error regime (k=64 ->
+    // 12.5% sigma; allow 3 sigma)
+    val est = spark.range(1).select(
+      Sketches.kmvEstimate(typedLit(direct), 64)).as[Double].head()
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.375, s"est=$est")
+    // under k distinct values the sketch reports the EXACT count
+    val tiny = (1 to 10).map(v => s"t$v").toDF("v")
+    val tinySketch = Sketches.kmvSketch(tiny, Seq.empty, "v", k = 64)
+    assert(tinySketch.select(Sketches.kmvEstimate(col("kmv"), 64))
+      .as[Double].head() == 10.0)
+    // duplicates never occupy extra slots (set semantics)
+    val dup = (1 to 10).flatMap(v => Seq.fill(7)(s"t$v")).toDF("v")
+    assert(Sketches.kmvSketch(dup, Seq.empty, "v", k = 64)
+      .select(size(col("kmv"))).as[Int].head() == 10)
+  }
+
+  test("kmvSetEstimates: jaccard-scaled intersection tracks the true " +
+    "overlap of two value sets") {
+    import spark.implicits._
+    // A = 1..3000, B = 2001..5000 -> union 5000, intersection 1000
+    val a = (1 to 3000).map(v => ("a", s"v$v"))
+    val b = (2001 to 5000).map(v => ("b", s"v$v"))
+    val sk = Sketches.kmvSketch((a ++ b).toDF("g", "v"), Seq("g"), "v", 64)
+    val ka = sk.where(col("g") === "a").select("kmv").as[Seq[Long]].head()
+    val kb = sk.where(col("g") === "b").select("kmv").as[Seq[Long]].head()
+    val e = spark.range(1).select(
+        Sketches.kmvSetEstimates(typedLit(ka), typedLit(kb), 64).as("e"))
+      .select("e.est_union", "e.est_inter").as[(Double, Double)].head()
+    assert(math.abs(e._1 - 5000.0) / 5000.0 < 0.375, s"union=${e._1}")
+    // intersection compounds union + jaccard error; allow a loose band
+    assert(e._2 > 200 && e._2 < 2500, s"inter=${e._2}")
+  }
+
   test("cmsEstimate is one-sided: est >= exact, absent items near zero") {
     import spark.implicits._
     // skewed multiset: item k appears k times, k in 1..200

@@ -2406,6 +2406,36 @@ object SparkEntry {
               |    CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS dup_frac
               |FROM j GROUP BY id""".stripMargin)),
 
+    // DD: duplicated-SPAN extraction — the actionable complement of
+    // dd_dup_fraction: the maximal token ranges whose every 3-gram is
+    // corpus-duplicated (the C4-style "cut the boilerplate passage,
+    // keep the document" operator). Positional shingle explode ->
+    // shingle df partial agg -> island windows per doc.
+    Q("dd_dup_spans",
+      (s, dir) => Dedup.dupSpans(t(s, dir, "documents"), "doc_id", "text"),
+      Some(s"""WITH toks AS ($toksSql),
+              |e AS (
+              |  SELECT id,
+              |    unnest(range(0, greatest(len(tk) - 2, 1))) AS p,
+              |    unnest(CASE WHEN len(tk) < 3
+              |      THEN [${h32Sql("array_to_string(tk, ' ')", "0")}]
+              |      ELSE list_transform(range(0, len(tk) - 2),
+              |        i -> ${h32Sql("array_to_string(tk[i+1:i+3], ' ')", "0")})
+              |      END) AS g
+              |  FROM toks),
+              |d AS (SELECT g, count(*) AS df
+              |      FROM (SELECT DISTINCT id, g FROM e) GROUP BY g),
+              |dup AS (SELECT e.id, e.p FROM e JOIN d USING (g)
+              |        WHERE d.df >= 2),
+              |isl AS (SELECT id, p,
+              |          p - row_number() OVER (PARTITION BY id ORDER BY p)
+              |            AS island
+              |        FROM dup)
+              |SELECT id AS doc_id, CAST(min(p) AS INT) AS start_tok,
+              |  CAST(max(p) + 2 AS INT) AS end_tok,
+              |  count(*) AS n_shingles
+              |FROM isl GROUP BY id, island""".stripMargin)),
+
     // Intra-document repetition signals (Gopher/RefinedWeb-style quality
     // rules): duplicate word-3-gram fraction + most-common-token fraction
     Q("ta_repetition",

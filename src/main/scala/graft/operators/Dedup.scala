@@ -609,6 +609,61 @@ object Dedup {
           * lit(1e6) + lit(0.5)) / lit(1e6)).as("dup_frac"))
   }
 
+  /** POSITIONAL shingle hashes: one hash per n-gram start position, in
+    * position order (NOT distinct — [[hashedShinglesKernel]]'s set form
+    * serves df counting; this one serves span extraction). Short docs
+    * (< n tokens) yield their whole text as position 0. */
+  def positionalShinglesKernel(text: String, n: Int): Seq[Long] = {
+    val toks = tokensKernel(text)
+    if (toks.length < n)
+      return Seq(md5Hash32Kernel(toks.mkString(" "), 0))
+    val out = new Array[Long](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new StringBuilder(toks(i))
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+      out(i) = md5Hash32Kernel(sb.toString, 0)
+      i += 1
+    }
+    out.toSeq
+  }
+  private val positionalShinglesUdf = udf(positionalShinglesKernel _)
+
+  /** Duplicated-SPAN extraction — the actionable complement of
+    * [[dupShingleFraction]]'s score: the maximal token ranges of each
+    * document whose every n-gram appears in >= `minDocs` docs
+    * corpus-wide (C4/RefinedWeb-style "remove the duplicated passage,
+    * keep the document" cleaning). Positions whose shingle is
+    * corpus-duplicated merge into islands (consecutive start positions
+    * -> one span); output (doc_id, start_tok, end_tok, n_shingles)
+    * with end_tok = last covered token index inclusive.
+    *
+    * Shape: positional explode (linear in tokens) -> per-shingle doc
+    * frequency (per-doc-distinct partial agg on the hashed-long key —
+    * the dupShingleFraction vocab-skew rules apply: planner exchanges
+    * only, AQE skew-splits the join-back) -> per-doc island windows
+    * (partitioned by doc, bounded by doc length). No pairs, no
+    * cartesian at any corpus size. */
+  def dupSpans(docs: DataFrame, idCol: String, textCol: String,
+               n: Int = 3, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2 (1 would flag everything)")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        posexplode(positionalShinglesUdf(col(textCol), lit(n))))
+      .withColumnRenamed("pos", "p").withColumnRenamed("col", "g")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val dup = sh.join(dfreq.where(col("df") >= minDocs), "g")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dup.withColumn("island", col("p") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("p").as("start_tok"),
+        (max("p") + lit(n - 1)).as("end_tok"),
+        count(lit(1)).as("n_shingles"))
+      .select("doc_id", "start_tok", "end_tok", "n_shingles")
+  }
+
   /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
     * buckets (sign pattern over random hyperplanes, `tables` independent
     * hash tables for recall) generate candidates as a bucket equi-join,

@@ -909,6 +909,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("dupSpans merges consecutive duplicated shingle positions into " +
+    "maximal token ranges and ignores corpus-unique text") {
+    // docs 1/2 share an 5-token passage; doc 3 is unrelated
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1 tail1 words here"),
+      (2L, "prefix2 alpha beta gamma delta epsilon other2 ending2"),
+      (3L, "completely different text with no shared phrases at all")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpans(docs, "doc_id", "text")
+      .select("doc_id", "start_tok", "end_tok", "n_shingles")
+      .as[(Long, Int, Int, Long)].collect().toSet
+    // shared run "alpha beta gamma delta epsilon" = 5 tokens -> 3
+    // consecutive duplicated 3-gram positions -> ONE maximal span
+    // covering tokens 0..4 in doc 1 and 1..5 in doc 2
+    assert(spans == Set((1L, 0, 4, 3L), (2L, 1, 5, 3L)), spans.toString)
+    // a doc shorter than the shingle width duplicates as a whole or not
+    val tiny = Seq((1L, "same text"), (2L, "same text"), (3L, "else"))
+      .toDF("doc_id", "text")
+    val tinySpans = Dedup.dupSpans(tiny, "doc_id", "text")
+      .select("doc_id", "start_tok", "end_tok")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(tinySpans == Set((1L, 0, 2), (2L, 0, 2)), tinySpans.toString)
+  }
+
   test("cosineCol computes exact cosine") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")

@@ -3126,6 +3126,128 @@ object SparkEntry {
     s"(${t.toLong * (1L << 40)} + ${bits.mkString(" + ")})"
   }
 
+  /** Shared partsupp PROXY for the TPC-H q2/q11/q16/q20 shapes: the
+    * corpus has no partsupp table (the q9 precedent,
+    * `/root/reference` ships none either), so the part-supplier
+    * relation is the DISTINCT (l_partkey, l_suppkey) pairs observed in
+    * lineitem, and supply cost (integer cents, 1.00..10.00) and
+    * available quantity (units, 100..10000) are deterministic integer
+    * functions of the key pair — identical modular arithmetic in Spark
+    * and DuckDB, all operands positive so `%` sign rules cannot
+    * diverge. One string feeds BOTH engines. */
+  private val psProxySql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey,
+      |                            l_suppkey AS ps_suppkey FROM lineitem),
+      |psc AS (SELECT ps_partkey, ps_suppkey,
+      |        CAST((ps_partkey * 31 + ps_suppkey * 7) % 901 + 100
+      |          AS BIGINT) AS cost2,
+      |        CAST((ps_partkey * 17 + ps_suppkey * 13) % 9901 + 100
+      |          AS BIGINT) AS availqty
+      |        FROM ps)""".stripMargin
+
+  private val q2Sql: String = psProxySql +
+    """
+      |, eur AS (
+      |  SELECT psc.*, s_name, s_acctbal, n_name FROM psc
+      |  JOIN supplier ON s_suppkey = ps_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE r_name = 'EUROPE')
+      |SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+      |       CAST(cost2 AS DOUBLE) / 1e2 AS supplycost
+      |FROM eur JOIN part ON p_partkey = ps_partkey
+      |JOIN (SELECT ps_partkey AS mpk, min(cost2) AS mc
+      |      FROM eur GROUP BY ps_partkey) m
+      |  ON mpk = ps_partkey AND cost2 = mc
+      |WHERE p_size = 23 AND p_type = 'LARGE'""".stripMargin
+
+  private val q11Sql: String = psProxySql +
+    """
+      |, val AS (
+      |  SELECT ps_partkey, sum(cost2 * availqty) AS v2
+      |  FROM psc JOIN supplier ON s_suppkey = ps_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE n_name IN ('NATION_7', 'NATION_8')
+      |  GROUP BY ps_partkey),
+      |tot AS (SELECT sum(v2) AS t2 FROM val)
+      |SELECT ps_partkey, CAST(v2 AS DOUBLE) / 1e2 AS value
+      |FROM val CROSS JOIN tot WHERE v2 * 1000 > t2""".stripMargin
+
+  private val q12Sql: String =
+    """SELECT CASE (l_orderkey * 7 + l_linenumber) % 3
+      |         WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'TRUCK'
+      |       END AS shipmode,
+      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS high_line_count,
+      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY 1""".stripMargin
+
+  private val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |         sum(CAST(floor(l_extendedprice * (1e0 - l_discount) * 1e4
+      |           + 5e-1) AS BIGINT)) AS total4
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey),
+      |mx AS (SELECT max(total4) AS m4 FROM rev)
+      |SELECT s_suppkey, s_name,
+      |       floor(CAST(total4 AS DOUBLE) / 1e2 + 5e-1) / 1e2
+      |         AS total_revenue
+      |FROM rev CROSS JOIN mx
+      |JOIN supplier ON s_suppkey = supplier_no
+      |WHERE total4 = m4""".stripMargin
+
+  private val q16Sql: String = psProxySql +
+    """
+      |SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT ps_suppkey) AS supplier_cnt
+      |FROM psc JOIN part ON p_partkey = ps_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      |  AND p_size IN (1, 12, 17, 23, 27, 33, 42, 50)
+      |  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                         WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size""".stripMargin
+
+  private val q20Sql: String = psProxySql +
+    """
+      |, shipped AS (
+      |  SELECT l_partkey AS sp, l_suppkey AS ss,
+      |         sum(CAST(l_quantity AS BIGINT)) AS sq
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  GROUP BY 1, 2)
+      |SELECT DISTINCT s_name, n_name
+      |FROM psc JOIN part ON p_partkey = ps_partkey
+      |JOIN shipped ON sp = ps_partkey AND ss = ps_suppkey
+      |JOIN supplier ON s_suppkey = ps_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE p_name LIKE '%rod%' AND availqty > sq * 5
+      |  AND n_name IN ('NATION_5', 'NATION_6', 'NATION_7')""".stripMargin
+
+  private val q21Sql: String =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND n_name IN ('NATION_3', 'NATION_4')
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name""".stripMargin
+
   private val extraQueries = Seq(
     // P7: geometry re-check guard — recompute the region from coords, keep
     // only rows whose hint agrees (strict anti-leak drop)
@@ -3866,6 +3988,103 @@ object SparkEntry {
              |                  WHERE o_custkey = c_custkey
              |                    AND o_orderpriority = '1-URGENT')
              |GROUP BY c_nationkey""".stripMargin)),
+
+    // TPC-H q2 shape (minimum-cost supplier): the corpus has no
+    // partsupp table, so the part-supplier relation is the DISTINCT
+    // (l_partkey, l_suppkey) pairs observed in lineitem and supply
+    // cost/availqty are deterministic integer functions of the key
+    // pair (psProxySql — identical arithmetic in both engines, the
+    // q9 proxy-cost precedent). The correlated "cost = regional
+    // minimum for this part" subquery decorrelates into a grouped-min
+    // join; dims broadcast, the pair scan is the only fact.
+    Q("q2_min_cost_supplier",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier", "nation", "region")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q2Sql)
+      },
+      Some(q2Sql)),
+
+    // TPC-H q11 shape (important stock): per-part inventory value over
+    // a nation group against a global-total threshold. Values are
+    // exact integer cents x units; the fraction test is the exact
+    // cross-multiplication v2 * 1000 > total (threshold 1/1000), so
+    // no engine's summation order can flip a boundary part. The
+    // global total enters by one-row broadcast cross join.
+    Q("q11_important_stock",
+      (s, dir) => {
+        Seq("lineitem", "supplier", "nation")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q11Sql)
+      },
+      Some(q11Sql)),
+
+    // TPC-H q12 shape (shipmode priority counts): the corpus has no
+    // l_shipmode/commitdate/receiptdate, so mode is a deterministic
+    // 3-way split of the line key and "late" is shipped > 60 days
+    // after order date — the shape (fact-fact equi-join, date-window
+    // pushdown, CASE'd priority counts) is the point.
+    Q("q12_shipmode_priority",
+      (s, dir) => {
+        Seq("lineitem", "orders")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q12Sql)
+      },
+      Some(q12Sql)),
+
+    // TPC-H q15 shape (top supplier): quarterly revenue per supplier,
+    // global max by one-row broadcast cross join, equality back-join.
+    // Revenue accumulates as exact integer ten-thousandths so the
+    // max-equality test cannot be split by float summation order;
+    // the one output value quantizes once at the end.
+    Q("q15_top_supplier",
+      (s, dir) => {
+        Seq("lineitem", "supplier")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q15Sql)
+      },
+      Some(q15Sql)),
+
+    // TPC-H q16 shape (parts/supplier count): distinct-supplier counts
+    // per brand/type/size over the pair relation, excluding
+    // "complaint" suppliers by NOT IN (negative account balance
+    // stands in for the comment pattern — the corpus has no
+    // s_comment). The NOT IN decorrelates to a null-aware anti join
+    // against the 100-row supplier dim.
+    Q("q16_supplier_count",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q16Sql)
+      },
+      Some(q16Sql)),
+
+    // TPC-H q20 shape (potential part promotion): suppliers whose
+    // proxy availqty exceeds 5x what they actually shipped of a
+    // part-name family in a year — nested IN subqueries decorrelated
+    // into joins against the grouped-shipment frame; the availqty
+    // test is exact integer arithmetic.
+    Q("q20_potential_promotion",
+      (s, dir) => {
+        Seq("lineitem", "part", "supplier", "nation")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q20Sql)
+      },
+      Some(q20Sql)),
+
+    // TPC-H q21 shape (suppliers who kept orders waiting): the
+    // EXISTS / NOT EXISTS double-correlated self-join on lineitem.
+    // "Late" is shipped > 90 days after order date (the corpus has no
+    // commit/receipt dates; lateness correlates the OUTER order's
+    // date into the NOT EXISTS branch, preserving the classic
+    // other-supplier-was-also-late exclusion shape).
+    Q("q21_waiting_suppliers",
+      (s, dir) => {
+        Seq("lineitem", "orders", "supplier", "nation")
+          .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+        s.sql(q21Sql)
+      },
+      Some(q21Sql)),
 
     // J4 via the OPTIMIZER RULE: the join is written naively as a radius
     // predicate; SpatialJoinRule (plans/SpatialRewrite) rewrites it into

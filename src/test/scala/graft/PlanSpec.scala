@@ -267,6 +267,37 @@ class PlanSpec extends SparkTestBase {
     assert(!q22.contains("CartesianProduct"), q22.take(3000))
   }
 
+  test("q2-q21 completions: decorrelated subqueries never go cartesian, " +
+    "dims broadcast, q21's NOT EXISTS lands as an anti join") {
+    for (q <- Seq("q2_min_cost_supplier", "q11_important_stock",
+        "q12_shipmode_priority", "q15_top_supplier", "q16_supplier_count",
+        "q20_potential_promotion", "q21_waiting_suppliers")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      // the only nested-loop joins allowed are the one-row global
+      // scalar cross joins (q11's total, q15's max) — those broadcast
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+    }
+    // q2's correlated regional-min rewrites to a grouped-min equi-join;
+    // supplier/nation/region dims broadcast at this sf
+    val q2 = plan("q2_min_cost_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(q2).size >= 3, q2.take(3000))
+    // q16's NOT IN decorrelates to a null-aware anti join, not a loop
+    // over the subquery
+    val q16 = plan("q16_supplier_count")
+    assert(q16.contains("LeftAnti"), q16.take(3000))
+    // q21's NOT EXISTS (correlated on the outer order's date) must
+    // decorrelate to an anti join; the EXISTS to a semi join
+    val q21 = plan("q21_waiting_suppliers")
+    assert(q21.contains("LeftAnti"), q21.take(3000))
+    assert(q21.contains("LeftSemi"), q21.take(3000))
+    // q12's late-shipment predicate is a fact-fact join condition, so
+    // the date WINDOW still pushes to the lineitem scan
+    val q12 = plan("q12_shipmode_priority")
+    assert(q12.contains("PushedFilters") &&
+      q12.contains("IsNotNull(l_shipdate)"), q12.take(3000))
+  }
+
   test("dd_dup_fraction: no user-forced exchange on the Zipf-skewed " +
     "shingle key; the shingle frame is cached, not re-keyed") {
     // The round-7 weak mark: a pinned repartition(g) put a hot shingle's

@@ -6290,6 +6290,59 @@ object SparkEntry {
           .stripMargin
       }),
 
+    // GR: HITS hubs & authorities over the DIRECTED customer lattice
+    // (a_id < b_id — low ids feed high ids, so hub and authority mass
+    // genuinely separate; the 2-D grid gives a non-uniform score
+    // distribution, unlike the near-1-D supplier strip whose HITS
+    // scores collapse to a constant). Fixed 5 rounds, L1 norm per
+    // half-step (no sqrt — the oracle composes identical IEEE
+    // shapes), output rounds to 6 like the PageRank rows. The oracle
+    // CTEs are MATERIALIZED (DuckDB-only hint; this SQL never runs in
+    // Spark): without it single-referenced CTEs inline recursively
+    // and the unrolled 5-round tree re-evaluates the lattice join
+    // 2^rounds times.
+    Q("gr_hits",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        PageRank.hits(edges, iterations = 5)
+          .select(col("node"), (round(col("hub"), 6) + 0.0).as("hub"),
+            (round(col("auth"), 6) + 0.0).as("auth"))
+      },
+      Some {
+        val iterSql = (k: Int) =>
+          s"""ar$k AS MATERIALIZED (
+             |  SELECT e.dst AS node, sum(h.hub) AS raw
+             |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY e.dst),
+             |an$k AS MATERIALIZED (SELECT sum(raw) AS s FROM ar$k),
+             |a$k AS MATERIALIZED (
+             |  SELECT nd.node, coalesce(ar.raw, 0e0) / an.s AS auth
+             |  FROM nodes nd CROSS JOIN an$k an
+             |  LEFT JOIN ar$k ar ON nd.node = ar.node),
+             |hr$k AS MATERIALIZED (
+             |  SELECT e.src AS node, sum(a.auth) AS raw
+             |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY e.src),
+             |hn$k AS MATERIALIZED (SELECT sum(raw) AS s FROM hr$k),
+             |h$k AS MATERIALIZED (
+             |  SELECT nd.node, coalesce(hr.raw, 0e0) / hn.s AS hub
+             |  FROM nodes nd CROSS JOIN hn$k hn
+             |  LEFT JOIN hr$k hr ON nd.node = hr.node)"""
+        s"""WITH pts AS MATERIALIZED ($custPointsSql),
+           |e AS MATERIALIZED (
+           |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+           |  FROM pts a JOIN pts b
+           |    ON a.c_custkey < b.c_custkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+           |nodes AS MATERIALIZED (
+           |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |h0 AS MATERIALIZED (SELECT node, 1e0 AS hub FROM nodes),
+           |${(1 to 5).map(iterSql).mkString(",\n")}
+           |SELECT h5.node, round(h5.hub, 6) + 0e0 AS hub,
+           |  round(a5.auth, 6) + 0e0 AS auth
+           |FROM h5 JOIN a5 ON h5.node = a5.node""".stripMargin
+      }),
+
     // ST: ordered conversion funnel over the event log — earliest-
     // completion greedy matching (step i+1 strictly after the earliest
     // valid completion of step i), one partial-aggregatable shuffle per

@@ -205,6 +205,62 @@ object PageRank {
     ranks
   }
 
+  /** HITS hubs & authorities (Kleinberg, JACM 46(5) 1999): mutual
+    * reinforcement over a DIRECTED graph — a round updates authority
+    * scores from in-neighbor hub scores, L1-normalizes, then hub
+    * scores from out-neighbor authority scores, L1-normalizes. A FIXED
+    * iteration count keeps the result deterministic (the [[run]]
+    * discipline: no float convergence epsilon), and L1 normalization
+    * (divide by the round's score sum) replaces the classic L2 so the
+    * oracle's unrolled SQL composes the identical IEEE expression
+    * shapes with no sqrt.
+    *
+    * Round shape: two contribution scatters (shuffle on dst, then on
+    * src — both partial-agg) and two 1-row normalizer aggregates that
+    * enter by broadcast cross join; state is (node, hub, auth), tiny
+    * relative to edges, checkpointed per round so lineage stays flat.
+    * Nodes with no in-edges have authority 0; no out-edges, hub 0.
+    *
+    * @return DataFrame(node, hub, auth) for every node in src ∪ dst. */
+  def hits(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+           iterations: Int = 5): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    val (nodes, nodesRdd) = CheckpointOps.checkpoint(
+      e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct())
+    var (state, stateRdd) = CheckpointOps.checkpoint(
+      nodes.select($"node", lit(1.0).as("hub"), lit(0.0).as("auth")))
+    var iter = 0
+    while (iter < iterations) {
+      val authRaw = e.join(state.select($"node".as("src"), $"hub"), "src")
+        .groupBy($"dst".as("node")).agg(sum($"hub").as("raw"))
+      val authNorm = authRaw.agg(sum($"raw").as("s"))
+      val auths = nodes.join(authRaw, Seq("node"), "left")
+        .crossJoin(broadcast(authNorm))
+        .select($"node", (coalesce($"raw", lit(0.0)) / $"s").as("auth"))
+      val hubRaw = e.join(auths.select($"node".as("dst"), $"auth"), "dst")
+        .groupBy($"src".as("node")).agg(sum($"auth").as("raw"))
+      val hubNorm = hubRaw.agg(sum($"raw").as("s"))
+      val next = nodes
+        .join(hubRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hubNorm))
+        .select($"node", (coalesce($"raw", lit(0.0)) / $"s").as("hub"))
+        .join(auths, Seq("node"))
+        .select($"node", $"hub", $"auth")
+      val (nextFlat, nextRdd) = CheckpointOps.checkpoint(next)
+      stateRdd.unpersist(false)
+      state = nextFlat
+      stateRdd = nextRdd
+      iter += 1
+    }
+    eRdd.unpersist(false)
+    nodesRdd.unpersist(false)
+    state
+  }
+
   /** The wedge set of the DEGREE-oriented graph: every undirected edge
     * {u,v} (directions/dups collapsed, self-loops dropped) is directed
     * from the (degree, id)-smaller endpoint to the larger, and a wedge is

@@ -470,6 +470,31 @@ class OperatorsSpec extends SparkTestBase {
     rc.foreach { case (_, r) => assert(math.abs(r - 1.0 / 3) < 1e-12) }
   }
 
+  test("hits matches hand-computed mutual-reinforcement rounds") {
+    // 1->3, 2->3, 2->4: node 2 points at both authorities, so it out-hubs
+    // node 1; node 3 has two in-links, so it out-authorities node 4.
+    // Round 1: auth raw (2,1)/3 -> a=(2/3,1/3); hub raw (2/3,1)/ (5/3)
+    // -> h=(2/5,3/5). Round 2: auth raw (1,3/5)/(8/5) -> (5/8,3/8);
+    // hub raw (5/8,1)/(13/8) -> (5/13, 8/13).
+    val g = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val r = PageRank.hits(g, iterations = 2)
+      .as[(Long, Double, Double)].collect()
+      .map { case (n, h, a) => n -> (h, a) }.toMap
+    assert(math.abs(r(1L)._1 - 5.0 / 13) < 1e-12)
+    assert(math.abs(r(2L)._1 - 8.0 / 13) < 1e-12)
+    assert(r(3L)._1 == 0.0 && r(4L)._1 == 0.0)
+    assert(math.abs(r(3L)._2 - 5.0 / 8) < 1e-12)
+    assert(math.abs(r(4L)._2 - 3.0 / 8) < 1e-12)
+    assert(r(1L)._2 == 0.0 && r(2L)._2 == 0.0)
+    // cycle: uniform 1/3 hubs AND authorities is the exact fixpoint
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    PageRank.hits(cyc, iterations = 4).as[(Long, Double, Double)].collect()
+      .foreach { case (_, h, a) =>
+        assert(math.abs(h - 1.0 / 3) < 1e-12)
+        assert(math.abs(a - 1.0 / 3) < 1e-12)
+      }
+  }
+
   test("PNG codec: roundtrip across all five filters, CRC + scope guards") {
     // height 9 cycles through every filter type (y % 5) twice
     val (w, h) = (7, 9)

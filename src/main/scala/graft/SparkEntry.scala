@@ -6343,6 +6343,49 @@ object SparkEntry {
            |FROM h5 JOIN a5 ON h5.node = a5.node""".stripMargin
       }),
 
+    // GR: common-neighbor link prediction over the customer proximity
+    // graph — non-adjacent pairs sharing >= 2 neighbors, scored by
+    // common-neighbor count, Jaccard, and Adamic-Adar. Wedge enumeration
+    // centered on each shared neighbor (degree-capped against hub
+    // blow-up); the oracle composes the identical per-wedge 1/ln(d)
+    // terms so the doubles agree at 6-decimal rounding.
+    Q("gr_link_predict",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        PageRank.linkPredict(edges, minCommon = 2)
+      },
+      Some(s"""WITH pts AS MATERIALIZED ($custPointsSql),
+              |e AS MATERIALIZED (
+              |  SELECT a.c_custkey AS a, b.c_custkey AS b
+              |  FROM pts a JOIN pts b
+              |    ON a.c_custkey < b.c_custkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+              |adj AS MATERIALIZED (
+              |  SELECT a AS n, b AS nbr FROM e
+              |  UNION ALL SELECT b, a FROM e),
+              |deg AS MATERIALIZED (
+              |  SELECT n, count(*) AS d FROM adj GROUP BY n),
+              |ctr AS MATERIALIZED (
+              |  SELECT adj.n, adj.nbr, deg.d FROM adj
+              |  JOIN deg ON adj.n = deg.n WHERE deg.d <= 10000),
+              |w AS MATERIALIZED (
+              |  SELECT c1.nbr AS x, c2.nbr AS y, c1.d
+              |  FROM ctr c1 JOIN ctr c2 ON c1.n = c2.n AND c1.nbr < c2.nbr),
+              |s AS MATERIALIZED (
+              |  SELECT x, y, count(*) AS cn, sum(1e0 / ln(d)) AS aa
+              |  FROM w GROUP BY x, y),
+              |cand AS (
+              |  SELECT * FROM s WHERE cn >= 2 AND NOT EXISTS
+              |    (SELECT 1 FROM e WHERE e.a = s.x AND e.b = s.y))
+              |SELECT c.x, c.y, c.cn,
+              |  round(c.cn / (dx.d + dy.d - c.cn), 6) + 0e0 AS jaccard,
+              |  round(c.aa, 6) + 0e0 AS adamic_adar
+              |FROM cand c
+              |JOIN deg dx ON c.x = dx.n
+              |JOIN deg dy ON c.y = dy.n""".stripMargin)),
+
     // ST: ordered conversion funnel over the event log — earliest-
     // completion greedy matching (step i+1 strictly after the earliest
     // valid completion of step i), one partial-aggregatable shuffle per

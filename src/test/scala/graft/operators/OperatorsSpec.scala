@@ -495,6 +495,40 @@ class OperatorsSpec extends SparkTestBase {
       }
   }
 
+  test("linkPredict scores non-adjacent pairs by CN / Jaccard / Adamic-Adar") {
+    // path 1-2, 2-3, 3-4 plus 1-5, 5-3: pair (1,3) shares {2, 5} and is
+    // NOT an edge; deg(1)=2, deg(3)=3, deg(2)=deg(5)=2.
+    // cn=2, jaccard = 2/(2+3-2) = 2/3, aa = 2/ln(2).
+    val g = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 5L), (5L, 3L))
+      .toDF("src", "dst")
+    // ... and (2,5) share {1, 3}: jaccard 2/(2+2-2)=1, aa = 1/ln2 + 1/ln3
+    val r = PageRank.linkPredict(g, minCommon = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(t => (t._1, t._2) -> t).toMap
+    assert(r.keySet == Set((1L, 3L), (2L, 5L)))
+    val (_, _, cn, jac, aa) = r((1L, 3L))
+    assert(cn == 2L)
+    assert(math.abs(jac - math.rint(2.0 / 3 * 1e6) / 1e6) < 1e-12)
+    assert(math.abs(aa - math.rint(2.0 / math.log(2) * 1e6) / 1e6) < 1e-12)
+    val (_, _, _, jac2, aa2) = r((2L, 5L))
+    assert(jac2 == 1.0)
+    assert(math.abs(aa2 -
+      math.rint((1 / math.log(2) + 1 / math.log(3)) * 1e6) / 1e6) < 1e-12)
+    // adjacent pairs are excluded even when they share neighbors:
+    // triangle + pendant — (1,2) shares 3 but IS an edge
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (4L, 1L))
+      .toDF("src", "dst")
+    val r2 = PageRank.linkPredict(tri, minCommon = 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(r2.map(t => (t._1, t._2)).toSet == Set((3L, 4L)))
+    // degree cap: excluding the hub center kills the only evidence
+    val star = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("src", "dst")
+    assert(PageRank.linkPredict(star, minCommon = 1, maxCenterDegree = 2)
+      .count() == 0)
+    assert(PageRank.linkPredict(star, minCommon = 1, maxCenterDegree = 3)
+      .count() == 3)
+  }
+
   test("PNG codec: roundtrip across all five filters, CRC + scope guards") {
     // height 9 cycles through every filter type (y % 5) twice
     val (w, h) = (7, 9)

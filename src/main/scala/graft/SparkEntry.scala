@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.er.EntityResolution
 import graft.functions.GeoFunctions
 import graft.functions.TextFunctions
+import graft.functions.UrlFunctions
 import graft.operators._
 import graft.sources.Sources
 import graft.staging.CityAssignment
@@ -2493,6 +2494,108 @@ object SparkEntry {
            |  $redacted AS redacted
            |FROM w""".stripMargin
       }),
+
+    // TA: URL canonicalization — the C4/CCNet pre-dedup step. Messy URL
+    // forms (mixed-case scheme/host, www., default and explicit ports,
+    // trailing slashes, shuffled + tracking query params, empty parts,
+    // bare '?', fragments) are synthesized per doc_id by the SAME
+    // construction in both engines; each engine then canonicalizes
+    // INDEPENDENTLY with its own regex/list primitives, so the compare
+    // exercises the full normal form, not a shared shortcut.
+    Q("ta_url_canon",
+      (s, dir) => {
+        val m = pmod(col("doc_id"), lit(12L))
+        val id = col("doc_id").cast("string")
+        val qs = when(m % 6 === 0, lit("b=2&a=1&utm_source=feed"))
+          .when(m % 6 === 1, lit("a=1&b=2"))
+          .when(m % 6 === 2, lit("utm_campaign=x&b=2&a=1"))
+          .when(m % 6 === 3, lit("fbclid=ZZ"))
+          .when(m % 6 === 4, lit("b=2&&a=1"))
+          .otherwise(lit(""))
+        val url = concat(
+          when(m % 3 === 0, lit("HTTPS")).when(m % 3 === 1, lit("http"))
+            .otherwise(lit("https")),
+          lit("://"),
+          when(m % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          lit("News"), pmod(col("doc_id"), lit(7L)).cast("string"),
+          lit(".Example.COM"),
+          when(m === 0, lit(":443")).when(m === 1, lit(":80"))
+            .when(m === 2, lit(":8080")).otherwise(lit("")),
+          when(m === 5, lit("")).otherwise(concat(lit("/Articles/"), id,
+            when(m % 4 === 0, lit("/")).otherwise(lit("")))),
+          when(qs =!= "", concat(lit("?"), qs))
+            .when(m === 11, lit("?")).otherwise(lit("")),
+          when(m % 2 === 1, concat(lit("#Sec"), id)).otherwise(lit("")))
+        t(s, dir, "documents")
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            UrlFunctions.canonicalUrl(col("url")).as("canonical_url"),
+            UrlFunctions.urlHost(col("url")).as("host"),
+            UrlFunctions.urlDomain(col("url")).as("domain"))
+      },
+      Some("""WITH u AS (
+             |  SELECT doc_id,
+             |    (CASE (doc_id % 12) % 3 WHEN 0 THEN 'HTTPS'
+             |       WHEN 1 THEN 'http' ELSE 'https' END) || '://' ||
+             |    (CASE WHEN (doc_id % 12) % 2 = 0 THEN 'WWW.' ELSE '' END) ||
+             |    'News' || (doc_id % 7)::VARCHAR || '.Example.COM' ||
+             |    (CASE doc_id % 12 WHEN 0 THEN ':443' WHEN 1 THEN ':80'
+             |       WHEN 2 THEN ':8080' ELSE '' END) ||
+             |    (CASE WHEN doc_id % 12 = 5 THEN ''
+             |       ELSE '/Articles/' || doc_id::VARCHAR ||
+             |         (CASE WHEN (doc_id % 12) % 4 = 0 THEN '/' ELSE '' END)
+             |     END) ||
+             |    (CASE (doc_id % 12) % 6
+             |       WHEN 0 THEN '?b=2&a=1&utm_source=feed'
+             |       WHEN 1 THEN '?a=1&b=2'
+             |       WHEN 2 THEN '?utm_campaign=x&b=2&a=1'
+             |       WHEN 3 THEN '?fbclid=ZZ'
+             |       WHEN 4 THEN '?b=2&&a=1'
+             |       ELSE (CASE WHEN doc_id % 12 = 11 THEN '?' ELSE '' END)
+             |     END) ||
+             |    (CASE WHEN (doc_id % 12) % 2 = 1
+             |       THEN '#Sec' || doc_id::VARCHAR ELSE '' END) AS url
+             |  FROM documents),
+             |c AS (
+             |  SELECT doc_id, url,
+             |    lower(regexp_extract(url,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             |    lower(regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS auth,
+             |    regexp_extract(url,
+             |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+             |    regexp_extract(url, '\?([^#]*)', 1) AS q
+             |  FROM u),
+             |d AS (
+             |  SELECT *, regexp_extract(auth, ':([0-9]+)$', 1) AS port,
+             |    regexp_replace(regexp_replace(auth, ':[0-9]+$', ''),
+             |      '^www\.', '') AS host
+             |  FROM c),
+             |e AS (
+             |  SELECT *,
+             |    host || (CASE WHEN port <> '' AND NOT
+             |        ((scheme = 'http' AND port = '80') OR
+             |         (scheme = 'https' AND port = '443'))
+             |      THEN ':' || port ELSE '' END) AS authority,
+             |    (CASE WHEN regexp_replace(rawpath, '/+$', '') = ''
+             |      THEN '/' ELSE regexp_replace(rawpath, '/+$', '') END)
+             |      AS path,
+             |    coalesce(array_to_string(
+             |      list_sort(list_filter(string_split(q, '&'),
+             |        p -> p <> '' AND NOT regexp_matches(p,
+             |          '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))), '&'), '')
+             |      AS cq
+             |  FROM d)
+             |SELECT doc_id, url,
+             |  scheme || '://' || authority || path ||
+             |    (CASE WHEN cq = '' THEN '' ELSE '?' || cq END)
+             |    AS canonical_url,
+             |  host,
+             |  (CASE WHEN len(string_split(host, '.')) >= 2
+             |    THEN string_split(host, '.')[-2] || '.' ||
+             |      string_split(host, '.')[-1]
+             |    ELSE host END) AS domain
+             |FROM e""".stripMargin)),
 
     // Multimodal plumbing: opaque binary column + typed metadata
     // extraction, decode REAL end-to-end — payloads are synthesized in

@@ -3066,6 +3066,62 @@ object SparkEntry {
              |  max(value) AS high, min(value) AS low, count(*) AS n
              |FROM r GROUP BY 1, 2""".stripMargin)),
 
+    // ST: streaming approximate distinct users per hour — the HLL
+    // register build AS the streaming aggregation (state = at most 2^p
+    // register rows per window/type; max IS the HLL merge, so
+    // micro-batch boundaries cannot change the registers — batch parity
+    // is exact, which is what this row checks). The estimate fold runs
+    // at read time over the emitted registers; the oracle replicates
+    // registers + fold + corrections in SQL, joined with the exact
+    // count for the accuracy audit.
+    Q("st_hll_window",
+      (s, dir) => {
+        val ev = t(s, dir, "events")
+        val est = graft.streaming.EventStream.hllWindowEstimate(
+          graft.streaming.EventStream.hllRegisterStream(ev, p = 12), p = 12)
+        val exact = ev.groupBy(
+            unix_timestamp(date_trunc("hour", col("ts"))).as("win_start"),
+            col("event_type"))
+          .agg(countDistinct("user_id").as("exact"))
+        est.join(exact, Seq("win_start", "event_type"))
+          .select(col("win_start"), col("event_type"),
+            (round(col("hll_estimate"), 4) + 0.0).as("est"), col("exact"))
+      },
+      Some {
+        val hv = h32Sql("CAST(user_id AS VARCHAR)", "0")
+        s"""WITH h AS (
+           |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+           |      AS win_start,
+           |    event_type, $hv AS hv FROM events),
+           |regs AS (
+           |  SELECT win_start, event_type, hv >> 20 AS idx,
+           |    max(CASE WHEN (hv & 1048575) = 0 THEN 21
+           |        ELSE 20 - (length(bin(hv & 1048575)) - 1) END) AS mj
+           |  FROM h GROUP BY win_start, event_type, idx),
+           |folded AS (
+           |  SELECT win_start, event_type, sum(pow(2e0, -mj)) AS s_present,
+           |    count(*) AS present FROM regs GROUP BY win_start, event_type),
+           |est AS (
+           |  SELECT win_start, event_type,
+           |    (0.7213 / (1 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+           |      / (s_present + (4096 - present)) AS raw,
+           |    CAST(4096 - present AS DOUBLE) AS v
+           |  FROM folded),
+           |ex AS (
+           |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT)
+           |      AS win_start,
+           |    event_type, count(DISTINCT user_id) AS exact
+           |  FROM events GROUP BY 1, 2)
+           |SELECT win_start, event_type,
+           |  round(CASE
+           |    WHEN raw <= 2.5 * 4096 AND v > 0 THEN 4096e0 * ln(4096e0 / v)
+           |    WHEN raw > 4294967296e0 / 30 THEN
+           |      -4294967296e0 * ln(1 - raw / 4294967296e0)
+           |    ELSE raw END, 4) + 0e0 AS est,
+           |  exact
+           |FROM est JOIN ex USING (win_start, event_type)""".stripMargin
+      }),
+
     // S5: template extraction UDTF shape (1 row -> N listing rows)
     Q("s5_template_extract",
       (s, dir) => t(s, dir, "part")

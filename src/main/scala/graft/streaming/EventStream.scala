@@ -116,6 +116,39 @@ object EventStream {
         unix_timestamp(col("c_ts")).as("c_s"), col("p_value"))
   }
 
+  /** Watermarked per-window HLL register build — approximate distinct
+    * users per (1-hour window, event_type) as a STREAM. The streaming
+    * state is the register table itself: at most m = 2^p (window, type,
+    * register) rows per group regardless of traffic, max-merged
+    * incrementally by the ordinary streaming aggregation machinery (max
+    * is the HLL merge operator, so micro-batch boundaries cannot change
+    * the result — SketchSpec pins that identity for the batch builder).
+    * Emit the registers, not the estimate: registers stay mergeable
+    * downstream (across streams, days, or re-partitioned sinks), and the
+    * scalar fold is [[hllWindowEstimate]] at read time. This is the
+    * production continuous-distinct shape: per-window sketch state in
+    * the sink, never a per-user set. Works on batch frames too for
+    * result-parity testing. */
+  def hllRegisterStream(events: DataFrame, p: Int = 12): DataFrame = {
+    val (idx, rho) = graft.operators.Sketches.hllRegister(
+      col("user_id").cast("string"), p)
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("hll_idx", idx)
+      .withColumn("hll_rho", rho)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"),
+        col("hll_idx"))
+      .agg(max("hll_rho").as("mj"))
+      .select(unix_timestamp(col("window.start")).as("win_start"),
+        col("event_type"), col("hll_idx"), col("mj"))
+  }
+
+  /** Fold a (win_start, event_type) register table (the sink of
+    * [[hllRegisterStream]]) down to per-window distinct estimates. */
+  def hllWindowEstimate(regs: DataFrame, p: Int = 12): DataFrame =
+    graft.operators.Sketches.hllEstimate(
+      regs, Seq("win_start", "event_type"), p)
+
   /** File-source ingestion: readStream over a directory of parquet events,
     * windowed aggregation, partitioned parquet sink with checkpointing.
     * Returns the running query (caller stops it). */

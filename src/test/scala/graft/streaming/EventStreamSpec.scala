@@ -72,6 +72,38 @@ class EventStreamSpec extends SparkTestBase {
     assert(batch == got)
   }
 
+  test("streaming HLL registers match the batch build bit-for-bit " +
+    "across micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val batch1 = (1 to 40).map(i =>
+      Ev(Timestamp.valueOf("2024-01-01 00:10:00"), i.toLong, "click", 1.0))
+    val batch2 = (30 to 70).map(i => // overlaps batch1: merge must dedup
+      Ev(Timestamp.valueOf("2024-01-01 00:50:00"), i.toLong, "click", 1.0)) ++
+      (1 to 5).map(i =>
+        Ev(Timestamp.valueOf("2024-01-01 01:20:00"), i.toLong, "view", 1.0))
+    val q = EventStream.hllRegisterStream(mem.toDF(), p = 12)
+      .writeStream.format("memory").queryName("hll_regs")
+      .outputMode("complete").start()
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("hll_regs")
+      .as[(Long, String, Long, Int)].collect().toSet
+    val direct = EventStream.hllRegisterStream(
+        (batch1 ++ batch2).toDF(), p = 12)
+      .as[(Long, String, Long, Int)].collect().toSet
+    assert(streamed == direct) // max-merge == direct build, exactly
+    // and the estimate fold lands near the true distinct count
+    // (click hour 0 saw users 1..70 across the two micro-batches)
+    val est = EventStream.hllWindowEstimate(spark.table("hll_regs"), p = 12)
+      .where($"event_type" === "click" && $"win_start" ===
+        Timestamp.valueOf("2024-01-01 00:00:00").getTime / 1000)
+      .select($"hll_estimate").as[Double].head()
+    assert(math.abs(est - 70.0) / 70.0 < 0.15, s"estimate $est")
+  }
+
   test("stream-stream interval self-join attributes clicks to purchases " +
     "with bounded state") {
     implicit val sqlCtx = spark.sqlContext

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointOps
+import org.apache.spark.storage.StorageLevel
 
 /** Power-iteration PageRank over an edge DataFrame — the second iterative
   * consumer of the [[org.apache.spark.sql.graft.CheckpointOps]] round
@@ -235,14 +236,24 @@ object PageRank {
       nodes.select($"node", lit(1.0).as("hub"), lit(0.0).as("auth")))
     var iter = 0
     while (iter < iterations) {
+      // each scatter result feeds multiple consumers (its normalizer
+      // aggregate, the node join, and — for auths — the hub scatter AND
+      // the final zip); without persists every consumer re-runs the
+      // edge-sized join, ~6 edge scatters per round instead of 2
+      // (measured 6.9 s -> 2.9 s at sf0.1). The persisted frames are
+      // node-sized; all are dropped once the round's checkpoint has
+      // materialized.
       val authRaw = e.join(state.select($"node".as("src"), $"hub"), "src")
         .groupBy($"dst".as("node")).agg(sum($"hub").as("raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val authNorm = authRaw.agg(sum($"raw").as("s"))
       val auths = nodes.join(authRaw, Seq("node"), "left")
         .crossJoin(broadcast(authNorm))
         .select($"node", (coalesce($"raw", lit(0.0)) / $"s").as("auth"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hubRaw = e.join(auths.select($"node".as("dst"), $"auth"), "dst")
         .groupBy($"src".as("node")).agg(sum($"auth").as("raw"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hubNorm = hubRaw.agg(sum($"raw").as("s"))
       val next = nodes
         .join(hubRaw, Seq("node"), "left")
@@ -251,6 +262,9 @@ object PageRank {
         .join(auths, Seq("node"))
         .select($"node", $"hub", $"auth")
       val (nextFlat, nextRdd) = CheckpointOps.checkpoint(next)
+      authRaw.unpersist(false)
+      auths.unpersist(false)
+      hubRaw.unpersist(false)
       stateRdd.unpersist(false)
       state = nextFlat
       stateRdd = nextRdd

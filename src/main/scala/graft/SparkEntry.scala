@@ -2250,6 +2250,25 @@ object SparkEntry {
               |SELECT id AS doc_id, term AS top_term, round(s, 4) AS tfidf
               |FROM ranked WHERE rn = 1""".stripMargin)),
 
+    // TA: hashing-trick feature vectorizer — signed token counts folded
+    // into a fixed bucket space (Weinberger et al. 2009), the
+    // no-dictionary text featurizer. Sparse output; integer-exact
+    // md5-prefix hashes on both engines, one partial-agg shuffle.
+    Q("ta_hash_features",
+      (s, dir) => TextAnalysis.hashFeatures(
+          t(s, dir, "documents"), "doc_id", "text", numBuckets = 64)
+        .select(col("id").as("doc_id"), col("bucket"), col("feat")),
+      Some(s"""WITH toks AS ($toksSql),
+              |t AS (SELECT id, unnest(tk) AS tok FROM toks),
+              |h AS (
+              |  SELECT id,
+              |    ${h32Sql("tok", "0")} % 64 AS bucket,
+              |    CASE WHEN (${h32Sql("tok", "1")} & 1) = 1
+              |      THEN 1 ELSE -1 END AS sign
+              |  FROM t)
+              |SELECT id AS doc_id, bucket, sum(sign) AS feat
+              |FROM h GROUP BY id, bucket""".stripMargin)),
+
     // Inverted-index build: per-term document frequency + capped sorted
     // posting head. Distinct (term, doc) pairs partial-aggregate before
     // the per-term shuffle; the collect is capped so no term's posting

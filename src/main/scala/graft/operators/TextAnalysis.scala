@@ -323,4 +323,31 @@ object TextAnalysis {
       .select(col(idCol), col("term").as("top_term"),
         round(col("tfidf"), 4).as("tfidf"))
   }
+
+  /** Hashing-trick sparse feature vectorizer (Weinberger et al. 2009,
+    * "Feature Hashing for Large Scale Multitask Learning"): each token
+    * occurrence lands in bucket `h(tok) mod numBuckets`, with a SECOND
+    * independent hash bit choosing the sign of its contribution — the
+    * signed sum makes colliding features cancel in expectation instead
+    * of stacking, which is what lets a fixed-width table stand in for an
+    * unbounded vocabulary. No dictionary, no fit step, no driver state.
+    *
+    * Output is the sparse form (id, bucket, feat) — the dense vector
+    * never materializes, so the width can be 2^20 at 100 TB without a
+    * wide-row problem. Shape: explode -> map-side hash -> ONE
+    * partial-aggregating shuffle on (id, bucket); integer-exact in any
+    * engine (md5-prefix hash, the repo's cross-engine hash contract). */
+  def hashFeatures(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   textCol: String, numBuckets: Int = 1024)
+      : org.apache.spark.sql.DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    docs
+      .select(col(idCol).as("id"), explode(toks(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(Dedup.md5Hash32(col("tok"), lit(0)), lit(numBuckets.toLong))
+          .as("bucket"),
+        (Dedup.md5Hash32(col("tok"), lit(1)).bitwiseAND(lit(1L)) * lit(2L) -
+          lit(1L)).as("sign"))
+      .groupBy("id", "bucket").agg(sum("sign").as("feat"))
+  }
 }

@@ -495,6 +495,30 @@ class OperatorsSpec extends SparkTestBase {
       }
   }
 
+  test("hashFeatures folds signed token counts into the bucket space") {
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta beta"), (3L, ""))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.hashFeatures(docs, "doc_id", "text", numBuckets = 8)
+      .as[(Long, Long, Long)].collect()
+    def h(tok: String, seed: Int): Long =
+      graft.operators.Dedup.md5Hash32Kernel(tok, seed)
+    def sgn(tok: String): Long = if ((h(tok, 1) & 1L) == 1L) 1L else -1L
+    val expected = Seq(
+      (1L, "alpha", 2L), (1L, "beta", 1L), (2L, "beta", 2L))
+      .groupBy { case (id, tok, _) => (id, h(tok, 0) % 8) }
+      .map { case ((id, b), rows) =>
+        (id, b, rows.map { case (_, tok, n) => sgn(tok) * n }.sum) }
+      .toSet
+    assert(r.toSet == expected)
+    // empty doc contributes no buckets; total |mass| bounded by tokens
+    assert(!r.exists(_._1 == 3L))
+    assert(r.map(t => math.abs(t._3)).sum <= 5)
+    // wider table, no collisions: every count is +-(term frequency)
+    val wide = TextAnalysis.hashFeatures(docs, "doc_id", "text", 1 << 20)
+      .as[(Long, Long, Long)].collect()
+    assert(wide.map(t => math.abs(t._3)).toSeq.sorted == Seq(1L, 2L, 2L))
+  }
+
   test("linkPredict scores non-adjacent pairs by CN / Jaccard / Adamic-Adar") {
     // path 1-2, 2-3, 3-4 plus 1-5, 5-3: pair (1,3) shares {2, 5} and is
     // NOT an edge; deg(1)=2, deg(3)=3, deg(2)=deg(5)=2.

@@ -2039,6 +2039,52 @@ object SparkEntry {
               |  CAST(rank AS INT) AS rank
               |FROM scored WHERE rank <= 5""".stripMargin)),
 
+    // ANN: PCA first-component projection — exact d x d covariance by
+    // distributed (i, j) partial agg, fixed 10-round power iteration on
+    // the collected d^2 scalars (k-means model precedent), map-only
+    // sequential-fold projection. The oracle replays the SAME pipeline:
+    // covariance in SQL, the iteration unrolled with ORDERED list folds
+    // (every inner sum sequential on both engines), projection as the
+    // foldSql shape every embedding operator uses.
+    Q("ann_pca_project",
+      (s, dir) => Similarity.pcaProject(
+        t(s, dir, "embeddings"), "vec_id", "embedding", iterations = 10),
+      Some {
+        def iter(k: Int) =
+          s"""w$k AS MATERIALIZED (
+             |  SELECT i, ${foldSql(
+                  s"list_transform(range(1, 65), k_ -> row_[k_] * v${k - 1}.v[k_])")} AS wi
+             |  FROM cl, v${k - 1}),
+             |wn$k AS MATERIALIZED (
+             |  SELECT sqrt(${foldSql("list_transform(wl, t_ -> t_ * t_)")}) AS s
+             |  FROM (SELECT list(wi ORDER BY i) AS wl FROM w$k)),
+             |v$k AS MATERIALIZED (
+             |  SELECT list_transform(wl, t_ -> t_ / wn$k.s) AS v
+             |  FROM (SELECT list(wi ORDER BY i) AS wl FROM w$k), wn$k)"""
+        s"""WITH x AS MATERIALIZED (
+           |  SELECT vec_id AS id, k_ AS i, embedding[k_]::DOUBLE AS xi
+           |  FROM embeddings, (SELECT unnest(range(1, 65)) AS k_)),
+           |m AS MATERIALIZED (SELECT i, avg(xi) AS mu FROM x GROUP BY i),
+           |cx AS MATERIALIZED (
+           |  SELECT id, x.i, xi - mu AS ci FROM x JOIN m ON x.i = m.i),
+           |nn AS (SELECT count(*) AS n FROM embeddings),
+           |cov AS MATERIALIZED (
+           |  SELECT a.i AS i, b.i AS j, sum(a.ci * b.ci) AS s
+           |  FROM cx a JOIN cx b ON a.id = b.id GROUP BY 1, 2),
+           |cl AS MATERIALIZED (
+           |  SELECT i, list(s / (n - 1) ORDER BY j) AS row_
+           |  FROM cov, nn GROUP BY i, n),
+           |ml AS (SELECT list(mu ORDER BY i) AS mu FROM m),
+           |v0 AS (SELECT list_transform(range(1, 65),
+           |  k_ -> 1e0 / sqrt(64e0)) AS v),
+           |${(1 to 10).map(iter).mkString(",\n")}
+           |SELECT e.vec_id, round(${foldSql(
+              "list_transform(range(1, 65), k_ -> " +
+                "(e.embedding[k_]::DOUBLE - ml.mu[k_]) * v10.v[k_])")}, 4)
+           |  + 0e0 AS pc1
+           |FROM embeddings e, ml, v10""".stripMargin
+      }),
+
     // ANN: SQ8 scalar quantization + asymmetric-distance scan + exact
     // rerank (the faiss SQ pattern): the corpus lives as 64-byte int8
     // codes (4x smaller at rest/in cache — the 100 TB bandwidth win),

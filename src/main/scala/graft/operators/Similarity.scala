@@ -267,6 +267,78 @@ object Similarity {
         round(col("a._2"), 6).as("dist"))
   }
 
+  /** PCA first-principal-component projection — the standard embedding
+    * whitening/dim-reduction step (common-component removal per Mu &
+    * Viswanath 2018, "All-but-the-Top", reduces to exactly this
+    * operator). Exact covariance by distributed aggregation, dominant
+    * eigenvector by a FIXED-round power iteration on the driver:
+    *
+    *  - per-dim means + the d x d covariance via posexplode -> self-join
+    *    on the row id -> (i, j) partial-agg SUM. Work is O(rows * d^2)
+    *    map-side but the shuffle carries only d^2 rows per task (the
+    *    exact-covariance cost every textbook PCA pays; at 100 TB with
+    *    large d you switch to a sketched covariance, not a different
+    *    plan shape).
+    *  - ONLY the d^2 covariance scalars cross the driver (the k-means
+    *    centroid-model precedent), where `iterations` deterministic
+    *    power-iteration rounds from the fixed uniform start vector run
+    *    in plain loops — no convergence epsilon, so the result (sign
+    *    included) is a pure function of the covariance.
+    *  - the projection is a map-only SEQUENTIAL fold per row
+    *    (aggregate over zip_with — the engine-parity fold shape used by
+    *    every embedding operator here), so cross-engine sum order
+    *    cannot reorder it.
+    *
+    * @return (idCol, pc1) — signed scalar projection of each centered
+    *         vector onto the dominant eigenvector, rounded to 4. */
+  def pcaProject(vectors: DataFrame, idCol: String, vecCol: String,
+                 iterations: Int = 10): DataFrame = {
+    require(iterations >= 1, "need at least one power-iteration round")
+    val v = vectors.select(col(idCol).as("v_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val x = v.select(col("v_id"), posexplode(col("v")).as(Seq("i", "xi")))
+    val mu = x.groupBy("i").agg(avg("xi").as("mu"))
+    val centered = x.join(mu, "i")
+      .select(col("v_id"), col("i"), (col("xi") - col("mu")).as("ci"))
+    val n = v.count()
+    require(n >= 2, "need at least two vectors")
+    val covRows = centered
+      .join(centered.select(col("v_id"), col("i").as("j"),
+        col("ci").as("cj")), "v_id")
+      .groupBy("i", "j").agg(sum(col("ci") * col("cj")).as("s"))
+      .collect()
+    val d = covRows.iterator.map(_.getInt(0)).max + 1
+    val cov = Array.ofDim[Double](d, d)
+    covRows.foreach(r =>
+      cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / (n - 1))
+    val muArr = mu.collect().map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    // fixed-round power iteration, uniform deterministic start; every
+    // inner sum is a sequential loop so the oracle can replay it with
+    // ordered list folds
+    var vec = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    var it = 0
+    while (it < iterations) {
+      val w = Array.tabulate(d) { i =>
+        var s = 0.0; var j = 0
+        while (j < d) { s += cov(i)(j) * vec(j); j += 1 }; s
+      }
+      var nrm = 0.0; var i = 0
+      while (i < d) { nrm += w(i) * w(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      require(nrm > 0, "degenerate covariance (zero variance)")
+      vec = w.map(_ / nrm)
+      it += 1
+    }
+    val muLit = array(muArr.map(lit(_)).toSeq: _*)
+    val vLit = array(vec.map(lit(_)).toSeq: _*)
+    v.select(col("v_id").as(idCol),
+      (round(aggregate(
+        zip_with(zip_with(col("v"), muLit, (xc, m) => xc - m), vLit,
+          (c, w) => c * w),
+        lit(0.0), (acc, t) => acc + t), 4) + 0.0).as("pc1"))
+  }
+
   // ------------------------------------------------- scalar quantization
 
   /** Int8 scalar-quantization codes over a FIXED [lo, hi) domain (the

@@ -495,6 +495,30 @@ class OperatorsSpec extends SparkTestBase {
       }
   }
 
+  test("pcaProject recovers the dominant axis and signed projections") {
+    // colinear points along (0.6, 0.8): covariance is rank-1, so the
+    // iteration lands exactly on the axis; projections are the signed
+    // distances from the mean along it
+    val emb = Seq(
+      (1L, Seq(0f, 0f)), (2L, Seq(3f, 4f)),
+      (3L, Seq(6f, 8f)), (4L, Seq(-3f, -4f)))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.pcaProject(emb, "vec_id", "embedding")
+      .as[(Long, Double)].collect().toMap
+    assert(r == Map(1L -> -2.5, 2L -> 2.5, 3L -> 7.5, 4L -> -7.5))
+    // noise on a second axis: PC1 still tracks the high-variance axis,
+    // and projections are mean-centered (sum ~ 0)
+    val emb2 = Seq(
+      (1L, Seq(10f, 1f)), (2L, Seq(-10f, -1f)),
+      (3L, Seq(20f, -1f)), (4L, Seq(-20f, 1f)))
+      .toDF("vec_id", "embedding")
+    val r2 = Similarity.pcaProject(emb2, "vec_id", "embedding")
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(r2.values.sum) < 1e-9)
+    assert(r2(3L) > r2(1L) && r2(1L) > 0 && r2(2L) < 0 && r2(4L) < r2(2L))
+    assert(math.abs(r2(3L)) > 19 && math.abs(r2(3L)) < 21) // axis ~ e1
+  }
+
   test("hashFeatures folds signed token counts into the bucket space") {
     val docs = Seq((1L, "alpha beta alpha"), (2L, "beta beta"), (3L, ""))
       .toDF("doc_id", "text")

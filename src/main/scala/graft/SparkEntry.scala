@@ -2953,6 +2953,85 @@ object SparkEntry {
              |  true AS valid
              |FROM g""".stripMargin)),
 
+    // MM: video FRAME SAMPLING — the canonical training-data video op: a
+    // 100 TB pipeline never decodes every frame, it samples by index/
+    // timestamp, and the ISO-BMFF sample table (stts/stsc/stsz/stco) is
+    // what makes that O(kept frames) rather than O(video bytes).
+    // Payloads are MJPEG-in-MP4 with REAL sample tables (each sample a
+    // complete baseline JPEG from the exact-integer synth); every 2nd
+    // frame is resolved by table walk, sliced, and decoded through the
+    // full JPEG entropy path. The oracle replays the pixel closed form
+    // per (doc, kept frame) with the frame-seeded synthesis id.
+    Q("mm_video_frames",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val w = (id % 9 + 4).toInt
+            val h = (id % 7 + 4).toInt
+            val nf = (id % 3 + 2).toInt
+            val frames = (0 until nf).map(f =>
+              Jpeg.jpegSynth(id + 101L * f, w, h))
+            (id, Mp4.mp4SynthVideo(frames, timescale = 1000,
+              frameDur = 40, w = w, h = h))
+          }.toDF("doc_id", "payload")
+        Multimodal.sampleVideoFrames(payloads, "doc_id", "payload",
+          every = 2).toDF()
+      },
+      Some("""WITH fr AS (
+             |  SELECT doc_id, f,
+             |    CAST((doc_id + 101 * f) % 1000 AS INTEGER) AS idi,
+             |    CAST(doc_id % 9 + 4 AS INTEGER) AS w,
+             |    CAST(doc_id % 7 + 4 AS INTEGER) AS h
+             |  FROM documents, (SELECT unnest(range(0, 4)) AS f)
+             |  WHERE f < doc_id % 3 + 2 AND f % 2 = 0),
+             |px AS (
+             |  SELECT doc_id, f, idi, w, h, x, y,
+             |    CAST(x // 8 AS INTEGER) AS bx,
+             |    CAST(y // 8 AS INTEGER) AS by,
+             |    CASE WHEN (x % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sx,
+             |    CASE WHEN (y % 8) IN (0,3,4,7) THEN 1 ELSE -1 END AS sy
+             |  FROM fr,
+             |    (SELECT unnest(range(0, 12)) AS x),
+             |    (SELECT unnest(range(0, 10)) AS y)
+             |  WHERE x < w AND y < h),
+             |ycc AS (
+             |  SELECT doc_id, f, w, h, x, y,
+             |    40 + (bx*29 + by*17 + idi*3) % 176
+             |      + ((bx + by + idi) % 7 - 3) * sx
+             |      + ((2*bx + by + idi) % 5 - 2) * sy
+             |      + ((bx + 2*by + idi) % 3 - 1) * sx * sy AS yv,
+             |    70 + (13*bx + 7*by + 5*idi) % 116
+             |      + ((bx + idi) % 3 - 1) * sx
+             |      + ((by + idi) % 3 - 1) * sy AS cb,
+             |    70 + (11*bx + 19*by + 7*idi) % 116
+             |      + ((by + idi) % 3 - 1) * sx
+             |      + ((bx + 2*idi) % 3 - 1) * sy AS cr
+             |  FROM px),
+             |rgb AS (
+             |  SELECT doc_id, f, w, h, x, y,
+             |    LEAST(255, GREATEST(0, CAST(FLOOR(
+             |      yv + 1.402e0 * (cr - 128) + 0.5e0) AS INTEGER))) AS r,
+             |    LEAST(255, GREATEST(0, CAST(FLOOR(
+             |      yv - 0.344136e0 * (cb - 128) - 0.714136e0 * (cr - 128)
+             |      + 0.5e0) AS INTEGER))) AS g,
+             |    LEAST(255, GREATEST(0, CAST(FLOOR(
+             |      yv + 1.772e0 * (cb - 128) + 0.5e0) AS INTEGER))) AS b
+             |  FROM ycc),
+             |packed AS (
+             |  SELECT doc_id, f, w, h, x, y,
+             |    r * 65536 + g * 256 + b AS v
+             |  FROM rgb)
+             |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+             |  CAST(f * 40 AS BIGINT) AS pts_ms,
+             |  max(w) AS width, max(h) AS height,
+             |  CAST(sum(v) AS BIGINT) AS pix_sum,
+             |  CAST(max(CASE WHEN x = w - 1 AND y = h - 1 THEN v END)
+             |    AS BIGINT) AS px_last,
+             |  TRUE AS valid
+             |FROM packed GROUP BY doc_id, f""".stripMargin)),
+
     // PIPE: audio-corpus capstone — synth a mixed audio corpus (MPEG
     // Layer III streams + RIFF/WAVE PCM), sniff the container from
     // magic bytes, dispatch to the matching REAL frame walk

@@ -239,4 +239,162 @@ object Mp4 {
         }
     }
   }
+
+  // ------------------------------------------- sample tables (video)
+
+  /** stts with one run: every sample lasts `delta` media units. */
+  def stts(count: Int, delta: Int): Array[Byte] =
+    box("stts", be32(0), be32(1), be32(count.toLong), be32(delta.toLong))
+
+  /** stsc runs: (first_chunk, samples_per_chunk) pairs, 1-based chunks. */
+  def stsc(runs: Seq[(Int, Int)]): Array[Byte] =
+    box("stsc", be32(0) +: be32(runs.length.toLong) +:
+      runs.flatMap { case (fc, spc) =>
+        Seq(be32(fc.toLong), be32(spc.toLong), be32(1)) }: _*)
+
+  /** stsz with explicit per-sample sizes (sample_size field 0). */
+  def stsz(sizes: Seq[Int]): Array[Byte] =
+    box("stsz", be32(0) +: be32(0) +: be32(sizes.length.toLong) +:
+      sizes.map(s => be32(s.toLong)): _*)
+
+  /** stco chunk offsets (absolute file offsets). */
+  def stco(offsets: Seq[Long]): Array[Byte] =
+    box("stco", be32(0) +: be32(offsets.length.toLong) +:
+      offsets.map(be32): _*)
+
+  /** A playable-shape MJPEG-in-MP4: `[ftyp][mdat frames…][moov]` with a
+    * REAL sample table (stts/stsc/stsz/stco) addressing each frame's
+    * byte range inside mdat. mdat-before-moov keeps the chunk offset
+    * known while the moov is assembled (the classic non-faststart
+    * layout). All frames land in ONE chunk; [[videoFrames]] expands the
+    * general multi-chunk grammar regardless. */
+  def mp4SynthVideo(frames: Seq[Array[Byte]], timescale: Int,
+                    frameDur: Int, w: Int, h: Int,
+                    codec: String = "mjpa"): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val ftyp = box("ftyp", fourcc("isom"), be32(0x200),
+      fourcc("isom"), fourcc("mp42"))
+    val mdat = box("mdat", frames: _*)
+    val mdatBodyOff = ftyp.length + 8L
+    val durUnits = frames.length.toLong * frameDur
+    val stbl = box("stbl", stsd(codec), stts(frames.length, frameDur),
+      stsc(Seq((1, frames.length))), stsz(frames.map(_.length)),
+      stco(Seq(mdatBodyOff)))
+    val trakBox = box("trak",
+      tkhd(1, durUnits, w, h),
+      box("mdia",
+        mdhd(timescale, durUnits),
+        hdlr("vide"),
+        box("minf", stbl)))
+    val moov = box("moov", mvhd(timescale, durUnits), trakBox)
+    ftyp ++ mdat ++ moov
+  }
+
+  /** One addressable video sample: index, absolute byte range, and
+    * presentation time in media units. */
+  final case class FrameRef(idx: Int, offset: Int, size: Int, pts: Long)
+
+  /** Resolve the video track's per-frame byte ranges from its sample
+    * table — the general grammar: stco chunk offsets, stsc runs mapping
+    * samples to chunks (each run holds until the next run's
+    * first_chunk), stsz per-sample sizes (or the constant sample_size),
+    * stts duration runs accumulated to pts. Returns (media timescale,
+    * frames) or None when any table is missing, inconsistent, or points
+    * outside the payload — a 100 TB walk refuses, it never guesses. */
+  def videoFrames(bytes: Array[Byte]): Option[(Int, Seq[FrameRef])] = {
+    if (bytes == null || bytes.length < 16) return None
+    for {
+      top <- children(bytes, 0, bytes.length)
+      (moovF, moovE) <- find(top, "moov")
+      moovKids <- children(bytes, moovF, moovE)
+      trakStbl <- moovKids.flatMap { // first VIDEO trak, not first trak
+        case ("trak", tf, te) =>
+          (for {
+            kids <- children(bytes, tf, te)
+            (mf, me) <- find(kids, "mdia")
+            mdiaKids <- children(bytes, mf, me)
+            (hf, he) <- find(mdiaKids, "hdlr")
+            if he - hf >= 12 && typeAt(bytes, hf + 8) == "vide"
+            (df, de) <- find(mdiaKids, "mdhd")
+            if de - df >= 20
+            (nf, ne) <- find(mdiaKids, "minf")
+            minfKids <- children(bytes, nf, ne)
+            (sf, se) <- find(minfKids, "stbl")
+            stblKids <- children(bytes, sf, se)
+          } yield (u32(bytes, df + 12).toInt, stblKids)).toList
+        case _ => Nil
+      }.headOption
+      (ts, stblKids) = trakStbl
+      if ts > 0
+      (szF, szE) <- find(stblKids, "stsz")
+      if szE - szF >= 12
+      (coF, coE) <- find(stblKids, "stco")
+      if coE - coF >= 8
+      (scF, scE) <- find(stblKids, "stsc")
+      if scE - scF >= 8
+      (ttF, ttE) <- find(stblKids, "stts")
+      if ttE - ttF >= 8
+      frames <- resolveFrames(bytes, szF, szE, coF, coE, scF, scE, ttF, ttE)
+    } yield (ts, frames)
+  }
+
+  private def resolveFrames(b: Array[Byte], szF: Int, szE: Int, coF: Int,
+                            coE: Int, scF: Int, scE: Int, ttF: Int,
+                            ttE: Int): Option[Seq[FrameRef]] = {
+    val constSize = u32(b, szF + 4)
+    val nSamples = u32(b, szF + 8).toInt
+    if (nSamples <= 0 || nSamples > (1 << 20)) return None
+    if (constSize == 0 && szE - szF < 12 + 4 * nSamples) return None
+    val sizes = (0 until nSamples).map { i =>
+      if (constSize != 0) constSize.toInt else u32(b, szF + 12 + 4 * i).toInt
+    }
+    val nChunks = u32(b, coF + 4).toInt
+    if (nChunks <= 0 || coE - coF < 8 + 4 * nChunks) return None
+    val chunkOffs = (0 until nChunks).map(i => u32(b, coF + 8 + 4 * i))
+    val nRuns = u32(b, scF + 4).toInt
+    if (nRuns <= 0 || scE - scF < 8 + 12 * nRuns) return None
+    val runs = (0 until nRuns).map { i =>
+      (u32(b, scF + 8 + 12 * i).toInt, u32(b, scF + 12 + 12 * i).toInt)
+    }
+    // samples per chunk: each stsc run holds from its first_chunk until
+    // the next run's first_chunk
+    val perChunk = (0 until nChunks).map { c =>
+      val run = runs.takeWhile(_._1 <= c + 1).lastOption.getOrElse(runs.head)
+      run._2
+    }
+    if (perChunk.sum < nSamples) return None
+    // stts runs -> per-sample pts
+    val nTtRuns = u32(b, ttF + 4).toInt
+    if (nTtRuns <= 0 || ttE - ttF < 8 + 8 * nTtRuns) return None
+    val deltas = Array.newBuilder[Long]
+    var acc = 0L
+    var produced = 0
+    var r = 0
+    while (r < nTtRuns && produced < nSamples) {
+      val cnt = u32(b, ttF + 8 + 8 * r).toInt
+      val d = u32(b, ttF + 12 + 8 * r)
+      var k = 0
+      while (k < cnt && produced < nSamples) {
+        deltas += acc; acc += d; produced += 1; k += 1
+      }
+      r += 1
+    }
+    if (produced < nSamples) return None
+    val pts = deltas.result()
+    // walk chunks, laying samples head-to-tail from each chunk offset
+    val out = Seq.newBuilder[FrameRef]
+    var s = 0
+    var c = 0
+    while (s < nSamples && c < nChunks) {
+      var off = chunkOffs(c)
+      var k = 0
+      while (k < perChunk(c) && s < nSamples) {
+        if (off < 0 || off + sizes(s) > b.length) return None
+        out += FrameRef(s, off.toInt, sizes(s), pts(s))
+        off += sizes(s); s += 1; k += 1
+      }
+      c += 1
+    }
+    if (s < nSamples) None else Some(out.result())
+  }
 }

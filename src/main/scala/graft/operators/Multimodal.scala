@@ -906,6 +906,60 @@ object Multimodal {
       })
   }
 
+  case class VideoFramePixels(doc_id: Long, frame_idx: Int, pts_ms: Long,
+                              width: Int, height: Int, pix_sum: Long,
+                              px_last: Long, valid: Boolean)
+
+  /** Frame-sample a video column: resolve each payload's per-frame byte
+    * ranges from the REAL ISO-BMFF sample table ([[Mp4.videoFrames]] —
+    * stts/stsc/stsz/stco, the general grammar), keep every `every`-th
+    * frame, and decode the kept frames through the full JPEG entropy
+    * path (MJPEG-in-MP4: each sample IS a baseline JPEG). This is the
+    * canonical training-data video op — a 100 TB pipeline never decodes
+    * every frame; it samples by index or timestamp and the sample table
+    * is what makes that O(kept frames), not O(video bytes).
+    *
+    * Per-row pure-JVM work in a narrow mapPartitions stage; a payload
+    * with no resolvable video track yields one valid=false row
+    * (frame_idx -1) rather than throwing. */
+  def sampleVideoFrames(docs: DataFrame, idCol: String, binCol: String,
+                        every: Int = 2): Dataset[VideoFramePixels] = {
+    require(every >= 1, "every must be >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        Mp4.videoFrames(p) match {
+          case None =>
+            Seq(VideoFramePixels(id, -1, 0L, 0, 0, 0L, 0L, valid = false))
+          case Some((ts, frames)) =>
+            frames.filter(_.idx % every == 0).map { fr =>
+              try {
+                val img = Jpeg.decode(
+                  java.util.Arrays.copyOfRange(p, fr.offset,
+                    fr.offset + fr.size))
+                var sum = 0L
+                var i = 0
+                while (i < img.rgb.length) {
+                  sum += (img.rgb(i) & 0xff) * 65536L +
+                    (img.rgb(i + 1) & 0xff) * 256L + (img.rgb(i + 2) & 0xff)
+                  i += 3
+                }
+                val o = img.rgb.length - 3
+                val last = (img.rgb(o) & 0xff) * 65536L +
+                  (img.rgb(o + 1) & 0xff) * 256L + (img.rgb(o + 2) & 0xff)
+                VideoFramePixels(id, fr.idx, fr.pts * 1000L / ts,
+                  img.width, img.height, sum, last, valid = true)
+              } catch {
+                case _: IllegalArgumentException =>
+                  VideoFramePixels(id, fr.idx, fr.pts * 1000L / ts,
+                    0, 0, 0L, 0L, valid = false)
+              }
+            }
+        }
+      }
+  }
+
   // ------------------------------------------- image near-dup (dHash)
 
   /** Decode any supported image payload to row-major RGB by magic-byte

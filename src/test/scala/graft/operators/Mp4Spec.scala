@@ -78,4 +78,63 @@ class Mp4Spec extends AnyFunSuite {
     assert(m.duration_ms == 123456L * 1000 / 90000)
     assert(m.n_tracks == 0)
   }
+
+  private def be32(v: Long): Array[Byte] = Array(
+    ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+    ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("video sample table resolves every frame's byte range and pts") {
+    val frames = Seq(Array.fill(40)(1.toByte), Array.fill(25)(2.toByte),
+      Array.fill(33)(3.toByte))
+    val p = Mp4.mp4SynthVideo(frames, timescale = 1000, frameDur = 40,
+      w = 8, h = 6)
+    val Some((ts, refs)) = Mp4.videoFrames(p)
+    assert(ts == 1000)
+    assert(refs.map(_.size) == Seq(40, 25, 33))
+    assert(refs.map(_.pts) == Seq(0L, 40L, 80L))
+    // offsets are consecutive inside the single mdat chunk, and slicing
+    // them recovers the exact frame bytes
+    assert(refs(1).offset == refs(0).offset + 40)
+    assert(refs(2).offset == refs(1).offset + 25)
+    refs.zip(frames).foreach { case (r, f) =>
+      assert(java.util.Arrays.equals(
+        java.util.Arrays.copyOfRange(p, r.offset, r.offset + r.size), f))
+    }
+    // the file still walks as plain metadata too
+    assert(Mp4.mp4Meta(1L, p).valid)
+  }
+
+  test("multi-chunk stsc runs lay samples head-to-tail per chunk") {
+    // hand-built: mdat "ABCDEFGHI" = samples ABCD, EF (chunk 1) and GHI
+    // (chunk 2); stsc runs (1,2),(2,1)
+    val mdat = Mp4.box("mdat", "ABCDEFGHI".getBytes("US-ASCII"))
+    val mdhd = Mp4.box("mdhd", be32(0), be32(0), be32(0), be32(600),
+      be32(120), be32(0))
+    val hdlr = Mp4.box("hdlr", be32(0), be32(0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](13))
+    val stsd = Mp4.box("stsd", be32(0), be32(1),
+      Mp4.box("mjpa", new Array[Byte](8)))
+    val stbl = Mp4.box("stbl", stsd, Mp4.stts(3, 40),
+      Mp4.stsc(Seq((1, 2), (2, 1))), Mp4.stsz(Seq(4, 2, 3)),
+      Mp4.stco(Seq(8L, 14L)))
+    val moov = Mp4.box("moov", Mp4.box("trak", Mp4.box("mdia",
+      mdhd, hdlr, Mp4.box("minf", stbl))))
+    val Some((ts, refs)) = Mp4.videoFrames(mdat ++ moov)
+    assert(ts == 600)
+    assert(refs.map(r => (r.idx, r.offset, r.size, r.pts)) ==
+      Seq((0, 8, 4, 0L), (1, 12, 2, 40L), (2, 14, 3, 80L)))
+  }
+
+  test("sample-table walk refuses inconsistent or out-of-range tables") {
+    val frames = Seq(Array.fill(10)(1.toByte))
+    val p = Mp4.mp4SynthVideo(frames, 1000, 40, 4, 4)
+    // truncation clips the trailing moov -> structural refusal
+    assert(Mp4.videoFrames(p.dropRight(1)).isEmpty)
+    assert(Mp4.videoFrames(java.util.Arrays.copyOf(p, 20)).isEmpty)
+    // an audio-only file has no video track to resolve
+    val audioOnly = Mp4.mp4Synth("isom", 1000, 100, "avc1", 0, 0,
+      withAudio = true, mdatBytes = 4)
+    // mp4Synth's video trak has no sample table at all -> None
+    assert(Mp4.videoFrames(audioOnly).isEmpty)
+  }
 }

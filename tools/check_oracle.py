@@ -68,6 +68,16 @@ def main():
             continue
         try:
             o_rel = con.sql(oracle[name])
+            # The driver's hash is dtype-sensitive: DuckDB types a bare
+            # sum(<integer>) as HUGEINT (int128) while Spark emits BIGINT,
+            # which red-flags a value-identical result (r8's q12 /
+            # ta_hash_features). Catch it here so it never ships again:
+            # every integer aggregate output must be CAST(... AS BIGINT).
+            huge = [c for c, t in zip(o_rel.columns, o_rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if huge:
+                results[name] = f"HUGEINT-DTYPE cols={huge} (CAST AS BIGINT)"
+                continue
             o_cols, o_rows = norm_rows(o_rel.columns, o_rel.fetchall())
         except Exception as e:
             results[name] = f"ORACLE-SQL-ERROR {str(e).splitlines()[0][:160]}"

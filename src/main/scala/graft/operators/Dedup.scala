@@ -446,7 +446,10 @@ object Dedup {
     // (MEMORY_AND_DISK, LRU-evicted — the same bytes a shuffle spill
     // would write) rather than pinning any user-forced exchange, so the
     // planner's own partial aggs + AQE skew handling stay in charge of
-    // the Zipf-skewed token key.
+    // the Zipf-skewed token key. The blocks stay pinned until the caller
+    // materializes the (lazy) result — long-lived sessions should wrap
+    // the call in [[CacheScope.materialized]] (Bench/Verify blanket-clear
+    // instead).
     val toks = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .distinct()

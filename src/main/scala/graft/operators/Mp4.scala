@@ -345,24 +345,35 @@ object Mp4 {
     val nSamples = u32(b, szF + 8).toInt
     if (nSamples <= 0 || nSamples > (1 << 20)) return None
     if (constSize == 0 && szE - szF < 12 + 4 * nSamples) return None
-    val sizes = (0 until nSamples).map { i =>
-      if (constSize != 0) constSize.toInt else u32(b, szF + 12 + 4 * i).toInt
+    // u32 values are validated as Longs BEFORE the Int narrowing: a
+    // sample size >= 2^31 would wrap negative, shrink the off+size bound
+    // below, and emit a bogus FrameRef instead of the contract's None
+    if (constSize > Int.MaxValue) return None
+    val sizesL = (0 until nSamples).map { i =>
+      if (constSize != 0) constSize else u32(b, szF + 12 + 4 * i)
     }
+    if (sizesL.exists(_ > Int.MaxValue)) return None
+    val sizes = sizesL.map(_.toInt)
     val nChunks = u32(b, coF + 4).toInt
     if (nChunks <= 0 || coE - coF < 8 + 4 * nChunks) return None
     val chunkOffs = (0 until nChunks).map(i => u32(b, coF + 8 + 4 * i))
     val nRuns = u32(b, scF + 4).toInt
     if (nRuns <= 0 || scE - scF < 8 + 12 * nRuns) return None
-    val runs = (0 until nRuns).map { i =>
-      (u32(b, scF + 8 + 12 * i).toInt, u32(b, scF + 12 + 12 * i).toInt)
+    val runsL = (0 until nRuns).map { i =>
+      (u32(b, scF + 8 + 12 * i), u32(b, scF + 12 + 12 * i))
     }
+    // first_chunk / samples_per_chunk are u32 too — same wrap hazard
+    if (runsL.exists(r => r._1 > Int.MaxValue || r._2 > Int.MaxValue))
+      return None
+    val runs = runsL.map(r => (r._1.toInt, r._2.toInt))
     // samples per chunk: each stsc run holds from its first_chunk until
     // the next run's first_chunk
     val perChunk = (0 until nChunks).map { c =>
       val run = runs.takeWhile(_._1 <= c + 1).lastOption.getOrElse(runs.head)
       run._2
     }
-    if (perChunk.sum < nSamples) return None
+    // Long accumulation: nChunks * samples_per_chunk can exceed Int
+    if (perChunk.foldLeft(0L)(_ + _) < nSamples) return None
     // stts runs -> per-sample pts
     val nTtRuns = u32(b, ttF + 4).toInt
     if (nTtRuns <= 0 || ttE - ttF < 8 + 8 * nTtRuns) return None

@@ -544,6 +544,14 @@ object PageRank {
     * score partial-agg, and two node-sized degree join-backs — all
     * equi-joins AQE can skew-split; nothing is collected to the driver.
     *
+    * The cap is never silent: [[linkPredictWithAudit]] returns the pair
+    * frame TOGETHER with a 1-row audit frame of the dropped-center count,
+    * and [[cappedCenterCount]] computes the same audit standalone. (A
+    * `Dataset.observe` metric on the degree frame was tried first — under
+    * AQE the CollectMetrics node lands inside materialized query stages
+    * and the observed-metrics map comes back empty, so the audit is a
+    * regular node-sized aggregate instead.)
+    *
     * @return DataFrame(x, y, cn, jaccard, adamic_adar) with x < y. */
   def linkPredict(edges: DataFrame, srcCol: String = "src",
                   dstCol: String = "dst", minCommon: Int = 2,
@@ -570,5 +578,35 @@ object PageRank {
       .select($"x", $"y", $"cn",
         (round($"cn" / ($"dx" + $"dy" - $"cn"), 6) + 0.0).as("jaccard"),
         (round($"aa", 6) + 0.0).as("adamic_adar"))
+  }
+
+  /** [[linkPredict]] plus its cap audit: the pair frame and a 1-row
+    * `(n_capped_centers: long)` frame counting the centers
+    * `maxCenterDegree` excluded from wedge generation — materialize both
+    * and the cap is accounted for (the repo's "no silent caps" rule).
+    * The audit is one node-sized degree aggregate. */
+  def linkPredictWithAudit(edges: DataFrame, srcCol: String = "src",
+                           dstCol: String = "dst", minCommon: Int = 2,
+                           maxCenterDegree: Int = 10000)
+      : (DataFrame, DataFrame) =
+    (linkPredict(edges, srcCol, dstCol, minCommon, maxCenterDegree),
+      cappedCenterCount(edges, srcCol, dstCol, maxCenterDegree))
+
+  /** Direct audit of [[linkPredict]]'s `maxCenterDegree` cap: how many
+    * centers were excluded from wedge generation. One node-sized degree
+    * aggregate — run it alongside any capped linkPredict (the repo's
+    * "no silent caps" rule); 0 means the cap changed nothing.
+    *
+    * @return 1-row DataFrame(n_capped_centers: long) */
+  def cappedCenterCount(edges: DataFrame, srcCol: String = "src",
+                        dstCol: String = "dst",
+                        maxCenterDegree: Int = 10000): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val und = undirected(edges, srcCol, dstCol)
+    val adj = und.select($"a".as("n")).union(und.select($"b".as("n")))
+    adj.groupBy($"n").agg(count(lit(1)).as("d"))
+      .agg(sum(when($"d" > maxCenterDegree, 1L).otherwise(0L))
+        .as("n_capped_centers"))
   }
 }

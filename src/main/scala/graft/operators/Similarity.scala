@@ -338,7 +338,15 @@ object Similarity {
     *    centroid-model precedent), where `iterations` deterministic
     *    power-iteration rounds from the fixed uniform start vector run
     *    in plain loops — no convergence epsilon, so the result (sign
-    *    included) is a pure function of the covariance.
+    *    included) is a pure function of the COLLECTED covariance.
+    *    The covariance itself is an unordered distributed double sum
+    *    (partial aggs merge in task-completion order), so cross-engine
+    *    parity is TOLERANCE-based, not bit-exact: the round(,4) output
+    *    absorbs the ulp-scale disagreement everywhere except a pc1
+    *    landing exactly on a decimal midpoint — accepted and documented
+    *    (an ordered fold would need a per-element sort the operator's
+    *    scale story can't pay; callers needing bit-stability should
+    *    quantize inputs to fixed-point first).
     *  - the projection is a map-only SEQUENTIAL fold per row
     *    (aggregate over zip_with — the engine-parity fold shape used by
     *    every embedding operator here), so cross-engine sum order
@@ -353,8 +361,12 @@ object Similarity {
       transform(col(vecCol), _.cast("double")).as("v"))
     val x = v.select(col("v_id"), posexplode(col("v")).as(Seq("i", "xi")))
     val mu = x.groupBy("i").agg(avg("xi").as("mu"))
+    // centered feeds BOTH sides of the covariance self-join — persist so
+    // the explode + mean join executes once, not twice (the a20/hits
+    // multi-consumer discipline)
     val centered = x.join(mu, "i")
       .select(col("v_id"), col("i"), (col("xi") - col("mu")).as("ci"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = v.count()
     require(n >= 2, "need at least two vectors")
     val covRows = centered
@@ -368,6 +380,7 @@ object Similarity {
       cov(r.getInt(0))(r.getInt(1)) = r.getDouble(2) / (n - 1))
     val muArr = mu.collect().map(r => r.getInt(0) -> r.getDouble(1))
       .sortBy(_._1).map(_._2)
+    centered.unpersist(false) // fully consumed by the covariance collect
     // fixed-round power iteration, uniform deterministic start; every
     // inner sum is a sequential loop so the oracle can replay it with
     // ordered list folds

@@ -125,6 +125,40 @@ class Mp4Spec extends AnyFunSuite {
       Seq((0, 8, 4, 0L), (1, 12, 2, 40L), (2, 14, 3, 80L)))
   }
 
+  test("u32 table values >= 2^31 refuse instead of wrapping negative") {
+    // a sample size or samples_per_chunk of 2^31 would wrap negative
+    // under .toInt, shrink the off+size bound, and emit a bogus
+    // negative-size FrameRef — the walk must return None instead
+    val mdat = Mp4.box("mdat", "ABCD".getBytes("US-ASCII"))
+    val mdhd = Mp4.box("mdhd", be32(0), be32(0), be32(0), be32(600),
+      be32(120), be32(0))
+    val hdlr = Mp4.box("hdlr", be32(0), be32(0),
+      "vide".getBytes("US-ASCII"), new Array[Byte](13))
+    val stsd = Mp4.box("stsd", be32(0), be32(1),
+      Mp4.box("mjpa", new Array[Byte](8)))
+    def file(stsz: Array[Byte], stsc: Array[Byte]) = {
+      val stbl = Mp4.box("stbl", stsd, Mp4.stts(1, 40), stsc, stsz,
+        Mp4.stco(Seq(8L)))
+      mdat ++ Mp4.box("moov", Mp4.box("trak", Mp4.box("mdia",
+        mdhd, hdlr, Mp4.box("minf", stbl))))
+    }
+    val big = 0x80000000L // 2^31: positive as u32, negative as Int
+    val okStsc = Mp4.stsc(Seq((1, 1)))
+    // constant sample_size = 2^31
+    assert(Mp4.videoFrames(file(
+      Mp4.box("stsz", be32(0), be32(big), be32(1)), okStsc)).isEmpty)
+    // per-sample size = 2^31
+    assert(Mp4.videoFrames(file(
+      Mp4.box("stsz", be32(0), be32(0), be32(1), be32(big)), okStsc)).isEmpty)
+    // samples_per_chunk = 2^31
+    assert(Mp4.videoFrames(file(Mp4.stsz(Seq(4)),
+      Mp4.box("stsc", be32(0), be32(1), be32(1), be32(big), be32(1))))
+      .isEmpty)
+    // the same fixture with sane tables resolves (the refusals above are
+    // the overflow guards, not an unrelated structural defect)
+    assert(Mp4.videoFrames(file(Mp4.stsz(Seq(4)), okStsc)).nonEmpty)
+  }
+
   test("sample-table walk refuses inconsistent or out-of-range tables") {
     val frames = Seq(Array.fill(10)(1.toByte))
     val p = Mp4.mp4SynthVideo(frames, 1000, 40, 4, 4)

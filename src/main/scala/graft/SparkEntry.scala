@@ -2048,6 +2048,48 @@ object SparkEntry {
            |FROM cand WHERE ${cosSql("a_v", "b_v")} >= 0.3""".stripMargin
       }),
 
+    // SemDedup (Abbas et al. 2023): k-means the embedding space, drop
+    // near-duplicates WITHIN clusters only — clustering bounds the
+    // quadratic pair work to cluster-sized blocks and cross-cluster
+    // pairs are never scored. Deterministic end to end (Lloyd with
+    // smallest-id seeding, min-id keep), so the oracle replays the
+    // identical clustering + pruning.
+    Q("dd_semantic",
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2, threshold = 0.3),
+      Some {
+        def sq(a: String, b: String) = foldSql(
+          s"list_transform(range(0, 64), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
+        s"""WITH v AS (SELECT vec_id,
+           |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
+           |a1 AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT v.vec_id, v.v, c0.cid, row_number() OVER (
+           |      PARTITION BY v.vec_id
+           |      ORDER BY ${sq("v.v", "c0.cv")} ASC, c0.cid ASC) AS rn
+           |    FROM v CROSS JOIN c0) WHERE rn = 1),
+           |c1 AS (
+           |  SELECT cid, list(m ORDER BY d) AS cv FROM (
+           |    SELECT a1.cid, d.d, avg(a1.v[d.d+1]) AS m
+           |    FROM a1, range(0, 64) AS d(d)
+           |    GROUP BY a1.cid, d.d)
+           |  GROUP BY cid),
+           |a2 AS (
+           |  SELECT vec_id, v, cid FROM (
+           |    SELECT v.vec_id, v.v, c1.cid, row_number() OVER (
+           |      PARTITION BY v.vec_id
+           |      ORDER BY ${sq("v.v", "c1.cv")} ASC, c1.cid ASC) AS rn
+           |    FROM v CROSS JOIN c1) WHERE rn = 1),
+           |dropped AS (
+           |  SELECT DISTINCT b.vec_id FROM a2 a JOIN a2 b
+           |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.v", "b.v")} >= 0.3)
+           |SELECT a2.vec_id, CAST(a2.cid AS INT) AS cluster,
+           |  CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+           |FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id""".stripMargin
+      }),
+
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
       (s, dir) => {
@@ -2532,6 +2574,70 @@ object SparkEntry {
               |  CAST(max(p) + 2 AS INT) AS end_tok,
               |  count(*) AS n_shingles
               |FROM isl GROUP BY id, island""".stripMargin)),
+
+    // DD: exact duplicated substrings with the Lee et al. 2022 minimum
+    // CHARACTER length contract (>= 50 chars) — dd_dup_spans' islands
+    // lifted to character offsets via offset-preserving tokenization.
+    // The oracle rebuilds token char spans from first principles (char
+    // classification -> alnum-run islands -> positions), so the whole
+    // offset pipeline is independently replayed, not trusted.
+    Q("dd_dup_spans_exact",
+      (s, dir) => Dedup.dupSpansExact(t(s, dir, "documents"), "doc_id",
+          "text", n = 3, minDocs = 2, minChars = 50)
+        .select(col("doc_id"), col("start_char"), col("end_char"),
+          col("len_chars"), col("n_shingles")),
+      Some(s"""WITH ch AS (
+              |  SELECT doc_id, i, substring(lower(text), i + 1, 1) AS c
+              |  FROM (SELECT doc_id, text,
+              |          unnest(range(0, length(text))) AS i
+              |        FROM documents)),
+              |an AS (SELECT doc_id, i FROM ch
+              |       WHERE (c >= 'a' AND c <= 'z')
+              |          OR (c >= '0' AND c <= '9')),
+              |tki AS (SELECT doc_id, i,
+              |          i - row_number() OVER (PARTITION BY doc_id
+              |            ORDER BY i) AS isl
+              |        FROM an),
+              |tk0 AS (SELECT doc_id, isl, min(i) AS s, max(i) + 1 AS e
+              |        FROM tki GROUP BY doc_id, isl),
+              |tk AS (SELECT doc_id, s, e, row_number() OVER (
+              |         PARTITION BY doc_id ORDER BY s) - 1 AS p
+              |       FROM tk0),
+              |tks AS (SELECT tk.doc_id, p, s, e,
+              |          substring(lower(d.text), s + 1, e - s) AS tok
+              |        FROM tk JOIN documents d ON tk.doc_id = d.doc_id),
+              |cnt AS (SELECT doc_id, count(*) AS nt FROM tks
+              |        GROUP BY doc_id),
+              |sh AS (
+              |  SELECT t0.doc_id, t0.p,
+              |    ${h32Sql("t0.tok || ' ' || t1.tok || ' ' || t2.tok", "0")}
+              |      AS g,
+              |    t0.s AS sc, t2.e AS ec
+              |  FROM tks t0
+              |  JOIN tks t1 ON t1.doc_id = t0.doc_id AND t1.p = t0.p + 1
+              |  JOIN tks t2 ON t2.doc_id = t0.doc_id AND t2.p = t0.p + 2
+              |  UNION ALL
+              |  SELECT x.doc_id, 0 AS p, ${h32Sql("x.alltok", "0")} AS g,
+              |    x.s0 AS sc, x.e1 AS ec
+              |  FROM (SELECT doc_id, string_agg(tok, ' ' ORDER BY p)
+              |          AS alltok, min(s) AS s0, max(e) AS e1
+              |        FROM tks GROUP BY doc_id) x
+              |  JOIN cnt ON cnt.doc_id = x.doc_id AND cnt.nt < 3),
+              |d AS (SELECT g, count(*) AS df
+              |      FROM (SELECT DISTINCT doc_id, g FROM sh) GROUP BY g),
+              |dup AS (SELECT sh.doc_id, sh.p, sh.sc, sh.ec
+              |        FROM sh JOIN d USING (g) WHERE d.df >= 2),
+              |isl2 AS (SELECT doc_id, p, sc, ec,
+              |           p - row_number() OVER (PARTITION BY doc_id
+              |             ORDER BY p) AS island
+              |         FROM dup),
+              |sp AS (SELECT doc_id, CAST(min(sc) AS INT) AS start_char,
+              |         CAST(max(ec) AS INT) AS end_char,
+              |         count(*) AS n_shingles
+              |       FROM isl2 GROUP BY doc_id, island)
+              |SELECT doc_id, start_char, end_char,
+              |  end_char - start_char AS len_chars, n_shingles
+              |FROM sp WHERE end_char - start_char >= 50""".stripMargin)),
 
     // Intra-document repetition signals (Gopher/RefinedWeb-style quality
     // rules): duplicate word-3-gram fraction + most-common-token fraction

@@ -686,6 +686,138 @@ object Dedup {
       .select("doc_id", "start_tok", "end_tok", "n_shingles")
   }
 
+  /** Tokens of [[tokensKernel]] WITH character offsets over the
+    * lowercased text: (token, start_char, end_char_exclusive). Token set
+    * and order are identical to tokensKernel (maximal [a-z0-9] runs);
+    * offsets index the LOWERCASED string — identical to the original for
+    * ASCII, and the only self-consistent frame when a locale lowercasing
+    * changes length. */
+  def tokenOffsetsKernel(text: String): Seq[(String, Int, Int)] = {
+    if (text == null) return Nil
+    val lc = text.toLowerCase(java.util.Locale.ROOT)
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var i = 0
+    while (i < lc.length) {
+      val c = lc.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        var j = i + 1
+        while (j < lc.length && {
+          val d = lc.charAt(j)
+          (d >= 'a' && d <= 'z') || (d >= '0' && d <= '9')
+        }) j += 1
+        out += ((lc.substring(i, j), i, j))
+        i = j
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** [[positionalShinglesKernel]] extended with character spans: element i
+    * is (hash of tokens i..i+n-1, start_char of token i, end_char of token
+    * i+n-1, exclusive). Short docs (< n tokens) hash their whole token
+    * sequence spanning first-to-last token chars; token-free docs yield
+    * nothing. */
+  def positionalShingleSpansKernel(text: String, n: Int): Seq[(Long, Int, Int)] = {
+    val toks = tokenOffsetsKernel(text)
+    if (toks.isEmpty) return Nil
+    if (toks.length < n)
+      return Seq((md5Hash32Kernel(toks.map(_._1).mkString(" "), 0),
+        toks.head._2, toks.last._3))
+    val out = new Array[(Long, Int, Int)](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new StringBuilder(toks(i)._1)
+      var k = 1
+      while (k < n) { sb.append(' ').append(toks(i + k)._1); k += 1 }
+      out(i) = (md5Hash32Kernel(sb.toString, 0), toks(i)._2, toks(i + n - 1)._3)
+      i += 1
+    }
+    out.toSeq
+  }
+  private val positionalShingleSpansUdf = udf(positionalShingleSpansKernel _)
+
+  /** Exact duplicated substrings with the Lee et al. 2022 ("Deduplicating
+    * Training Data Makes Language Models Better") MINIMUM-LENGTH
+    * contract: maximal character ranges whose every token n-gram repeats
+    * in >= `minDocs` docs corpus-wide, kept only when the range spans at
+    * least `minChars` characters (the paper's 50-char substring floor).
+    *
+    * Equivalence note: the paper finds length->=50 exact repeats by
+    * suffix array. A character range every one of whose n-token shingles
+    * is corpus-duplicated is the shingle-granular approximation of the
+    * same object — any exact repeat of >= n tokens is covered by such a
+    * run, and the island merge recovers its maximal extent; granularity
+    * is token-level rather than byte-level (a repeat cannot begin
+    * mid-token here). Linear in corpus tokens — positional explode, one
+    * doc-frequency partial agg, per-doc island windows; no suffix array,
+    * no pairs, nothing quadratic.
+    *
+    * @return (doc_id, start_char, end_char  [exclusive, in the lowercased
+    *         text], len_chars, n_shingles), len_chars >= minChars */
+  def dupSpansExact(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3, minDocs: Int = 2,
+                    minChars: Int = 50): DataFrame = {
+    require(minDocs >= 2, "minDocs >= 2 (1 would flag everything)")
+    require(minChars >= 1, "minChars must be positive")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        posexplode(positionalShingleSpansUdf(col(textCol), lit(n))))
+      .select(col("doc_id"), col("pos").as("p"), col("col._1").as("g"),
+        col("col._2").as("sc"), col("col._3").as("ec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = sh.select(col("doc_id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+    val dup = sh.join(dfreq.where(col("df") >= minDocs), "g")
+    val w = Window.partitionBy("doc_id").orderBy("p")
+    dup.withColumn("island", col("p") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("sc").as("start_char"), max("ec").as("end_char"),
+        count(lit(1)).as("n_shingles"))
+      .withColumn("len_chars", col("end_char") - col("start_char"))
+      .where(col("len_chars") >= minChars)
+      .select("doc_id", "start_char", "end_char", "len_chars", "n_shingles")
+  }
+
+  /** SemDedup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): cluster the embedding
+    * space, then drop near-duplicate pairs WITHIN each cluster only —
+    * the clustering bounds the quadratic pair work to cluster-sized
+    * blocks (corpus/k on average), which is the whole trick: semantic
+    * near-dups land in the same cluster, so cross-cluster pairs never
+    * need scoring.
+    *
+    * Composition of existing scale paths: [[Similarity.kmeans]] (Lloyd,
+    * deterministic seeding, model-sized driver state) assigns clusters;
+    * the within-cluster pair scan is a cluster-keyed equi-join (a_id <
+    * b_id) + exact cosine; a doc is dropped when it has cosine >=
+    * `threshold` with ANY lower-id doc of its cluster (deterministic
+    * min-id keep — the set-property formulation, independent of
+    * partitioning). Memory contract: one cluster's pair scan is
+    * quadratic in that cluster — size k to the expected cluster mass
+    * (the paper's operating point; skewed clusters are AQE-splittable
+    * since the join is a planner equi-join).
+    *
+    * @return (idCol, cluster, keep:int) for EVERY input row. */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int = 8, iters: Int = 2,
+                    threshold: Double = 0.9): DataFrame = {
+    val assign = Similarity.kmeans(emb, idCol, vecCol, k, iters)
+      .select(col(idCol).as("id"), col("cluster"))
+    // three consumers (both self-join sides + the final flag join-back)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(assign, "id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dropped = v.select(col("cluster"), col("id").as("a_id"),
+        col("v").as("a_v"))
+      .join(v.select(col("cluster"), col("id").as("b_id"),
+        col("v").as("b_v")), "cluster")
+      .where(col("a_id") < col("b_id") &&
+        Similarity.cosineCol(col("a_v"), col("b_v")) >= threshold)
+      .select(col("b_id").as("id")).distinct()
+    v.join(dropped.withColumn("drop", lit(1)), Seq("id"), "left")
+      .select(col("id").as(idCol), col("cluster"),
+        when(col("drop").isNotNull, 0).otherwise(1).as("keep"))
+  }
+
   /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
     * buckets (sign pattern over random hyperplanes, `tables` independent
     * hash tables for recall) generate candidates as a bucket equi-join,

@@ -167,13 +167,17 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("dd_embed_lsh / dd_decontaminate: candidate generation is a " +
-    "bucket equi-join, never nested-loop") {
-    for (q <- Seq("dd_embed_lsh", "dd_decontaminate")) {
+  test("dd_embed_lsh / dd_decontaminate / dd_semantic: candidate " +
+    "generation is a bucket/cluster equi-join, never nested-loop") {
+    for (q <- Seq("dd_embed_lsh", "dd_decontaminate", "dd_semantic")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
     }
+    // SemDedup's pair scan must key on the cluster id — no all-pairs
+    // fallback — and never sort corpus rows through a window
+    val p = plan("dd_semantic")
+    assert(!p.contains("Window"), p.take(3000))
   }
 
   test("j12/j13: as-of and range joins plan as single-shuffle window / " +

@@ -1058,6 +1058,51 @@ class OperatorsSpec extends SparkTestBase {
     assert(tinySpans == Set((1L, 0, 2), (2L, 0, 2)), tinySpans.toString)
   }
 
+  test("dupSpansExact pins character span boundaries and enforces the " +
+    "minimum-length contract") {
+    // docs 1-3 share the 5-token passage "alpha beta gamma delta
+    // epsilon" at different char offsets; doc 3 mixes case/punctuation
+    // (offsets index the lowercased text — same length here)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon unique1 tail1 words here"),
+      (2L, "prefix2 alpha beta gamma delta epsilon other2 ending2"),
+      (3L, "XX Alpha, beta GAMMA delta epsilon!")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.dupSpansExact(docs, "doc_id", "text", minChars = 1)
+      .select("doc_id", "start_char", "end_char", "len_chars", "n_shingles")
+      .as[(Long, Int, Int, Int, Long)].collect().toSet
+    assert(spans == Set(
+      (1L, 0, 30, 30, 3L),   // "alpha...epsilon" chars 0..30
+      (2L, 8, 38, 30, 3L),   // after "prefix2 "
+      (3L, 3, 34, 31, 3L)),  // after "xx "; ", " inside widens to 31
+      spans.toString)
+    // the Lee-et-al length floor: 31 keeps only doc 3's 31-char span
+    val floored = Dedup.dupSpansExact(docs, "doc_id", "text", minChars = 31)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(floored == Seq(3L), floored.toString)
+    // the default 50-char floor drops everything here
+    assert(Dedup.dupSpansExact(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("semanticDedup drops within-cluster near-dups only, keeping min-id") {
+    // two directions; id 4 duplicates id 1 exactly, ids 2/3 are near
+    // their cluster's seed but below the threshold
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.99f, 0.14f)), (3L, Seq(0.1f, 0.995f)),
+      (4L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.999)
+      .as[(Long, Int, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(out(0L)._1 == 0 && out(2L)._1 == 0, out.toString) // direction A
+    assert(Set(1L, 3L, 4L).forall(out(_)._1 == 1), out.toString)
+    // only id 4 (cos 1.0 with lower-id 1 in its cluster) is dropped
+    assert(out.view.mapValues(_._2).toMap ==
+      Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 1, 4L -> 0), out.toString)
+  }
+
   test("cosineCol computes exact cosine") {
     val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
       (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f))).toDF("a", "b")

@@ -30,30 +30,40 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** MJPEG-in-MP4 fixture for mm_video_frames, synthesized ONCE per
-    * session per sf dir into /tmp parquet and read back — a real corpus
-    * would arrive on disk, and a parquet fixture (unlike a persisted
-    * frame) survives the Bench/Verify blanket cache clears, so repeated
-    * runs measure the sample-table walk + decode, not the synthesis.
-    * First touch in a JVM always (re)writes: /tmp leftovers from an older
-    * synthesis version can never leak into this session's results. */
+  /** MJPEG-in-MP4 fixture for mm_video_frames, synthesized ONCE per sf
+    * dir into /tmp parquet and read back — a real corpus would arrive on
+    * disk, and a parquet fixture (unlike a persisted frame) survives the
+    * Bench/Verify blanket cache clears, so steady-state runs measure the
+    * sample-table walk + decode, not MP4+JPEG construction. A version
+    * marker guards reuse across JVMs: bump [[videoFixtureVersion]]
+    * whenever the synthesis recipe changes and stale /tmp leftovers are
+    * rewritten, never read (and the DuckDB oracle would flag any stale
+    * pixel closed-form anyway). */
+  private val videoFixtureVersion = "v1:docs*(jpeg(id+101f) mp4 ts1000 d40)"
   private val videoFixtureDone = scala.collection.mutable.Set.empty[String]
   private def videoFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val path = s"/tmp/graft_video_fixture_${new java.io.File(dir).getName}"
+    val marker = java.nio.file.Paths.get(path + ".version")
     videoFixtureDone.synchronized {
       if (!videoFixtureDone.contains(path)) {
-        t(s, dir, "documents").select(col("doc_id")).as[Long]
-          .map { id =>
-            val w = (id % 9 + 4).toInt
-            val h = (id % 7 + 4).toInt
-            val nf = (id % 3 + 2).toInt
-            val frames = (0 until nf).map(f =>
-              Jpeg.jpegSynth(id + 101L * f, w, h))
-            (id, Mp4.mp4SynthVideo(frames, timescale = 1000,
-              frameDur = 40, w = w, h = h))
-          }.toDF("doc_id", "payload")
-          .write.mode("overwrite").parquet(path)
+        val fresh = java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.readString(marker) == videoFixtureVersion
+        if (!fresh) {
+          java.nio.file.Files.deleteIfExists(marker)
+          t(s, dir, "documents").select(col("doc_id")).as[Long]
+            .map { id =>
+              val w = (id % 9 + 4).toInt
+              val h = (id % 7 + 4).toInt
+              val nf = (id % 3 + 2).toInt
+              val frames = (0 until nf).map(f =>
+                Jpeg.jpegSynth(id + 101L * f, w, h))
+              (id, Mp4.mp4SynthVideo(frames, timescale = 1000,
+                frameDur = 40, w = w, h = h))
+            }.toDF("doc_id", "payload")
+            .write.mode("overwrite").parquet(path)
+          java.nio.file.Files.writeString(marker, videoFixtureVersion)
+        }
         videoFixtureDone += path
       }
     }
@@ -6401,15 +6411,21 @@ object SparkEntry {
     // interpolation only — no order-dependent sums), so the outlier
     // COUNT needs no tolerance at all. The deviation frame feeds TWO
     // consumers (the MAD aggregate and the final count), so it persists
-    // — without it the lineitem scan + median join executes twice
-    // (the prefixJaccard/hits multi-consumer discipline).
+    // — PRUNED to its three consumed columns first: persisting the raw
+    // join materializes every lineitem column and measures SLOWER than
+    // the recompute (A/B in SCALE.md r9); the projected persist wins at
+    // both sf0.1 and sf1 (the prefixJaccard/hits multi-consumer
+    // discipline, plus explicit pruning at the cache boundary where
+    // Catalyst can no longer prune per-consumer).
     Q("a20_robust_outliers",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
         val med = li.groupBy("l_returnflag")
           .agg(expr("percentile(l_extendedprice, 0.5)").as("med"))
-        val dev = li.join(med, "l_returnflag")
-          .withColumn("adev", abs(col("l_extendedprice") - col("med")))
+        val dev = li.select("l_returnflag", "l_extendedprice")
+          .join(med, "l_returnflag")
+          .select(col("l_returnflag"), col("med"),
+            abs(col("l_extendedprice") - col("med")).as("adev"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val mad = dev.groupBy("l_returnflag")
           .agg(first("med").as("med"),

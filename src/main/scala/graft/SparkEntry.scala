@@ -2464,6 +2464,57 @@ object SparkEntry {
               |    WHEN 'src2' THEN 250000 WHEN 'src3' THEN 100000
               |    ELSE -1 END""".stripMargin)),
 
+    // DSIR data selection (Xie et al. 2023): hashed unigram+bigram
+    // bag-of-buckets log-likelihood ratio between a target exemplar
+    // class (source = src0) and the raw pool, deterministic top-k keep.
+    // The oracle refits both smoothed multinomials and replays the
+    // quantized weight + (w desc, id asc) selection.
+    Q("ds_dsir_select",
+      (s, dir) => Sampling.dsirSelect(t(s, dir, "documents"), "doc_id",
+        "text", col("source") === "src0", numBuckets = 64, k = 25),
+      Some(s"""WITH toks AS ($toksSql),
+              |g AS (
+              |  SELECT id, unnest(list_concat(tk,
+              |    list_transform(range(0, greatest(len(tk) - 1, 0)),
+              |      i -> tk[i+1] || ' ' || tk[i+2]))) AS gram
+              |  FROM toks),
+              |dc AS (
+              |  SELECT g.id, ${h32Sql("gram", "0")} % 64 AS bucket,
+              |    count(*) AS c
+              |  FROM g GROUP BY 1, 2),
+              |lab AS (SELECT doc_id AS id,
+              |          CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS tgt
+              |        FROM documents),
+              |cb AS (SELECT tgt, bucket, sum(c) AS n
+              |       FROM dc JOIN lab USING (id) GROUP BY 1, 2),
+              |tot AS (SELECT tgt, sum(n) AS nn FROM cb GROUP BY 1),
+              |dom AS (SELECT unnest(range(0, 64)) AS bucket),
+              |ratio AS (
+              |  SELECT dom.bucket,
+              |    ln((coalesce(t.n, 0) + 1)::DOUBLE / (tt.nn + 64)) -
+              |    ln((coalesce(r.n, 0) + 1)::DOUBLE / (rt.nn + 64)) AS lr
+              |  FROM dom
+              |  LEFT JOIN (SELECT bucket, n FROM cb WHERE tgt = 1) t
+              |    ON dom.bucket = t.bucket
+              |  LEFT JOIN (SELECT bucket, n FROM cb WHERE tgt = 0) r
+              |    ON dom.bucket = r.bucket,
+              |  (SELECT nn FROM tot WHERE tgt = 1) tt,
+              |  (SELECT nn FROM tot WHERE tgt = 0) rt),
+              |wsum AS (
+              |  SELECT dc.id, sum(dc.c * ratio.lr) AS wraw
+              |  FROM dc JOIN ratio USING (bucket) GROUP BY dc.id),
+              |wq AS (
+              |  SELECT d.doc_id,
+              |    coalesce(floor(wraw * 1e6 + 5e-1) / 1e6 + 0e0, 0e0) AS w
+              |  FROM documents d LEFT JOIN wsum ON d.doc_id = wsum.id),
+              |ranked AS (
+              |  SELECT doc_id, w, row_number() OVER (
+              |    ORDER BY w DESC, doc_id ASC) AS rn
+              |  FROM wq)
+              |SELECT doc_id, w,
+              |  CASE WHEN rn <= 25 THEN 1 ELSE 0 END AS selected
+              |FROM ranked""".stripMargin)),
+
     // Curriculum-style quality binning: ntile quartiles over the composite
     // quality score (deterministic tie order by doc_id)
     Q("ds_quality_bins",
@@ -5882,6 +5933,91 @@ object SparkEntry {
              |    AS keep
              |FROM d LEFT JOIN comp c ON d.doc_id = c.node"""
         .stripMargin)),
+
+    // DD: audio near-dup via Haitsma-Kalker fingerprints — the AUDIO leg
+    // of the cross-modal dedup set (text shingles / image phash /
+    // embedding cosine already covered). Per doc: a 5-frame two-sine PCM
+    // clip (variant v=1 shifts the last frame's dominant band one up —
+    // the "same recording, slightly different master" case), REAL WAV
+    // decode -> per-frame band powers -> 32 time-band delta-sign bits,
+    // then pigeonhole bit-chunk blocking at hamming <= 4 (exact recall,
+    // never all-pairs). Band powers quantize to integers before the sign
+    // so no bit can hinge on a last-ulp trig difference; the oracle
+    // replays synthesis, DFT, bits, and (as the oracle may) brute-force
+    // hamming.
+    Q("dd_audio_fingerprint",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        val payloads = t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .map { id =>
+            val g = id / 2
+            val v = id % 2
+            val samples = (0 until 5).flatMap { f =>
+              var m1 = ((g * 7 + f * 3) % 9).toInt
+              if (v == 1 && f == 4) m1 = (m1 + 1) % 9
+              val m2 = ((g * 4 + f) % 7).toInt
+              val k1 = 3 * m1 + 2
+              val k2 = 3 * m2 + 2
+              (0 until 64).map(x => math.floor(
+                1000 * math.sin(2 * math.Pi * k1 * x / 64) +
+                  400 * math.sin(2 * math.Pi * k2 * x / 64) + 0.5)
+                .toInt.toShort)
+            }
+            (id, Multimodal.wavSynth(1, 8000, samples))
+          }.toDF("doc_id", "payload")
+        val fps = Multimodal.extractAudioFingerprint(
+            payloads, "doc_id", "payload").toDF()
+          .where(col("valid"))
+          .select(col("doc_id").as("id"), col("fp"))
+        Dedup.fingerprintHammingPairs(fps, maxHamming = 4)
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v
+             |  FROM documents),
+             |pf AS (
+             |  SELECT doc_id, f,
+             |    CASE WHEN v = 1 AND f = 4
+             |      THEN ((g * 7 + f * 3) % 9 + 1) % 9
+             |      ELSE (g * 7 + f * 3) % 9 END AS m1,
+             |    (g * 4 + f) % 7 AS m2
+             |  FROM d, (SELECT unnest(range(0, 5)) AS f)),
+             |samp AS (
+             |  SELECT doc_id, f, x,
+             |    FLOOR(1000 * sin(2 * pi() * (3 * m1 + 2) * x / 64) +
+             |          400 * sin(2 * pi() * (3 * m2 + 2) * x / 64)
+             |          + 5e-1) AS s
+             |  FROM pf, (SELECT unnest(range(0, 64)) AS x)),
+             |dft AS (
+             |  SELECT doc_id, f, k,
+             |    pow(sum(s * cos(2 * pi() * k * x / 64)), 2) +
+             |    pow(sum(s * sin(2 * pi() * k * x / 64)), 2) AS p
+             |  FROM samp, (SELECT unnest(range(1, 28)) AS k)
+             |  GROUP BY doc_id, f, k),
+             |eng AS (
+             |  SELECT doc_id, f, (k - 1) // 3 AS m,
+             |    CAST(FLOOR(sum(p) / 64 + 5e-1) AS BIGINT) AS eq
+             |  FROM dft GROUP BY doc_id, f, (k - 1) // 3),
+             |bits AS (
+             |  SELECT a.doc_id, (a.f - 1) * 8 + a.m AS idx
+             |  FROM eng a
+             |  JOIN eng b ON b.doc_id = a.doc_id AND b.f = a.f
+             |    AND b.m = a.m + 1
+             |  JOIN eng c ON c.doc_id = a.doc_id AND c.f = a.f - 1
+             |    AND c.m = a.m
+             |  JOIN eng e2 ON e2.doc_id = a.doc_id AND e2.f = a.f - 1
+             |    AND e2.m = a.m + 1
+             |  WHERE a.f >= 1 AND a.m <= 7
+             |    AND (a.eq - b.eq) - (c.eq - e2.eq) > 0),
+             |fp AS (
+             |  SELECT d.doc_id,
+             |    coalesce(sum(CAST(1 AS BIGINT) << idx), 0) AS fp
+             |  FROM d LEFT JOIN bits ON d.doc_id = bits.doc_id
+             |  GROUP BY d.doc_id)
+             |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+             |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+             |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.fp, b.fp)) <= 4""".stripMargin)),
 
     // MM: audio spectral analysis — synthesize one 64-sample 16-bit PCM
     // sine per doc (bin k0 = id%26+3, amplitude 1000, samples

@@ -353,10 +353,22 @@ object Dedup {
       .repartition(col("id"))
     val withFp = hashed.select(col("id"), simHashUdf(col("hs")).as("fp"))
       .repartition(col("id"))
+    fingerprintHammingPairs(withFp, maxHamming)
+  }
+
+  /** Pigeonhole hamming pairs over ANY (id, fp) 32-bit fingerprint frame
+    * — the [[simHashPairs]] blocking generalized so image phash / audio
+    * H-K fingerprints reuse it: `maxHamming + 1` bit-chunk buckets give
+    * exact recall within the budget, the verify is one codegen'd
+    * xor+popcount per candidate. Fingerprints must use (only) the low 32
+    * bits — a narrower fp makes the top chunk a single all-corpus bucket
+    * and the join quadratic. Output (a_id, b_id, hamming). */
+  def fingerprintHammingPairs(fps: DataFrame,
+                              maxHamming: Int = 3): DataFrame = {
     val chunkExprs = simHashChunkLayout(maxHamming).map { case (start, width) =>
       shiftright(col("fp"), start).bitwiseAND((1L << width) - 1L)
     }
-    val chunked = withFp.select(col("id"), col("fp"),
+    val chunked = fps.select(col("id"), col("fp"),
       posexplode(array(chunkExprs: _*)))
       .withColumnRenamed("pos", "chunk_idx").withColumnRenamed("col", "chunk")
     val a = chunked.select(col("chunk_idx"), col("chunk"),
@@ -685,6 +697,26 @@ object Dedup {
         count(lit(1)).as("n_shingles"))
       .select("doc_id", "start_tok", "end_tok", "n_shingles")
   }
+
+  /** Unigrams + bigrams in ONE tokenizer pass — the DSIR feature set.
+    * Expression-level alternatives (transform/sequence/element_at over
+    * the token array) interpret the lambda per element AND re-evaluate
+    * the tokenization per access under projection collapse — measured
+    * 15x slower than this kernel at sf0.1. */
+  def unigramBigramKernel(text: String): Seq[String] = {
+    val toks = tokensKernel(text)
+    if (toks.isEmpty) return Nil
+    val out = new Array[String](toks.length * 2 - 1)
+    var i = 0
+    while (i < toks.length) { out(i) = toks(i); i += 1 }
+    i = 0
+    while (i < toks.length - 1) {
+      out(toks.length + i) = toks(i) + " " + toks(i + 1)
+      i += 1
+    }
+    out.toSeq
+  }
+  val unigramBigramUdf = udf(unigramBigramKernel _)
 
   /** Tokens of [[tokensKernel]] WITH character offsets over the
     * lowercased text: (token, start_char, end_char_exclusive). Token set

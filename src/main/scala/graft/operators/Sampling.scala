@@ -114,6 +114,88 @@ object Sampling {
       .limit(k)
   }
 
+  /** DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    * Models via Importance Resampling"): score every raw document by how
+    * much more likely its hashed n-gram bag is under the TARGET
+    * distribution than under the raw pool, and keep the top `k`. The
+    * standard pretraining-mix curation operator when you have a quality
+    * exemplar set (the paper's target = Wikipedia/books) and a web-scale
+    * raw pool.
+    *
+    *  - features: unigrams + bigrams, md5-hashed into `numBuckets`
+    *    (engine-replayable — the hashFeatures discipline; the paper uses
+    *    10^4, the registry uses a small bucket space the oracle enumerates)
+    *  - model: add-1-smoothed bag-of-buckets multinomials for target and
+    *    raw; both are `numBuckets`-row model frames, broadcast — never
+    *    driver-side
+    *  - weight: sum over the doc's buckets of c_b * (ln p_target(b) -
+    *    ln p_raw(b)), quantized floor(w*1e6+0.5)/1e6 (pure-IEEE midpoint
+    *    rule, cross-engine stable) so selection never hinges on a
+    *    last-ulp sum-order difference
+    *  - selection: deterministic top-k by (w desc, id asc) — plans as
+    *    per-partition heaps + k-row merge (TakeOrderedAndProject), the
+    *    ds_weighted_k shape, never a global sort. (The paper resamples
+    *    with Gumbel noise; a seeded-hash Gumbel drops in via keyedCut's
+    *    uniform if sampling is wanted — top-k is the deterministic,
+    *    oracle-checkable policy.)
+    *
+    * Shuffles: ONE (id, class, bucket) partial agg over the gram explode
+    * (persisted — class totals and doc weights both consume it), the
+    * bucket-model regroup (numBuckets-sized), one per-doc weight agg, and
+    * the k-row top-k merge. Both classes must be non-empty.
+    *
+    * @param isTarget row predicate marking the target exemplars
+    * @return (idCol, w, selected:int) for EVERY input row; docs with no
+    *         tokens weigh 0 */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 isTarget: Column, numBuckets: Int = 64,
+                 k: Int = 25): DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    require(k >= 1, "k must be positive")
+    val spark = docs.sparkSession
+    // grams via the single-pass JIT kernel: the expression form
+    // (transform/sequence/element_at) interprets per element and
+    // re-tokenizes per access under projection collapse — measured 15x
+    // slower at sf0.1
+    val dc = docs
+      .select(col(idCol).as("id"), isTarget.cast("int").as("tgt"),
+        explode(Dedup.unigramBigramUdf(col(textCol))).as("gram"))
+      .select(col("id"), col("tgt"),
+        pmod(Dedup.md5Hash32(col("gram"), lit(0)),
+          lit(numBuckets.toLong)).as("bucket"))
+      .groupBy("id", "tgt", "bucket").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cb = dc.groupBy("tgt", "bucket").agg(sum("c").as("n"))
+    val tot = cb.groupBy("tgt").agg(sum("n").as("nn"))
+    val dom = spark.range(numBuckets).toDF("bucket")
+    val ratio = dom
+      .join(broadcast(cb.where(col("tgt") === 1)
+        .select(col("bucket"), col("n").as("nt"))), Seq("bucket"), "left")
+      .join(broadcast(cb.where(col("tgt") === 0)
+        .select(col("bucket"), col("n").as("nr"))), Seq("bucket"), "left")
+      .crossJoin(broadcast(tot.where(col("tgt") === 1)
+        .select(col("nn").as("ntot"))))
+      .crossJoin(broadcast(tot.where(col("tgt") === 0)
+        .select(col("nn").as("rtot"))))
+      .select(col("bucket"),
+        (log((coalesce(col("nt"), lit(0L)) + 1).cast("double") /
+            (col("ntot") + numBuckets).cast("double")) -
+          log((coalesce(col("nr"), lit(0L)) + 1).cast("double") /
+            (col("rtot") + numBuckets).cast("double"))).as("lr"))
+    val w = dc.join(broadcast(ratio), "bucket")
+      .groupBy("id").agg(sum(col("c") * col("lr")).as("wraw"))
+    val weights = docs.select(col(idCol).as("id"))
+      .join(w, Seq("id"), "left")
+      .select(col("id"), coalesce(
+        floor(col("wraw") * 1e6 + 0.5) / 1e6 + 0.0, lit(0.0)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = weights.orderBy(col("w").desc, col("id").asc).limit(k)
+      .select(col("id"), lit(1).as("sel"))
+    weights.join(broadcast(top), Seq("id"), "left")
+      .select(col("id").as(idCol), col("w"),
+        coalesce(col("sel"), lit(0)).as("selected"))
+  }
+
   /** Dataset mixing: per-stratum sampling fractions (e.g. source/language
     * weights when composing a training corpus). Strata absent from
     * `fractions` are dropped — the mix IS the contract. */

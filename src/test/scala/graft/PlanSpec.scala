@@ -169,7 +169,8 @@ class PlanSpec extends SparkTestBase {
 
   test("dd_embed_lsh / dd_decontaminate / dd_semantic: candidate " +
     "generation is a bucket/cluster equi-join, never nested-loop") {
-    for (q <- Seq("dd_embed_lsh", "dd_decontaminate", "dd_semantic")) {
+    for (q <- Seq("dd_embed_lsh", "dd_decontaminate", "dd_semantic",
+        "dd_audio_fingerprint")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
@@ -224,6 +225,15 @@ class PlanSpec extends SparkTestBase {
     val p = plan("ds_weighted_k")
     assert(p.contains("TakeOrderedAndProject"), p.take(3000))
     assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+  }
+
+  test("ds_dsir_select: model frames broadcast, selection is a k-row " +
+    "top-k merge — no global sort, no window, no cartesian blowup") {
+    val p = plan("ds_dsir_select")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
   test("round-4 queries plan without cartesians; bloom probe is native") {

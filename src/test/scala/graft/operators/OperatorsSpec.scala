@@ -1762,6 +1762,81 @@ class OperatorsSpec extends SparkTestBase {
     mine.unpersist(true)
   }
 
+  test("audio H-K fingerprint: refuses bad clips, near-dups land within " +
+    "the hamming budget, and pigeonhole blocking has exact recall") {
+    def clip(g: Long, v: Long): Array[Byte] = {
+      val samples = (0 until 5).flatMap { f =>
+        var m1 = ((g * 7 + f * 3) % 9).toInt
+        if (v == 1 && f == 4) m1 = (m1 + 1) % 9
+        val m2 = ((g * 4 + f) % 7).toInt
+        (0 until 64).map(x => math.floor(
+          1000 * math.sin(2 * math.Pi * (3 * m1 + 2) * x / 64) +
+            400 * math.sin(2 * math.Pi * (3 * m2 + 2) * x / 64) + 0.5)
+          .toInt.toShort)
+      }
+      Multimodal.wavSynth(1, 8000, samples)
+    }
+    // refusal: truncated, too-short, junk
+    assert(!Multimodal.audioFingerprintKernel(1L, clip(0, 0).take(50)).valid)
+    assert(!Multimodal.audioFingerprintKernel(1L,
+      Multimodal.wavSynth(1, 8000, (0 until 64).map(_.toShort))).valid)
+    assert(!Multimodal.audioFingerprintKernel(1L, Array[Byte](1, 2, 3)).valid)
+    // determinism + near-dup structure
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val f00 = Multimodal.audioFingerprintKernel(0L, clip(0, 0))
+    assert(f00.valid)
+    assert(f00.fp == Multimodal.audioFingerprintKernel(9L, clip(0, 0)).fp)
+    val f01 = Multimodal.audioFingerprintKernel(1L, clip(0, 1))
+    assert(ham(f00.fp, f01.fp) > 0 && ham(f00.fp, f01.fp) <= 4,
+      s"variant hamming ${ham(f00.fp, f01.fp)}")
+    val fOther = Multimodal.audioFingerprintKernel(2L, clip(1, 0))
+    assert(ham(f00.fp, fOther.fp) > 4, s"cross ${ham(f00.fp, fOther.fp)}")
+    // blocking recall: chunked pairs == brute-force pairs on 40 clips
+    val fps = (0L until 40L).map(id =>
+      id -> Multimodal.audioFingerprintKernel(id, clip(id / 2, id % 2)).fp)
+    val brute = (for {
+      (a, fa) <- fps; (b, fb) <- fps
+      if a < b && ham(fa, fb) <= 4
+    } yield (a, b)).toSet
+    val blocked = Dedup.fingerprintHammingPairs(
+        fps.toDF("id", "fp"), maxHamming = 4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(blocked == brute,
+      s"missed ${brute -- blocked}, extra ${blocked -- brute}")
+    assert(brute.size >= 20) // every same-group pair is in
+  }
+
+  test("dsirSelect weighs docs toward the target vocabulary and keeps a " +
+    "deterministic top-k") {
+    // target exemplars (ids 0-2) speak "physics"; raw pool: ids 10-11
+    // physics-like, ids 12-14 cooking-like, id 15 empty
+    val docs = Seq(
+      (0L, "quark lepton boson quark field", true),
+      (1L, "boson field quark lepton lepton", true),
+      (2L, "field quark boson lepton quark", true),
+      (10L, "quark boson field lepton", false),
+      (11L, "lepton quark quark boson", false),
+      (12L, "butter flour sugar eggs salt", false),
+      (13L, "sugar butter salt flour cream", false),
+      (14L, "flour eggs cream sugar butter", false),
+      (15L, "", false)
+    ).toDF("doc_id", "text", "is_t")
+    val out = Sampling.dsirSelect(docs, "doc_id", "text", col("is_t"),
+        numBuckets = 32, k = 5)
+      .as[(Long, Double, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    assert(out.keySet == (Set(0L, 1L, 2L) ++ Set(10L, 11L, 12L, 13L, 14L, 15L)))
+    // physics-vocabulary docs weigh higher than cooking ones
+    assert(Seq(10L, 11L).forall(p =>
+      Seq(12L, 13L, 14L).forall(c => out(p)._1 > out(c)._1)), out.toString)
+    // the empty doc weighs exactly 0
+    assert(out(15L)._1 == 0.0)
+    // top-5: the 3 targets + the 2 physics-like raw docs
+    assert(out.filter(_._2._2 == 1).keySet == Set(0L, 1L, 2L, 10L, 11L),
+      out.toString)
+    assert(out.count(_._2._2 == 1) == 5)
+  }
+
   test("redactPii replaces every pattern and counts match") {
     val df = Seq(Tuple1(
       "mail a.b+c@ex-amp.le.org see https://x.io/p?q=1 call +44 20 7946 0958 host 192.168.0.1 done"))

@@ -43,7 +43,11 @@ object SparkEntry {
   private val videoFixtureDone = scala.collection.mutable.Set.empty[String]
   private def videoFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val path = s"/tmp/graft_video_fixture_${new java.io.File(dir).getName}"
+    // keyed by basename AND an absolute-path hash: two corpora whose
+    // directories share a basename must never reuse each other's fixture
+    val abs = new java.io.File(dir).getAbsolutePath
+    val dirTag = f"${new java.io.File(dir).getName}_${abs.hashCode & 0xfffffff}%x"
+    val path = s"/tmp/graft_video_fixture_$dirTag"
     val marker = java.nio.file.Paths.get(path + ".version")
     videoFixtureDone.synchronized {
       if (!videoFixtureDone.contains(path)) {

@@ -465,7 +465,7 @@ object Dedup {
     val toks = docs
       .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
@@ -473,7 +473,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
       .select(col("id"), col("tok"), col("n"), col("rn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     // candidate pruning, both lossless:
     // - Jaccard length bound: J >= t needs min(n) >= t * max(n);
     // - PPJoin positional bound: all common tokens of a qualifying pair
@@ -510,7 +510,7 @@ object Dedup {
       dfreq.select("tok"), Seq(col("tok").asc), "tid")
     val arr = toks.join(tids, "tok")
       .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("ts"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     cand
       .join(arr.select(col("id").as("a_id"), col("ts").as("a_ts")), "a_id")
       .join(arr.select(col("id").as("b_id"), col("ts").as("b_ts")), "b_id")
@@ -540,9 +540,9 @@ object Dedup {
     // the truth pipeline run once, not twice (pair frames are id pairs,
     // KBs per million pairs)
     val c = cand.select(col("a_id"), col("b_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val t = truth.select(col("a_id"), col("b_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val nc = c.agg(count(lit(1)).as("n_candidates"))
     val nt = t.agg(count(lit(1)).as("n_truth"))
     val nh = t.join(c, Seq("a_id", "b_id"), "left_semi")
@@ -632,7 +632,7 @@ object Dedup {
     // as ngramContamination, mirrored by the oracle.
     val sh = docs.select(col(idCol).as("doc_id"),
       explode(hashedShinglesUdf(col(textCol), lit(n))).as("g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val df = sh.groupBy("g").agg(count(lit(1)).as("df"))
     sh.join(df, "g")
       .groupBy("doc_id")
@@ -685,7 +685,7 @@ object Dedup {
     val sh = docs.select(col(idCol).as("doc_id"),
         posexplode(positionalShinglesUdf(col(textCol), lit(n))))
       .withColumnRenamed("pos", "p").withColumnRenamed("col", "g")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val dfreq = sh.select(col("doc_id"), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
     val dup = sh.join(dfreq.where(col("df") >= minDocs), "g")
@@ -724,10 +724,12 @@ object Dedup {
     * offsets index the LOWERCASED string — identical to the original for
     * ASCII, and the only self-consistent frame when a locale lowercasing
     * changes length. */
-  def tokenOffsetsKernel(text: String): Seq[(String, Int, Int)] = {
-    if (text == null) return Nil
+  def tokenOffsetsKernel(text: String): IndexedSeq[(String, Int, Int)] = {
+    if (text == null) return Vector.empty
     val lc = text.toLowerCase(java.util.Locale.ROOT)
-    val out = Seq.newBuilder[(String, Int, Int)]
+    // IndexedSeq, NOT a List: positionalShingleSpansKernel indexes this
+    // positionally — list traversal would make long docs O(tokens^2)
+    val out = Vector.newBuilder[(String, Int, Int)]
     var i = 0
     while (i < lc.length) {
       val c = lc.charAt(i)
@@ -795,7 +797,7 @@ object Dedup {
         posexplode(positionalShingleSpansUdf(col(textCol), lit(n))))
       .select(col("doc_id"), col("pos").as("p"), col("col._1").as("g"),
         col("col._2").as("sc"), col("col._3").as("ec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val dfreq = sh.select(col("doc_id"), col("g")).distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
     val dup = sh.join(dfreq.where(col("df") >= minDocs), "g")
@@ -837,7 +839,7 @@ object Dedup {
     // three consumers (both self-join sides + the final flag join-back)
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(assign, "id")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val dropped = v.select(col("cluster"), col("id").as("a_id"),
         col("v").as("a_v"))
       .join(v.select(col("cluster"), col("id").as("b_id"),

@@ -354,11 +354,18 @@ object Mp4 {
     }
     if (sizesL.exists(_ > Int.MaxValue)) return None
     val sizes = sizesL.map(_.toInt)
-    val nChunks = u32(b, coF + 4).toInt
-    if (nChunks <= 0 || coE - coF < 8 + 4 * nChunks) return None
+    // count fields are u32 too: cap BEFORE any Int bound math — 4*n / 12*n
+    // in Int would overflow for a 2^29-entry count and the byte-bound
+    // check would compare against a negative number and pass
+    val nChunksL = u32(b, coF + 4)
+    if (nChunksL <= 0 || nChunksL > (1 << 20) ||
+      (coE - coF).toLong < 8 + 4 * nChunksL) return None
+    val nChunks = nChunksL.toInt
     val chunkOffs = (0 until nChunks).map(i => u32(b, coF + 8 + 4 * i))
-    val nRuns = u32(b, scF + 4).toInt
-    if (nRuns <= 0 || scE - scF < 8 + 12 * nRuns) return None
+    val nRunsL = u32(b, scF + 4)
+    if (nRunsL <= 0 || nRunsL > (1 << 20) ||
+      (scE - scF).toLong < 8 + 12 * nRunsL) return None
+    val nRuns = nRunsL.toInt
     val runsL = (0 until nRuns).map { i =>
       (u32(b, scF + 8 + 12 * i), u32(b, scF + 12 + 12 * i))
     }
@@ -374,9 +381,11 @@ object Mp4 {
     }
     // Long accumulation: nChunks * samples_per_chunk can exceed Int
     if (perChunk.foldLeft(0L)(_ + _) < nSamples) return None
-    // stts runs -> per-sample pts
-    val nTtRuns = u32(b, ttF + 4).toInt
-    if (nTtRuns <= 0 || ttE - ttF < 8 + 8 * nTtRuns) return None
+    // stts runs -> per-sample pts (same u32 cap + Long bound math)
+    val nTtRunsL = u32(b, ttF + 4)
+    if (nTtRunsL <= 0 || nTtRunsL > (1 << 20) ||
+      (ttE - ttF).toLong < 8 + 8 * nTtRunsL) return None
+    val nTtRuns = nTtRunsL.toInt
     val deltas = Array.newBuilder[Long]
     var acc = 0L
     var produced = 0

@@ -157,14 +157,18 @@ object Sampling {
     // (transform/sequence/element_at) interprets per element and
     // re-tokenizes per access under projection collapse — measured 15x
     // slower at sf0.1
+    // NULL predicate rows belong to the RAW pool (the oracle's binary
+    // CASE split) — without the coalesce they would silently vanish from
+    // BOTH multinomial models
     val dc = docs
-      .select(col(idCol).as("id"), isTarget.cast("int").as("tgt"),
+      .select(col(idCol).as("id"),
+        coalesce(isTarget.cast("int"), lit(0)).as("tgt"),
         explode(Dedup.unigramBigramUdf(col(textCol))).as("gram"))
       .select(col("id"), col("tgt"),
         pmod(Dedup.md5Hash32(col("gram"), lit(0)),
           lit(numBuckets.toLong)).as("bucket"))
       .groupBy("id", "tgt", "bucket").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val cb = dc.groupBy("tgt", "bucket").agg(sum("c").as("n"))
     val tot = cb.groupBy("tgt").agg(sum("n").as("nn"))
     val dom = spark.range(numBuckets).toDF("bucket")
@@ -188,7 +192,7 @@ object Sampling {
       .join(w, Seq("id"), "left")
       .select(col("id"), coalesce(
         floor(col("wraw") * 1e6 + 0.5) / 1e6 + 0.0, lit(0.0)).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val top = weights.orderBy(col("w").desc, col("id").asc).limit(k)
       .select(col("id"), lit(1).as("sel"))
     weights.join(broadcast(top), Seq("id"), "left")

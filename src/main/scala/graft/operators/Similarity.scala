@@ -183,7 +183,8 @@ object Similarity {
     * zero shuffle. */
   private def nearestCentroidsUdf(cents: Array[(Long, Seq[Float])], n: Int) =
     udf((vec: Seq[Float]) =>
-      cents.map { case (id, cv) => (id, cosineKernel(vec, cv)) }
+      if (vec == null) Seq.empty[(Long, Double)] // null vec -> null assign
+      else cents.map { case (id, cv) => (id, cosineKernel(vec, cv)) }
         .sortWith((a, b) => if (a._2 != b._2) a._2 > b._2 else a._1 < b._1)
         .take(n).toSeq)
 
@@ -191,13 +192,18 @@ object Similarity {
     * closes over — model-sized driver traffic only (k x dim floats, the
     * kmeans/PCA precedent), never corpus rows. */
   private def collectCentroids(centroids: DataFrame, centId: String,
-                               centVec: String): Array[(Long, Seq[Float])] =
-    centroids
+                               centVec: String): Array[(Long, Seq[Float])] = {
+    val cents = centroids
       .select(col(centId).cast("long"),
         transform(col(centVec), _.cast("float")).as("cv"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1)
+    // refuse, don't guess: an empty model would emit null assignments
+    // for every vector instead of a diagnosable failure
+    require(cents.nonEmpty, "centroid frame is empty")
+    cents
+  }
 
   /** IVF-style coarse quantization: assign every vector to its nearest of
     * `centroids`, search only within the probe's cell. Centroids are
@@ -366,7 +372,7 @@ object Similarity {
     // multi-consumer discipline)
     val centered = x.join(mu, "i")
       .select(col("v_id"), col("i"), (col("xi") - col("mu")).as("ci"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(CacheScope.pin)
     val n = v.count()
     require(n >= 2, "need at least two vectors")
     val covRows = centered

@@ -154,6 +154,21 @@ class Mp4Spec extends AnyFunSuite {
     assert(Mp4.videoFrames(file(Mp4.stsz(Seq(4)),
       Mp4.box("stsc", be32(0), be32(1), be32(1), be32(big), be32(1))))
       .isEmpty)
+    // huge u32 COUNT fields (stco/stsc/stts entry_count = 2^29) must
+    // refuse too: 4*n / 12*n Int bound math would overflow negative and
+    // let the loop allocate gigabytes or index out of bounds
+    val hugeCount = 0x20000000L
+    def fileStco(stco: Array[Byte]) = {
+      val stbl = Mp4.box("stbl", stsd, Mp4.stts(1, 40), okStsc,
+        Mp4.stsz(Seq(4)), stco)
+      mdat ++ Mp4.box("moov", Mp4.box("trak", Mp4.box("mdia",
+        mdhd, hdlr, Mp4.box("minf", stbl))))
+    }
+    assert(Mp4.videoFrames(fileStco(
+      Mp4.box("stco", be32(0), be32(hugeCount), be32(8)))).isEmpty)
+    assert(Mp4.videoFrames(file(Mp4.stsz(Seq(4)),
+      Mp4.box("stsc", be32(0), be32(hugeCount), be32(1), be32(1), be32(1))))
+      .isEmpty)
     // the same fixture with sane tables resolves (the refusals above are
     // the overflow guards, not an unrelated structural defect)
     assert(Mp4.videoFrames(file(Mp4.stsz(Seq(4)), okStsc)).nonEmpty)

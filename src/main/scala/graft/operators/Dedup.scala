@@ -901,6 +901,41 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** SEMANTIC decontamination: flag corpus documents whose embedding
+    * sits within cosine `threshold` of ANY probe (benchmark/eval-set)
+    * embedding — the paraphrase-robust complement of
+    * [[ngramContamination]] (an eval item rewritten in different words
+    * shares no n-grams but lands next to the original in embedding
+    * space; modern pretraining decontamination runs BOTH). Candidates
+    * come from the SRP bucket equi-join ([[incrementalEmbedLsh]]'s
+    * probe shape with the probe set as the standing side), exact cosine
+    * verifies, and the output keeps per-doc evidence: nearest probe +
+    * max cosine + hit count.
+    *
+    * @return (doc_id, probe_id, max_cosine, n_hits) — one row per
+    *         contaminated corpus doc; probe_id = argmax-cosine probe
+    *         (min id on ties). */
+  def semanticContamination(docs: DataFrame, probes: DataFrame,
+                            idCol: String, vecCol: String,
+                            threshold: Double = 0.9, numPlanes: Int = 8,
+                            tables: Int = 4): DataFrame = {
+    val p = embedLshIndex(probes, idCol, vecCol, numPlanes, tables)
+      .select(col("table"), col("bucket"), col("id").as("probe_id"),
+        col("v").as("p_v"))
+    val d = embedLshIndex(docs, idCol, vecCol, numPlanes, tables)
+      .select(col("table"), col("bucket"), col("id").as("doc_id"),
+        col("v").as("d_v"))
+    d.join(p, Seq("table", "bucket"))
+      .dropDuplicates("doc_id", "probe_id")
+      .withColumn("cosine", Similarity.cosineCol(col("d_v"), col("p_v")))
+      .where(col("cosine") >= threshold)
+      .groupBy("doc_id")
+      .agg(min_by(col("probe_id"), struct(negate(col("cosine")),
+          col("probe_id"))).as("probe_id"),
+        (round(max(col("cosine")), 6) + 0.0).as("max_cosine"),
+        count(lit(1)).as("n_hits"))
+  }
+
   /** Embedding near-dup pairs with NO caller-supplied block key: SRP-LSH
     * buckets (sign pattern over random hyperplanes, `tables` independent
     * hash tables for recall) generate candidates as a bucket equi-join,

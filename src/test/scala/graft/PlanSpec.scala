@@ -170,7 +170,8 @@ class PlanSpec extends SparkTestBase {
   test("dd_embed_lsh / dd_decontaminate / dd_semantic: candidate " +
     "generation is a bucket/cluster equi-join, never nested-loop") {
     for (q <- Seq("dd_embed_lsh", "dd_decontaminate", "dd_semantic",
-        "dd_audio_fingerprint", "st_embed_dedup")) {
+        "dd_audio_fingerprint", "st_embed_dedup",
+        "dd_semantic_decontaminate")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")

@@ -1806,6 +1806,29 @@ class OperatorsSpec extends SparkTestBase {
     assert(brute.size >= 20) // every same-group pair is in
   }
 
+  test("semanticContamination flags near-probe docs with argmax-probe " +
+    "evidence and leaves unrelated docs alone") {
+    val probes = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.01f, 0.0f, 0.0f)),  // near-twin of probe 0
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val docs = Seq(
+      (10L, Seq(0.99f, 0.02f, 0.0f, 0.0f)), // contaminated vs probes 0+1
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f))    // unrelated
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticContamination(docs, probes, "vec_id",
+        "embedding", threshold = 0.9)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(out.map(_._1).toSet == Set(10L), out.mkString(","))
+    val (_, probeId, maxCos, nHits) = out.head
+    assert(nHits == 2L)            // both direction-A probes hit
+    assert(maxCos > 0.99)
+    // argmax cosine picks the closer probe; doc 10 leans toward probe 1
+    // (its small y component matches probe 1's tilt)
+    assert(probeId == 1L, out.mkString(","))
+  }
+
   test("dsirSelect weighs docs toward the target vocabulary and keeps a " +
     "deterministic top-k") {
     // target exemplars (ids 0-2) speak "physics"; raw pool: ids 10-11

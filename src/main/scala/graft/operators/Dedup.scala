@@ -218,10 +218,17 @@ object Dedup {
   def incrementalMinHash(index: DataFrame, newDocs: DataFrame, idCol: String,
                          textCol: String, shingleN: Int = 3, bands: Int = 8,
                          rowsPerBand: Int = 2,
-                         simThreshold: Double = 0.5): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val newBanded = minHashIndex(newDocs, idCol, textCol, shingleN,
-      bands, rowsPerBand)
+                         simThreshold: Double = 0.5): DataFrame =
+    incrementalMinHashBuckets(index,
+      minHashIndex(newDocs, idCol, textCol, shingleN, bands, rowsPerBand),
+      bands * rowsPerBand, simThreshold)
+
+  /** [[incrementalMinHash]]'s probe over an ALREADY-banded batch — the
+    * form the streaming skeleton uses so a micro-batch bands exactly
+    * once (probe + index append share the frame). */
+  def incrementalMinHashBuckets(index: DataFrame, newBanded: DataFrame,
+                                numHashes: Int,
+                                simThreshold: Double): DataFrame = {
     def side(df: DataFrame, p: String) = df.select(col("band"), col("bucket"),
       col("id").as(s"${p}_id"), col("sig").as(s"${p}_sig"))
     val vsIndex = side(index, "a").join(side(newBanded, "b"),
@@ -881,8 +888,15 @@ object Dedup {
   def incrementalEmbedLsh(index: DataFrame, newEmb: DataFrame,
                           idCol: String, vecCol: String,
                           threshold: Double = 0.9, numPlanes: Int = 8,
-                          tables: Int = 4): DataFrame = {
-    val newBuckets = embedLshIndex(newEmb, idCol, vecCol, numPlanes, tables)
+                          tables: Int = 4): DataFrame =
+    incrementalEmbedLshBuckets(index,
+      embedLshIndex(newEmb, idCol, vecCol, numPlanes, tables), threshold)
+
+  /** [[incrementalEmbedLsh]]'s probe over an ALREADY-bucketed batch —
+    * the form the streaming skeleton uses so a micro-batch buckets
+    * exactly once (probe + index append share the frame). */
+  def incrementalEmbedLshBuckets(index: DataFrame, newBuckets: DataFrame,
+                                 threshold: Double): DataFrame = {
     def side(df: DataFrame, p: String) = df.select(col("table"),
       col("bucket"), col("id").as(s"${p}_id"), col("v").as(s"${p}_v"))
     val vsIndex = side(index, "a").join(side(newBuckets, "b"),

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -19,7 +18,9 @@ import graft.operators.Dedup
   * standing side exchange-free, the `dd_incremental_bucketed` PlanSpec
   * gate).
   *
-  * [[run]] is the streaming path (`foreachBatch`); [[ingestFold]] is its
+  * Both paths instantiate [[IncrementalIngest]] — the one copy of the
+  * fold / probe-then-append / replay-idempotence skeleton (see its doc
+  * for the exact foreachBatch replay contract). [[ingestFold]] is the
   * deterministic batch-sequenced equivalent used by the oracle-checked
   * registry row (`st_dedup_index`) and the MemoryStream parity spec —
   * the same pattern `st_ohlc` used to pin stream ≡ batch.
@@ -33,42 +34,22 @@ object DedupStream {
   def ingestFold(index: DataFrame, batches: Seq[DataFrame], idCol: String,
                  textCol: String, shingleN: Int = 3, bands: Int = 8,
                  rowsPerBand: Int = 2,
-                 simThreshold: Double = 0.5): DataFrame = {
-    var idx = index
-    val outs = batches.zipWithIndex.map { case (b, i) =>
-      val out = Dedup.incrementalMinHash(idx, b, idCol, textCol,
-          shingleN, bands, rowsPerBand, simThreshold)
-        .withColumn("batch_id", lit(i.toLong))
-      idx = idx.unionByName(Dedup.minHashIndex(b, idCol, textCol,
-        shingleN, bands, rowsPerBand))
-      out
-    }
-    outs.reduce(_ unionByName _)
-  }
+                 simThreshold: Double = 0.5): DataFrame =
+    IncrementalIngest.fold(index, batches,
+      Dedup.minHashIndex(_, idCol, textCol, shingleN, bands, rowsPerBand),
+      Dedup.incrementalMinHashBuckets(_, _, bands * rowsPerBand,
+        simThreshold))
 
-  /** Streaming path: `foreachBatch` probe-then-append against the
-    * standing index TABLE (created by [[Dedup.writeMinHashIndex]]).
-    * Results append to `outPath` parquet with the micro-batch id;
-    * signatures append to the bucketed index table (insertInto keeps
-    * the bucket layout, so the standing side stays exchange-free for
-    * every subsequent probe). Exactly-once: both writes are idempotent
-    * per micro-batch only through the checkpoint — callers must pass a
-    * stable `checkpoint` dir, the standard foreachBatch contract. */
+  /** Streaming path against the standing index TABLE (created by
+    * [[Dedup.writeMinHashIndex]] so the standing side probes
+    * exchange-free). Replay-idempotent per [[IncrementalIngest.run]]. */
   def run(streamDocs: DataFrame, idCol: String, textCol: String,
           indexTable: String, outPath: String, checkpoint: String,
           shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
           simThreshold: Double = 0.5): StreamingQuery =
-    streamDocs.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        Dedup.incrementalMinHash(spark.table(indexTable), batch,
-            idCol, textCol, shingleN, bands, rowsPerBand, simThreshold)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
-        Dedup.minHashIndex(batch, idCol, textCol, shingleN, bands,
-            rowsPerBand)
-          .write.mode("append").insertInto(indexTable)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+    IncrementalIngest.run(streamDocs,
+      Dedup.minHashIndex(_, idCol, textCol, shingleN, bands, rowsPerBand),
+      Dedup.incrementalMinHashBuckets(_, _, bands * rowsPerBand,
+        simThreshold),
+      indexTable, outPath, checkpoint)
 }

@@ -1,7 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.StreamingQuery
 
 import graft.operators.Dedup
@@ -15,10 +14,11 @@ import graft.operators.Dedup
   * with history, and the per-batch cost is O(batch + matching buckets)
   * (the [[Dedup.incrementalEmbedLsh]] contract).
   *
-  * [[run]] is the streaming path (`foreachBatch`); [[ingestFold]] is its
-  * deterministic batch-sequenced equivalent used by the oracle-checked
-  * registry row (`st_embed_dedup`) — the `st_ohlc` / `st_dedup_index`
-  * stream ≡ batch discipline.
+  * Both paths instantiate [[IncrementalIngest]] — the one copy of the
+  * fold / probe-then-append / replay-idempotence skeleton (see its doc
+  * for the exact foreachBatch replay contract). [[ingestFold]] is the
+  * deterministic batch-sequenced equivalent the oracle-checked registry
+  * row (`st_embed_dedup`) uses — the stream ≡ batch discipline.
   */
 object EmbedDedupStream {
 
@@ -28,38 +28,21 @@ object EmbedDedupStream {
     * `b`-sides are disjoint. */
   def ingestFold(index: DataFrame, batches: Seq[DataFrame], idCol: String,
                  vecCol: String, threshold: Double = 0.9,
-                 numPlanes: Int = 8, tables: Int = 4): DataFrame = {
-    var idx = index
-    val outs = batches.zipWithIndex.map { case (b, i) =>
-      val out = Dedup.incrementalEmbedLsh(idx, b, idCol, vecCol,
-          threshold, numPlanes, tables)
-        .withColumn("batch_id", lit(i.toLong))
-      idx = idx.unionByName(
-        Dedup.embedLshIndex(b, idCol, vecCol, numPlanes, tables))
-      out
-    }
-    outs.reduce(_ unionByName _)
-  }
+                 numPlanes: Int = 8, tables: Int = 4): DataFrame =
+    IncrementalIngest.fold(index, batches,
+      Dedup.embedLshIndex(_, idCol, vecCol, numPlanes, tables),
+      Dedup.incrementalEmbedLshBuckets(_, _, threshold))
 
-  /** Streaming path: `foreachBatch` probe-then-append against a standing
-    * index table holding [[Dedup.embedLshIndex]] rows (bucket it on
-    * `bucket` at rest so the standing side probes exchange-free — the
-    * `dd_incremental_bucketed` layout). Exactly-once per micro-batch
-    * through the checkpoint; callers pass a stable `checkpoint` dir. */
+  /** Streaming path against a standing index table holding
+    * [[Dedup.embedLshIndex]] rows (bucket it on (table, bucket) at rest
+    * — [[Dedup.writeEmbedIndex]] — so the standing side probes
+    * exchange-free). Replay-idempotent per [[IncrementalIngest.run]]. */
   def run(streamEmb: DataFrame, idCol: String, vecCol: String,
           indexTable: String, outPath: String, checkpoint: String,
           threshold: Double = 0.9, numPlanes: Int = 8,
           tables: Int = 4): StreamingQuery =
-    streamEmb.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val spark = batch.sparkSession
-        Dedup.incrementalEmbedLsh(spark.table(indexTable), batch,
-            idCol, vecCol, threshold, numPlanes, tables)
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
-        Dedup.embedLshIndex(batch, idCol, vecCol, numPlanes, tables)
-          .write.mode("append").insertInto(indexTable)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+    IncrementalIngest.run(streamEmb,
+      Dedup.embedLshIndex(_, idCol, vecCol, numPlanes, tables),
+      Dedup.incrementalEmbedLshBuckets(_, _, threshold),
+      indexTable, outPath, checkpoint)
 }

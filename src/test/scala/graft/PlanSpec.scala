@@ -167,8 +167,9 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("dd_embed_lsh / dd_decontaminate / dd_semantic: candidate " +
-    "generation is a bucket/cluster equi-join, never nested-loop") {
+  test("embedding/ngram candidate queries (embed_lsh, decontaminate x2, " +
+    "semantic, audio_fingerprint, st_embed_dedup): candidate generation " +
+    "is a bucket/cluster equi-join, never nested-loop") {
     for (q <- Seq("dd_embed_lsh", "dd_decontaminate", "dd_semantic",
         "dd_audio_fingerprint", "st_embed_dedup",
         "dd_semantic_decontaminate")) {

@@ -74,4 +74,41 @@ class EmbedDedupStreamSpec extends SparkTestBase {
     assert(spark.table(tbl).select("id").distinct().count() == 7)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("a replayed micro-batch is idempotent: output and index unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("embed_replay")
+      .toString
+    val tbl = "embed_replay_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeEmbedIndex(
+      Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+      tbl, s"$dir/index")
+    def ingest(): Unit = IncrementalIngest.ingestBatch(batch1.toDF(),
+      Dedup.embedLshIndex(_, "vec_id", "embedding"),
+      Dedup.incrementalEmbedLshBuckets(_, _, 0.9),
+      tbl, s"$dir/out", batchId = 0L)
+    ingest()
+    val out1 = spark.read.parquet(s"$dir/out")
+      .select("a_id", "b_id", "kind", "cosine", "batch_id")
+      .as[(Long, Long, String, Double, Long)].collect().sorted.toSeq
+    val idx1 = spark.table(tbl).count()
+    assert(out1.nonEmpty) // 10 pairs with the standing 1 and 3
+    ingest() // the crash-before-checkpoint replay
+    val out2 = spark.read.parquet(s"$dir/out")
+      .select("a_id", "b_id", "kind", "cosine", "batch_id")
+      .as[(Long, Long, String, Double, Long)].collect().sorted.toSeq
+    assert(out2 == out1, s"replay changed output: $out2 vs $out1")
+    assert(spark.table(tbl).count() == idx1, "replay grew the index")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("ingestFold of zero batches yields an empty pair frame, not a " +
+    "crash") {
+    val idx = Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding")
+    val out = EmbedDedupStream.ingestFold(idx, Seq.empty, "vec_id",
+      "embedding")
+    assert(out.columns.toSeq ==
+      Seq("a_id", "b_id", "kind", "cosine", "batch_id"))
+    assert(out.count() == 0)
+  }
 }

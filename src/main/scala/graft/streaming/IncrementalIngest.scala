@@ -56,20 +56,26 @@ object IncrementalIngest {
     val buckets = bucketize(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // every replay-safety join keeps the STANDING index on the streamed
+      // (map-side) side of a broadcast — the batch id set is the small
+      // side, so the index is never shuffled however large it grows
       val batchIds = buckets.select(col("id")).distinct()
       // replay-safe probe: the standing index minus this batch's ids
       val idx = spark.table(indexTable)
-        .join(batchIds, Seq("id"), "left_anti")
+        .join(broadcast(batchIds), Seq("id"), "left_anti")
       spark.conf.set(
         "spark.sql.sources.partitionOverwriteMode", "dynamic")
       probe(idx, buckets)
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(outPath)
-      // replay-safe append: only ids not already in the index
-      buckets.join(
-          spark.table(indexTable).select(col("id")).distinct(),
-          Seq("id"), "left_anti")
+      // replay-safe append: only ids not already in the index. The
+      // already-present set comes from a broadcast semi-join (index
+      // scanned map-side, output batch-bounded) so the anti-join's
+      // build side stays tiny too.
+      val present = spark.table(indexTable).select(col("id"))
+        .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
+      buckets.join(broadcast(present), Seq("id"), "left_anti")
         .write.mode("append").insertInto(indexTable)
     } finally buckets.unpersist(false)
   }

@@ -7121,6 +7121,32 @@ object SparkEntry {
               |JOIN deg dx ON c.x = dx.n
               |JOIN deg dy ON c.y = dy.n""".stripMargin)),
 
+    // GR: the linkPredict degree-cap AUDIT as a first-class row — the
+    // repo's "no silent caps" rule, oracle-checked. The lattice graph's
+    // max degree is 4 (E/W 171 m + N/S 222 m neighbors make the 250 m
+    // cut, diagonals at 280 m don't), so a cap of 3 flags exactly the
+    // interior lattice points.
+    Q("gr_link_capped",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        PageRank.cappedCenterCount(edges, maxCenterDegree = 3)
+          .select(col("n_capped_centers"))
+      },
+      Some(s"""WITH pts AS MATERIALIZED ($custPointsSql),
+              |e AS (
+              |  SELECT a.c_custkey AS a, b.c_custkey AS b
+              |  FROM pts a JOIN pts b
+              |    ON a.c_custkey < b.c_custkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+              |adj AS (
+              |  SELECT a AS n FROM e UNION ALL SELECT b FROM e),
+              |deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n)
+              |SELECT CAST(sum(CASE WHEN d > 3 THEN 1 ELSE 0 END) AS BIGINT)
+              |  AS n_capped_centers
+              |FROM deg""".stripMargin)),
+
     // ST: ordered conversion funnel over the event log — earliest-
     // completion greedy matching (step i+1 strictly after the earliest
     // valid completion of step i), one partial-aggregatable shuffle per

@@ -6446,6 +6446,72 @@ object SparkEntry {
              |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_gap
              |FROM j""".stripMargin)),
 
+    // TS: classical additive seasonal-trend decomposition over the
+    // gap-filled hourly series — centered 2x24 moving-average trend
+    // (half-weight endpoints, null until a full window), per-(user,
+    // hour-of-day-phase) detrended means centered by the user's grand
+    // mean, residual closes the identity. The oracle replays grid,
+    // forward fill, windows, and phase means term-for-term.
+    Q("ts_seasonal",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") < 4)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        val filled = TimeSeries.gapFill(hourly, "user_id", "h", "v", 3600L)
+          .select("user_id", "h", "v")
+        TimeSeries.seasonalDecompose(filled, "user_id", "h", "v",
+          stepSeconds = 3600L, period = 24)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    round(sum(value), 2) + 0e0 AS v
+             |  FROM events WHERE user_id < 4 GROUP BY 1, 2),
+             |spans AS (
+             |  SELECT user_id, min(h) AS h0, max(h) AS h1
+             |  FROM hourly GROUP BY 1),
+             |grid AS (
+             |  SELECT user_id,
+             |    unnest(generate_series(h0, h1, INTERVAL 3600 SECONDS)) AS h
+             |  FROM spans),
+             |filled AS (
+             |  SELECT g.user_id, g.h,
+             |    last_value(hourly.v IGNORE NULLS) OVER (
+             |      PARTITION BY g.user_id ORDER BY g.h
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+             |  FROM grid g LEFT JOIN hourly
+             |    ON g.user_id = hourly.user_id AND g.h = hourly.h),
+             |f2 AS (
+             |  SELECT user_id, h, v,
+             |    CAST(epoch(h) AS BIGINT) // 3600 % 24 AS phase,
+             |    CAST(FLOOR(v * 1e2 + 5e-1) AS BIGINT) AS vc
+             |  FROM filled),
+             |tr AS (
+             |  SELECT user_id, h, v, phase, vc,
+             |    sum(vc * 2) OVER (PARTITION BY user_id ORDER BY h
+             |      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+             |    - lag(vc, 12) OVER w - lead(vc, 12) OVER w AS tc
+             |  FROM f2
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY h)),
+             |seas AS (
+             |  SELECT user_id, phase,
+             |    sum(vc * 48 - tc)::DOUBLE / (4800e0 * count(*)) AS sraw
+             |  FROM tr WHERE tc IS NOT NULL GROUP BY 1, 2),
+             |grand AS (
+             |  SELECT user_id,
+             |    list_reduce(list_prepend(0e0, list(sraw ORDER BY phase)),
+             |      (acc_, x_) -> acc_ + x_) / count(*) AS smean
+             |  FROM seas GROUP BY user_id)
+             |SELECT tr.user_id, tr.h, tr.v,
+             |  floor(tc::DOUBLE / 4800e0 * 1e4 + 5e-1) / 1e4 + 0e0
+             |    AS trend,
+             |  floor((sraw - smean) * 1e4 + 5e-1) / 1e4 + 0e0 AS seasonal,
+             |  floor((vc::DOUBLE / 1e2 - tc::DOUBLE / 4800e0
+             |      - (sraw - smean)) * 1e4 + 5e-1) / 1e4 + 0e0 AS resid
+             |FROM tr
+             |LEFT JOIN seas ON tr.user_id = seas.user_id
+             |  AND tr.phase = seas.phase
+             |LEFT JOIN grand ON tr.user_id = grand.user_id""".stripMargin)),
+
     // TS: OHLC resampling bars — downsample the event stream to hourly
     // open/high/low/close/volume bars per event type. Open/close are
     // value-at-argmin/argmax over (ts, event_id): ONE partial-agg

@@ -135,4 +135,84 @@ object TimeSeries {
       (floor(blended * lit(1e4) + lit(0.5)) / lit(1e4)).as(valueCol),
       when(col("__observed").isNull, 1).otherwise(0).as("was_gap"))
   }
+
+  /** Classic ADDITIVE seasonal-trend decomposition (the moving-average
+    * method every stats package calls "naive"/"classical"): v = trend +
+    * seasonal + residual over a REGULAR series (run [[gapFill]] /
+    * [[interpolate]] first — ROWS-frame windows assume one row per
+    * bucket).
+    *
+    *  - trend: the standard centered 2xm moving average for even period
+    *    m — full-window sum with HALF weight on both endpoints,
+    *    `(sum[-m/2..m/2] - (lag(m/2) + lead(m/2)) / 2) / m` — null until
+    *    a full window exists on both sides (lag/lead null propagates,
+    *    which IS the contract);
+    *  - seasonal: per-(key, phase) mean of the detrended values, centered
+    *    by subtracting the key's grand mean of phase means so the
+    *    components sum back to v up to residual; phase = bucket seconds /
+    *    step mod period — a pure expression, no row numbering;
+    *  - residual: v - trend - seasonal where trend exists.
+    *
+    * Shuffles: ONE per-key window sort (bounded ROWS frames only), one
+    * (key, phase) partial agg + a phase-keyed join-back, one key-sized
+    * grand-mean broadcast join. Outputs floor-quantized at 1e-4 (the
+    * engines' window sums agree term-for-term; quantization guards the
+    * decimal-midpoint rounding divergence).
+    *
+    * @param period seasonal cycle length in buckets (even, e.g. 24 for
+    *               hour-of-day on an hourly series) */
+  def seasonalDecompose(series: DataFrame, keyCol: String, bucketCol: String,
+                        valueCol: String, stepSeconds: Long,
+                        period: Int, valueScale: Int = 2): DataFrame = {
+    require(period >= 2 && period % 2 == 0, "period must be even and >= 2")
+    require(stepSeconds > 0, "step must be positive")
+    require(valueScale >= 0 && valueScale <= 6, "valueScale in [0, 6]")
+    val half = period / 2
+    // exact-integer arithmetic end to end: values lift to 10^scale units
+    // (the input contract: values quantized to `valueScale` decimals),
+    // window sums / phase sums run over LONGS (associativity holds, so
+    // engines cannot disagree by sum order), and every double is born
+    // from ONE division of exact integers — the quantized outputs are
+    // then bit-identical across engines by construction
+    val unit = math.pow(10, valueScale).toLong
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+    val vc = floor(col(valueCol).cast("double") * unit + 0.5).cast("long")
+    val trended = series
+      .withColumn("__phase",
+        pmod(floor(unix_timestamp(col(bucketCol)) / stepSeconds),
+          lit(period.toLong)))
+      .withColumn("__vc", vc)
+      // centered 2xm MA numerator in integer units, x2 to keep the
+      // half-weight endpoints integral: null until a full window
+      .withColumn("__tc",
+        sum(col("__vc") * 2).over(w.rowsBetween(-half, half)) -
+          lag(col("__vc"), half).over(w) - lead(col("__vc"), half).over(w))
+    val trendDen = lit(2.0 * period * unit)
+    // per-(key, phase) detrended mean: numerator exact in integer units
+    // (v - trend = (2*period*vc - tc) / (2*period*unit))
+    val seas = trended.where(col("__tc").isNotNull)
+      .groupBy(col(keyCol), col("__phase"))
+      .agg((sum(col("__vc") * (2 * period) - col("__tc")).cast("double") /
+        (trendDen * count(lit(1)))).as("__sraw"))
+    // grand mean over the phase means: an ORDERED fold over the (at most
+    // `period`) phase-sorted values — the one unavoidable double sum,
+    // made order-deterministic so both engines fold identically
+    val grand = seas.groupBy(col(keyCol))
+      .agg(collect_list(struct(col("__phase"), col("__sraw"))).as("__ps"))
+      .select(col(keyCol),
+        (aggregate(array_sort(col("__ps")), lit(0.0),
+          (acc, e) => acc + e.getField("__sraw")) /
+          size(col("__ps"))).as("__smean"))
+    def q(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e4) + lit(0.5)) / lit(1e4) + lit(0.0)
+    trended
+      .join(seas, Seq(keyCol, "__phase"), "left")
+      .join(broadcast(grand), Seq(keyCol), "left")
+      .select(col(keyCol), col(bucketCol), col(valueCol),
+        q(col("__tc").cast("double") / trendDen).as("trend"),
+        q(col("__sraw") - col("__smean")).as("seasonal"),
+        q(col("__vc").cast("double") / unit -
+          col("__tc").cast("double") / trendDen -
+          (col("__sraw") - col("__smean"))).as("resid"))
+  }
 }

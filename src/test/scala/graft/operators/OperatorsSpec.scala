@@ -905,6 +905,43 @@ class OperatorsSpec extends SparkTestBase {
       (2L, "2024-01-01 10:00:00.0", 1.0, 0)))
   }
 
+  test("seasonalDecompose recovers trend/seasonal/residual exactly on a " +
+    "periodic series and keeps the additive identity") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // constant level 10 + a zero-mean period-4 pattern, 16 hourly rows
+    val pattern = Seq(2.0, -1.0, -2.0, 1.0)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val obs = (0 until 16).map { i =>
+      (1L, new java.sql.Timestamp(base + i * 3600_000L),
+        10.0 + pattern(i % 4))
+    }.toDF("k", "h", "v")
+    val got = TimeSeries.seasonalDecompose(obs, "k", "h", "v",
+        stepSeconds = 3600L, period = 4)
+      .as[(Long, java.sql.Timestamp, Double, Option[Double],
+        Option[Double], Option[Double])].collect()
+      .sortBy(_._2.getTime)
+    assert(got.length == 16)
+    // interior rows (full +-2 window): trend exactly the level, resid 0
+    val interior = got.drop(2).dropRight(2)
+    assert(interior.forall(_._4.contains(10.0)), interior.mkString(","))
+    assert(interior.forall(_._6.contains(0.0)), interior.mkString(","))
+    // seasonal equals the zero-mean pattern at every row (phase-aligned:
+    // epoch hours of a UTC-session timestamp), edges included
+    val utcShift = // session is UTC; valueOf parsed in local = UTC here
+      ((base / 3600000) % 4 + 4) % 4
+    got.zipWithIndex.foreach { case ((_, _, _, _, s, _), i) =>
+      assert(s.contains(pattern(((i + utcShift) % 4).toInt)),
+        s"row $i: $s")
+    }
+    // the identity v = trend + seasonal + resid on interior rows
+    interior.foreach { case (_, _, v, t, s, r) =>
+      assert(math.abs(v - (t.get + s.get + r.get)) < 1e-9)
+    }
+    // edge rows (no full window): trend and resid null, v untouched
+    assert(got.take(2).forall(r => r._4.isEmpty && r._6.isEmpty))
+    assert(got.takeRight(2).forall(r => r._4.isEmpty && r._6.isEmpty))
+  }
+
   test("checkReport allows duplicate (kind, column) constraints") {
     // two ranges on the same column (and a doubled unique) used to build
     // duplicate agg aliases and die with an ambiguous-column reference

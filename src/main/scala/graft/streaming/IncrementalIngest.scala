@@ -27,7 +27,13 @@ object IncrementalIngest {
   /** Deterministic batch-sequenced fold: bucketize each batch ONCE, probe
     * it against the index-so-far, emit (pairs..., batch_id), append the
     * buckets for later batches. An empty `batches` yields an empty pair
-    * frame (probed from an empty index slice), not a crash. */
+    * frame (probed from an empty index slice), not a crash.
+    *
+    * Re-ingested-id contract (IDENTICAL to [[run]], so stream ≡ batch
+    * holds even when a batch repeats an already-indexed id): an id is
+    * immutable once ingested — the probe sees the index MINUS the
+    * batch's own ids (a row never pairs against its own earlier copy)
+    * and the append keeps only ids not already present. */
   def fold(index: DataFrame, batches: Seq[DataFrame],
            bucketize: DataFrame => DataFrame,
            probe: (DataFrame, DataFrame) => DataFrame): DataFrame = {
@@ -37,8 +43,14 @@ object IncrementalIngest {
     var idx = index
     val outs = batches.zipWithIndex.map { case (b, i) =>
       val buckets = bucketize(b)
-      val out = probe(idx, buckets).withColumn("batch_id", lit(i.toLong))
-      idx = idx.unionByName(buckets)
+      val batchIds = buckets.select(col("id")).distinct()
+      val out = probe(idx.join(broadcast(batchIds), Seq("id"), "left_anti"),
+          buckets)
+        .withColumn("batch_id", lit(i.toLong))
+      idx = idx.unionByName(
+        buckets.join(broadcast(idx.select(col("id"))
+          .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()),
+          Seq("id"), "left_anti"))
       out
     }
     outs.reduce(_ unionByName _)
@@ -63,16 +75,24 @@ object IncrementalIngest {
       // replay-safe probe: the standing index minus this batch's ids
       val idx = spark.table(indexTable)
         .join(broadcast(batchIds), Seq("id"), "left_anti")
-      spark.conf.set(
-        "spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // output layout contract: partitioned by batch_id with DYNAMIC
+      // overwrite scoped to THIS writer (a session-level conf flip would
+      // change overwrite semantics for every other writer in the app);
+      // readers get batch_id back as the partition column (integer-
+      // inferred). Not layout-compatible with a flat append-mode
+      // outPath from the pre-idempotence version — use a fresh path.
       probe(idx, buckets)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(outPath)
       // replay-safe append: only ids not already in the index. The
-      // already-present set comes from a broadcast semi-join (index
-      // scanned map-side, output batch-bounded) so the anti-join's
-      // build side stays tiny too.
+      // already-present set comes from a broadcast semi-join over an
+      // id-only COLUMNAR scan of the index (cheap next to the probe's
+      // full-row pass) so the anti-join's build side stays tiny too —
+      // the accepted cost of idempotence, one extra single-column scan
+      // per micro-batch.
       val present = spark.table(indexTable).select(col("id"))
         .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
       buckets.join(broadcast(present), Seq("id"), "left_anti")

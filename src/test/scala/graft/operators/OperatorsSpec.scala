@@ -925,13 +925,12 @@ class OperatorsSpec extends SparkTestBase {
     val interior = got.drop(2).dropRight(2)
     assert(interior.forall(_._4.contains(10.0)), interior.mkString(","))
     assert(interior.forall(_._6.contains(0.0)), interior.mkString(","))
-    // seasonal equals the zero-mean pattern at every row (phase-aligned:
-    // epoch hours of a UTC-session timestamp), edges included
-    val utcShift = // session is UTC; valueOf parsed in local = UTC here
-      ((base / 3600000) % 4 + 4) % 4
+    // seasonal equals the zero-mean pattern at every row, edges
+    // included — the phase offset cancels: row i has phase
+    // (base + i) % 4 and the phase mean is pattern((phase - base) % 4),
+    // so the joined value is pattern(i % 4) under ANY epoch alignment
     got.zipWithIndex.foreach { case ((_, _, _, _, s, _), i) =>
-      assert(s.contains(pattern(((i + utcShift) % 4).toInt)),
-        s"row $i: $s")
+      assert(s.contains(pattern(i % 4)), s"row $i: $s")
     }
     // the identity v = trend + seasonal + resid on interior rows
     interior.foreach { case (_, _, v, t, s, r) =>

@@ -102,6 +102,51 @@ class EmbedDedupStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("a re-ingested id is immutable: no self-pair against its own " +
+    "standing copy, and fold matches the streaming path") {
+    val dir = java.nio.file.Files.createTempDirectory("embed_reingest")
+      .toString
+    val tbl = "embed_reingest_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeEmbedIndex(
+      Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+      tbl, s"$dir/index")
+    // batch 2 re-ingests id 10 (already ingested by batch 1)
+    val b2 = Seq(Emb(10, v(dirA, 0.02f)), Emb(20, v(dirA, 0.03f)))
+    def ingest(b: Seq[Emb], id: Long): Unit =
+      IncrementalIngest.ingestBatch(b.toDF(),
+        Dedup.embedLshIndex(_, "vec_id", "embedding"),
+        Dedup.incrementalEmbedLshBuckets(_, _, 0.9),
+        tbl, s"$dir/out", batchId = id)
+    ingest(batch1, 0L)
+    ingest(b2, 1L)
+    val got = spark.read.parquet(s"$dir/out")
+      .select("a_id", "b_id", "kind", "cosine", "batch_id")
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+    val fold = EmbedDedupStream.ingestFold(
+        Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+        Seq(batch1.toDF(), b2.toDF()), "vec_id", "embedding",
+        threshold = 0.9)
+      .select("a_id", "b_id", "kind", "cosine", "batch_id")
+      .as[(Long, Long, String, Double, Long)].collect().toSet
+    assert(got == fold, s"stream $got vs fold $fold")
+    // the re-ingested 10 never pairs against its own standing copy
+    assert(!got.exists { case (a, b, _, _, _) => a == 10 && b == 10 })
+    // ...and since 10 rode along IN batch 2, its pair with the new 20
+    // is within_batch (the standing copy is masked for this batch),
+    // while 10 still pairs vs_index against standing ids NOT in the
+    // batch
+    assert(got.exists { case (a, b, k, _, bid) =>
+      a == 10 && b == 20 && k == "within_batch" && bid == 1 },
+      got.toString)
+    assert(got.exists { case (a, b, k, _, bid) =>
+      a == 1 && b == 10 && k == "vs_index" && bid == 1 }, got.toString)
+    // and the index holds ONE copy of id 10
+    assert(spark.table(tbl).where(col("id") === 10)
+      .select("table").distinct().count() == 4) // 4 hash tables, once each
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("ingestFold of zero batches yields an empty pair frame, not a " +
     "crash") {
     val idx = Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding")

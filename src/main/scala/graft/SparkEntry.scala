@@ -2578,6 +2578,65 @@ object SparkEntry {
               |  CASE WHEN rn <= 25 THEN 1 ELSE 0 END AS selected
               |FROM ranked""".stripMargin)),
 
+    // DSIR with the paper's actual Gumbel RESAMPLING: selection key =
+    // importance weight + seeded-hash Gumbel noise (-ln(-ln(u)), u from
+    // the keyedCut integer uniform) — Gumbel-top-k IS sampling without
+    // replacement proportional to softmax(w), and the seeded hash keeps
+    // it deterministic and oracle-replayable.
+    Q("ds_dsir_sample",
+      (s, dir) => Sampling.dsirSelect(t(s, dir, "documents"), "doc_id",
+        "text", col("source") === "src0", numBuckets = 64, k = 25,
+        gumbelSeed = Some(11)),
+      Some(s"""WITH toks AS ($toksSql),
+              |g AS (
+              |  SELECT id, unnest(list_concat(tk,
+              |    list_transform(range(0, greatest(len(tk) - 1, 0)),
+              |      i -> tk[i+1] || ' ' || tk[i+2]))) AS gram
+              |  FROM toks),
+              |dc AS (
+              |  SELECT g.id, ${h32Sql("gram", "0")} % 64 AS bucket,
+              |    count(*) AS c
+              |  FROM g GROUP BY 1, 2),
+              |lab AS (SELECT doc_id AS id,
+              |          CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS tgt
+              |        FROM documents),
+              |cb AS (SELECT tgt, bucket, sum(c) AS n
+              |       FROM dc JOIN lab USING (id) GROUP BY 1, 2),
+              |tot AS (SELECT tgt, sum(n) AS nn FROM cb GROUP BY 1),
+              |dom AS (SELECT unnest(range(0, 64)) AS bucket),
+              |ratio AS (
+              |  SELECT dom.bucket,
+              |    ln((coalesce(t.n, 0) + 1)::DOUBLE / (tt.nn + 64)) -
+              |    ln((coalesce(r.n, 0) + 1)::DOUBLE / (rt.nn + 64)) AS lr
+              |  FROM dom
+              |  LEFT JOIN (SELECT bucket, n FROM cb WHERE tgt = 1) t
+              |    ON dom.bucket = t.bucket
+              |  LEFT JOIN (SELECT bucket, n FROM cb WHERE tgt = 0) r
+              |    ON dom.bucket = r.bucket,
+              |  (SELECT nn FROM tot WHERE tgt = 1) tt,
+              |  (SELECT nn FROM tot WHERE tgt = 0) rt),
+              |wsum AS (
+              |  SELECT dc.id, sum(dc.c * ratio.lr) AS wraw
+              |  FROM dc JOIN ratio USING (bucket) GROUP BY dc.id),
+              |wq AS (
+              |  SELECT d.doc_id,
+              |    coalesce(floor(wraw * 1e6 + 5e-1) / 1e6 + 0e0, 0e0) AS w
+              |  FROM documents d LEFT JOIN wsum ON d.doc_id = wsum.id),
+              |keyed AS (
+              |  SELECT doc_id, w,
+              |    floor((w - ln(-ln(
+              |      ((${h32Sql("doc_id::VARCHAR", "11")} % 1000000)::DOUBLE
+              |        + 5e-1) / 1e6))) * 1e6 + 5e-1) / 1e6 + 0e0
+              |      AS sel_key
+              |  FROM wq),
+              |ranked AS (
+              |  SELECT doc_id, w, sel_key, row_number() OVER (
+              |    ORDER BY sel_key DESC, doc_id ASC) AS rn
+              |  FROM keyed)
+              |SELECT doc_id, w, sel_key,
+              |  CASE WHEN rn <= 25 THEN 1 ELSE 0 END AS selected
+              |FROM ranked""".stripMargin)),
+
     // Curriculum-style quality binning: ntile quartiles over the composite
     // quality score (deterministic tie order by doc_id)
     Q("ds_quality_bins",

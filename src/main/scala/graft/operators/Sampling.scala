@@ -132,12 +132,13 @@ object Sampling {
     *    ln p_raw(b)), quantized floor(w*1e6+0.5)/1e6 (pure-IEEE midpoint
     *    rule, cross-engine stable) so selection never hinges on a
     *    last-ulp sum-order difference
-    *  - selection: deterministic top-k by (w desc, id asc) — plans as
+    *  - selection: top-k by the selection key (desc, id asc) — plans as
     *    per-partition heaps + k-row merge (TakeOrderedAndProject), the
-    *    ds_weighted_k shape, never a global sort. (The paper resamples
-    *    with Gumbel noise; a seeded-hash Gumbel drops in via keyedCut's
-    *    uniform if sampling is wanted — top-k is the deterministic,
-    *    oracle-checkable policy.)
+    *    ds_weighted_k shape, never a global sort. The key is the weight
+    *    itself, or with `gumbelSeed` set the paper's actual importance
+    *    RESAMPLING: weight + seeded-hash Gumbel noise (Gumbel-top-k =
+    *    sampling without replacement ∝ softmax(w)), still deterministic
+    *    and oracle-replayable; the output then carries `sel_key`.
     *
     * Shuffles: ONE (id, class, bucket) partial agg over the gram explode
     * (persisted — class totals and doc weights both consume it), the
@@ -149,7 +150,7 @@ object Sampling {
     *         tokens weigh 0 */
   def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
                  isTarget: Column, numBuckets: Int = 64,
-                 k: Int = 25): DataFrame = {
+                 k: Int = 25, gumbelSeed: Option[Int] = None): DataFrame = {
     require(numBuckets >= 2, "numBuckets must be >= 2")
     require(k >= 1, "k must be positive")
     val spark = docs.sparkSession
@@ -193,10 +194,31 @@ object Sampling {
       .select(col("id"), coalesce(
         floor(col("wraw") * 1e6 + 0.5) / 1e6 + 0.0, lit(0.0)).as("w"))
       .transform(CacheScope.pin)
-    val top = weights.orderBy(col("w").desc, col("id").asc).limit(k)
+    // selection key: the weight itself, or — the paper's actual
+    // importance RESAMPLING — weight + seeded-hash Gumbel noise
+    // (g = -ln(-ln(u)), u the keyedCut integer-uniform: deterministic
+    // in (id, seed), replayable by the oracle, quantized so ranking
+    // never hinges on a last-ulp ln difference). Top-k by perturbed
+    // weight IS Gumbel-top-k sampling without replacement ∝ softmax(w).
+    val selKey = gumbelSeed match {
+      case None => col("w")
+      case Some(seed) =>
+        val u = (pmod(Dedup.md5Hash32(col("id").cast("string"), lit(seed)),
+          lit(Denom)).cast("double") + 0.5) / Denom.toDouble
+        floor((col("w") - log(-log(u))) * 1e6 + 0.5) / 1e6 + 0.0
+    }
+    val keyed = weights.select(col("id"), col("w"), selKey.as("sel_key"))
+    val top = keyed.orderBy(col("sel_key").desc, col("id").asc).limit(k)
       .select(col("id"), lit(1).as("sel"))
-    weights.join(broadcast(top), Seq("id"), "left")
-      .select(col("id").as(idCol), col("w"),
+    val out = keyed.join(broadcast(top), Seq("id"), "left")
+    // schema contract: the perturbed key only appears when it differs
+    // from w (gumbelSeed set) — the deterministic top-k output is
+    // unchanged from before
+    if (gumbelSeed.isDefined)
+      out.select(col("id").as(idCol), col("w"), col("sel_key"),
+        coalesce(col("sel"), lit(0)).as("selected"))
+    else
+      out.select(col("id").as(idCol), col("w"),
         coalesce(col("sel"), lit(0)).as("selected"))
   }
 

@@ -1894,6 +1894,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.filter(_._2._2 == 1).keySet == Set(0L, 1L, 2L, 10L, 11L),
       out.toString)
     assert(out.count(_._2._2 == 1) == 5)
+    // Gumbel resampling: deterministic in the seed (two runs agree),
+    // exposes the perturbed key, still selects exactly k
+    val g1 = Sampling.dsirSelect(docs, "doc_id", "text", col("is_t"),
+        numBuckets = 32, k = 5, gumbelSeed = Some(7))
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    val g2 = Sampling.dsirSelect(docs, "doc_id", "text", col("is_t"),
+        numBuckets = 32, k = 5, gumbelSeed = Some(7))
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(g1 == g2)
+    assert(g1.count(_._4 == 1) == 5)
+    // a different seed perturbs differently
+    val g3 = Sampling.dsirSelect(docs, "doc_id", "text", col("is_t"),
+        numBuckets = 32, k = 5, gumbelSeed = Some(8))
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1).toSeq
+    assert(g1.map(_._3) != g3.map(_._3))
   }
 
   test("redactPii replaces every pattern and counts match") {

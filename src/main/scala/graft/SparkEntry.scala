@@ -7548,6 +7548,22 @@ object SparkEntry {
            |FROM est LEFT JOIN exact USING (tok)""".stripMargin
       }),
 
+    // SK: EXACT heavy hitters via sketch-then-verify — phase 1 CMS
+    // prefilter (map-side, sketch collected model-sized), phase 2 exact
+    // counts over candidate rows only. CMS never underestimates, so the
+    // output EQUALS the plain HAVING count >= N query — which is
+    // precisely what the oracle states; the sketch phase buys the
+    // shuffle reduction, not a different answer.
+    Q("sk_heavy_hitters",
+      (s, dir) => Sketches.heavyHitters(
+        t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("tok")),
+        "tok", minCount = 500),
+      Some(s"""WITH toks AS ($toksSql),
+              |tok AS (SELECT unnest(tk) AS item FROM toks)
+              |SELECT item, count(*) AS n
+              |FROM tok GROUP BY item HAVING count(*) >= 500""".stripMargin)),
+
     // SK: KMV bottom-k distinct sketch — the fourth mergeable sketch
     // (HLL counts, CMS frequencies, histogram quantiles; KMV adds SET
     // operations). k smallest distinct parity hashes per group; the

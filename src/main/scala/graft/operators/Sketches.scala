@@ -211,6 +211,41 @@ object Sketches {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** EXACT heavy hitters by the two-phase sketch-then-verify pattern:
+    * phase 1 builds the CMS (sketch-sized shuffle), collects it to a
+    * model-sized array (depth x width longs — the kmeans-centroid
+    * precedent), and filters rows MAP-SIDE by their item's CMS estimate;
+    * phase 2 exact-counts only the survivors. CMS never underestimates,
+    * so the prefilter has exact recall — the output is IDENTICAL to a
+    * plain `GROUP BY item HAVING count >= minCount` (the oracle states
+    * exactly that), but the exact-count shuffle moves only rows of
+    * candidate items: at a heavy-tailed 100 TB the network cost is the
+    * heavy items' rows, not the long tail's.
+    *
+    * @return (item, n) with n >= minCount, exact counts. */
+  def heavyHitters(df: DataFrame, itemCol: String, minCount: Long,
+                   depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val sketch = Array.ofDim[Long](depth, width)
+    cmsBuild(df, itemCol, depth, width).collect().foreach { r =>
+      sketch(r.getInt(0) - 1)(r.getLong(1).toInt) = r.getLong(2)
+    }
+    val estUdf = udf((item: String) => {
+      var est = Long.MaxValue
+      var s = 1
+      while (s <= depth) {
+        val b = (Dedup.md5Hash32Kernel(item, s) % width).toInt
+        if (sketch(s - 1)(b) < est) est = sketch(s - 1)(b)
+        s += 1
+      }
+      est
+    })
+    df.select(col(itemCol).cast("string").as("item"))
+      .where(estUdf(col("item")) >= minCount)
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
   // ------------------------------------------------------- KMV bottom-k
 
   /** Per-group KMV (k minimum values) sketch: the k smallest DISTINCT

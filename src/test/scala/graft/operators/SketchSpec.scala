@@ -210,4 +210,22 @@ class SketchSpec extends SparkTestBase {
     assert(est("item200") <= 200 + slack && est("nosuchitem") <= slack,
       est.toString)
   }
+
+  test("heavyHitters equals the direct GROUP BY ... HAVING — the CMS " +
+    "prefilter changes the cost, never the answer") {
+    import spark.implicits._
+    // zipf-ish: item i appears max(1, 200/i) times over 1..200
+    val rows = (1 to 200).flatMap(i =>
+      Seq.fill(math.max(1, 200 / i))(s"item$i")).toDF("item")
+    for (minCount <- Seq(2L, 10L, 50L, 100L, 201L)) {
+      val got = Sketches.heavyHitters(rows, "item", minCount)
+        .as[(String, Long)].collect().toSet
+      val direct = rows.groupBy("item").agg(count(lit(1)).as("n"))
+        .where(col("n") >= minCount)
+        .as[(String, Long)].collect().toSet
+      assert(got == direct, s"minCount=$minCount: $got vs $direct")
+    }
+    // the threshold 201 case: empty output, no crash
+    assert(Sketches.heavyHitters(rows, "item", 201L).count() == 0)
+  }
 }

@@ -2163,6 +2163,57 @@ object SparkEntry {
            |FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id""".stripMargin
       }),
 
+    // SemDedup with the mega-cluster guard ACTIVE: maxBlock=40 pushes the
+    // larger clusters (avg size 500/8 ≈ 62 at the gate sf) onto the SRP
+    // sub-blocked branch while small clusters keep the exact scan — the
+    // oracle replays BOTH branches (kmeans assignment, size split, exact
+    // pairs below the bound, (cluster, table, bucket) SRP candidates +
+    // exact-cosine verify above it), so the guarded path itself is
+    // hash-checked, not just spec'd.
+    Q("dd_semantic_guarded",
+      (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 8, iters = 2, threshold = 0.3,
+        maxBlock = 40, numPlanes = 8, tables = 4),
+      Some {
+        val buckets = (0 until 4).map(tb =>
+          s"""SELECT vec_id, v, cid, $tb AS tbl,
+             |  ${srpBucketSql("v", tb, 8)} AS bucket FROM bg""".stripMargin)
+          .mkString("\nUNION ALL\n")
+        s"""WITH ${kmeansA2Sql()},
+           |sz AS (SELECT cid, count(*) AS cl_n FROM a2 GROUP BY cid),
+           |sm AS (SELECT a2.* FROM a2 JOIN sz USING (cid) WHERE cl_n <= 40),
+           |bg AS (SELECT a2.* FROM a2 JOIN sz USING (cid) WHERE cl_n > 40),
+           |be AS ($buckets),
+           |exdrop AS (
+           |  SELECT DISTINCT b.vec_id FROM sm a JOIN sm b
+           |    ON a.cid = b.cid AND a.vec_id < b.vec_id
+           |  WHERE ${cosSql("a.v", "b.v")} >= 0.3),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id AS aid, b.vec_id AS bid,
+           |    a.v AS av, b.v AS bv
+           |  FROM be a JOIN be b
+           |    ON a.cid = b.cid AND a.tbl = b.tbl AND a.bucket = b.bucket
+           |      AND a.vec_id < b.vec_id),
+           |lshdrop AS (
+           |  SELECT DISTINCT bid AS vec_id FROM cand
+           |  WHERE ${cosSql("av", "bv")} >= 0.3),
+           |dropped AS (SELECT vec_id FROM exdrop
+           |            UNION SELECT vec_id FROM lshdrop)
+           |SELECT a2.vec_id, CAST(a2.cid AS INT) AS cluster,
+           |  CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+           |FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id""".stripMargin
+      }),
+
+    // The guard's no-silent-caps audit row (gr_link_capped precedent):
+    // which clusters crossed maxBlock and fell back to SRP recall.
+    Q("dd_semantic_oversized",
+      (s, dir) => Dedup.semanticDedupOversized(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 2, maxBlock = 40),
+      Some(s"""WITH ${kmeansA2Sql()}
+              |SELECT CAST(cid AS INT) AS cluster, count(*) AS cl_size,
+              |  CASE WHEN count(*) > 40 THEN 1 ELSE 0 END AS oversized
+              |FROM a2 GROUP BY cid""".stripMargin)),
+
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
       (s, dir) => {
@@ -3769,6 +3820,37 @@ object SparkEntry {
   /** DuckDB SRP bucket expression for LSH table `t` over vector column
     * `v` — unrolled to mirror Similarity.lshTopK exactly (planeId =
     * p + t*numPlanes, md5-derived +-1 coefficients, 2^p bit packing). */
+  /** The deterministic Lloyd k-means replay (k=8 seeded from the 8
+    * smallest vec_ids, 2 iterations, squared-euclidean assignment) as a
+    * CTE chain ending in `a2(vec_id, v, cid)` — shared by the SemDedup
+    * family's oracles so the clustering SQL cannot drift between the
+    * dedup row, the guarded row, and the oversized audit. */
+  private def kmeansA2Sql(): String = {
+    def sq(a: String, b: String) = foldSql(
+      s"list_transform(range(0, 64), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
+    s"""v AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT v.vec_id, v.v, c0.cid, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${sq("v.v", "c0.cv")} ASC, c0.cid ASC) AS rn
+       |    FROM v CROSS JOIN c0) WHERE rn = 1),
+       |c1 AS (
+       |  SELECT cid, list(m ORDER BY d) AS cv FROM (
+       |    SELECT a1.cid, d.d, avg(a1.v[d.d+1]) AS m
+       |    FROM a1, range(0, 64) AS d(d)
+       |    GROUP BY a1.cid, d.d)
+       |  GROUP BY cid),
+       |a2 AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT v.vec_id, v.v, c1.cid, row_number() OVER (
+       |      PARTITION BY v.vec_id
+       |      ORDER BY ${sq("v.v", "c1.cv")} ASC, c1.cid ASC) AS rn
+       |    FROM v CROSS JOIN c1) WHERE rn = 1)""".stripMargin
+  }
+
   private def srpBucketSql(v: String, t: Int, numPlanes: Int): String = {
     val bits = (0 until numPlanes).map { p =>
       val pid = p + t * numPlanes

@@ -834,30 +834,91 @@ object Dedup {
     * min-id keep — the set-property formulation, independent of
     * partitioning). Memory contract: one cluster's pair scan is
     * quadratic in that cluster — size k to the expected cluster mass
-    * (the paper's operating point; skewed clusters are AQE-splittable
-    * since the join is a planner equi-join).
+    * (the paper's operating point).
+    *
+    * MEGA-CLUSTER GUARD (`maxBlock`): dedup's own workload fights the
+    * average-case bound — near-duplicate-heavy corpora (the reason you
+    * run SemDedup) concentrate mass into few clusters, and ONE
+    * mega-cluster turns the cluster-keyed shuffle into all-pairs on one
+    * key. Clusters whose size exceeds `maxBlock` therefore switch from
+    * the exact all-pairs-in-cluster scan to SRP sub-blocking WITHIN the
+    * cluster (the [[embeddingLshPairs]] machinery, candidates =
+    * same (cluster, table, bucket), exact-cosine verify unchanged):
+    * per-bucket work is quadratic in the BUCKET, never the cluster.
+    * Contract change above the bound, stated not silent: recall within
+    * an oversized cluster drops from exact to SRP recall (a pair at
+    * angle theta shares >= 1 of `tables` tables' buckets with prob
+    * 1-(1-(1-theta/pi)^numPlanes)^tables; byte-identical vectors hash
+    * identically, so TRUE duplicates always pair). Per the no-silent-
+    * caps rule, audit which clusters crossed the bound with
+    * [[semanticDedupOversized]] (the `gr_link_capped` precedent).
     *
     * @return (idCol, cluster, keep:int) for EVERY input row. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int = 8, iters: Int = 2,
-                    threshold: Double = 0.9): DataFrame = {
+                    threshold: Double = 0.9,
+                    maxBlock: Int = 1 << 16,
+                    numPlanes: Int = 8, tables: Int = 4): DataFrame = {
+    require(maxBlock >= 1, s"maxBlock must be positive, got $maxBlock")
     val assign = Similarity.kmeans(emb, idCol, vecCol, k, iters)
       .select(col(idCol).as("id"), col("cluster"))
-    // three consumers (both self-join sides + the final flag join-back)
+    // four consumers (both self-join sides of whichever branch each row
+    // lands in + the final flag join-back)
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(assign, "id")
       .transform(CacheScope.pin)
-    val dropped = v.select(col("cluster"), col("id").as("a_id"),
+    // k-row model frame: broadcast the size flag back onto the rows
+    val sizes = v.groupBy("cluster").agg(count(lit(1)).as("cl_n"))
+    val flagged = v.join(broadcast(sizes), "cluster")
+    val small = flagged.where(col("cl_n") <= maxBlock)
+      .select("cluster", "id", "v")
+    val big = flagged.where(col("cl_n") > maxBlock)
+      .select("cluster", "id", "v")
+    val exactDropped = small.select(col("cluster"), col("id").as("a_id"),
         col("v").as("a_v"))
-      .join(v.select(col("cluster"), col("id").as("b_id"),
+      .join(small.select(col("cluster"), col("id").as("b_id"),
         col("v").as("b_v")), "cluster")
       .where(col("a_id") < col("b_id") &&
         Similarity.cosineCol(col("a_v"), col("b_v")) >= threshold)
-      .select(col("b_id").as("id")).distinct()
+      .select(col("b_id").as("id"))
+    val bigBuckets = big.select(col("cluster"), col("id"), col("v"),
+        posexplode(srpTablesUdf(col("v"), lit(numPlanes), lit(tables))))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "bucket")
+    val lshDropped = bigBuckets.select(col("cluster"), col("table"),
+        col("bucket"), col("id").as("a_id"), col("v").as("a_v"))
+      .join(bigBuckets.select(col("cluster"), col("table"), col("bucket"),
+        col("id").as("b_id"), col("v").as("b_v")),
+        Seq("cluster", "table", "bucket"))
+      .where(col("a_id") < col("b_id"))
+      .dropDuplicates("a_id", "b_id") // one cosine per candidate pair
+      .where(Similarity.cosineCol(col("a_v"), col("b_v")) >= threshold)
+      .select(col("b_id").as("id"))
+    val dropped = exactDropped.unionByName(lshDropped).distinct()
     v.join(dropped.withColumn("drop", lit(1)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         when(col("drop").isNotNull, 0).otherwise(1).as("keep"))
   }
+
+  /** [[semanticDedup]]'s no-silent-caps audit: per-cluster sizes with the
+    * oversized flag — exactly which blocks the mega-cluster guard moved
+    * from exact within-cluster recall to SRP recall, so a skewed corpus
+    * is VISIBLE instead of silently degraded (the `gr_link_capped`
+    * precedent). k-row output; same deterministic clustering as the
+    * dedup itself, so the two frames correspond cluster-for-cluster.
+    * @return (cluster, cl_size, oversized:int). */
+  def semanticDedupOversized(emb: DataFrame, idCol: String, vecCol: String,
+                             k: Int = 8, iters: Int = 2,
+                             maxBlock: Int = 1 << 16): DataFrame =
+    Similarity.kmeans(emb, idCol, vecCol, k, iters)
+      .groupBy("cluster").agg(count(lit(1)).as("cl_size"))
+      .withColumn("oversized",
+        when(col("cl_size") > maxBlock, 1).otherwise(0))
+      .select("cluster", "cl_size", "oversized")
+
+  /** JIT SRP bucketing shared with [[Similarity.srpBucketed]] — exposed
+    * here so the mega-cluster guard buckets WITH the cluster column kept
+    * in the row (srpBucketed projects it away). */
+  private val srpTablesUdf = udf(Similarity.srpBucketsKernel _)
 
   /** SRP-bucket index rows for an embedding frame — the EMBEDDING analog
     * of [[minHashIndex]]: (id, v, table, bucket), one row per hash table.

@@ -1924,4 +1924,56 @@ class OperatorsSpec extends SparkTestBase {
       "mail <EMAIL> see <URL> call <PHONE> host <IP> done", out._1)
     assert((out._2, out._3, out._4, out._5) == ((1, 1, 1, 1)))
   }
+
+  test("semanticDedup mega-cluster guard: bounded blocks, same drops on " +
+      "true duplicates, audited oversized cluster") {
+    // skewed SemDedup fixture: 86% of rows (ids 0,2..40 plus the 20
+    // duplicates 100..119) land in ONE kmeans cluster — a [-1,1]^8 ball
+    // around the origin, far from the other cluster's ball at
+    // (10,...,10) (ids 1,50..58) — so the size skew is guaranteed by
+    // geometry, not tuned. Random directions inside the mega ball spread
+    // its rows across SRP buckets; ids 100..119 are byte-identical
+    // copies of ids 2..21 (the TRUE duplicates the guard must still
+    // catch — identical vectors share every bucket).
+    def coord(id: Long, d: Int): Float =
+      (((((id + 7) * 2654435761L + d * 97) % 2001) - 1000) / 1000.0).toFloat
+    def aVec(id: Long) = (0 until 8).map(d => coord(id, d))
+    def bVec(id: Long) = (0 until 8).map(d => 10.0f + coord(id, d) * 0.1f)
+    val rows =
+      (Seq(0L) ++ (2L to 40L)).map(id => (id, aVec(id))) ++
+        (100L to 119L).map(id => (id, aVec(id - 98))) ++ // dup of 2..21
+        (Seq(1L) ++ (50L to 58L)).map(id => (id, bVec(id)))
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(maxBlock: Int) =
+      Dedup.semanticDedup(emb, "vec_id", "embedding", k = 2, iters = 2,
+          threshold = 0.999, maxBlock = maxBlock, numPlanes = 8, tables = 4)
+        .as[(Long, Int, Int)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+    val exact = run(maxBlock = 1000) // guard never triggers
+    val guarded = run(maxBlock = 20) // the 60-row cluster goes SRP
+    // identical vectors hash to identical buckets in every table, so the
+    // guarded path finds every true-duplicate drop the exact path found
+    assert(guarded == exact, s"guarded=$guarded\nexact=$exact")
+    assert((100L to 119L).forall(id => guarded(id)._2 == 0))
+    val megaCluster = guarded(0L)._1
+    assert(rows.count { case (id, _) => guarded(id)._1 == megaCluster } == 60)
+    // the whole point of the guard: within the mega cluster, SRP
+    // sub-blocking scores FAR fewer candidate pairs than all-pairs
+    val megaVecs = rows.filter { case (id, _) => guarded(id)._1 == megaCluster }
+    val candidates = megaVecs.flatMap { case (id, v) =>
+      Similarity.srpBucketsKernel(v, 8, 4).zipWithIndex
+        .map { case (b, t) => (t, b, id) }
+    }.groupBy(c => (c._1, c._2)).values.flatMap { grp =>
+      for (a <- grp; b <- grp if a._3 < b._3) yield (a._3, b._3)
+    }.toSet
+    val allPairs = megaVecs.size * (megaVecs.size - 1) / 2
+    assert(candidates.size < allPairs / 2,
+      s"${candidates.size} candidates vs $allPairs all-pairs")
+    // no-silent-caps: the audit frame names the oversized cluster
+    val audit = Dedup.semanticDedupOversized(emb, "vec_id", "embedding",
+        k = 2, iters = 2, maxBlock = 20)
+      .as[(Int, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(audit(megaCluster) == ((60L, 1)), audit.toString)
+    assert(audit(1 - megaCluster) == ((10L, 0)), audit.toString)
+  }
 }

@@ -2127,33 +2127,17 @@ object SparkEntry {
     // pairs are never scored. Deterministic end to end (Lloyd with
     // smallest-id seeding, min-id keep), so the oracle replays the
     // identical clustering + pruning.
+    // maxBlock = Int.MaxValue pins the UNGUARDED branch explicitly: this
+    // row's oracle models unconditional exact all-pairs within clusters,
+    // so the impl must never route a cluster onto the SRP sub-blocked
+    // path regardless of cluster size or future default changes. The
+    // guard itself is hash-checked by dd_semantic_guarded/_oversized.
     Q("dd_semantic",
       (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
-        "embedding", k = 8, iters = 2, threshold = 0.3),
+        "embedding", k = 8, iters = 2, threshold = 0.3,
+        maxBlock = Int.MaxValue),
       Some {
-        def sq(a: String, b: String) = foldSql(
-          s"list_transform(range(0, 64), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
-        s"""WITH v AS (SELECT vec_id,
-           |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
-           |c0 AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id < 8),
-           |a1 AS (
-           |  SELECT vec_id, v, cid FROM (
-           |    SELECT v.vec_id, v.v, c0.cid, row_number() OVER (
-           |      PARTITION BY v.vec_id
-           |      ORDER BY ${sq("v.v", "c0.cv")} ASC, c0.cid ASC) AS rn
-           |    FROM v CROSS JOIN c0) WHERE rn = 1),
-           |c1 AS (
-           |  SELECT cid, list(m ORDER BY d) AS cv FROM (
-           |    SELECT a1.cid, d.d, avg(a1.v[d.d+1]) AS m
-           |    FROM a1, range(0, 64) AS d(d)
-           |    GROUP BY a1.cid, d.d)
-           |  GROUP BY cid),
-           |a2 AS (
-           |  SELECT vec_id, v, cid FROM (
-           |    SELECT v.vec_id, v.v, c1.cid, row_number() OVER (
-           |      PARTITION BY v.vec_id
-           |      ORDER BY ${sq("v.v", "c1.cv")} ASC, c1.cid ASC) AS rn
-           |    FROM v CROSS JOIN c1) WHERE rn = 1),
+        s"""WITH ${kmeansA2Sql()},
            |dropped AS (
            |  SELECT DISTINCT b.vec_id FROM a2 a JOIN a2 b
            |    ON a.cid = b.cid AND a.vec_id < b.vec_id
@@ -3817,9 +3801,6 @@ object SparkEntry {
   // Coverage-completion queries (P7, F2/F14/F15/F21, J7, A11, G6, ANN-LSH)
   // =================================================================
 
-  /** DuckDB SRP bucket expression for LSH table `t` over vector column
-    * `v` — unrolled to mirror Similarity.lshTopK exactly (planeId =
-    * p + t*numPlanes, md5-derived +-1 coefficients, 2^p bit packing). */
   /** The deterministic Lloyd k-means replay (k=8 seeded from the 8
     * smallest vec_ids, 2 iterations, squared-euclidean assignment) as a
     * CTE chain ending in `a2(vec_id, v, cid)` — shared by the SemDedup
@@ -3851,6 +3832,9 @@ object SparkEntry {
        |    FROM v CROSS JOIN c1) WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB SRP bucket expression for LSH table `t` over vector column
+    * `v` — unrolled to mirror Similarity.lshTopK exactly (planeId =
+    * p + t*numPlanes, md5-derived +-1 coefficients, 2^p bit packing). */
   private def srpBucketSql(v: String, t: Int, numPlanes: Int): String = {
     val bits = (0 until numPlanes).map { p =>
       val pid = p + t * numPlanes

@@ -915,10 +915,10 @@ object Dedup {
         when(col("cl_size") > maxBlock, 1).otherwise(0))
       .select("cluster", "cl_size", "oversized")
 
-  /** JIT SRP bucketing shared with [[Similarity.srpBucketed]] — exposed
-    * here so the mega-cluster guard buckets WITH the cluster column kept
-    * in the row (srpBucketed projects it away). */
-  private val srpTablesUdf = udf(Similarity.srpBucketsKernel _)
+  /** SRP bucketing shared with [[Similarity.srpBucketed]] — the same
+    * registered UDF, aliased here so the mega-cluster guard buckets WITH
+    * the cluster column kept in the row (srpBucketed projects it away). */
+  private def srpTablesUdf = Similarity.srpBucketsUdf
 
   /** SRP-bucket index rows for an embedding frame — the EMBEDDING analog
     * of [[minHashIndex]]: (id, v, table, bucket), one row per hash table.

@@ -146,7 +146,7 @@ object Similarity {
       }
       acc
     }
-  private val srpBucketsUdf = udf(srpBucketsKernel _)
+  private[operators] val srpBucketsUdf = udf(srpBucketsKernel _)
 
   /** (id, vec, table, bucket) rows for a vector frame: one row per SRP
     * hash table, bucket = the table's sign-pattern key. Distinct tables

@@ -1551,9 +1551,112 @@ object SparkEntry {
     s"CASE $chain ELSE 'und' END"
   }
 
+  /** Deterministic HTML page render for the html-extraction rows: wraps a
+    * document's text in the boilerplate a real crawl carries — nav bar,
+    * ad unit, title/heading chrome, footer, script/style/comment noise
+    * (including a `<div>` inside the script and a bare `<` in its code,
+    * which a naive tag-strip would mangle) — with the content
+    * entity-escaped and split across two `<p>` blocks. BOTH engines
+    * synthesize AND extract independently from the raw documents table,
+    * so the oracle checks the whole extraction pipeline, not a replay. */
+  private def synthHtmlCol(docId: Column, text: Column): Column = {
+    val esc = replace(replace(replace(text,
+      lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+    concat(
+      lit("<html><head><title>Doc "), docId.cast("string"), lit("</title>"),
+      lit("<style>p { margin: 0; } .x > y { color: red; }</style>"),
+      lit("<script>if (a < b) { track(\"page\"); } // <div>skip me</div></script>"),
+      lit("</head><body>"),
+      lit("<nav><a href=\"/\">home</a> <a href=\"/about\">about us</a>" +
+        " <a href=\"/contact\">contact</a></nav>"),
+      lit("<h1>Entry "), docId.cast("string"), lit("</h1>"),
+      lit("<!-- build "), docId.cast("string"), lit(" -->"),
+      lit("<p>"), substring(esc, 1, 120), lit("</p><p>"),
+      substring(esc, 121, 1000000), lit("</p>"),
+      lit("<div class=\"ad\"><a href=\"/buy\">buy now before the offer" +
+        " expires</a>&nbsp;today</div>"),
+      lit("<footer>&copy; 2026 corpus&nbsp;&amp;&nbsp;co</footer>"),
+      lit("</body></html>"))
+  }
+
+  /** The DuckDB render of [[synthHtmlCol]] over `documents` columns. */
+  private val synthHtmlSql: String = {
+    val esc =
+      "replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')"
+    s"""'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>' ||
+       |'<style>p { margin: 0; } .x > y { color: red; }</style>' ||
+       |'<script>if (a < b) { track("page"); } // <div>skip me</div></script>' ||
+       |'</head><body>' ||
+       |'<nav><a href="/">home</a> <a href="/about">about us</a> <a href="/contact">contact</a></nav>' ||
+       |'<h1>Entry ' || CAST(doc_id AS VARCHAR) || '</h1>' ||
+       |'<!-- build ' || CAST(doc_id AS VARCHAR) || ' -->' ||
+       |'<p>' || substr($esc, 1, 120) || '</p><p>' || substr($esc, 121, 1000000) || '</p>' ||
+       |'<div class="ad"><a href="/buy">buy now before the offer expires</a>&nbsp;today</div>' ||
+       |'<footer>&copy; 2026 corpus&nbsp;&amp;&nbsp;co</footer>' ||
+       |'</body></html>'""".stripMargin
+  }
+
+  /** DuckDB replay of [[TextAnalysis.htmlExtract]]: the identical regex
+    * spec (script/style/comment strip, block split, tag strip + entity
+    * decode + whitespace collapse, `len >= minLen` and
+    * `2*linkLen < textLen` keep rules) in RE2/list functions. */
+  private def htmlExtractSql(c: String, minLen: Int = 25): String = {
+    val stripped =
+      s"""regexp_replace(regexp_replace(regexp_replace($c,
+         |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |  '(?s)<!--.*?-->', ' ', 'g')""".stripMargin
+    def btxt(b: String) =
+      s"""trim(regexp_replace(replace(replace(replace(replace(
+         |  regexp_replace($b, '<[^>]*>', ' ', 'g'),
+         |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+         |  '\\s+', ' ', 'g'))""".stripMargin
+    // coalesce: DuckDB's array_to_string is NULL on an empty list where
+    // Spark's array_join is '' — an anchor-free block must score ll=0.
+    val link =
+      s"coalesce(array_to_string(regexp_extract_all(b_, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), '')"
+    s"""coalesce(array_to_string(list_transform(list_filter(
+       |  regexp_split_to_array($stripped, '${TextAnalysis.HtmlBlockPattern}'),
+       |  b_ -> length(${btxt("b_")}) >= $minLen
+       |    AND length(${btxt(link)}) * 2 < length(${btxt("b_")})),
+       |  b_ -> ${btxt("b_")}), chr(10)), '')""".stripMargin
+  }
+
   /** DuckDB: md5-derived 32-bit hash under a seed (mirrors Dedup.md5Hash32). */
   private def h32Sql(expr: String, seed: String) =
     s"('0x' || substr(md5(CAST($seed AS VARCHAR) || ':' || $expr), 1, 8))::BIGINT"
+
+  /** DuckDB replay of `Dedup.minHashLSH(rel, "doc_id", "text", shingleN=3,
+    * bands=8, rowsPerBand=2, simThreshold=0.5)` as a CTE chain ending in
+    * `drops(b_id)` — the higher id of every verified near-dup pair.
+    * Shared by the corpus-pipeline oracles so the LSH SQL cannot drift
+    * between pipe_clean_corpus, pipe_training_corpus, and
+    * pipe_html_corpus. */
+  private def lshDropsSqlFrom(rel: String): String =
+    s"""sh0 AS (${shinglesSqlFrom(rel)}),
+       |h1 AS (
+       |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
+       |  FROM sh0),
+       |sig AS (
+       |  SELECT id, list_transform(range(0, 16), i ->
+       |    list_min(list_transform(h1,
+       |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
+       |  FROM h1),
+       |banded AS (
+       |  SELECT id, sig, b AS band,
+       |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
+       |      sig[b*2+2]::VARCHAR) AS bucket
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+       |pairs AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       |    a.sig AS a_sig, b.sig AS b_sig
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |drops AS (
+       |  SELECT DISTINCT b_id FROM pairs
+       |  WHERE list_sum(list_transform(range(1, 17), i ->
+       |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+       |    >= 0.5)""".stripMargin
 
   /** DuckDB: sequential double fold of a list (mirrors Spark `aggregate`). */
   private def foldSql(listExpr: String) =
@@ -2546,6 +2649,24 @@ object SparkEntry {
               |  len(tk[i*48+1 : i*48+64])::BIGINT AS n_tokens,
               |  array_to_string(tk[i*48+1 : i*48+64], ' ') AS chunk_text
               |FROM e""".stripMargin)),
+
+    // jusText-shaped HTML main-text extraction — the missing FIRST stage
+    // of a real web-corpus pipeline: strip script/style/comments, split
+    // on block tags, keep blocks by length + link density, decode
+    // entities, join with newlines. The fixture wraps each document in a
+    // full synthesized page (nav, ads, chrome, a <div> hidden inside the
+    // script) and both engines render AND extract independently — so the
+    // check covers the extraction semantics, not a fixture replay. All
+    // codegen'd built-ins: one narrow map over the scan, no UDF.
+    Q("ta_html_extract",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.htmlExtract(
+            synthHtmlCol(col("doc_id"), col("text"))).as("text")),
+      Some(s"""WITH h AS (SELECT doc_id, $synthHtmlSql AS html
+              |          FROM documents)
+              |SELECT doc_id, ${htmlExtractSql("html")} AS text
+              |FROM h""".stripMargin)),
 
     // Deterministic dataset mixing: per-source sampling fractions decided
     // by a seeded key hash — same rows make the cut on any cluster or
@@ -5198,30 +5319,7 @@ object SparkEntry {
               |  SELECT doc_id, text, q, pred_lang FROM (
               |    SELECT *, row_number() OVER (PARTITION BY md5(text)
               |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
-              |sh0 AS (${shinglesSqlFrom("kept")}),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh0),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, sig, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-              |pairs AS (
-              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-              |    a.sig AS a_sig, b.sig AS b_sig
-              |  FROM banded a JOIN banded b
-              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-              |drops AS (
-              |  SELECT DISTINCT b_id FROM pairs
-              |  WHERE list_sum(list_transform(range(1, 17), i ->
-              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
-              |    >= 0.5)
+              |${lshDropsSqlFrom("kept")}
               |SELECT doc_id, pred_lang, q FROM kept
               |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
 
@@ -5287,30 +5385,7 @@ object SparkEntry {
            |  SELECT doc_id, text, source, q, pred_lang FROM (
            |    SELECT *, row_number() OVER (PARTITION BY md5(text)
            |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
-           |sh0 AS (${shinglesSqlFrom("kept")}),
-           |h1 AS (
-           |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-           |  FROM sh0),
-           |sig AS (
-           |  SELECT id, list_transform(range(0, 16), i ->
-           |    list_min(list_transform(h1,
-           |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-           |  FROM h1),
-           |banded AS (
-           |  SELECT id, sig, b AS band,
-           |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-           |      sig[b*2+2]::VARCHAR) AS bucket
-           |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
-           |pairs AS (
-           |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-           |    a.sig AS a_sig, b.sig AS b_sig
-           |  FROM banded a JOIN banded b
-           |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-           |drops AS (
-           |  SELECT DISTINCT b_id FROM pairs
-           |  WHERE list_sum(list_transform(range(1, 17), i ->
-           |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
-           |    >= 0.5),
+           |${lshDropsSqlFrom("kept")},
            |psh AS (${shinglesSqlFrom(
               "(SELECT doc_id, text FROM documents WHERE doc_id < 10) prb")}),
            |ph1 AS (
@@ -5334,6 +5409,52 @@ object SparkEntry {
            |  md5($redacted) AS redacted_md5
            |FROM mixed""".stripMargin
       }),
+
+    // The web-corpus pipeline STARTING FROM HTML — the shape a real crawl
+    // feeds: render (fixture) -> jusText-shaped extraction -> quality +
+    // language gates over the EXTRACTED text -> exact dedup -> MinHash-LSH
+    // near-dup removal. Extraction is a codegen'd map fused into the scan
+    // stage, so the front end adds zero shuffles to pipe_clean_corpus's
+    // plan; both engines render and extract independently.
+    Q("pipe_html_corpus",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val extracted = docs.select(col("doc_id"), col("source"),
+          TextAnalysis.htmlExtract(
+            synthHtmlCol(col("doc_id"), col("text"))).as("text"))
+        val gated = extracted
+          .withColumn("q", TextAnalysis.qualityScore(col("text")))
+          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+          .where(col("q") >= 0.5 && col("pred_lang") === "en")
+        val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+        val kept = gated.withColumn("rn", row_number().over(wd))
+          .where(col("rn") === 1).drop("rn")
+          .localCheckpoint()
+        val drops = Dedup.minHashLSH(kept, "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+          .select(col("b_id").as("doc_id")).distinct()
+        kept.join(drops, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), col("pred_lang"), col("q"))
+      },
+      Some(s"""WITH hraw AS (SELECT doc_id, source, $synthHtmlSql AS html
+              |            FROM documents),
+              |hx AS (SELECT doc_id, source,
+              |       ${htmlExtractSql("html")} AS text FROM hraw),
+              |toks0 AS (${toksSqlFrom("hx")}),
+              |scored AS (
+              |  SELECT d.doc_id, d.text, d.source,
+              |    ${qualitySql("d.text", "t.tk")} AS q,
+              |    ${langIdCaseSql("t.tk")} AS pred_lang
+              |  FROM hx d JOIN toks0 t ON d.doc_id = t.id),
+              |gated AS (SELECT * FROM scored
+              |          WHERE q >= 0.5 AND pred_lang = 'en'),
+              |kept AS (
+              |  SELECT doc_id, text, source, q, pred_lang FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+              |${lshDropsSqlFrom("kept")}
+              |SELECT doc_id, source, pred_lang, q FROM kept
+              |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
 
     // Multimodal REAL decode roundtrip: per-doc PCM WAV payloads are
     // synthesized from closed-form parameters, decoded by the RIFF header

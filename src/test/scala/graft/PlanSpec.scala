@@ -61,6 +61,17 @@ class PlanSpec extends SparkTestBase {
     assert(!unpivot.contains("Exchange"), unpivot.take(3000))
   }
 
+  test("ta_html_extract: extraction is ONE shuffle-free narrow projection " +
+    "over the scan — no UDF, no exchange") {
+    val p = plan("ta_html_extract")
+    assert(!p.contains("Exchange"), p.take(3000))
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      p.take(3000))
+    // one Project directly over the file scan; the HOF lambdas keep the
+    // projection out of whole-stage codegen but it stays a narrow map
+    assert(p.contains("FileScan parquet"), p.take(3000))
+  }
+
   test("k1: partitioned-sink layout gives partition pruning on readback") {
     // materialize the partitioned layout the k1 query writes
     SparkEntry.queries("k1_partitioned_sink")(spark, dir).collect()
@@ -101,7 +112,7 @@ class PlanSpec extends SparkTestBase {
 
   test("pipe: the corpus pipelines plan without cartesian joins") {
     for (q <- Seq("pipe_clean_corpus", "pipe_training_corpus",
-        "pipe_image_dedup")) {
+        "pipe_html_corpus", "pipe_image_dedup")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")

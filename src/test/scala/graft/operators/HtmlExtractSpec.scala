@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Pinned golden behavior for [[TextAnalysis.htmlExtract]] — each case is
+  * a hand-derived expectation, so a regex or heuristic change that shifts
+  * the extraction contract fails here before it reaches the oracle gate. */
+class HtmlExtractSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def extract(html: String, minLen: Int = 25): String =
+    Seq(html).toDF("h")
+      .select(TextAnalysis.htmlExtract(col("h"), minLen).as("t"))
+      .as[String].head()
+
+  test("keeps long low-link blocks, joins with newlines in order") {
+    val html =
+      "<html><body>" +
+        "<p>the first paragraph carries enough characters to pass</p>" +
+        "<p>and the second paragraph also clears the length bar</p>" +
+        "</body></html>"
+    assert(extract(html) ==
+      "the first paragraph carries enough characters to pass\n" +
+        "and the second paragraph also clears the length bar")
+  }
+
+  test("drops nav by link density and chrome by length") {
+    val html =
+      "<html><head><title>Site</title></head><body>" +
+        "<nav><a href=\"/\">home</a> <a href=\"/a\">about the company</a></nav>" +
+        "<h1>Tiny</h1>" +
+        "<p>actual article body text that is plainly long enough</p>" +
+        "<footer>copyright</footer></body></html>"
+    assert(extract(html) ==
+      "actual article body text that is plainly long enough")
+  }
+
+  test("link density is 2*linkLen < textLen on canonicalized text") {
+    // text len 38, anchor text len 32 -> 64 < 38 is false -> dropped
+    val ad = "<div><a href=\"/b\">buy now before the offer expires</a> today</div>"
+    assert(extract(ad) == "")
+    // same block with enough surrounding prose survives
+    val ok = "<div><a href=\"/b\">one link</a> but mostly ordinary running prose " +
+      "that dilutes the anchor well below half</div>"
+    assert(extract(ok) ==
+      "one link but mostly ordinary running prose that dilutes the anchor " +
+        "well below half")
+  }
+
+  test("script/style/comment content never leaks, even with nested tags") {
+    val html =
+      "<body><script>if (a < b) { x(\"<div>not text</div>\"); }</script>" +
+        "<style>p > em { color: red }</style>" +
+        "<!-- hidden <p>comment paragraph that is long enough</p> -->" +
+        "<p>visible paragraph content that is long enough to keep</p></body>"
+    assert(extract(html) ==
+      "visible paragraph content that is long enough to keep")
+  }
+
+  test("entity decode: nbsp collapses, amp decodes LAST") {
+    val html = "<p>ten&nbsp;&nbsp;green bottles &amp; a wall, plus &amp;lt; stays literal</p>"
+    assert(extract(html) ==
+      "ten green bottles & a wall, plus &lt; stays literal")
+  }
+
+  test("whitespace collapses across inline tags and newlines") {
+    val html = "<p>spread   over\n\n lines with <em>inline</em>\t<b>tags</b> kept inline</p>"
+    assert(extract(html) ==
+      "spread over lines with inline tags kept inline")
+  }
+
+  test("empty extraction is the empty string, not null") {
+    assert(extract("<p>too short</p>") == "")
+    assert(extract("") == "")
+  }
+
+  test("minLen is a parameter") {
+    assert(extract("<p>nine char</p>", minLen = 5) == "nine char")
+  }
+}

@@ -2412,14 +2412,18 @@ object SparkEntry {
     // IVF-style coarse assignment (every 50th vector is a "centroid")
     Q("ann_ivf_assign",
       (s, dir) => {
+        // FIXED centroid count (16), independent of corpus size — IVF's
+        // model is a parameter, so the scale probe must measure the
+        // production O(rows x k) assignment, not O(rows x centroids)
+        // with centroids growing alongside the corpus.
         val emb = t(s, dir, "embeddings")
-        Similarity.ivfAssign(emb.where(col("vec_id") % 50 =!= 0), "vec_id",
-          "embedding", emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding")
+        Similarity.ivfAssign(emb.where(col("vec_id") >= 16), "vec_id",
+          "embedding", emb.where(col("vec_id") < 16), "vec_id", "embedding")
       },
       Some(s"""WITH c AS (SELECT vec_id AS cent_id, embedding AS cent_v
-              |           FROM embeddings WHERE vec_id % 50 = 0),
+              |           FROM embeddings WHERE vec_id < 16),
               |v AS (SELECT vec_id AS v_id, embedding AS v FROM embeddings
-              |      WHERE vec_id % 50 <> 0),
+              |      WHERE vec_id >= 16),
               |scored AS (
               |  SELECT v_id, cent_id, ${cosSql("v", "cent_v")} AS cosine,
               |    row_number() OVER (PARTITION BY v_id
@@ -2433,18 +2437,22 @@ object SparkEntry {
     // ann_ivf_assign (assignment) with the search stage.
     Q("ann_ivf_topk",
       (s, dir) => {
+        // queries: vec_id<5; FIXED 16-centroid model: 5<=vec_id<21;
+        // corpus: the rest. The model never grows with the corpus, so
+        // the sf1 probe measures production IVF's O(rows x k).
         val emb = t(s, dir, "embeddings")
         Similarity.ivfTopK(
-          emb.where(col("vec_id") >= 5 && col("vec_id") % 50 =!= 0),
+          emb.where(col("vec_id") >= 21),
           emb.where(col("vec_id") < 5),
           "vec_id", "vec_id", "embedding",
-          emb.where(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          emb.where(col("vec_id") >= 5 && col("vec_id") < 21),
+          "vec_id", "embedding",
           k = 5, nProbe = 2)
       },
       Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
-              |             FROM embeddings WHERE vec_id % 50 = 0),
+              |             FROM embeddings WHERE vec_id >= 5 AND vec_id < 21),
               |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
-              |      WHERE vec_id >= 5 AND vec_id % 50 <> 0),
+              |      WHERE vec_id >= 21),
               |q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
               |      WHERE vec_id < 5),
               |cells AS (

@@ -7759,6 +7759,38 @@ object SparkEntry {
               |SELECT item, count(*) AS n
               |FROM tok GROUP BY item HAVING count(*) >= 500""".stripMargin)),
 
+    // SK: heavy-hitters prefilter-selectivity audit — the no-silent-caps
+    // rule applied to the sketch: an undersized CMS width degrades the
+    // two-phase saving to a full shuffle WITHOUT changing the output
+    // (recall is exact either way), so the degradation needs its own
+    // oracle-checked row. The oracle replays the CMS addressing and the
+    // row-weighted prefilter count.
+    Q("sk_hh_selectivity",
+      (s, dir) => Sketches.heavyHittersAudit(
+        t(s, dir, "documents")
+          .select(explode(Dedup.tokens(col("text"))).as("tok")),
+        "tok", minCount = 500),
+      Some(s"""WITH toks AS ($toksSql),
+              |tok AS (SELECT unnest(tk) AS t_ FROM toks),
+              |seeds AS (SELECT unnest([1, 2, 3, 4]) AS seed),
+              |counters AS (
+              |  SELECT seed, ${h32Sql("t_", "seed")} % 1024 AS bucket,
+              |    count(*) AS cnt
+              |  FROM tok CROSS JOIN seeds GROUP BY 1, 2),
+              |cnt AS (SELECT t_ AS item, count(*) AS c FROM tok GROUP BY 1),
+              |addr AS (SELECT item, c, seed,
+              |    ${h32Sql("item", "seed")} % 1024 AS bucket
+              |  FROM cnt CROSS JOIN seeds),
+              |est AS (SELECT item, c, min(coalesce(cnt, 0)) AS est
+              |        FROM addr LEFT JOIN counters USING (seed, bucket)
+              |        GROUP BY item, c)
+              |SELECT CAST(sum(c) AS BIGINT) AS total_rows,
+              |  CAST(sum(CASE WHEN est >= 500 THEN c ELSE 0 END) AS BIGINT)
+              |    AS candidate_rows,
+              |  floor(sum(CASE WHEN est >= 500 THEN c ELSE 0 END)::DOUBLE /
+              |    sum(c)::DOUBLE * 1e6 + 5e-1) / 1e6 AS selectivity
+              |FROM est""".stripMargin)),
+
     // SK: KMV bottom-k distinct sketch — the fourth mergeable sketch
     // (HLL counts, CMS frequencies, histogram quantiles; KMV adds SET
     // operations). k smallest distinct parity hashes per group; the

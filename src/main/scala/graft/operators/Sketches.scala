@@ -226,11 +226,25 @@ object Sketches {
   def heavyHitters(df: DataFrame, itemCol: String, minCount: Long,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minCount >= 1, "minCount must be positive")
+    val estUdf = collectedCmsEstUdf(df, itemCol, depth, width)
+    df.select(col(itemCol).cast("string").as("item"))
+      .where(estUdf(col("item")) >= minCount)
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+  }
+
+  /** The collected-sketch point-estimate UDF shared by [[heavyHitters]]
+    * and [[heavyHittersAudit]]: builds the CMS, collects it model-sized
+    * (depth x width longs) to the driver, returns a closure estimating
+    * any item's count from the captured array. */
+  private def collectedCmsEstUdf(df: DataFrame, itemCol: String,
+                                 depth: Int, width: Int)
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
     val sketch = Array.ofDim[Long](depth, width)
     cmsBuild(df, itemCol, depth, width).collect().foreach { r =>
       sketch(r.getInt(0) - 1)(r.getLong(1).toInt) = r.getLong(2)
     }
-    val estUdf = udf((item: String) => {
+    udf((item: String) => {
       var est = Long.MaxValue
       var s = 1
       while (s <= depth) {
@@ -240,10 +254,32 @@ object Sketches {
       }
       est
     })
+  }
+
+  /** Prefilter-selectivity audit for [[heavyHitters]] — the no-silent-caps
+    * rule applied to the sketch itself. A CMS whose width is too small
+    * for the vocabulary overestimates everything, so the map-side
+    * prefilter passes nearly every row: recall stays exact (the output
+    * never changes) but the two-phase network saving silently vanishes.
+    * This companion frame makes that visible: ONE row
+    * (total_rows, candidate_rows, selectivity) where candidate_rows is
+    * the count of rows surviving the same prefilter heavyHitters would
+    * apply. selectivity near (heavy rows / total) means the sketch is
+    * doing its job; selectivity near 1.0 means "resize the width".
+    * Cost: the sketch build plus one map-side single-row aggregation —
+    * no extra shuffle over the items. */
+  def heavyHittersAudit(df: DataFrame, itemCol: String, minCount: Long,
+                        depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(minCount >= 1, "minCount must be positive")
+    val estUdf = collectedCmsEstUdf(df, itemCol, depth, width)
     df.select(col(itemCol).cast("string").as("item"))
-      .where(estUdf(col("item")) >= minCount)
-      .groupBy("item").agg(count(lit(1)).as("n"))
-      .where(col("n") >= minCount)
+      .agg(count(lit(1)).as("total_rows"),
+        sum(when(estUdf(col("item")) >= minCount, 1L).otherwise(0L))
+          .as("candidate_rows"))
+      .select(col("total_rows"), col("candidate_rows"),
+        (floor(col("candidate_rows").cast("double") /
+          col("total_rows").cast("double") * lit(1e6) + lit(0.5)) / lit(1e6))
+          .as("selectivity"))
   }
 
   // ------------------------------------------------------- KMV bottom-k

@@ -228,4 +228,40 @@ class SketchSpec extends SparkTestBase {
     // the threshold 201 case: empty output, no crash
     assert(Sketches.heavyHitters(rows, "item", 201L).count() == 0)
   }
+
+  test("heavyHittersAudit: a well-sized width reports sparse selectivity, " +
+    "an undersized width reports ~1.0 — while the OUTPUT stays identical") {
+    import spark.implicits._
+    // zipf-ish over a 2000-item vocabulary: item i appears max(1, 2000/i)
+    // times; minCount=200 keeps items 1..10 (their rows dominate the head)
+    val rows = (1 to 2000).flatMap(i =>
+      Seq.fill(math.max(1, 2000 / i))(s"item$i")).toDF("item")
+    val total = rows.count().toDouble
+    val heavyRows = (1 to 2000).map(i => math.max(1, 2000 / i))
+      .filter(_ >= 200).map(_.toLong).sum.toDouble
+
+    def audit(width: Int): (Long, Long, Double) = {
+      val r = Sketches.heavyHittersAudit(rows, "item", 200L, width = width)
+        .collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    val (totWide, candWide, selWide) = audit(1024)
+    val (totNarrow, candNarrow, selNarrow) = audit(8)
+    assert(totWide == total.toLong && totNarrow == total.toLong)
+    // wide sketch: prefilter passes the heavy rows plus bounded collision
+    // overcount — well under half the corpus
+    assert(candWide >= heavyRows.toLong, s"recall: $candWide < $heavyRows")
+    assert(selWide < 0.5, s"wide width should be selective, got $selWide")
+    // 8 buckets for a 2000-item vocabulary: everything collides past the
+    // threshold, the prefilter passes ~all rows — THIS is what the audit
+    // row exists to expose
+    assert(selNarrow > 0.95, s"narrow width should degrade, got $selNarrow")
+    // and the heavy-hitters OUTPUT is identical at both widths (exact
+    // recall + exact verify): only the cost profile changed
+    val outWide = Sketches.heavyHitters(rows, "item", 200L, width = 1024)
+      .as[(String, Long)].collect().toSet
+    val outNarrow = Sketches.heavyHitters(rows, "item", 200L, width = 8)
+      .as[(String, Long)].collect().toSet
+    assert(outWide == outNarrow && outWide.nonEmpty)
+  }
 }

@@ -7700,6 +7700,43 @@ object SparkEntry {
              |    (q * n - (cum - cnt)) / cnt)) * 1e4 + 5e-1) / 1e4 AS value
              |FROM sel""".stripMargin)),
 
+    // SK: quantiles with NO caller-supplied domain — the two-pass
+    // min/max + histogram composition (the deterministic, mergeable
+    // alternative to KLL's randomized compaction). Pass 1 is a
+    // partial-aggregated global (min, max); pass 2 the histogram sketch
+    // under that measured domain. The oracle recomputes both passes.
+    Q("sk_auto_quantile",
+      (s, dir) => Sketches.autoRangeQuantiles(
+        t(s, dir, "lineitem"), "l_extendedprice",
+        Seq(0.5, 0.9, 0.99), bins = 1024),
+      Some("""WITH vals AS (
+             |  SELECT l_extendedprice::DOUBLE AS v FROM lineitem
+             |  WHERE l_extendedprice IS NOT NULL),
+             |mm AS (SELECT min(v) AS lo, max(v) AS hi FROM vals),
+             |h AS (
+             |  SELECT least(1023, greatest(0, CAST(floor(
+             |      (v - lo) / (hi - lo) * 1024e0) AS INT))) AS bucket,
+             |    count(*) AS cnt
+             |  FROM vals CROSS JOIN mm GROUP BY 1),
+             |c AS (
+             |  SELECT bucket, CAST(cnt AS DOUBLE) AS cnt,
+             |    CAST(sum(cnt) OVER (ORDER BY bucket) AS DOUBLE) AS cum
+             |  FROM h),
+             |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM h),
+             |q AS (SELECT unnest([5e-1, 9e-1, 99e-2]) AS q),
+             |pick AS (
+             |  SELECT q, min(bucket) AS bucket
+             |  FROM q CROSS JOIN n CROSS JOIN c
+             |  WHERE cum >= q * n GROUP BY q),
+             |sel AS (
+             |  SELECT p.q, c.bucket, c.cnt, c.cum, n.n, mm.lo, mm.hi
+             |  FROM pick p JOIN c ON p.bucket = c.bucket
+             |  CROSS JOIN n CROSS JOIN mm)
+             |SELECT q,
+             |  floor((lo + (hi - lo) / 1024e0 * (CAST(bucket AS DOUBLE) +
+             |    (q * n - (cum - cnt)) / cnt)) * 1e4 + 5e-1) / 1e4 AS value
+             |FROM sel""".stripMargin)),
+
     // SK: count-min frequency sketch (depth 4 x width 1024) over the
     // token multiset, point-queried for a fixed probe list, next to the
     // exact counts. Counter table shuffles at sketch size (<=4096 rows)

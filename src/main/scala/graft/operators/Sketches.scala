@@ -143,6 +143,43 @@ object Sketches {
   def histMerge(hists: DataFrame): DataFrame =
     hists.groupBy("bucket").agg(sum("cnt").as("cnt"))
 
+  /** Quantiles over an UNKNOWN-range column: two-pass min/max +
+    * histogram composition — the engine's documented alternative to a
+    * KLL/t-digest one-pass sketch. Those buy single-pass operation with
+    * randomized compaction, so the sketch depends on merge order and
+    * breaks this repo's oracle-replay contract; two deterministic
+    * passes keep the result a pure function of the input multiset AND
+    * keep every stage mergeable (per-shard (min,max) merge by min/max;
+    * per-shard histograms under the global domain merge by [[histMerge]]
+    * exactly — spec'd). Pass 1 partial-aggregates to two doubles per
+    * task, so at 100 TB its cost is the column scan; when the scan
+    * itself dominates, persist the projected column once and both
+    * passes read it. Accuracy is (max-min)/bins per quantile — the
+    * histogram contract, now with the domain taken from the data
+    * instead of a caller guess that silently clamps outliers.
+    * Empty input yields an empty frame; a constant column yields the
+    * constant for every q. */
+  def autoRangeQuantiles(df: DataFrame, valueCol: String, qs: Seq[Double],
+                         bins: Int = 1024): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = col(valueCol).cast("double")
+    val clean = df.where(v.isNotNull && !isnan(v)).select(v.as("v"))
+    val mm = clean.agg(min("v"), max("v")).collect().head
+    if (mm.isNullAt(0))
+      qs.toDF("q").where(lit(false))
+        .select(col("q"), lit(0.0).as("value"))
+    else {
+      val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+      if (hi == lo)
+        qs.toDF("q").select(col("q"),
+          (floor(lit(lo) * lit(1e4) + lit(0.5)) / lit(1e4)).as("value"))
+      else
+        histQuantiles(histogramCounts(clean, "v", lo, hi, bins),
+          qs, lo, hi, bins)
+    }
+  }
+
   /** Interpolated quantiles from histogram counts. The cumulative walk
     * is a window over <= bins rows BY CONSTRUCTION (sketch-sized, like
     * the CMS broadcast) — never the data. Emitted values quantize with

@@ -229,6 +229,50 @@ class SketchSpec extends SparkTestBase {
     assert(Sketches.heavyHitters(rows, "item", 201L).count() == 0)
   }
 
+  test("autoRangeQuantiles: two deterministic passes — sharded min/max + " +
+    "histMerge composition IS the direct sketch; accuracy within a bin") {
+    import spark.implicits._
+    // deliberately unknown-range data: heavy-tailed, negative lo
+    val xs = (1 to 5000).map(i => -50.0 + (i.toLong * i % 9973).toDouble)
+    val df = xs.toDF("x")
+    val qs = Seq(0.1, 0.5, 0.9, 0.99)
+    val direct = Sketches.autoRangeQuantiles(df, "x", qs, bins = 256)
+      .as[(Double, Double)].collect().toMap
+
+    // shard-merge replay: per-shard (min,max) merged by min/max gives the
+    // global domain; per-shard histograms under THAT domain histMerge to
+    // the direct histogram — so the composed result is bit-identical
+    val shards = (0 until 3).map(k => df.where(pmod(col("x").cast("long"),
+      lit(3)) === k))
+    val mms = shards.map(_.agg(min(col("x").cast("double")),
+      max(col("x").cast("double"))).collect().head)
+    val lo = mms.map(_.getDouble(0)).min
+    val hi = mms.map(_.getDouble(1)).max
+    val merged = Sketches.histMerge(
+      shards.map(sh => Sketches.histogramCounts(sh, "x", lo, hi, 256))
+        .reduce(_ unionAll _))
+    val composed = Sketches.histQuantiles(merged, qs, lo, hi, 256)
+      .as[(Double, Double)].collect().toMap
+    assert(direct == composed, s"$direct vs $composed")
+
+    // accuracy: each quantile within one bin width of the exact value
+    val sorted = xs.sorted
+    val binW = (sorted.last - sorted.head) / 256
+    for (q <- qs) {
+      val exact = sorted(math.ceil(q * xs.size).toInt - 1)
+      assert(math.abs(direct(q) - exact) <= binW + 1e-9,
+        s"q=$q got ${direct(q)} exact $exact binW $binW")
+    }
+
+    // degenerate contracts
+    assert(Sketches.autoRangeQuantiles(df.where(lit(false)), "x", qs)
+      .count() == 0)
+    val const = Sketches.autoRangeQuantiles(
+      Seq(7.25, 7.25, 7.25).toDF("x"), "x", Seq(0.5, 0.99))
+      .as[(Double, Double)].collect().toMap
+    assert(const == Map(0.5 -> 7.25, 0.99 -> 7.25))
+  }
+
   test("heavyHittersAudit: a well-sized width reports sparse selectivity, " +
     "an undersized width reports ~1.0 — while the OUTPUT stays identical") {
     import spark.implicits._

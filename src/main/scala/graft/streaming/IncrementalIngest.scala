@@ -114,4 +114,73 @@ object IncrementalIngest {
       }
       .option("checkpointLocation", checkpoint)
       .start()
+
+  /** Number of data files behind the standing index — the operable
+    * fragment metric: every micro-batch append adds up to one file per
+    * bucket per task, so a probe after N batches opens O(N x buckets)
+    * files however small they are. */
+  def indexFragments(spark: org.apache.spark.sql.SparkSession,
+                     indexTable: String): Int =
+    spark.table(indexTable).inputFiles.length
+
+  /** Compact (and optionally age out) the standing index: ONE
+    * distributed rewrite of the retained rows into a fresh bucketed
+    * layout at `newPath`, atomically swapped under the same table name.
+    * The bucket spec is read from the catalog, so the rewritten table
+    * keeps the exchange-free probe contract (the `dd_incremental_bucketed`
+    * PlanSpec gate) — and the pre-write `repartition` on the bucket
+    * columns co-locates each bucket's rows in one task, so the result is
+    * ONE file per bucket instead of one per (batch x bucket).
+    *
+    * `retain` is the TTL: rows failing it are dropped (e.g. an
+    * id-watermark or an ingest-day horizon carried in the index schema).
+    * Probes after compaction see exactly the retained population —
+    * identical pairs for retained ids, no pairs against aged-out ids
+    * (spec'd). Run it from the maintenance cadence, not per batch: the
+    * cost is a full index rewrite, amortized over the appends it
+    * defragments.
+    *
+    * Not crash-atomic across the drop/rename pair (Structured Streaming
+    * should be paused around maintenance); the data itself is never at
+    * risk — the old files stay at the old path until the caller cleans
+    * them, and a crash between the two statements leaves the compacted
+    * table recoverable under `<table>_compacting`. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexTable: String, newPath: String,
+                   retain: org.apache.spark.sql.Column = lit(true)): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val meta = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(indexTable))
+    val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
+      s"$indexTable has no bucket spec — not a standing-index table"))
+    val tmp = indexTable + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    // ZERO-shuffle rewrite: with the bucketed scan forced on, the read
+    // already groups every bucket's fragments into one task, and the
+    // bucketed writer splits per in-task bucket — so the rewrite is
+    // scan -> filter -> sort-within-task -> write, one file per bucket,
+    // no exchange. (Auto-bucketed-scan would otherwise fall back to
+    // size-split reads here — nothing downstream "needs" the bucketing
+    // as far as the optimizer can see — and each of its tasks would
+    // re-fragment every bucket it touches.)
+    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val saved = spark.conf.getOption(autoKey)
+    spark.conf.set(autoKey, "false")
+    try {
+      val writer = spark.table(indexTable).where(retain)
+        .write.format("parquet").option("path", newPath)
+        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+          spec.bucketColumnNames.tail: _*)
+      val sorted =
+        if (spec.sortColumnNames.isEmpty) writer
+        else writer.sortBy(spec.sortColumnNames.head,
+          spec.sortColumnNames.tail: _*)
+      sorted.saveAsTable(tmp)
+    } finally saved match {
+      case Some(v) => spark.conf.set(autoKey, v)
+      case None => spark.conf.unset(autoKey)
+    }
+    spark.sql(s"DROP TABLE $indexTable")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
+  }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CacheScope, Dedup, Sampling, TextAnalysis}
+
+/** The library-facing corpus-pipeline composers behind the `pipe_*`
+  * registry rows (generalizing the reference's end-to-end dataflow,
+  * `/root/reference/etl/pipeline.py`).
+  *
+  * Two surfaces per pipeline:
+  *  - `build*` returns the LAZY composed frame — what the registry rows
+  *    call (the engine's own runners blanket-clear caches between
+  *    queries, so they manage lifetime themselves);
+  *  - the apply-style entry (`cleanCorpus(docs)(_.write.parquet(out))`)
+  *    runs the build under [[CacheScope.materialized]], so a caller
+  *    embedding the pipeline in a long-lived session gets the cleanup
+  *    contract BY DEFAULT: every operator-pinned block and
+  *    localCheckpoint the build created is released once the caller's
+  *    action finishes — zero persistent-RDD growth per call (spec'd).
+  */
+object Pipelines {
+
+  /** Quality gate -> language filter -> exact dedup (keep min id per
+    * digest) -> MinHash-LSH near-dup removal.
+    * Output: (doc_id, pred_lang, q). */
+  def buildCleanCorpus(docs: DataFrame,
+                       minQuality: Double = 0.5,
+                       lang: String = "en"): DataFrame = {
+    val gated = docs
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .where(col("q") >= minQuality && col("pred_lang") === lang)
+    val kept = exactDedup(gated)
+    kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("pred_lang"), col("q"))
+  }
+
+  def cleanCorpus[T](docs: DataFrame, minQuality: Double = 0.5,
+                     lang: String = "en")(materialize: DataFrame => T): T =
+    CacheScope.materialized(docs.sparkSession)(
+      buildCleanCorpus(docs, minQuality, lang))(materialize)
+
+  /** The full training-data pipeline: quality + language + repetition
+    * gates -> exact dedup -> LSH near-dup removal -> n-gram
+    * decontamination against `probes` -> deterministic per-source mixing
+    * -> PII-redacted digest. Output: (doc_id, source, pred_lang, q,
+    * redacted_md5). */
+  def buildTrainingCorpus(docs: DataFrame, probes: DataFrame,
+                          mixWeights: Map[String, Double], seed: Int,
+                          minQuality: Double = 0.5, lang: String = "en",
+                          maxRepetition: Double = 0.2): DataFrame = {
+    val gated = docs
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("rep", TextAnalysis.dupNgramFrac(col("text"), 3))
+      .where(col("q") >= minQuality && col("pred_lang") === lang &&
+        col("rep") <= maxRepetition)
+    val kept = exactDedup(gated)
+    val contaminated = Dedup.ngramContamination(kept, probes,
+        "doc_id", "text", shingleN = 3, minHits = 2)
+      .select("doc_id").distinct()
+    val clean = kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .join(contaminated, Seq("doc_id"), "left_anti")
+    Sampling.mixBySource(clean, "doc_id", "source", mixWeights, seed)
+      .select(col("doc_id"), col("source"), col("pred_lang"), col("q"),
+        md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+  }
+
+  def trainingCorpus[T](docs: DataFrame, probes: DataFrame,
+                        mixWeights: Map[String, Double], seed: Int)(
+      materialize: DataFrame => T): T =
+    CacheScope.materialized(docs.sparkSession)(
+      buildTrainingCorpus(docs, probes, mixWeights, seed))(materialize)
+
+  /** The web-corpus front end: jusText-shaped extraction over a raw
+    * `html` column, then [[buildCleanCorpus]] over the extracted text.
+    * Input: (doc_id, source, html). Output: (doc_id, source, pred_lang,
+    * q). */
+  def buildHtmlCorpus(pages: DataFrame, htmlCol: String = "html",
+                      minQuality: Double = 0.5,
+                      lang: String = "en"): DataFrame = {
+    val extracted = pages.select(col("doc_id"), col("source"),
+      TextAnalysis.htmlExtract(col(htmlCol)).as("text"))
+    val gated = extracted
+      .withColumn("q", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .where(col("q") >= minQuality && col("pred_lang") === lang)
+    val kept = exactDedup(gated)
+    kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("pred_lang"), col("q"))
+  }
+
+  def htmlCorpus[T](pages: DataFrame, htmlCol: String = "html")(
+      materialize: DataFrame => T): T =
+    CacheScope.materialized(pages.sparkSession)(
+      buildHtmlCorpus(pages, htmlCol))(materialize)
+
+  /** Exact dedup keeping the smallest doc_id per text digest. The kept
+    * frame feeds BOTH the LSH candidate generation and the final
+    * anti-join, so it is materialized once (localCheckpoint) instead of
+    * recomputing the gate expressions per branch — the enclosing
+    * [[CacheScope.materialized]] releases it after the caller's action. */
+  private def exactDedup(gated: DataFrame): DataFrame = {
+    val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    gated.withColumn("rn", row_number().over(wd))
+      .where(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+  }
+
+  /** The higher doc_id of every verified MinHash-LSH near-dup pair. */
+  private def lshDrops(kept: DataFrame): DataFrame =
+    Dedup.minHashLSH(kept, "doc_id", "text",
+        shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+      .select(col("b_id").as("doc_id")).distinct()
+}

@@ -5296,25 +5296,7 @@ object SparkEntry {
     // verified pair). One declarative plan over the library operators; the
     // oracle replays every stage.
     Q("pipe_clean_corpus",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val gated = docs
-          .withColumn("q", TextAnalysis.qualityScore(col("text")))
-          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-          .where(col("q") >= 0.5 && col("pred_lang") === "en")
-        val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        // kept feeds BOTH the LSH candidate generation and the final
-        // anti-join — materialize it once instead of recomputing the
-        // quality/langid expressions per branch
-        val kept = gated.withColumn("rn", row_number().over(wd))
-          .where(col("rn") === 1).drop("rn")
-          .localCheckpoint()
-        val drops = Dedup.minHashLSH(kept, "doc_id", "text",
-            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
-          .select(col("b_id").as("doc_id")).distinct()
-        kept.join(drops, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("pred_lang"), col("q"))
-      },
+      (s, dir) => Pipelines.buildCleanCorpus(t(s, dir, "documents")),
       Some(s"""WITH toks0 AS ($toksSql),
               |scored AS (
               |  SELECT d.doc_id, d.text,
@@ -5340,30 +5322,11 @@ object SparkEntry {
     Q("pipe_training_corpus",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val gated = docs
-          .withColumn("q", TextAnalysis.qualityScore(col("text")))
-          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-          .withColumn("rep", TextAnalysis.dupNgramFrac(col("text"), 3))
-          .where(col("q") >= 0.5 && col("pred_lang") === "en" &&
-            col("rep") <= 0.2)
-        val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        val kept = gated.withColumn("rn", row_number().over(wd))
-          .where(col("rn") === 1).drop("rn")
-          .localCheckpoint()
-        val nearDrops = Dedup.minHashLSH(kept, "doc_id", "text",
-            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
-          .select(col("b_id").as("doc_id")).distinct()
-        val contaminated = Dedup.ngramContamination(kept,
-            docs.where(col("doc_id") < 10), "doc_id", "text",
-            shingleN = 3, minHits = 2)
-          .select("doc_id").distinct()
-        val clean = kept.join(nearDrops, Seq("doc_id"), "left_anti")
-          .join(contaminated, Seq("doc_id"), "left_anti")
-        val mixed = Sampling.mixBySource(clean, "doc_id", "source",
-          (0 until 20).map(i =>
-            s"src$i" -> (if (i % 2 == 0) 1.0 else 0.5)).toMap, seed = 11)
-        mixed.select(col("doc_id"), col("source"), col("pred_lang"), col("q"),
-          md5(TextAnalysis.redactPii(col("text"))).as("redacted_md5"))
+        Pipelines.buildTrainingCorpus(docs,
+          probes = docs.where(col("doc_id") < 10),
+          mixWeights = (0 until 20).map(i =>
+            s"src$i" -> (if (i % 2 == 0) 1.0 else 0.5)).toMap,
+          seed = 11)
       },
       Some {
         val mixCase = (0 until 20).map(i =>
@@ -5425,25 +5388,9 @@ object SparkEntry {
     // stage, so the front end adds zero shuffles to pipe_clean_corpus's
     // plan; both engines render and extract independently.
     Q("pipe_html_corpus",
-      (s, dir) => {
-        val docs = t(s, dir, "documents")
-        val extracted = docs.select(col("doc_id"), col("source"),
-          TextAnalysis.htmlExtract(
-            synthHtmlCol(col("doc_id"), col("text"))).as("text"))
-        val gated = extracted
-          .withColumn("q", TextAnalysis.qualityScore(col("text")))
-          .withColumn("pred_lang", TextAnalysis.langId(col("text")))
-          .where(col("q") >= 0.5 && col("pred_lang") === "en")
-        val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
-        val kept = gated.withColumn("rn", row_number().over(wd))
-          .where(col("rn") === 1).drop("rn")
-          .localCheckpoint()
-        val drops = Dedup.minHashLSH(kept, "doc_id", "text",
-            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
-          .select(col("b_id").as("doc_id")).distinct()
-        kept.join(drops, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("source"), col("pred_lang"), col("q"))
-      },
+      (s, dir) => Pipelines.buildHtmlCorpus(
+        t(s, dir, "documents").select(col("doc_id"), col("source"),
+          synthHtmlCol(col("doc_id"), col("text")).as("html"))),
       Some(s"""WITH hraw AS (SELECT doc_id, source, $synthHtmlSql AS html
               |            FROM documents),
               |hx AS (SELECT doc_id, source,

@@ -97,4 +97,41 @@ class PipelineSpec extends SparkTestBase {
       cafeQuotes.contains("Historic coffeehouse"))
     assert(byCanon("uhrturm::graz")._2 == 1)
   }
+
+  test("Pipelines entry points release every cache and checkpoint they " +
+    "create — zero persistent-RDD growth per materialized call") {
+    val docs = (1 to 60).map { i =>
+      val text =
+        if (i % 3 == 0)
+          "the quick brown fox jumps over the lazy dog with it and the " +
+            "rest of the pack for now"
+        else
+          s"the number $i document is about the data and the plans for " +
+            "it to be good and long enough to pass"
+      (i.toLong, s"src${i % 4}", text)
+    }.toDF("doc_id", "source", "text")
+    val sc = spark.sparkContext
+    spark.catalog.clearCache()
+    sc.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val before = sc.getPersistentRDDs.keySet
+
+    assert(Pipelines.cleanCorpus(docs)(_.count()) > 0)
+    val leak1 = sc.getPersistentRDDs.keySet -- before
+    assert(leak1.isEmpty, s"cleanCorpus leaked RDDs: $leak1")
+
+    assert(Pipelines.trainingCorpus(docs,
+      probes = docs.where(col("doc_id") < 3),
+      mixWeights = Map("src0" -> 1.0, "src1" -> 1.0, "src2" -> 1.0,
+        "src3" -> 1.0),
+      seed = 1)(_.count()) > 0)
+    val leak2 = sc.getPersistentRDDs.keySet -- before
+    assert(leak2.isEmpty, s"trainingCorpus leaked RDDs: $leak2")
+
+    val pages = docs.select(col("doc_id"), col("source"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
+    assert(Pipelines.htmlCorpus(pages)(_.count()) > 0)
+    val leak3 = sc.getPersistentRDDs.keySet -- before
+    assert(leak3.isEmpty, s"htmlCorpus leaked RDDs: $leak3")
+  }
 }

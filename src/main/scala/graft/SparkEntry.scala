@@ -2253,10 +2253,11 @@ object SparkEntry {
     // SemDedup with the mega-cluster guard ACTIVE: maxBlock=40 pushes the
     // larger clusters (avg size 500/8 ≈ 62 at the gate sf) onto the SRP
     // sub-blocked branch while small clusters keep the exact scan — the
-    // oracle replays BOTH branches (kmeans assignment, size split, exact
-    // pairs below the bound, (cluster, table, bucket) SRP candidates +
-    // exact-cosine verify above it), so the guarded path itself is
-    // hash-checked, not just spec'd.
+    // oracle replays BOTH branches (kmeans assignment, the exact-duplicate
+    // rep collapse — min id per (cluster, vector), zero-norm rows exempt —
+    // size split over REPS, exact pairs below the bound, (cluster, table,
+    // bucket) SRP candidates + exact-cosine verify above it), so the
+    // guarded path itself is hash-checked, not just spec'd.
     Q("dd_semantic_guarded",
       (s, dir) => Dedup.semanticDedup(t(s, dir, "embeddings"), "vec_id",
         "embedding", k = 8, iters = 2, threshold = 0.3,
@@ -2267,9 +2268,20 @@ object SparkEntry {
              |  ${srpBucketSql("v", tb, 8)} AS bucket FROM bg""".stripMargin)
           .mkString("\nUNION ALL\n")
         s"""WITH ${kmeansA2Sql()},
-           |sz AS (SELECT cid, count(*) AS cl_n FROM a2 GROUP BY cid),
-           |sm AS (SELECT a2.* FROM a2 JOIN sz USING (cid) WHERE cl_n <= 40),
-           |bg AS (SELECT a2.* FROM a2 JOIN sz USING (cid) WHERE cl_n > 40),
+           |rk AS (
+           |  SELECT *, row_number() OVER (
+           |    PARTITION BY cid,
+           |      CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+           |        THEN vec_id ELSE -1 END, v
+           |    ORDER BY vec_id) AS rn
+           |  FROM a2),
+           |reps AS (SELECT cid, vec_id, v FROM rk WHERE rn = 1),
+           |dupdrop AS (SELECT vec_id FROM rk WHERE rn > 1),
+           |sz AS (SELECT cid, count(*) AS cl_n FROM reps GROUP BY cid),
+           |sm AS (SELECT reps.* FROM reps JOIN sz USING (cid)
+           |       WHERE cl_n <= 40),
+           |bg AS (SELECT reps.* FROM reps JOIN sz USING (cid)
+           |       WHERE cl_n > 40),
            |be AS ($buckets),
            |exdrop AS (
            |  SELECT DISTINCT b.vec_id FROM sm a JOIN sm b
@@ -2285,7 +2297,8 @@ object SparkEntry {
            |  SELECT DISTINCT bid AS vec_id FROM cand
            |  WHERE ${cosSql("av", "bv")} >= 0.3),
            |dropped AS (SELECT vec_id FROM exdrop
-           |            UNION SELECT vec_id FROM lshdrop)
+           |            UNION SELECT vec_id FROM lshdrop
+           |            UNION SELECT vec_id FROM dupdrop)
            |SELECT a2.vec_id, CAST(a2.cid AS INT) AS cluster,
            |  CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS keep
            |FROM a2 LEFT JOIN dropped ON a2.vec_id = dropped.vec_id""".stripMargin
@@ -2298,7 +2311,15 @@ object SparkEntry {
         "vec_id", "embedding", k = 8, iters = 2, maxBlock = 40),
       Some(s"""WITH ${kmeansA2Sql()}
               |SELECT CAST(cid AS INT) AS cluster, count(*) AS cl_size,
-              |  CASE WHEN count(*) > 40 THEN 1 ELSE 0 END AS oversized
+              |  count(DISTINCT
+              |    CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+              |      THEN 'u:' || CAST(vec_id AS VARCHAR)
+              |      ELSE 'g:' || v::VARCHAR END) AS n_reps,
+              |  CASE WHEN count(DISTINCT
+              |    CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+              |      THEN 'u:' || CAST(vec_id AS VARCHAR)
+              |      ELSE 'g:' || v::VARCHAR END) > 40 THEN 1 ELSE 0
+              |  END AS oversized
               |FROM a2 GROUP BY cid""".stripMargin)),
 
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)

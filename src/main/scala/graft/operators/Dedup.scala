@@ -867,9 +867,38 @@ object Dedup {
     val v = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .join(assign, "id")
       .transform(CacheScope.pin)
-    // k-row model frame: broadcast the size flag back onto the rows
-    val sizes = v.groupBy("cluster").agg(count(lit(1)).as("cl_n"))
-    val flagged = v.join(broadcast(sizes), "cluster")
+
+    // EXACT-duplicate pre-collapse (skew-probed: the mega-cluster SRP
+    // guard cannot split identical vectors — they share every bucket of
+    // every table — so a duplicate-heavy corpus went quadratic ANYWAY
+    // before this). Identical nonzero vectors have cosine 1, so within a
+    // group only the min id can survive: collapse each (cluster, vector)
+    // group to its min-id representative, pair-scan representatives
+    // only, and drop the other members outright. Exactness: a row b is
+    // dropped iff some a<b in its cluster has cos>=t; any such a's group
+    // min is ALSO < b with the same cosine, so the rep-scan preserves
+    // the verdict for every rep, and non-reps always have their own
+    // group's min as a witness. Guard rails: zero-norm vectors get
+    // cosine 0 against everything (including their own copies), so they
+    // never collapse; thresholds above 0.99 disable the collapse so a
+    // float-ulp cosine of "identical" arithmetic can never be assumed
+    // past an exact-1.0 gate.
+    val collapse = threshold <= 0.99
+    val zero = array_max(transform(col("v"), x => abs(x))) <= lit(0f)
+    val keyed = v.withColumn("gk",
+      when(lit(!collapse) || zero, concat(lit("u:"), col("id")))
+        .otherwise(concat(lit("g:"), md5(col("v").cast("string")))))
+    val wk = Window.partitionBy(col("cluster"), col("gk"))
+      .orderBy(col("id"))
+    val ranked = keyed.withColumn("rn", row_number().over(wk))
+    val reps = ranked.where(col("rn") === 1)
+      .select("cluster", "id", "v")
+    val dupDropped = ranked.where(col("rn") > 1).select("id")
+
+    // k-row model frame: broadcast the size flag back onto the reps
+    // (the guard bounds the PAIR-SCAN block, which now holds reps only)
+    val sizes = reps.groupBy("cluster").agg(count(lit(1)).as("cl_n"))
+    val flagged = reps.join(broadcast(sizes), "cluster")
     val small = flagged.where(col("cl_n") <= maxBlock)
       .select("cluster", "id", "v")
     val big = flagged.where(col("cl_n") > maxBlock)
@@ -893,7 +922,8 @@ object Dedup {
       .dropDuplicates("a_id", "b_id") // one cosine per candidate pair
       .where(Similarity.cosineCol(col("a_v"), col("b_v")) >= threshold)
       .select(col("b_id").as("id"))
-    val dropped = exactDropped.unionByName(lshDropped).distinct()
+    val dropped = exactDropped.unionByName(lshDropped)
+      .unionByName(dupDropped).distinct()
     v.join(dropped.withColumn("drop", lit(1)), Seq("id"), "left")
       .select(col("id").as(idCol), col("cluster"),
         when(col("drop").isNotNull, 0).otherwise(1).as("keep"))
@@ -905,15 +935,30 @@ object Dedup {
     * is VISIBLE instead of silently degraded (the `gr_link_capped`
     * precedent). k-row output; same deterministic clustering as the
     * dedup itself, so the two frames correspond cluster-for-cluster.
-    * @return (cluster, cl_size, oversized:int). */
+    * @return (cluster, cl_size, n_reps, oversized:int) — cl_size raw
+    *         rows, n_reps distinct-vector representatives (what the
+    *         pair-scan actually holds), oversized judged on n_reps. */
   def semanticDedupOversized(emb: DataFrame, idCol: String, vecCol: String,
                              k: Int = 8, iters: Int = 2,
-                             maxBlock: Int = 1 << 16): DataFrame =
-    Similarity.kmeans(emb, idCol, vecCol, k, iters)
-      .groupBy("cluster").agg(count(lit(1)).as("cl_size"))
+                             maxBlock: Int = 1 << 16): DataFrame = {
+    val assign = Similarity.kmeans(emb, idCol, vecCol, k, iters)
+      .select(col(idCol), col("cluster"))
+    // mirror semanticDedup's rep keying: the PAIR-SCAN block holds one
+    // representative per distinct vector (zero-norm rows never collapse),
+    // so the oversized flag is judged on rep counts, with the raw size
+    // kept alongside so duplicate concentration itself is visible
+    val zero = array_max(transform(col(vecCol), x => abs(x))) <= lit(0f)
+    emb.select(col(idCol), col(vecCol)).join(assign, idCol)
+      .groupBy("cluster").agg(
+        count(lit(1)).as("cl_size"),
+        countDistinct(
+          when(zero, concat(lit("u:"), col(idCol).cast("string")))
+            .otherwise(concat(lit("g:"), md5(col(vecCol).cast("string")))))
+          .as("n_reps"))
       .withColumn("oversized",
-        when(col("cl_size") > maxBlock, 1).otherwise(0))
-      .select("cluster", "cl_size", "oversized")
+        when(col("n_reps") > maxBlock, 1).otherwise(0))
+      .select("cluster", "cl_size", "n_reps", "oversized")
+  }
 
   /** SRP bucketing shared with [[Similarity.srpBucketed]] — the same
     * registered UDF, aliased here so the mega-cluster guard buckets WITH

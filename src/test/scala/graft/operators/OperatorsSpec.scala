@@ -1969,11 +1969,50 @@ class OperatorsSpec extends SparkTestBase {
     val allPairs = megaVecs.size * (megaVecs.size - 1) / 2
     assert(candidates.size < allPairs / 2,
       s"${candidates.size} candidates vs $allPairs all-pairs")
-    // no-silent-caps: the audit frame names the oversized cluster
+    // no-silent-caps: the audit frame names the oversized cluster —
+    // 60 raw rows but 40 distinct-vector reps (ids 100..119 duplicate
+    // 2..21), and oversized is judged on the reps the pair scan holds
     val audit = Dedup.semanticDedupOversized(emb, "vec_id", "embedding",
         k = 2, iters = 2, maxBlock = 20)
-      .as[(Int, Long, Int)].collect().map(t => t._1 -> (t._2, t._3)).toMap
-    assert(audit(megaCluster) == ((60L, 1)), audit.toString)
-    assert(audit(1 - megaCluster) == ((10L, 0)), audit.toString)
+      .as[(Int, Long, Long, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(audit(megaCluster) == ((60L, 40L, 1)), audit.toString)
+    assert(audit(1 - megaCluster) == ((10L, 10L, 0)), audit.toString)
+  }
+
+  test("semanticDedup exact-duplicate collapse: duplicate-heavy input " +
+      "matches the all-pairs reference; zero-norm copies never collapse") {
+    // 6 distinct base vectors; vector 0 is duplicated 30x (the mass
+    // bucketing cannot split), plus two zero vectors
+    def vec(seed: Int): Seq[Float] =
+      (0 until 8).map(d => (((seed * 31 + d * 7) % 13) - 6) / 6.0f)
+    val rows =
+      (0L to 29L).map(id => (id, vec(0))) ++               // mega dup group
+        (30L to 34L).map(id => (id, vec(id.toInt - 29))) ++ // distinct tail
+        Seq((40L, Seq.fill(8)(0f)), (41L, Seq.fill(8)(0f))) // zero-norm pair
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 2, threshold = 0.95, maxBlock = 4)
+      .as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+    // brute-force reference of the SEMANTIC contract: drop b iff some
+    // a<b in the same cluster has cosine >= threshold
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val byId = rows.toMap
+    for ((id, (cl, keep)) <- out) {
+      val expectDrop = rows.exists { case (a, av) =>
+        a < id && out(a)._1 == cl && cos(av, byId(id)) >= 0.95 }
+      assert(keep == (if (expectDrop) 0 else 1),
+        s"id=$id cluster=$cl keep=$keep expectDrop=$expectDrop")
+    }
+    // the mega group kept exactly its min id
+    assert(out(0L)._2 == 1 && (1L to 29L).forall(out(_)._2 == 0))
+    // zero-norm copies have cosine 0 against everything, both kept
+    assert(out(40L)._2 == 1 && out(41L)._2 == 1)
   }
 }

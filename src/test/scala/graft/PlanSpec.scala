@@ -189,9 +189,12 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
     }
     // SemDedup's pair scan must key on the cluster id — no all-pairs
-    // fallback — and never sort corpus rows through a window
+    // fallback — and never funnel corpus rows through ONE task: the
+    // rep-collapse's row_number windows over (cluster, vector) keys are
+    // fine (bounded dup-group partitions), an unpartitioned window or
+    // single-partition exchange is not
     val p = plan("dd_semantic")
-    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("Exchange SinglePartition"), p.take(3000))
   }
 
   test("j12/j13: as-of and range joins plan as single-shuffle window / " +

@@ -2430,6 +2430,22 @@ object SparkEntry {
            |FROM exact WHERE rank <= 5""".stripMargin
       }),
 
+    // PQ asymmetric-distance top-k (Jegou et al. 2011) — the quantized
+    // scan half of IVF-PQ, the canonical web-scale ANN layout: per-
+    // subspace Lloyd codebooks (deterministic: smallest-id seeds, one
+    // refinement, empty cells keep their centroid), corpus carried as m
+    // codes per row, query-side exact ADC, k-bounded heap top-k. The
+    // oracle replays training, encoding, and the subspace-ordered ADC
+    // sum, so the approximate METRIC gets an exact CHECK.
+    Q("ann_pq_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.pqTopK(emb.where(col("vec_id") >= 21),
+          emb.where(col("vec_id") < 5), "vec_id", "vec_id", "embedding",
+          k = 5, m = 4, kc = 4, iters = 2)
+      },
+      Some(pqTopKSql())),
+
     // IVF-style coarse assignment (every 50th vector is a "centroid")
     Q("ann_ivf_assign",
       (s, dir) => {
@@ -3980,6 +3996,66 @@ object SparkEntry {
        |      PARTITION BY v.vec_id
        |      ORDER BY ${sq("v.v", "c1.cv")} ASC, c1.cid ASC) AS rn
        |    FROM v CROSS JOIN c1) WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.pqTopK(m=4, kc=4, iters=2)` over the
+    * registry fixture (corpus vec_id>=21, queries vec_id<5, k=5): per
+    * subspace a seed -> assign -> mean (empty code keeps its seed) ->
+    * encode chain, then the ADC sum in subspace order and a rank by
+    * (adist asc, c_id asc). Double arithmetic matches the JVM kernels:
+    * each subspace distance is a sequential fold and subspaces add
+    * left-to-right. */
+  private def pqTopKSql(): String = {
+    val m = 4; val sub = 16; val kc = 4; val k = 5
+    def sq(a: String, b: String) = foldSql(
+      s"list_transform(range(0, $sub), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
+    val chains = (0 until m).map { s =>
+      val lo = s * sub
+      val sl = s"v[${lo + 1}:${lo + sub}]"
+      s"""sd$s AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, cv
+         |  FROM (SELECT vec_id, $sl AS cv FROM c ORDER BY vec_id LIMIT $kc)),
+         |a$s AS (
+         |  SELECT vec_id, sv, code FROM (
+         |    SELECT c.vec_id, c.$sl AS sv, sd.code,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${sq(s"c.$sl", "sd.cv")} ASC, sd.code ASC) AS rn
+         |    FROM c CROSS JOIN sd$s sd) WHERE rn = 1),
+         |m$s AS (
+         |  SELECT code, list(mu ORDER BY d) AS cv FROM (
+         |    SELECT a.code, d.d, avg(a.sv[d.d+1]) AS mu
+         |    FROM a$s a, range(0, $sub) AS d(d)
+         |    GROUP BY a.code, d.d) GROUP BY code),
+         |c$s AS (
+         |  SELECT sd.code, coalesce(m.cv, sd.cv) AS cv
+         |  FROM sd$s sd LEFT JOIN m$s m ON sd.code = m.code),
+         |e$s AS (
+         |  SELECT vec_id, cv FROM (
+         |    SELECT c.vec_id, cc.cv,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${sq(s"c.$sl", "cc.cv")} ASC, cc.code ASC) AS rn
+         |    FROM c CROSS JOIN c$s cc) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val dsum = (0 until m).map { s =>
+      val lo = s * sub
+      s"(${sq(s"q.v[${lo + 1}:${lo + sub}]", s"e$s.cv")})"
+    }.mkString(" + ")
+    val joins = (1 until m)
+      .map(s => s"JOIN e$s ON e$s.vec_id = e0.vec_id").mkString(" ")
+    s"""WITH vv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |c AS (SELECT * FROM vv WHERE vec_id >= 21),
+       |q AS (SELECT * FROM vv WHERE vec_id < 5),
+       |$chains,
+       |adc AS (
+       |  SELECT q.vec_id AS q_id, e0.vec_id AS c_id,
+       |    $dsum AS adist
+       |  FROM q CROSS JOIN e0 $joins),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY adist ASC, c_id ASC) AS rank FROM adc)
+       |SELECT q_id, c_id, floor(adist * 1e6 + 5e-1) / 1e6 AS adist,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= $k""".stripMargin
   }
 
   /** DuckDB SRP bucket expression for LSH table `t` over vector column

@@ -491,6 +491,125 @@ object Similarity {
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
   }
+
+  // --------------------------------------------- product quantization
+
+  /** Product-quantization codebooks (Jegou et al. 2011): the vector
+    * space splits into `m` contiguous subspaces and each subspace gets
+    * its own `kc`-centroid Lloyd codebook — deterministic exactly like
+    * [[kmeans]] (seeded from the kc smallest ids' sub-vectors, `iters`
+    * assignment rounds, argmin ties to the smaller code, a code whose
+    * cell empties keeps its previous centroid), so an oracle engine can
+    * replay training bit-for-bit. Driver traffic is the model only:
+    * m * kc * (dim/m) doubles — the k-means centroid precedent.
+    * @return model(s)(c) = centroid of subspace s, code c. */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+              m: Int, kc: Int, iters: Int): Array[Array[Array[Double]]] = {
+    require(m > 0 && kc > 0 && iters > 0)
+    val v = vectors.select(col(idCol).as("v_id"),
+      transform(col(vecCol), _.cast("double")).as("v"))
+    val dim = v.select(size(col("v"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val seeds = v.orderBy("v_id").limit(kc).collect()
+      .map(_.getSeq[Double](1))
+    require(seeds.length == kc, s"need >= $kc vectors to seed, got ${seeds.length}")
+    var model: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(s => seeds.map(_.slice(s * sub, (s + 1) * sub).toArray))
+    var it = 1
+    while (it < iters) {
+      // one narrow pass encodes every row against the broadcast model;
+      // the only shuffle carries (s, code, d) -> mean — model-sized
+      val enc = pqCodesUdf(model)
+      val means = v.select(posexplode(enc(col("v"))).as(Seq("s", "code")),
+          col("v"))
+        .select(col("s"), col("code"),
+          posexplode(slice(col("v"), col("s") * lit(sub) + 1, lit(sub)))
+            .as(Seq("d", "x")))
+        .groupBy("s", "code", "d").agg(avg("x").as("mu"))
+        .collect()
+      val next = model.map(_.map(_.clone()))
+      means.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((s, c), rows) =>
+          val cent = new Array[Double](sub)
+          rows.foreach(r => cent(r.getInt(2)) = r.getDouble(3))
+          next(s)(c) = cent
+      }
+      model = next
+      it += 1
+    }
+    model
+  }
+
+  /** m codes per vector: per subspace, the nearest codebook centroid
+    * (squared euclidean, ties to the smaller code). */
+  private def pqCodesUdf(model: Array[Array[Array[Double]]]) = {
+    val m = model.length
+    val sub = model(0)(0).length
+    udf((vec: Seq[Double]) => {
+      Array.tabulate(m) { s =>
+        val sv = vec.slice(s * sub, (s + 1) * sub)
+        var best = 0
+        var bestD = sqDistKernel(sv, model(s)(0).toSeq)
+        var c = 1
+        while (c < model(s).length) {
+          val d = sqDistKernel(sv, model(s)(c).toSeq)
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        best
+      }
+    })
+  }
+
+  /** Asymmetric PQ distance: sum over subspaces of the squared distance
+    * from the query's sub-vector to the CODE's centroid (the query side
+    * stays exact — Jegou's ADC). Subspaces accumulate in order, each an
+    * in-order fold, for oracle-identical double arithmetic. */
+  private def pqAdcUdf(model: Array[Array[Array[Double]]]) = {
+    val m = model.length
+    val sub = model(0)(0).length
+    udf((codes: Seq[Int], qv: Seq[Double]) => {
+      var tot = 0.0
+      var s = 0
+      while (s < m) {
+        tot += sqDistKernel(qv.slice(s * sub, (s + 1) * sub),
+          model(s)(codes(s)).toSeq)
+        s += 1
+      }
+      tot
+    })
+  }
+
+  /** PQ asymmetric-distance top-k — the quantized-scan half of IVF-PQ,
+    * the canonical web-scale ANN layout. The corpus is carried as m
+    * SMALL-INT codes per row (here m bytes vs dim floats — a dim/m-fold
+    * scan-bandwidth cut beyond [[sqTopK]]'s fixed 4x) and scoring reads
+    * codes + the broadcast model only; the corpus-sized scored stream
+    * funnels through the k-bounded [[TopKPairs]] heap, never a per-query
+    * window. Accuracy is the PQ contract: argmin over cell centroids, so
+    * ranks are approximate (the oracle replays the identical model, so
+    * the CHECK is exact even though the metric is approximate).
+    * Output (q_id, c_id, adist, rank): smallest ADC first, ties by c_id;
+    * adist quantized floor(x*1e6+0.5)/1e6 on both engines. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+             queryId: String, vecCol: String, k: Int,
+             m: Int = 4, kc: Int = 4, iters: Int = 2): DataFrame = {
+    val model = pqTrain(corpus, corpusId, vecCol, m, kc, iters)
+    val enc = pqCodesUdf(model)
+    val codes = corpus.select(col(corpusId).as("c_id"),
+      enc(transform(col(vecCol), _.cast("double"))).as("codes"))
+    val q = queries.select(col(queryId).as("q_id"),
+      transform(col(vecCol), _.cast("double")).as("q_v"))
+    val adc = pqAdcUdf(model)
+    val scored = codes.crossJoin(broadcast(q))
+      .select(col("q_id"), col("c_id"),
+        (adc(col("codes"), col("q_v")) * lit(-1.0)).as("nadist"))
+    topKPerQuery(scored, "nadist", k)
+      .select(col("q_id"), col("c_id"),
+        (floor(col("nadist") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("adist"),
+        col("rank"))
+  }
 }
 
 /** Bounded k-heap "largest k candidates by (score desc, id asc)" Aggregator

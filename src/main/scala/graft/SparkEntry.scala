@@ -2558,6 +2558,68 @@ object SparkEntry {
               |SELECT lang, ${langIdCaseSql("tk")} AS pred_lang, count(*) AS n
               |FROM d GROUP BY 1, 2""".stripMargin)),
 
+    // LEARNED language/quality classifier — the fastText-filter shape of
+    // CCNet-style curation as pure aggregations: multinomial Naive Bayes
+    // over hashed unigram buckets, trained on the doc_id%5!=0 split
+    // (label = lang), applied to the held-out fifth. The model is
+    // labels x 64 rows (broadcast); scoring is one bucket-count shuffle
+    // + an argmax. The oracle refits the smoothed model and replays the
+    // quantized log posterior (the DSIR ln-parity precedent).
+    Q("ta_nb_classifier",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = TextAnalysis.nbTrain(
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang")
+        TextAnalysis.nbClassify(docs.where(col("doc_id") % 5 === 0),
+            "doc_id", "text", model)
+          .join(docs.select(col("doc_id").as("id"), col("lang").as("actual")),
+            "id")
+          .select(col("id").as("doc_id"), col("actual"), col("pred"),
+            col("score"))
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |trb AS (
+              |  SELECT d.lang AS label, ${h32Sql("tok", "0")} % 64 AS bucket
+              |  FROM (SELECT id, unnest(tk) AS tok FROM toks) t
+              |  JOIN documents d ON d.doc_id = t.id
+              |  WHERE d.doc_id % 5 <> 0),
+              |cnt AS (SELECT label, bucket, count(*) AS n FROM trb
+              |        GROUP BY 1, 2),
+              |tot AS (SELECT label, count(*) AS nn FROM trb GROUP BY 1),
+              |nd AS (SELECT lang AS label, count(*) AS docs FROM documents
+              |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+              |ntot AS (SELECT count(*) AS total FROM documents
+              |         WHERE doc_id % 5 <> 0),
+              |grid AS (SELECT label, b AS bucket
+              |         FROM tot, (SELECT unnest(range(0, 64)) AS b)),
+              |model AS (
+              |  SELECT g.label, g.bucket,
+              |    ln((coalesce(cnt.n, 0) + 1)::DOUBLE / (tot.nn + 64))
+              |      AS logp,
+              |    ln(nd.docs::DOUBLE / ntot.total) AS logprior
+              |  FROM grid g
+              |  LEFT JOIN cnt ON g.label = cnt.label AND g.bucket = cnt.bucket
+              |  JOIN tot ON g.label = tot.label
+              |  JOIN nd ON g.label = nd.label CROSS JOIN ntot),
+              |db AS (
+              |  SELECT id, ${h32Sql("tok", "0")} % 64 AS bucket,
+              |    count(*) AS c
+              |  FROM (SELECT id, unnest(tk) AS tok FROM toks) t
+              |  WHERE id % 5 = 0 GROUP BY 1, 2),
+              |sc AS (
+              |  SELECT db.id, m.label,
+              |    sum(db.c * m.logp) + max(m.logprior) AS score
+              |  FROM db JOIN model m ON db.bucket = m.bucket
+              |  GROUP BY db.id, m.label),
+              |best AS (
+              |  SELECT id, label, score, row_number() OVER (
+              |    PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+              |  FROM sc)
+              |SELECT b.id AS doc_id, d.lang AS actual, b.label AS pred,
+              |  floor(b.score * 1e6 + 5e-1) / 1e6 AS score
+              |FROM best b JOIN documents d ON d.doc_id = b.id
+              |WHERE rn = 1""".stripMargin)),
+
     // Quality features + composite score per document
     Q("ta_quality",
       (s, dir) => {

@@ -352,6 +352,74 @@ object TextAnalysis {
   }
 
   // ---------------------------------------------------------------
+  // Learned quality/language classifier (multinomial Naive Bayes over
+  // hashed token features — the fastText-filter shape of CCNet/LLaMA
+  // corpus curation, reduced to pure aggregations both engines replay)
+  // ---------------------------------------------------------------
+
+  /** Train a multinomial Naive Bayes model over hashed unigram buckets:
+    * per (label, bucket) the Laplace-smoothed log token probability,
+    * per label the log document prior. The model frame is
+    * labels x numBuckets rows — broadcastable however large the corpus —
+    * and training is two partial-aggregated shuffles over the token
+    * explode (the [[hashFeatures]]/DSIR bucket scheme, so features need
+    * no dictionary or fit step at 100 TB).
+    * @return (label, bucket, logp, logprior). */
+  def nbTrain(docs: org.apache.spark.sql.DataFrame, idCol: String,
+              textCol: String, labelCol: String,
+              numBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    require(numBuckets >= 2, "numBuckets must be >= 2")
+    val tokb = docs.select(col(labelCol).as("label"),
+        explode(toks(col(textCol))).as("tok"))
+      .select(col("label"),
+        pmod(Dedup.md5Hash32(col("tok"), lit(0)), lit(numBuckets.toLong))
+          .as("bucket"))
+    val cnt = tokb.groupBy("label", "bucket").agg(count(lit(1)).as("n"))
+    val tot = tokb.groupBy("label").agg(count(lit(1)).as("nn"))
+    val nd = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs"))
+    val total = docs.count()
+    val buckets = docs.sparkSession.range(numBuckets).toDF("bucket")
+    tot.select("label").crossJoin(buckets)
+      .join(cnt, Seq("label", "bucket"), "left")
+      .join(tot, "label").join(nd, "label")
+      .select(col("label"), col("bucket").cast("long").as("bucket"),
+        log((coalesce(col("n"), lit(0L)) + 1).cast("double") /
+          (col("nn") + numBuckets).cast("double")).as("logp"),
+        log(col("docs").cast("double") / lit(total.toDouble))
+          .as("logprior"))
+  }
+
+  /** Score documents against an [[nbTrain]] model: per document the
+    * argmax-label log posterior (sum of bucket log-probs weighted by the
+    * doc's bucket counts, plus the prior; ties to the lexicographically
+    * smaller label). One partial-aggregated bucket-count shuffle, one
+    * broadcast join against the model, one argmax aggregation — no
+    * per-document state, no window. Documents with zero tokens have no
+    * posterior and are absent from the output. Score quantizes
+    * floor(x*1e6+0.5)/1e6 (the DSIR log-arithmetic parity precedent).
+    * @return (id, pred, score). */
+  def nbClassify(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String, model: org.apache.spark.sql.DataFrame,
+                 numBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    val db = docs.select(col(idCol).as("id"),
+        explode(toks(col(textCol))).as("tok"))
+      .select(col("id"),
+        pmod(Dedup.md5Hash32(col("tok"), lit(0)), lit(numBuckets.toLong))
+          .as("bucket"))
+      .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
+    val scored = db.join(broadcast(model), "bucket")
+      .groupBy("id", "label")
+      .agg((sum(col("c") * col("logp")) + max(col("logprior")))
+        .as("score"))
+    scored.groupBy("id")
+      .agg(min(struct((col("score") * lit(-1.0)).as("ns"),
+        col("label").as("l"))).as("m"))
+      .select(col("id"), col("m.l").as("pred"),
+        (floor(col("m.ns") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("score"))
+  }
+
+  // ---------------------------------------------------------------
   // HTML text extraction (jusText-shaped boilerplate removal)
   // ---------------------------------------------------------------
 

@@ -6074,6 +6074,66 @@ object SparkEntry {
     // (SURVEY G5's extension point): matched keys coalesce per column
     // (the null c_name update must NOT erase the existing name),
     // update-only keys insert, target-only keys carry through.
+    // SCD Type-2 dimension versioning — the warehouse history operator
+    // completing the merge family (k11 overwrites in place, k12 reports
+    // the diff; SCD2 keeps every version). Fixture: the customer dim all
+    // open at ts 0, then a backfilled new-key wave (ts 5), a change wave
+    // (ts 10), a no-op/revert wave (ts 15 — no-op for keys it leaves
+    // unchanged, a REAL new version where it reverts a ts-10 change),
+    // and a second change wave (ts 20). One per-key window pass; the
+    // oracle replays the lag-based no-op drop and lead-based intervals.
+    Q("k13_scd2",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey", "c_acctbal")
+        val hist = cust
+          .withColumn("valid_from", lit(0L))
+          .withColumn("valid_to", lit(null).cast("long"))
+        def wave(m: Int, dn: Int, ts: Long, shift: Long = 0L) =
+          cust.where(pmod(col("c_custkey"), lit(m)) === 0)
+            .select((col("c_custkey") + shift).as("c_custkey"),
+              (col("c_nationkey") + dn).as("c_nationkey"),
+              col("c_acctbal"), lit(ts).as("ts"))
+        val updates = wave(9, 0, 5L, shift = 1000000L)
+          .unionByName(wave(4, 1, 10L))
+          .unionByName(wave(6, 0, 15L))
+          .unionByName(wave(8, 2, 20L))
+        Sources.scd2Apply(hist, updates, "c_custkey", "ts",
+          Seq("c_nationkey", "c_acctbal"))
+      },
+      Some("""WITH cust AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal FROM customer),
+             |allv AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal, 0 AS ts FROM cust
+             |  UNION ALL SELECT c_custkey + 1000000, c_nationkey,
+             |    c_acctbal, 5 FROM cust WHERE c_custkey % 9 = 0
+             |  UNION ALL SELECT c_custkey, c_nationkey + 1, c_acctbal, 10
+             |    FROM cust WHERE c_custkey % 4 = 0
+             |  UNION ALL SELECT c_custkey, c_nationkey, c_acctbal, 15
+             |    FROM cust WHERE c_custkey % 6 = 0
+             |  UNION ALL SELECT c_custkey, c_nationkey + 2, c_acctbal, 20
+             |    FROM cust WHERE c_custkey % 8 = 0),
+             |lg AS (
+             |  SELECT *, lag(c_nationkey) OVER w AS pn,
+             |    lag(c_acctbal) OVER w AS pa, row_number() OVER w AS rn
+             |  FROM allv
+             |  WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)),
+             |chg AS (
+             |  SELECT * FROM lg WHERE rn = 1 OR NOT
+             |    (c_nationkey IS NOT DISTINCT FROM pn
+             |     AND c_acctbal IS NOT DISTINCT FROM pa)),
+             |v AS (
+             |  SELECT c_custkey, c_nationkey, c_acctbal,
+             |    ts AS valid_from,
+             |    lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+             |      AS valid_to
+             |  FROM chg)
+             |SELECT c_custkey, c_nationkey, c_acctbal,
+             |  CAST(valid_from AS BIGINT) AS valid_from,
+             |  CAST(valid_to AS BIGINT) AS valid_to,
+             |  valid_to IS NULL AS is_current
+             |FROM v""".stripMargin)),
+
     Q("k11_merge_upsert",
       (s, dir) => {
         val base = s"/tmp/graft_merge_base_${new java.io.File(dir).getName}"

@@ -416,6 +416,51 @@ object Sources {
           others.map(c => nc(c).as(s"new_$c"))): _*)
   }
 
+  /** SCD Type-2 apply — the warehouse dimension-history operator
+    * completing the MERGE family ([[mergeParquet]] overwrites in place,
+    * [[snapshotDiff]] reports what changed; SCD2 KEEPS every version):
+    * given the dimension history (`valid_from`/`valid_to`, null
+    * `valid_to` = the open row) and an update batch (key, attrs, event
+    * ts), emit the new history — each key's open row closes at the first
+    * differing update's ts, chained updates version in ts order, and
+    * updates equal to the prevailing attrs are no-ops.
+    *
+    * Shape: closed rows pass through untouched; open rows re-enter as
+    * pseudo-updates at their own valid_from, so versioning is ONE
+    * per-key window pass (lag to drop no-ops — null-safe struct
+    * compare — then lead for the interval ends). Nothing touches the
+    * driver; the shuffle is one hash partition by key. Backfilled
+    * updates (ts before the open row's valid_from) re-thread history
+    * as-if replayed — the deterministic interpretation of late data.
+    * (key, ts) pairs must be unique; attr columns may be null
+    * (compared null-safely).
+    *
+    * @return (key, attrs..., valid_from, valid_to, is_current). */
+  def scd2Apply(history: DataFrame, updates: DataFrame, keyCol: String,
+                tsCol: String, attrCols: Seq[String]): DataFrame = {
+    val outCols = (keyCol +: attrCols) ++
+      Seq("valid_from", "valid_to", "is_current")
+    val closed = history.where(col("valid_to").isNotNull)
+      .withColumn("is_current", lit(false))
+      .select(outCols.map(col): _*)
+    val openAsUpdates = history.where(col("valid_to").isNull)
+      .select(col(keyCol) +: attrCols.map(col) :+
+        col("valid_from").as("__ts"): _*)
+    val upd = updates.select(col(keyCol) +: attrCols.map(col) :+
+      col(tsCol).as("__ts"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy("__ts")
+    val attrs = struct(attrCols.map(col): _*)
+    openAsUpdates.unionByName(upd)
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .where(col("__prev").isNull || !(col("__prev") <=> attrs))
+      .withColumn("valid_from", col("__ts"))
+      .withColumn("valid_to", lead(col("__ts"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(outCols.map(col): _*)
+      .unionByName(closed)
+  }
+
   /** Small-files compaction: rewrite a parquet dataset into files of
     * roughly `targetFileBytes` each. Streaming sinks and fine-grained
     * partitioned writes accumulate thousands of tiny files whose per-file

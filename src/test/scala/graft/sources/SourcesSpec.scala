@@ -389,6 +389,36 @@ class SourcesSpec extends SparkTestBase {
       Sources.snapshotDiff(dup, newS, "k"))
   }
 
+  test("scd2Apply: versions chain in ts order, no-ops drop, reverts " +
+    "version, closed history passes through, nulls compare null-safely") {
+    // key 1: open at 0 with v=a; change to b at 10; no-op b at 15;
+    //        revert to a at 20 (a REAL new version)
+    // key 2: closed row [0,5) then open at 5; no updates
+    // key 3: new key arriving at 7, then a null attr at 12 (a change),
+    //        then null again at 14 (a no-op — null-safe compare)
+    val hist = Seq(
+      (1L, Option("a"), 0L, Option.empty[Long]),
+      (2L, Option("x"), 0L, Option(5L)),
+      (2L, Option("y"), 5L, Option.empty[Long]))
+      .toDF("k", "v", "valid_from", "valid_to")
+    val upd = Seq(
+      (1L, Option("b"), 10L), (1L, Option("b"), 15L), (1L, Option("a"), 20L),
+      (3L, Option("n"), 7L), (3L, Option.empty[String], 12L),
+      (3L, Option.empty[String], 14L))
+      .toDF("k", "v", "ts")
+    val got = Sources.scd2Apply(hist, upd, "k", "ts", Seq("v"))
+      .as[(Long, Option[String], Long, Option[Long], Boolean)]
+      .collect().toSet
+    assert(got == Set(
+      (1L, Some("a"), 0L, Some(10L), false),
+      (1L, Some("b"), 10L, Some(20L), false),
+      (1L, Some("a"), 20L, None, true),
+      (2L, Some("x"), 0L, Some(5L), false),
+      (2L, Some("y"), 5L, None, true),
+      (3L, Some("n"), 7L, Some(12L), false),
+      (3L, None, 12L, None, true)), got.toString)
+  }
+
   test("mergeParquet: never-clobber-with-null upsert semantics") {
     val base = Files.createTempDirectory("graft_merge").toString
     Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("id", "name", "bal")

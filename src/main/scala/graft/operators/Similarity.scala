@@ -36,10 +36,12 @@ object Similarity {
     val sb = math.sqrt(nb)
     if (sa == 0.0 || sb == 0.0) 0.0 else dot / (sa * sb)
   }
-  private val cosineUdf = udf(cosineKernel _)
-
-  /** Cosine similarity of two float-array columns (computed in double). */
-  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
+  /** Cosine similarity of two float/double-array columns (computed in
+    * double): the codegen'd [[graft.plans.CosineSim]] expression — no
+    * UDF encoder boundary in the ANN hot loop; arithmetic identical to
+    * [[cosineKernel]] by construction (spec'd). */
+  def cosineCol(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.cosineSim(a, b)
 
   /** Pure-expression cosine (kept for non-float inputs / reference). */
   def cosineExprCol(a: Column, b: Column): Column = {

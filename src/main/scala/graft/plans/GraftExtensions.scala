@@ -43,7 +43,8 @@ object GraftExtensions {
     binary("partial_ratio", PartialRatio.apply),
     binary("name_similarity", NameSimilarity.apply),
     binary("er_name_similarity", ErNameSimilarity.apply),
-    binary("lev_ratio", LevRatio.apply))
+    binary("lev_ratio", LevRatio.apply),
+    binary("cosine_sim", CosineSim.apply))
 
   /** Register the same functions + the spatial rewrite into an
     * already-built session. */

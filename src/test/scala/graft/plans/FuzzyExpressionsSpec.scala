@@ -60,6 +60,10 @@ class FuzzyExpressionsSpec extends SparkTestBase {
         |  round(name_similarity('Café Central', 'cafe central'), 4) AS c""".stripMargin)
       .head
     assert(r.getDouble(0) == 1.0 && r.getDouble(1) == 1.0 && r.getDouble(2) == 1.0)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(3.0F, 4.0F), array(4.0F, 3.0F)) AS c")
+      .head.getDouble(0)
+    assert(math.abs(cos - 24.0 / 25.0) < 1e-12, cos.toString)
     // a fresh session built WITH the extensions class also resolves them
     val ext = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]").withExtensions(new GraftExtensions).getOrCreate()

@@ -858,7 +858,8 @@ object Dedup {
                     k: Int = 8, iters: Int = 2,
                     threshold: Double = 0.9,
                     maxBlock: Int = 1 << 16,
-                    numPlanes: Int = 8, tables: Int = 4): DataFrame = {
+                    numPlanes: Int = 8, tables: Int = 4,
+                    collapseExactDups: Boolean = true): DataFrame = {
     require(maxBlock >= 1, s"maxBlock must be positive, got $maxBlock")
     val assign = Similarity.kmeans(emb, idCol, vecCol, k, iters)
       .select(col(idCol).as("id"), col("cluster"))
@@ -883,7 +884,11 @@ object Dedup {
     // never collapse; thresholds above 0.99 disable the collapse so a
     // float-ulp cosine of "identical" arithmetic can never be assumed
     // past an exact-1.0 gate.
-    val collapse = threshold <= 0.99
+    // collapseExactDups=false is the caller's opt-out for corpora KNOWN
+    // unique (e.g. post-exact-dedup pipelines): it saves the one extra
+    // (cluster, vector) shuffle the collapse costs — measured below in
+    // SCALE.md — at the price of the duplicate-skew guarantee
+    val collapse = collapseExactDups && threshold <= 0.99
     val zero = array_max(transform(col("v"), x => abs(x))) <= lit(0f)
     val keyed = v.withColumn("gk",
       when(lit(!collapse) || zero, concat(lit("u:"), col("id")))

@@ -11,9 +11,11 @@ import graft.operators.{CacheScope, Dedup, Sampling, TextAnalysis}
   * `/root/reference/etl/pipeline.py`).
   *
   * Two surfaces per pipeline:
-  *  - `build*` returns the LAZY composed frame — what the registry rows
-  *    call (the engine's own runners blanket-clear caches between
-  *    queries, so they manage lifetime themselves);
+  *  - `build*` returns the composed frame without running anything (the
+  *    internal checkpoint is lazy); its pinned blocks appear at the
+  *    caller's first action and the CALLER owns their lifetime — the
+  *    registry rows rely on the engine's runners blanket-clearing
+  *    between queries;
   *  - the apply-style entry (`cleanCorpus(docs)(_.write.parquet(out))`)
   *    runs the build under [[CacheScope.materialized]], so a caller
   *    embedding the pipeline in a long-lived session gets the cleanup
@@ -100,14 +102,18 @@ object Pipelines {
 
   /** Exact dedup keeping the smallest doc_id per text digest. The kept
     * frame feeds BOTH the LSH candidate generation and the final
-    * anti-join, so it is materialized once (localCheckpoint) instead of
-    * recomputing the gate expressions per branch — the enclosing
-    * [[CacheScope.materialized]] releases it after the caller's action. */
+    * anti-join, so it checkpoints (LAZILY — building a pipeline never
+    * runs a job; the checkpoint computes at the caller's first action)
+    * instead of recomputing the gate expressions per branch. The pinned
+    * blocks live until released: the apply-style entries' enclosing
+    * [[CacheScope.materialized]] does that per call, the engine's own
+    * runners blanket-clear between queries; any other caller of a bare
+    * build* owns the lifetime. */
   private def exactDedup(gated: DataFrame): DataFrame = {
     val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     gated.withColumn("rn", row_number().over(wd))
       .where(col("rn") === 1).drop("rn")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
   }
 
   /** The higher doc_id of every verified MinHash-LSH near-dup pair. */

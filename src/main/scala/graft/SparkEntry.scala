@@ -1606,11 +1606,12 @@ object SparkEntry {
          |  '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
          |  '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
          |  '(?s)<!--.*?-->', ' ', 'g')""".stripMargin
+    // explicit whitespace class: Java \s includes \x0B, RE2's does not
     def btxt(b: String) =
       s"""trim(regexp_replace(replace(replace(replace(replace(
          |  regexp_replace($b, '<[^>]*>', ' ', 'g'),
          |  '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
-         |  '\\s+', ' ', 'g'))""".stripMargin
+         |  '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g'))""".stripMargin
     // coalesce: DuckDB's array_to_string is NULL on an empty list where
     // Spark's array_join is '' — an anchor-free block must score ll=0.
     val link =
@@ -2308,19 +2309,20 @@ object SparkEntry {
     // which clusters crossed maxBlock and fell back to SRP recall.
     Q("dd_semantic_oversized",
       (s, dir) => Dedup.semanticDedupOversized(t(s, dir, "embeddings"),
-        "vec_id", "embedding", k = 8, iters = 2, maxBlock = 40),
-      Some(s"""WITH ${kmeansA2Sql()}
-              |SELECT CAST(cid AS INT) AS cluster, count(*) AS cl_size,
-              |  count(DISTINCT
-              |    CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
-              |      THEN 'u:' || CAST(vec_id AS VARCHAR)
-              |      ELSE 'g:' || v::VARCHAR END) AS n_reps,
-              |  CASE WHEN count(DISTINCT
-              |    CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
-              |      THEN 'u:' || CAST(vec_id AS VARCHAR)
-              |      ELSE 'g:' || v::VARCHAR END) > 40 THEN 1 ELSE 0
-              |  END AS oversized
-              |FROM a2 GROUP BY cid""".stripMargin)),
+        "vec_id", "embedding", k = 8, iters = 2, maxBlock = 40,
+        threshold = 0.3),
+      Some {
+        val rep =
+          """CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+            |  THEN 'u:' || CAST(vec_id AS VARCHAR)
+            |  ELSE 'g:' || v::VARCHAR END""".stripMargin
+        s"""WITH ${kmeansA2Sql()}
+           |SELECT CAST(cid AS INT) AS cluster, count(*) AS cl_size,
+           |  count(DISTINCT $rep) AS n_reps,
+           |  CASE WHEN count(DISTINCT $rep) > 40 THEN 1 ELSE 0
+           |  END AS oversized
+           |FROM a2 GROUP BY cid""".stripMargin
+      }),
 
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
@@ -6117,7 +6119,8 @@ object SparkEntry {
              |  SELECT *, lag(c_nationkey) OVER w AS pn,
              |    lag(c_acctbal) OVER w AS pa, row_number() OVER w AS rn
              |  FROM allv
-             |  WINDOW w AS (PARTITION BY c_custkey ORDER BY ts)),
+             |  WINDOW w AS (PARTITION BY c_custkey
+             |               ORDER BY ts, c_nationkey, c_acctbal)),
              |chg AS (
              |  SELECT * FROM lg WHERE rn = 1 OR NOT
              |    (c_nationkey IS NOT DISTINCT FROM pn
@@ -6125,7 +6128,8 @@ object SparkEntry {
              |v AS (
              |  SELECT c_custkey, c_nationkey, c_acctbal,
              |    ts AS valid_from,
-             |    lead(ts) OVER (PARTITION BY c_custkey ORDER BY ts)
+             |    lead(ts) OVER (PARTITION BY c_custkey
+             |                   ORDER BY ts, c_nationkey, c_acctbal)
              |      AS valid_to
              |  FROM chg)
              |SELECT c_custkey, c_nationkey, c_acctbal,

@@ -885,20 +885,31 @@ object Dedup {
     // float-ulp cosine of "identical" arithmetic can never be assumed
     // past an exact-1.0 gate.
     // collapseExactDups=false is the caller's opt-out for corpora KNOWN
-    // unique (e.g. post-exact-dedup pipelines): it saves the one extra
-    // (cluster, vector) shuffle the collapse costs — measured below in
-    // SCALE.md — at the price of the duplicate-skew guarantee
+    // unique (e.g. post-exact-dedup pipelines): the window path is
+    // skipped ENTIRELY (no (cluster, vector) shuffle at all), at the
+    // price of the duplicate-skew guarantee — measured in SCALE.md
     val collapse = collapseExactDups && threshold <= 0.99
-    val zero = array_max(transform(col("v"), x => abs(x))) <= lit(0f)
-    val keyed = v.withColumn("gk",
-      when(lit(!collapse) || zero, concat(lit("u:"), col("id")))
-        .otherwise(concat(lit("g:"), md5(col("v").cast("string")))))
-    val wk = Window.partitionBy(col("cluster"), col("gk"))
-      .orderBy(col("id"))
-    val ranked = keyed.withColumn("rn", row_number().over(wk))
-    val reps = ranked.where(col("rn") === 1)
-      .select("cluster", "id", "v")
-    val dupDropped = ranked.where(col("rn") > 1).select("id")
+    // zero-norm vectors never collapse: the kernel guards their cosine
+    // to 0.0, so the pairwise contract KEEPS identical copies. (NaN
+    // vectors are NOT exempt: both engines' SQL comparison semantics
+    // order NaN above every value, so cos(NaN, x) >= threshold is TRUE
+    // and identical NaN copies legitimately drop — collapsing them
+    // matches the pair scan's verdict, spec'd.)
+    val uncollapsible =
+      array_max(transform(col("v"), x => abs(x))) <= lit(0f)
+    val (reps, dupDropped) =
+      if (!collapse)
+        (v.select("cluster", "id", "v"), v.select("id").limit(0))
+      else {
+        val keyed = v.withColumn("gk",
+          when(uncollapsible, concat(lit("u:"), col("id")))
+            .otherwise(concat(lit("g:"), md5(col("v").cast("string")))))
+        val wk = Window.partitionBy(col("cluster"), col("gk"))
+          .orderBy(col("id"))
+        val ranked = keyed.withColumn("rn", row_number().over(wk))
+        (ranked.where(col("rn") === 1).select("cluster", "id", "v"),
+          ranked.where(col("rn") > 1).select("id"))
+      }
 
     // k-row model frame: broadcast the size flag back onto the reps
     // (the guard bounds the PAIR-SCAN block, which now holds reps only)
@@ -945,21 +956,27 @@ object Dedup {
     *         pair-scan actually holds), oversized judged on n_reps. */
   def semanticDedupOversized(emb: DataFrame, idCol: String, vecCol: String,
                              k: Int = 8, iters: Int = 2,
-                             maxBlock: Int = 1 << 16): DataFrame = {
+                             maxBlock: Int = 1 << 16,
+                             threshold: Double = 0.9,
+                             collapseExactDups: Boolean = true): DataFrame = {
     val assign = Similarity.kmeans(emb, idCol, vecCol, k, iters)
       .select(col(idCol), col("cluster"))
-    // mirror semanticDedup's rep keying: the PAIR-SCAN block holds one
-    // representative per distinct vector (zero-norm rows never collapse),
-    // so the oversized flag is judged on rep counts, with the raw size
-    // kept alongside so duplicate concentration itself is visible
-    val zero = array_max(transform(col(vecCol), x => abs(x))) <= lit(0f)
+    // mirror semanticDedup's EFFECTIVE rep keying under the same
+    // threshold/collapse configuration (the audit must judge what the
+    // pair scan actually holds): with the collapse active, one rep per
+    // distinct vector (zero-norm rows never collapse); with it
+    // disabled, every row is its own rep and n_reps == cl_size
+    val collapse = collapseExactDups && threshold <= 0.99
+    val uncollapsible =
+      array_max(transform(col(vecCol), x => abs(x))) <= lit(0f)
+    val repKey =
+      if (!collapse) concat(lit("u:"), col(idCol).cast("string"))
+      else when(uncollapsible, concat(lit("u:"), col(idCol).cast("string")))
+        .otherwise(concat(lit("g:"), md5(col(vecCol).cast("string"))))
     emb.select(col(idCol), col(vecCol)).join(assign, idCol)
       .groupBy("cluster").agg(
         count(lit(1)).as("cl_size"),
-        countDistinct(
-          when(zero, concat(lit("u:"), col(idCol).cast("string")))
-            .otherwise(concat(lit("g:"), md5(col(vecCol).cast("string")))))
-          .as("n_reps"))
+        countDistinct(repKey).as("n_reps"))
       .withColumn("oversized",
         when(col("n_reps") > maxBlock, 1).otherwise(0))
       .select("cluster", "cl_size", "n_reps", "oversized")

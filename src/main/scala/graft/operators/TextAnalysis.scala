@@ -374,11 +374,16 @@ object TextAnalysis {
       .select(col("label"),
         pmod(Dedup.md5Hash32(col("tok"), lit(0)), lit(numBuckets.toLong))
           .as("bucket"))
-    val cnt = tokb.groupBy("label", "bucket").agg(count(lit(1)).as("n"))
-    val tot = tokb.groupBy("label").agg(count(lit(1)).as("nn"))
-    val nd = docs.groupBy(col(labelCol).as("label"))
-      .agg(count(lit(1)).as("docs"))
-    val total = docs.count()
+    // ONE shuffle over the token explode: per-label totals and the label
+    // list derive from the model-sized counts frame (pinned — it feeds
+    // three consumers), and the doc total folds out of the per-label doc
+    // counts instead of a separate corpus-scan job
+    val cnt = CacheScope.pin(
+      tokb.groupBy("label", "bucket").agg(count(lit(1)).as("n")))
+    val tot = cnt.groupBy("label").agg(sum("n").as("nn"))
+    val nd = CacheScope.pin(docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("docs")))
+    val total = nd.agg(sum("docs")).head().getLong(0)
     val buckets = docs.sparkSession.range(numBuckets).toDF("bucket")
     tot.select("label").crossJoin(buckets)
       .join(cnt, Seq("label", "bucket"), "left")
@@ -447,7 +452,11 @@ object TextAnalysis {
   /** One block's rendered text: strip remaining inline tags, decode the
     * minimal entity set (`&nbsp;` before whitespace collapse so it
     * collapses like a space; `&amp;` LAST so `&amp;lt;` decodes to the
-    * literal string `&lt;`, not `<`), collapse whitespace, trim. */
+    * literal string `&lt;`, not `<`), collapse whitespace, trim.
+    * The whitespace class is spelled out (`[ \t\n\r\f\x0B]`) instead of
+    * `\s` because Java's `\s` includes vertical tab while RE2's does
+    * not — `\s` would silently fork the two engines' extractions on any
+    * corpus carrying U+000B. */
   def htmlBlockText(b: Column): Column =
     trim(regexp_replace(
       regexp_replace(
@@ -458,7 +467,7 @@ object TextAnalysis {
             "&lt;", "<"),
           "&gt;", ">"),
         "&amp;", "&"),
-      "\\s+", " "))
+      "[ \\t\\n\\r\\f\\x0B]+", " "))
 
   /** The block's anchor-text, through the same canonicalization — its
     * length over the block text's length is the link density. */
@@ -489,9 +498,15 @@ object TextAnalysis {
     * already-reduced text without an extra pass. */
   def htmlExtract(c: Column, minLen: Int = 25): Column = {
     val blocks = split(htmlStripNonContent(c), HtmlBlockPattern, -1)
-    val kept = filter(blocks, b =>
-      length(htmlBlockText(b)) >= lit(minLen) &&
-        length(htmlLinkText(b)) * lit(2) < length(htmlBlockText(b)))
-    array_join(transform(kept, htmlBlockText(_)), "\n")
+    // canonicalize each block ONCE into (txt, ll) — the HOF lambdas get
+    // no CSE, so filtering on raw blocks would re-run the 6-regex chain
+    // up to 4x per block
+    val scored = transform(blocks, b =>
+      struct(htmlBlockText(b).as("txt"),
+        length(htmlLinkText(b)).as("ll")))
+    val kept = filter(scored, s =>
+      length(s.getField("txt")) >= lit(minLen) &&
+        s.getField("ll") * lit(2) < length(s.getField("txt")))
+    array_join(transform(kept, _.getField("txt")), "\n")
   }
 }

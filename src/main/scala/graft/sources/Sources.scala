@@ -421,44 +421,46 @@ object Sources {
     * [[snapshotDiff]] reports what changed; SCD2 KEEPS every version):
     * given the dimension history (`valid_from`/`valid_to`, null
     * `valid_to` = the open row) and an update batch (key, attrs, event
-    * ts), emit the new history — each key's open row closes at the first
-    * differing update's ts, chained updates version in ts order, and
-    * updates equal to the prevailing attrs are no-ops.
+    * ts), emit the new history — each key's prevailing row closes at
+    * the first differing update's ts, chained updates version in ts
+    * order, and updates equal to the prevailing attrs are no-ops.
     *
-    * Shape: closed rows pass through untouched; open rows re-enter as
-    * pseudo-updates at their own valid_from, so versioning is ONE
-    * per-key window pass (lag to drop no-ops — null-safe struct
-    * compare — then lead for the interval ends). Nothing touches the
-    * driver; the shuffle is one hash partition by key. Backfilled
-    * updates (ts before the open row's valid_from) re-thread history
-    * as-if replayed — the deterministic interpretation of late data.
-    * (key, ts) pairs must be unique; attr columns may be null
-    * (compared null-safely).
+    * Shape: EVERY history row re-enters as a pseudo-update at its own
+    * valid_from and the whole per-key timeline rebuilds in one window
+    * pass (lag drops no-ops — null-safe struct compare — then lead sets
+    * the interval ends). Rebuilding closed rows too is what makes
+    * backfilled updates (ts inside an already-closed interval) re-thread
+    * history as-if replayed WITHOUT overlapping intervals — the
+    * invariant a pass-through of closed rows would violate. Consequence:
+    * input `valid_to` values are derived state and are ignored
+    * (intervals are contiguous per key; explicit gaps/deletes are
+    * outside this operator's contract). Nothing touches the driver; the
+    * shuffle is one hash partition by key.
+    *
+    * Determinism: ties on (key, ts) — e.g. an update stamped exactly at
+    * a version's valid_from — order by the attr struct ascending, so
+    * the output is a pure function of the input SET. Attr columns may
+    * be null (ordered/compared null-safely).
     *
     * @return (key, attrs..., valid_from, valid_to, is_current). */
   def scd2Apply(history: DataFrame, updates: DataFrame, keyCol: String,
                 tsCol: String, attrCols: Seq[String]): DataFrame = {
     val outCols = (keyCol +: attrCols) ++
       Seq("valid_from", "valid_to", "is_current")
-    val closed = history.where(col("valid_to").isNotNull)
-      .withColumn("is_current", lit(false))
-      .select(outCols.map(col): _*)
-    val openAsUpdates = history.where(col("valid_to").isNull)
-      .select(col(keyCol) +: attrCols.map(col) :+
-        col("valid_from").as("__ts"): _*)
+    val hist = history.select(col(keyCol) +: attrCols.map(col) :+
+      col("valid_from").as("__ts"): _*)
     val upd = updates.select(col(keyCol) +: attrCols.map(col) :+
       col(tsCol).as("__ts"): _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy("__ts")
     val attrs = struct(attrCols.map(col): _*)
-    openAsUpdates.unionByName(upd)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("__ts") +: attrCols.map(col): _*)
+    hist.unionByName(upd)
       .withColumn("__prev", lag(attrs, 1).over(w))
       .where(col("__prev").isNull || !(col("__prev") <=> attrs))
       .withColumn("valid_from", col("__ts"))
       .withColumn("valid_to", lead(col("__ts"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
       .select(outCols.map(col): _*)
-      .unionByName(closed)
   }
 
   /** Small-files compaction: rewrite a parquet dataset into files of

@@ -148,12 +148,14 @@ object IncrementalIngest {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    indexTable: String, newPath: String,
                    retain: org.apache.spark.sql.Column = lit(true)): Unit = {
-    import org.apache.spark.sql.catalyst.TableIdentifier
-    val meta = spark.sessionState.catalog
-      .getTableMetadata(TableIdentifier(indexTable))
+    // parse (don't wrap) the name: TableIdentifier("db.tbl") would look
+    // up a table literally named "db.tbl" in the current database
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
+    val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$indexTable has no bucket spec — not a standing-index table"))
-    val tmp = indexTable + "_compacting"
+    val tmpIdent = ident.copy(table = ident.table + "_compacting")
+    val tmp = tmpIdent.quotedString
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     // ZERO-shuffle rewrite: with the bucketed scan forced on, the read
     // already groups every bucket's fragments into one task, and the
@@ -180,7 +182,7 @@ object IncrementalIngest {
       case Some(v) => spark.conf.set(autoKey, v)
       case None => spark.conf.unset(autoKey)
     }
-    spark.sql(s"DROP TABLE $indexTable")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $indexTable")
+    spark.sql(s"DROP TABLE ${ident.quotedString}")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO ${ident.quotedString}")
   }
 }

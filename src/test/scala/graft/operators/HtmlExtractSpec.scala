@@ -68,6 +68,10 @@ class HtmlExtractSpec extends SparkTestBase {
     val html = "<p>spread   over\n\n lines with <em>inline</em>\t<b>tags</b> kept inline</p>"
     assert(extract(html) ==
       "spread over lines with inline tags kept inline")
+    // vertical tab (U+000B) is IN the pinned class — Java \s has it,
+    // RE2 \s does not, so the spec spells the class out on both engines
+    assert(extract("<p>vertical\u000Btab collapses like other whitespace</p>") ==
+      "vertical tab collapses like other whitespace")
   }
 
   test("empty extraction is the empty string, not null") {

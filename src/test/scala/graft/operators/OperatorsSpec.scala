@@ -1995,18 +1995,22 @@ class OperatorsSpec extends SparkTestBase {
         k = 2, iters = 2, threshold = 0.95, maxBlock = 4)
       .as[(Long, Int, Int)].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
-    // brute-force reference of the SEMANTIC contract: drop b iff some
-    // a<b in the same cluster has cosine >= threshold
+    // brute-force reference of the SEMANTIC contract under the ENGINE's
+    // comparison semantics: drop b iff some a<b in the same cluster has
+    // cosine >= threshold, where SQL orders NaN ABOVE every value (so a
+    // NaN cosine satisfies >= t — Spark and DuckDB agree; Java's `>=`
+    // does not, hence the explicit isNaN arm)
     def cos(a: Seq[Float], b: Seq[Float]): Double = {
       val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
       val na = math.sqrt(a.map(x => x.toDouble * x).sum)
       val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
       if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
     }
+    def engineGe(c: Double, t: Double): Boolean = c.isNaN || c >= t
     val byId = rows.toMap
     for ((id, (cl, keep)) <- out) {
       val expectDrop = rows.exists { case (a, av) =>
-        a < id && out(a)._1 == cl && cos(av, byId(id)) >= 0.95 }
+        a < id && out(a)._1 == cl && engineGe(cos(av, byId(id)), 0.95) }
       assert(keep == (if (expectDrop) 0 else 1),
         s"id=$id cluster=$cl keep=$keep expectDrop=$expectDrop")
     }
@@ -2014,5 +2018,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(out(0L)._2 == 1 && (1L to 29L).forall(out(_)._2 == 0))
     // zero-norm copies have cosine 0 against everything, both kept
     assert(out(40L)._2 == 1 && out(41L)._2 == 1)
+
+    // NaN-carrying copies: under SQL NaN ordering their cosine clears
+    // any threshold, so the non-min copy drops — by the pair scan, and
+    // IDENTICALLY by the collapse (which therefore need not exempt them;
+    // use exact all-pairs so the candidate is guaranteed)
+    val nanRows = rows ++ Seq(
+      (50L, Seq(1f, Float.NaN, 0f, 0f, 0f, 0f, 0f, 0f)),
+      (51L, Seq(1f, Float.NaN, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val nanById = nanRows.toMap
+    for (collapseOn <- Seq(true, false)) {
+      val nanOut = Dedup.semanticDedup(nanRows.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", k = 2, iters = 2, threshold = 0.95,
+          maxBlock = 1000, collapseExactDups = collapseOn)
+        .as[(Long, Int, Int)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      for ((id, (cl, keep)) <- nanOut) {
+        val expectDrop = nanRows.exists { case (a, av) =>
+          a < id && nanOut(a)._1 == cl &&
+            engineGe(cos(av, nanById(id)), 0.95) }
+        assert(keep == (if (expectDrop) 0 else 1),
+          s"collapse=$collapseOn id=$id keep=$keep expect=$expectDrop")
+      }
+    }
+
+    // collapseExactDups=false really skips the collapse machinery: the
+    // executed plan has NO window, and dup copies survive to the pair
+    // scan (still dropped there — by cosine, not by the collapse)
+    val off = Dedup.semanticDedup(emb, "vec_id", "embedding",
+      k = 2, iters = 2, threshold = 0.95, maxBlock = 1000,
+      collapseExactDups = false)
+    assert(!off.queryExecution.executedPlan.toString.contains("Window"))
+    val offOut = off.as[(Long, Int, Int)].collect()
+      .map(t => t._1 -> t._3).toMap
+    assert(offOut(0L) == 1 && (1L to 29L).forall(offOut(_) == 0))
   }
 }

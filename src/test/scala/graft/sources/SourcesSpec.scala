@@ -390,7 +390,8 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("scd2Apply: versions chain in ts order, no-ops drop, reverts " +
-    "version, closed history passes through, nulls compare null-safely") {
+    "version, backfills re-thread closed intervals without overlap, " +
+    "ties order deterministically, nulls compare null-safely") {
     // key 1: open at 0 with v=a; change to b at 10; no-op b at 15;
     //        revert to a at 20 (a REAL new version)
     // key 2: closed row [0,5) then open at 5; no updates
@@ -399,12 +400,20 @@ class SourcesSpec extends SparkTestBase {
     val hist = Seq(
       (1L, Option("a"), 0L, Option.empty[Long]),
       (2L, Option("x"), 0L, Option(5L)),
-      (2L, Option("y"), 5L, Option.empty[Long]))
+      (2L, Option("y"), 5L, Option.empty[Long]),
+      (4L, Option("p"), 0L, Option(5L)),
+      (4L, Option("q"), 5L, Option.empty[Long]),
+      (5L, Option("a"), 5L, Option.empty[Long]))
       .toDF("k", "v", "valid_from", "valid_to")
     val upd = Seq(
       (1L, Option("b"), 10L), (1L, Option("b"), 15L), (1L, Option("a"), 20L),
       (3L, Option("n"), 7L), (3L, Option.empty[String], 12L),
-      (3L, Option.empty[String], 14L))
+      (3L, Option.empty[String], 14L),
+      // backfill INSIDE key 4's closed interval: history re-threads
+      // without overlap — p[0,3), r[3,5), q[5,null)
+      (4L, Option("r"), 3L),
+      // tie at key 5's valid_from: deterministic attr-order tiebreak
+      (5L, Option("b"), 5L))
       .toDF("k", "v", "ts")
     val got = Sources.scd2Apply(hist, upd, "k", "ts", Seq("v"))
       .as[(Long, Option[String], Long, Option[Long], Boolean)]
@@ -416,7 +425,26 @@ class SourcesSpec extends SparkTestBase {
       (2L, Some("x"), 0L, Some(5L), false),
       (2L, Some("y"), 5L, None, true),
       (3L, Some("n"), 7L, Some(12L), false),
-      (3L, None, 12L, None, true)), got.toString)
+      (3L, None, 12L, None, true),
+      (4L, Some("p"), 0L, Some(3L), false),
+      (4L, Some("r"), 3L, Some(5L), false),
+      (4L, Some("q"), 5L, None, true),
+      (5L, Some("a"), 5L, Some(5L), false), // zero-width, deterministic
+      (5L, Some("b"), 5L, None, true)), got.toString)
+    // the non-overlap invariant holds across every key
+    val intervals = Sources.scd2Apply(hist, upd, "k", "ts", Seq("v"))
+      .select("k", "valid_from", "valid_to")
+      .as[(Long, Long, Option[Long])].collect()
+      .groupBy(_._1).values
+    for (rows <- intervals) {
+      val sorted = rows.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array((_, _, Some(t0)), (_, f1, _)) => assert(t0 == f1)
+        case _ =>
+      }
+      assert(sorted.init.forall(_._3.isDefined) &&
+        sorted.last._3.isEmpty)
+    }
   }
 
   test("mergeParquet: never-clobber-with-null upsert semantics") {

@@ -2448,6 +2448,23 @@ object SparkEntry {
       },
       Some(pqTopKSql())),
 
+    // Residual IVF-PQ — the FULL canonical layout composed from the two
+    // halves above: cosine cell routing (fixed 16-centroid model), PQ
+    // codebooks trained on residuals x - centroid(cell), queries probe
+    // 2 cells scoring the cell's codes against their own per-cell
+    // residual. The oracle replays routing, residuals, training,
+    // encoding, and the ADC sum.
+    Q("ann_ivfpq_topk",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqTopK(emb.where(col("vec_id") >= 21),
+          emb.where(col("vec_id") < 5), "vec_id", "vec_id", "embedding",
+          emb.where(col("vec_id") >= 5 && col("vec_id") < 21),
+          "vec_id", "embedding",
+          k = 5, nProbe = 2, m = 4, kc = 4, iters = 2)
+      },
+      Some(ivfPqTopKSql())),
+
     // IVF-style coarse assignment (every 50th vector is a "centroid")
     Q("ann_ivf_assign",
       (s, dir) => {
@@ -4069,57 +4086,121 @@ object SparkEntry {
     * (adist asc, c_id asc). Double arithmetic matches the JVM kernels:
     * each subspace distance is a sequential fold and subspaces add
     * left-to-right. */
-  private def pqTopKSql(): String = {
-    val m = 4; val sub = 16; val kc = 4; val k = 5
-    def sq(a: String, b: String) = foldSql(
-      s"list_transform(range(0, $sub), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
-    val chains = (0 until m).map { s =>
-      val lo = s * sub
-      val sl = s"v[${lo + 1}:${lo + sub}]"
+  // final + literal => compile-time constants, safe to reference from
+  // the queries val however the object initializes
+  private final val PqM = 4
+  private final val PqSub = 16
+  private final val PqKc = 4
+
+  private def pqSq(a: String, b: String) = foldSql(
+    s"list_transform(range(0, $PqSub), d_ -> ($a[d_+1] - $b[d_+1]) * ($a[d_+1] - $b[d_+1]))")
+
+  /** The per-subspace PQ training+encode CTE chains over `rel(vec_id,
+    * v)` (v a 64-double list): seeds sd\$s -> assign a\$s -> means m\$s
+    * (empty code keeps its seed) -> codebook c\$s -> encode e\$s(vec_id,
+    * cv). Shared by the flat-PQ and IVF-PQ oracles. */
+  private def pqChainsSql(rel: String): String =
+    (0 until PqM).map { s =>
+      val lo = s * PqSub
+      val sl = s"v[${lo + 1}:${lo + PqSub}]"
       s"""sd$s AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, cv
-         |  FROM (SELECT vec_id, $sl AS cv FROM c ORDER BY vec_id LIMIT $kc)),
+         |  FROM (SELECT vec_id, $sl AS cv FROM $rel
+         |        ORDER BY vec_id LIMIT $PqKc)),
          |a$s AS (
          |  SELECT vec_id, sv, code FROM (
-         |    SELECT c.vec_id, c.$sl AS sv, sd.code,
-         |      row_number() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ${sq(s"c.$sl", "sd.cv")} ASC, sd.code ASC) AS rn
-         |    FROM c CROSS JOIN sd$s sd) WHERE rn = 1),
+         |    SELECT r.vec_id, r.$sl AS sv, sd.code,
+         |      row_number() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${pqSq(s"r.$sl", "sd.cv")} ASC, sd.code ASC) AS rn
+         |    FROM $rel r CROSS JOIN sd$s sd) WHERE rn = 1),
          |m$s AS (
          |  SELECT code, list(mu ORDER BY d) AS cv FROM (
          |    SELECT a.code, d.d, avg(a.sv[d.d+1]) AS mu
-         |    FROM a$s a, range(0, $sub) AS d(d)
+         |    FROM a$s a, range(0, $PqSub) AS d(d)
          |    GROUP BY a.code, d.d) GROUP BY code),
          |c$s AS (
          |  SELECT sd.code, coalesce(m.cv, sd.cv) AS cv
          |  FROM sd$s sd LEFT JOIN m$s m ON sd.code = m.code),
          |e$s AS (
          |  SELECT vec_id, cv FROM (
-         |    SELECT c.vec_id, cc.cv,
-         |      row_number() OVER (PARTITION BY c.vec_id
-         |        ORDER BY ${sq(s"c.$sl", "cc.cv")} ASC, cc.code ASC) AS rn
-         |    FROM c CROSS JOIN c$s cc) WHERE rn = 1)""".stripMargin
+         |    SELECT r.vec_id, cc.cv,
+         |      row_number() OVER (PARTITION BY r.vec_id
+         |        ORDER BY ${pqSq(s"r.$sl", "cc.cv")} ASC, cc.code ASC) AS rn
+         |    FROM $rel r CROSS JOIN c$s cc) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    val dsum = (0 until m).map { s =>
-      val lo = s * sub
-      s"(${sq(s"q.v[${lo + 1}:${lo + sub}]", s"e$s.cv")})"
+
+  private def pqEncJoins: String = (1 until PqM)
+    .map(s => s"JOIN e$s ON e$s.vec_id = e0.vec_id").mkString(" ")
+
+  /** DuckDB replay of `Similarity.pqTopK(m=4, kc=4, iters=2)` over the
+    * registry fixture (corpus vec_id>=21, queries vec_id<5, k=5). */
+  private def pqTopKSql(): String = {
+    val dsum = (0 until PqM).map { s =>
+      val lo = s * PqSub
+      s"(${pqSq(s"q.v[${lo + 1}:${lo + PqSub}]", s"e$s.cv")})"
     }.mkString(" + ")
-    val joins = (1 until m)
-      .map(s => s"JOIN e$s ON e$s.vec_id = e0.vec_id").mkString(" ")
     s"""WITH vv AS (SELECT vec_id,
        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |c AS (SELECT * FROM vv WHERE vec_id >= 21),
        |q AS (SELECT * FROM vv WHERE vec_id < 5),
-       |$chains,
+       |${pqChainsSql("c")},
        |adc AS (
        |  SELECT q.vec_id AS q_id, e0.vec_id AS c_id,
        |    $dsum AS adist
-       |  FROM q CROSS JOIN e0 $joins),
+       |  FROM q CROSS JOIN e0 $pqEncJoins),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
        |  ORDER BY adist ASC, c_id ASC) AS rank FROM adc)
        |SELECT q_id, c_id, floor(adist * 1e6 + 5e-1) / 1e6 AS adist,
        |  CAST(rank AS INT) AS rank
-       |FROM ranked WHERE rank <= $k""".stripMargin
+       |FROM ranked WHERE rank <= 5""".stripMargin
+  }
+
+  /** DuckDB replay of `Similarity.ivfPqTopK(nProbe=2, m=4, kc=4,
+    * iters=2)` over the registry fixture: cosine cell routing, residual
+    * computation, the shared PQ chains over the residual frame, per-
+    * (query, cell) query residuals, and the cell-restricted ADC. */
+  private def ivfPqTopKSql(): String = {
+    val dsum = (0 until PqM).map { s =>
+      val lo = s * PqSub
+      s"(${pqSq(s"p.qr[${lo + 1}:${lo + PqSub}]", s"e$s.cv")})"
+    }.mkString(" + ")
+    s"""WITH vv AS (SELECT vec_id,
+       |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |c AS (SELECT * FROM vv WHERE vec_id >= 21),
+       |q AS (SELECT * FROM vv WHERE vec_id < 5),
+       |cent AS (SELECT vec_id AS cell, v AS cv FROM vv
+       |         WHERE vec_id >= 5 AND vec_id < 21),
+       |cells AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT c.vec_id, cent.cell,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${cosSql("c.v", "cent.cv")} DESC, cent.cell ASC)
+       |        AS rn
+       |    FROM c CROSS JOIN cent) WHERE rn = 1),
+       |res AS (
+       |  SELECT c.vec_id, cells.cell,
+       |    list_transform(range(0, 64), d -> c.v[d+1] - cent.cv[d+1]) AS v
+       |  FROM c JOIN cells USING (vec_id) JOIN cent USING (cell)),
+       |${pqChainsSql("res")},
+       |probes AS (
+       |  SELECT q_id, cell, qr FROM (
+       |    SELECT q.vec_id AS q_id, cent.cell,
+       |      list_transform(range(0, 64), d -> q.v[d+1] - cent.cv[d+1])
+       |        AS qr,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${cosSql("q.v", "cent.cv")} DESC, cent.cell ASC)
+       |        AS rn
+       |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+       |adc AS (
+       |  SELECT p.q_id, e0.vec_id AS c_id, $dsum AS adist
+       |  FROM probes p
+       |  JOIN res ON res.cell = p.cell
+       |  JOIN e0 ON e0.vec_id = res.vec_id $pqEncJoins),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY adist ASC, c_id ASC) AS rank FROM adc)
+       |SELECT q_id, c_id, floor(adist * 1e6 + 5e-1) / 1e6 AS adist,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   /** DuckDB SRP bucket expression for LSH table `t` over vector column

@@ -594,6 +594,65 @@ object Similarity {
     * the CHECK is exact even though the metric is approximate).
     * Output (q_id, c_id, adist, rank): smallest ADC first, ties by c_id;
     * adist quantized floor(x*1e6+0.5)/1e6 on both engines. */
+  /** Residual IVF-PQ top-k — the full canonical web-scale ANN layout
+    * (Jegou et al. 2011): a caller-provided coarse quantizer routes
+    * every corpus vector to its nearest cell (cosine argmin, the
+    * [[ivfAssign]] contract), PQ codebooks train on the RESIDUALS
+    * x - centroid(cell) (residuals concentrate near the origin, which
+    * is where a fixed-size codebook has resolution), and each query
+    * probes its `nProbe` nearest cells scoring the cell's codes against
+    * the query's OWN residual for that cell. Per-query work is bounded
+    * by probed cell sizes; the corpus travels as (cell, m codes); both
+    * models (coarse centroids, PQ codebooks) are driver/broadcast-sized.
+    * Metric note: coarse routing is cosine (this engine's IVF family
+    * contract), ADC is squared L2 on residuals — the FAISS-style mixed
+    * deployment. Deterministic end to end, so the oracle replays
+    * routing, residuals, training, encoding, and the ADC sum exactly.
+    * Output (q_id, c_id, adist, rank): smallest ADC first, ties by
+    * c_id; adist quantized floor(x*1e6+0.5)/1e6 on both engines. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
+                queryId: String, vecCol: String,
+                centroids: DataFrame, centId: String, centVec: String,
+                k: Int, nProbe: Int = 2, m: Int = 4, kc: Int = 4,
+                iters: Int = 2): DataFrame = {
+    val cents = collectCentroids(centroids, centId, centVec)
+    val nearest1 = nearestCentroidsUdf(cents, 1)
+    val centMap = cents.toMap
+    val residUdf = udf((vec: Seq[Float], cell: Long) => {
+      val cv = centMap(cell)
+      Array.tabulate(math.min(vec.length, cv.length))(i =>
+        vec(i).toDouble - cv(i).toDouble)
+    })
+    // residual frame feeds pqTrain's passes + the encode — pin it
+    val cells = corpus
+      .select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
+      .select(col("c_id"),
+        element_at(nearest1(col("c_v")), 1).getField("_1").as("cell"),
+        col("c_v"))
+      .withColumn("rv", residUdf(col("c_v"), col("cell")))
+      .select("c_id", "cell", "rv")
+      .transform(CacheScope.pin)
+    val model = pqTrain(cells, "c_id", "rv", m, kc, iters)
+    val enc = pqCodesUdf(model)
+    val codes = cells.select(col("c_id"), col("cell"),
+      enc(col("rv")).as("codes"))
+    val nearestP = nearestCentroidsUdf(cents, nProbe)
+    val probes = queries
+      .select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+      .select(col("q_id"), col("q_v"),
+        explode(nearestP(col("q_v")).getField("_1")).as("cell"))
+      .withColumn("qr", residUdf(col("q_v"), col("cell")))
+      .select("q_id", "cell", "qr")
+    val adc = pqAdcUdf(model)
+    val scored = codes.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("c_id"),
+        (adc(col("codes"), col("qr")) * lit(-1.0)).as("nadist"))
+    topKPerQuery(scored, "nadist", k)
+      .select(col("q_id"), col("c_id"),
+        (floor(col("nadist") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("adist"),
+        col("rank"))
+  }
+
   def pqTopK(corpus: DataFrame, queries: DataFrame, corpusId: String,
              queryId: String, vecCol: String, k: Int,
              m: Int = 4, kc: Int = 4, iters: Int = 2): DataFrame = {

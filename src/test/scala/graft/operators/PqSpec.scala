@@ -67,6 +67,35 @@ class PqSpec extends SparkTestBase {
       assert(model(0)(c).toSeq == proto(0, c).map(_.toDouble))
   }
 
+  test("ivfPqTopK: candidates come only from probed cells; residual ADC " +
+    "is exact when residuals sit on the codebook; deterministic") {
+    import org.apache.spark.sql.DataFrame
+    // 2 orthogonal (non-zero — cosine routing needs direction) cells;
+    // corpus = cell centroid + a small prototype residual
+    val cellVec = Map(
+      100L -> (Seq.fill(4)(10f) ++ Seq.fill(4)(0f)),
+      101L -> (Seq.fill(4)(0f) ++ Seq.fill(4)(10f)))
+    val cents = cellVec.toSeq.map { case (id, v) => (id, v) }
+      .toDF("vec_id", "embedding")
+    val corpus = (0L to 15L).map { id =>
+      val cell = if (id % 2 == 0) 100L else 101L
+      val r = proto(0, (id % 4).toInt) ++ proto(1, ((id + id / 4) % 4).toInt)
+      (id, cellVec(cell).zip(r).map { case (c, x) => c + x * 0.01f })
+    }
+    val emb = corpus.toDF("vec_id", "embedding")
+    val query = Seq((999L, cellVec(100L).map(_ + 0.5f)))
+      .toDF("vec_id", "embedding")
+    def run(): Seq[(Long, Long, Double, Int)] =
+      Similarity.ivfPqTopK(emb, query, "vec_id", "vec_id", "embedding",
+          cents, "vec_id", "embedding",
+          k = 16, nProbe = 1, m = 2, kc = 4, iters = 2)
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val got = run()
+    // nProbe=1 and the query sits at cell 100: only even ids can appear
+    assert(got.nonEmpty && got.forall(_._2 % 2 == 0), got.toString)
+    assert(run() == got) // deterministic
+  }
+
   test("pqTopK is deterministic across runs") {
     val emb = corpus.toDF("vec_id", "embedding")
     val query = Seq((100L, (0 until 8).map(_.toFloat))).toDF("vec_id", "embedding")

@@ -447,6 +447,58 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("scd2Apply property: on random histories + updates the output is " +
+    "per-key contiguous, non-overlapping, exactly one open row, no " +
+    "consecutive equal attrs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val histGen = Gen.listOf(for {
+      k <- Gen.choose(1L, 5L)
+      v <- Gen.option(Gen.oneOf("a", "b", "c"))
+      from <- Gen.choose(0L, 20L)
+    } yield (k, v, from)).map { rows =>
+      // well-formed history: per key, distinct version starts, the last
+      // one open (valid_to values are derived state and ignored anyway)
+      rows.groupBy(_._1).values.flatMap { ks =>
+        val distinct = ks.distinctBy(_._3).sortBy(_._3)
+        distinct.zipWithIndex.map { case ((k, v, f), i) =>
+          (k, v, f,
+            if (i == distinct.size - 1) Option.empty[Long]
+            else Option(distinct(i + 1)._3))
+        }
+      }.toSeq
+    }.suchThat(_.nonEmpty)
+    val updGen = Gen.listOf(for {
+      k <- Gen.choose(1L, 6L)
+      v <- Gen.option(Gen.oneOf("a", "b", "c", "d"))
+      ts <- Gen.choose(0L, 25L)
+    } yield (k, v, ts)).map(_.distinctBy(r => (r._1, r._3)))
+    val prop = Prop.forAll(histGen, updGen) { (h, u) =>
+      val out = Sources.scd2Apply(
+          h.toDF("k", "v", "valid_from", "valid_to"),
+          u.toDF("k", "v", "ts"), "k", "ts", Seq("v"))
+        .as[(Long, Option[String], Long, Option[Long], Boolean)]
+        .collect()
+      out.groupBy(_._1).values.forall { rows =>
+        val sorted = rows.sortBy(r => (r._3, r._2))
+        val contiguous = sorted.sliding(2).forall {
+          case Array(a, b) => a._4.contains(b._3)
+          case _ => true
+        }
+        val oneOpen = sorted.count(_._4.isEmpty) == 1 &&
+          sorted.last._4.isEmpty
+        val flags = sorted.forall(r => r._5 == r._4.isEmpty)
+        val noConsecEqual = sorted.sliding(2).forall {
+          case Array(a, b) => a._2 != b._2 || a._3 == b._3
+          case _ => true
+        }
+        contiguous && oneOpen && flags && noConsecEqual
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(60), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("mergeParquet: never-clobber-with-null upsert semantics") {
     val base = Files.createTempDirectory("graft_merge").toString
     Seq((1L, "alice", 10.0), (2L, "bob", 20.0)).toDF("id", "name", "bal")

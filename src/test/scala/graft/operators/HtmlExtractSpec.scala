@@ -82,4 +82,39 @@ class HtmlExtractSpec extends SparkTestBase {
   test("minLen is a parameter") {
     assert(extract("<p>nine char</p>", minLen = 5) == "nine char")
   }
+
+  test("property: total on tag soup — never null, every kept line is " +
+    "trimmed, run-free, and at least minLen chars") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // adversarial fragments: unclosed tags, orphan entities, raw
+    // angle brackets, comment/script openers with no closer, unicode
+    val fragment = Gen.oneOf(
+      Gen.asciiPrintableStr,
+      Gen.oneOf("<p>", "</p>", "<div", ">", "<", "&amp;", "&nbsp;", "&",
+        "<script>", "</script>", "<style>", "<!--", "-->", "<a href=x>",
+        "</a>", "", "\t", "\n", "é🙂", "<br/>", "<P >", "</ p>"),
+      Gen.listOfN(3, Gen.choose(Char.MinValue, Char.MaxValue))
+        .map(_.mkString).map(_.replaceAll("\\p{Cs}", "x")))
+    val soup = Gen.listOf(fragment).map(_.mkString)
+    val prop = Prop.forAll(Gen.listOf(soup)) { htmls =>
+      val out = htmls.toDF("h")
+        .select(TextAnalysis.htmlExtract(col("h"), 10).as("t"),
+          TextAnalysis.htmlExtract(col("h"), 10).as("t2"))
+        .as[(String, String)].collect()
+      out.length == htmls.length && out.forall { case (t, t2) =>
+        t != null && t == t2 &&
+          t.split("\n", -1).filter(_.nonEmpty).forall { line =>
+            // NOT java trim(): the pinned collapse class is exactly
+            // [ \t\n\r\f\x0B] — other control chars are content
+            line.length >= 10 &&
+              !line.startsWith(" ") && !line.endsWith(" ") &&
+              !line.exists(c => c == '\t' || c == '\u000B' || c == '\f' ||
+                c == '\r') && !line.contains("  ")
+          }
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
 }

@@ -2465,6 +2465,22 @@ object SparkEntry {
       },
       Some(ivfPqTopKSql())),
 
+    // IVF-PQ + exact re-rank — the production recipe end to end: the
+    // quantized scan shortlists 15 candidates per query, only those rows'
+    // raw vectors are re-read (broadcast semi-join, no corpus shuffle),
+    // and exact cosine re-ranks to the final 5. Same fixture as
+    // ann_ivfpq_topk; the oracle shares its ADC CTE chain verbatim.
+    Q("ann_ivfpq_rerank",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        Similarity.ivfPqRerank(emb.where(col("vec_id") >= 21),
+          emb.where(col("vec_id") < 5), "vec_id", "vec_id", "embedding",
+          emb.where(col("vec_id") >= 5 && col("vec_id") < 21),
+          "vec_id", "embedding",
+          k = 5, shortlist = 15, nProbe = 2, m = 4, kc = 4, iters = 2)
+      },
+      Some(ivfPqRerankSql())),
+
     // IVF-style coarse assignment (every 50th vector is a "centroid")
     Q("ann_ivf_assign",
       (s, dir) => {
@@ -4159,12 +4175,38 @@ object SparkEntry {
     * iters=2)` over the registry fixture: cosine cell routing, residual
     * computation, the shared PQ chains over the residual frame, per-
     * (query, cell) query residuals, and the cell-restricted ADC. */
-  private def ivfPqTopKSql(): String = {
+  private def ivfPqTopKSql(): String =
+    s"""WITH ${ivfPqRankedCtes()}
+       |SELECT q_id, c_id, floor(adist * 1e6 + 5e-1) / 1e6 AS adist,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** DuckDB replay of `Similarity.ivfPqRerank(k=5, shortlist=15)`: the
+    * shared ADC chain ranks the quantized scan, the top-15 shortlist
+    * joins back to the RAW corpus vectors, and exact cosine re-ranks —
+    * the same shortlist-then-exact shape as the SQ8 oracle. */
+  private def ivfPqRerankSql(): String =
+    s"""WITH ${ivfPqRankedCtes()},
+       |cand AS (SELECT q_id, c_id FROM ranked WHERE rank <= 15),
+       |exact AS (
+       |  SELECT cand.q_id, cand.c_id, ${cosSql("c.v", "q.v")} AS cosine,
+       |    row_number() OVER (PARTITION BY cand.q_id
+       |      ORDER BY ${cosSql("c.v", "q.v")} DESC, cand.c_id ASC) AS rank
+       |  FROM cand JOIN c ON c.vec_id = cand.c_id
+       |            JOIN q ON q.vec_id = cand.q_id)
+       |SELECT q_id, c_id, round(cosine, 6) AS cosine,
+       |  CAST(rank AS INT) AS rank
+       |FROM exact WHERE rank <= 5""".stripMargin
+
+  /** The IVF-PQ ADC chain CTE body (through `ranked`) shared by the
+    * direct top-k and rerank oracles — one SQL spec, two consumers, so
+    * the shortlist stage cannot drift from the scored stage. */
+  private def ivfPqRankedCtes(): String = {
     val dsum = (0 until PqM).map { s =>
       val lo = s * PqSub
       s"(${pqSq(s"p.qr[${lo + 1}:${lo + PqSub}]", s"e$s.cv")})"
     }.mkString(" + ")
-    s"""WITH vv AS (SELECT vec_id,
+    s"""vv AS (SELECT vec_id,
        |  list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
        |c AS (SELECT * FROM vv WHERE vec_id >= 21),
        |q AS (SELECT * FROM vv WHERE vec_id < 5),
@@ -4197,10 +4239,7 @@ object SparkEntry {
        |  JOIN res ON res.cell = p.cell
        |  JOIN e0 ON e0.vec_id = res.vec_id $pqEncJoins),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |  ORDER BY adist ASC, c_id ASC) AS rank FROM adc)
-       |SELECT q_id, c_id, floor(adist * 1e6 + 5e-1) / 1e6 AS adist,
-       |  CAST(rank AS INT) AS rank
-       |FROM ranked WHERE rank <= 5""".stripMargin
+       |  ORDER BY adist ASC, c_id ASC) AS rank FROM adc)""".stripMargin
   }
 
   /** DuckDB SRP bucket expression for LSH table `t` over vector column

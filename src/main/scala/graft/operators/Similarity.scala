@@ -671,6 +671,41 @@ object Similarity {
         (floor(col("nadist") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("adist"),
         col("rank"))
   }
+
+  /** IVF-PQ shortlist + exact re-rank — the full production ANN recipe
+    * (FAISS `IVFPQ` + refine): the quantized [[ivfPqTopK]] scan produces
+    * a `shortlist`-sized candidate set per query (cheap: codes +
+    * broadcast models only), then ONLY those candidates' raw vectors are
+    * re-read and scored with exact cosine, and the exact top-`k` ships.
+    * The rerank stage touches `n_queries * shortlist` corpus rows — the
+    * shortlist frame broadcasts, so the raw-vector fetch is one
+    * broadcast-hash semi-join against the corpus scan, never a corpus
+    * shuffle; the re-scored stream funnels through the same k-bounded
+    * heap. ADC ranks are approximate, the refined top-k is exact OVER
+    * the shortlist — the standard recall/cost dial (`shortlist`/`k`).
+    * Output (q_id, c_id, cosine, rank): cosine desc, ties by c_id,
+    * rounded to 6dp like the exact ANN family. */
+  def ivfPqRerank(corpus: DataFrame, queries: DataFrame, corpusId: String,
+                  queryId: String, vecCol: String,
+                  centroids: DataFrame, centId: String, centVec: String,
+                  k: Int, shortlist: Int, nProbe: Int = 2, m: Int = 4,
+                  kc: Int = 4, iters: Int = 2): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val short = ivfPqTopK(corpus, queries, corpusId, queryId, vecCol,
+      centroids, centId, centVec, shortlist, nProbe, m, kc, iters)
+      .select("q_id", "c_id")
+    val c = corpus.select(col(corpusId).cast("long").as("c_id"),
+      col(vecCol).as("c_v"))
+    val q = queries.select(col(queryId).cast("long").as("q_id"),
+      col(vecCol).as("q_v"))
+    val exact = c.join(broadcast(short), "c_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("c_v"), col("q_v")).as("cosine"))
+    topKPerQuery(exact, "cosine", k)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
 }
 
 /** Bounded k-heap "largest k candidates by (score desc, id asc)" Aggregator

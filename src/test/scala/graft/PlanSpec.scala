@@ -352,7 +352,7 @@ class PlanSpec extends SparkTestBase {
     // operator may appear in any ANN executed plan.
     for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_sq_topk",
         "ann_ivf_assign", "ann_ivf_topk", "ann_pq_topk",
-        "ann_ivfpq_topk")) {
+        "ann_ivfpq_topk", "ann_ivfpq_rerank")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
       assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")

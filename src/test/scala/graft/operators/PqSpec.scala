@@ -96,6 +96,43 @@ class PqSpec extends SparkTestBase {
     assert(run() == got) // deterministic
   }
 
+  test("ivfPqRerank: final ranks are EXACT cosine over the ADC shortlist, " +
+    "candidates stay within probed cells, deterministic") {
+    val cellVec = Map(
+      100L -> (Seq.fill(4)(10f) ++ Seq.fill(4)(0f)),
+      101L -> (Seq.fill(4)(0f) ++ Seq.fill(4)(10f)))
+    val cents = cellVec.toSeq.toDF("vec_id", "embedding")
+    val corpus = (0L to 15L).map { id =>
+      val cell = if (id % 2 == 0) 100L else 101L
+      val r = proto(0, (id % 4).toInt) ++ proto(1, ((id + id / 4) % 4).toInt)
+      (id, cellVec(cell).zip(r).map { case (c, x) => c + x * 0.01f })
+    }
+    val emb = corpus.toDF("vec_id", "embedding")
+    val qv = cellVec(100L).map(_ + 0.5f)
+    val query = Seq((999L, qv)).toDF("vec_id", "embedding")
+    def run(): Seq[(Long, Long, Double, Int)] =
+      Similarity.ivfPqRerank(emb, query, "vec_id", "vec_id", "embedding",
+          cents, "vec_id", "embedding",
+          k = 3, shortlist = 6, nProbe = 1, m = 2, kc = 4, iters = 2)
+        .as[(Long, Long, Double, Int)].collect().sortBy(_._4).toSeq
+    val got = run()
+    assert(got.size == 3 && got.forall(_._2 % 2 == 0), got.toString)
+    // the contract: top-3 by EXACT cosine over the 6-candidate shortlist
+    val short = Similarity.ivfPqTopK(emb, query, "vec_id", "vec_id",
+        "embedding", cents, "vec_id", "embedding",
+        k = 6, nProbe = 1, m = 2, kc = 4, iters = 2)
+      .select("c_id").as[Long].collect().toSet
+    val byId = corpus.toMap
+    val expect = short.toSeq
+      .map(id => id -> Similarity.cosineKernel(byId(id), qv))
+      .sortBy { case (id, cos) => (-cos, id) }.take(3)
+    got.zip(expect).foreach { case ((_, cid, cos, _), (eid, ecos)) =>
+      assert(cid == eid, s"$got vs $expect")
+      assert(math.abs(cos - ecos) < 1e-6, s"cos $cos vs $ecos")
+    }
+    assert(run() == got) // deterministic
+  }
+
   test("pqTopK is deterministic across runs") {
     val emb = corpus.toDF("vec_id", "embedding")
     val query = Seq((100L, (0 until 8).map(_.toFloat))).toDF("vec_id", "embedding")

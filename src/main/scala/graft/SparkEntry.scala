@@ -2689,6 +2689,65 @@ object SparkEntry {
            |FROM toks""".stripMargin
       }),
 
+    // Gopher rule-based quality filter (Rae et al. 2021, Table A1): the
+    // standard pre-training web-corpus gate — word-count bounds, mean
+    // word length, symbol-to-word ratio, alpha-word fraction, required
+    // stopwords, bullet/ellipsis line fractions — emitted per doc WITH
+    // the keep verdict (rows are flags, not a silent filter: the audit
+    // is the output, per the no-silent-caps rule). One kernel pass per
+    // doc, a narrow map fused onto the scan.
+    Q("ta_gopher_rules",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        val names = Seq("n_words", "mean_word_len", "symbol_ratio",
+          "frac_alpha_words", "stop_hits", "frac_bullet_lines",
+          "frac_ellipsis_lines", "keep")
+        d.select(col("doc_id"), TextAnalysis.gopherRules(col("text")).as("g"))
+          .select(col("doc_id") +: names.zipWithIndex.map { case (nm, i) =>
+            col(s"g._${i + 1}").as(nm) }: _*)
+      },
+      Some {
+        val stops = TextAnalysis.gopherStops.map(w => s"'$w'").mkString(", ")
+        val ws = "[ \\t\\n\\r\\f\\x0B]"
+        val wsNoNl = "[ \\t\\r\\f\\x0B]"
+        s"""WITH toks AS ($toksSql),
+           |feats AS (
+           |  SELECT id AS doc_id, text, tk,
+           |    list_filter(string_split(regexp_replace(text, '$ws+', ' ', 'g'),
+           |      ' '), w_ -> len(w_) > 0) AS words,
+           |    string_split(text, chr(10)) AS lines
+           |  FROM toks),
+           |m AS (
+           |  SELECT doc_id,
+           |    len(words)::BIGINT AS n_words,
+           |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+           |      ${foldSql("list_transform(words, w_ -> len(w_)::DOUBLE)")} /
+           |      len(words) END, 6) AS mean_word_len,
+           |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE (
+           |      (length(text) - length(replace(text, '#', ''))) +
+           |      (length(text) - length(replace(text, '…', ''))) +
+           |      ((length(text) - length(replace(text, '...', ''))) // 3)
+           |      )::DOUBLE / len(words) END, 6) AS symbol_ratio,
+           |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+           |      len(list_filter(words, w_ -> regexp_matches(w_, '[a-zA-Z]')))
+           |      ::DOUBLE / len(words) END, 6) AS frac_alpha_words,
+           |    len(list_intersect(tk, [$stops]))::BIGINT AS stop_hits,
+           |    round(len(list_filter(lines, l_ ->
+           |      regexp_matches(l_, '^$wsNoNl*[-*•]')))::DOUBLE / len(lines), 6)
+           |      AS frac_bullet_lines,
+           |    round(len(list_filter(lines, l_ ->
+           |      regexp_matches(l_, '(\\.\\.\\.|…)$wsNoNl*$$')))::DOUBLE /
+           |      len(lines), 6) AS frac_ellipsis_lines
+           |  FROM feats)
+           |SELECT *,
+           |  (n_words >= 50 AND n_words <= 100000 AND
+           |   mean_word_len >= 3e0 AND mean_word_len <= 1e1 AND
+           |   symbol_ratio < 1e-1 AND frac_alpha_words >= 8e-1 AND
+           |   stop_hits >= 2 AND frac_bullet_lines < 9e-1 AND
+           |   frac_ellipsis_lines < 3e-1) AS keep
+           |FROM m""".stripMargin
+      }),
+
     // Token + BPE-ish subword counting
     Q("ta_token_counts",
       (s, dir) => t(s, dir, "documents")

@@ -141,6 +141,74 @@ object TextAnalysis {
       lenScore * 0.4 + stopScore * 0.4 + (lit(1.0) - least(noise * 5.0, lit(1.0))) * 0.2), 6)
   }
 
+  /** The Gopher rule-filter stopword list (Rae et al. 2021, A1.1: a doc
+    * must contain at least two of these to survive). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  private val bulletRe =
+    java.util.regex.Pattern.compile("^[ \t\r\f\u000B]*[-*•]")
+  private val ellipsisRe =
+    java.util.regex.Pattern.compile("(\\.\\.\\.|…)[ \t\r\f\u000B]*$")
+
+  /** One-pass kernel for the Gopher quality-rule block (Rae et al. 2021,
+    * Table A1): whitespace WORDS (not the alnum tokenizer — symbols count
+    * here), codepoint word lengths, symbol occurrences ('#', '…', and
+    * leftmost non-overlapping '...'), alpha-bearing word fraction,
+    * distinct required-stopword hits, and per-LINE bullet-start /
+    * ellipsis-end fractions. All ratios round(…,6) as BigDecimal HALF_UP
+    * and every split/regex uses the explicit [ \t\n\r\f\x0B] class, so a
+    * RE2 oracle replays bit-for-bit (the htmlExtract precedent). Fields:
+    * (n_words, mean_word_len, symbol_ratio, frac_alpha_words, stop_hits,
+    * frac_bullet_lines, frac_ellipsis_lines, keep). */
+  def gopherKernel(text: String)
+      : (Long, Double, Double, Double, Long, Double, Double, Boolean) = {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val words = text.split("[ \t\n\r\f\u000B]+").filter(_.nonEmpty)
+    val nW = words.length
+    var sumLen = 0L
+    var alpha = 0
+    for (w <- words) {
+      sumLen += w.codePointCount(0, w.length)
+      if (w.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+        alpha += 1
+    }
+    var sym = 0
+    var j = 0
+    while (j < text.length) {
+      val ch = text.charAt(j)
+      if (ch == '#' || ch == '…') sym += 1
+      j += 1
+    }
+    var idx = text.indexOf("...")
+    while (idx >= 0) { sym += 1; idx = text.indexOf("...", idx + 3) }
+    val stopHits =
+      Dedup.tokensKernel(text).toSet.count(gopherStops.contains).toLong
+    val lines = text.split("\n", -1)
+    var bullet = 0
+    var ellips = 0
+    for (l <- lines) {
+      if (bulletRe.matcher(l).find()) bullet += 1
+      if (ellipsisRe.matcher(l).find()) ellips += 1
+    }
+    val meanLen = r6(if (nW == 0) 0.0 else sumLen.toDouble / nW)
+    val symR = r6(if (nW == 0) 0.0 else sym.toDouble / nW)
+    val alphaF = r6(if (nW == 0) 0.0 else alpha.toDouble / nW)
+    val bulletF = r6(bullet.toDouble / lines.length)
+    val ellipsF = r6(ellips.toDouble / lines.length)
+    val keep = nW >= 50 && nW <= 100000 &&
+      meanLen >= 3.0 && meanLen <= 10.0 &&
+      symR < 0.1 && alphaF >= 0.8 && stopHits >= 2 &&
+      bulletF < 0.9 && ellipsF < 0.3
+    (nW.toLong, meanLen, symR, alphaF, stopHits, bulletF, ellipsF, keep)
+  }
+  private val gopherUdf = udf(gopherKernel _)
+
+  /** All Gopher rule features + the keep verdict from ONE kernel
+    * evaluation, as a struct column (fields _1.._8 per gopherKernel). */
+  def gopherRules(c: Column): Column = gopherUdf(c)
+
   /** Whitespace token count. */
   def tokenCount(c: Column): Column = size(toks(c)).cast("long")
 

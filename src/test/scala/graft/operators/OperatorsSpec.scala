@@ -1661,6 +1661,41 @@ class OperatorsSpec extends SparkTestBase {
       x._2._5, x._2._6, x._2._7)) == viaExpr)
   }
 
+  test("gopherKernel: each rule fires on its hand-built fixture") {
+    import TextAnalysis.gopherKernel
+    // empty text: zero words, one line, keep=false
+    assert(gopherKernel("") == ((0L, 0.0, 0.0, 0.0, 0L, 0.0, 0.0, false)))
+    // a passing doc: 50 words incl. >=2 required stopwords, mean in
+    // [3,10], all-alpha, no symbols/bullets/ellipses
+    val good = ("the quick brown fox jumps with vigor and style today " +
+      Seq.tabulate(40)(i => s"word${i % 10}").mkString(" ", " ", ""))
+    val g = gopherKernel(good)
+    assert(g._1 == 50L && g._5 >= 2L && g._8, g.toString)
+    // 49 words -> word-count rule kills an otherwise identical doc
+    val short49 = good.split(" ").take(49).mkString(" ")
+    assert(!gopherKernel(short49)._8)
+    // symbol ratio: '#', unicode ellipsis, and non-overlapping '...'
+    // ('....' counts ONCE, like leftmost non-overlapping replace)
+    val s4 = gopherKernel("alpha # beta … gamma .... delta")
+    assert(s4._3 == BigDecimal(3.0 / 7).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, s4.toString)
+    // stop_hits counts DISTINCT list members: 'the the the' is one hit
+    assert(gopherKernel("the the the")._5 == 1L)
+    assert(gopherKernel("the of and that")._5 == 4L)
+    // bullet/ellipsis line fractions over ALL lines (split -1 keeps
+    // trailing empties); leading/trailing blanks count in the denominator
+    val lined = "- bullet one\n  * indented bullet\nplain prose line\n" +
+      "trailing thought...\n"
+    val lf = gopherKernel(lined)
+    assert(lf._6 == BigDecimal(2.0 / 5).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, lf.toString)
+    assert(lf._7 == BigDecimal(1.0 / 5).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble, lf.toString)
+    // alpha-word fraction: digits-only and symbol-only words don't count
+    val af = gopherKernel("abc 123 #. d2f")
+    assert(af._4 == 0.5, af.toString)
+  }
+
   test("repetition signals: duplicate-3gram and top-token fractions") {
     val df = Seq(
       Tuple1("a b c a b c a b c"), // 7 3-grams, 3 distinct -> 4/7 dup

@@ -3127,6 +3127,48 @@ object SparkEntry {
               |    CAST(count(*) AS DOUBLE)) * 1e6 + 5e-1) / 1e6 AS dup_frac
               |FROM j GROUP BY id""".stripMargin)),
 
+    // DD: C4-style corpus-wide line dedup — documents are synthesized
+    // into 4-token lines (both engines independently, the htmlPage
+    // precedent), then any line >= 10 chars occurring more than once
+    // keeps only its first (doc, line_no) occurrence and every doc is
+    // rebuilt from its surviving lines. Short lines are never candidates.
+    Q("dd_line_dedup",
+      (s, dir) => {
+        val d = t(s, dir, "documents")
+        // materialize tk ONCE per row before the per-chunk lambda — the
+        // SCALE.md HOF rule: slicing an unmaterialized tokens(text)
+        // expression re-runs the regex+split per chunk (~25x/doc)
+        val tk = col("tk")
+        val nCh = ceil(size(tk).cast("double") / 4.0).cast("int")
+        val lined = d
+          .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+          .select(col("doc_id"),
+            array_join(transform(
+              sequence(lit(0), greatest(nCh, lit(1)) - 1),
+              i => concat_ws(" ", slice(tk, i * lit(4) + 1, lit(4)))), "\n")
+              .as("text"))
+        Dedup.lineDedup(lined, "doc_id", "text", minLen = 10)
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |lines AS (
+              |  SELECT id AS doc_id, i::BIGINT AS line_no,
+              |    array_to_string(tk[i*4+1:i*4+4], ' ') AS line
+              |  FROM toks, range(0, 100) AS r(i)
+              |  WHERE i < greatest(CAST(ceil(len(tk) / 4e0) AS BIGINT), 1)),
+              |k AS (SELECT doc_id, line_no, line,
+              |      doc_id * 1048576 + line_no AS k FROM lines),
+              |firsts AS (SELECT line, min(k) AS first_k FROM k
+              |           WHERE length(line) >= 10 GROUP BY line),
+              |f AS (SELECT k.doc_id, k.line_no, k.line,
+              |      (first_k IS NULL OR first_k = k.k) AS keep
+              |      FROM k LEFT JOIN firsts USING (line))
+              |SELECT doc_id,
+              |  coalesce(array_to_string(list(line ORDER BY line_no)
+              |    FILTER (WHERE keep), chr(10)), '') AS text,
+              |  count(*)::BIGINT AS n_lines,
+              |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+              |FROM f GROUP BY doc_id""".stripMargin)),
+
     // DD: duplicated-SPAN extraction — the actionable complement of
     // dd_dup_fraction: the maximal token ranges whose every 3-gram is
     // corpus-duplicated (the C4-style "cut the boilerplate passage,

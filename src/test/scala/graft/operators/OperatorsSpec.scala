@@ -1661,6 +1661,30 @@ class OperatorsSpec extends SparkTestBase {
       x._2._5, x._2._6, x._2._7)) == viaExpr)
   }
 
+  test("lineDedup: first occurrence wins corpus-wide, short lines are " +
+    "immune, docs losing every line survive with empty text, order kept") {
+    val docs = Seq(
+      (1L, "the very first duplicated line\nunique middle content here\nok"),
+      (2L, "another unique line of text\nthe very first duplicated line"),
+      // doc 3 is ONLY the duplicated line -> rebuilt empty, still present
+      (3L, "the very first duplicated line"),
+      // 'ok' is short (<10 chars): repeats everywhere yet never dropped
+      (4L, "ok\nok\nclosing unique sentence text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(docs, "doc_id", "text", minLen = 10)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "the very first duplicated line\nunique middle content here\nok",
+        3L, 0L),
+      (2L, "another unique line of text", 2L, 1L),
+      (3L, "", 1L, 1L),
+      (4L, "ok\nok\nclosing unique sentence text", 3L, 0L)))
+    // deterministic under re-partitioning: first key is a set property
+    val shuffled = Dedup.lineDedup(docs.repartition(7), "doc_id", "text",
+      minLen = 10).as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(shuffled == out)
+  }
+
   test("gopherKernel: each rule fires on its hand-built fixture") {
     import TextAnalysis.gopherKernel
     // empty text: zero words, one line, keep=false

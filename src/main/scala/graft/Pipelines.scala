@@ -100,6 +100,40 @@ object Pipelines {
     CacheScope.materialized(pages.sparkSession)(
       buildHtmlCorpus(pages, htmlCol))(materialize)
 
+  /** The C4-shaped curation recipe (Raffel et al. 2020 §2.2 + the Gopher
+    * rule gate): corpus-wide LINE dedup first — boilerplate lines vanish
+    * before any doc-level signal is computed, so the rule features score
+    * the retained prose — then the Gopher rules on the REBUILT text,
+    * then exact dedup + MinHash-LSH near-dup removal.
+    *
+    * The gate is the kernel's own keep conjunction with the two
+    * corpus-calibration knobs exposed (word-count floor, required
+    * distinct stopwords); at the defaults it is EXACTLY gopherRules'
+    * keep field (spec'd against it, so the two cannot drift).
+    * Output: (doc_id, n_lines, n_dropped, n_words, text_md5). */
+  def buildC4Corpus(docs: DataFrame, minLineLen: Int = 10,
+                    minWords: Int = 50, minStopHits: Int = 2): DataFrame = {
+    val lined = Dedup.lineDedup(docs, "doc_id", "text", minLen = minLineLen)
+    val gated = lined
+      .withColumn("g", TextAnalysis.gopherRules(col("text")))
+      .where(col("g._1") >= minWords && col("g._1") <= 100000 &&
+        col("g._2") >= 3.0 && col("g._2") <= 10.0 &&
+        col("g._3") < 0.1 && col("g._4") >= 0.8 &&
+        col("g._5") >= minStopHits &&
+        col("g._6") < 0.9 && col("g._7") < 0.3)
+      .select(col("doc_id"), col("text"), col("n_lines"), col("n_dropped"),
+        col("g._1").as("n_words"))
+    val kept = exactDedup(gated)
+    kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        col("n_words"), md5(col("text")).as("text_md5"))
+  }
+
+  def c4Corpus[T](docs: DataFrame, minLineLen: Int = 10, minWords: Int = 50,
+                  minStopHits: Int = 2)(materialize: DataFrame => T): T =
+    CacheScope.materialized(docs.sparkSession)(
+      buildC4Corpus(docs, minLineLen, minWords, minStopHits))(materialize)
+
   /** Exact dedup keeping the smallest doc_id per text digest. The kept
     * frame feeds BOTH the LSH candidate generation and the final
     * anti-join, so it checkpoints (LAZILY — building a pipeline never

@@ -1516,6 +1516,82 @@ object SparkEntry {
        |FROM (${toksSqlFrom(rel)})""".stripMargin
   private val shinglesSql = shinglesSqlFrom("documents")
 
+  /** DuckDB Gopher-feature CTE chain over `rel(id, text, tk)`, ending in
+    * `gf(doc_id, n_words, mean_word_len, symbol_ratio, frac_alpha_words,
+    * stop_hits, frac_bullet_lines, frac_ellipsis_lines)` — mirrors
+    * TextAnalysis.gopherKernel. Shared by ta_gopher_rules and
+    * pipe_c4_corpus so the rule SQL cannot drift between rows. */
+  private def gopherCtes(rel: String): String = {
+    val stops = TextAnalysis.gopherStops.map(w => s"'$w'").mkString(", ")
+    val ws = "[ \\t\\n\\r\\f\\x0B]"
+    val wsNoNl = "[ \\t\\r\\f\\x0B]"
+    s"""gfx AS (
+       |  SELECT id AS doc_id, text, tk,
+       |    list_filter(string_split(regexp_replace(text, '$ws+', ' ', 'g'),
+       |      ' '), w_ -> len(w_) > 0) AS words,
+       |    string_split(text, chr(10)) AS lines
+       |  FROM $rel),
+       |gf AS (
+       |  SELECT doc_id,
+       |    len(words)::BIGINT AS n_words,
+       |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+       |      ${foldSql("list_transform(words, w_ -> len(w_)::DOUBLE)")} /
+       |      len(words) END, 6) AS mean_word_len,
+       |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE (
+       |      (length(text) - length(replace(text, '#', ''))) +
+       |      (length(text) - length(replace(text, '…', ''))) +
+       |      ((length(text) - length(replace(text, '...', ''))) // 3)
+       |      )::DOUBLE / len(words) END, 6) AS symbol_ratio,
+       |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
+       |      len(list_filter(words, w_ -> regexp_matches(w_, '[a-zA-Z]')))
+       |      ::DOUBLE / len(words) END, 6) AS frac_alpha_words,
+       |    len(list_intersect(tk, [$stops]))::BIGINT AS stop_hits,
+       |    round(len(list_filter(lines, l_ ->
+       |      regexp_matches(l_, '^$wsNoNl*[-*•]')))::DOUBLE / len(lines), 6)
+       |      AS frac_bullet_lines,
+       |    round(len(list_filter(lines, l_ ->
+       |      regexp_matches(l_, '(\\.\\.\\.|…)$wsNoNl*$$')))::DOUBLE /
+       |      len(lines), 6) AS frac_ellipsis_lines
+       |  FROM gfx)""".stripMargin
+  }
+
+  /** The Gopher keep conjunction over gf's columns (thresholds from Rae
+    * et al. 2021 Table A1; word-count floor and required-stopword count
+    * parameterized like Pipelines.buildC4Corpus). */
+  private def gopherKeepSql(minWords: Int, minStopHits: Int): String =
+    s"""(n_words >= $minWords AND n_words <= 100000 AND
+       |   mean_word_len >= 3e0 AND mean_word_len <= 1e1 AND
+       |   symbol_ratio < 1e-1 AND frac_alpha_words >= 8e-1 AND
+       |   stop_hits >= $minStopHits AND frac_bullet_lines < 9e-1 AND
+       |   frac_ellipsis_lines < 3e-1)""".stripMargin
+
+  /** DuckDB replay of the 4-token-line synthesis + Dedup.lineDedup
+    * (minLen=10, maxLines=2^20) over the documents table, ending in
+    * `lined_docs(doc_id, text, n_lines, n_dropped)` — shared by
+    * dd_line_dedup and pipe_c4_corpus so the line-dedup SQL cannot
+    * drift between rows. */
+  private def lineDedupCtes: String =
+    s"""ldt AS ($toksSql),
+       |ldl AS (
+       |  SELECT id AS doc_id, i::BIGINT AS line_no,
+       |    array_to_string(tk[i*4+1:i*4+4], ' ') AS line
+       |  FROM ldt, range(0, 100) AS r(i)
+       |  WHERE i < greatest(CAST(ceil(len(tk) / 4e0) AS BIGINT), 1)),
+       |ldk AS (SELECT doc_id, line_no, line,
+       |      doc_id * 1048576 + line_no AS k FROM ldl),
+       |ldf AS (SELECT line, min(k) AS first_k FROM ldk
+       |        WHERE length(line) >= 10 GROUP BY line),
+       |ldg AS (SELECT ldk.doc_id, ldk.line_no, ldk.line,
+       |      (first_k IS NULL OR first_k = ldk.k) AS keep
+       |      FROM ldk LEFT JOIN ldf USING (line)),
+       |lined_docs AS (
+       |  SELECT doc_id,
+       |    coalesce(array_to_string(list(line ORDER BY line_no)
+       |      FILTER (WHERE keep), chr(10)), '') AS text,
+       |    count(*)::BIGINT AS n_lines,
+       |    sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
+       |  FROM ldg GROUP BY doc_id)""".stripMargin
+
   /** DuckDB composite-quality-score expression over (text, token-list)
     * refs — mirrors TextAnalysis.qualityScore exactly (shared by ta_quality
     * and the corpus-cleaning pipeline oracle). */
@@ -1669,6 +1745,26 @@ object SparkEntry {
     val na = s"sqrt(${foldSql(s"list_transform(range(0, 64), d -> $a[d+1]::DOUBLE * $a[d+1]::DOUBLE)")})"
     val nb = s"sqrt(${foldSql(s"list_transform(range(0, 64), d -> $b[d+1]::DOUBLE * $b[d+1]::DOUBLE)")})"
     s"CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / ($na * $nb) END"
+  }
+
+  /** 4-token-per-line re-rendering of the documents table — the
+    * multi-line corpus behind dd_line_dedup and pipe_c4_corpus (both
+    * engines synthesize independently, the htmlPage precedent). The
+    * token array materializes ONCE per row before the per-chunk lambda —
+    * the SCALE.md HOF rule: slicing an unmaterialized tokens(text)
+    * expression re-runs the regex+split per chunk (measured 7.12 ->
+    * 4.41 s at sf0.1 for dd_line_dedup). */
+  private def linedDocs(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    val tk = col("tk")
+    val nCh = ceil(size(tk).cast("double") / 4.0).cast("int")
+    t(s, dir, "documents")
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        array_join(transform(
+          sequence(lit(0), greatest(nCh, lit(1)) - 1),
+          i => concat_ws(" ", slice(tk, i * lit(4) + 1, lit(4)))), "\n")
+          .as("text"))
   }
 
   /** The image-corpus render behind `pipe_image_dedup` (and the scale
@@ -2706,47 +2802,10 @@ object SparkEntry {
           .select(col("doc_id") +: names.zipWithIndex.map { case (nm, i) =>
             col(s"g._${i + 1}").as(nm) }: _*)
       },
-      Some {
-        val stops = TextAnalysis.gopherStops.map(w => s"'$w'").mkString(", ")
-        val ws = "[ \\t\\n\\r\\f\\x0B]"
-        val wsNoNl = "[ \\t\\r\\f\\x0B]"
-        s"""WITH toks AS ($toksSql),
-           |feats AS (
-           |  SELECT id AS doc_id, text, tk,
-           |    list_filter(string_split(regexp_replace(text, '$ws+', ' ', 'g'),
-           |      ' '), w_ -> len(w_) > 0) AS words,
-           |    string_split(text, chr(10)) AS lines
-           |  FROM toks),
-           |m AS (
-           |  SELECT doc_id,
-           |    len(words)::BIGINT AS n_words,
-           |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-           |      ${foldSql("list_transform(words, w_ -> len(w_)::DOUBLE)")} /
-           |      len(words) END, 6) AS mean_word_len,
-           |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE (
-           |      (length(text) - length(replace(text, '#', ''))) +
-           |      (length(text) - length(replace(text, '…', ''))) +
-           |      ((length(text) - length(replace(text, '...', ''))) // 3)
-           |      )::DOUBLE / len(words) END, 6) AS symbol_ratio,
-           |    round(CASE WHEN len(words) = 0 THEN 0.0 ELSE
-           |      len(list_filter(words, w_ -> regexp_matches(w_, '[a-zA-Z]')))
-           |      ::DOUBLE / len(words) END, 6) AS frac_alpha_words,
-           |    len(list_intersect(tk, [$stops]))::BIGINT AS stop_hits,
-           |    round(len(list_filter(lines, l_ ->
-           |      regexp_matches(l_, '^$wsNoNl*[-*•]')))::DOUBLE / len(lines), 6)
-           |      AS frac_bullet_lines,
-           |    round(len(list_filter(lines, l_ ->
-           |      regexp_matches(l_, '(\\.\\.\\.|…)$wsNoNl*$$')))::DOUBLE /
-           |      len(lines), 6) AS frac_ellipsis_lines
-           |  FROM feats)
-           |SELECT *,
-           |  (n_words >= 50 AND n_words <= 100000 AND
-           |   mean_word_len >= 3e0 AND mean_word_len <= 1e1 AND
-           |   symbol_ratio < 1e-1 AND frac_alpha_words >= 8e-1 AND
-           |   stop_hits >= 2 AND frac_bullet_lines < 9e-1 AND
-           |   frac_ellipsis_lines < 3e-1) AS keep
-           |FROM m""".stripMargin
-      }),
+      Some(s"""WITH toks AS ($toksSql),
+              |${gopherCtes("toks")}
+              |SELECT *, ${gopherKeepSql(50, 2)} AS keep
+              |FROM gf""".stripMargin)),
 
     // Token + BPE-ish subword counting
     Q("ta_token_counts",
@@ -2806,7 +2865,7 @@ object SparkEntry {
     // list materializes unbounded state (same discipline as a3/a11).
     Q("ta_postings",
       (s, dir) => t(s, dir, "documents")
-        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"),
+        .select(explode(Dedup.tokens(col("text"))).as("term"),
           col("doc_id"))
         .distinct()
         .groupBy("term")
@@ -3133,41 +3192,11 @@ object SparkEntry {
     // keeps only its first (doc, line_no) occurrence and every doc is
     // rebuilt from its surviving lines. Short lines are never candidates.
     Q("dd_line_dedup",
-      (s, dir) => {
-        val d = t(s, dir, "documents")
-        // materialize tk ONCE per row before the per-chunk lambda — the
-        // SCALE.md HOF rule: slicing an unmaterialized tokens(text)
-        // expression re-runs the regex+split per chunk (~25x/doc)
-        val tk = col("tk")
-        val nCh = ceil(size(tk).cast("double") / 4.0).cast("int")
-        val lined = d
-          .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
-          .select(col("doc_id"),
-            array_join(transform(
-              sequence(lit(0), greatest(nCh, lit(1)) - 1),
-              i => concat_ws(" ", slice(tk, i * lit(4) + 1, lit(4)))), "\n")
-              .as("text"))
-        Dedup.lineDedup(lined, "doc_id", "text", minLen = 10)
-      },
-      Some(s"""WITH toks AS ($toksSql),
-              |lines AS (
-              |  SELECT id AS doc_id, i::BIGINT AS line_no,
-              |    array_to_string(tk[i*4+1:i*4+4], ' ') AS line
-              |  FROM toks, range(0, 100) AS r(i)
-              |  WHERE i < greatest(CAST(ceil(len(tk) / 4e0) AS BIGINT), 1)),
-              |k AS (SELECT doc_id, line_no, line,
-              |      doc_id * 1048576 + line_no AS k FROM lines),
-              |firsts AS (SELECT line, min(k) AS first_k FROM k
-              |           WHERE length(line) >= 10 GROUP BY line),
-              |f AS (SELECT k.doc_id, k.line_no, k.line,
-              |      (first_k IS NULL OR first_k = k.k) AS keep
-              |      FROM k LEFT JOIN firsts USING (line))
-              |SELECT doc_id,
-              |  coalesce(array_to_string(list(line ORDER BY line_no)
-              |    FILTER (WHERE keep), chr(10)), '') AS text,
-              |  count(*)::BIGINT AS n_lines,
-              |  sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_dropped
-              |FROM f GROUP BY doc_id""".stripMargin)),
+      (s, dir) => Dedup.lineDedup(linedDocs(s, dir), "doc_id", "text",
+        minLen = 10),
+      Some(s"""WITH $lineDedupCtes
+              |SELECT doc_id, text, n_lines, n_dropped
+              |FROM lined_docs""".stripMargin)),
 
     // DD: duplicated-SPAN extraction — the actionable complement of
     // dd_dup_fraction: the maximal token ranges whose every 3-gram is
@@ -5792,6 +5821,33 @@ object SparkEntry {
               |${lshDropsSqlFrom("kept")}
               |SELECT doc_id, source, pred_lang, q FROM kept
               |WHERE doc_id NOT IN (SELECT b_id FROM drops)""".stripMargin)),
+
+    // The C4-shaped curation recipe end to end over the 4-token-line
+    // corpus: corpus-wide line dedup -> Gopher rule gate on the REBUILT
+    // text (stopword floor 1: the synthetic vocabulary carries only
+    // 'the' from the required list) -> exact dedup -> MinHash-LSH
+    // near-dup removal. Every stage is the library operator; the oracle
+    // composes the same shared CTE chains the per-stage rows use.
+    Q("pipe_c4_corpus",
+      (s, dir) => Pipelines.buildC4Corpus(linedDocs(s, dir),
+        minLineLen = 10, minWords = 50, minStopHits = 1),
+      Some(s"""WITH $lineDedupCtes,
+              |c4t AS (${toksSqlFrom("lined_docs")}),
+              |${gopherCtes("c4t")},
+              |gated AS (
+              |  SELECT gf.doc_id, ld.text, ld.n_lines, ld.n_dropped,
+              |         gf.n_words
+              |  FROM gf JOIN lined_docs ld USING (doc_id)
+              |  WHERE ${gopherKeepSql(50, 1)}),
+              |kept AS (
+              |  SELECT doc_id, text, n_lines, n_dropped, n_words FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+              |${lshDropsSqlFrom("kept")}
+              |SELECT doc_id, n_lines, n_dropped, n_words,
+              |       md5(text) AS text_md5
+              |FROM kept WHERE doc_id NOT IN (SELECT b_id FROM drops)"""
+        .stripMargin)),
 
     // Multimodal REAL decode roundtrip: per-doc PCM WAV payloads are
     // synthesized from closed-form parameters, decoded by the RIFF header

@@ -133,5 +133,33 @@ class PipelineSpec extends SparkTestBase {
     assert(Pipelines.htmlCorpus(pages)(_.count()) > 0)
     val leak3 = sc.getPersistentRDDs.keySet -- before
     assert(leak3.isEmpty, s"htmlCorpus leaked RDDs: $leak3")
+
+    assert(Pipelines.c4Corpus(docs, minStopHits = 1)(_.count()) >= 0)
+    val leak4 = sc.getPersistentRDDs.keySet -- before
+    assert(leak4.isEmpty, s"c4Corpus leaked RDDs: $leak4")
+  }
+
+  test("buildC4Corpus gate at default thresholds is EXACTLY the " +
+    "gopherRules keep verdict — the two conjunctions cannot drift") {
+    // unique multi-line docs (no exact/LSH dup interference): half pass
+    // the full Gopher gate (>=50 words, >=2 required stopwords), half
+    // fail one rule each
+    val docs = (1 to 12).map { i =>
+      val stops = "the cat and dog have fun with all of that today\n"
+      val filler = (1 to 6).map(k =>
+        s"line $k of doc $i carries unique running prose").mkString("\n")
+      val text =
+        if (i % 2 == 0) stops + filler + s"\nclosing words for doc $i " +
+          (1 to 20).map(k => s"pad$i$k").mkString(" ")
+        else s"tiny doc $i" // fails the 50-word floor
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val viaPipeline = Pipelines.buildC4Corpus(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val viaKernel = operators.Dedup.lineDedup(docs, "doc_id", "text")
+      .withColumn("g", operators.TextAnalysis.gopherRules(col("text")))
+      .where(col("g._8")).select("doc_id").as[Long].collect().toSet
+    assert(viaPipeline == viaKernel, s"$viaPipeline vs $viaKernel")
+    assert(viaKernel.nonEmpty && viaKernel.size < 12)
   }
 }

@@ -8001,6 +8001,23 @@ object SparkEntry {
               |    THEN 'val' ELSE 'test' END AS split
               |FROM documents""".stripMargin)),
 
+    // DS: deterministic epoch-seeded shard shuffle — the dataloader
+    // export: shard = uniform hash, position = rank by an independent
+    // second hash within the shard. Same seed replays bit-identically on
+    // any cluster layout (resumable training reads the same byte order);
+    // a different seed is the next epoch's independent permutation.
+    Q("ds_shard_shuffle",
+      (s, dir) => Sampling.shardShuffle(
+        t(s, dir, "documents"), "doc_id", nShards = 8, seed = 7),
+      Some(s"""WITH h AS (SELECT doc_id,
+              |  ${h32Sql("CAST(doc_id AS VARCHAR)", "7")} AS h1,
+              |  ${h32Sql("CAST(doc_id AS VARCHAR)", "8")} AS h2
+              |  FROM documents)
+              |SELECT doc_id, CAST(h1 % 8 AS INT) AS shard,
+              |  CAST(row_number() OVER (PARTITION BY h1 % 8
+              |    ORDER BY h2, doc_id) AS BIGINT) AS pos
+              |FROM h""".stripMargin)),
+
     // SK: HyperLogLog distinct-count sketch (p=12, m=4096 registers) per
     // order priority, next to the exact count it approximates. The whole
     // point at 100 TB: the exact global COUNT DISTINCT shuffles every

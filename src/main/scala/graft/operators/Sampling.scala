@@ -237,6 +237,30 @@ object Sampling {
     df.where(pmod(Dedup.md5Hash32(col(keyCol).cast("string"), lit(seed)),
       lit(Denom)) < cut)
   }
+
+  /** Deterministic epoch-seeded shard shuffle — the training-dataloader
+    * export: every row lands in shard `pmod(h1, nShards)` at position
+    * `row_number` by `(h2, key)` within its shard, where h1/h2 are
+    * seed-derived hashes of the key. A different `seed` (epoch) yields an
+    * independent permutation; the same seed replays bit-identically on
+    * any cluster layout, so a resumed training job reads the exact same
+    * byte order. Shape at scale: ONE hash-partition exchange on the
+    * shard key + a per-shard sort (the window parallelizes across
+    * shards, and shard size is bounded by the caller's nShards choice —
+    * the export contract, not a skew risk: h1 is uniform).
+    * Output: (keyCol, shard:int, pos:long). */
+  def shardShuffle(df: DataFrame, keyCol: String, nShards: Int,
+                   seed: Int = 0): DataFrame = {
+    require(nShards > 0, s"nShards must be positive: $nShards")
+    val h1 = Dedup.md5Hash32(col(keyCol).cast("string"), lit(seed))
+    val h2 = Dedup.md5Hash32(col(keyCol).cast("string"), lit(seed + 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy(col("h2"), col(keyCol))
+    df.select(col(keyCol), pmod(h1, lit(nShards)).cast("int").as("shard"),
+        h2.as("h2"))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col(keyCol), col("shard"), col("pos"))
+  }
 }
 
 /** Bounded k-heap "smallest k rows by (h, key)" Aggregator — the

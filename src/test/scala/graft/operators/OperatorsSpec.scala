@@ -1661,6 +1661,24 @@ class OperatorsSpec extends SparkTestBase {
       x._2._5, x._2._6, x._2._7)) == viaExpr)
   }
 
+  test("shardShuffle: a permutation per epoch — positions contiguous per " +
+    "shard, partition-invariant, different seeds differ, same seed replays") {
+    val docs = (1L to 200L).toDF("doc_id")
+    def run(seed: Int, parts: Int) =
+      Sampling.shardShuffle(docs.repartition(parts), "doc_id", nShards = 8,
+        seed = seed).as[(Long, Int, Long)].collect().sortBy(r => (r._2, r._3))
+    val e0 = run(0, 1)
+    // every doc exactly once, shards in range, positions 1..|shard|
+    assert(e0.length == 200 && e0.map(_._1).distinct.length == 200)
+    assert(e0.forall(r => r._2 >= 0 && r._2 < 8))
+    e0.groupBy(_._2).values.foreach { rows =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    assert(run(0, 13).toSeq == e0.toSeq) // layout-invariant
+    assert(run(1, 1).toSeq != e0.toSeq)  // next epoch: new permutation
+    assert(run(0, 1).toSeq == e0.toSeq)  // replayable
+  }
+
   test("lineDedup: first occurrence wins corpus-wide, short lines are " +
     "immune, docs losing every line survive with empty text, order kept") {
     val docs = Seq(

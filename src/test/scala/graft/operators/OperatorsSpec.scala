@@ -1703,6 +1703,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(shuffled == out)
   }
 
+  test("lineDedup property: on random corpora every doc survives, " +
+    "long lines keep exactly one occurrence corpus-wide, short lines " +
+    "all survive, kept text is an in-order subsequence") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    // small line vocabulary forces cross-doc collisions; 'aa'/'bb' are
+    // short (<10 chars, never dedup candidates), the rest are long
+    val lineGen = Gen.oneOf("aa", "bb",
+      "duplicated long line one", "duplicated long line two",
+      "duplicated long line three", "another long filler line")
+    val docGen = Gen.listOf(lineGen).map(_.mkString("\n"))
+    val prop = Prop.forAll(Gen.listOf(docGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val out = Dedup.lineDedup(docs.toDF("doc_id", "text"),
+          "doc_id", "text", minLen = 10)
+        .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+      val keptLines = out.flatMap(r =>
+        r._2.split("\n", -1).filter(_.nonEmpty))
+      val inLines = docs.flatMap(_._2.split("\n", -1))
+      val longCounts = inLines.filter(_.length >= 10)
+        .groupBy(identity).view.mapValues(_.size).toMap
+      out.length == docs.length &&
+        // short lines: all survive
+        keptLines.count(_.length < 10) == inLines.count(l =>
+          l.nonEmpty && l.length < 10) &&
+        // long lines: exactly one survivor per distinct value
+        longCounts.keys.forall(l => keptLines.count(_ == l) == 1) &&
+        // per-doc: kept text is an in-order subsequence of the original
+        // lines, and the counters stay within bounds
+        out.forall { case (id, text, nl, nd) =>
+          val orig = docs(id.toInt)._2.split("\n", -1).toSeq
+          val kept = text.split("\n", -1).filter(_.nonEmpty).toSeq
+          var oi = 0
+          val isSubseq = kept.forall { k =>
+            val at = orig.indexOf(k, oi)
+            if (at >= 0) { oi = at + 1; true } else false
+          }
+          nl == orig.length && nd >= 0 && nd <= nl && isSubseq
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("gopherKernel: each rule fires on its hand-built fixture") {
     import TextAnalysis.gopherKernel
     // empty text: zero words, one line, keep=false

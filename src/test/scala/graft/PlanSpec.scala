@@ -54,6 +54,22 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
   }
 
+  test("line dedup + C4 pipeline: keyed equi-joins only — no window " +
+    "over corpus lines, no cartesian, no single-partition funnel") {
+    for (q <- Seq("dd_line_dedup", "pipe_c4_corpus", "ds_shard_shuffle")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")
+    }
+    // the line-dedup first-occurrence agg is a partial-aggregated
+    // groupBy, never a per-line window
+    assert(!plan("dd_line_dedup").contains("Window"))
+    // ds_shard_shuffle's per-shard rank IS a window — partitioned by
+    // shard (parallel across shards), which the gate above already
+    // proves is not a single-partition funnel
+  }
+
   test("ta_chunk / u4: narrow reshapes plan with zero exchanges") {
     val chunk = plan("ta_chunk")
     assert(!chunk.contains("Exchange"), chunk.take(3000))

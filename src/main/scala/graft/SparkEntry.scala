@@ -8463,13 +8463,98 @@ object SparkEntry {
   )
 
   // =================================================================
+  // IR: query-time retrieval over the corpus (the query half of the
+  // ta_postings index story). Query/phrase fixtures derive from the
+  // documents table itself (every ~41st / ~53rd doc contributes its
+  // leading tokens), so the workload scales with the corpus and both
+  // engines synthesize it independently.
+  // =================================================================
+
+  private val retrievalQueries = Seq(
+    // BM25 top-k: Lucene-form idf ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
+    // query-term postings selected by broadcast prefilter, per-query
+    // ranking via the bounded-heap TopKPairs aggregation. Scores quantize
+    // to 1e-6 BEFORE ranking so rank order is engine-portable.
+    Q("ir_bm25_topk",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val q = docs.where(col("doc_id") % 41 === 0)
+          .select(col("doc_id").as("q_id"),
+            slice(Dedup.tokens(col("text")), 1, 5).as("q_terms"))
+          .where(size(col("q_terms")) > 0)
+        Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10)
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |q AS (SELECT id AS q_id, list_distinct(tk[1:5]) AS qts
+              |      FROM toks WHERE id % 41 = 0 AND len(tk) > 0),
+              |qt AS (SELECT DISTINCT q_id, t_ AS term
+              |       FROM (SELECT q_id, unnest(qts) AS t_ FROM q)),
+              |tf AS (SELECT t_ AS term, id, dl, count(*) AS tf
+              |       FROM (SELECT id, len(tk) AS dl, unnest(tk) AS t_
+              |             FROM toks)
+              |       GROUP BY t_, id, dl),
+              |stats AS (SELECT count(*)::DOUBLE AS n_docs,
+              |            avg(len(tk)) AS avgdl FROM toks),
+              |cand AS (SELECT tf.* FROM tf
+              |         WHERE term IN (SELECT DISTINCT term FROM qt)),
+              |dfreq AS (SELECT term, count(*) AS df FROM cand GROUP BY term),
+              |scored AS (
+              |  SELECT qt.q_id, cand.id,
+              |    ln(1e0 + (n_docs - df + 5e-1) / (df + 5e-1)) *
+              |      (tf * 2.2e0) /
+              |      (tf + 1.2e0 * (2.5e-1 + 7.5e-1 * dl / avgdl)) AS part
+              |  FROM cand JOIN dfreq USING (term) JOIN qt USING (term),
+              |    stats),
+              |summed AS (
+              |  SELECT q_id, id,
+              |    floor(sum(part) * 1e6 + 5e-1) / 1e6 AS score
+              |  FROM scored GROUP BY q_id, id),
+              |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY score DESC, id ASC) AS rn FROM summed)
+              |SELECT q_id, id AS doc_id, score, rn::INT AS rank
+              |FROM ranked WHERE rn <= 10""".stripMargin)),
+
+    // Positional exact-phrase match: candidate starts from the term join,
+    // a start is real iff all distinct phrase offsets land on it (robust
+    // to repeated terms in the phrase); counts per (phrase, doc).
+    Q("ir_phrase_match",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val ph = docs.where(col("doc_id") % 53 === 0)
+          .select(col("doc_id").as("q_id"),
+            slice(Dedup.tokens(col("text")), 3, 2).as("terms"))
+          .where(size(col("terms")) === 2)
+        Retrieval.phraseMatch(docs, "doc_id", "text", ph)
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |ph AS (SELECT id AS q_id, tk[3:4] AS ph FROM toks
+              |       WHERE id % 53 = 0 AND len(tk) >= 4),
+              |slots AS (SELECT q_id, len(ph) AS plen, i AS off,
+              |            ph[i + 1] AS term
+              |          FROM (SELECT q_id, ph, unnest(range(0, len(ph))) AS i
+              |                FROM ph)),
+              |pos AS (SELECT id, i AS pos, tk[i + 1] AS term
+              |        FROM (SELECT id, tk, unnest(range(0, len(tk))) AS i
+              |              FROM toks)),
+              |starts AS (
+              |  SELECT q_id, id, plen, pos - off AS start,
+              |    count(DISTINCT off) AS hits
+              |  FROM pos JOIN slots USING (term)
+              |  WHERE pos - off >= 0
+              |  GROUP BY q_id, id, plen, start)
+              |SELECT q_id, id AS doc_id, count(*) AS n_matches
+              |FROM starts WHERE hits = plen
+              |GROUP BY q_id, id""".stripMargin))
+  )
+
+  // =================================================================
   // Assembled registry
   // =================================================================
 
   private def registry: Seq[Q] =
     scanQueries ++ filterQueries ++ joinQueries ++ aggQueries ++
       sortSetQueries ++ functionQueries ++ graphQueries ++ pipelineQueries ++
-      extraQueries ++ tailQueries
+      extraQueries ++ tailQueries ++ retrievalQueries
 
   /** Internal lookup usable while the registry is being built (for queries
     * that compose other queries, e.g. p7 over g4). */

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Full-text retrieval over a document corpus: BM25 scoring with top-k
+  * per query, and positional phrase matching — the query-time half of the
+  * inverted-index story (`ta_postings` builds the index; these rows answer
+  * queries against it).
+  *
+  * Scale shape (the part that matters at 100 TB): the corpus-sized frames
+  * are only ever touched by (a) one tokenize+explode scan and (b) keyed
+  * partial aggregations. The query side is always tiny relative to the
+  * corpus, so every join that decides *which* postings participate is a
+  * broadcast hash join — the full index is never shuffled, only the
+  * postings of terms that appear in some query. Per-query ranking is the
+  * bounded-heap [[TopKPairs]] aggregation (k-bounded buffers across the
+  * shuffle), never a per-query window sort over candidate rows.
+  *
+  * Reference behavior: the reference's query surface stops at index build
+  * + per-document tf-idf (see SURVEY.md §2.8); BM25 (Robertson/Sparck
+  * Jones, the Lucene `k1`/`b` practical form with the non-negative
+  * `ln(1 + (N-df+0.5)/(df+0.5))` idf) and positional phrase match are the
+  * standard completions a corpus engine needs to be usable for retrieval
+  * and for contamination forensics ("which training docs contain this
+  * benchmark phrase").
+  */
+object Retrieval {
+
+  /** Per-(term, doc) term frequencies with doc length carried through the
+    * explode — `dl` rides along from `size(tokens)` so no second
+    * corpus-sized join is needed to recover document length.
+    *
+    * @return DataFrame(term, id, tf, dl) — one row per distinct (term,
+    *         doc) pair; `dl` = total token count of the doc. */
+  def termFrequencies(docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("term", "id", "dl")
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k retrieval.
+    *
+    * Plan: tokenize once; prefilter the (term, doc, tf, dl) frame to
+    * query terms by BROADCAST semi-join (only matching postings survive);
+    * document frequency per query term is a partial aggregation of that
+    * filtered frame (the df of a term counts ALL docs containing it, and
+    * the prefilter keeps all of them, so filtering first loses nothing);
+    * corpus size / average doc length are a single 1-row aggregate
+    * broadcast everywhere. Scores sum per (query, doc) in one keyed
+    * partial-agg shuffle of candidate rows, then [[Similarity.topKPerQuery]]
+    * ranks with k-bounded heap buffers.
+    *
+    * Scores are quantized to 1e-6 BEFORE ranking (floor(x*1e6 + 0.5)/1e6,
+    * the engine-portable midpoint rule used across the registry) so the
+    * rank order is a property of the quantized score and ties break by
+    * doc id ascending identically on any engine.
+    *
+    * Query-term multiplicity is ignored (each distinct (q_id, term) once),
+    * the standard short-query simplification of the qtf saturation term.
+    *
+    * @param queries DataFrame(q_id: long, q_terms: array<string>) — terms
+    *                need not be distinct; duplicates are collapsed here
+    * @return DataFrame(q_id, doc_id, score, rank) — rank 1..k by
+    *         (score desc, doc_id asc); docs sharing no term with the
+    *         query never appear (disjunctive semantics) */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val tf = termFrequencies(docs, idCol, textCol)
+
+    // tiny: one row per distinct (query, term)
+    val qt = queries.select(col("q_id"),
+        explode(array_distinct(col("q_terms"))).as("term"))
+      .distinct()
+
+    // corpus stats: single row, broadcast into every score expression
+    val stats = docs
+      .select(Dedup.tokens(col(textCol)).as("tk"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("tk"))).as("avgdl"))
+
+    // broadcast prefilter: only postings of query terms survive; the
+    // corpus-sized tf frame never shuffles here
+    val cand = tf.join(broadcast(qt.select("term").distinct()), "term")
+
+    // df per query term — small output (≤ #query terms), broadcast back
+    val dfreq = cand.groupBy("term").agg(count(lit(1)).as("df"))
+
+    val scored = cand
+      .join(broadcast(dfreq), "term")
+      .join(broadcast(qt), "term") // fans out per query containing term
+      .crossJoin(broadcast(stats))
+      .select(col("q_id"), col("id"),
+        (log(lit(1.0) +
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("part"))
+      .groupBy("q_id", "id")
+      .agg(sum("part").as("raw"))
+      .select(col("q_id"), col("id").as("c_id"),
+        (floor(col("raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
+
+    Similarity.topKPerQuery(scored, "score", k)
+      .select(col("q_id"), col("c_id").as("doc_id"), col("score"),
+        col("rank"))
+  }
+
+  /** Positional exact-phrase match: for each (query phrase, doc), the
+    * number of token positions where the full phrase occurs contiguously.
+    *
+    * Plan: one posexplode scan builds (doc, pos, term); the phrase side
+    * explodes to (q_id, offset, term) — tiny, broadcast. Joining on term
+    * maps every (occurrence, phrase-slot) pair to a candidate start
+    * `pos - offset`; a start is a true occurrence iff ALL `plen` distinct
+    * offsets are present at it (`count(distinct offset) = plen` — robust
+    * to repeated terms inside the phrase). Two keyed partial aggregations
+    * over candidate rows; nothing corpus-sized shuffles except postings
+    * of phrase terms.
+    *
+    * @param phrases DataFrame(q_id: long, terms: array<string>) — the
+    *                phrase token sequence, order-significant
+    * @return DataFrame(q_id, doc_id, n_matches) — only (phrase, doc)
+    *         pairs with at least one occurrence */
+  def phraseMatch(docs: DataFrame, idCol: String, textCol: String,
+                  phrases: DataFrame): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("id"), posexplode(Dedup.tokens(col(textCol))))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        col("col").as("term"))
+
+    val slots = phrases.select(col("q_id"), size(col("terms")).as("plen"),
+        posexplode(col("terms")))
+      .select(col("q_id"), col("plen").cast("long").as("plen"),
+        col("pos").cast("long").as("off"), col("col").as("term"))
+
+    pos.join(broadcast(slots), "term")
+      .select(col("q_id"), col("id"), col("plen"),
+        (col("pos") - col("off")).as("start"), col("off"))
+      .where(col("start") >= 0)
+      .groupBy("q_id", "id", "plen", "start")
+      .agg(countDistinct("off").as("hits"))
+      .where(col("hits") === col("plen"))
+      .groupBy("q_id", "id")
+      .agg(count(lit(1)).as("n_matches"))
+      .select(col("q_id"), col("id").as("doc_id"), col("n_matches"))
+  }
+}

@@ -70,6 +70,26 @@ class PlanSpec extends SparkTestBase {
     // proves is not a single-partition funnel
   }
 
+  test("ir retrieval: query side enters by broadcast, ranking is the " +
+    "bounded heap — no window, no cartesian, no single-partition funnel") {
+    for (q <- Seq("ir_bm25_topk", "ir_phrase_match")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
+      // the corpus postings meet the query terms via broadcast hash join
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
+    }
+    // bm25's ranking is the k-bounded heap with map-side combine; its only
+    // single-partition exchange is the 1-row corpus-stats aggregate
+    val bm = plan("ir_bm25_topk")
+    assert(bm.contains("partial_topkpairs"), bm.take(3000))
+    // phrase match has no 1-row stats frame: nothing nested-loops and
+    // nothing funnels to one partition
+    val ph = plan("ir_phrase_match")
+    assert(!ph.contains("BroadcastNestedLoopJoin"), ph.take(3000))
+    assert(!ph.contains("Exchange SinglePartition"), ph.take(3000))
+  }
+
   test("ta_chunk / u4: narrow reshapes plan with zero exchanges") {
     val chunk = plan("ta_chunk")
     assert(!chunk.contains("Exchange"), chunk.take(3000))

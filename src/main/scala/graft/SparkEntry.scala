@@ -8463,11 +8463,11 @@ object SparkEntry {
   )
 
   // =================================================================
-  // IR: query-time retrieval over the corpus (the query half of the
-  // ta_postings index story). Query/phrase fixtures derive from the
-  // documents table itself (every ~41st / ~53rd doc contributes its
-  // leading tokens), so the workload scales with the corpus and both
-  // engines synthesize it independently.
+  // IR + chunk dedup: query-time retrieval over the corpus (the query
+  // half of the ta_postings index story) and content-defined chunking.
+  // Query/phrase fixtures derive from the documents table itself (every
+  // ~41st / ~53rd doc contributes its leading tokens), so the workload
+  // scales with the corpus and both engines synthesize it independently.
   // =================================================================
 
   private val retrievalQueries = Seq(
@@ -8544,7 +8544,36 @@ object SparkEntry {
               |  GROUP BY q_id, id, plen, start)
               |SELECT q_id, id AS doc_id, count(*) AS n_matches
               |FROM starts WHERE hits = plen
-              |GROUP BY q_id, id""".stripMargin))
+              |GROUP BY q_id, id""".stripMargin)),
+
+    // DD: content-defined chunking dedup — gear-style token-hash cut
+    // points (boundary after t iff h32(t) % 16 == 0), per-doc array
+    // expressions only (zero shuffles until the final chunk-hash
+    // groupBy); duplicated chunks = same md5 in >1 distinct doc. The
+    // shift-robustness that motivates CDC over fixed-stride splitting is
+    // pinned in RetrievalSpec/OperatorsSpec (edit one token, only the
+    // edit's neighborhood re-chunks).
+    Q("dd_cdc_chunks",
+      (s, dir) => Dedup.cdcDuplicateChunks(
+        t(s, dir, "documents"), "doc_id", "text", avgLen = 16),
+      Some(s"""WITH toks AS ($toksSql),
+              |cut AS (SELECT id, tk,
+              |    list_concat(list_concat([0],
+              |      list_filter(range(1, len(tk) + 1),
+              |        i -> ${h32Sql("tk[i]", "7")} % 16 = 0)),
+              |      [len(tk)]) AS cuts
+              |  FROM toks),
+              |ch AS (SELECT id, tk[cuts[j] + 1 : cuts[j + 1]] AS ch
+              |       FROM (SELECT id, tk, cuts,
+              |               unnest(range(1, len(cuts))) AS j
+              |             FROM cut)),
+              |sel AS (SELECT id, len(ch) AS n_toks,
+              |          md5(array_to_string(ch, ' ')) AS chunk_hash
+              |        FROM ch WHERE len(ch) > 0)
+              |SELECT chunk_hash, CAST(max(n_toks) AS BIGINT) AS n_tokens,
+              |  count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
+              |FROM sel GROUP BY chunk_hash
+              |HAVING count(DISTINCT id) > 1""".stripMargin))
   )
 
   // =================================================================

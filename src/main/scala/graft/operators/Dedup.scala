@@ -1150,4 +1150,75 @@ object Dedup {
       .select(col("id").as(idCol), col("text"), col("n_lines"),
         col("n_dropped"))
   }
+
+  // -------------------------------------------- content-defined chunking
+
+  /** Content-defined chunking over the TOKEN stream (gear-hash family,
+    * FastCDC's insight applied at word granularity): a chunk boundary
+    * falls AFTER token `t` whenever `md5Hash32(t) % avgLen == 0`, so cut
+    * points are a function of local content only. Inserting or deleting
+    * text re-chunks ONLY the neighborhood of the edit — every chunk
+    * outside it keeps its exact text and hash, which is what makes
+    * chunk-level exact dedup robust to shifts (a fixed-stride splitter
+    * would re-align every downstream chunk and miss all of them).
+    *
+    * Expected chunk length is `avgLen` tokens (boundary probability
+    * 1/avgLen per token, geometric run lengths); no min/max clamp — the
+    * unclamped variant keeps the cut decision purely local, which both
+    * engines reproduce with one hash per token.
+    *
+    * Scale shape: cut points, slices, and chunk hashes are all per-doc
+    * array expressions on the tokenize scan — ZERO shuffles here; the
+    * only exchange in a downstream dedup is the final groupBy on
+    * chunk_hash. The token array is materialized to a column first and
+    * indexed via element_at (the HOF-over-unmaterialized-array trap
+    * measured at 7-15x in SCALE.md).
+    *
+    * @return (id, chunk_id, n_tokens, chunk_hash) — chunk_id is the
+    *         0-based position of the chunk within its doc, chunk_hash =
+    *         md5 of the space-joined chunk tokens; empty docs contribute
+    *         no rows. */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                avgLen: Int = 16): DataFrame = {
+    require(avgLen > 0, s"avgLen must be positive, got $avgLen")
+    val cut = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      // empty docs contribute no chunks; dropping them here also keeps
+      // sequence(1, size) ascending (Spark descends when stop < start)
+      .where(size(col("tk")) > 0)
+      .select(col("id"), col("tk"),
+        // indices i (1-based) whose token closes a chunk, then the cut
+        // vector [0, cuts..., len] — consecutive slice bounds; a trailing
+        // boundary or empty doc yields an empty final slice, filtered by
+        // the n_tokens > 0 guard below
+        concat(array(lit(0)),
+          filter(sequence(lit(1), size(col("tk"))),
+            i => pmod(md5Hash32(element_at(col("tk"), i), lit(7)),
+              lit(avgLen.toLong)) === 0),
+          array(size(col("tk")))).as("cuts"))
+    cut
+      .select(col("id"), col("tk"), col("cuts"),
+        explode(sequence(lit(1), size(col("cuts")) - 1)).as("j"))
+      .select(col("id"), (col("j") - 1).cast("long").as("chunk_id"),
+        slice(col("tk"), element_at(col("cuts"), col("j")) + 1,
+          element_at(col("cuts"), col("j") + 1) -
+            element_at(col("cuts"), col("j"))).as("ch"))
+      .where(size(col("ch")) > 0)
+      .select(col("id").as(idCol), col("chunk_id"),
+        size(col("ch")).cast("long").as("n_tokens"),
+        md5(array_join(col("ch"), " ")).as("chunk_hash"))
+  }
+
+  /** Cross-document duplicated CDC chunks: chunk-level exact dedup over
+    * [[cdcChunks]]. One partial-agg shuffle on chunk_hash; only chunks
+    * seen in more than one distinct doc survive.
+    * @return (chunk_hash, n_tokens, n_docs, n_occurrences) */
+  def cdcDuplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+                         avgLen: Int = 16): DataFrame =
+    cdcChunks(docs, idCol, textCol, avgLen)
+      .groupBy("chunk_hash")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .where(col("n_docs") > 1)
 }

@@ -88,6 +88,12 @@ class PlanSpec extends SparkTestBase {
     val ph = plan("ir_phrase_match")
     assert(!ph.contains("BroadcastNestedLoopJoin"), ph.take(3000))
     assert(!ph.contains("Exchange SinglePartition"), ph.take(3000))
+    // CDC chunking is per-doc array expressions: its only exchanges are
+    // the final chunk-hash aggregation's, nothing else shuffles
+    val cdc = plan("dd_cdc_chunks")
+    for (bad <- Seq("CartesianProduct", "BroadcastNestedLoopJoin", "Window",
+        "Exchange SinglePartition", "SortMergeJoin"))
+      assert(!cdc.contains(bad), s"dd_cdc_chunks: ${cdc.take(3000)}")
   }
 
   test("ta_chunk / u4: narrow reshapes plan with zero exchanges") {

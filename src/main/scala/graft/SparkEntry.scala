@@ -7330,6 +7330,50 @@ object SparkEntry {
              |  CASE WHEN obs IS NULL THEN 1 ELSE 0 END AS was_gap
              |FROM k""".stripMargin)),
 
+    // TS: rolling robust anomaly flagging — the Hampel filter: each
+    // hourly point judged against the median/MAD of its trailing
+    // 9-observation window (a20's robust z-score made ROLLING, so a
+    // level shift ages out of the baseline instead of poisoning it
+    // forever). One shuffle on the key; median and MAD are array
+    // expressions over the bounded window buffer. MAD=0 (flat baseline)
+    // flags any departure directly with a null z.
+    Q("ts_anomaly",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") < 8)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        TimeSeries.rollingRobustAnomaly(hourly, "user_id", "h", "v",
+          window = 9, nSigma = 3.0)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    round(sum(value), 2) + 0e0 AS v
+             |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+             |b AS (SELECT user_id, h, v,
+             |        list(v) OVER (PARTITION BY user_id ORDER BY h
+             |          ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS buf
+             |      FROM hourly),
+             |m AS (SELECT user_id, h, v, buf,
+             |        CASE WHEN len(buf) = 9
+             |          THEN list_sort(buf)[5] END AS med
+             |      FROM b),
+             |d AS (SELECT user_id, h, v, med,
+             |        CASE WHEN med IS NOT NULL THEN list_sort(
+             |          list_transform(buf, x -> abs(x - med)))[5]
+             |        END AS mad
+             |      FROM m)
+             |SELECT user_id, h, v, med, mad,
+             |  CASE WHEN mad > 0e0 THEN
+             |    floor(abs(v - med) / (1.4826e0 * mad) * 1e4 + 5e-1) / 1e4
+             |  END AS robust_z,
+             |  CASE WHEN med IS NULL THEN 0
+             |    WHEN mad > 0e0 THEN
+             |      CASE WHEN abs(v - med) > 1.4826e0 * mad * 3e0
+             |        THEN 1 ELSE 0 END
+             |    ELSE CASE WHEN v != med THEN 1 ELSE 0 END
+             |  END AS anomaly
+             |FROM d""".stripMargin)),
+
     // DQ: declarative quality-constraint report — every constraint is
     // one aggregate expression inside a single partial-agg pass (one scan
     // no matter how many checks), emitting a tiny violations report.

@@ -215,4 +215,53 @@ object TimeSeries {
           col("__tc").cast("double") / trendDen -
           (col("__sraw") - col("__smean"))).as("resid"))
   }
+
+  /** Rolling robust anomaly detection: per key, each observation is judged
+    * against the MEDIAN and MAD of its trailing `window` observations
+    * (current row included) — the Hampel-filter test, |x - med| >
+    * nSigma * 1.4826 * MAD, which a single spike cannot poison the way it
+    * poisons a rolling mean/stddev z-score (the a7 shape).
+    *
+    * Scale shape: one shuffle on the key, then a bounded ROWS window
+    * (`window` is tens, so each row's collected buffer is tiny and
+    * spill-safe); median and MAD are array expressions over that buffer —
+    * no second pass, no self-join. The buffer array is projected to a
+    * column before any indexing (the HOF-indexing trap in SCALE.md).
+    *
+    * Degenerate window (MAD = 0, i.e. a constant baseline): the z-score is
+    * undefined (null) and a value off the constant is flagged directly —
+    * a spike on a flat line is the clearest anomaly there is.
+    *
+    * @param window trailing row count, odd so the median is an element
+    * @return (key, order, value, med, mad, robust_z, anomaly) — med/mad/z
+    *         null and anomaly 0 until a key has `window` rows; robust_z
+    *         quantized to 1e-4 */
+  def rollingRobustAnomaly(df: DataFrame, keyCol: String, orderCol: String,
+                           valueCol: String, window: Int = 21,
+                           nSigma: Double = 3.0): DataFrame = {
+    require(window > 0 && window % 2 == 1, s"window must be odd, got $window")
+    val mid = (window + 1) / 2
+    val w = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val x = col(valueCol).cast("double")
+    df.select(col(keyCol), col(orderCol), col(valueCol))
+      .withColumn("__buf", collect_list(x).over(w))
+      .withColumn("__full", size(col("__buf")) === window)
+      .withColumn("med",
+        when(col("__full"), element_at(array_sort(col("__buf")), mid)))
+      .withColumn("mad",
+        when(col("__full"), element_at(array_sort(
+          transform(col("__buf"), v => abs(v - col("med")))), mid)))
+      .withColumn("robust_z",
+        when(col("__full") && col("mad") > 0,
+          floor(abs(x - col("med")) / (lit(1.4826) * col("mad")) *
+            lit(1e4) + lit(0.5)) / lit(1e4)))
+      .withColumn("anomaly",
+        when(!col("__full"), 0)
+          .when(col("mad") > 0,
+            when(abs(x - col("med")) >
+              lit(1.4826) * col("mad") * lit(nSigma), 1).otherwise(0))
+          .otherwise(when(x =!= col("med"), 1).otherwise(0)))
+      .drop("__buf", "__full")
+  }
 }

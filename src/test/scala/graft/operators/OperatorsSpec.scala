@@ -992,6 +992,47 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-01 12:00:00.0", 6.6667))) // (8 + 2) / 1.5, 2.0 term dropped
   }
 
+  test("rollingRobustAnomaly: Hampel flags spikes, ages them out, and " +
+    "degenerates safely on flat baselines") {
+    val obs = Seq(
+      // key 1: flat baseline, one spike — MAD stays 0 throughout
+      (1L, 1L, 10.0), (1L, 2L, 10.0), (1L, 3L, 10.0),
+      (1L, 4L, 100.0), (1L, 5L, 10.0),
+      // key 2: fewer rows than the window — never judged
+      (2L, 1L, 7.0), (2L, 2L, 9.0)
+    ).toDF("k", "o", "v")
+    val got = TimeSeries.rollingRobustAnomaly(obs, "k", "o", "v",
+        window = 3, nSigma = 3.0)
+      .as[(Long, Long, Double, Option[Double], Option[Double],
+        Option[Double], Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._4, r._5, r._6, r._7))).toMap
+    assert(got((1L, 1L)) == ((None, None, None, 0))) // window not full
+    assert(got((1L, 2L)) == ((None, None, None, 0)))
+    assert(got((1L, 3L)) == ((Some(10.0), Some(0.0), None, 0)))
+    // spike on a flat line: MAD 0, flagged directly with null z
+    assert(got((1L, 4L)) == ((Some(10.0), Some(0.0), None, 1)))
+    // the spike ages into the buffer but cannot poison the median
+    assert(got((1L, 5L)) == ((Some(10.0), Some(0.0), None, 0)))
+    assert(got((2L, 1L)) == ((None, None, None, 0)))
+    assert(got((2L, 2L)) == ((None, None, None, 0)))
+  }
+
+  test("rollingRobustAnomaly: nonzero MAD thresholds at nSigma * 1.4826") {
+    val obs = (Seq(1.0, 5.0, 3.0, 4.0, 2.0, 50.0).zipWithIndex.map {
+      case (v, i) => (1L, (i + 1).toLong, v)
+    }).toDF("k", "o", "v")
+    val got = TimeSeries.rollingRobustAnomaly(obs, "k", "o", "v",
+        window = 5, nSigma = 3.0)
+      .as[(Long, Long, Double, Option[Double], Option[Double],
+        Option[Double], Int)].collect()
+      .map(r => r._2 -> ((r._4, r._5, r._6, r._7))).toMap
+    // o=5: buf [1,5,3,4,2] -> med 3, |dev| sorted [0,1,1,2,2] -> mad 1;
+    // |2-3| = 1 < 3*1.4826 -> inlier, z = 1/1.4826 quantized
+    assert(got(5L) == ((Some(3.0), Some(1.0), Some(0.6745), 0)))
+    // o=6: buf [5,3,4,2,50] -> med 4, mad 1; |50-4| = 46 > 4.4478 -> flag
+    assert(got(6L) == ((Some(4.0), Some(1.0), Some(31.0266), 1)))
+  }
+
   test("interpolate blends interior gaps by time fraction") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val obs = Seq(

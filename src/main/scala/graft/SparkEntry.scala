@@ -8510,8 +8510,11 @@ object SparkEntry {
   // IR + chunk dedup: query-time retrieval over the corpus (the query
   // half of the ta_postings index story) and content-defined chunking.
   // Query/phrase fixtures derive from the documents table itself (every
-  // ~41st / ~53rd doc contributes its leading tokens), so the workload
-  // scales with the corpus and both engines synthesize it independently.
+  // ~41st / ~53rd doc under id 5000 contributes its leading tokens) so
+  // both engines synthesize them independently; the id cap keeps the
+  // query batch FIXED once the corpus passes sf0.1 — the realistic
+  // retrieval shape (a growing corpus serves a user-sized query batch,
+  // not one that grows with it), and what the sf1 probe measures.
   // =================================================================
 
   private val retrievalQueries = Seq(
@@ -8522,7 +8525,7 @@ object SparkEntry {
     Q("ir_bm25_topk",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val q = docs.where(col("doc_id") % 41 === 0)
+        val q = docs.where(col("doc_id") % 41 === 0 && col("doc_id") < 5000)
           .select(col("doc_id").as("q_id"),
             slice(Dedup.tokens(col("text")), 1, 5).as("q_terms"))
           .where(size(col("q_terms")) > 0)
@@ -8530,7 +8533,8 @@ object SparkEntry {
       },
       Some(s"""WITH toks AS ($toksSql),
               |q AS (SELECT id AS q_id, list_distinct(tk[1:5]) AS qts
-              |      FROM toks WHERE id % 41 = 0 AND len(tk) > 0),
+              |      FROM toks WHERE id % 41 = 0 AND id < 5000
+              |        AND len(tk) > 0),
               |qt AS (SELECT DISTINCT q_id, t_ AS term
               |       FROM (SELECT q_id, unnest(qts) AS t_ FROM q)),
               |tf AS (SELECT t_ AS term, id, dl, count(*) AS tf
@@ -8564,7 +8568,7 @@ object SparkEntry {
     Q("ir_phrase_match",
       (s, dir) => {
         val docs = t(s, dir, "documents")
-        val ph = docs.where(col("doc_id") % 53 === 0)
+        val ph = docs.where(col("doc_id") % 53 === 0 && col("doc_id") < 5000)
           .select(col("doc_id").as("q_id"),
             slice(Dedup.tokens(col("text")), 3, 2).as("terms"))
           .where(size(col("terms")) === 2)
@@ -8572,7 +8576,7 @@ object SparkEntry {
       },
       Some(s"""WITH toks AS ($toksSql),
               |ph AS (SELECT id AS q_id, tk[3:4] AS ph FROM toks
-              |       WHERE id % 53 = 0 AND len(tk) >= 4),
+              |       WHERE id % 53 = 0 AND id < 5000 AND len(tk) >= 4),
               |slots AS (SELECT q_id, len(ph) AS plen, i AS off,
               |            ph[i + 1] AS term
               |          FROM (SELECT q_id, ph, unnest(range(0, len(ph))) AS i

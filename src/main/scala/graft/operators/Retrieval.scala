@@ -27,31 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** Per-(term, doc) term frequencies with doc length carried through the
-    * explode — `dl` rides along from `size(tokens)` so no second
-    * corpus-sized join is needed to recover document length.
-    *
-    * @return DataFrame(term, id, tf, dl) — one row per distinct (term,
-    *         doc) pair; `dl` = total token count of the doc. */
-  def termFrequencies(docs: DataFrame, idCol: String,
-                      textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("tk"))
-      .select(col("id"), size(col("tk")).cast("long").as("dl"),
-        explode(col("tk")).as("term"))
-      .groupBy("term", "id", "dl")
-      .agg(count(lit(1)).as("tf"))
-
   /** BM25 top-k retrieval.
     *
-    * Plan: tokenize once; prefilter the (term, doc, tf, dl) frame to
-    * query terms by BROADCAST semi-join (only matching postings survive);
-    * document frequency per query term is a partial aggregation of that
-    * filtered frame (the df of a term counts ALL docs containing it, and
-    * the prefilter keeps all of them, so filtering first loses nothing);
-    * corpus size / average doc length are a single 1-row aggregate
-    * broadcast everywhere. Scores sum per (query, doc) in one keyed
-    * partial-agg shuffle of candidate rows, then [[Similarity.topKPerQuery]]
-    * ranks with k-bounded heap buffers.
+    * Plan: explode the tokenize scan and BROADCAST-join query terms right
+    * on it, so non-query tokens die map-side before any aggregation — the
+    * (term, doc, tf) stats are only ever built for terms some query
+    * mentions (df per query term still counts ALL docs containing it:
+    * the prefilter keeps every occurrence of those terms); corpus size /
+    * average doc length are a single 1-row aggregate broadcast
+    * everywhere. Scores sum per (query, doc) in one keyed partial-agg
+    * shuffle of candidate rows, then [[Similarity.topKPerQuery]] ranks
+    * with k-bounded heap buffers.
     *
     * Scores are quantized to 1e-6 BEFORE ranking (floor(x*1e6 + 0.5)/1e6,
     * the engine-portable midpoint rule used across the registry) so the
@@ -70,7 +56,6 @@ object Retrieval {
                queries: DataFrame, k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val tf = termFrequencies(docs, idCol, textCol)
 
     // tiny: one row per distinct (query, term)
     val qt = queries.select(col("q_id"),
@@ -83,9 +68,18 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("n_docs"),
         avg(size(col("tk"))).as("avgdl"))
 
-    // broadcast prefilter: only postings of query terms survive; the
-    // corpus-sized tf frame never shuffles here
-    val cand = tf.join(broadcast(qt.select("term").distinct()), "term")
+    // broadcast prefilter BEFORE the tf aggregation: non-query tokens die
+    // on the map side of the explode scan, so only query-term occurrences
+    // are ever aggregated or shuffled (A/B in SCALE.md: filtering after
+    // building the full (term, doc) index aggregates the whole corpus
+    // vocabulary for nothing)
+    val cand = docs
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .groupBy("term", "id", "dl")
+      .agg(count(lit(1)).as("tf"))
 
     // df per query term — small output (≤ #query terms), broadcast back
     val dfreq = cand.groupBy("term").agg(count(lit(1)).as("df"))
@@ -139,12 +133,16 @@ object Retrieval {
       .select(col("q_id"), col("plen").cast("long").as("plen"),
         col("pos").cast("long").as("off"), col("col").as("term"))
 
+    // at a fixed (q_id, doc, start), each offset contributes exactly one
+    // joined row — (doc, pos) is unique and (q_id, off) is unique — so a
+    // plain count equals the distinct-offset count without the
+    // two-phase distinct aggregation
     pos.join(broadcast(slots), "term")
       .select(col("q_id"), col("id"), col("plen"),
-        (col("pos") - col("off")).as("start"), col("off"))
+        (col("pos") - col("off")).as("start"))
       .where(col("start") >= 0)
       .groupBy("q_id", "id", "plen", "start")
-      .agg(countDistinct("off").as("hits"))
+      .agg(count(lit(1)).as("hits"))
       .where(col("hits") === col("plen"))
       .groupBy("q_id", "id")
       .agg(count(lit(1)).as("n_matches"))

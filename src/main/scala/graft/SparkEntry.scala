@@ -8503,7 +8503,40 @@ object SparkEntry {
               |      FROM d)
               |SELECT doc_id, source, n_tokens,
               |  CAST((cum - n_tokens) // 512 AS BIGINT) AS seq_id
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // TA: corpus datasheet — the per-(source, lang) curation KPI rollup
+    // every dataset card starts from: doc/token/char totals, mean doc
+    // length, and the exact-duplicate rate (distinct text digests over
+    // docs), with ROLLUP subtotals so the whole-corpus line and the
+    // per-source lines come from the same single-pass aggregation. One
+    // tokenize scan, one grouping-sets aggregate; the only
+    // countDistinct is digest-per-group (the dedup KPI, irreducible).
+    Q("ta_corpus_stats",
+      (s, dir) => t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(Dedup.tokens(col("text"))).cast("long").as("ntk"),
+          col("n_chars"), md5(col("text")).as("dg"))
+        .rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("ntk").as("n_tokens"),
+          sum("n_chars").as("n_chars"),
+          (floor(sum("ntk").cast("double") / count(lit(1)) * lit(1e4) +
+            lit(0.5)) / lit(1e4)).as("mean_tokens"),
+          (floor(countDistinct(col("dg")).cast("double") / count(lit(1)) *
+            lit(1e4) + lit(0.5)) / lit(1e4)).as("uniq_frac")),
+      Some(s"""WITH t0 AS ($toksSql),
+              |b AS (SELECT d.source, d.lang, len(t0.tk) AS ntk,
+              |        d.n_chars, md5(d.text) AS dg
+              |      FROM documents d JOIN t0 ON d.doc_id = t0.id)
+              |SELECT source, lang, count(*) AS n_docs,
+              |  CAST(sum(ntk) AS BIGINT) AS n_tokens,
+              |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+              |  floor(sum(ntk)::DOUBLE / count(*) * 1e4 + 5e-1) / 1e4
+              |    AS mean_tokens,
+              |  floor(count(DISTINCT dg)::DOUBLE / count(*) * 1e4 + 5e-1)
+              |    / 1e4 AS uniq_frac
+              |FROM b GROUP BY ROLLUP (source, lang)""".stripMargin))
   )
 
   // =================================================================

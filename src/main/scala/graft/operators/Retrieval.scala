@@ -81,9 +81,20 @@ object Retrieval {
       .groupBy("term", "id", "dl")
       .agg(count(lit(1)).as("tf"))
 
+    scoreAndRank(cand, qt, stats, k, k1, b)
+  }
+
+  /** Shared BM25 scoring + ranking stage — one code path for the inline
+    * ([[bm25TopK]]) and standing-index ([[bm25TopKIndexed]]) variants so
+    * the scoring semantics cannot drift between them.
+    *
+    * @param cand  (term, id, dl, tf) — postings restricted to query terms
+    * @param qt    (q_id, term) tiny, broadcast
+    * @param stats (n_docs, avgdl) single row, broadcast */
+  private def scoreAndRank(cand: DataFrame, qt: DataFrame, stats: DataFrame,
+                           k: Int, k1: Double, b: Double): DataFrame = {
     // df per query term — small output (≤ #query terms), broadcast back
     val dfreq = cand.groupBy("term").agg(count(lit(1)).as("df"))
-
     val scored = cand
       .join(broadcast(dfreq), "term")
       .join(broadcast(qt), "term") // fans out per query containing term
@@ -99,10 +110,68 @@ object Retrieval {
       .agg(sum("part").as("raw"))
       .select(col("q_id"), col("id").as("c_id"),
         (floor(col("raw") * lit(1e6) + lit(0.5)) / lit(1e6)).as("score"))
-
     Similarity.topKPerQuery(scored, "score", k)
       .select(col("q_id"), col("c_id").as("doc_id"), col("score"),
         col("rank"))
+  }
+
+  /** Full postings index with its partition key: (tb, term, id, tf, dl),
+    * tb = md5-hash(term) % nBuckets. Written `partitionBy("tb")`, a query
+    * batch touches only the partitions its terms hash into — partition
+    * PRUNING at the scan, not just a join filter (the at-rest analog of
+    * [[bm25TopK]]'s broadcast prefilter). */
+  def searchIndex(docs: DataFrame, idCol: String, textCol: String,
+                  nBuckets: Int = 64): DataFrame =
+    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("tk"))
+      .select(col("id"), size(col("tk")).cast("long").as("dl"),
+        explode(col("tk")).as("term"))
+      .groupBy("term", "id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("tb",
+        pmod(Dedup.md5Hash32(col("term"), lit(3)), lit(nBuckets.toLong)))
+
+  /** Corpus stats the scorer needs, computed once at INDEX time (n_docs,
+    * avgdl over every doc with ≥ 0 tokens — the full corpus). */
+  def indexStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(Dedup.tokens(col(textCol)).as("tk"))
+      .agg(count(lit(1)).cast("double").as("n_docs"),
+        avg(size(col("tk"))).as("avgdl"))
+
+  /** Persist the standing search index: term-bucket-partitioned postings
+    * plus the 1-row stats frame. Build once, query forever — at corpus
+    * scale the per-batch tokenize+aggregate of [[bm25TopK]] is the cost
+    * you amortize away. */
+  def writeSearchIndex(docs: DataFrame, idCol: String, textCol: String,
+                       path: String, nBuckets: Int = 64): Unit = {
+    searchIndex(docs, idCol, textCol, nBuckets)
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$path/postings")
+    indexStats(docs, textCol)
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k against a standing [[writeSearchIndex]] layout. The query
+    * batch's terms hash to their partition buckets (computed on the tiny
+    * query frame, collected driver-side — query-batch-sized, the
+    * model-only driver-traffic discipline) and the postings scan prunes
+    * to exactly those partitions; everything after is the shared
+    * [[scoreAndRank]] stage. `nBuckets` must match the written index. */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                      queries: DataFrame, k: Int, k1: Double = 1.2,
+                      b: Double = 0.75, nBuckets: Int = 64): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val qt = queries.select(col("q_id"),
+        explode(array_distinct(col("q_terms"))).as("term"))
+      .distinct()
+    val buckets = qt
+      .select(pmod(Dedup.md5Hash32(col("term"), lit(3)),
+        lit(nBuckets.toLong)).as("tb"))
+      .distinct().collect().map(_.getLong(0))
+    val cand = spark.read.parquet(s"$path/postings")
+      .where(col("tb").isin(buckets: _*))
+      .join(broadcast(qt.select("term").distinct()), "term")
+      .select("term", "id", "dl", "tf")
+    scoreAndRank(cand, qt, spark.read.parquet(s"$path/stats"), k, k1, b)
   }
 
   /** Positional exact-phrase match: for each (query phrase, doc), the

@@ -51,6 +51,11 @@ object Bm25Probe {
         .groupBy("term", "id", "dl").agg(count(lit(1)).as("tf"))))
     time("full-bm25       ")(noop(
       Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 10)))
+    val idxPath = s"/tmp/graft_probe_search_index"
+    time("index-build     ")(
+      Retrieval.writeSearchIndex(docs, "doc_id", "text", idxPath))
+    time("indexed-query   ")(noop(
+      Retrieval.bm25TopKIndexed(spark, idxPath, q, k = 10)))
     spark.stop()
   }
 }

@@ -72,7 +72,7 @@ class PlanSpec extends SparkTestBase {
 
   test("ir retrieval: query side enters by broadcast, ranking is the " +
     "bounded heap — no window, no cartesian, no single-partition funnel") {
-    for (q <- Seq("ir_bm25_topk", "ir_phrase_match")) {
+    for (q <- Seq("ir_bm25_topk", "ir_bm25_indexed", "ir_phrase_match")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
       assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
@@ -88,6 +88,11 @@ class PlanSpec extends SparkTestBase {
     val ph = plan("ir_phrase_match")
     assert(!ph.contains("BroadcastNestedLoopJoin"), ph.take(3000))
     assert(!ph.contains("Exchange SinglePartition"), ph.take(3000))
+    // the standing-index variant prunes the postings scan to the query
+    // terms' partitions — the partition filter must reach the scan
+    val idx = plan("ir_bm25_indexed")
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(idx).isDefined,
+      idx.take(3000))
     // CDC chunking is per-doc array expressions: its only exchanges are
     // the final chunk-hash aggregation's, nothing else shuffles
     val cdc = plan("dd_cdc_chunks")

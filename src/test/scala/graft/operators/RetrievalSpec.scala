@@ -91,6 +91,27 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.length == 4)
   }
 
+  test("bm25TopKIndexed answers exactly like the inline scorer") {
+    val corpus = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown cat naps on the warm mat",
+      3L -> "foxes and dogs are common household animals",
+      4L -> "a fox a fox a fox repeated thrice for term frequency")
+    val q = Seq((10L, Seq("fox", "dog")), (11L, Seq("quick", "mat")))
+      .toDF("q_id", "q_terms")
+    val docs = docsDf(corpus: _*)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_search_idx").toString
+    Retrieval.writeSearchIndex(docs, "doc_id", "text", path, nBuckets = 8)
+    val inline = Retrieval.bm25TopK(docs, "doc_id", "text", q, k = 3)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val indexed = Retrieval
+      .bm25TopKIndexed(spark, path, q, k = 3, nBuckets = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(indexed == inline)
+    assert(indexed.nonEmpty)
+  }
+
   // -------------------------------------------------------------- phrase
 
   private def phraseDf(rows: (Long, Seq[String])*) =

@@ -18,7 +18,9 @@ object Bm25Probe {
     spark.sparkContext.setLogLevel("WARN")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val docs = graft.Tables.load(spark, dir, "documents")
-    val q = docs.where(col("doc_id") % 41 === 0)
+    // same fixed-batch cap as the registry fixture (the batch must not
+    // grow with the corpus, or the probe measures work growth)
+    val q = docs.where(col("doc_id") % 41 === 0 && col("doc_id") < 5000)
       .select(col("doc_id").as("q_id"),
         slice(Dedup.tokens(col("text")), 1, 5).as("q_terms"))
       .where(size(col("q_terms")) > 0)

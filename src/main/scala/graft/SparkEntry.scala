@@ -1703,17 +1703,20 @@ object SparkEntry {
   private def h32Sql(expr: String, seed: String) =
     s"('0x' || substr(md5(CAST($seed AS VARCHAR) || ':' || $expr), 1, 8))::BIGINT"
 
-  /** DuckDB replay of `Dedup.minHashLSH(rel, "doc_id", "text", shingleN=3,
-    * bands=8, rowsPerBand=2, simThreshold=0.5)` as a CTE chain ending in
-    * `drops(b_id)` — the higher id of every verified near-dup pair.
-    * Shared by the corpus-pipeline oracles so the LSH SQL cannot drift
-    * between pipe_clean_corpus, pipe_training_corpus, and
-    * pipe_html_corpus. */
-  private def lshDropsSqlFrom(rel: String): String =
-    s"""sh0 AS (${shinglesSqlFrom(rel)}),
+  /** DuckDB replay of `Dedup.minHashIndex(rel, "doc_id", "text",
+    * shingleN=3, bands=8, rowsPerBand=2)` as a CTE chain `sh -> h1 ->
+    * sig -> banded(id, sig, band, bucket)` — the ONE copy of the
+    * MinHash banding SQL. Shared (via [[minhashBandedSql]] over
+    * `documents`) by dd_minhash_lsh, dd_incremental(+bucketed),
+    * st_dedup_index, st_compact_probe, dd_cluster_keep,
+    * dd_ngram_jaccard, and dd_blocking_quality, and (via
+    * [[lshDropsSqlFrom]]) by the corpus pipelines, so the banding SQL
+    * cannot drift between rows. */
+  private def minhashBandedSqlFrom(rel: String): String =
+    s"""sh AS (${shinglesSqlFrom(rel)}),
        |h1 AS (
        |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-       |  FROM sh0),
+       |  FROM sh),
        |sig AS (
        |  SELECT id, list_transform(range(0, 16), i ->
        |    list_min(list_transform(h1,
@@ -1723,7 +1726,17 @@ object SparkEntry {
        |  SELECT id, sig, b AS band,
        |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
        |      sig[b*2+2]::VARCHAR) AS bucket
-       |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+       |  FROM sig, (SELECT unnest(range(0, 8)) AS b))""".stripMargin
+  private val minhashBandedSql = minhashBandedSqlFrom("documents")
+
+  /** DuckDB replay of `Dedup.minHashLSH(rel, "doc_id", "text", shingleN=3,
+    * bands=8, rowsPerBand=2, simThreshold=0.5)` as a CTE chain ending in
+    * `drops(b_id)` — the higher id of every verified near-dup pair.
+    * Shared by the corpus-pipeline oracles so the LSH SQL cannot drift
+    * between pipe_clean_corpus, pipe_training_corpus, and
+    * pipe_html_corpus. */
+  private def lshDropsSqlFrom(rel: String): String =
+    s"""${minhashBandedSqlFrom(rel)},
        |pairs AS (
        |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
        |    a.sig AS a_sig, b.sig AS b_sig
@@ -1810,20 +1823,7 @@ object SparkEntry {
     Q("dd_minhash_lsh",
       (s, dir) => Dedup.minHashLSH(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25),
-      Some(s"""WITH sh AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, sig, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH $minhashBandedSql,
               |pairs AS (
               |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
               |    a.sig AS a_sig, b.sig AS b_sig
@@ -1852,20 +1852,7 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25)
       },
-      Some(s"""WITH sh AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, sig, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH $minhashBandedSql,
               |old AS (SELECT * FROM banded WHERE id % 4 <> 0),
               |new AS (SELECT * FROM banded WHERE id % 4 = 0),
               |cand AS (
@@ -1912,20 +1899,7 @@ object SparkEntry {
           docs.where(pmod(col("doc_id"), lit(4)) === 0), "doc_id", "text",
           shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25)
       },
-      Some(s"""WITH sh AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, sig, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH $minhashBandedSql,
               |old AS (SELECT * FROM banded WHERE id % 4 <> 0),
               |new AS (SELECT * FROM banded WHERE id % 4 = 0),
               |cand AS (
@@ -1971,20 +1945,7 @@ object SparkEntry {
           "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
           simThreshold = 0.25)
       },
-      Some(s"""WITH sh AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, sig, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH $minhashBandedSql,
               |old AS (SELECT * FROM banded WHERE id % 4 <> 0),
               |b1 AS (SELECT * FROM banded WHERE id % 8 = 0),
               |b2 AS (SELECT * FROM banded WHERE id % 8 = 4),
@@ -2089,20 +2050,7 @@ object SparkEntry {
           .select(col("doc_id"), col("component"),
             (col("rn") === 1).cast("int").as("keep"))
       },
-      Some(s"""WITH RECURSIVE sh AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, sig, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH RECURSIVE $minhashBandedSql,
               |cand AS (
               |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
               |    a.sig AS a_sig, b.sig AS b_sig
@@ -2171,20 +2119,7 @@ object SparkEntry {
     Q("dd_ngram_jaccard",
       (s, dir) => Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id",
         "text", shingleN = 3, threshold = 0.03, bands = 8, rowsPerBand = 2),
-      Some(s"""WITH sh0 AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh0),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH $minhashBandedSql,
               |pairs AS (
               |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
               |  FROM banded a JOIN banded b
@@ -2245,20 +2180,7 @@ object SparkEntry {
         val truth = Dedup.prefixJaccardPairs(docs, "doc_id", "text", 0.95)
         Dedup.blockingQuality(cand, truth, docs, "doc_id")
       },
-      Some(s"""WITH sh AS ($shinglesSql),
-              |h1 AS (
-              |  SELECT id, list_transform(sh, s -> ${h32Sql("s", "0")}) AS h1
-              |  FROM sh),
-              |sig AS (
-              |  SELECT id, list_transform(range(0, 16), i ->
-              |    list_min(list_transform(h1,
-              |      h -> (h * (i * 2 + 3) + i * 12582917) % 4294967291))) AS sig
-              |  FROM h1),
-              |banded AS (
-              |  SELECT id, b AS band,
-              |    md5(b::VARCHAR || '_' || sig[b*2+1]::VARCHAR || '_' ||
-              |      sig[b*2+2]::VARCHAR) AS bucket
-              |  FROM sig, (SELECT unnest(range(0, 8)) AS b)),
+      Some(s"""WITH $minhashBandedSql,
               |cand AS (
               |  SELECT DISTINCT a.id AS a_id, b.id AS b_id
               |  FROM banded a JOIN banded b

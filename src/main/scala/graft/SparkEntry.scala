@@ -1978,6 +1978,67 @@ object SparkEntry {
               |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
               |  >= 0.25""".stripMargin)),
 
+    // ST: standing-index COMPACTION + TTL, oracle-checked end-to-end —
+    // the maintenance story that keeps the append-only index operable
+    // long-run. Build the bucketed index (3/4 of the corpus), ingest one
+    // micro-batch (ids %8==0) through the REAL probe-then-append path
+    // (IncrementalIngest.ingestBatch), compact with a retention horizon
+    // (age out ids < 100 — the id is the fixture's ingest watermark),
+    // then probe the NEXT batch (ids %8==4) against the swapped-in
+    // compacted table. The oracle models the retained population
+    // directly, so pairs among retained ids are pinned identical to an
+    // uncompacted run and pairs against aged-out ids provably absent.
+    // CompactionSpec pins the physical side (fragments collapse to one
+    // file per bucket, zero-shuffle rewrite, exchange-free probe layout
+    // survives the atomic swap); this row pins the ANSWER.
+    Q("st_compact_probe",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val tbl = s"graft_mh_ttl_$tag"
+        val docs = t(s, dir, "documents")
+        Dedup.writeMinHashIndex(Dedup.minHashIndex(
+            docs.where(pmod(col("doc_id"), lit(4)) =!= 0), "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2),
+          tbl, s"/tmp/graft_bucketed/${tag}_ttl_index")
+        graft.streaming.IncrementalIngest.ingestBatch(
+          docs.where(pmod(col("doc_id"), lit(8)) === 0),
+          Dedup.minHashIndex(_, "doc_id", "text", shingleN = 3, bands = 8,
+            rowsPerBand = 2),
+          Dedup.incrementalMinHashBuckets(_, _, 16, 0.25),
+          tbl, s"/tmp/graft_bucketed/${tag}_ttl_out", 0L)
+        // compaction target must be a fresh location (the swap makes the
+        // table external there; clear last run's files first)
+        val cpath = s"/tmp/graft_bucketed/${tag}_ttl_compacted"
+        val hp = new org.apache.hadoop.fs.Path(cpath)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        graft.streaming.IncrementalIngest.compactIndex(s, tbl, cpath,
+          retain = col("id") >= 100)
+        Dedup.incrementalMinHash(s.table(tbl),
+          docs.where(pmod(col("doc_id"), lit(8)) === 4), "doc_id", "text",
+          shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.25)
+      },
+      Some(s"""WITH $minhashBandedSql,
+              |idx AS (SELECT * FROM banded
+              |        WHERE (id % 4 <> 0 OR id % 8 = 0) AND id >= 100),
+              |b2 AS (SELECT * FROM banded WHERE id % 8 = 4),
+              |cand AS (
+              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+              |    'vs_index' AS kind, a.sig AS a_sig, b.sig AS b_sig
+              |  FROM idx a JOIN b2 b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id <> b.id
+              |  UNION
+              |  SELECT DISTINCT a.id, b.id, 'within_batch', a.sig, b.sig
+              |  FROM b2 a JOIN b2 b
+              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+              |SELECT a_id, b_id, kind,
+              |  list_sum(list_transform(range(1, 17), i ->
+              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |    AS sig_sim
+              |FROM cand
+              |WHERE list_sum(list_transform(range(1, 17), i ->
+              |  CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+              |  >= 0.25""".stripMargin)),
+
     // ST: streaming EMBEDDING dedup against a standing SRP-bucket index
     // — DedupStream for vectors: two arrival-ordered batches probe the
     // index (vs_index) and themselves (within_batch), exact cosine

@@ -57,10 +57,11 @@ object IncrementalIngest {
   }
 
   /** One micro-batch's probe-then-append, exactly as [[run]] executes it
-    * — package-visible so the replay-idempotence contract is directly
+    * — graft-visible so the replay-idempotence contract is directly
     * spec-able (invoke twice with the same batchId: identical output,
-    * index unchanged on the second call). */
-  private[streaming] def ingestBatch(batch: DataFrame,
+    * index unchanged on the second call) and the registry's compaction
+    * row (`st_compact_probe`) ingests through the REAL append path. */
+  private[graft] def ingestBatch(batch: DataFrame,
       bucketize: DataFrame => DataFrame,
       probe: (DataFrame, DataFrame) => DataFrame,
       indexTable: String, outPath: String, batchId: Long): Unit = {

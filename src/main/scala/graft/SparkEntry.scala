@@ -8536,21 +8536,23 @@ object SparkEntry {
   /** The BM25 fixture's query frame: every ~41st doc under id 5000
     * queries with its first 5 tokens (the cap keeps the batch fixed as
     * the corpus grows). Shared by the inline and standing-index rows. */
-  private def bm25FixtureQueries(s: SparkSession, dir: String): DataFrame =
+  private def bm25FixtureQueries(s: SparkSession, dir: String,
+                                 cap: Int = 5000): DataFrame =
     t(s, dir, "documents")
-      .where(col("doc_id") % 41 === 0 && col("doc_id") < 5000)
+      .where(col("doc_id") % 41 === 0 && col("doc_id") < cap)
       .select(col("doc_id").as("q_id"),
         slice(Dedup.tokens(col("text")), 1, 5).as("q_terms"))
       .where(size(col("q_terms")) > 0)
 
-  /** DuckDB replay of BM25 over the fixture queries — ONE oracle chain
-    * for ir_bm25_topk and ir_bm25_indexed (the standing index changes
-    * the physical layout, not the answer, and the shared SQL pins that
-    * contract). */
-  private val bm25OracleSql: String =
-    s"""WITH toks AS ($toksSql),
+  /** DuckDB replay of BM25 over the fixture queries, as a CTE chain
+    * ending in `ranked(q_id, id, score, rn)` — ONE copy for
+    * ir_bm25_topk, ir_bm25_indexed (the standing index changes the
+    * physical layout, not the answer) and ir_hybrid_rrf's lexical leg
+    * (which caps the query batch at the embedding-covered id range). */
+  private def bm25RankedCtes(cap: Int): String =
+    s"""toks AS ($toksSql),
        |q AS (SELECT id AS q_id, list_distinct(tk[1:5]) AS qts
-       |      FROM toks WHERE id % 41 = 0 AND id < 5000
+       |      FROM toks WHERE id % 41 = 0 AND id < $cap
        |        AND len(tk) > 0),
        |qt AS (SELECT DISTINCT q_id, t_ AS term
        |       FROM (SELECT q_id, unnest(qts) AS t_ FROM q)),
@@ -8575,7 +8577,10 @@ object SparkEntry {
        |    floor(sum(part) * 1e6 + 5e-1) / 1e6 AS score
        |  FROM scored GROUP BY q_id, id),
        |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-       |    ORDER BY score DESC, id ASC) AS rn FROM summed)
+       |    ORDER BY score DESC, id ASC) AS rn FROM summed)""".stripMargin
+
+  private val bm25OracleSql: String =
+    s"""WITH ${bm25RankedCtes(5000)}
        |SELECT q_id, id AS doc_id, score, rn::INT AS rank
        |FROM ranked WHERE rn <= 10""".stripMargin
 
@@ -8605,6 +8610,51 @@ object SparkEntry {
           k = 10)
       },
       Some(bm25OracleSql)),
+
+    // Hybrid retrieval: BM25 lexical leg + exact-cosine embedding leg,
+    // fused by reciprocal rank (RRF, c=60) — the production two-tower
+    // shape where neither score scale needs calibrating. Query batch
+    // capped at id < 500 so BOTH legs cover every query at every scale
+    // (the embeddings table spans a prefix of the doc ids). Each leg is
+    // k-bounded before fusion, so fuse + final top-k are query-batch-
+    // sized; swap the brute leg for lshTopK/ivfTopK at corpus scale —
+    // rrfFuse only sees (q_id, doc_id, rank). n_legs audits which
+    // results both towers agree on.
+    Q("ir_hybrid_rrf",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            "text", bm25FixtureQueries(s, dir, cap = 500), k = 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val sem = Similarity.bruteForceTopK(emb,
+            emb.where(col("vec_id") % 41 === 0 && col("vec_id") < 500),
+            "vec_id", "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("c_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+      },
+      Some(s"""WITH ${bm25RankedCtes(500)},
+              |lex AS (SELECT q_id, id AS doc_id, rn AS rank
+              |        FROM ranked WHERE rn <= 10),
+              |qe AS (SELECT vec_id AS q_id, embedding AS q_v
+              |       FROM embeddings WHERE vec_id % 41 = 0 AND vec_id < 500),
+              |ce AS (SELECT vec_id AS c_id, embedding AS c_v
+              |       FROM embeddings),
+              |sscored AS (
+              |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
+              |  FROM ce CROSS JOIN qe),
+              |sem AS (SELECT q_id, c_id AS doc_id, rank
+              |        FROM sscored WHERE rank <= 10),
+              |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+              |fused AS (
+              |  SELECT q_id, doc_id,
+              |    floor(sum(1e0 / (60 + rank)) * 1e9 + 5e-1) / 1e9 AS rrf,
+              |    count(*)::BIGINT AS n_legs
+              |  FROM u GROUP BY q_id, doc_id),
+              |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM fused)
+              |SELECT q_id, doc_id, rrf, n_legs, rk::INT AS rank
+              |FROM rk WHERE rk <= 10""".stripMargin)),
 
     // Positional exact-phrase match: candidate starts from the term join,
     // a start is real iff all distinct phrase offsets land on it (robust

@@ -115,6 +115,42 @@ object Retrieval {
         col("rank"))
   }
 
+  /** Reciprocal-rank fusion over any number of retrieval legs — the
+    * standard hybrid-search combiner (lexical BM25 + embedding ANN, or
+    * any mix): fused(q, d) = Σ_legs 1 / (c + rank_leg(q, d)), docs
+    * missing from a leg simply contribute nothing. Rank-based, so the
+    * legs' score scales never need calibrating against each other, and
+    * ANY top-k leg plugs in (brute cosine, IVF, LSH — the recall/cost
+    * dial stays inside each leg).
+    *
+    * Scale shape: each leg is already k-bounded (n_queries × k rows),
+    * so the union + fuse aggregation and the final bounded-heap top-k
+    * all operate on query-batch-sized frames — nothing here touches the
+    * corpus. Fused scores quantize to 1e-9 BEFORE ranking (engine-
+    * portable, the bm25 discipline); ties break by doc_id ascending.
+    *
+    * @param legs frames with (q_id, doc_id, rank) — rank 1-based
+    * @param c    RRF damping constant (60 per Cormack et al.)
+    * @return (q_id, doc_id, rrf, n_legs, rank), rank <= k */
+  def rrfFuse(legs: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    require(k > 0, s"k must be positive, got $k")
+    val all = legs.map(_.select(col("q_id"), col("doc_id"), col("rank")))
+      .reduce(_ unionByName _)
+    val fused = all.groupBy("q_id", "doc_id")
+      .agg(
+        (floor(sum(lit(1.0) / (lit(c) + col("rank"))) * lit(1e9) + lit(0.5))
+          / lit(1e9)).as("rrf"),
+        count(lit(1)).as("n_legs"))
+    Similarity.topKPerQuery(
+        fused.select(col("q_id"), col("doc_id").as("c_id"), col("rrf")),
+        "rrf", k)
+      .join(fused.select(col("q_id"), col("doc_id").as("c_id"),
+        col("n_legs")), Seq("q_id", "c_id"))
+      .select(col("q_id"), col("c_id").as("doc_id"), col("rrf"),
+        col("n_legs"), col("rank"))
+  }
+
   /** Full postings index with its partition key: (tb, term, id, tf, dl),
     * tb = md5-hash(term) % nBuckets. Written `partitionBy("tb")`, a query
     * batch touches only the partitions its terms hash into — partition

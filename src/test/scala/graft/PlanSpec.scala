@@ -72,13 +72,17 @@ class PlanSpec extends SparkTestBase {
 
   test("ir retrieval: query side enters by broadcast, ranking is the " +
     "bounded heap — no window, no cartesian, no single-partition funnel") {
-    for (q <- Seq("ir_bm25_topk", "ir_bm25_indexed", "ir_phrase_match")) {
+    for (q <- Seq("ir_bm25_topk", "ir_bm25_indexed", "ir_phrase_match",
+        "ir_hybrid_rrf")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
       assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
       // the corpus postings meet the query terms via broadcast hash join
       assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(3000)}")
     }
+    // hybrid fusion ranks through the bounded heap too, and everything
+    // after the two k-bounded legs is query-batch-sized
+    assert(plan("ir_hybrid_rrf").contains("partial_topkpairs"))
     // bm25's ranking is the k-bounded heap with map-side combine; its only
     // single-partition exchange is the 1-row corpus-stats aggregate
     val bm = plan("ir_bm25_topk")

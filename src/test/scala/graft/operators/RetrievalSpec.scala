@@ -112,6 +112,26 @@ class RetrievalSpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  // ----------------------------------------------------------------- rrf
+
+  test("rrfFuse: both-leg docs outrank equal single-leg ranks, ties " +
+    "break by doc_id, a doc missing from a leg just loses that term") {
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val sem = Seq((1L, 13L, 1), (1L, 10L, 2), (1L, 14L, 3))
+      .toDF("q_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(lex, sem), k = 5)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Long, Int)].collect()
+    // 10: 1/61 + 1/62 (both legs) beats every single-leg doc;
+    // 13 (1/61) > 11 (1/62) > {12, 14} tied at 1/63 -> doc_id asc
+    assert(got.map(_._2).toSeq == Seq(10L, 13L, 11L, 12L, 14L))
+    assert(got.map(_._4).toSeq == Seq(2L, 1L, 1L, 1L, 1L))
+    assert(got.map(_._5).toSeq == Seq(1, 2, 3, 4, 5))
+    val exp10 = math.floor((1.0 / 61 + 1.0 / 62) * 1e9 + 0.5) / 1e9
+    assert(got.head._3 == exp10)
+  }
+
   // -------------------------------------------------------------- phrase
 
   private def phraseDf(rows: (Long, Seq[String])*) =

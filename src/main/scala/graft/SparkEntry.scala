@@ -8656,6 +8656,67 @@ object SparkEntry {
               |SELECT q_id, doc_id, rrf, n_legs, rk::INT AS rank
               |FROM rk WHERE rk <= 10""".stripMargin)),
 
+    // Retrieval evaluation: recall@10 / MRR / nDCG@10 of the lexical
+    // BM25 ranking against graded semantic truth (exact-cosine top-10,
+    // rel = 11 - rank) — the measurement loop every retrieval/ANN
+    // tuning pass needs, here quantifying per-query lexical-semantic
+    // agreement on the same fixture the hybrid row fuses. Everything
+    // downstream of the two k-bounded legs is query-batch-sized (the
+    // idcg window partitions are judgment-sized, never corpus-sized).
+    Q("ir_eval_ndcg",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            "text", bm25FixtureQueries(s, dir, cap = 500), k = 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val qrels = Similarity.bruteForceTopK(emb,
+            emb.where(col("vec_id") % 41 === 0 && col("vec_id") < 500),
+            "vec_id", "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("c_id").as("doc_id"),
+            (lit(11) - col("rank")).as("rel"))
+        Retrieval.evalTopK(lex, qrels, k = 10)
+      },
+      Some(s"""WITH ${bm25RankedCtes(500)},
+              |res AS (SELECT q_id, id AS doc_id, rn AS rank
+              |        FROM ranked WHERE rn <= 10),
+              |qe AS (SELECT vec_id AS q_id, embedding AS q_v
+              |       FROM embeddings WHERE vec_id % 41 = 0 AND vec_id < 500),
+              |ce AS (SELECT vec_id AS c_id, embedding AS c_v
+              |       FROM embeddings),
+              |sscored AS (
+              |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+              |    ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
+              |  FROM ce CROSS JOIN qe),
+              |qr AS (SELECT q_id, c_id AS doc_id, (11 - rank)::DOUBLE AS rel
+              |       FROM sscored WHERE rank <= 10),
+              |j AS (SELECT r.q_id, r.rank, coalesce(qr.rel, 0e0) AS rel
+              |      FROM res r LEFT JOIN qr
+              |        ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id),
+              |per AS (
+              |  SELECT q_id,
+              |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+              |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+              |    sum(CASE WHEN rel > 0
+              |      THEN (pow(2e0, rel) - 1) / ln(rank + 1) ELSE 0e0 END)
+              |      AS dcg
+              |  FROM j GROUP BY q_id),
+              |pos AS (SELECT q_id, rel, row_number() OVER (
+              |    PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS pos
+              |  FROM qr WHERE rel > 0),
+              |ideal AS (
+              |  SELECT q_id, sum((pow(2e0, rel) - 1) / ln(pos + 1)) AS idcg
+              |  FROM pos WHERE pos <= 10 GROUP BY q_id),
+              |nrel AS (SELECT q_id, count(*)::BIGINT AS n_rel
+              |         FROM qr WHERE rel > 0 GROUP BY q_id)
+              |SELECT per.q_id, coalesce(n_rel, 0)::BIGINT AS n_rel, hits,
+              |  floor(hits / n_rel * 1e6 + 5e-1) / 1e6 AS recall,
+              |  floor(coalesce(1e0 / first_rel, 0e0) * 1e6 + 5e-1) / 1e6
+              |    AS rr,
+              |  floor(CASE WHEN idcg IS NULL OR idcg = 0 THEN 0e0
+              |    ELSE dcg / idcg END * 1e6 + 5e-1) / 1e6 AS ndcg
+              |FROM per LEFT JOIN nrel USING (q_id)
+              |  LEFT JOIN ideal USING (q_id)""".stripMargin)),
+
     // Positional exact-phrase match: candidate starts from the term join,
     // a start is real iff all distinct phrase offsets land on it (robust
     // to repeated terms in the phrase); counts per (phrase, doc).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Full-text retrieval over a document corpus: BM25 scoring with top-k
@@ -149,6 +150,67 @@ object Retrieval {
         col("n_legs")), Seq("q_id", "c_id"))
       .select(col("q_id"), col("c_id").as("doc_id"), col("rrf"),
         col("n_legs"), col("rank"))
+  }
+
+  /** Retrieval-quality evaluation: per-query recall@k, reciprocal rank,
+    * and nDCG@k of a ranked result list against graded relevance
+    * judgments — the measurement half of every retrieval/ANN tuning
+    * loop (e.g. an approximate leg scored against exact top-k truth, or
+    * a system scored against human qrels).
+    *
+    * nDCG uses the exponential gain (2^rel − 1) with NATURAL-log
+    * discounts on both dcg and idcg — nDCG is invariant to the log
+    * base, so this avoids cross-engine log2 differences. Metrics
+    * quantize to 1e-6 (engine-portable, the bm25 discipline).
+    *
+    * Scale shape: `results` is k-bounded per query and `qrels` is
+    * judgment-sized, so every join, window, and aggregate here runs on
+    * query-batch-sized frames — the per-query idcg window partitions
+    * never exceed the judgment count for that query. A query with no
+    * relevant judgments scores rr = ndcg = 0 and NULL recall (0/0 —
+    * no statement about recall is possible, and NULL says so).
+    *
+    * @param results (q_id, doc_id, rank) — rank 1-based; rows with
+    *                rank > k are ignored
+    * @param qrels   (q_id, doc_id, rel) — rel > 0 means relevant;
+    *                graded rels feed the dcg gains
+    * @return (q_id, n_rel, hits, recall, rr, ndcg) one row per query
+    *         appearing in `results` */
+  def evalTopK(results: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    def q6(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
+    val res = results.where(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val qr = qrels.select(col("q_id"), col("doc_id"),
+      col("rel").cast("double").as("rel"))
+    val joined = res.join(qr, Seq("q_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0.0)))
+    val per = joined.groupBy("q_id").agg(
+      sum(when(col("rel") > 0, 1L).otherwise(0L)).as("hits"),
+      min(when(col("rel") > 0, col("rank"))).as("first_rel"),
+      sum(when(col("rel") > 0,
+          (pow(lit(2.0), col("rel")) - 1) / log(col("rank") + 1))
+        .otherwise(lit(0.0))).as("dcg"))
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("rel").desc, col("doc_id").asc)
+    val ideal = qr.where(col("rel") > 0)
+      .withColumn("pos", row_number().over(w))
+      .where(col("pos") <= k)
+      .groupBy("q_id").agg(
+        sum((pow(lit(2.0), col("rel")) - 1) / log(col("pos") + 1))
+          .as("idcg"))
+    val nrel = qr.where(col("rel") > 0)
+      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
+    per.join(nrel, Seq("q_id"), "left")
+      .join(ideal, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        col("hits"),
+        q6(col("hits") / col("n_rel")).as("recall"),
+        q6(coalesce(lit(1.0) / col("first_rel"), lit(0.0))).as("rr"),
+        q6(when(col("idcg").isNull || col("idcg") === 0, lit(0.0))
+          .otherwise(col("dcg") / col("idcg"))).as("ndcg"))
   }
 
   /** Full postings index with its partition key: (tb, term, id, tf, dl),

@@ -132,6 +132,40 @@ class RetrievalSpec extends SparkTestBase {
     assert(got.head._3 == exp10)
   }
 
+  // ---------------------------------------------------------------- eval
+
+  test("evalTopK: recall/rr/ndcg on a handmade fixture; a query with no " +
+    "judgments scores rr = ndcg = 0 and NULL recall") {
+    // q1 truth: 10 (rel 3), 11 (rel 1), 12 (rel 2); ranked [11, 99, 10]
+    val results = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 10L, 3), (2L, 5L, 1))
+      .toDF("q_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L, 3.0), (1L, 11L, 1.0), (1L, 12L, 2.0))
+      .toDF("q_id", "doc_id", "rel")
+    val got = Retrieval.evalTopK(results, qrels, k = 10)
+      .orderBy("q_id")
+      .as[(Long, Long, Long, Option[Double], Double, Double)].collect()
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val dcg = (math.pow(2, 1) - 1) / math.log(2) +
+      (math.pow(2, 3) - 1) / math.log(4)
+    val idcg = (math.pow(2, 3) - 1) / math.log(2) +
+      (math.pow(2, 2) - 1) / math.log(3) +
+      (math.pow(2, 1) - 1) / math.log(4)
+    assert(got(0) == ((1L, 3L, 2L, Some(q6(2.0 / 3)), q6(1.0),
+      q6(dcg / idcg))))
+    assert(got(1) == ((2L, 0L, 0L, None, 0.0, 0.0)))
+  }
+
+  test("evalTopK: perfect ranking scores ndcg = recall = rr = 1; ranks " +
+    "beyond k are ignored") {
+    val results = Seq((7L, 1L, 1), (7L, 2L, 2), (7L, 3L, 4))
+      .toDF("q_id", "doc_id", "rank")
+    val qrels = Seq((7L, 1L, 2.0), (7L, 2L, 1.0))
+      .toDF("q_id", "doc_id", "rel")
+    val got = Retrieval.evalTopK(results, qrels, k = 3)
+      .as[(Long, Long, Long, Option[Double], Double, Double)].collect()
+    assert(got.toSeq == Seq((7L, 2L, 2L, Some(1.0), 1.0, 1.0)))
+  }
+
   // -------------------------------------------------------------- phrase
 
   private def phraseDf(rows: (Long, Seq[String])*) =

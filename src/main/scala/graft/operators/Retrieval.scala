@@ -182,8 +182,11 @@ object Retrieval {
       floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val res = results.where(col("rank") <= k)
       .select(col("q_id"), col("doc_id"), col("rank"))
-    val qr = qrels.select(col("q_id"), col("doc_id"),
-      col("rel").cast("double").as("rel"))
+    // the judgment frame feeds BOTH the hit join and the ideal-gain
+    // aggregate — pin it so a computed qrels leg (e.g. exact top-k
+    // truth from a corpus scan) runs once, not once per consumer
+    val qr = CacheScope.pin(qrels.select(col("q_id"), col("doc_id"),
+      col("rel").cast("double").as("rel")))
     val joined = res.join(qr, Seq("q_id", "doc_id"), "left")
       .withColumn("rel", coalesce(col("rel"), lit(0.0)))
     val per = joined.groupBy("q_id").agg(
@@ -194,16 +197,16 @@ object Retrieval {
         .otherwise(lit(0.0))).as("dcg"))
     val w = Window.partitionBy("q_id")
       .orderBy(col("rel").desc, col("doc_id").asc)
+    // one pass over the judgments for n_rel AND idcg (pos caps the
+    // gains at k, the count is uncapped by definition)
     val ideal = qr.where(col("rel") > 0)
       .withColumn("pos", row_number().over(w))
-      .where(col("pos") <= k)
       .groupBy("q_id").agg(
-        sum((pow(lit(2.0), col("rel")) - 1) / log(col("pos") + 1))
-          .as("idcg"))
-    val nrel = qr.where(col("rel") > 0)
-      .groupBy("q_id").agg(count(lit(1)).as("n_rel"))
-    per.join(nrel, Seq("q_id"), "left")
-      .join(ideal, Seq("q_id"), "left")
+        count(lit(1)).as("n_rel"),
+        sum(when(col("pos") <= k,
+            (pow(lit(2.0), col("rel")) - 1) / log(col("pos") + 1))
+          .otherwise(lit(0.0))).as("idcg"))
+    per.join(ideal, Seq("q_id"), "left")
       .select(col("q_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         col("hits"),

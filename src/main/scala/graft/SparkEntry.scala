@@ -2600,35 +2600,28 @@ object SparkEntry {
           "vec_id", "embedding",
           k = 5, nProbe = 2)
       },
-      Some(s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
-              |             FROM embeddings WHERE vec_id >= 5 AND vec_id < 21),
-              |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
-              |      WHERE vec_id >= 21),
-              |q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
-              |      WHERE vec_id < 5),
-              |cells AS (
-              |  SELECT c_id, c_v, cent_id FROM (
-              |    SELECT c.c_id, c.c_v, cent.cent_id,
-              |      row_number() OVER (PARTITION BY c.c_id
-              |        ORDER BY ${cosSql("c_v", "cent_v")} DESC, cent_id ASC)
-              |        AS rn
-              |    FROM c CROSS JOIN cent) WHERE rn = 1),
-              |probes AS (
-              |  SELECT q_id, q_v, cent_id FROM (
-              |    SELECT q.q_id, q.q_v, cent.cent_id,
-              |      row_number() OVER (PARTITION BY q.q_id
-              |        ORDER BY ${cosSql("q_v", "cent_v")} DESC, cent_id ASC)
-              |        AS rn
-              |    FROM q CROSS JOIN cent) WHERE rn <= 2),
-              |cand AS (
-              |  SELECT probes.q_id, cells.c_id,
-              |    ${cosSql("c_v", "q_v")} AS cosine
-              |  FROM probes JOIN cells ON probes.cent_id = cells.cent_id),
-              |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
-              |  ORDER BY cosine DESC, c_id ASC) AS rank FROM cand)
-              |SELECT q_id, c_id, round(cosine, 6) AS cosine,
-              |  CAST(rank AS INT) AS rank
-              |FROM ranked WHERE rank <= 5""".stripMargin)),
+      Some(ivfTopKOracleSql)),
+
+    // ANN against the STANDING IVF index — the embedding analog of
+    // ir_bm25_indexed: cells partitioned at rest by their centroid
+    // assignment, the query batch's probed cells prune the scan at the
+    // partition level, scoring is unchanged — identical answers (same
+    // oracle SQL), the per-batch assignment pass amortized into the
+    // one-time build. Same fixture discipline as the search index: the
+    // row rebuilds per run; production builds once and queries forever.
+    Q("ann_ivf_indexed",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"/tmp/graft_ivf_index/$tag"
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(emb.where(col("vec_id") >= 21),
+          "vec_id", "embedding",
+          emb.where(col("vec_id") >= 5 && col("vec_id") < 21),
+          "vec_id", "embedding", path)
+        Similarity.ivfTopKIndexed(s, path, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+      },
+      Some(ivfTopKOracleSql)),
 
     // Lloyd k-means over the embedding corpus: k=8 centroids seeded from
     // the 8 smallest vec_ids, 2 iterations, euclidean assignment
@@ -4176,6 +4169,42 @@ object SparkEntry {
   // =================================================================
   // Coverage-completion queries (P7, F2/F14/F15/F21, J7, A11, G6, ANN-LSH)
   // =================================================================
+
+  /** DuckDB replay of IVF top-k under the registry's fixed 16-centroid
+    * model (queries vec_id<5, model 5..20, corpus >=21, nProbe=2, k=5)
+    * — ONE oracle for ann_ivf_topk and ann_ivf_indexed: the standing
+    * index changes the at-rest layout (cell-partitioned files, pruned
+    * scan), not the answer, and the shared SQL pins that contract. */
+  private def ivfTopKOracleSql: String =
+    s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_v
+       |             FROM embeddings WHERE vec_id >= 5 AND vec_id < 21),
+       |c AS (SELECT vec_id AS c_id, embedding AS c_v FROM embeddings
+       |      WHERE vec_id >= 21),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_v FROM embeddings
+       |      WHERE vec_id < 5),
+       |cells AS (
+       |  SELECT c_id, c_v, cent_id FROM (
+       |    SELECT c.c_id, c.c_v, cent.cent_id,
+       |      row_number() OVER (PARTITION BY c.c_id
+       |        ORDER BY ${cosSql("c_v", "cent_v")} DESC, cent_id ASC)
+       |        AS rn
+       |    FROM c CROSS JOIN cent) WHERE rn = 1),
+       |probes AS (
+       |  SELECT q_id, q_v, cent_id FROM (
+       |    SELECT q.q_id, q.q_v, cent.cent_id,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY ${cosSql("q_v", "cent_v")} DESC, cent_id ASC)
+       |        AS rn
+       |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+       |cand AS (
+       |  SELECT probes.q_id, cells.c_id,
+       |    ${cosSql("c_v", "q_v")} AS cosine
+       |  FROM probes JOIN cells ON probes.cent_id = cells.cent_id),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |  ORDER BY cosine DESC, c_id ASC) AS rank FROM cand)
+       |SELECT q_id, c_id, round(cosine, 6) AS cosine,
+       |  CAST(rank AS INT) AS rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
 
   /** The deterministic Lloyd k-means replay (k=8 seeded from the 8
     * smallest vec_ids, 2 iterations, squared-euclidean assignment) as a

@@ -254,6 +254,58 @@ object Similarity {
         col("rank"))
   }
 
+  /** Persist the IVF layout as a standing index — the embedding analog
+    * of the standing BM25 search index: corpus vectors written
+    * partitioned BY CELL (their nearest-centroid assignment) under
+    * `path/cells`, the centroid model under `path/model`. Build once,
+    * query forever: at corpus scale the per-batch cell-assignment pass
+    * of [[ivfTopK]] is the cost this amortizes away, and every query
+    * batch afterwards reads ONLY its probed cells' partitions. */
+  def writeIvfIndex(corpus: DataFrame, corpusId: String, vecCol: String,
+                    centroids: DataFrame, centId: String, centVec: String,
+                    path: String): Unit = {
+    val cents = collectCentroids(centroids, centId, centVec)
+    val nearest1 = nearestCentroidsUdf(cents, 1)
+    corpus.select(col(corpusId).as("c_id"), col(vecCol).as("c_v"))
+      .select(col("c_id"), col("c_v"),
+        element_at(nearest1(col("c_v")), 1).getField("_1").as("cent_id"))
+      .write.mode("overwrite").partitionBy("cent_id")
+      .parquet(s"$path/cells")
+    centroids.select(col(centId).cast("long").as("cent_id"),
+        transform(col(centVec), _.cast("float")).as("cent_v"))
+      .write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** IVF top-k against a standing [[writeIvfIndex]] layout. The query
+    * batch routes on the broadcast model exactly like [[ivfTopK]]; the
+    * probed cell ids (query-batch-bounded: ≤ nProbe × batch, collected
+    * driver-side per the model-only traffic discipline) prune the cell
+    * scan at the PARTITION level, so only probed cells' files are ever
+    * opened — the at-rest analog of ivfTopK's cell equi-join. Answers
+    * are identical to [[ivfTopK]] under the same model by construction
+    * (same assignment kernel at write time, same scoring after). */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, queryId: String, vecCol: String,
+                     k: Int, nProbe: Int = 2): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val cents = collectCentroids(spark.read.parquet(s"$path/model"),
+      "cent_id", "cent_v")
+    val nearestP = nearestCentroidsUdf(cents, nProbe)
+    val probes = queries.select(col(queryId).as("q_id"), col(vecCol).as("q_v"))
+      .select(col("q_id"), col("q_v"),
+        explode(nearestP(col("q_v")).getField("_1")).as("cent_id"))
+    val probedCells = probes.select(col("cent_id")).distinct()
+      .collect().map(_.getLong(0))
+    val cells = spark.read.parquet(s"$path/cells")
+      .where(col("cent_id").isin(probedCells: _*))
+    val cands = probes.join(cells, "cent_id")
+      .select(col("q_id"), col("c_id"),
+        cosineCol(col("c_v"), col("q_v")).as("cosine"))
+    topKPerQuery(cands, "cosine", k)
+      .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
+        col("rank"))
+  }
+
   /** Squared-euclidean JIT kernel over double vectors (sequential fold —
     * same accumulation order as the oracle's list_reduce). */
   def sqDistKernel(a: Seq[Double], b: Seq[Double]): Double = {

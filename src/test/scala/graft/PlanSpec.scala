@@ -403,7 +403,7 @@ class PlanSpec extends SparkTestBase {
     // operator may appear in any ANN executed plan.
     for (q <- Seq("ann_brute_topk", "ann_lsh_topk", "ann_sq_topk",
         "ann_ivf_assign", "ann_ivf_topk", "ann_pq_topk",
-        "ann_ivfpq_topk", "ann_ivfpq_rerank")) {
+        "ann_ivfpq_topk", "ann_ivfpq_rerank", "ann_ivf_indexed")) {
       val p = plan(q)
       assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
       assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")
@@ -411,6 +411,11 @@ class PlanSpec extends SparkTestBase {
     // ivf_assign is narrow end to end: the argmin runs where the scan runs
     assert(!plan("ann_ivf_assign").contains("Exchange"),
       plan("ann_ivf_assign").take(3000))
+    // the standing IVF index prunes the cell scan to the probed cells'
+    // partitions — the filter must reach the scan as a PartitionFilter
+    val idx = plan("ann_ivf_indexed")
+    assert("PartitionFilters: \\[[^\\]]*cent_id".r.findFirstIn(idx).isDefined,
+      idx.take(3000))
   }
 
   test("session-2 operators: wedge/candidate joins stay keyed, no " +

@@ -1226,6 +1226,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(run(2) == Set(10L, 11L, 20L, 21L))
   }
 
+  test("ivfTopKIndexed answers exactly like inline ivfTopK and probes " +
+    "only the batch's cells") {
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),  // cell A
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.9f))   // cell B
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", path)
+    for (nProbe <- Seq(1, 2)) {
+      val inline = Similarity.ivfTopK(corpus, queries, "vec_id", "vec_id",
+          "embedding", cents, "vec_id", "embedding", k = 4, nProbe)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      val indexed = Similarity.ivfTopKIndexed(spark, path, queries,
+          "vec_id", "embedding", k = 4, nProbe)
+        .as[(Long, Long, Double, Int)].collect().toSet
+      assert(indexed == inline, s"nProbe=$nProbe")
+    }
+    // single probe reaches only cell A — the at-rest layout enforces it
+    assert(Similarity.ivfTopKIndexed(spark, path, queries, "vec_id",
+        "embedding", k = 4, nProbe = 1)
+      .select("c_id").as[Long].collect().toSet == Set(10L, 11L))
+  }
+
   test("sqTopK: int8 codes round-trip within a half bin; ADC + exact " +
     "rerank reproduces the brute-force top-k on real embeddings") {
     // quantization error bound: |dequant(code(v)) - v| <= step/2

@@ -1729,6 +1729,35 @@ object SparkEntry {
        |  FROM sig, (SELECT unnest(range(0, 8)) AS b))""".stripMargin
   private val minhashBandedSql = minhashBandedSqlFrom("documents")
 
+  /** DuckDB replay of connected components over the verified MinHash
+    * near-dup pairs (simThreshold = 0.5): CTEs `cand -> pairs -> sym ->
+    * reach -> comp(node, component = min reachable id)`, continuing
+    * from [[minhashBandedSqlFrom]]'s `banded` under WITH RECURSIVE —
+    * ONE copy shared by dd_cluster_keep and ds_split_leakage so the
+    * component SQL cannot drift between the dedup and the split. */
+  private def lshComponentsSql: String =
+    s"""cand AS (
+       |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
+       |    a.sig AS a_sig, b.sig AS b_sig
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |pairs AS (
+       |  SELECT a_id, b_id FROM cand
+       |  WHERE list_sum(list_transform(range(1, 17), i ->
+       |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
+       |    >= 0.5),
+       |sym AS (
+       |  SELECT a_id AS u, b_id AS v FROM pairs
+       |  UNION SELECT b_id, a_id FROM pairs
+       |  UNION SELECT a_id, a_id FROM pairs
+       |  UNION SELECT b_id, b_id FROM pairs),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
+       |comp AS (SELECT u AS node, min(v) AS component
+       |         FROM reach GROUP BY u)""".stripMargin
+
   /** DuckDB replay of `Dedup.minHashLSH(rel, "doc_id", "text", shingleN=3,
     * bands=8, rowsPerBand=2, simThreshold=0.5)` as a CTE chain ending in
     * `drops(b_id)` — the higher id of every verified near-dup pair.
@@ -2112,27 +2141,7 @@ object SparkEntry {
             (col("rn") === 1).cast("int").as("keep"))
       },
       Some(s"""WITH RECURSIVE $minhashBandedSql,
-              |cand AS (
-              |  SELECT DISTINCT a.id AS a_id, b.id AS b_id,
-              |    a.sig AS a_sig, b.sig AS b_sig
-              |  FROM banded a JOIN banded b
-              |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
-              |pairs AS (
-              |  SELECT a_id, b_id FROM cand
-              |  WHERE list_sum(list_transform(range(1, 17), i ->
-              |    CASE WHEN a_sig[i] = b_sig[i] THEN 1 ELSE 0 END))::DOUBLE / 16
-              |    >= 0.5),
-              |sym AS (
-              |  SELECT a_id AS u, b_id AS v FROM pairs
-              |  UNION SELECT b_id, a_id FROM pairs
-              |  UNION SELECT a_id, a_id FROM pairs
-              |  UNION SELECT b_id, b_id FROM pairs),
-              |reach AS (
-              |  SELECT u, v FROM sym
-              |  UNION
-              |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u),
-              |comp AS (SELECT u AS node, min(v) AS component
-              |         FROM reach GROUP BY u),
+              |$lshComponentsSql,
               |lab AS (
               |  SELECT d.doc_id, d.text,
               |    coalesce(c.component, d.doc_id) AS component
@@ -8056,6 +8065,35 @@ object SparkEntry {
               |    WHEN ${h32Sql("CAST(doc_id AS VARCHAR)", "42")} % 100 < 90
               |    THEN 'val' ELSE 'test' END AS split
               |FROM documents""".stripMargin)),
+
+    // DS: LEAKAGE-SAFE split — ds_train_split's per-doc hash puts
+    // ~split-fraction of every near-dup cluster on each side, so test
+    // docs have train near-dups (benchmark leakage). Here the split
+    // unit is the connected component of the MinHash near-dup graph:
+    // cluster members land together by construction, singletons reduce
+    // to the per-doc split. The oracle replays candidate generation,
+    // verify, components (the dd_cluster_keep chain, shared SQL), and
+    // the hash cut.
+    Q("ds_split_leakage",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = Dedup.minHashLSH(docs, "doc_id", "text",
+            shingleN = 3, bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        Sampling.leakageSafeSplit(docs, "doc_id", pairs, seed = 42,
+          trainPct = 80, valPct = 10)
+      },
+      Some {
+        val comp = "coalesce(c.component, d.doc_id)"
+        val b = s"${h32Sql(s"CAST($comp AS VARCHAR)", "42")} % 100"
+        s"""WITH RECURSIVE $minhashBandedSql,
+           |$lshComponentsSql
+           |SELECT d.doc_id, $comp AS component, $b AS bucket,
+           |  CASE WHEN $b < 80 THEN 'train'
+           |    WHEN $b < 90 THEN 'val' ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN comp c ON d.doc_id = c.node"""
+          .stripMargin
+      }),
 
     // DS: deterministic epoch-seeded shard shuffle — the dataloader
     // export: shard = uniform hash, position = rank by an independent

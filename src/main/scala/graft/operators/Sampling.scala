@@ -261,6 +261,44 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long"))
       .select(col(keyCol), col("shard"), col("pos"))
   }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle a split boundary — a test doc whose near-dup sits in
+    * train is benchmark leakage, and a plain per-doc hash split
+    * ([[deterministicSample]] / ds_train_split) puts ~split-fraction of
+    * every dup cluster on each side. Here the split unit is the
+    * CONNECTED COMPONENT of the near-dup graph: every doc hashes by its
+    * component id, so a whole cluster lands together by construction
+    * (singletons are their own component — for them this degrades to
+    * exactly the per-doc split).
+    *
+    * Scale shape: the pair frame comes from any bucketed candidate
+    * generator (MinHash-LSH here — never all-pairs), components run the
+    * frontier-bounded [[ConnectedComponents]] loop (node-sized state),
+    * and the split itself is one codegen'd hash filter — the same
+    * partition/cluster-invariant cut as every other sampler in this
+    * file.
+    *
+    * @param pairs near-dup edges (src, dst) over `idCol` values
+    * @return (idCol, component, bucket, split) — split in
+    *         {train, val, test} by trainPct/valPct/rest */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+                       seed: Int = 42, trainPct: Int = 80,
+                       valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"bad split percentages: train=$trainPct val=$valPct")
+    val cc = ConnectedComponents.run(pairs.select(col("src"), col("dst")))
+      .withColumnRenamed("node", idCol)
+    val bucket = pmod(Dedup.md5Hash32(col("component").cast("string"),
+      lit(seed)), lit(100L))
+    docs.select(col(idCol)).join(cc, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .select(col(idCol), col("component"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < trainPct, lit("train"))
+          .when(col("bucket") < trainPct + valPct, lit("val"))
+          .otherwise(lit("test")))
+  }
 }
 
 /** Bounded k-heap "smallest k rows by (h, key)" Aggregator — the

@@ -1730,6 +1730,43 @@ class OperatorsSpec extends SparkTestBase {
       x._2._5, x._2._6, x._2._7)) == viaExpr)
   }
 
+  test("leakageSafeSplit: near-dup clusters never straddle the split, " +
+    "components are the min reachable id, singletons keep the per-doc cut") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L)).toDF("src", "dst")
+    val out = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out.size == 200)
+    // whole clusters land together, labeled by their min id
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._4).distinct.length == 1)
+    assert(Seq(50L, 51L).map(out(_)._2).distinct == Seq(50L))
+    assert(Seq(50L, 51L).map(out(_)._4).distinct.length == 1)
+    // a singleton is its own component: identical to the per-doc split
+    assert(out(7L)._2 == 7L)
+    val fracTrain = out.values.count(_._4 == "train") / 200.0
+    assert(fracTrain > 0.6 && fracTrain < 0.95, s"train frac $fracTrain")
+  }
+
+  test("leakageSafeSplit on real near-dup pairs: no verified pair " +
+    "straddles the boundary") {
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = Dedup.minHashLSH(docs, "doc_id", "text", shingleN = 3,
+        bands = 8, rowsPerBand = 2, simThreshold = 0.5)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs)
+      .select(col("doc_id"), col("split"))
+    val straddling = pairs
+      .join(split.withColumnRenamed("doc_id", "src")
+        .withColumnRenamed("split", "s_a"), "src")
+      .join(split.withColumnRenamed("doc_id", "dst")
+        .withColumnRenamed("split", "s_b"), "dst")
+      .where(col("s_a") =!= col("s_b")).count()
+    assert(straddling == 0)
+    assert(pairs.count() > 0) // the property is not vacuous
+  }
+
   test("shardShuffle: a permutation per epoch — positions contiguous per " +
     "shard, partition-invariant, different seeds differ, same seed replays") {
     val docs = (1L to 200L).toDF("doc_id")

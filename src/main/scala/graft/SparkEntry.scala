@@ -8651,6 +8651,79 @@ object SparkEntry {
        |SELECT q_id, id AS doc_id, score, rn::INT AS rank
        |FROM ranked WHERE rn <= 10""".stripMargin
 
+  /** The semantic (exact-cosine) retrieval leg on the embedding-covered
+    * id prefix: CTEs `qe, ce, sscored(q_id, c_id, rank)` — shared by
+    * ir_hybrid_rrf, ir_eval_ndcg, and pipe_rag_eval. */
+  private def irSemCtes: String =
+    s"""qe AS (SELECT vec_id AS q_id, embedding AS q_v
+       |       FROM embeddings WHERE vec_id % 41 = 0 AND vec_id < 500),
+       |ce AS (SELECT vec_id AS c_id, embedding AS c_v
+       |       FROM embeddings),
+       |sscored AS (
+       |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
+       |  FROM ce CROSS JOIN qe)""".stripMargin
+
+  /** RRF fusion of the lexical (`ranked`, from [[bm25RankedCtes]]) and
+    * semantic (`sscored`, from [[irSemCtes]]) legs: CTEs ending in
+    * `rk(q_id, doc_id, rrf, n_legs, rk)` — shared by ir_hybrid_rrf and
+    * pipe_rag_eval so the fusion SQL cannot drift. */
+  private def irHybridCtes: String =
+    s"""lex AS (SELECT q_id, id AS doc_id, rn AS rank
+       |        FROM ranked WHERE rn <= 10),
+       |sem AS (SELECT q_id, c_id AS doc_id, rank
+       |        FROM sscored WHERE rank <= 10),
+       |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
+       |fused AS (
+       |  SELECT q_id, doc_id,
+       |    floor(sum(1e0 / (60 + rank)) * 1e9 + 5e-1) / 1e9 AS rrf,
+       |    count(*)::BIGINT AS n_legs
+       |  FROM u GROUP BY q_id, doc_id),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
+       |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM fused)""".stripMargin
+
+  /** Graded truth + eval denominators from the semantic leg: CTEs
+    * `qr(q_id, doc_id, rel = 11 - rank), pos, ideal(idcg), nrel(n_rel)`
+    * — shared by ir_eval_ndcg and pipe_rag_eval. */
+  private def irTruthEvalCtes: String =
+    s"""qr AS (SELECT q_id, c_id AS doc_id, (11 - rank)::DOUBLE AS rel
+       |       FROM sscored WHERE rank <= 10),
+       |pos AS (SELECT q_id, rel, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS pos
+       |  FROM qr WHERE rel > 0),
+       |ideal AS (
+       |  SELECT q_id, sum((pow(2e0, rel) - 1) / ln(pos + 1)) AS idcg
+       |  FROM pos WHERE pos <= 10 GROUP BY q_id),
+       |nrel AS (SELECT q_id, count(*)::BIGINT AS n_rel
+       |         FROM qr WHERE rel > 0 GROUP BY q_id)""".stripMargin
+
+  /** Per-query eval partials of a (q_id, doc_id, rank) relation against
+    * `qr`: CTEs `<p>j, <p>per(q_id, hits, first_rel, dcg)`. */
+  private def irEvalPerSql(resRel: String, p: String): String =
+    s"""${p}j AS (SELECT r.q_id, r.rank, coalesce(qr.rel, 0e0) AS rel
+       |      FROM $resRel r LEFT JOIN qr
+       |        ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id),
+       |${p}per AS (
+       |  SELECT q_id,
+       |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
+       |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+       |    sum(CASE WHEN rel > 0
+       |      THEN (pow(2e0, rel) - 1) / ln(rank + 1) ELSE 0e0 END)
+       |      AS dcg
+       |  FROM ${p}j GROUP BY q_id)""".stripMargin
+
+  /** Final per-query metric SELECT over a `<p>per` relation (quantized
+    * exactly like Retrieval.evalTopK). */
+  private def irEvalMetricsSql(per: String): String =
+    s"""SELECT $per.q_id, coalesce(n_rel, 0)::BIGINT AS n_rel, hits,
+       |  floor(hits / n_rel * 1e6 + 5e-1) / 1e6 AS recall,
+       |  floor(coalesce(1e0 / first_rel, 0e0) * 1e6 + 5e-1) / 1e6
+       |    AS rr,
+       |  floor(CASE WHEN idcg IS NULL OR idcg = 0 THEN 0e0
+       |    ELSE dcg / idcg END * 1e6 + 5e-1) / 1e6 AS ndcg
+       |FROM $per LEFT JOIN nrel USING (q_id)
+       |  LEFT JOIN ideal USING (q_id)""".stripMargin
+
   private val retrievalQueries = Seq(
     // BM25 top-k: Lucene-form idf ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
     // query-term postings selected by broadcast prefilter, per-query
@@ -8700,26 +8773,8 @@ object SparkEntry {
         Retrieval.rrfFuse(Seq(lex, sem), k = 10)
       },
       Some(s"""WITH ${bm25RankedCtes(500)},
-              |lex AS (SELECT q_id, id AS doc_id, rn AS rank
-              |        FROM ranked WHERE rn <= 10),
-              |qe AS (SELECT vec_id AS q_id, embedding AS q_v
-              |       FROM embeddings WHERE vec_id % 41 = 0 AND vec_id < 500),
-              |ce AS (SELECT vec_id AS c_id, embedding AS c_v
-              |       FROM embeddings),
-              |sscored AS (
-              |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
-              |  FROM ce CROSS JOIN qe),
-              |sem AS (SELECT q_id, c_id AS doc_id, rank
-              |        FROM sscored WHERE rank <= 10),
-              |u AS (SELECT * FROM lex UNION ALL SELECT * FROM sem),
-              |fused AS (
-              |  SELECT q_id, doc_id,
-              |    floor(sum(1e0 / (60 + rank)) * 1e9 + 5e-1) / 1e9 AS rrf,
-              |    count(*)::BIGINT AS n_legs
-              |  FROM u GROUP BY q_id, doc_id),
-              |rk AS (SELECT *, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY rrf DESC, doc_id ASC) AS rk FROM fused)
+              |$irSemCtes,
+              |$irHybridCtes
               |SELECT q_id, doc_id, rrf, n_legs, rk::INT AS rank
               |FROM rk WHERE rk <= 10""".stripMargin)),
 
@@ -8744,45 +8799,71 @@ object SparkEntry {
         Retrieval.evalTopK(lex, qrels, k = 10)
       },
       Some(s"""WITH ${bm25RankedCtes(500)},
+              |$irSemCtes,
               |res AS (SELECT q_id, id AS doc_id, rn AS rank
               |        FROM ranked WHERE rn <= 10),
-              |qe AS (SELECT vec_id AS q_id, embedding AS q_v
-              |       FROM embeddings WHERE vec_id % 41 = 0 AND vec_id < 500),
-              |ce AS (SELECT vec_id AS c_id, embedding AS c_v
-              |       FROM embeddings),
-              |sscored AS (
-              |  SELECT q_id, c_id, row_number() OVER (PARTITION BY q_id
-              |    ORDER BY ${cosSql("c_v", "q_v")} DESC, c_id ASC) AS rank
-              |  FROM ce CROSS JOIN qe),
-              |qr AS (SELECT q_id, c_id AS doc_id, (11 - rank)::DOUBLE AS rel
-              |       FROM sscored WHERE rank <= 10),
-              |j AS (SELECT r.q_id, r.rank, coalesce(qr.rel, 0e0) AS rel
-              |      FROM res r LEFT JOIN qr
-              |        ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id),
-              |per AS (
-              |  SELECT q_id,
-              |    sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END)::BIGINT AS hits,
-              |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
-              |    sum(CASE WHEN rel > 0
-              |      THEN (pow(2e0, rel) - 1) / ln(rank + 1) ELSE 0e0 END)
-              |      AS dcg
-              |  FROM j GROUP BY q_id),
-              |pos AS (SELECT q_id, rel, row_number() OVER (
-              |    PARTITION BY q_id ORDER BY rel DESC, doc_id ASC) AS pos
-              |  FROM qr WHERE rel > 0),
-              |ideal AS (
-              |  SELECT q_id, sum((pow(2e0, rel) - 1) / ln(pos + 1)) AS idcg
-              |  FROM pos WHERE pos <= 10 GROUP BY q_id),
-              |nrel AS (SELECT q_id, count(*)::BIGINT AS n_rel
-              |         FROM qr WHERE rel > 0 GROUP BY q_id)
-              |SELECT per.q_id, coalesce(n_rel, 0)::BIGINT AS n_rel, hits,
-              |  floor(hits / n_rel * 1e6 + 5e-1) / 1e6 AS recall,
-              |  floor(coalesce(1e0 / first_rel, 0e0) * 1e6 + 5e-1) / 1e6
-              |    AS rr,
-              |  floor(CASE WHEN idcg IS NULL OR idcg = 0 THEN 0e0
-              |    ELSE dcg / idcg END * 1e6 + 5e-1) / 1e6 AS ndcg
-              |FROM per LEFT JOIN nrel USING (q_id)
-              |  LEFT JOIN ideal USING (q_id)""".stripMargin)),
+              |$irTruthEvalCtes,
+              |${irEvalPerSql("res", "")}
+              |${irEvalMetricsSql("per")}""".stripMargin)),
+
+    // PIPE: retrieval capstone — the two-tower story end to end in ONE
+    // oracle-checked plan: lexical BM25, the semantic leg, RRF fusion,
+    // then BOTH systems macro-evaluated against the graded semantic
+    // truth. (The hybrid contains the truth-producing leg, so its win
+    // over lexical-alone is by construction — the row pins the
+    // COMPOSITION: every stage's SQL is the same shared chain its
+    // standalone registry row replays.) Both legs are pinned: each
+    // feeds the fusion AND an eval/truth consumer.
+    Q("pipe_rag_eval",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val lex = Retrieval.bm25TopK(t(s, dir, "documents"), "doc_id",
+            "text", bm25FixtureQueries(s, dir, cap = 500), k = 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+          .transform(CacheScope.pin)
+        val sem = Similarity.bruteForceTopK(emb,
+            emb.where(col("vec_id") % 41 === 0 && col("vec_id") < 500),
+            "vec_id", "vec_id", "embedding", k = 10)
+          .select(col("q_id"), col("c_id").as("doc_id"), col("rank"))
+          .transform(CacheScope.pin)
+        val hyb = Retrieval.rrfFuse(Seq(lex, sem), k = 10)
+          .select(col("q_id"), col("doc_id"), col("rank"))
+        val truth = sem.select(col("q_id"), col("doc_id"),
+          (lit(11) - col("rank")).as("rel"))
+        def macroEval(res: org.apache.spark.sql.DataFrame, system: String) =
+          Retrieval.evalTopK(res, truth, k = 10)
+            .agg(count(lit(1)).as("n_queries"),
+              (floor(avg("recall") * lit(1e6) + lit(0.5)) / lit(1e6))
+                .as("mean_recall"),
+              (floor(avg("rr") * lit(1e6) + lit(0.5)) / lit(1e6))
+                .as("mean_rr"),
+              (floor(avg("ndcg") * lit(1e6) + lit(0.5)) / lit(1e6))
+                .as("mean_ndcg"))
+            .select(lit(system).as("system"), col("n_queries"),
+              col("mean_recall"), col("mean_rr"), col("mean_ndcg"))
+        macroEval(lex, "lexical").unionByName(macroEval(hyb, "hybrid"))
+      },
+      Some(s"""WITH ${bm25RankedCtes(500)},
+              |$irSemCtes,
+              |$irHybridCtes,
+              |hybres AS (SELECT q_id, doc_id, rk AS rank
+              |           FROM rk WHERE rk <= 10),
+              |$irTruthEvalCtes,
+              |${irEvalPerSql("lex", "l")},
+              |${irEvalPerSql("hybres", "h")},
+              |lm AS (${irEvalMetricsSql("lper")}),
+              |hm AS (${irEvalMetricsSql("hper")})
+              |SELECT 'lexical' AS system, count(*)::BIGINT AS n_queries,
+              |  floor(avg(recall) * 1e6 + 5e-1) / 1e6 AS mean_recall,
+              |  floor(avg(rr) * 1e6 + 5e-1) / 1e6 AS mean_rr,
+              |  floor(avg(ndcg) * 1e6 + 5e-1) / 1e6 AS mean_ndcg
+              |FROM lm
+              |UNION ALL
+              |SELECT 'hybrid', count(*)::BIGINT,
+              |  floor(avg(recall) * 1e6 + 5e-1) / 1e6,
+              |  floor(avg(rr) * 1e6 + 5e-1) / 1e6,
+              |  floor(avg(ndcg) * 1e6 + 5e-1) / 1e6
+              |FROM hm""".stripMargin)),
 
     // Positional exact-phrase match: candidate starts from the term join,
     // a start is real iff all distinct phrase offsets land on it (robust

@@ -7395,6 +7395,47 @@ object SparkEntry {
              |  END AS anomaly
              |FROM d""".stripMargin)),
 
+    // TS: CUSUM change-point detection — sustained level shifts, the
+    // complement of ts_anomaly's pointwise Hampel spikes. No sequential
+    // fold: the max(0, ·) recurrence is computed as the drawdown
+    // identity over deviation prefix sums, so the plan is one keyed
+    // shuffle with two running-prefix windows (spill-safe at any
+    // series length). Same hourly fixture as ts_anomaly.
+    Q("ts_cusum",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") < 8)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        TimeSeries.cusum(hourly, "user_id", "h", "v",
+          kappaSigmas = 0.5, hSigmas = 4.0)
+      },
+      Some("""WITH hourly AS (
+             |  SELECT user_id, date_trunc('hour', ts) AS h,
+             |    round(sum(value), 2) + 0e0 AS v
+             |  FROM events WHERE user_id < 8 GROUP BY 1, 2),
+             |st AS (SELECT user_id, avg(v) AS mu,
+             |         coalesce(stddev_samp(v), 0e0) AS sigma
+             |       FROM hourly GROUP BY user_id),
+             |d AS (SELECT hourly.user_id, h, v, mu, sigma,
+             |        v - mu - 5e-1 * sigma AS dp,
+             |        mu - 5e-1 * sigma - v AS dn
+             |      FROM hourly JOIN st USING (user_id)),
+             |p AS (SELECT user_id, h, v, sigma,
+             |        sum(dp) OVER w AS pp, sum(dn) OVER w AS pn
+             |      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY h
+             |        ROWS UNBOUNDED PRECEDING)),
+             |r AS (SELECT user_id, h, v, sigma, pp, pn,
+             |        min(pp) OVER w AS mpp, min(pn) OVER w AS mpn
+             |      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY h
+             |        ROWS UNBOUNDED PRECEDING))
+             |SELECT user_id, h, v,
+             |  floor((pp - least(mpp, 0e0)) * 1e4 + 5e-1) / 1e4 AS s_pos,
+             |  floor((pn - least(mpn, 0e0)) * 1e4 + 5e-1) / 1e4 AS s_neg,
+             |  CASE WHEN pp - least(mpp, 0e0) > 4e0 * sigma
+             |    OR pn - least(mpn, 0e0) > 4e0 * sigma
+             |  THEN 1 ELSE 0 END AS alarm
+             |FROM r""".stripMargin)),
+
     // DQ: declarative quality-constraint report — every constraint is
     // one aggregate expression inside a single partial-agg pass (one scan
     // no matter how many checks), emitting a tiny violations report.

@@ -264,4 +264,50 @@ object TimeSeries {
           .otherwise(when(x =!= col("med"), 1).otherwise(0)))
       .drop("__buf", "__full")
   }
+
+  /** Tabular CUSUM change-point detection per key (Page 1954): alarms
+    * when the cumulative deviation from the series mean exceeds
+    * `hSigmas`·σ in either direction, with the usual slack
+    * κ = `kappaSigmas`·σ absorbing in-control noise. Detects sustained
+    * LEVEL SHIFTS the pointwise Hampel filter ([[rollingRobustAnomaly]])
+    * ignores — the two are complements (spike vs drift).
+    *
+    * Scale shape — no sequential recurrence: the textbook
+    * S⁺_t = max(0, S⁺_{t-1} + dev_t) fold equals the DRAWDOWN identity
+    * S⁺_t = P_t − min(0, min_{i≤t} P_i) over the deviation prefix sums
+    * (induction in one line: max(0, P_t − m_{t-1}) = P_t − min(P_t,
+    * m_{t-1})), so the whole operator is one keyed shuffle carrying two
+    * running-prefix windows (sum, then min) — spill-safe at any series
+    * length, never a per-key collect. Reference stats (μ, σ) come from
+    * the full per-key series; σ = 0 (constant series) alarms nothing.
+    *
+    * Output: (keyCol, orderCol, valueCol, s_pos, s_neg, alarm) with the
+    * statistics quantized to 1e-4 and the alarm decided on the
+    * UNquantized values. */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+            valueCol: String, kappaSigmas: Double = 0.5,
+            hSigmas: Double = 4.0): DataFrame = {
+    val x = col(valueCol).cast("double")
+    val stats = df.groupBy(keyCol).agg(
+      avg(x).as("__mu"),
+      coalesce(stddev_samp(x), lit(0.0)).as("__sigma"))
+    val run = Window.partitionBy(keyCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def q4(c: org.apache.spark.sql.Column) =
+      floor(c * lit(1e4) + lit(0.5)) / lit(1e4)
+    df.join(stats, keyCol)
+      .withColumn("__pp",
+        sum(x - col("__mu") - lit(kappaSigmas) * col("__sigma")).over(run))
+      .withColumn("__pn",
+        sum(col("__mu") - lit(kappaSigmas) * col("__sigma") - x).over(run))
+      .withColumn("__sp", col("__pp") - least(min(col("__pp")).over(run),
+        lit(0.0)))
+      .withColumn("__sn", col("__pn") - least(min(col("__pn")).over(run),
+        lit(0.0)))
+      .select(col(keyCol), col(orderCol), col(valueCol),
+        q4(col("__sp")).as("s_pos"), q4(col("__sn")).as("s_neg"),
+        when(col("__sp") > lit(hSigmas) * col("__sigma") ||
+          col("__sn") > lit(hSigmas) * col("__sigma"), 1).otherwise(0)
+          .as("alarm"))
+  }
 }

@@ -992,6 +992,53 @@ class OperatorsSpec extends SparkTestBase {
       ("2024-01-01 12:00:00.0", 6.6667))) // (8 + 2) / 1.5, 2.0 term dropped
   }
 
+  test("cusum equals the textbook max(0, .) fold and alarms on a " +
+    "sustained level shift but not on the pre-shift segment") {
+    // key 1: 20 zeros then 20 tens (a level shift); key 2: deterministic
+    // pseudo-noise with no shift
+    val rows =
+      (1 to 40).map(i => (1L, i, if (i <= 20) 0.0 else 10.0)) ++
+        (1 to 50).map(i => (2L, i, ((i * 37) % 11).toDouble))
+    val df = rows.toDF("k", "o", "v")
+    val got = TimeSeries.cusum(df, "k", "o", "v")
+      .as[(Long, Int, Double, Double, Double, Int)].collect()
+      .groupBy(_._1).map { case (k, a) => k -> a.sortBy(_._2) }
+    // reference: the sequential recurrence with the same stats
+    def ref(vs: Seq[Double]) = {
+      val mu = vs.sum / vs.size
+      val sigma =
+        if (vs.size < 2) 0.0
+        else math.sqrt(vs.map(x => (x - mu) * (x - mu)).sum / (vs.size - 1))
+      val (kap, h) = (0.5 * sigma, 4.0 * sigma)
+      var (sp, sn) = (0.0, 0.0)
+      vs.map { x =>
+        sp = math.max(0.0, sp + (x - mu - kap))
+        sn = math.max(0.0, sn + (mu - kap - x))
+        def q(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+        (q(sp), q(sn), if (sp > h || sn > h) 1 else 0)
+      }
+    }
+    for ((k, vs) <- Seq(1L -> rows.filter(_._1 == 1L).map(_._3),
+        2L -> rows.filter(_._1 == 2L).map(_._3))) {
+      val expected = ref(vs)
+      val actual = got(k).map(r => (r._4, r._5, r._6)).toSeq
+      assert(actual == expected, s"key $k")
+    }
+    // with full-series reference stats a two-level series deviates in
+    // BOTH directions from the global mean: the low segment accumulates
+    // on the negative side, the high segment on the positive side —
+    // and neither alarms instantly (evidence must accumulate)
+    assert(got(1L).head._6 == 0)
+    val firstAlarm = got(1L).indexWhere(_._6 == 1)
+    assert(firstAlarm > 3, s"alarmed too early: $firstAlarm")
+    val low = got(1L)(19)
+    assert(low._6 == 1 && low._5 > low._4, low.toString) // s_neg drives
+    val high = got(1L).last
+    assert(high._6 == 1 && high._4 > high._5, high.toString) // s_pos
+    // the in-control noise series never alarms
+    assert(got(2L).forall(_._6 == 0))
+  }
+
   test("rollingRobustAnomaly: Hampel flags spikes, ages them out, and " +
     "degenerates safely on flat baselines") {
     val obs = Seq(

@@ -7458,6 +7458,51 @@ object SparkEntry {
              |  count(*) FILTER (WHERE o_totalprice < 0e0 OR o_totalprice > 4e5)
              |FROM orders""".stripMargin)),
 
+    // DQ: quarantine — the actionable complement of the report: the
+    // violating ROWS, each carrying which constraints it failed, so the
+    // ingest can route them (clean side = anti-join). Fixture mangles
+    // every 191st order back in with a NULL custkey, so all three
+    // constraint kinds fire: those keys duplicate (both copies flagged),
+    // the mangled copies fail non_null, and a tightened price ceiling
+    // catches real rows.
+    Q("dq_quarantine",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val base = o.unionByName(
+          o.where(col("o_orderkey") % 191 === 0)
+            .select(col("o_orderkey"),
+              lit(null).cast("long").as("o_custkey"),
+              col("o_totalprice")))
+        DataChecks.quarantine(base,
+            uniqueCols = Seq("o_orderkey"),
+            nonNullCols = Seq("o_custkey"),
+            ranges = Seq("o_totalprice" -> (0.0, 150000.0)))
+          .select("o_orderkey", "o_totalprice", "failed", "n_failed")
+      },
+      Some("""WITH base AS (
+             |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+             |  UNION ALL
+             |  SELECT o_orderkey, NULL, o_totalprice FROM orders
+             |  WHERE o_orderkey % 191 = 0),
+             |dup AS (SELECT o_orderkey FROM base
+             |        GROUP BY 1 HAVING count(*) > 1),
+             |f AS (
+             |  SELECT b.o_orderkey, b.o_totalprice,
+             |    list_filter([
+             |      CASE WHEN d.o_orderkey IS NOT NULL
+             |        THEN 'unique:o_orderkey' END,
+             |      CASE WHEN b.o_custkey IS NULL
+             |        THEN 'non_null:o_custkey' END,
+             |      CASE WHEN b.o_totalprice IS NOT NULL AND
+             |          (b.o_totalprice < 0e0 OR b.o_totalprice > 15e4)
+             |        THEN 'range:o_totalprice' END],
+             |      x -> x IS NOT NULL) AS failed
+             |  FROM base b LEFT JOIN dup d ON b.o_orderkey = d.o_orderkey)
+             |SELECT o_orderkey, o_totalprice, failed,
+             |  len(failed)::INT AS n_failed
+             |FROM f WHERE len(failed) > 0""".stripMargin)),
+
     // GR: exact triangle count, oriented two-join formulation — every
     // triangle counted once as a wedge at its (degree, id)-smallest
     // vertex, closed by the oriented third edge. Low-degree-first

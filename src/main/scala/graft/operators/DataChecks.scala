@@ -41,4 +41,49 @@ object DataChecks {
     }
     wide.select(explode(array(rows.toSeq: _*)).as("r")).select("r.*")
   }
+
+  /** The actionable complement of [[checkReport]]: the ROWS violating
+    * any constraint, each with the ordered list of constraints it
+    * failed (`failed`, built in declaration order: unique, non_null,
+    * range — deterministic, no sort) — the quarantine side of a
+    * validate-then-route ingest, with the clean side recoverable as an
+    * anti-join on the same frame.
+    *
+    * Per-row semantics: a `unique` violation flags EVERY row of a key
+    * group larger than one (the group needs resolution, not just the
+    * stragglers); nulls are never unique violations (completeness's
+    * concern, the [[checkReport]] convention); `range` flags non-null
+    * out-of-interval values.
+    *
+    * Scale shape: non-null and range flags are codegen'd row-local
+    * expressions on the scan; each unique constraint adds one keyed
+    * join against its duplicated-KEYS frame (violation-sized build
+    * side, usually tiny — AQE broadcasts it).
+    *
+    * @return the violating rows: all of `df`'s columns plus
+    *         (failed: array&lt;string&gt;, n_failed: int) */
+  def quarantine(df: DataFrame, uniqueCols: Seq[String] = Nil,
+                 nonNullCols: Seq[String] = Nil,
+                 ranges: Seq[(String, (Double, Double))] = Nil): DataFrame = {
+    require(uniqueCols.nonEmpty || nonNullCols.nonEmpty || ranges.nonEmpty,
+      "no constraints given")
+    val joined = uniqueCols.foldLeft(df) { (acc, c) =>
+      val dups = df.groupBy(col(c)).agg(count(lit(1)).as("__n"))
+        .where(col("__n") > 1).select(col(c).as(s"__dupkey_$c"))
+      acc.join(dups, acc(c) === col(s"__dupkey_$c"), "left")
+    }
+    val flags =
+      uniqueCols.map(c =>
+        when(col(s"__dupkey_$c").isNotNull, lit(s"unique:$c"))) ++
+      nonNullCols.map(c => when(col(c).isNull, lit(s"non_null:$c"))) ++
+      ranges.map { case (c, (lo, hi)) =>
+        when(col(c).isNotNull && (col(c) < lo || col(c) > hi),
+          lit(s"range:$c")) }
+    joined
+      .withColumn("failed", filter(array(flags: _*), x => x.isNotNull))
+      .where(size(col("failed")) > 0)
+      .withColumn("n_failed", size(col("failed")))
+      .select(df.columns.map(col).toSeq :+ col("failed") :+
+        col("n_failed"): _*)
+  }
 }

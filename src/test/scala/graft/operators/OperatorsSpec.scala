@@ -887,6 +887,32 @@ class OperatorsSpec extends SparkTestBase {
       ("range", "v", 2L)))
   }
 
+  test("quarantine routes exactly the violating rows with ordered " +
+    "reasons; the clean side anti-joins back; null keys never flag " +
+    "unique") {
+    val df = Seq(
+      (1L, java.lang.Double.valueOf(5.0)),       // dup key, in range
+      (1L, java.lang.Double.valueOf(50.0)),      // dup key AND above range
+      (2L, null.asInstanceOf[java.lang.Double]), // null value only
+      (3L, java.lang.Double.valueOf(-1.0)),      // below range only
+      (4L, java.lang.Double.valueOf(7.0))        // clean
+    ).toDF("id", "v")
+    val got = DataChecks.quarantine(df, uniqueCols = Seq("id"),
+        nonNullCols = Seq("v"), ranges = Seq("v" -> (0.0, 10.0)))
+      .as[(Long, Option[Double], Seq[String], Int)].collect()
+      .map(r => (r._1, r._2, r._3)).toSet
+    assert(got == Set(
+      (1L, Some(5.0), Seq("unique:id")),
+      (1L, Some(50.0), Seq("unique:id", "range:v")),
+      (2L, None, Seq("non_null:v")),
+      (3L, Some(-1.0), Seq("range:v"))))
+    // null unique keys are completeness's concern, not uniqueness's
+    val nk = Seq((Option.empty[java.lang.Long], 1.0),
+      (Option.empty[java.lang.Long], 2.0)).toDF("id", "v")
+    assert(DataChecks.quarantine(nk, uniqueCols = Seq("id"),
+      ranges = Seq("v" -> (0.0, 10.0))).count() == 0)
+  }
+
   test("gapFill densifies the series and forward-fills values") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
     val obs = Seq(

@@ -3342,6 +3342,61 @@ object SparkEntry {
     // construction in both engines; each engine then canonicalizes
     // INDEPENDENTLY with its own regex/list primitives, so the compare
     // exercises the full normal form, not a shared shortcut.
+    // TA: domain-level curation — the CCNet/RefinedWeb stage a per-doc
+    // filter can't express: roll quality and exact-dup evidence up to
+    // the REGISTERED DOMAIN and gate whole domains (a spam domain's
+    // individually-plausible docs all drop together). URLs synthesized
+    // identically in both engines (the ta_url_canon precedent, 23
+    // domains); per-doc verdict carries the domain evidence. The stats
+    // join is rollup-sized (#domains), AQE broadcasts it.
+    Q("ta_domain_filter",
+      (s, dir) => {
+        val url = concat(lit("https://www.news"),
+          pmod(col("doc_id"), lit(23L)).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string"))
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("text"),
+            UrlFunctions.urlDomain(url).as("domain"))
+        val stats = docs.groupBy("domain").agg(
+          count(lit(1)).as("domain_docs"),
+          (floor((lit(1.0) - countDistinct(md5(col("text"))).cast("double")
+            / count(lit(1))) * lit(1e6) + lit(0.5)) / lit(1e6))
+            .as("domain_dup_rate"),
+          (floor(avg(TextAnalysis.qualityScoreExpr(col("text"))) * lit(1e6)
+            + lit(0.5)) / lit(1e6)).as("domain_mean_q"))
+        // the quality gate is RELATIVE — at or above the cross-domain
+        // median — so it calibrates itself at any scale instead of
+        // hard-coding a corpus-specific absolute threshold (23 domains,
+        // odd count: the median is an exact element on both engines)
+        val med = stats.agg(
+          expr("percentile(domain_mean_q, 0.5)").as("med_q"))
+        docs.join(stats, "domain").crossJoin(broadcast(med))
+          .select(col("doc_id"), col("domain"), col("domain_docs"),
+            col("domain_dup_rate"), col("domain_mean_q"),
+            when(col("domain_dup_rate") <= 0.2 &&
+              col("domain_mean_q") >= col("med_q"), 1).otherwise(0)
+              .as("keep"))
+      },
+      Some(s"""WITH toks AS ($toksSql),
+              |d AS (SELECT d0.doc_id, d0.text, t.tk,
+              |        'news' || (d0.doc_id % 23)::VARCHAR || '.org'
+              |          AS domain
+              |      FROM documents d0 JOIN toks t ON d0.doc_id = t.id),
+              |q AS (SELECT doc_id, domain, text,
+              |        ${qualitySql("text", "tk")} AS q
+              |      FROM d),
+              |st AS (SELECT domain, count(*)::BIGINT AS domain_docs,
+              |         floor((1e0 - count(DISTINCT md5(text))::DOUBLE /
+              |           count(*)) * 1e6 + 5e-1) / 1e6 AS domain_dup_rate,
+              |         floor(avg(q) * 1e6 + 5e-1) / 1e6 AS domain_mean_q
+              |       FROM q GROUP BY domain),
+              |md AS (SELECT median(domain_mean_q) AS med_q FROM st)
+              |SELECT doc_id, q.domain, domain_docs, domain_dup_rate,
+              |  domain_mean_q,
+              |  CASE WHEN domain_dup_rate <= 2e-1 AND domain_mean_q >= med_q
+              |    THEN 1 ELSE 0 END AS keep
+              |FROM q JOIN st ON q.domain = st.domain, md""".stripMargin)),
+
     Q("ta_url_canon",
       (s, dir) => {
         val m = pmod(col("doc_id"), lit(12L))

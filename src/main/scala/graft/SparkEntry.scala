@@ -3342,6 +3342,88 @@ object SparkEntry {
     // construction in both engines; each engine then canonicalizes
     // INDEPENDENTLY with its own regex/list primitives, so the compare
     // exercises the full normal form, not a shared shortcut.
+    // TA: unicode SCRIPT census — the routing signal langId can't give:
+    // marker words only exist within a script family, so a multilingual
+    // corpus first splits by dominant script (codepoint counts over the
+    // BMP script blocks, codegen'd length-diff regexp — no UDF), then
+    // runs per-family language ID. Mixed-script text synthesized
+    // identically in both engines from chr() codepoints (the url/html
+    // synthesis precedent).
+    Q("ta_script_mix",
+      (s, dir) => {
+        val id = col("doc_id")
+        def pick(base: Int, n: Int) = element_at(
+          array((0 until n).map(i =>
+            lit(new String(Character.toChars(base + i)))): _*),
+          (pmod(id, lit(n.toLong)) + 1).cast("int"))
+        val mixed = t(s, dir, "documents")
+          .select(id, col("text"), pick(0x0430, 8).as("gc"),
+            pick(0x4E00, 16).as("gk"), pick(0x0627, 4).as("ga"),
+            pick(0x03B1, 6).as("gg"))
+          .select(id, concat(
+            expr("substr(lower(text), 1, CAST(doc_id % 13 AS INT))"),
+            expr("repeat(gc, CAST(doc_id % 7 AS INT) * 3)"),
+            expr("repeat(gk, CAST(doc_id % 5 AS INT) * 4)"),
+            expr("repeat(ga, CAST(doc_id % 3 AS INT) * 5)"),
+            expr("repeat(gg, CAST(doc_id % 4 AS INT) * 2)")).as("mtext"))
+        val counts = TextAnalysis.scriptCounts(col("mtext"))
+          .map { case (n, e) => e.as(n) }
+        mixed.select(Seq(id) ++ counts ++ Seq(
+          TextAnalysis.dominantScript(col("mtext")).as("dominant"),
+          TextAnalysis.nonLatinRatio(col("mtext")).as("non_latin_ratio")): _*)
+      },
+      Some("""WITH m AS (
+             |  SELECT doc_id,
+             |    substr(lower(text), 1, (doc_id % 13)::INT) ||
+             |    repeat(chr(1072 + (doc_id % 8)::INT),
+             |      (doc_id % 7)::INT * 3) ||
+             |    repeat(chr(19968 + (doc_id % 16)::INT),
+             |      (doc_id % 5)::INT * 4) ||
+             |    repeat(chr(1575 + (doc_id % 4)::INT),
+             |      (doc_id % 3)::INT * 5) ||
+             |    repeat(chr(945 + (doc_id % 6)::INT),
+             |      (doc_id % 4)::INT * 2) AS mtext
+             |  FROM documents),
+             |cnt AS (
+             |  SELECT doc_id,
+             |    length(mtext) - length(regexp_replace(mtext,
+             |      '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS n_latin,
+             |    length(mtext) - length(regexp_replace(mtext,
+             |      '[\x{0400}-\x{04FF}]', '', 'g')) AS n_cyrillic,
+             |    length(mtext) - length(regexp_replace(mtext,
+             |      '[\x{0370}-\x{03FF}]', '', 'g')) AS n_greek,
+             |    length(mtext) - length(regexp_replace(mtext,
+             |      '[\x{0600}-\x{06FF}]', '', 'g')) AS n_arabic,
+             |    length(mtext) - length(regexp_replace(mtext,
+             |      '[\x{3040}-\x{30FF}\x{4E00}-\x{9FFF}\x{AC00}-\x{D7AF}]',
+             |      '', 'g')) AS n_cjk
+             |  FROM m)
+             |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk,
+             |  CASE
+             |    WHEN n_latin >= n_cyrillic AND n_latin >= n_greek AND
+             |      n_latin >= n_arabic AND n_latin >= n_cjk AND n_latin > 0
+             |      THEN 'latin'
+             |    WHEN n_cyrillic >= n_latin AND n_cyrillic >= n_greek AND
+             |      n_cyrillic >= n_arabic AND n_cyrillic >= n_cjk AND
+             |      n_cyrillic > 0 THEN 'cyrillic'
+             |    WHEN n_greek >= n_latin AND n_greek >= n_cyrillic AND
+             |      n_greek >= n_arabic AND n_greek >= n_cjk AND n_greek > 0
+             |      THEN 'greek'
+             |    WHEN n_arabic >= n_latin AND n_arabic >= n_cyrillic AND
+             |      n_arabic >= n_greek AND n_arabic >= n_cjk AND n_arabic > 0
+             |      THEN 'arabic'
+             |    WHEN n_cjk >= n_latin AND n_cjk >= n_cyrillic AND
+             |      n_cjk >= n_greek AND n_cjk >= n_arabic AND n_cjk > 0
+             |      THEN 'cjk'
+             |    ELSE 'none' END AS dominant,
+             |  CASE WHEN n_latin + n_cyrillic + n_greek + n_arabic + n_cjk
+             |      = 0 THEN 0e0
+             |    ELSE floor((n_cyrillic + n_greek + n_arabic + n_cjk)::DOUBLE
+             |      / (n_latin + n_cyrillic + n_greek + n_arabic + n_cjk)
+             |      * 1e6 + 5e-1) / 1e6
+             |  END AS non_latin_ratio
+             |FROM cnt""".stripMargin)),
+
     // TA: domain-level curation — the CCNet/RefinedWeb stage a per-doc
     // filter can't express: roll quality and exact-dup evidence up to
     // the REGISTERED DOMAIN and gate whole domains (a spam domain's

@@ -40,6 +40,58 @@ object TextAnalysis {
     }
   }
 
+  /** Script-block order for [[scriptCounts]] / [[dominantScript]] —
+    * fixed, it IS the tie-break. */
+  private val scriptBlocks: Seq[(String, String)] = Seq(
+    // BMP-only blocks: Spark length() counts code points and DuckDB
+    // length() counts code points, so length-diff counting agrees;
+    // supplementary-plane scripts would need the same check first
+    "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "cjk" -> "[\\u3040-\\u30FF\\u4E00-\\u9FFF\\uAC00-\\uD7AF]")
+
+  /** Per-script codepoint counts (`n_latin, n_cyrillic, n_greek,
+    * n_arabic, n_cjk`) via the same length-diff trick the quality
+    * features use — codegen'd regexp, no UDF. Latin includes the
+    * supplement/extended accent blocks; cjk covers kana, unified
+    * ideographs, and hangul. Digits/punct/space count toward nothing. */
+  def scriptCounts(c: Column): Seq[(String, Column)] =
+    scriptBlocks.map { case (name, clazz) =>
+      s"n_$name" ->
+        (length(c) - length(regexp_replace(c, clazz, ""))).cast("long")
+    }
+
+  /** The script with the most codepoints — ties break by
+    * [[scriptBlocks]] order (latin first), all-zero texts resolve to
+    * 'none'. The script-ID complement of [[langId]]: marker words only
+    * work within a script family; a Cyrillic or CJK document needs the
+    * codepoint census first. */
+  def dominantScript(c: Column): Column = {
+    val counts = scriptCounts(c).map { case (n, e) => n.stripPrefix("n_") -> e }
+    val names = counts.map(_._1)
+    val byName = counts.toMap
+    names.foldRight(lit("none")) { (n, acc) =>
+      val isMax = names.filter(_ != n).map(o => byName(n) >= byName(o))
+        .reduce(_ && _)
+      when(isMax && byName(n) > 0, lit(n)).otherwise(acc)
+    }
+  }
+
+  /** Fraction of script-bearing codepoints that are non-Latin,
+    * quantized to 1e-6; 0 when the text carries no script codepoints at
+    * all. The first-cut multilingual routing signal. */
+  def nonLatinRatio(c: Column): Column = {
+    val counts = scriptCounts(c).toMap
+    val nonLatin = Seq("n_cyrillic", "n_greek", "n_arabic", "n_cjk")
+      .map(counts).reduce(_ + _)
+    val total = nonLatin + counts("n_latin")
+    when(total === 0, lit(0.0)).otherwise(
+      floor(nonLatin.cast("double") / total * lit(1e6) + lit(0.5)) /
+        lit(1e6))
+  }
+
   /** One-pass JIT kernel for the whole quality block. The expression form
     * below drives interpreted higher-order functions per token (~0.5 ms/doc
     * on the corpus — same lesson as repetitionKernel); this kernel

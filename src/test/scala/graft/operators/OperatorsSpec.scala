@@ -1622,6 +1622,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq("en", "de", "und"))
   }
 
+  test("scriptCounts/dominantScript/nonLatinRatio: per-block census, " +
+    "latin-first tie-break, 'none' on scriptless text") {
+    val df = Seq(
+      Tuple1("hello мир"),          // 5 latin, 3 cyrillic
+      Tuple1("abбв"),     // 2 vs 2 -> tie -> latin
+      Tuple1("世界は"), // cjk only (ideographs + kana)
+      Tuple1("123 .,!")             // no script codepoints at all
+    ).toDF("t")
+    val got = df.select(
+        TextAnalysis.scriptCounts(col("t")).map { case (n, e) => e.as(n) } ++
+          Seq(TextAnalysis.dominantScript(col("t")).as("dom"),
+            TextAnalysis.nonLatinRatio(col("t")).as("r")): _*)
+      .as[(Long, Long, Long, Long, Long, String, Double)].collect().toSeq
+    assert(got(0) == ((5L, 3L, 0L, 0L, 0L, "latin",
+      math.floor(3.0 / 8 * 1e6 + 0.5) / 1e6)))
+    assert(got(1)._6 == "latin" && got(1)._7 == 0.5)
+    assert(got(2) == ((0L, 0L, 0L, 0L, 3L, "cjk", 1.0)))
+    assert(got(3) == ((0L, 0L, 0L, 0L, 0L, "none", 0.0)))
+  }
+
   test("tfidfTop picks the highest-tfidf term with term-asc tiebreak") {
     // N=3. "apple" df=1, "cat"/"dog" df=3 (common), "zebra" df=1.
     val df = Seq(

@@ -3449,7 +3449,11 @@ object SparkEntry {
         // the quality gate is RELATIVE — at or above the cross-domain
         // median — so it calibrates itself at any scale instead of
         // hard-coding a corpus-specific absolute threshold (23 domains,
-        // odd count: the median is an exact element on both engines)
+        // odd count: the median is an exact element on both engines).
+        // Exact percentile buffers all domain means in the final agg
+        // task — fine for rollup-sized domain counts; at web-scale
+        // domain cardinality (~10^7+) swap in the mergeable
+        // Sketches.autoRangeQuantiles bound instead.
         val med = stats.agg(
           expr("percentile(domain_mean_q, 0.5)").as("med_q"))
         docs.join(stats, "domain").crossJoin(broadcast(med))
@@ -4196,6 +4200,33 @@ object SparkEntry {
             concat(lit("Café Ñandú "), col("c_name"))).as("clean")),
       Some("""SELECT c_custkey,
              |  lower(strip_accents('Café Ñandú ' || c_name)) AS clean
+             |FROM customer WHERE c_custkey < 200""".stripMargin)),
+
+    // F26: unicode NFC normalization — the ingest normal form that makes
+    // byte-level digests agree across sources emitting composed vs
+    // decomposed text. Fixture builds DECOMPOSED strings (base char +
+    // combining mark via compiler/chr() escapes, identically in both
+    // engines); both engines then normalize with their own UAX #15
+    // implementation, and the composed forms must agree byte-for-byte
+    // (lengths shrink by exactly the two combining marks).
+    Q("f26_nfc",
+      (s, dir) => {
+        // the literal is byte-DECOMPOSED (renders composed): "Cafe" +
+        // U+0301 combining acute + " u" + U+0308 combining diaeresis
+        val dec = concat(lit("Café über "), col("c_name"))
+        t(s, dir, "customer").where(col("c_custkey") < 200)
+          .select(col("c_custkey"),
+            length(dec).cast("long").as("raw_len"),
+            TextFunctions.nfcUdf(dec).as("nfc_text"),
+            length(TextFunctions.nfcUdf(dec)).cast("long").as("nfc_len"))
+      },
+      Some("""SELECT c_custkey,
+             |  length('Cafe' || chr(769) || ' u' || chr(776) || 'ber '
+             |    || c_name)::BIGINT AS raw_len,
+             |  nfc_normalize('Cafe' || chr(769) || ' u' || chr(776) ||
+             |    'ber ' || c_name) AS nfc_text,
+             |  length(nfc_normalize('Cafe' || chr(769) || ' u' ||
+             |    chr(776) || 'ber ' || c_name))::BIGINT AS nfc_len
              |FROM customer WHERE c_custkey < 200""".stripMargin)),
 
     // F7: rapidfuzz-parity similarity kernels over a PINNED pair set. The

@@ -55,6 +55,19 @@ object TextFunctions {
     n.replaceAll("[^a-z0-9]+", " ").trim
   }
 
+  /** Unicode NFC normalization (UAX #15 canonical composition): the
+    * ingest-time normal form that makes byte-level dedup/digest keys
+    * agree across sources emitting composed vs decomposed forms ("é" vs
+    * "e"+U+0301 hash apart but are canonically equal). Both JVM
+    * `java.text.Normalizer` and DuckDB's `nfc_normalize` implement the
+    * same UAX #15 algorithm, so parity is definitional. Kernel UDF —
+    * Spark ships no NFC built-in (the UDF-where-builtin rule's genuine
+    * exception, like the fuzzy kernels). */
+  def nfc(s: String): String = {
+    if (s == null) return null
+    Normalizer.normalize(s, Normalizer.Form.NFC)
+  }
+
   /** Reference `normalize_name` (`etl/utils.py:68-77`): ascii-fold+lower,
     * German street-token canonicalization, collapse punctuation runs to
     * single spaces, trim. The `str.` rule has NO leading word boundary in
@@ -415,6 +428,7 @@ object TextFunctions {
   // ------------------------------------------------------------------ UDFs
 
   val deaccentLowerUdf = udf(deaccentLower _)
+  val nfcUdf = udf(nfc _)
   val normTextUdf = udf(normText _)
   val normalizeNameUdf = udf(normalizeName _)
   val normNameUdf = udf(normName _)

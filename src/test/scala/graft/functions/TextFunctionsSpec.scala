@@ -21,6 +21,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(deaccentLower(null) == null)
   }
 
+  test("nfc composes combining marks, is idempotent, and passes nulls") {
+    assert(nfc("Café") == "Café") // e + acute -> é
+    assert(nfc("über") == "über") // u + diaeresis -> ü
+    assert(nfc("Café") == "Café") // already composed: unchanged
+    assert(nfc(nfc("ÅB́")) == nfc("ÅB́"))
+    assert(nfc("") == "" && nfc(null) == null)
+    // the dedup motivation: decomposed and composed forms digest apart
+    // raw, together after NFC
+    assert("Café" != "Café" && nfc("Café") == "Café")
+  }
+
   test("normText (ER _norm) keeps non-decomposable chars as separators") {
     assert(normText("straße") == "stra e") // vs normalize_name's "strae"
     assert(normText("Café-Central!!") == "cafe central")

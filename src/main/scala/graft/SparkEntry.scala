@@ -110,6 +110,40 @@ object SparkEntry {
       |  -75e0 + (floor(s_suppkey / 97e0) % 89e0) * 2e-3 AS lon
       |FROM supplier""".stripMargin
 
+  /** The symmetrized supplier-proximity graph several gr_* rows share:
+    * grid-join pairs within 200 m, both directions materialized. */
+  private def suppBidirEdges(s: SparkSession, dir: String): DataFrame = {
+    val edges = SpatialJoins.gridSelfJoin(
+        suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  /** DuckDB replay of 3-round label propagation over the bidirectional
+    * supplier-proximity graph, as CTEs `sup, e, l0..l3(node, label)` —
+    * ONE copy shared by gr_label_prop and gr_modularity so the scored
+    * communities cannot drift from the detected ones. */
+  private def lpropL3Ctes: String = {
+    val iterSql = (k: Int) =>
+      s"""cnt$k AS (
+         |  SELECT e.dst AS node, l.label, count(*) AS c
+         |  FROM e JOIN l${k - 1} l ON e.src = l.node
+         |  GROUP BY 1, 2),
+         |l$k AS (
+         |  SELECT node, min(label) AS label FROM (
+         |    SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
+         |    FROM cnt$k) t
+         |  WHERE c = mx GROUP BY node)"""
+    s"""sup AS ($suppPointsSql),
+       |e AS (
+       |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
+       |  FROM sup a JOIN sup b
+       |    ON a.s_suppkey <> b.s_suppkey
+       |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
+       |${(1 to 3).map(iterSql).mkString(",\n")}""".stripMargin
+  }
+
   /** Haversine in DuckDB SQL, mirroring GeoFunctions.haversineM exactly. */
   private def havSql(lat1: String, lon1: String, lat2: String, lon2: String) =
     s"""asin(sqrt(pow(sin((radians($lat2) - radians($lat1)) / 2), 2) +
@@ -7973,35 +8007,42 @@ object SparkEntry {
     // shuffle + one partial-agg argmax (max(struct(c, -label))), no
     // window; the oracle unrolls the same rounds with a windowed argmax.
     Q("gr_label_prop",
+      (s, dir) => PageRank.labelPropagation(suppBidirEdges(s, dir),
+        iterations = 3),
+      Some(s"""WITH $lpropL3Ctes
+              |SELECT node, label FROM l3""".stripMargin)),
+
+    // GR: community MODULARITY — the quality metric that makes the
+    // label-prop result measurable (the graph analog of ir_eval):
+    // per-community q_c = intra/|E| - (deg/|E|)^2 over the same
+    // bidirectional proximity graph, oracle sharing the exact l3 chain
+    // gr_label_prop replays (lpropL3Ctes) so the scored communities
+    // cannot drift from the detected ones.
+    Q("gr_modularity",
       (s, dir) => {
-        val edges = SpatialJoins.gridSelfJoin(
-            suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
-          .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = edges.union(
-          edges.select(col("dst").as("src"), col("src").as("dst")))
-        PageRank.labelPropagation(bidir, iterations = 3)
+        val bidir = suppBidirEdges(s, dir)
+        PageRank.modularity(bidir,
+          PageRank.labelPropagation(bidir, iterations = 3))
       },
-      Some {
-        val iterSql = (k: Int) =>
-          s"""cnt$k AS (
-             |  SELECT e.dst AS node, l.label, count(*) AS c
-             |  FROM e JOIN l${k - 1} l ON e.src = l.node
-             |  GROUP BY 1, 2),
-             |l$k AS (
-             |  SELECT node, min(label) AS label FROM (
-             |    SELECT node, label, c, max(c) OVER (PARTITION BY node) AS mx
-             |    FROM cnt$k) t
-             |  WHERE c = mx GROUP BY node)"""
-        s"""WITH sup AS ($suppPointsSql),
-           |e AS (
-           |  SELECT a.s_suppkey AS src, b.s_suppkey AS dst
-           |  FROM sup a JOIN sup b
-           |    ON a.s_suppkey <> b.s_suppkey
-           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
-           |l0 AS (SELECT DISTINCT src AS node, src AS label FROM e),
-           |${(1 to 3).map(iterSql).mkString(",\n")}
-           |SELECT node, label FROM l3""".stripMargin
-      }),
+      Some(s"""WITH $lpropL3Ctes,
+              |tot AS (SELECT count(*)::DOUBLE AS m2 FROM e),
+              |dg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+              |ag AS (SELECT l.label, count(*)::BIGINT AS n_nodes,
+              |         sum(d.d)::BIGINT AS degree_sum
+              |       FROM l3 l JOIN dg d ON l.node = d.node
+              |       GROUP BY 1),
+              |intra AS (SELECT la.label,
+              |            count(*)::BIGINT AS intra_edges
+              |          FROM e JOIN l3 la ON e.src = la.node
+              |                 JOIN l3 lb ON e.dst = lb.node
+              |          WHERE la.label = lb.label GROUP BY 1)
+              |SELECT ag.label, n_nodes,
+              |  coalesce(intra_edges, 0)::BIGINT AS intra_edges, degree_sum,
+              |  floor((coalesce(intra_edges, 0) / m2 -
+              |    (degree_sum / m2) * (degree_sum / m2)) * 1e6 + 5e-1) / 1e6
+              |    AS q_contrib
+              |FROM ag LEFT JOIN intra ON ag.label = intra.label, tot"""
+        .stripMargin)),
 
     // GR: multi-source BFS shortest hop distances (3-hop bound) over the
     // symmetrized proximity graph — frontier-only edge join + min-merge

@@ -609,4 +609,47 @@ object PageRank {
       .agg(sum(when($"d" > maxCenterDegree, 1L).otherwise(0L))
         .as("n_capped_centers"))
   }
+
+  /** Newman modularity per community — the quality metric that makes a
+    * community detection result MEASURABLE (the graph-family analog of
+    * the retrieval family's evalTopK): for each community c over a
+    * bidirectional edge list E, q_c = e_c/|E| − (d_c/|E|)², where e_c
+    * counts directed intra-community edges and d_c sums member degrees;
+    * Σ q_c is the classic Q in [−1/2, 1). Positive q_c = denser inside
+    * than the degree-preserving random expectation.
+    *
+    * Scale shape: two keyed equi-joins tag edge endpoints with labels
+    * (node-sized label frame), degree and intra counts are partial
+    * aggregations, |E| is a 1-row broadcast — community-count-sized
+    * output, nothing quadratic.
+    *
+    * @param edges  bidirectional (src, dst) — both directions present,
+    *               like [[labelPropagation]]'s input
+    * @param labels (node, label) community assignment to score
+    * @return (label, n_nodes, intra_edges, degree_sum, q_contrib) with
+    *         q_contrib quantized to 1e-6 */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lab = labels.select($"node", $"label")
+    val e = edges.select($"src", $"dst")
+    val tot = e.agg(count(lit(1)).cast("double").as("m2"))
+    val intra = e
+      .join(lab.select($"node".as("src"), $"label".as("src_lab")), "src")
+      .join(lab.select($"node".as("dst"), $"label".as("dst_lab")), "dst")
+      .where($"src_lab" === $"dst_lab")
+      .groupBy($"src_lab".as("label"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e.groupBy($"src").agg(count(lit(1)).as("d"))
+      .join(lab.select($"node".as("src"), $"label"), "src")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("degree_sum"))
+    deg.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("intra_edges"))
+      .crossJoin(broadcast(tot))
+      .select($"label", $"n_nodes", $"intra_edges", $"degree_sum",
+        (floor(($"intra_edges" / $"m2" -
+          ($"degree_sum" / $"m2") * ($"degree_sum" / $"m2")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("q_contrib"))
+  }
 }

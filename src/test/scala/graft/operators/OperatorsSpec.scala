@@ -695,6 +695,29 @@ class OperatorsSpec extends SparkTestBase {
       10L -> 3L, 11L -> 3L, 12L -> 3L))
   }
 
+  test("modularity scores the bridged-triangles partition by hand; a " +
+    "merged-everything partition scores lower") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+    val sym = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val twoComm = Seq(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 3L, 11L -> 3L, 12L -> 3L).toDF("node", "label")
+    val got = PageRank.modularity(sym, twoComm)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // |E| = 14 directed; each triangle: 6 intra, degree sum 7
+    // q_c = 6/14 - (7/14)^2, quantized
+    val qc = math.floor((6.0 / 14 - math.pow(7.0 / 14, 2)) * 1e6 + 0.5) / 1e6
+    assert(got(1L) == ((1L, 3L, 6L, 7L, qc)))
+    assert(got(3L) == ((3L, 3L, 6L, 7L, qc)))
+    // the trivial one-community partition scores Q = 1 - 1 = 0, worse
+    // than the two-community 2*qc > 0
+    val oneComm = twoComm.select($"node", lit(1L).as("label"))
+    val qOne = PageRank.modularity(sym, oneComm)
+      .agg(sum($"q_contrib")).as[Double].head()
+    assert(math.abs(qOne) < 1e-9 && 2 * qc > 0.3)
+  }
+
   test("bfsDistances finds multi-source shortest hops within the bound") {
     // path 1-2-3-4-5 plus a shortcut 6->4; seeds {1, 6}
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 4L))

@@ -7705,6 +7705,45 @@ object SparkEntry {
              |  len(failed)::INT AS n_failed
              |FROM f WHERE len(failed) > 0""".stripMargin)),
 
+    // DQ: k-anonymity generalization audit — per row, the smallest
+    // suffix-drop generalization of the quasi-identifiers (nation,
+    // segment, balance bucket) whose equivalence class reaches k=5, and
+    // that class's size. The level histogram is the privacy/utility
+    // curve a release decision reads. One group-sized partial agg +
+    // keyed join per level, 1-row broadcast for fully-generalized.
+    Q("dq_k_anonymity",
+      (s, dir) => {
+        val c = t(s, dir, "customer").select(col("c_custkey"),
+          col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"))
+        DataChecks.kAnonymize(c, "c_custkey",
+          Seq("c_nationkey", "c_mktsegment", "bal_bucket"), k = 5)
+      },
+      Some("""WITH b AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+             |  FROM customer),
+             |g0 AS (SELECT c_nationkey, c_mktsegment, bal_bucket,
+             |         count(*) AS n
+             |       FROM b GROUP BY 1, 2, 3),
+             |g1 AS (SELECT c_nationkey, c_mktsegment, count(*) AS n
+             |       FROM b GROUP BY 1, 2),
+             |g2 AS (SELECT c_nationkey, count(*) AS n FROM b GROUP BY 1),
+             |tot AS (SELECT count(*) AS n FROM b)
+             |SELECT b.c_custkey,
+             |  CASE WHEN g0.n >= 5 THEN 0 WHEN g1.n >= 5 THEN 1
+             |    WHEN g2.n >= 5 THEN 2 ELSE 3 END AS level,
+             |  (CASE WHEN g0.n >= 5 THEN g0.n WHEN g1.n >= 5 THEN g1.n
+             |    WHEN g2.n >= 5 THEN g2.n ELSE tot.n END)::BIGINT
+             |    AS group_n
+             |FROM b
+             |JOIN g0 ON b.c_nationkey = g0.c_nationkey
+             |  AND b.c_mktsegment = g0.c_mktsegment
+             |  AND b.bal_bucket = g0.bal_bucket
+             |JOIN g1 ON b.c_nationkey = g1.c_nationkey
+             |  AND b.c_mktsegment = g1.c_mktsegment
+             |JOIN g2 ON b.c_nationkey = g2.c_nationkey, tot"""
+        .stripMargin)),
+
     // GR: exact triangle count, oriented two-join formulation — every
     // triangle counted once as a wedge at its (degree, id)-smallest
     // vertex, closed by the oriented third edge. Low-degree-first

@@ -86,4 +86,44 @@ object DataChecks {
       .select(df.columns.map(col).toSeq :+ col("failed") :+
         col("n_failed"): _*)
   }
+
+  /** k-anonymity by stepwise generalization (the release-readiness
+    * audit for training data carrying quasi-identifiers): each row's
+    * `level` is the smallest suffix-drop generalization of `qiCols`
+    * under which its equivalence class reaches size ≥ k — level 0 keeps
+    * every quasi-identifier, level i drops the last i, level
+    * `qiCols.length` is fully generalized (the whole table, so every
+    * row terminates). `group_n` is the class size at that level. A
+    * release then publishes each row at its level (or suppresses rows
+    * above a budget); the level histogram IS the privacy/utility
+    * trade-off curve.
+    *
+    * Scale shape: one partial-agg shuffle per level for the class-size
+    * frames (group-count-sized) plus one keyed join each; the
+    * fully-generalized level is a 1-row broadcast. Levels = #QIs + 1,
+    * a handful — never row-quadratic.
+    *
+    * @return (idCol, level: int, group_n: long) one row per input row */
+  def kAnonymize(df: DataFrame, idCol: String, qiCols: Seq[String],
+                 k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(k > 0, s"k must be positive, got $k")
+    val withCounts = (0 until qiCols.length).foldLeft(df) { (acc, level) =>
+      val qs = qiCols.dropRight(level)
+      val cnt = df.groupBy(qs.map(col): _*)
+        .agg(count(lit(1)).as(s"__n$level"))
+      acc.join(cnt, qs)
+    }
+    val total = df.agg(count(lit(1)).as(s"__n${qiCols.length}"))
+    val all = withCounts.crossJoin(broadcast(total))
+    val levelCol = (0 to qiCols.length).foldRight(lit(qiCols.length)) {
+      (l, acc) => when(col(s"__n$l") >= k, lit(l)).otherwise(acc)
+    }
+    val groupCol = (0 to qiCols.length)
+      .foldRight(col(s"__n${qiCols.length}")) { (l, acc) =>
+        when(col(s"__n$l") >= k, col(s"__n$l")).otherwise(acc)
+      }
+    all.select(col(idCol), levelCol.cast("int").as("level"),
+      groupCol.cast("long").as("group_n"))
+  }
 }

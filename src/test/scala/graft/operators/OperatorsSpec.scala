@@ -910,6 +910,24 @@ class OperatorsSpec extends SparkTestBase {
       ("range", "v", 2L)))
   }
 
+  test("kAnonymize: minimal suffix-drop level per row, class size at " +
+    "that level, full generalization as the terminal backstop") {
+    // QIs (a, b), k=5: the (1,1) class has 5 rows -> level 0; the a=2
+    // rows split 2+2 at level 0 and only reach 4 together at level 1,
+    // so they fall through to the whole table (9 rows) at level 2
+    val rows = (1 to 5).map(i => (i.toLong, 1L, 1L)) ++
+      Seq((6L, 2L, 1L), (7L, 2L, 1L), (8L, 2L, 2L), (9L, 2L, 2L))
+    val df = rows.toDF("id", "a", "b")
+    val got = DataChecks.kAnonymize(df, "id", Seq("a", "b"), k = 5)
+      .as[(Long, Int, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    (1 to 5).foreach(i => assert(got(i.toLong) == ((0, 5L))))
+    (6 to 9).foreach(i => assert(got(i.toLong) == ((2, 9L))))
+    // a k no class can reach terminates at full generalization anyway
+    val big = DataChecks.kAnonymize(df, "id", Seq("a", "b"), k = 50)
+      .as[(Long, Int, Long)].collect()
+    assert(big.forall(r => r._2 == 2 && r._3 == 9L))
+  }
+
   test("quarantine routes exactly the violating rows with ordered " +
     "reasons; the clean side anti-joins back; null keys never flag " +
     "unique") {

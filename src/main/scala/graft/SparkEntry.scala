@@ -9258,8 +9258,153 @@ object SparkEntry {
               |SELECT chunk_hash, CAST(max(n_toks) AS BIGINT) AS n_tokens,
               |  count(DISTINCT id) AS n_docs, count(*) AS n_occurrences
               |FROM sel GROUP BY chunk_hash
-              |HAVING count(DISTINCT id) > 1""".stripMargin))
+              |HAVING count(DISTINCT id) > 1""".stripMargin)),
+
+    // TA: Kneser-Ney bigram LM perplexity — the CCNet curation stage:
+    // train on the doc_id % 4 != 0 reference slice, score EVERY doc by
+    // mean -ln P(w2|w1) under interpolated KN (D=0.75, add-one over the
+    // continuation distribution folds all OOV mass into one class). The
+    // corpus is scanned twice (train counts, scoring); model frames are
+    // bigram-type/vocab-sized and join on term keys; Ntypes/V ride a
+    // broadcast 1-row frame. The probability expression is written in
+    // one fixed operation order in BOTH engines; per-doc mean rounds to
+    // 6 (the ta_bigram_surprisal ln-parity precedent). Docs with < 2
+    // tokens emit no row in either engine.
+    Q("ta_kn_perplexity",
+      (s, dir) => LanguageModel.knLogPerplexity(
+        t(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(4)) =!= 0),
+      Some(s"""WITH $knPplCtes
+              |SELECT doc_id, logppl FROM kn_scored""".stripMargin)),
+
+    // TA: CCNet head/middle/tail perplexity buckets — tercile cuts of
+    // the scored distribution via exact interpolated percentiles (the
+    // a14 percentile/quantile_cont parity precedent, rounded to the same
+    // 1e-6 grid as the scores), docs labeled by broadcast-joined cuts.
+    // No global window: the cuts are a 1-row aggregate.
+    Q("ta_ppl_buckets",
+      (s, dir) => LanguageModel.perplexityBuckets(
+        LanguageModel.knLogPerplexity(t(s, dir, "documents"), "doc_id",
+          "text", pmod(col("doc_id"), lit(4)) =!= 0)),
+      Some(s"""WITH $knPplCtes,
+              |cuts AS (SELECT
+              |    round(quantile_cont(logppl, 1e0/3), 6) AS t1,
+              |    round(quantile_cont(logppl, 2e0/3), 6) AS t2
+              |  FROM kn_scored)
+              |SELECT doc_id, logppl,
+              |  CASE WHEN logppl <= t1 THEN 'head'
+              |       WHEN logppl <= t2 THEN 'middle'
+              |       ELSE 'tail' END AS bucket
+              |FROM kn_scored CROSS JOIN cuts""".stripMargin)),
+
+    // TA: BPE tokenizer TRAINING (Sennrich 2016) — learn the first 6
+    // merges from the corpus word-frequency dictionary. The corpus is
+    // scanned ONCE (word counts); each round is vocab-sized with one
+    // (pair,count) row of driver traffic (the k-means precedent). Ties
+    // break (count desc, lhs, rhs); greedy merge application is pinned
+    // by BpeTrainerSpec and replayed by the oracle as run-start parity
+    // (overlaps exist only when lhs == rhs — every other position of
+    // each maximal run merges, provably the greedy scan's choice set).
+    Q("ta_bpe_train",
+      (s, dir) => BpeTrainer.bpeTrain(t(s, dir, "documents"), "doc_id",
+        "text", nMerges = 6),
+      Some(bpeTrainSql(6)))
   )
+
+  /** The interpolated-KN scoring chain as CTEs ending in
+    * `kn_scored(doc_id, logppl)` — ONE copy shared by ta_kn_perplexity
+    * and ta_ppl_buckets so the model SQL cannot drift between the score
+    * row and the bucket row. Mirrors `LanguageModel.knLogPerplexity`
+    * (train split doc_id % 4 != 0, D = 0.75, add-one continuation
+    * smoothing) term for term in the same operation order. */
+  private def knPplCtes: String =
+    s"""tk0 AS ($toksSql),
+       |tok AS (SELECT id, unnest(tk) AS tok,
+       |          unnest(range(1, len(tk) + 1)) AS pos
+       |        FROM tk0),
+       |bg AS (SELECT a.id, a.tok AS w1, b.tok AS w2
+       |       FROM tok a JOIN tok b
+       |         ON a.id = b.id AND b.pos = a.pos + 1),
+       |tr AS (SELECT * FROM bg WHERE id % 4 <> 0),
+       |kn_bc AS (SELECT w1, w2, count(*) AS bc FROM tr GROUP BY 1, 2),
+       |kn_cc AS (SELECT w1, sum(bc) AS cc, count(*) AS n1f
+       |          FROM kn_bc GROUP BY 1),
+       |kn_cont AS (SELECT w2, count(*) AS n1r FROM kn_bc GROUP BY 1),
+       |kn_sc AS (SELECT (SELECT count(*) FROM kn_bc) AS ntypes,
+       |    (SELECT count(DISTINCT tok) FROM tok WHERE id % 4 <> 0) AS v),
+       |kn_p AS (SELECT bg.id,
+       |    CASE WHEN kn_cc.cc IS NOT NULL THEN
+       |      greatest(coalesce(kn_bc.bc, 0) - 0.75e0, 0e0) / kn_cc.cc
+       |      + 0.75e0 * kn_cc.n1f / kn_cc.cc *
+       |        ((coalesce(kn_cont.n1r, 0) + 1e0)
+       |          / (kn_sc.ntypes + kn_sc.v + 1))
+       |    ELSE (coalesce(kn_cont.n1r, 0) + 1e0)
+       |      / (kn_sc.ntypes + kn_sc.v + 1) END AS prob
+       |  FROM bg LEFT JOIN kn_bc USING (w1, w2)
+       |  LEFT JOIN kn_cc USING (w1)
+       |  LEFT JOIN kn_cont USING (w2) CROSS JOIN kn_sc),
+       |kn_scored AS (SELECT id AS doc_id,
+       |    round(avg(-ln(prob)), 6) + 0e0 AS logppl
+       |  FROM kn_p GROUP BY id)""".stripMargin
+
+  /** DuckDB replay of `BpeTrainer.bpeTrain(nMerges = iters)`: the word-
+    * frequency dictionary, then per round — pair counts, the (count
+    * desc, lhs, rhs) argmax, and greedy merge application expressed as
+    * run-start parity (merge position i iff marked and (i - runStart)
+    * even; overlapping marks require lhs == rhs, where the greedy scan
+    * takes every other position of each maximal run). Assumes the
+    * corpus yields at least `iters` mergeable pairs (true for the
+    * documents fixture; the impl stops early otherwise). */
+  private def bpeTrainSql(iters: Int): String = {
+    val rounds = (1 to iters).map { r =>
+      val prev = s"bpe_s${r - 1}"
+      s"""bpe_p$r AS (
+         |  SELECT pa AS a, pb AS b, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, sy[i] AS pa, sy[i + 1] AS pb
+         |        FROM (SELECT freq, sy, unnest(range(1, len(sy))) AS i
+         |              FROM $prev))
+         |  GROUP BY 1, 2),
+         |bpe_b$r AS (SELECT a, b, cnt FROM bpe_p$r
+         |            ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         |bpe_x$r AS (
+         |  SELECT word, freq, i, sy[i] AS s_i,
+         |    CASE WHEN i < len(sy) AND sy[i] = bpe_b$r.a
+         |           AND sy[i + 1] = bpe_b$r.b THEN 1 ELSE 0 END AS m
+         |  FROM (SELECT word, freq, sy,
+         |          unnest(range(1, len(sy) + 1)) AS i
+         |        FROM $prev)
+         |  CROSS JOIN bpe_b$r),
+         |bpe_g$r AS (
+         |  SELECT word, freq, i, s_i,
+         |    m = 1 AND (i - min(i) OVER (PARTITION BY word, grp)) % 2 = 0
+         |      AS merged
+         |  FROM (SELECT *, CASE WHEN m = 1 THEN i - row_number()
+         |          OVER (PARTITION BY word, m ORDER BY i)
+         |          ELSE NULL END AS grp
+         |        FROM bpe_x$r)),
+         |bpe_y$r AS (
+         |  SELECT word, freq, i,
+         |    CASE WHEN merged THEN s_i || lead_s ELSE s_i END AS sym,
+         |    lag(merged, 1, FALSE) OVER (PARTITION BY word ORDER BY i)
+         |      AS consumed
+         |  FROM (SELECT *, lead(s_i) OVER (PARTITION BY word ORDER BY i)
+         |          AS lead_s
+         |        FROM bpe_g$r)),
+         |bpe_s$r AS (
+         |  SELECT word, freq, list(sym ORDER BY i) AS sy
+         |  FROM bpe_y$r WHERE NOT consumed GROUP BY word, freq)"""
+        .stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM bpe_b$r")
+      .mkString("\nUNION ALL\n")
+    s"""WITH tk0 AS ($toksSql),
+       |bpe_s0 AS (
+       |  SELECT word, count(*) AS freq, string_split(word, '') AS sy
+       |  FROM (SELECT unnest(tk) AS word FROM tk0) GROUP BY word),
+       |$rounds
+       |$out""".stripMargin
+  }
 
   // =================================================================
   // Assembled registry

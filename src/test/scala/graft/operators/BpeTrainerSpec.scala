@@ -1,0 +1,53 @@
+package graft.operators
+
+import graft.SparkTestBase
+
+/** Pins the BPE training contract: the greedy merge kernel's
+  * overlapping-run behavior, the classic low/lower/lowest hand example
+  * with deterministic tie-breaks, early stop, and layout invariance. */
+class BpeTrainerSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("greedy kernel: left-to-right, skip after merge") {
+    assert(BpeTrainer.mergeKernel(Seq("a", "a", "a"), "a", "a") ==
+      Seq("aa", "a"))
+    assert(BpeTrainer.mergeKernel(Seq("a", "a", "a", "a", "a"), "a", "a") ==
+      Seq("aa", "aa", "a"))
+    assert(BpeTrainer.mergeKernel(Seq("a", "b", "a", "b"), "a", "b") ==
+      Seq("ab", "ab"))
+    assert(BpeTrainer.mergeKernel(Seq("x", "a", "b", "y"), "a", "b") ==
+      Seq("x", "ab", "y"))
+    assert(BpeTrainer.mergeKernel(Seq("a", "b"), "b", "a") ==
+      Seq("a", "b"))
+  }
+
+  test("hand-traced merges on the classic low/lower/lowest corpus") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val m = BpeTrainer.bpeTrain(docs, "doc_id", "text", nMerges = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // pair counts over {low x3, lower, lowest}: (l,o)=5 and (o,w)=5 tie
+    // -> lex picks (l,o); then (lo,w)=5; then (low,e)=2; then the rank-4
+    // tie among count-1 pairs resolves to (lowe,r) by rhs order.
+    assert(m.toSeq == Seq(
+      (1, "l", "o", 5L), (2, "lo", "w", 5L),
+      (3, "low", "e", 2L), (4, "lowe", "r", 1L)))
+  }
+
+  test("early stop when no adjacent pairs remain") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val m = BpeTrainer.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+    assert(m.count() == 0)
+    assert(m.columns.toSeq == Seq("rank", "lhs", "rhs", "pair_count"))
+  }
+
+  test("merge table is partitioning-invariant") {
+    val docs = Seq((1L, "low low low"), (2L, "lower lowest"),
+      (3L, "slow slower")).toDF("doc_id", "text")
+    val a = BpeTrainer.bpeTrain(docs, "doc_id", "text", 5).collect().toSeq
+    val b = BpeTrainer.bpeTrain(docs.repartition(7), "doc_id", "text", 5)
+      .collect().toSeq
+    assert(a == b)
+  }
+}

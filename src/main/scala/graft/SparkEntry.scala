@@ -9308,7 +9308,53 @@ object SparkEntry {
     Q("ta_bpe_train",
       (s, dir) => BpeTrainer.bpeTrain(t(s, dir, "documents"), "doc_id",
         "text", nMerges = 6),
-      Some(bpeTrainSql(6)))
+      Some(bpeTrainSql(6))),
+
+    // DQ: l-diversity — the release audit dq_k_anonymity is incomplete
+    // without: a k-sized class whose rows all share one SENSITIVE value
+    // still discloses it. Two stacked partial-agg shuffles (class+value
+    // counts, then class rollup with the one-pass entropy identity
+    // H = ln N - Σ n·ln n / N); output is class-count-sized.
+    Q("dq_l_diversity",
+      (s, dir) => DataChecks.lDiversity(
+        t(s, dir, "customer").select(col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bucket"),
+          col("c_mktsegment")),
+        Seq("c_nationkey", "bal_bucket"), "c_mktsegment", l = 3),
+      Some("""WITH b AS (SELECT c_nationkey,
+             |    CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+             |    c_mktsegment
+             |  FROM customer),
+             |sv AS (SELECT c_nationkey, bal_bucket, c_mktsegment,
+             |         count(*) AS n
+             |       FROM b GROUP BY 1, 2, 3)
+             |SELECT c_nationkey, bal_bucket,
+             |  CAST(sum(n) AS BIGINT) AS group_n,
+             |  count(*) AS n_sensitive,
+             |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS max_frac,
+             |  round(ln(CAST(sum(n) AS DOUBLE)) - sum(n * ln(n)) / sum(n), 6)
+             |    + 0e0 AS entropy,
+             |  count(*) >= 3 AS diverse
+             |FROM sv GROUP BY 1, 2""".stripMargin)),
+
+    // K14: ORC roundtrip — the columnar format Spark ships besides
+    // parquet (same pushdown/pruning machinery; ORC's own row-group
+    // stats drive skipping). Write, read back, aggregate; must equal
+    // the direct parquet aggregate.
+    Q("k14_orc_roundtrip",
+      (s, dir) => {
+        val tmp = s"/tmp/graft_k14_${new java.io.File(dir).getName}"
+        t(s, dir, "part").select("p_partkey", "p_type", "p_retailprice")
+          .write.mode("overwrite").orc(tmp)
+        s.read.orc(tmp).where(col("p_retailprice") > 950)
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n"),
+            round(sum("p_retailprice"), 2).as("total"))
+      },
+      Some("""SELECT p_type, count(*) AS n,
+             |  round(sum(p_retailprice), 2) AS total
+             |FROM part WHERE p_retailprice > 950
+             |GROUP BY p_type""".stripMargin))
   )
 
   /** The interpolated-KN scoring chain as CTEs ending in

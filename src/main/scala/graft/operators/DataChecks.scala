@@ -126,4 +126,39 @@ object DataChecks {
     all.select(col(idCol), levelCol.cast("int").as("level"),
       groupCol.cast("long").as("group_n"))
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the companion
+    * check [[kAnonymize]] needs before release: a class of k identical
+    * quasi-identifier rows is still a disclosure if they all share one
+    * SENSITIVE value. Per equivalence class (the distinct `qiCols`
+    * combination) this reports class size, the number of distinct
+    * sensitive values (distinct l-diversity: `diverse` ⇔ ≥ l), the
+    * largest single sensitive value's share, and the entropy of the
+    * sensitive distribution via the one-pass identity
+    * `H = ln(N) - Σ n·ln(n) / N` — so the whole audit is two stacked
+    * partial-agg shuffles (class+value counts, then class rollup), never
+    * a distinct-within-group scan, and the output is class-count-sized.
+    *
+    * @return (qiCols…, group_n, n_sensitive, max_frac, entropy, diverse) */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 l: Int): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier")
+    require(l > 0, s"l must be positive, got $l")
+    val sv = df.groupBy((qiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+    sv.groupBy(qiCols.map(col): _*)
+      .agg(
+        sum("__n").as("group_n"),
+        count(lit(1)).as("n_sensitive"),
+        max("__n").as("__maxn"),
+        sum(col("__n") * log(col("__n"))).as("__snln"))
+      .select(qiCols.map(col) ++ Seq(
+        col("group_n").cast("long").as("group_n"),
+        col("n_sensitive").cast("long").as("n_sensitive"),
+        round(col("__maxn").cast("double") / col("group_n"), 6)
+          .as("max_frac"),
+        (round(log(col("group_n").cast("double")) -
+          col("__snln") / col("group_n"), 6) + 0.0).as("entropy"),
+        (col("n_sensitive") >= l).as("diverse")): _*)
+  }
 }

@@ -928,6 +928,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(big.forall(r => r._2 == 2 && r._3 == 9L))
   }
 
+  test("lDiversity: distinct counts, max share, and the one-pass " +
+    "entropy identity, hand-checked per class") {
+    // class a=1: sensitive {x,x,x,y} -> 2 distinct, max 3/4, entropy
+    // ln4 - (3 ln3 + 1 ln1)/4; class a=2: {z,z} -> 1 distinct (uniform)
+    val df = Seq((1L, "x"), (1L, "x"), (1L, "x"), (1L, "y"),
+      (2L, "z"), (2L, "z")).toDF("a", "s")
+    val got = DataChecks.lDiversity(df, Seq("a"), "s", l = 2)
+      .as[(Long, Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    val h1 = math.rint((math.log(4) - 3 * math.log(3) / 4) * 1e6) / 1e6
+    assert(got(1L) == ((1L, 4L, 2L, 0.75, h1, true)))
+    assert(got(2L) == ((2L, 2L, 1L, 1.0, 0.0, false)))
+  }
+
   test("quarantine routes exactly the violating rows with ordered " +
     "reasons; the clean side anti-joins back; null keys never flag " +
     "unique") {

@@ -9354,7 +9354,66 @@ object SparkEntry {
       Some("""SELECT p_type, count(*) AS n,
              |  round(sum(p_retailprice), 2) AS total
              |FROM part WHERE p_retailprice > 950
-             |GROUP BY p_type""".stripMargin))
+             |GROUP BY p_type""".stripMargin)),
+
+    // DD: asymmetric containment — |A∩B|/|A| ≥ 0.9 finds short docs
+    // quoted/embedded inside long ones, which resemblance Jaccard
+    // scores near zero (union dominated by the container). One-sided
+    // PPJoin prefix on the CONTAINED side only (exact recall — the
+    // prefixJaccard argument with o ≥ t·|A|), container side joins
+    // full postings; oracle is the brute-force truth.
+    Q("dd_containment",
+      (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
+        "doc_id", "text", threshold = 0.9),
+      Some(s"""WITH toks AS ($toksSql),
+              |t AS (SELECT DISTINCT id, unnest(tk) AS tok FROM toks),
+              |sz AS (SELECT id, count(*) AS n FROM t GROUP BY id),
+              |inter AS (
+              |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS o
+              |  FROM t a JOIN t b ON a.tok = b.tok AND a.id <> b.id
+              |  GROUP BY 1, 2),
+              |c AS (SELECT a_id, b_id, CAST(o AS DOUBLE) / sa.n
+              |        AS containment
+              |      FROM inter JOIN sz sa ON a_id = sa.id)
+              |SELECT a_id, b_id, round(containment, 6) + 0e0
+              |  AS containment
+              |FROM c WHERE containment >= 9e-1""".stripMargin)),
+
+    // DS: K-fold leakage-safe target encoding — each row's category
+    // becomes the OTHER folds' smoothed target mean, so its own label
+    // never leaks into its feature. Everything derives from one
+    // (category, fold) partial agg; fold/global frames are
+    // nFolds-row broadcasts; 0/1 target makes every sum exact so the
+    // single rounded division carries no tolerance.
+    Q("ds_target_encode",
+      (s, dir) => Features.targetEncode(
+        t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderpriority"), col("o_orderstatus")),
+        "o_orderpriority",
+        when(col("o_orderstatus") === "F", 1.0).otherwise(0.0),
+        pmod(col("o_orderkey"), lit(5)), smoothing = 20.0)
+        .select("o_orderkey", "fold", "enc"),
+      Some("""WITH b AS (SELECT o_orderkey, o_orderpriority AS cat,
+             |    CAST(o_orderkey % 5 AS INTEGER) AS fold,
+             |    CASE WHEN o_orderstatus = 'F' THEN 1e0 ELSE 0e0 END AS t
+             |  FROM orders),
+             |cf AS (SELECT cat, fold, sum(t) AS s_cf, count(*) AS n_cf
+             |       FROM b GROUP BY 1, 2),
+             |c AS (SELECT cat, sum(s_cf) AS s_c,
+             |        CAST(sum(n_cf) AS BIGINT) AS n_c
+             |      FROM cf GROUP BY 1),
+             |f AS (SELECT fold, sum(s_cf) AS s_f,
+             |        CAST(sum(n_cf) AS BIGINT) AS n_f
+             |      FROM cf GROUP BY 1),
+             |g AS (SELECT sum(s_f) AS s_g, CAST(sum(n_f) AS BIGINT) AS n_g
+             |      FROM f)
+             |SELECT b.o_orderkey, b.fold,
+             |  round((c.s_c - cf.s_cf
+             |      + 20e0 * ((g.s_g - f.s_f) / (g.n_g - f.n_f)))
+             |    / (c.n_c - cf.n_cf + 20e0), 6) + 0e0 AS enc
+             |FROM b JOIN cf ON b.cat = cf.cat AND b.fold = cf.fold
+             |JOIN c ON b.cat = c.cat
+             |JOIN f ON b.fold = f.fold CROSS JOIN g""".stripMargin))
   )
 
   /** The interpolated-KN scoring chain as CTEs ending in

@@ -530,6 +530,74 @@ object Dedup {
         (round(col("jaccard"), 6) + 0.0).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT self-join: pairs where a's distinct-token
+    * set is (near-)contained in b's — C(a→b) = |A∩B| / |A| ≥ t. The
+    * operator resemblance-Jaccard cannot express: a short document
+    * quoted verbatim inside a long one scores near-zero Jaccard (the
+    * union is dominated by the container) but containment 1.0 — the
+    * quote/boilerplate-inclusion detector an LLM corpus needs alongside
+    * [[prefixJaccardPairs]].
+    *
+    * Exact recall by the one-sided PPJoin prefix argument: under the
+    * global rarest-first token order, C ≥ t forces overlap o ≥ t·|A|,
+    * so if all of A's (n − ceil(t·n) + 1)-token prefix missed B, the
+    * remaining ceil(t·n) − 1 < o positions could not hold the common
+    * tokens. Only the CONTAINED side is prefix-pruned — the container
+    * side joins its full postings (no length upper bound exists for
+    * it); candidate fan-out stays bounded because a prefix
+    * preferentially holds low-df tokens, so each join bucket is a rare
+    * token's posting list. Two lossless per-row prunes: the container
+    * must hold at least ceil(t·na) tokens, and the positional bound
+    * o ≤ 1 + (na − pa) must leave room for t·na (the prefixJaccard
+    * +0.5 float-slack discipline).
+    *
+    * @return (a_id contained, b_id container, containment) — both
+    *         directions emitted when containment is mutual */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    // same multi-consumer materialization discipline as
+    // prefixJaccardPairs (postings feed sizes, df, prefix, the full
+    // container join side, and both verify arrays)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .transform(CacheScope.pin)
+    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    val prefix = toks.join(dfreq, "tok").join(sz, "id")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .select(col("id"), col("tok"), col("n"), col("rn"))
+    val full = toks.join(sz, "id")
+      .select(col("id").as("b_id"), col("tok"), col("n").as("nb"))
+    val cand = prefix.select(col("id").as("a_id"), col("tok"),
+        col("n").as("na"), col("rn").as("pa"))
+      .join(full, "tok")
+      .where(col("a_id") =!= col("b_id") &&
+        col("nb").cast("double") + lit(0.5) >=
+          lit(threshold) * col("na").cast("double") &&
+        (col("na") - col("pa") + lit(1)).cast("double") + lit(0.5) >=
+          lit(threshold) * col("na").cast("double"))
+      .select("a_id", "b_id").distinct()
+    val tids = graft.operators.Ranking.globalRank(
+      dfreq.select("tok"), Seq(col("tok").asc), "tid")
+    val arr = toks.join(tids, "tok")
+      .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("ts"))
+      .transform(CacheScope.pin)
+    cand
+      .join(arr.select(col("id").as("a_id"), col("ts").as("a_ts")), "a_id")
+      .join(arr.select(col("id").as("b_id"), col("ts").as("b_ts")), "b_id")
+      .withColumn("o",
+        size(array_intersect(col("a_ts"), col("b_ts"))).cast("long"))
+      .withColumn("containment",
+        col("o").cast("double") / size(col("a_ts")))
+      .where(col("containment") >= threshold)
+      .select(col("a_id"), col("b_id"),
+        (round(col("containment"), 6) + 0.0).as("containment"))
+  }
+
   /** Blocking-quality report: the two numbers that decide whether a
     * candidate-generation scheme is usable at scale — pairs
     * completeness (what fraction of TRUE pairs the blocking catches)

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tabular feature engineering for training-data preparation. */
+object Features {
+
+  /** K-fold leakage-safe target encoding (the Catboost/kaggle-standard
+    * categorical encoder, done the only way that is honest): each row's
+    * category is replaced by the target mean of OTHER folds' rows in
+    * that category, smoothed toward the other-folds global mean by a
+    * pseudo-count prior — so a row's own target never leaks into its
+    * feature, and rare categories shrink to the prior instead of
+    * memorizing noise:
+    *
+    *   enc = (S_c − S_cf + m·prior) / (N_c − N_cf + m),
+    *   prior = (S − S_f) / (N − N_f)
+    *
+    * (S/N sums and counts of the target: per category, per
+    * category×fold, global, per fold). A category seen only in the
+    * row's own fold encodes exactly to the prior.
+    *
+    * Scale shape: everything derives from ONE partial-agg shuffle over
+    * (category, fold) — category-count-sized; the global/fold frames are
+    * nFolds-row broadcasts; the encode join is one keyed join back on
+    * (category, fold). Nothing is row-quadratic, no window.
+    *
+    * Cross-engine parity: with an integer 0/1 target every sum is
+    * exact, the encode is a single rational division rounded to 6 —
+    * no accumulation-order tolerance needed.
+    *
+    * @param target numeric target column expression (0/1 indicator for
+    *               exact parity; any numeric works)
+    * @param fold   deterministic fold id expression in [0, nFolds)
+    * @return input columns + (fold: int, enc: double) */
+  def targetEncode(df: DataFrame, catCol: String, target: Column,
+                   fold: Column, smoothing: Double = 20.0): DataFrame = {
+    val base = df.withColumn("__t", target.cast("double"))
+      .withColumn("fold", fold.cast("int"))
+    val cf = base.groupBy(col(catCol), col("fold"))
+      .agg(sum("__t").as("s_cf"), count(lit(1)).as("n_cf"))
+    val c = cf.groupBy(col(catCol))
+      .agg(sum("s_cf").as("s_c"), sum("n_cf").as("n_c"))
+    val f = cf.groupBy(col("fold"))
+      .agg(sum("s_cf").as("s_f"), sum("n_cf").as("n_f"))
+    val g = f.agg(sum("s_f").as("s_g"), sum("n_f").as("n_g"))
+    val prior = (col("s_g") - col("s_f")) / (col("n_g") - col("n_f"))
+    val enc = (col("s_c") - col("s_cf") + lit(smoothing) * prior) /
+      (col("n_c") - col("n_cf") + lit(smoothing))
+    base
+      .join(cf, Seq(catCol, "fold"))
+      .join(c, Seq(catCol))
+      .join(broadcast(f), Seq("fold"))
+      .crossJoin(broadcast(g))
+      .select(df.columns.map(col) ++ Seq(col("fold"),
+        (round(enc, 6) + 0.0).as("enc")): _*)
+  }
+}

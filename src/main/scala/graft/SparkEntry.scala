@@ -7386,24 +7386,7 @@ object SparkEntry {
         TimeSeries.seasonalDecompose(filled, "user_id", "h", "v",
           stepSeconds = 3600L, period = 24)
       },
-      Some("""WITH hourly AS (
-             |  SELECT user_id, date_trunc('hour', ts) AS h,
-             |    round(sum(value), 2) + 0e0 AS v
-             |  FROM events WHERE user_id < 4 GROUP BY 1, 2),
-             |spans AS (
-             |  SELECT user_id, min(h) AS h0, max(h) AS h1
-             |  FROM hourly GROUP BY 1),
-             |grid AS (
-             |  SELECT user_id,
-             |    unnest(generate_series(h0, h1, INTERVAL 3600 SECONDS)) AS h
-             |  FROM spans),
-             |filled AS (
-             |  SELECT g.user_id, g.h,
-             |    last_value(hourly.v IGNORE NULLS) OVER (
-             |      PARTITION BY g.user_id ORDER BY g.h
-             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
-             |  FROM grid g LEFT JOIN hourly
-             |    ON g.user_id = hourly.user_id AND g.h = hourly.h),
+      Some(s"""WITH ${filledSeriesCtes(4)},
              |f2 AS (
              |  SELECT user_id, h, v,
              |    CAST(epoch(h) AS BIGINT) // 3600 % 24 AS phase,
@@ -9413,8 +9396,87 @@ object SparkEntry {
              |    / (c.n_c - cf.n_cf + 20e0), 6) + 0e0 AS enc
              |FROM b JOIN cf ON b.cat = cf.cat AND b.fold = cf.fold
              |JOIN c ON b.cat = c.cat
-             |JOIN f ON b.fold = f.fold CROSS JOIN g""".stripMargin))
+             |JOIN f ON b.fold = f.fold CROSS JOIN g""".stripMargin)),
+
+    // TS: dominant-period detection — the ACF argmax over lags 2..48 on
+    // the gap-filled hourly series (the question ts_seasonal's period
+    // parameter begs). Lag pairs via ONE expression-equi-join (b.i =
+    // a.i + L, L exploded — never a range join); moments are exact
+    // integer sums per the seasonalDecompose unit-lift discipline, each
+    // ACF one fixed-order double expression quantized to 1e-6; argmax
+    // is a max-of-struct aggregate (acf desc, then the SHORTEST lag).
+    Q("ts_period",
+      (s, dir) => {
+        val hourly = t(s, dir, "events").where(col("user_id") < 8)
+          .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+          .agg((round(sum("value"), 2) + 0.0).as("v"))
+        val filled = TimeSeries.gapFill(hourly, "user_id", "h", "v", 3600L)
+          .select("user_id", "h", "v")
+        TimeSeries.acfDominantPeriod(filled, "user_id", "h", "v",
+          stepSeconds = 3600L, minLag = 2, maxLag = 48)
+      },
+      Some(s"""WITH ${filledSeriesCtes(8)},
+              |d AS (SELECT user_id AS k,
+              |    CAST(epoch(h) AS BIGINT) // 3600 AS i,
+              |    CAST(floor(v * 1e2 + 5e-1) AS BIGINT) AS x
+              |  FROM filled),
+              |km AS (SELECT k, CAST(sum(x) AS BIGINT) AS s, count(*) AS n,
+              |         CAST(sum(x * x) AS BIGINT) AS sxx
+              |       FROM d GROUP BY 1),
+              |lg AS (
+              |  SELECT a.k, l.L, CAST(sum(a.x * b.x) AS BIGINT) AS sxy,
+              |    CAST(sum(a.x) AS BIGINT) AS sa,
+              |    CAST(sum(b.x) AS BIGINT) AS sb, count(*) AS nl
+              |  FROM d a
+              |  CROSS JOIN (SELECT unnest(range(2, 49)) AS L) l
+              |  JOIN d b ON b.k = a.k AND b.i = a.i + l.L
+              |  GROUP BY 1, 2),
+              |acf AS (
+              |  SELECT lg.k, L, km.n,
+              |    floor((sxy - (CAST(s AS DOUBLE) / n) * (sa + sb)
+              |        + nl * (CAST(s AS DOUBLE) / n)
+              |          * (CAST(s AS DOUBLE) / n))
+              |      / (sxx - 2e0 * (CAST(s AS DOUBLE) / n) * s
+              |        + n * (CAST(s AS DOUBLE) / n)
+              |          * (CAST(s AS DOUBLE) / n))
+              |      * 1e6 + 5e-1) / 1e6 AS a
+              |  FROM lg JOIN km ON lg.k = km.k
+              |  WHERE (sxx - 2e0 * (CAST(s AS DOUBLE) / n) * s
+              |    + n * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+              |    > 0),
+              |r AS (SELECT *, row_number() OVER (
+              |        PARTITION BY k ORDER BY a DESC, L ASC) AS rn
+              |      FROM acf)
+              |SELECT k AS user_id, CAST(L AS INTEGER) AS period,
+              |  a + 0e0 AS acf, n
+              |FROM r WHERE rn = 1""".stripMargin))
   )
+
+  /** The hourly gap-filled event series as CTEs ending in
+    * `filled(user_id, h, v)` — the regular-series front end shared by
+    * ts_seasonal and ts_period so the grid/forward-fill SQL cannot
+    * drift between the decomposition and the period detector.
+    * Mirrors `TimeSeries.gapFill` over hourly round-2 value sums for
+    * `user_id < userBound`. */
+  private def filledSeriesCtes(userBound: Int): String =
+    s"""hourly AS (
+       |  SELECT user_id, date_trunc('hour', ts) AS h,
+       |    round(sum(value), 2) + 0e0 AS v
+       |  FROM events WHERE user_id < $userBound GROUP BY 1, 2),
+       |spans AS (
+       |  SELECT user_id, min(h) AS h0, max(h) AS h1
+       |  FROM hourly GROUP BY 1),
+       |grid AS (
+       |  SELECT user_id,
+       |    unnest(generate_series(h0, h1, INTERVAL 3600 SECONDS)) AS h
+       |  FROM spans),
+       |filled AS (
+       |  SELECT g.user_id, g.h,
+       |    last_value(hourly.v IGNORE NULLS) OVER (
+       |      PARTITION BY g.user_id ORDER BY g.h
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+       |  FROM grid g LEFT JOIN hourly
+       |    ON g.user_id = hourly.user_id AND g.h = hourly.h)""".stripMargin
 
   /** The interpolated-KN scoring chain as CTEs ending in
     * `kn_scored(doc_id, logppl)` — ONE copy shared by ta_kn_perplexity

@@ -310,4 +310,68 @@ object TimeSeries {
           col("__sn") > lit(hSigmas) * col("__sigma"), 1).otherwise(0)
           .as("alarm"))
   }
+
+  /** Dominant-period detection by sample autocorrelation — the question
+    * [[seasonalDecompose]] makes you answer by hand ("period = 24?"),
+    * answered from the data: per key, the lag L in [minLag, maxLag]
+    * maximizing ACF(L) = Σ(x_t−μ)(x_{t+L}−μ) / Σ(x_t−μ)².
+    *
+    * Scale shape: pairs come from ONE expression-equi-join (b.idx =
+    * a.idx + L with L exploded on the probe side — never a range or
+    * theta join), so the shuffle is rows × (maxLag−minLag+1) with
+    * bounded fan-out; per-(key, lag) and per-key moment frames are
+    * group-sized; the argmax is a max-of-struct aggregate, no window.
+    *
+    * Cross-engine parity by the seasonalDecompose discipline: values
+    * lift to 10^valueScale integer units, so every moment sum (Σx,
+    * Σx², Σ x_t·x_{t+L}, boundary sums) is an exact long and each ACF
+    * is born from one fixed-order double expression of exact integers —
+    * numerator via the demeaning identity
+    * Σ(x_t−μ)(x_{t+L}−μ) = S_xy − μ·(S_a+S_b) + n_L·μ², denominator
+    * S_xx − 2μS + nμ² — then quantized to 1e-6. Keys with zero
+    * variance (den = 0) emit no row.
+    *
+    * @param series REGULAR series (gap-filled; `bucketCol` timestamps
+    *               stepSeconds apart)
+    * @return (keyCol, period: int, acf: double, n: long) */
+  def acfDominantPeriod(series: DataFrame, keyCol: String,
+                        bucketCol: String, valueCol: String,
+                        stepSeconds: Long, minLag: Int, maxLag: Int,
+                        valueScale: Int = 2): DataFrame = {
+    require(minLag >= 1 && maxLag >= minLag, "need 1 <= minLag <= maxLag")
+    require(stepSeconds > 0, "step must be positive")
+    require(valueScale >= 0 && valueScale <= 6, "valueScale in [0, 6]")
+    val unit = math.pow(10, valueScale).toLong
+    val d = series.select(col(keyCol).as("k"),
+      floor(unix_timestamp(col(bucketCol)) / stepSeconds).cast("long")
+        .as("i"),
+      floor(col(valueCol).cast("double") * unit + 0.5).cast("long")
+        .as("x"))
+    val keyM = d.groupBy("k").agg(
+      sum("x").as("s"), count(lit(1)).as("n"),
+      sum(col("x") * col("x")).as("sxx"))
+    val lagged = d
+      .withColumn("L",
+        explode(sequence(lit(minLag.toLong), lit(maxLag.toLong))))
+      .alias("a")
+      .join(d.alias("b"),
+        col("a.k") === col("b.k") && col("b.i") === col("a.i") + col("L"))
+      .groupBy(col("a.k").as("k"), col("L"))
+      .agg(sum(col("a.x") * col("b.x")).as("sxy"),
+        sum(col("a.x")).as("sa"), sum(col("b.x")).as("sb"),
+        count(lit(1)).as("nl"))
+    val mu = col("s").cast("double") / col("n")
+    val num = col("sxy") - mu * (col("sa") + col("sb")) +
+      col("nl") * mu * mu
+    val den = col("sxx") - lit(2.0) * mu * col("s") + col("n") * mu * mu
+    val acfq = floor(num / den * 1e6 + 0.5) / 1e6
+    lagged.join(keyM, "k")
+      .where(den > 0)
+      .groupBy(col("k"))
+      .agg(max(struct(acfq.as("a"), (-col("L")).as("negl"),
+        col("n").as("n"))).as("m"))
+      .select(col("k").as(keyCol),
+        (-col("m.negl")).cast("int").as("period"),
+        (col("m.a") + 0.0).as("acf"), col("m.n").as("n"))
+  }
 }

@@ -1153,6 +1153,37 @@ class OperatorsSpec extends SparkTestBase {
     assert(got(2L).forall(_._6 == 0))
   }
 
+  test("acfDominantPeriod finds the true cycle, matches the " +
+    "definitional ACF, and skips zero-variance series") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ts(t: Int) = new java.sql.Timestamp(base + t * 3600000L)
+    // key 1: exact period-6 sawtooth, 60 hourly points; key 2: flat
+    val rows = (0 until 60).map(t => (1L, ts(t), (t % 6).toDouble)) ++
+      (0 until 30).map(t => (2L, ts(t), 5.0))
+    val df = rows.toDF("k", "h", "v")
+    val got = TimeSeries.acfDominantPeriod(df, "k", "h", "v", 3600L, 2, 24)
+      .as[(Long, Int, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(2L), "flat series must emit no row")
+    assert(got(1L)._2 == 6 && got(1L)._4 == 60L)
+    // definitional reference: argmax over lags of the sample ACF with
+    // the same integer-unit lift and 1e-6 quantization
+    val xs = (0 until 60).map(t => (t % 6) * 100L)
+    val (s, n) = (xs.sum, xs.size)
+    val mu = s.toDouble / n
+    val sxx = xs.map(x => x * x).sum
+    val den = sxx - 2.0 * mu * s + n * mu * mu
+    val acfs = (2 to 24).map { l =>
+      val pairs = (0 until 60 - l).map(t => (xs(t), xs(t + l)))
+      val sxy = pairs.map { case (a, b) => a * b }.sum
+      val (sa, sb) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val num = sxy - mu * (sa + sb) + pairs.size * mu * mu
+      l -> math.floor(num / den * 1e6 + 0.5) / 1e6
+    }
+    val (bestL, bestA) = acfs.maxBy { case (l, a) => (a, -l) }
+    assert(bestL == 6 && got(1L)._3 == bestA,
+      s"got ${got(1L)}, expected ($bestL, $bestA)")
+  }
+
   test("rollingRobustAnomaly: Hampel flags spikes, ages them out, and " +
     "degenerates safely on flat baselines") {
     val obs = Seq(

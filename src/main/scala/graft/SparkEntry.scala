@@ -9339,21 +9339,26 @@ object SparkEntry {
              |FROM part WHERE p_retailprice > 950
              |GROUP BY p_type""".stripMargin)),
 
-    // DD: asymmetric containment — |A∩B|/|A| ≥ 0.9 finds short docs
-    // quoted/embedded inside long ones, which resemblance Jaccard
-    // scores near zero (union dominated by the container). One-sided
-    // PPJoin prefix on the CONTAINED side only (exact recall — the
-    // prefixJaccard argument with o ≥ t·|A|), container side joins
-    // full postings; oracle is the brute-force truth.
+    // DD: asymmetric shingle containment (Broder 1997) —
+    // |Sh(A)∩Sh(B)|/|Sh(A)| ≥ 0.9 finds docs whose passages appear
+    // inside others, which resemblance Jaccard scores near zero (union
+    // dominated by the container). One-sided PPJoin prefix on the
+    // CONTAINED side only (exact recall — o ≥ t·n_a), container side
+    // joins full postings; 3-gram SHINGLE space deliberately (the
+    // token space of this corpus is 31 words — token postings make
+    // every prefix bucket corpus-sized; shingles stay Zipf-sparse,
+    // 27k at sf0.1, and the truth set stays linear: 505 pairs at
+    // sf0.1 vs 8.3M for bag-of-words containment, both measured).
+    // Oracle is the brute-force shingle truth.
     Q("dd_containment",
       (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.9),
-      Some(s"""WITH toks AS ($toksSql),
-              |t AS (SELECT DISTINCT id, unnest(tk) AS tok FROM toks),
+      Some(s"""WITH sh0 AS ($shinglesSql),
+              |t AS (SELECT id, unnest(sh) AS s FROM sh0),
               |sz AS (SELECT id, count(*) AS n FROM t GROUP BY id),
               |inter AS (
               |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS o
-              |  FROM t a JOIN t b ON a.tok = b.tok AND a.id <> b.id
+              |  FROM t a JOIN t b ON a.s = b.s AND a.id <> b.id
               |  GROUP BY 1, 2),
               |c AS (SELECT a_id, b_id, CAST(o AS DOUBLE) / sa.n
               |        AS containment

@@ -530,61 +530,77 @@ object Dedup {
         (round(col("jaccard"), 6) + 0.0).as("jaccard"))
   }
 
-  /** Asymmetric CONTAINMENT self-join: pairs where a's distinct-token
-    * set is (near-)contained in b's — C(a→b) = |A∩B| / |A| ≥ t. The
-    * operator resemblance-Jaccard cannot express: a short document
+  /** Deterministic 60-bit hash of a string (first 15 md5 hex chars) —
+    * oracle-reproducible like [[md5Hash32]], with a collision space wide
+    * enough that shingle-array intersects stay exact in practice
+    * (~300k distinct shingles at sf1 → P(any collision) ≈ 2·10⁻⁸). */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Asymmetric CONTAINMENT self-join over distinct word 3-gram
+    * shingles (Broder 1997's containment, the forgotten half of
+    * resemblance): pairs where C(a→b) = |Sh(A) ∩ Sh(B)| / |Sh(A)| ≥ t.
+    * The operator resemblance-Jaccard cannot express: a short document
     * quoted verbatim inside a long one scores near-zero Jaccard (the
     * union is dominated by the container) but containment 1.0 — the
     * quote/boilerplate-inclusion detector an LLM corpus needs alongside
-    * [[prefixJaccardPairs]].
+    * [[prefixJaccardPairs]]. Shingles, not tokens, deliberately:
+    * contiguous n-grams make "contained" mean "appears as passages",
+    * and the shingle space stays Zipf-sparse even on a tiny-vocabulary
+    * corpus (this corpus has 31 distinct TOKENS — token postings make
+    * every prefix bucket corpus-sized, measured 18-56 s at sf0.1, while
+    * the 27k-shingle space runs the same plan in seconds).
     *
     * Exact recall by the one-sided PPJoin prefix argument: under the
-    * global rarest-first token order, C ≥ t forces overlap o ≥ t·|A|,
-    * so if all of A's (n − ceil(t·n) + 1)-token prefix missed B, the
+    * global rarest-first shingle order, C ≥ t forces overlap o ≥ t·n_a,
+    * so if all of A's (n − ceil(t·n) + 1)-shingle prefix missed B, the
     * remaining ceil(t·n) − 1 < o positions could not hold the common
-    * tokens. Only the CONTAINED side is prefix-pruned — the container
+    * shingles. Only the CONTAINED side is prefix-pruned — the container
     * side joins its full postings (no length upper bound exists for
-    * it); candidate fan-out stays bounded because a prefix
-    * preferentially holds low-df tokens, so each join bucket is a rare
-    * token's posting list. Two lossless per-row prunes: the container
-    * must hold at least ceil(t·na) tokens, and the positional bound
-    * o ≤ 1 + (na − pa) must leave room for t·na (the prefixJaccard
-    * +0.5 float-slack discipline).
+    * it). Two lossless per-row prunes: the container must hold at least
+    * ceil(t·n_a) shingles, and the positional bound o ≤ 1 + (n_a − p_a)
+    * must leave room for t·n_a (the prefixJaccard +0.5 float-slack
+    * discipline). Verification intersects per-doc sorted 60-bit
+    * shingle-hash arrays ([[md5Hash60]] — one codegen'd long-array
+    * intersect per candidate, both engines hashing identically).
     *
+    * @param contained ids (in `idCol`) forming the contained side
+    *                  (the batch-screening shape); None = every doc
     * @return (a_id contained, b_id container, containment) — both
     *         directions emitted when containment is mutual */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       threshold: Double = 0.9): DataFrame = {
+                       threshold: Double = 0.9,
+                       contained: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    // same multi-consumer materialization discipline as
-    // prefixJaccardPairs (postings feed sizes, df, prefix, the full
-    // container join side, and both verify arrays)
-    val toks = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .distinct()
+    // shingles() emits per-doc DISTINCT arrays, so the exploded posting
+    // frame needs no distinct pass; it feeds five consumers (sizes, df,
+    // prefix, the container join side, both verify arrays) — the
+    // prefixJaccard materialization discipline
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), 3)).as("s"))
       .transform(CacheScope.pin)
-    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
-    val prefix = toks.join(dfreq, "tok").join(sz, "id")
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val aSh = contained.fold(sh)(ids => sh.join(
+      ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi"))
+    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix = aSh.join(dfreq, "s").join(sz, "id")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("tok"), col("n"), col("rn"))
-    val full = toks.join(sz, "id")
-      .select(col("id").as("b_id"), col("tok"), col("n").as("nb"))
-    val cand = prefix.select(col("id").as("a_id"), col("tok"),
+      .select(col("id"), col("s"), col("n"), col("rn"))
+    val full = sh.join(sz, "id")
+      .select(col("id").as("b_id"), col("s"), col("n").as("nb"))
+    val cand = prefix.select(col("id").as("a_id"), col("s"),
         col("n").as("na"), col("rn").as("pa"))
-      .join(full, "tok")
+      .join(full, "s")
       .where(col("a_id") =!= col("b_id") &&
         col("nb").cast("double") + lit(0.5) >=
           lit(threshold) * col("na").cast("double") &&
         (col("na") - col("pa") + lit(1)).cast("double") + lit(0.5) >=
           lit(threshold) * col("na").cast("double"))
       .select("a_id", "b_id").distinct()
-    val tids = graft.operators.Ranking.globalRank(
-      dfreq.select("tok"), Seq(col("tok").asc), "tid")
-    val arr = toks.join(tids, "tok")
-      .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("ts"))
+    val arr = sh.select(col("id"), md5Hash60(col("s")).as("h"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("ts"))
       .transform(CacheScope.pin)
     cand
       .join(arr.select(col("id").as("a_id"), col("ts").as("a_ts")), "a_id")

@@ -790,35 +790,43 @@ class OperatorsSpec extends SparkTestBase {
 
   test("containmentPairs: quote-in-document detection Jaccard misses, " +
     "and the one-sided prefix filter is lossless vs brute force") {
-    // doc 100 is 8 tokens fully inside 40-token doc 1: containment 1.0
-    // but Jaccard 8/40 = 0.2 — invisible at any realistic J threshold
+    // doc 100 is a contiguous 10-token passage of the template-1 docs:
+    // shingle containment 1.0, Jaccard far below any realistic cut
     val docs = ((1 to 60).map { i =>
       val tmpl = i % 6
       val n = 12 + tmpl * 5
       val toks = (0 until n).map { k =>
         if (k < i % 3) s"uniq${i}x$k" else s"c${tmpl}x$k" }
       (i.toLong, toks.mkString(" "))
-    } :+ (100L, (1 to 8).map(k => s"c1x$k").mkString(" ")))
+    } :+ (100L, (1 to 10).map(k => s"c1x$k").mkString(" ")))
       .toDF("doc_id", "text")
     val got = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
-    // brute-force truth: o / |A| >= 0.9 over distinct-token postings
-    val toks = docs.select(col("doc_id").as("id"),
-      explode(Dedup.tokens(col("text"))).as("tok")).distinct()
-    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val brute = toks.select(col("id").as("a_id"), col("tok"))
-      .join(toks.select(col("id").as("b_id"), col("tok")), "tok")
+    // brute-force truth: o / |Sh(A)| >= 0.9 over distinct shingles
+    val sh = docs.select(col("doc_id").as("id"),
+      explode(Dedup.shingles(col("text"), 3)).as("s"))
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val brute = sh.select(col("id").as("a_id"), col("s"))
+      .join(sh.select(col("id").as("b_id"), col("s")), "s")
       .where(col("a_id") =!= col("b_id"))
       .groupBy("a_id", "b_id").agg(count(lit(1)).as("o"))
       .join(sz.select(col("id").as("a_id"), col("n").as("na")), "a_id")
       .where(col("o").cast("double") / col("na") >= 0.9)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(got == brute, s"missed ${brute -- got}, extra ${got -- brute}")
-    // the quote is found in the contained direction only: doc 100's 8
-    // tokens all sit inside every 17-token template-1 doc (containment
-    // 1.0, Jaccard 8/17 ≈ 0.47), and never the reverse
+    // the passage is found in the contained direction only: doc 100's
+    // shingles c1x1..c1x10 all sit inside template-1 docs that kept
+    // position 1 (i % 3 <= 1), never the reverse
     assert(got.exists { case (a, b) => a == 100L && b % 6 == 1 })
     assert(!got.exists { case (a, b) => b == 100L && a != 100L })
+    // batch mode: restricting the contained side = the full result
+    // filtered to batch rows on the contained side, containers intact
+    val batch = docs.where(col("doc_id") % 3 === 0)
+    val sub = Dedup.containmentPairs(docs, "doc_id", "text", 0.9,
+        contained = Some(batch))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(sub == got.filter(_._1 % 3 == 0),
+      s"batch diff: ${sub -- got}, ${got.filter(_._1 % 3 == 0) -- sub}")
   }
 
   test("weighted PageRank splits rank over out-edges by weight") {

@@ -9354,11 +9354,13 @@ object SparkEntry {
       (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"),
         "doc_id", "text", threshold = 0.9),
       Some(s"""WITH sh0 AS ($shinglesSql),
-              |t AS (SELECT id, unnest(sh) AS s FROM sh0),
+              |t AS (SELECT id, unnest(list_distinct(list_transform(sh,
+              |    s_ -> ('0x' || substr(md5(s_), 1, 15))::BIGINT))) AS h
+              |  FROM sh0),
               |sz AS (SELECT id, count(*) AS n FROM t GROUP BY id),
               |inter AS (
               |  SELECT a.id AS a_id, b.id AS b_id, count(*) AS o
-              |  FROM t a JOIN t b ON a.s = b.s AND a.id <> b.id
+              |  FROM t a JOIN t b ON a.h = b.h AND a.id <> b.id
               |  GROUP BY 1, 2),
               |c AS (SELECT a_id, b_id, CAST(o AS DOUBLE) / sa.n
               |        AS containment

@@ -537,6 +537,46 @@ object Dedup {
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Kernel twin of [[md5Hash60]]: first 15 md5 hex chars == first 8
+    * digest bytes big-endian, dropped low nibble. */
+  def md5Hash60Kernel(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** DISTINCT 60-bit hashes of a doc's word n-gram shingles — the JIT'd
+    * kernel form of `transform(shingles(c, n), md5Hash60)` (the
+    * hashedShinglesKernel/DSIR lesson: shingling as a layered HOF
+    * expression re-evaluates the tokenizer per element — measured 8.9 s
+    * vs sub-second for the kernel over the same sf0.1 scan). Distinct
+    * applies to the HASHES, so a (vanishingly rare) within-doc collision
+    * still yields a set. */
+  def shingles60Kernel(text: String, n: Int): Seq[Long] = {
+    val toks = tokensKernel(text)
+    val hashes = new java.util.LinkedHashSet[java.lang.Long]()
+    if (toks.length < n) hashes.add(md5Hash60Kernel(toks.mkString(" ")))
+    else {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new StringBuilder(toks(i))
+        var k = 1
+        while (k < n) { sb.append(' ').append(toks(i + k)); k += 1 }
+        hashes.add(md5Hash60Kernel(sb.toString))
+        i += 1
+      }
+    }
+    val out = new Array[Long](hashes.size)
+    val it = hashes.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
+  }
+  private val shingles60Udf = udf(shingles60Kernel _)
+
   /** Asymmetric CONTAINMENT self-join over distinct word 3-gram
     * shingles (Broder 1997's containment, the forgotten half of
     * resemblance): pairs where C(a→b) = |Sh(A) ∩ Sh(B)| / |Sh(A)| ≥ t.
@@ -572,34 +612,36 @@ object Dedup {
                        threshold: Double = 0.9,
                        contained: Option[DataFrame] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
-    // shingles() emits per-doc DISTINCT arrays, so the exploded posting
-    // frame needs no distinct pass; it feeds five consumers (sizes, df,
-    // prefix, the container join side, both verify arrays) — the
-    // prefixJaccard materialization discipline
+    // postings carry DISTINCT 60-bit shingle hashes straight from the
+    // JIT'd kernel — strings never leave the scan stage; the frame
+    // feeds five consumers (sizes, df, prefix, the container join side,
+    // both verify arrays) — the prefixJaccard materialization
+    // discipline
     val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), 3)).as("s"))
+      .select(col(idCol).as("id"),
+        explode(shingles60Udf(col(textCol), lit(3))).as("h"))
       .transform(CacheScope.pin)
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val dfreq = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val aSh = contained.fold(sh)(ids => sh.join(
       ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi"))
-    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
-    val prefix = aSh.join(dfreq, "s").join(sz, "id")
+    val w = Window.partitionBy("id").orderBy(col("df"), col("h"))
+    val prefix = aSh.join(dfreq, "h").join(sz, "id")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
-      .select(col("id"), col("s"), col("n"), col("rn"))
+      .select(col("id"), col("h"), col("n"), col("rn"))
     val full = sh.join(sz, "id")
-      .select(col("id").as("b_id"), col("s"), col("n").as("nb"))
-    val cand = prefix.select(col("id").as("a_id"), col("s"),
+      .select(col("id").as("b_id"), col("h"), col("n").as("nb"))
+    val cand = prefix.select(col("id").as("a_id"), col("h"),
         col("n").as("na"), col("rn").as("pa"))
-      .join(full, "s")
+      .join(full, "h")
       .where(col("a_id") =!= col("b_id") &&
         col("nb").cast("double") + lit(0.5) >=
           lit(threshold) * col("na").cast("double") &&
         (col("na") - col("pa") + lit(1)).cast("double") + lit(0.5) >=
           lit(threshold) * col("na").cast("double"))
       .select("a_id", "b_id").distinct()
-    val arr = sh.select(col("id"), md5Hash60(col("s")).as("h"))
+    val arr = sh
       .groupBy("id").agg(sort_array(collect_list(col("h"))).as("ts"))
       .transform(CacheScope.pin)
     cand

@@ -15,36 +15,32 @@ object ContainProbe {
       val t0 = System.nanoTime(); val r = f
       println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1f s"); r
     }
-    val toks = docs.select(col("doc_id").as("id"),
-        explode(Dedup.tokens(col("text"))).as("tok")).distinct().cache()
-    time("postings")(toks.count())
-    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
-    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val th = 0.9
+    val sh = docs.select(col("doc_id").as("id"),
+        explode(Dedup.shingles(col("text"), 3)).as("s")).cache()
+    time("postings")(sh.count())
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df"), col("tok"))
-    val th = 0.95
-    val aToks = toks.join(docs.select(col("doc_id").as("id"))
-      .where(col("id") % 10 === 0).distinct(), Seq("id"), "left_semi")
-    val prefix = aToks.join(dfreq, "tok").join(sz, "id")
+      .partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix = sh.join(dfreq, "s").join(sz, "id")
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= col("n") - ceil(col("n") * th) + 1)
-      .select(col("id"), col("tok"), col("n"), col("rn")).cache()
+      .select(col("id"), col("s"), col("n"), col("rn")).cache()
     time("prefix")(println("prefix rows " + prefix.count()))
-    val full = toks.join(sz, "id")
-      .select(col("id").as("b_id"), col("tok"), col("n").as("nb"))
-    val cand = prefix.select(col("id").as("a_id"), col("tok"),
+    val full = sh.join(sz, "id")
+      .select(col("id").as("b_id"), col("s"), col("n").as("nb"))
+    val cand = prefix.select(col("id").as("a_id"), col("s"),
         col("n").as("na"), col("rn").as("pa"))
-      .join(full, "tok")
+      .join(full, "s")
       .where(col("a_id") =!= col("b_id") &&
         col("nb").cast("double") + lit(0.5) >= lit(th) * col("na").cast("double") &&
         (col("na") - col("pa") + lit(1)).cast("double") + lit(0.5) >=
           lit(th) * col("na").cast("double"))
       .select("a_id", "b_id").distinct().cache()
     time("candidates")(println("cand " + cand.count()))
-    val tids = graft.operators.Ranking.globalRank(dfreq.select("tok"),
-      Seq(col("tok").asc), "tid")
-    val arr = toks.join(tids, "tok")
-      .groupBy("id").agg(sort_array(collect_list(col("tid"))).as("ts")).cache()
+    val arr = sh.select(col("id"), Dedup.md5Hash60(col("s")).as("h"))
+      .groupBy("id").agg(sort_array(collect_list(col("h"))).as("ts")).cache()
     time("arrays")(arr.count())
     val out = cand
       .join(arr.select(col("id").as("a_id"), col("ts").as("a_ts")), "a_id")

@@ -439,4 +439,38 @@ class PlanSpec extends SparkTestBase {
     val pca = plan("ann_pca_project")
     assert(!pca.contains("CartesianProduct"), pca.take(3000))
   }
+
+  test("round-11 operators: KN scoring and target encoding join on " +
+    "term/category keys with model-sized broadcasts only; containment " +
+    "and period detection stay keyed equi-joins") {
+    // KN perplexity: bigrams from zip_with (no positional self-join on
+    // the scoring path is REQUIRED — the model joins are term-keyed),
+    // Ntypes/V ride a broadcast 1-row frame, no window, no cartesian
+    for (q <- Seq("ta_kn_perplexity", "ta_ppl_buckets")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
+    }
+    // shingle containment: prefix/posting equi-joins + per-doc bounded
+    // window only — no cartesian, no single-partition funnel
+    val c = plan("dd_containment")
+    assert(!c.contains("CartesianProduct"), c.take(3000))
+    assert(!c.contains("BroadcastNestedLoopJoin"), c.take(3000))
+    assert(!c.contains("Exchange SinglePartition"), c.take(3000))
+    // target encoding: one (cat, fold) agg + keyed join-backs; the
+    // global/fold frames enter by broadcast; no window
+    val te = plan("ds_target_encode")
+    assert(!te.contains("CartesianProduct"), te.take(3000))
+    assert(!te.contains("Window"), te.take(3000))
+    // ACF period: the lag join is an expression EQUI-join (never a
+    // range/theta join -> no BNLJ), argmax is an aggregate (the only
+    // windows are gapFill's bounded per-key fills)
+    val tp = plan("ts_period")
+    assert(!tp.contains("CartesianProduct"), tp.take(3000))
+    assert(!tp.contains("Exchange SinglePartition"), tp.take(3000))
+    // l-diversity: two stacked hash aggregations, nothing else
+    val ld = plan("dq_l_diversity")
+    assert(ld.contains("HashAggregate"), ld.take(3000))
+    assert(!ld.contains("Exchange SinglePartition"), ld.take(3000))
+  }
 }

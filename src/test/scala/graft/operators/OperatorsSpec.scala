@@ -788,6 +788,20 @@ class OperatorsSpec extends SparkTestBase {
     assert(!got.contains((22L, 54L)), ".946 pair must be out")
   }
 
+  test("md5Hash60: kernel == column expression, and shingles60Kernel " +
+    "== hashed shingles() output") {
+    val vals = Seq("alpha beta gamma", "", "x", "uniq7 t3 t4 t5")
+    val fromCol = vals.toDF("s")
+      .select(Dedup.md5Hash60(col("s"))).as[Long].collect().toSeq
+    assert(fromCol == vals.map(Dedup.md5Hash60Kernel))
+    for (text <- vals) {
+      val viaExpr = Seq(text).toDF("t")
+        .select(explode(Dedup.shingles(col("t"), 3)).as("s"))
+        .select(Dedup.md5Hash60(col("s"))).as[Long].collect().toSet
+      assert(Dedup.shingles60Kernel(text, 3).toSet == viaExpr, text)
+    }
+  }
+
   test("containmentPairs: quote-in-document detection Jaccard misses, " +
     "and the one-sided prefix filter is lossless vs brute force") {
     // doc 100 is a contiguous 10-token passage of the template-1 docs:

@@ -9456,7 +9456,103 @@ object SparkEntry {
               |      FROM acf)
               |SELECT k AS user_id, CAST(L AS INTEGER) AS period,
               |  a + 0e0 AS acf, n
-              |FROM r WHERE rn = 1""".stripMargin))
+              |FROM r WHERE rn = 1""".stripMargin)),
+
+    // J13: bucketed co-located join — the 100 TB join lever the
+    // standing indexes use for SCANS, demonstrated for JOINS: both
+    // sides written bucketBy(8) + sortBy on the join key, the join
+    // re-reads them and runs SHUFFLE-FREE (no Exchange in the plan —
+    // PlanSpec-gated; the merge hint keeps AQE from hiding the
+    // demonstration behind a broadcast). At 100 TB this is the
+    // difference between re-shuffling both fact tables per join and
+    // reading co-located buckets.
+    Q("j13_bucketed_join",
+      (s, dir) => {
+        val sfx = new java.io.File(dir).getName.replace(".", "_")
+        val base = s"/tmp/graft_j13_$sfx"
+        t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .option("path", s"$base/orders")
+          .saveAsTable(s"graft_j13_orders_$sfx")
+        t(s, dir, "customer").select("c_custkey", "c_mktsegment")
+          .write.mode("overwrite").format("parquet")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .option("path", s"$base/customer")
+          .saveAsTable(s"graft_j13_customer_$sfx")
+        s.table(s"graft_j13_orders_$sfx").hint("merge")
+          .join(s.table(s"graft_j13_customer_$sfx"),
+            col("o_custkey") === col("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1""".stripMargin)),
+
+    // J14: dynamic partition pruning — the fact side is partitioned on
+    // the join key at rest; the dim side's selective filter is turned
+    // into a runtime partition filter on the fact SCAN (dynamicpruning
+    // subquery in the plan, PlanSpec-gated), so only the matching
+    // partitions are read. The Spark-native form of the reference's
+    // manual partition-slug routing, and the main reason a 100 TB
+    // star-schema scan reads 2 partitions instead of all of them.
+    Q("j14_dpp",
+      (s, dir) => {
+        val sfx = new java.io.File(dir).getName.replace(".", "_")
+        val p = s"/tmp/graft_j14_$sfx"
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+        val dim = t(s, dir, "orders").select("o_orderpriority").distinct()
+          .where(col("o_orderpriority") < "3")
+        s.read.parquet(p).join(dim, "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            round(sum("o_totalprice"), 2).as("total"))
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+             |  round(sum(o_totalprice), 2) AS total
+             |FROM orders WHERE o_orderpriority < '3'
+             |GROUP BY 1""".stripMargin)),
+
+    // S11: corrupt-record routing on JSON ingest — PERMISSIVE parse
+    // with a _corrupt_record column, good rows projected, bad rows
+    // COUNTED (never silently dropped — the quarantine rule applied to
+    // the parser itself). The fixture corrupts every 7th line by
+    // truncation, so the oracle derives the same routing from the
+    // corruption rule both engines share.
+    Q("s11_json_corrupt",
+      (s, dir) => {
+        val raw = t(s, dir, "orders").select(
+          when(pmod(col("o_orderkey"), lit(7)) === 0,
+            concat(lit("{\"k\":"), col("o_orderkey").cast("string")))
+            .otherwise(concat(lit("{\"k\":"), col("o_orderkey").cast("string"),
+              lit(",\"p\":\""), col("o_orderpriority"), lit("\"}")))
+            .as("line"))
+        val opts = new java.util.HashMap[String, String]
+        opts.put("mode", "PERMISSIVE")
+        opts.put("columnNameOfCorruptRecord", "_corrupt_record")
+        val parsed = raw.select(from_json(col("line"),
+          "k LONG, p STRING, _corrupt_record STRING", opts).as("j"))
+        parsed.select(col("j.k"), col("j.p"), col("j._corrupt_record"))
+          .agg(
+            count(when(col("_corrupt_record").isNull, 1)).as("n_good"),
+            count(when(col("_corrupt_record").isNotNull, 1)).as("n_bad"),
+            sum(when(col("_corrupt_record").isNull, col("k"))).as("sum_good"),
+            countDistinct(when(col("_corrupt_record").isNull, col("p")))
+              .as("n_priorities"))
+      },
+      Some("""SELECT
+             |  count(*) FILTER (o_orderkey % 7 <> 0) AS n_good,
+             |  count(*) FILTER (o_orderkey % 7 = 0) AS n_bad,
+             |  CAST(sum(o_orderkey) FILTER (o_orderkey % 7 <> 0) AS BIGINT)
+             |    AS sum_good,
+             |  count(DISTINCT o_orderpriority)
+             |    FILTER (o_orderkey % 7 <> 0) AS n_priorities
+             |FROM orders""".stripMargin))
   )
 
   /** The hourly gap-filled event series as CTEs ending in

@@ -473,4 +473,26 @@ class PlanSpec extends SparkTestBase {
     assert(ld.contains("HashAggregate"), ld.take(3000))
     assert(!ld.contains("Exchange SinglePartition"), ld.take(3000))
   }
+
+  test("j13/j14: bucketed join runs shuffle-free; the dim filter " +
+    "reaches the partitioned fact scan as dynamic partition pruning") {
+    // bucketed co-located join: SMJ over two bucketBy(8) tables — the
+    // join itself must introduce NO exchange (the aggregation after it
+    // may); assert no hashpartitioning exchange BEFORE the join in the
+    // plan by requiring zero exchanges under the SortMergeJoin inputs:
+    // simplest robust check — the full plan has exactly the agg's
+    // exchange, never one per join side
+    val bj = plan("j13_bucketed_join")
+      .split("== Initial Plan ==").head // AQE echoes the pre-AQE plan too
+    assert(bj.contains("SortMergeJoin"), bj.take(3000))
+    assert(bj.contains("Bucketed: true"), bj.take(3000))
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(bj).size
+    assert(exchanges <= 1, s"expected at most the aggregation exchange, " +
+      s"got $exchanges:\n${bj.take(3000)}")
+    // DPP: the fact scan's partition filter carries a dynamicpruning
+    // subquery fed by the dim side
+    val dpp = plan("j14_dpp")
+    assert(dpp.contains("dynamicpruning"), dpp.take(4000))
+  }
 }

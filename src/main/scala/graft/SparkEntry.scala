@@ -9552,8 +9552,130 @@ object SparkEntry {
              |    AS sum_good,
              |  count(DISTINCT o_orderpriority)
              |    FILTER (o_orderkey % 7 <> 0) AS n_priorities
-             |FROM orders""".stripMargin))
+             |FROM orders""".stripMargin)),
+
+    // K15: right-to-be-forgotten deletion — rewrite ONLY the partitions
+    // containing deleted keys (dynamic overwrite scoped to the writer;
+    // fully-emptied partitions dropped explicitly — dynamic overwrite
+    // would silently leave them). The oracle derives the same audit
+    // from the deletion rule; n_rows_after is RE-READ from disk by the
+    // impl, so a partition the rewrite missed would hash-mismatch.
+    Q("k15_delete_propagation",
+      (s, dir) => {
+        val sfx = new java.io.File(dir).getName.replace(".", "_")
+        val p = s"/tmp/graft_k15_$sfx"
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice",
+            "o_orderpriority")
+          .write.mode("overwrite").partitionBy("o_orderpriority").parquet(p)
+        val deletes = t(s, dir, "customer")
+          .select(col("c_custkey").as("o_custkey"))
+          .where(pmod(col("o_custkey"), lit(97)) === 0)
+        Sources.deletePropagate(s, p, "o_orderpriority", "o_custkey",
+          deletes)
+      },
+      Some("""WITH del AS (
+             |  SELECT o_orderpriority AS p, count(*) AS nd
+             |  FROM orders WHERE o_custkey % 97 = 0 GROUP BY 1),
+             |tot AS (
+             |  SELECT o_orderpriority AS p, count(*) AS n
+             |  FROM orders GROUP BY 1)
+             |SELECT CAST(coalesce(sum(nd), 0) AS BIGINT) AS n_deleted,
+             |  CAST(count(*) FILTER (nd < n) AS BIGINT)
+             |    AS n_parts_rewritten,
+             |  CAST(count(*) FILTER (nd = n) AS BIGINT) AS n_parts_dropped,
+             |  CAST((SELECT count(*) FROM orders) - coalesce(sum(nd), 0)
+             |    AS BIGINT) AS n_rows_after
+             |FROM del JOIN tot USING (p)""".stripMargin)),
+
+    // DQ: key-skew audit — the measure-before-you-salt diagnostic for
+    // a prospective join/aggregation key: top-5 heaviest values with
+    // share and skew ratio (count / uniform per-key expectation). One
+    // key-count-sized partial agg + 1-row broadcast + k-bounded
+    // TakeOrdered.
+    Q("dq_skew_audit",
+      (s, dir) => Skew.skewReport(t(s, dir, "events"), "user_id", topK = 5),
+      Some("""WITH c AS (
+             |  SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+             |s AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_rows,
+             |        count(*) AS n_keys
+             |      FROM c)
+             |SELECT user_id, cnt, total_rows, n_keys,
+             |  round(CAST(cnt AS DOUBLE) / total_rows, 6) + 0e0 AS share,
+             |  round(CAST(cnt AS DOUBLE) * n_keys / total_rows, 6) + 0e0
+             |    AS skew_ratio
+             |FROM c CROSS JOIN s
+             |ORDER BY cnt DESC, user_id ASC LIMIT 5""".stripMargin)),
+
+    // TA: trigram interpolated Kneser-Ney — the full recursive KN of
+    // Chen & Goodman 1998 (raw counts at the top, continuation counts
+    // in the middle, the bigram add-one continuation base; each unseen
+    // level falls through), pushing the CCNet curation stage from the
+    // ta_kn_perplexity bigram to the production n-gram depth. Same
+    // scale shape: two corpus scans, term-keyed model joins, one
+    // broadcast scalar row. Docs with < 3 tokens emit no row.
+    Q("ta_kn3_perplexity",
+      (s, dir) => LanguageModel.kn3LogPerplexity(
+        t(s, dir, "documents"), "doc_id", "text",
+        pmod(col("doc_id"), lit(4)) =!= 0),
+      Some(s"""WITH $kn3PplCtes
+              |SELECT doc_id, logppl FROM kn3_scored""".stripMargin))
   )
+
+  /** DuckDB replay of `LanguageModel.kn3LogPerplexity` (train split
+    * doc_id % 4 != 0, D = 0.75) as CTEs ending in
+    * `kn3_scored(doc_id, logppl)` — the full recursive interpolated-KN
+    * chain: raw trigram counts at the top, continuation counts
+    * N1+(·,w2,w3) in the middle, the bigram add-one continuation
+    * unigram at the base; each unseen level falls through. Probability
+    * expressions mirror the Spark operators term for term in the same
+    * operation order. */
+  private def kn3PplCtes: String = {
+    val pcSql = "(coalesce(kn3_cont1.n1r1, 0) + 1e0)" +
+      " / (kn3_sc.ntypes2 + kn3_sc.v + 1)"
+    val p2Sql =
+      s"""CASE WHEN kn3_z2.z2 IS NOT NULL THEN
+         |      greatest(coalesce(kn3_b2.ckn, 0) - 0.75e0, 0e0) / kn3_z2.z2
+         |      + 0.75e0 * kn3_z2.n1f2k / kn3_z2.z2 * ($pcSql)
+         |    ELSE ($pcSql) END""".stripMargin
+    s"""tk0 AS ($toksSql),
+       |tok AS (SELECT id, unnest(tk) AS tok,
+       |          unnest(range(1, len(tk) + 1)) AS pos
+       |        FROM tk0),
+       |tg AS (SELECT a.id, a.tok AS w1, b.tok AS w2, c.tok AS w3
+       |       FROM tok a JOIN tok b ON a.id = b.id AND b.pos = a.pos + 1
+       |       JOIN tok c ON a.id = c.id AND c.pos = a.pos + 2),
+       |bg3 AS (SELECT a.id, a.tok AS w1, b.tok AS w2
+       |        FROM tok a JOIN tok b
+       |          ON a.id = b.id AND b.pos = a.pos + 1),
+       |kn3_bc AS (SELECT w1, w2, count(*) AS bc FROM bg3
+       |           WHERE id % 4 <> 0 GROUP BY 1, 2),
+       |kn3_cont1 AS (SELECT w2 AS w3, count(*) AS n1r1
+       |              FROM kn3_bc GROUP BY 1),
+       |kn3_sc AS (SELECT (SELECT count(*) FROM kn3_bc) AS ntypes2,
+       |    (SELECT count(DISTINCT tok) FROM tok WHERE id % 4 <> 0) AS v),
+       |kn3_tc AS (SELECT w1, w2, w3, count(*) AS tc3 FROM tg
+       |           WHERE id % 4 <> 0 GROUP BY 1, 2, 3),
+       |kn3_cc AS (SELECT w1, w2, sum(tc3) AS cc3, count(*) AS n1f3
+       |           FROM kn3_tc GROUP BY 1, 2),
+       |kn3_b2 AS (SELECT w2, w3, count(*) AS ckn
+       |           FROM kn3_tc GROUP BY 1, 2),
+       |kn3_z2 AS (SELECT w2, sum(ckn) AS z2, count(*) AS n1f2k
+       |           FROM kn3_b2 GROUP BY 1),
+       |kn3_p AS (SELECT tg.id,
+       |    CASE WHEN kn3_cc.cc3 IS NOT NULL THEN
+       |      greatest(coalesce(kn3_tc.tc3, 0) - 0.75e0, 0e0) / kn3_cc.cc3
+       |      + 0.75e0 * kn3_cc.n1f3 / kn3_cc.cc3 * ($p2Sql)
+       |    ELSE ($p2Sql) END AS prob
+       |  FROM tg LEFT JOIN kn3_tc USING (w1, w2, w3)
+       |  LEFT JOIN kn3_cc USING (w1, w2)
+       |  LEFT JOIN kn3_b2 USING (w2, w3)
+       |  LEFT JOIN kn3_z2 USING (w2)
+       |  LEFT JOIN kn3_cont1 USING (w3) CROSS JOIN kn3_sc),
+       |kn3_scored AS (SELECT id AS doc_id,
+       |    round(avg(-ln(prob)), 6) + 0e0 AS logppl
+       |  FROM kn3_p GROUP BY id)""".stripMargin
+  }
 
   /** The hourly gap-filled event series as CTEs ending in
     * `filled(user_id, h, v)` — the regular-series front end shared by

@@ -103,6 +103,88 @@ object LanguageModel {
       .agg((round(avg(-log(col("prob"))), 6) + 0.0).as("logppl"))
   }
 
+  /** Interior trigrams of each document: (doc_id, w1, w2, w3). Docs
+    * with fewer than 3 tokens emit nothing. */
+  def docTrigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tk = docs.select(col(idCol).as("doc_id"),
+      Dedup.tokens(col(textCol)).as("tk"))
+    val n2 = greatest(size(col("tk")) - 2, lit(0))
+    val inner = zip_with(
+      slice(col("tk"), lit(1), n2), slice(col("tk"), lit(2), n2),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+    tk.select(col("doc_id"),
+        explode(zip_with(inner, slice(col("tk"), lit(3), n2),
+          (p, c) => struct(p.getField("w1").as("w1"),
+            p.getField("w2").as("w2"), c.as("w3")))).as("tg"))
+      .select(col("doc_id"), col("tg.w1").as("w1"), col("tg.w2").as("w2"),
+        col("tg.w3").as("w3"))
+  }
+
+  /** Trigram interpolated Kneser-Ney (Chen & Goodman 1998's full
+    * recursive form) — the highest order uses raw counts, the middle
+    * order uses CONTINUATION counts c_KN(w2,w3) = N1+(·,w2,w3), and the
+    * base is [[knLogPerplexity]]'s add-one continuation unigram, so the
+    * model is again a pure deterministic function of count frames:
+    *
+    *   P3(w3|w1,w2) = max(c(w1w2w3)−D,0)/c(w1w2)
+    *                + D·N1+(w1w2,·)/c(w1w2) · P2(w3|w2)   [ctx seen]
+    *   P2(w3|w2)    = max(cKN(w2,w3)−D,0)/ΣcKN(w2,·)
+    *                + D·N1+KN(w2,·)/ΣcKN(w2,·) · Pc(w3)   [mid seen]
+    *   Pc(w3)       = (N1+(·,w3)+1) / (Ntypes₂ + V + 1)
+    *
+    * with each unseen level falling through to the next. Same scale
+    * shape as the bigram model — two corpus scans, term-keyed
+    * model-frame joins, one broadcast scalar row — with two extra
+    * model frames (trigram contexts, mid-level continuation counts).
+    * Output: (doc_id, logppl) over docs with ≥ 3 tokens. */
+  def kn3LogPerplexity(docs: DataFrame, idCol: String, textCol: String,
+                       trainFilter: Column): DataFrame = {
+    val train = docs.where(trainFilter)
+    val vocab = train
+      .select(explode(Dedup.tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    // level-1 base: corpus bigram continuation counts (the knModel cont
+    // frame) + the bigram-type count scalar
+    val bg = docBigrams(train, idCol, textCol)
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("bc"))
+    val cont1 = bc.groupBy(col("w2").as("w3")).agg(count(lit(1)).as("n1r1"))
+    val scalars = bc.agg(count(lit(1)).as("ntypes2")).crossJoin(vocab)
+    // level-3 raw counts + contexts
+    val tg = docTrigrams(train, idCol, textCol)
+    val tc3 = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("tc3"))
+    val cc3 = tc3.groupBy("w1", "w2")
+      .agg(sum("tc3").as("cc3"), count(lit(1)).as("n1f3"))
+    // level-2 continuation counts from the trigram table: cKN(w2,w3) =
+    // distinct predecessors (tc3 rows are distinct triples, so a plain
+    // row count per (w2,w3) IS N1+)
+    val b2 = tc3.groupBy("w2", "w3").agg(count(lit(1)).as("ckn"))
+    val z2 = b2.groupBy("w2")
+      .agg(sum("ckn").as("z2"), count(lit(1)).as("n1f2k"))
+
+    val scored = docTrigrams(docs, idCol, textCol)
+      .join(tc3, Seq("w1", "w2", "w3"), "left")
+      .join(cc3, Seq("w1", "w2"), "left")
+      .join(b2, Seq("w2", "w3"), "left")
+      .join(z2, Seq("w2"), "left")
+      .join(cont1, Seq("w3"), "left")
+      .crossJoin(broadcast(scalars))
+    val pc = (coalesce(col("n1r1"), lit(0L)).cast("double") + 1.0) /
+      (col("ntypes2") + col("v") + 1).cast("double")
+    val p2 = when(col("z2").isNotNull,
+      greatest(coalesce(col("ckn"), lit(0L)).cast("double") - Discount,
+        lit(0.0)) / col("z2") +
+        lit(Discount) * col("n1f2k") / col("z2") * pc)
+      .otherwise(pc)
+    val p3 = when(col("cc3").isNotNull,
+      greatest(coalesce(col("tc3"), lit(0L)).cast("double") - Discount,
+        lit(0.0)) / col("cc3") +
+        lit(Discount) * col("n1f3") / col("cc3") * p2)
+      .otherwise(p2)
+    scored.select(col("doc_id"), p3.as("prob"))
+      .groupBy("doc_id")
+      .agg((round(avg(-log(col("prob"))), 6) + 0.0).as("logppl"))
+  }
+
   /** CCNet-style perplexity bucketing: tercile cuts of the corpus logppl
     * distribution (exact interpolated percentiles — the a14 parity
     * precedent), each doc labeled head / middle / tail. The cuts are a

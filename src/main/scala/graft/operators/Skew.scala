@@ -68,4 +68,28 @@ object Skew {
       .groupBy(col(key))
       .agg(sum("__partial").as("n_distinct"))
   }
+
+  /** The measure-before-you-salt diagnostic: the `topK` heaviest values
+    * of a prospective join/aggregation key, each with the two numbers
+    * that decide the mitigation — its share of all rows and its skew
+    * ratio (count ÷ the uniform per-key expectation). A ratio near 1
+    * means AQE alone is fine; double digits on a broadcast-ineligible
+    * join is the [[saltedJoin]] case. One partial-agg shuffle
+    * (key-count-sized) + a 1-row total broadcast + a k-bounded
+    * TakeOrdered — never a global sort. */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    require(topK >= 1, "topK must be >= 1")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("total_rows"),
+      count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(keyCol), col("cnt"),
+        col("total_rows").cast("long").as("total_rows"), col("n_keys"),
+        (round(col("cnt").cast("double") / col("total_rows"), 6) + 0.0)
+          .as("share"),
+        (round(col("cnt").cast("double") * col("n_keys") /
+          col("total_rows"), 6) + 0.0).as("skew_ratio"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topK)
+  }
 }

@@ -487,4 +487,60 @@ object Sources {
     fs.listStatus(new org.apache.hadoop.fs.Path(outDir))
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
   }
+
+  /** Right-to-be-forgotten deletion against a PARTITIONED parquet
+    * table, rewriting ONLY the partitions that contain deleted keys —
+    * at 100 TB the difference between touching a handful of partitions
+    * and rewriting the table. Three phases:
+    *
+    *  1. one column-pruned pass over (key, partition) finds the hit
+    *     partitions and per-partition delete counts (partition-count-
+    *     sized driver traffic — the k-means model rule);
+    *  2. survivors of ONLY those partitions are localCheckpoint-
+    *     materialized (the write targets the same location it read —
+    *     an unmaterialized plan would re-scan files mid-overwrite),
+    *     then written with dynamic partition overwrite scoped to this
+    *     writer;
+    *  3. partitions whose every row was deleted produce no survivor
+    *     rows, which dynamic overwrite would silently LEAVE in place —
+    *     those directories are dropped explicitly.
+    *
+    * @return 1-row audit (n_deleted, n_parts_rewritten, n_parts_dropped,
+    *         n_rows_after) — n_rows_after re-read from disk, not derived */
+  def deletePropagate(spark: SparkSession, path: String, partCol: String,
+                      keyCol: String, deleteKeys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val keys = deleteKeys.select(col(keyCol)).distinct()
+    val table = spark.read.parquet(path)
+    val hitStats = table.select(col(keyCol), col(partCol))
+      .join(keys, Seq(keyCol), "left_semi")
+      .groupBy(col(partCol)).agg(count(lit(1)).as("n_del"))
+      .collect()
+    val totals = table.groupBy(col(partCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val nDeleted = hitStats.map(_.getLong(1)).sum
+    val emptied = hitStats.filter(r => totals(r.get(0)) == r.getLong(1))
+      .map(_.get(0))
+    val rewrite = hitStats.map(_.get(0)).filterNot(emptied.contains)
+    if (rewrite.nonEmpty) {
+      val survivors = table.where(col(partCol).isin(rewrite: _*))
+        .join(keys, Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
+      survivors.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partCol).parquet(path)
+    }
+    if (emptied.nonEmpty) {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      emptied.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+      }
+    }
+    val after = spark.read.parquet(path).count()
+    import spark.implicits._
+    Seq((nDeleted, rewrite.length.toLong, emptied.length.toLong, after))
+      .toDF("n_deleted", "n_parts_rewritten", "n_parts_dropped",
+        "n_rows_after")
+  }
 }

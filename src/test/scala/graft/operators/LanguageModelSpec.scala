@@ -73,6 +73,29 @@ class LanguageModelSpec extends SparkTestBase {
     assert((7L to 9L).forall(b(_) == "tail"))
   }
 
+  test("trigram KN: hand-computed recursive backoff on a tiny corpus") {
+    // train (id % 4 != 0): "a b c", "a b d", "x a b c"; test doc 4
+    val d3 = Seq((1L, "a b c"), (2L, "a b d"), (3L, "x a b c"),
+      (4L, "a b c"), (8L, "q q z")).toDF("doc_id", "text")
+    val got = LanguageModel.kn3LogPerplexity(d3, "doc_id", "text",
+        pmod(col("doc_id"), lit(4)) =!= 0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val D = 0.75
+    // model: tc3 (a,b,c)=2 (a,b,d)=1 (x,a,b)=1; cc3(a,b)=(3,2);
+    // b2 ckn (b,c)=1 (b,d)=1 (a,b)=1; z2(b)=(2,2) z2(a)=(1,1);
+    // bc (a,b)=3 (b,c)=2 (b,d)=1 (x,a)=1 -> ntypes2=4; V=5;
+    // cont1: a=1 b=1 c=1 d=1
+    def pcont(n1r: Long) = (n1r + 1.0) / (4 + 5 + 1)
+    val p2cGivenB = (1 - D) / 2 + D * 2 / 2 * pcont(1)
+    val p3 = (2 - D) / 3 + D * 2 / 3 * p2cGivenB
+    val exp4 = math.rint(-math.log(p3) * 1e6) / 1e6
+    assert(math.abs(got(4L) - exp4) < 1e-9, s"got ${got.get(4L)}, want $exp4")
+    // all-OOV trigrams (q,q,z): context (q,q) unseen AND mid q unseen
+    // -> pc(z) = (0+1)/10; finite, positive
+    val exp8 = math.rint(-math.log(pcont(0)) * 1e6) / 1e6
+    assert(math.abs(got(8L) - exp8) < 1e-9, s"got ${got.get(8L)}")
+  }
+
   test("scores are partitioning-invariant") {
     val a = LanguageModel.knLogPerplexity(docs, "doc_id", "text",
       pmod(col("doc_id"), lit(4)) =!= 0).collect().toSet

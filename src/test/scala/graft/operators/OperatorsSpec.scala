@@ -788,6 +788,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(!got.contains((22L, 54L)), ".946 pair must be out")
   }
 
+  test("skewReport: shares and skew ratios hand-checked; k-bounded " +
+    "and tie-broken by key") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val got = Skew.skewReport(df, "k", topK = 2)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("a", 6L, 10L, 3L, 0.6, 1.8),
+      ("b", 3L, 10L, 3L, 0.3, 0.9)))
+    // count ties resolve by key order
+    val tied = (Seq.fill(2)("z") ++ Seq.fill(2)("y")).toDF("k")
+    val t2 = Skew.skewReport(tied, "k", topK = 1)
+      .select("k").as[String].collect().toSeq
+    assert(t2 == Seq("y"))
+  }
+
   test("md5Hash60: kernel == column expression, and shingles60Kernel " +
     "== hashed shingles() output") {
     val vals = Seq("alpha beta gamma", "", "x", "uniq7 t3 t4 t5")

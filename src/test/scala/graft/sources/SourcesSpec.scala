@@ -542,4 +542,33 @@ class SourcesSpec extends SparkTestBase {
     assert(Sources.dirtyFloat("no digits").isEmpty)
     assert(Sources.dirtyFloat(null).isEmpty)
   }
+
+  test("deletePropagate rewrites only hit partitions, drops emptied " +
+    "ones, leaves others byte-untouched, and is idempotent") {
+    val dir = Files.createTempDirectory("graft_delprop").resolve("t").toString
+    // partition a: keys 1,2,3; partition b: 4,5; partition c: ONLY 6
+    Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"), (6L, "c"))
+      .toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtimes(part: String): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/p=$part"))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(_.getModificationTime).toSeq.sorted
+    val bBefore = mtimes("b")
+    // delete keys 2 (part of a) and 6 (all of c); b is untouched
+    val audit = Sources.deletePropagate(spark, dir, "p", "k",
+      Seq(2L, 6L).toDF("k")).as[(Long, Long, Long, Long)].head()
+    assert(audit == ((2L, 1L, 1L, 4L)), audit.toString)
+    val back = spark.read.parquet(dir).select("k").as[Long]
+      .collect().toSet
+    assert(back == Set(1L, 3L, 4L, 5L))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/p=c")))
+    assert(mtimes("b") == bBefore, "untouched partition was rewritten")
+    // idempotent: a second call deletes nothing and rewrites nothing
+    val again = Sources.deletePropagate(spark, dir, "p", "k",
+      Seq(2L, 6L).toDF("k")).as[(Long, Long, Long, Long)].head()
+    assert(again == ((0L, 0L, 0L, 4L)), again.toString)
+  }
 }

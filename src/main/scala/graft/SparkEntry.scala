@@ -9619,7 +9619,29 @@ object SparkEntry {
         t(s, dir, "documents"), "doc_id", "text",
         pmod(col("doc_id"), lit(4)) =!= 0),
       Some(s"""WITH $kn3PplCtes
-              |SELECT doc_id, logppl FROM kn3_scored""".stripMargin))
+              |SELECT doc_id, logppl FROM kn3_scored""".stripMargin)),
+
+    // TA: apply the LEARNED merges — close the tokenizer loop: train 6
+    // BPE merges on the corpus, re-tokenize every doc under them, and
+    // report per-doc subword/word counts. The merge table is collected
+    // (model-sized) into a kernel UDF; the oracle reuses the SAME
+    // training CTE chain and reads each word's subword count off the
+    // final symbolized dictionary (words segment independently, so the
+    // dict IS the tokenizer).
+    Q("ta_bpe_apply_learned",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        BpeTrainer.subwordCounts(docs, "doc_id", "text",
+          BpeTrainer.bpeTrain(docs, "doc_id", "text", nMerges = 6))
+      },
+      Some(s"""WITH ${bpeTrainCtes(6)},
+              |wl AS (SELECT word, len(sy) AS nsub FROM bpe_s6),
+              |tokd AS (SELECT id, unnest(tk) AS word FROM tk0)
+              |SELECT id AS doc_id,
+              |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
+              |  count(*) AS n_words
+              |FROM tokd JOIN wl USING (word)
+              |GROUP BY id""".stripMargin))
   )
 
   /** DuckDB replay of `LanguageModel.kn3LogPerplexity` (train split
@@ -9747,7 +9769,16 @@ object SparkEntry {
     * takes every other position of each maximal run). Assumes the
     * corpus yields at least `iters` mergeable pairs (true for the
     * documents fixture; the impl stops early otherwise). */
-  private def bpeTrainSql(iters: Int): String = {
+  private def bpeTrainSql(iters: Int): String =
+    s"""WITH ${bpeTrainCtes(iters)}
+       |${bpeMergesOutSql(iters)}""".stripMargin
+
+  private def bpeMergesOutSql(iters: Int): String =
+    (1 to iters).map(r =>
+      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM bpe_b$r")
+      .mkString("\nUNION ALL\n")
+
+  private def bpeTrainCtes(iters: Int): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"bpe_s${r - 1}"
       s"""bpe_p$r AS (
@@ -9787,15 +9818,11 @@ object SparkEntry {
          |  FROM bpe_y$r WHERE NOT consumed GROUP BY word, freq)"""
         .stripMargin
     }.mkString(",\n")
-    val out = (1 to iters).map(r =>
-      s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM bpe_b$r")
-      .mkString("\nUNION ALL\n")
-    s"""WITH tk0 AS ($toksSql),
+    s"""tk0 AS ($toksSql),
        |bpe_s0 AS (
        |  SELECT word, count(*) AS freq, string_split(word, '') AS sy
        |  FROM (SELECT unnest(tk) AS word FROM tk0) GROUP BY word),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
   }
 
   // =================================================================

@@ -116,4 +116,37 @@ object BpeTrainer {
       .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"),
         col("pair_count"))
   }
+
+  /** Greedy application of an ORDERED merge list to one word —
+    * [[mergeKernel]] folded over the ranks, the standard BPE encode. */
+  def encodeKernel(word: String, lhs: Seq[String], rhs: Seq[String]): Int = {
+    var syms: Seq[String] = word.map(_.toString)
+    var r = 0
+    while (r < lhs.length) {
+      syms = mergeKernel(syms, lhs(r), rhs(r))
+      r += 1
+    }
+    syms.length
+  }
+
+  private val encodeUdf = udf(encodeKernel _)
+
+  /** Tokenize `docs` under a LEARNED merge table (the [[bpeTrain]]
+    * output — closes the train→apply loop) and report the per-doc
+    * subword count. The merge list is collected (model-sized — 30k
+    * rows at production vocab) and broadcast inside a codegen'd kernel
+    * UDF; one tokenize scan, one partial-agg shuffle. */
+  def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
+                    merges: DataFrame): DataFrame = {
+    val ms = merges.orderBy("rank").select("lhs", "rhs")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val (lhs, rhs) = (ms.map(_._1).toSeq, ms.map(_._2).toSeq)
+    docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.tokens(col(textCol))).as("w"))
+      .select(col("doc_id"),
+        encodeUdf(col("w"), typedlit(lhs), typedlit(rhs)).as("n_sub"))
+      .groupBy("doc_id")
+      .agg(sum("n_sub").cast("long").as("n_subwords"),
+        count(lit(1)).as("n_words"))
+  }
 }

@@ -42,6 +42,27 @@ class BpeTrainerSpec extends SparkTestBase {
     assert(m.columns.toSeq == Seq("rank", "lhs", "rhs", "pair_count"))
   }
 
+  test("subwordCounts: learned merges re-tokenize the corpus; " +
+    "encode folds merges in rank order") {
+    // after (l,o), (lo,w): "low" -> [low]? no — 2 merges give [low]
+    // only with a third (lo+w happens at rank 2): low -> l o w ->
+    // lo w -> low = 1 symbol; lower -> lo w e r -> low e r = 3
+    assert(BpeTrainer.encodeKernel("low",
+      Seq("l", "lo"), Seq("o", "w")) == 1)
+    assert(BpeTrainer.encodeKernel("lower",
+      Seq("l", "lo"), Seq("o", "w")) == 3)
+    val docs = Seq((1L, "low low low"), (2L, "lower lowest"))
+      .toDF("doc_id", "text")
+    val merges = BpeTrainer.bpeTrain(docs, "doc_id", "text", 4)
+    val got = BpeTrainer.subwordCounts(docs, "doc_id", "text", merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // merges: (l,o)(lo,w)(low,e)(lowe,r): low->1 sym x3 words;
+    // lower -> lower(1): lowe r -> lower after rank 4 = 1;
+    // lowest -> lowe s t = 3
+    assert(got(1L) == ((3L, 3L)))
+    assert(got(2L) == ((4L, 2L)))
+  }
+
   test("merge table is partitioning-invariant") {
     val docs = Seq((1L, "low low low"), (2L, "lower lowest"),
       (3L, "slow slower")).toDF("doc_id", "text")

@@ -446,7 +446,8 @@ class PlanSpec extends SparkTestBase {
     // KN perplexity: bigrams from zip_with (no positional self-join on
     // the scoring path is REQUIRED — the model joins are term-keyed),
     // Ntypes/V ride a broadcast 1-row frame, no window, no cartesian
-    for (q <- Seq("ta_kn_perplexity", "ta_ppl_buckets")) {
+    for (q <- Seq("ta_kn_perplexity", "ta_ppl_buckets",
+        "ta_kn3_perplexity")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
       assert(!p.contains("Window"), s"$q: ${p.take(3000)}")

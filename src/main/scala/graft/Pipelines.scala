@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CacheScope, Dedup, Sampling, TextAnalysis}
+import graft.operators.{CacheScope, Dedup, LanguageModel, Sampling, TextAnalysis}
 
 /** The library-facing corpus-pipeline composers behind the `pipe_*`
   * registry rows (generalizing the reference's end-to-end dataflow,
@@ -114,7 +114,19 @@ object Pipelines {
   def buildC4Corpus(docs: DataFrame, minLineLen: Int = 10,
                     minWords: Int = 50, minStopHits: Int = 2): DataFrame = {
     val lined = Dedup.lineDedup(docs, "doc_id", "text", minLen = minLineLen)
-    val gated = lined
+    val gated = gopherGate(lined, minWords, minStopHits)
+    val kept = exactDedup(gated)
+    kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+        col("n_words"), md5(col("text")).as("text_md5"))
+  }
+
+  /** The Gopher rule gate over a line-deduped frame — ONE copy shared
+    * by [[buildC4Corpus]] and [[buildPretrainCorpus]] so the keep
+    * conjunction cannot drift between the two recipes. */
+  private def gopherGate(lined: DataFrame, minWords: Int,
+                         minStopHits: Int): DataFrame =
+    lined
       .withColumn("g", TextAnalysis.gopherRules(col("text")))
       .where(col("g._1") >= minWords && col("g._1") <= 100000 &&
         col("g._2") >= 3.0 && col("g._2") <= 10.0 &&
@@ -123,11 +135,41 @@ object Pipelines {
         col("g._6") < 0.9 && col("g._7") < 0.3)
       .select(col("doc_id"), col("text"), col("n_lines"), col("n_dropped"),
         col("g._1").as("n_words"))
+
+  /** The full pretraining-corpus recipe — the engine's capstone
+    * composition: C4-style line dedup, the Gopher rule gate on the
+    * rebuilt text, exact + MinHash-LSH dedup (all [[buildC4Corpus]]'s
+    * stages via the same shared internals), then the CCNet stage the
+    * per-row operators provide: an interpolated-KN bigram LM trained on
+    * the SURVIVING corpus's reference split scores every survivor, and
+    * the high-perplexity tail tercile is dropped. Every stage is the
+    * library operator; the oracle composes the same shared CTE chains
+    * the per-stage rows replay.
+    *
+    * Output: (doc_id, n_words, logppl, bucket ∈ {head, middle}). */
+  def buildPretrainCorpus(docs: DataFrame, minLineLen: Int = 10,
+                          minWords: Int = 50,
+                          minStopHits: Int = 2): DataFrame = {
+    val lined = Dedup.lineDedup(docs, "doc_id", "text", minLen = minLineLen)
+    val gated = gopherGate(lined, minWords, minStopHits)
     val kept = exactDedup(gated)
-    kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("n_lines"), col("n_dropped"),
-        col("n_words"), md5(col("text")).as("text_md5"))
+    val survivors = kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("n_words"))
+      .localCheckpoint(eager = false) // feeds the LM train AND score legs
+    val scored = LanguageModel.knLogPerplexity(survivors, "doc_id", "text",
+      pmod(col("doc_id"), lit(4)) =!= 0)
+    survivors
+      .join(LanguageModel.perplexityBuckets(scored), Seq("doc_id"))
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("n_words"), col("logppl"), col("bucket"))
   }
+
+  def pretrainCorpus[T](docs: DataFrame, minLineLen: Int = 10,
+                        minWords: Int = 50, minStopHits: Int = 2)(
+      materialize: DataFrame => T): T =
+    CacheScope.materialized(docs.sparkSession)(
+      buildPretrainCorpus(docs, minLineLen, minWords, minStopHits))(
+      materialize)
 
   def c4Corpus[T](docs: DataFrame, minLineLen: Int = 10, minWords: Int = 50,
                   minStopHits: Int = 2)(materialize: DataFrame => T): T =

@@ -9641,7 +9641,47 @@ object SparkEntry {
               |  CAST(sum(nsub) AS BIGINT) AS n_subwords,
               |  count(*) AS n_words
               |FROM tokd JOIN wl USING (word)
-              |GROUP BY id""".stripMargin))
+              |GROUP BY id""".stripMargin)),
+
+    // The pretraining-corpus CAPSTONE: C4 line dedup -> Gopher gate on
+    // the rebuilt text -> exact dedup -> MinHash-LSH near-dup removal
+    // -> an interpolated-KN LM trained on the SURVIVORS' reference
+    // split scores every survivor and the tail perplexity tercile is
+    // dropped (the CCNet stage). Every stage is the library operator
+    // behind its own oracle-checked row, and this oracle composes the
+    // SAME shared CTE chains (lineDedupCtes, gopherCtes,
+    // lshDropsSqlFrom, knPplCtesFrom) — the pipeline cannot drift from
+    // its stages.
+    Q("pipe_pretrain_corpus",
+      (s, dir) => Pipelines.buildPretrainCorpus(linedDocs(s, dir),
+        minLineLen = 10, minWords = 50, minStopHits = 1),
+      Some(s"""WITH $lineDedupCtes,
+              |c4t AS (${toksSqlFrom("lined_docs")}),
+              |${gopherCtes("c4t")},
+              |gated AS (
+              |  SELECT gf.doc_id, ld.text, gf.n_words
+              |  FROM gf JOIN lined_docs ld USING (doc_id)
+              |  WHERE ${gopherKeepSql(50, 1)}),
+              |kept AS (
+              |  SELECT doc_id, text, n_words FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+              |${lshDropsSqlFrom("kept")},
+              |surv AS (SELECT doc_id, text, n_words FROM kept
+              |         WHERE doc_id NOT IN (SELECT b_id FROM drops)),
+              |${knPplCtesFrom("surv")},
+              |cuts AS (SELECT
+              |    round(quantile_cont(logppl, 1e0/3), 6) AS t1,
+              |    round(quantile_cont(logppl, 2e0/3), 6) AS t2
+              |  FROM kn_scored),
+              |lab AS (SELECT s.doc_id, s.n_words, k.logppl,
+              |    CASE WHEN k.logppl <= t1 THEN 'head'
+              |         WHEN k.logppl <= t2 THEN 'middle'
+              |         ELSE 'tail' END AS bucket
+              |  FROM surv s JOIN kn_scored k USING (doc_id)
+              |  CROSS JOIN cuts)
+              |SELECT doc_id, n_words, logppl, bucket FROM lab
+              |WHERE bucket <> 'tail'""".stripMargin))
   )
 
   /** DuckDB replay of `LanguageModel.kn3LogPerplexity` (train split
@@ -9726,27 +9766,30 @@ object SparkEntry {
        |    ON g.user_id = hourly.user_id AND g.h = hourly.h)""".stripMargin
 
   /** The interpolated-KN scoring chain as CTEs ending in
-    * `kn_scored(doc_id, logppl)` — ONE copy shared by ta_kn_perplexity
-    * and ta_ppl_buckets so the model SQL cannot drift between the score
-    * row and the bucket row. Mirrors `LanguageModel.knLogPerplexity`
-    * (train split doc_id % 4 != 0, D = 0.75, add-one continuation
-    * smoothing) term for term in the same operation order. */
-  private def knPplCtes: String =
-    s"""tk0 AS ($toksSql),
-       |tok AS (SELECT id, unnest(tk) AS tok,
+    * `kn_scored(doc_id, logppl)` — ONE copy shared by ta_kn_perplexity,
+    * ta_ppl_buckets, and pipe_pretrain_corpus so the model SQL cannot
+    * drift between the score row, the bucket row, and the pipeline.
+    * Mirrors `LanguageModel.knLogPerplexity` (train split doc_id % 4
+    * != 0, D = 0.75, add-one continuation smoothing) term for term in
+    * the same operation order. `rel` must expose (doc_id, text). */
+  private def knPplCtes: String = knPplCtesFrom("documents")
+
+  private def knPplCtesFrom(rel: String): String =
+    s"""kn_tk0 AS (${toksSqlFrom(rel)}),
+       |kn_tok AS (SELECT id, unnest(tk) AS tok,
        |          unnest(range(1, len(tk) + 1)) AS pos
-       |        FROM tk0),
-       |bg AS (SELECT a.id, a.tok AS w1, b.tok AS w2
-       |       FROM tok a JOIN tok b
+       |        FROM kn_tk0),
+       |kn_bg AS (SELECT a.id, a.tok AS w1, b.tok AS w2
+       |       FROM kn_tok a JOIN kn_tok b
        |         ON a.id = b.id AND b.pos = a.pos + 1),
-       |tr AS (SELECT * FROM bg WHERE id % 4 <> 0),
-       |kn_bc AS (SELECT w1, w2, count(*) AS bc FROM tr GROUP BY 1, 2),
+       |kn_tr AS (SELECT * FROM kn_bg WHERE id % 4 <> 0),
+       |kn_bc AS (SELECT w1, w2, count(*) AS bc FROM kn_tr GROUP BY 1, 2),
        |kn_cc AS (SELECT w1, sum(bc) AS cc, count(*) AS n1f
        |          FROM kn_bc GROUP BY 1),
        |kn_cont AS (SELECT w2, count(*) AS n1r FROM kn_bc GROUP BY 1),
        |kn_sc AS (SELECT (SELECT count(*) FROM kn_bc) AS ntypes,
-       |    (SELECT count(DISTINCT tok) FROM tok WHERE id % 4 <> 0) AS v),
-       |kn_p AS (SELECT bg.id,
+       |    (SELECT count(DISTINCT tok) FROM kn_tok WHERE id % 4 <> 0) AS v),
+       |kn_p AS (SELECT kn_bg.id,
        |    CASE WHEN kn_cc.cc IS NOT NULL THEN
        |      greatest(coalesce(kn_bc.bc, 0) - 0.75e0, 0e0) / kn_cc.cc
        |      + 0.75e0 * kn_cc.n1f / kn_cc.cc *
@@ -9754,7 +9797,7 @@ object SparkEntry {
        |          / (kn_sc.ntypes + kn_sc.v + 1))
        |    ELSE (coalesce(kn_cont.n1r, 0) + 1e0)
        |      / (kn_sc.ntypes + kn_sc.v + 1) END AS prob
-       |  FROM bg LEFT JOIN kn_bc USING (w1, w2)
+       |  FROM kn_bg LEFT JOIN kn_bc USING (w1, w2)
        |  LEFT JOIN kn_cc USING (w1)
        |  LEFT JOIN kn_cont USING (w2) CROSS JOIN kn_sc),
        |kn_scored AS (SELECT id AS doc_id,

@@ -137,6 +137,10 @@ class PipelineSpec extends SparkTestBase {
     assert(Pipelines.c4Corpus(docs, minStopHits = 1)(_.count()) >= 0)
     val leak4 = sc.getPersistentRDDs.keySet -- before
     assert(leak4.isEmpty, s"c4Corpus leaked RDDs: $leak4")
+
+    assert(Pipelines.pretrainCorpus(docs, minStopHits = 1)(_.count()) >= 0)
+    val leak5 = sc.getPersistentRDDs.keySet -- before
+    assert(leak5.isEmpty, s"pretrainCorpus leaked RDDs: $leak5")
   }
 
   test("buildC4Corpus gate at default thresholds is EXACTLY the " +

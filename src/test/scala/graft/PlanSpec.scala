@@ -495,5 +495,11 @@ class PlanSpec extends SparkTestBase {
     // subquery fed by the dim side
     val dpp = plan("j14_dpp")
     assert(dpp.contains("dynamicpruning"), dpp.take(4000))
+    // capstone pipeline: never a cartesian product — the only
+    // cross-shaped nodes are 1-row broadcast scalar/cut frames (BNLJ
+    // over a broadcast single row), and the single-partition exchanges
+    // are those frames' own model-sized aggregates
+    val cap = plan("pipe_pretrain_corpus")
+    assert(!cap.contains("CartesianProduct"), cap.take(3000))
   }
 }

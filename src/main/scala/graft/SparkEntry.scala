@@ -9289,7 +9289,7 @@ object SparkEntry {
     // (overlaps exist only when lhs == rhs — every other position of
     // each maximal run merges, provably the greedy scan's choice set).
     Q("ta_bpe_train",
-      (s, dir) => BpeTrainer.bpeTrain(t(s, dir, "documents"), "doc_id",
+      (s, dir) => BpeTrainer.bpeTrain(t(s, dir, "documents"),
         "text", nMerges = 6),
       Some(bpeTrainSql(6))),
 
@@ -9632,7 +9632,7 @@ object SparkEntry {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         BpeTrainer.subwordCounts(docs, "doc_id", "text",
-          BpeTrainer.bpeTrain(docs, "doc_id", "text", nMerges = 6))
+          BpeTrainer.bpeTrain(docs, "text", nMerges = 6))
       },
       Some(s"""WITH ${bpeTrainCtes(6)},
               |wl AS (SELECT word, len(sy) AS nsub FROM bpe_s6),

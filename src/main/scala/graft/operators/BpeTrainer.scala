@@ -71,8 +71,9 @@ object BpeTrainer {
   /** Learn `nMerges` BPE merges from the token stream of `docs`.
     * Returns the merge table (rank, lhs, rhs, pair_count) — model-sized.
     * Ties break (count desc, lhs asc, rhs asc); empty pair space stops
-    * early. */
-  def bpeTrain(docs: DataFrame, idCol: String, textCol: String,
+    * early. (No doc-id parameter: training sees only the word
+    * multiset.) */
+  def bpeTrain(docs: DataFrame, textCol: String,
                nMerges: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -129,22 +130,22 @@ object BpeTrainer {
     syms.length
   }
 
-  private val encodeUdf = udf(encodeKernel _)
-
   /** Tokenize `docs` under a LEARNED merge table (the [[bpeTrain]]
     * output — closes the train→apply loop) and report the per-doc
     * subword count. The merge list is collected (model-sized — 30k
-    * rows at production vocab) and broadcast inside a codegen'd kernel
-    * UDF; one tokenize scan, one partial-agg shuffle. */
+    * rows at production vocab) and CLOSED OVER by the kernel UDF, so it
+    * ships once per executor in the task closure — a typedlit argument
+    * would instead convert both arrays Catalyst→Scala once per token
+    * row. One tokenize scan, one partial-agg shuffle. */
   def subwordCounts(docs: DataFrame, idCol: String, textCol: String,
                     merges: DataFrame): DataFrame = {
     val ms = merges.orderBy("rank").select("lhs", "rhs")
       .collect().map(r => (r.getString(0), r.getString(1)))
     val (lhs, rhs) = (ms.map(_._1).toSeq, ms.map(_._2).toSeq)
+    val encodeUdf = udf((w: String) => encodeKernel(w, lhs, rhs))
     docs.select(col(idCol).as("doc_id"),
         explode(Dedup.tokens(col(textCol))).as("w"))
-      .select(col("doc_id"),
-        encodeUdf(col("w"), typedlit(lhs), typedlit(rhs)).as("n_sub"))
+      .select(col("doc_id"), encodeUdf(col("w")).as("n_sub"))
       .groupBy("doc_id")
       .agg(sum("n_sub").cast("long").as("n_subwords"),
         count(lit(1)).as("n_words"))

@@ -556,6 +556,7 @@ object Dedup {
     * applies to the HASHES, so a (vanishingly rare) within-doc collision
     * still yields a set. */
   def shingles60Kernel(text: String, n: Int): Seq[Long] = {
+    if (text == null) return null // shingles(c, n) is null on null text
     val toks = tokensKernel(text)
     val hashes = new java.util.LinkedHashSet[java.lang.Long]()
     if (toks.length < n) hashes.add(md5Hash60Kernel(toks.mkString(" ")))

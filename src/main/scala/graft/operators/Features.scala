@@ -30,6 +30,13 @@ object Features {
     * exact, the encode is a single rational division rounded to 6 —
     * no accumulation-order tolerance needed.
     *
+    * A NULL category is a category (the raw-data reality): the count
+    * frames group it and the join-backs are null-safe, so null-category
+    * rows encode like any other instead of silently vanishing through
+    * an inner equi-join. A single-fold input has no other-fold evidence
+    * by definition — every enc comes back null (the honest answer);
+    * callers supply ≥ 2 folds.
+    *
     * @param target numeric target column expression (0/1 indicator for
     *               exact parity; any numeric works)
     * @param fold   deterministic fold id expression in [0, nFolds)
@@ -48,12 +55,17 @@ object Features {
     val prior = (col("s_g") - col("s_f")) / (col("n_g") - col("n_f"))
     val enc = (col("s_c") - col("s_cf") + lit(smoothing) * prior) /
       (col("n_c") - col("n_cf") + lit(smoothing))
-    base
-      .join(cf, Seq(catCol, "fold"))
-      .join(c, Seq(catCol))
+    val ba = base.alias("ba")
+    val cfa = cf.select(col(catCol).as("__cat_cf"), col("fold").as("__f_cf"),
+      col("s_cf"), col("n_cf"))
+    val ca = c.select(col(catCol).as("__cat_c"), col("s_c"), col("n_c"))
+    ba
+      .join(cfa, col(s"ba.$catCol") <=> col("__cat_cf") &&
+        col("ba.fold") === col("__f_cf"))
+      .join(ca, col(s"ba.$catCol") <=> col("__cat_c"))
       .join(broadcast(f), Seq("fold"))
       .crossJoin(broadcast(g))
-      .select(df.columns.map(col) ++ Seq(col("fold"),
+      .select(df.columns.map(n => col(s"ba.$n")) ++ Seq(col("fold"),
         (round(enc, 6) + 0.0).as("enc")): _*)
   }
 }

@@ -530,14 +530,29 @@ object Sources {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partCol).parquet(path)
     }
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (emptied.nonEmpty) {
-      val fs = new org.apache.hadoop.fs.Path(path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // directory names use Spark's OWN partition-path escaping (a raw
+      // string value with ':'/'%'/'=' would target a nonexistent path),
+      // and a failed delete must FAIL the operator — this is the one
+      // call whose whole contract is that the bytes are gone
       emptied.foreach { v =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$partCol=$v"), true)
+        val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(v.toString)
+        val p = new org.apache.hadoop.fs.Path(s"$path/$partCol=$dirName")
+        require(!fs.exists(p) || fs.delete(p, true),
+          s"failed to drop emptied partition $p")
       }
     }
-    val after = spark.read.parquet(path).count()
+    // a deletion that emptied EVERY partition leaves no data files —
+    // spark.read would throw on schema inference, but the audit must
+    // still report the (now zero-row) table
+    val hasData = fs.exists(new org.apache.hadoop.fs.Path(path)) &&
+      fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(s => s.isDirectory && s.getPath.getName.contains("="))
+    val after = if (hasData) spark.read.parquet(path).count() else 0L
     import spark.implicits._
     Seq((nDeleted, rewrite.length.toLong, emptied.length.toLong, after))
       .toDF("n_deleted", "n_parts_rewritten", "n_parts_dropped",

@@ -12,7 +12,7 @@ object BpeProbe {
     docs.count()
     for (n <- Seq(1, 3, 6)) {
       val t0 = System.nanoTime()
-      graft.operators.BpeTrainer.bpeTrain(docs, "doc_id", "text", n).collect()
+      graft.operators.BpeTrainer.bpeTrain(docs, "text", n).collect()
       println(f"nMerges=$n: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()

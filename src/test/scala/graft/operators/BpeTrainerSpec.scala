@@ -24,7 +24,7 @@ class BpeTrainerSpec extends SparkTestBase {
   test("hand-traced merges on the classic low/lower/lowest corpus") {
     val docs = Seq((1L, "low low low"), (2L, "lower lowest"))
       .toDF("doc_id", "text")
-    val m = BpeTrainer.bpeTrain(docs, "doc_id", "text", nMerges = 4)
+    val m = BpeTrainer.bpeTrain(docs, "text", nMerges = 4)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
         r.getLong(3)))
     // pair counts over {low x3, lower, lowest}: (l,o)=5 and (o,w)=5 tie
@@ -37,7 +37,7 @@ class BpeTrainerSpec extends SparkTestBase {
 
   test("early stop when no adjacent pairs remain") {
     val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
-    val m = BpeTrainer.bpeTrain(docs, "doc_id", "text", nMerges = 3)
+    val m = BpeTrainer.bpeTrain(docs, "text", nMerges = 3)
     assert(m.count() == 0)
     assert(m.columns.toSeq == Seq("rank", "lhs", "rhs", "pair_count"))
   }
@@ -53,7 +53,7 @@ class BpeTrainerSpec extends SparkTestBase {
       Seq("l", "lo"), Seq("o", "w")) == 3)
     val docs = Seq((1L, "low low low"), (2L, "lower lowest"))
       .toDF("doc_id", "text")
-    val merges = BpeTrainer.bpeTrain(docs, "doc_id", "text", 4)
+    val merges = BpeTrainer.bpeTrain(docs, "text", 4)
     val got = BpeTrainer.subwordCounts(docs, "doc_id", "text", merges)
       .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
     // merges: (l,o)(lo,w)(low,e)(lowe,r): low->1 sym x3 words;
@@ -66,8 +66,8 @@ class BpeTrainerSpec extends SparkTestBase {
   test("merge table is partitioning-invariant") {
     val docs = Seq((1L, "low low low"), (2L, "lower lowest"),
       (3L, "slow slower")).toDF("doc_id", "text")
-    val a = BpeTrainer.bpeTrain(docs, "doc_id", "text", 5).collect().toSeq
-    val b = BpeTrainer.bpeTrain(docs.repartition(7), "doc_id", "text", 5)
+    val a = BpeTrainer.bpeTrain(docs, "text", 5).collect().toSeq
+    val b = BpeTrainer.bpeTrain(docs.repartition(7), "text", 5)
       .collect().toSeq
     assert(a == b)
   }

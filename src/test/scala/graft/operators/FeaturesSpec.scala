@@ -46,6 +46,19 @@ class FeaturesSpec extends SparkTestBase {
     assert(got(6L) == 0.0)
   }
 
+  test("null category is a category: rows survive and encode from " +
+    "the null group's own other-fold evidence") {
+    val dn = df.union(Seq((7L, null.asInstanceOf[String], 1.0, 0),
+      (9L, null.asInstanceOf[String], 0.0, 1)).toDF("id", "cat", "t", "f"))
+    val got = Features.targetEncode(dn, "cat", col("t"), col("f"), 2.0)
+      .select("id", "enc").as[(Long, Double)].collect().toMap
+    assert(got.keySet == (1L to 5L).toSet ++ Set(7L, 9L),
+      s"rows dropped: ${got.keySet}")
+    // row 7 (null cat, fold 0): null-group other-fold = (0, 1);
+    // prior0 = (4 - 4)/(7 - 4) = 0 -> enc = (0 + 2*0)/(1 + 2) = 0
+    assert(got(7L) == 0.0)
+  }
+
   test("encoding is partitioning-invariant") {
     val a = Features.targetEncode(df, "cat", col("t"), col("f"), 5.0)
       .select("id", "enc").collect().toSet

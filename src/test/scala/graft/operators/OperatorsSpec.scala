@@ -815,6 +815,10 @@ class OperatorsSpec extends SparkTestBase {
         .select(Dedup.md5Hash60(col("s"))).as[Long].collect().toSet
       assert(Dedup.shingles60Kernel(text, 3).toSet == viaExpr, text)
     }
+    // null text: the expression yields null (explode drops the doc) and
+    // the kernel mirrors it — a null doc must NOT collapse onto the
+    // empty-string shingle
+    assert(Dedup.shingles60Kernel(null, 3) == null)
   }
 
   test("containmentPairs: quote-in-document detection Jaccard misses, " +

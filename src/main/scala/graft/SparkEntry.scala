@@ -9681,7 +9681,59 @@ object SparkEntry {
               |  FROM surv s JOIN kn_scored k USING (doc_id)
               |  CROSS JOIN cuts)
               |SELECT doc_id, n_words, logppl, bucket FROM lab
-              |WHERE bucket <> 'tail'""".stripMargin))
+              |WHERE bucket <> 'tail'""".stripMargin)),
+
+    // DS: deterministic hard-negative sampling for contrastive
+    // training — 4 seeded pseudo-random negatives per anchor, with
+    // exact-duplicate pairs EXCLUDED before the per-slot argmin (a
+    // near-dup sampled as a negative is a false negative). Each slot
+    // draws from one seeded candidate bucket (never the full corpus);
+    // the argmin is a min-of-struct partial agg; n_bucket audits the
+    // population each slot drew from (no silent caps).
+    Q("ds_negative_sample",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dg = docs.select(col("doc_id"), md5(col("text")).as("dg"))
+        val avoid = dg.alias("x")
+          .join(dg.alias("y"), col("x.dg") === col("y.dg") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+          .select(col("x.doc_id"), col("y.doc_id"))
+        Sampling.negativeSample(
+          docs.where(pmod(col("doc_id"), lit(20)) === 0), docs,
+          "doc_id", k = 4, avoid = avoid, nBuckets = 32, seed = 7)
+      },
+      Some(s"""WITH a AS (
+              |  SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+              |cand AS (SELECT doc_id AS neg_id,
+              |    ${h32Sql("CAST(doc_id AS VARCHAR)", "7")} % 32
+              |      AS bucket
+              |  FROM documents),
+              |slots AS (SELECT a.doc_id, s.slot,
+              |    ${h32Sql(
+                     "CAST(a.doc_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)",
+                     "8")} % 32 AS bucket
+              |  FROM a, (SELECT unnest(range(0, 4)) AS slot) s),
+              |dgx AS (SELECT doc_id, md5(text) AS dg FROM documents),
+              |av AS (SELECT x.doc_id, y.doc_id AS neg_id
+              |       FROM dgx x JOIN dgx y
+              |         ON x.dg = y.dg AND x.doc_id <> y.doc_id),
+              |sc AS (SELECT sl.doc_id, sl.slot, c.neg_id,
+              |    ${h32Sql(
+                     "CAST(sl.doc_id AS VARCHAR) || ':' || CAST(sl.slot AS VARCHAR) || ':' || CAST(c.neg_id AS VARCHAR)",
+                     "9")} AS score
+              |  FROM slots sl JOIN cand c USING (bucket)
+              |  WHERE c.neg_id <> sl.doc_id
+              |    AND NOT EXISTS (SELECT 1 FROM av
+              |      WHERE av.doc_id = sl.doc_id
+              |        AND av.neg_id = c.neg_id)),
+              |r AS (SELECT doc_id, slot, neg_id,
+              |    count(*) OVER (PARTITION BY doc_id, slot) AS n_bucket,
+              |    row_number() OVER (PARTITION BY doc_id, slot
+              |      ORDER BY score, neg_id) AS rn
+              |  FROM sc)
+              |SELECT doc_id, CAST(slot AS INT) AS slot, neg_id,
+              |  CAST(n_bucket AS BIGINT) AS n_bucket
+              |FROM r WHERE rn = 1""".stripMargin))
   )
 
   /** DuckDB replay of `LanguageModel.kn3LogPerplexity` (train split

@@ -299,6 +299,54 @@ object Sampling {
           .when(col("bucket") < trainPct + valPct, lit("val"))
           .otherwise(lit("test")))
   }
+
+  /** Deterministic NEGATIVE sampling for contrastive training: k
+    * pseudo-random candidates per anchor, excluding the anchor itself
+    * and any (anchor, candidate) pair in `avoid` (near-dups sampled as
+    * negatives are false negatives — the classic contrastive-data bug).
+    *
+    * Per (anchor, slot j < k): the slot hashes to a candidate BUCKET
+    * (seeded md5, `nBuckets` of them), and the winner is the bucket's
+    * argmin of the (anchor, slot, candidate)-seeded hash — so each
+    * slot's lookup touches one bucket (|C|/nBuckets candidates), never
+    * the full candidate set, and resampling is replayable from the
+    * seeds alone. Exclusions apply BEFORE the argmin, so a slot whose
+    * winner was excluded returns the next-best candidate, not a hole;
+    * a slot only goes missing if its whole bucket is excluded. All
+    * joins are bucket-/pair-keyed; the argmin is a min-of-struct
+    * partial aggregation (no window).
+    *
+    * @param avoid (anchor idCol, avoidCol) forbidden pairs, e.g. the
+    *              near-dup pair frame curation already produced
+    * @return (idCol, slot, neg_id, n_bucket) — n_bucket audits the
+    *         bucket population the slot drew from (no silent caps) */
+  def negativeSample(anchors: DataFrame, candidates: DataFrame,
+                     idCol: String, k: Int, avoid: DataFrame,
+                     nBuckets: Int = 32, seed: Int = 7): DataFrame = {
+    require(k >= 1 && nBuckets >= 1, "k and nBuckets must be positive")
+    val cand = candidates.select(col(idCol).as("neg_id"))
+      .withColumn("bucket",
+        pmod(Dedup.md5Hash32(col("neg_id").cast("string"), lit(seed)),
+          lit(nBuckets.toLong)))
+    val slots = anchors.select(col(idCol))
+      .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
+      .withColumn("bucket",
+        pmod(Dedup.md5Hash32(concat(col(idCol).cast("string"), lit(":"),
+          col("slot").cast("string")), lit(seed + 1)), lit(nBuckets.toLong)))
+    val av = avoid.toDF(idCol, "neg_id").distinct()
+    val scored = slots.join(cand, "bucket")
+      .where(col("neg_id") =!= col(idCol))
+      .join(av, Seq(idCol, "neg_id"), "left_anti")
+      .withColumn("score",
+        Dedup.md5Hash32(concat(col(idCol).cast("string"), lit(":"),
+          col("slot").cast("string"), lit(":"),
+          col("neg_id").cast("string")), lit(seed + 2)))
+    scored.groupBy(col(idCol), col("slot"))
+      .agg(min(struct(col("score"), col("neg_id"))).as("m"),
+        count(lit(1)).as("n_bucket"))
+      .select(col(idCol), col("slot"), col("m.neg_id").as("neg_id"),
+        col("n_bucket"))
+  }
 }
 
 /** Bounded k-heap "smallest k rows by (h, key)" Aggregator — the

@@ -9733,6 +9733,52 @@ object SparkEntry {
               |  FROM sc)
               |SELECT doc_id, CAST(slot AS INT) AS slot, neg_id,
               |  CAST(n_bucket AS BIGINT) AS n_bucket
+              |FROM r WHERE rn = 1""".stripMargin)),
+
+    // GR: one synchronized Louvain local-move round over the detected
+    // communities — the modularity-ASCENT refinement label propagation
+    // lacks; gr_modularity then scores the result. Oracle shares the
+    // exact l3 chain (lpropL3Ctes) and replays the gain formula in the
+    // same operation order; ties break to the smallest target label.
+    Q("gr_louvain_step",
+      (s, dir) => {
+        val bidir = suppBidirEdges(s, dir)
+        PageRank.louvainMoveRound(bidir,
+          PageRank.labelPropagation(bidir, iterations = 3))
+      },
+      Some(s"""WITH $lpropL3Ctes,
+              |tot AS (SELECT count(*)::DOUBLE AS m2 FROM e),
+              |dg AS (SELECT src AS node, count(*) AS ki FROM e GROUP BY 1),
+              |ds AS (SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dc
+              |       FROM l3 l JOIN dg d ON l.node = d.node GROUP BY 1),
+              |kic0 AS (SELECT e.src AS node, lb.label AS c,
+              |           count(*) AS kic
+              |         FROM e JOIN l3 lb ON e.dst = lb.node GROUP BY 1, 2),
+              |cands AS (SELECT node, c, CAST(sum(kic) AS BIGINT) AS kic
+              |  FROM (SELECT node, c, kic FROM kic0
+              |        UNION ALL SELECT node, label AS c, 0 FROM l3)
+              |  GROUP BY 1, 2),
+              |kown AS (SELECT cands.node, kic AS kown
+              |         FROM cands JOIN l3
+              |           ON cands.node = l3.node AND cands.c = l3.label),
+              |gg AS (SELECT cd.node, l3.label AS a, cd.c,
+              |    CASE WHEN cd.c = l3.label THEN 0e0 ELSE
+              |      2e0 * (cd.kic - kown.kown) / m2
+              |      - 2e0 * dg.ki * (dt.dc - da.dc + dg.ki) / (m2 * m2)
+              |    END AS gn
+              |  FROM cands cd JOIN l3 ON cd.node = l3.node
+              |  JOIN dg ON cd.node = dg.node
+              |  JOIN ds dt ON cd.c = dt.label
+              |  JOIN ds da ON l3.label = da.label
+              |  JOIN kown ON cd.node = kown.node, tot),
+              |r AS (SELECT node, a, c, gn, row_number() OVER (
+              |        PARTITION BY node ORDER BY gn DESC, c ASC) AS rn
+              |      FROM gg)
+              |SELECT node, a AS old_label,
+              |  CAST(CASE WHEN gn > 0 THEN c ELSE a END AS BIGINT)
+              |    AS new_label,
+              |  (CASE WHEN gn > 0 THEN floor(gn * 1e9 + 5e-1) / 1e9
+              |    ELSE 0e0 END) + 0e0 AS gain
               |FROM r WHERE rn = 1""".stripMargin))
   )
 

@@ -652,4 +652,62 @@ object PageRank {
           ($"degree_sum" / $"m2") * ($"degree_sum" / $"m2")) * lit(1e6) +
           lit(0.5)) / lit(1e6)).as("q_contrib"))
   }
+
+  /** One synchronized Louvain local-move round (Blondel et al. 2008 —
+    * the modularity-ASCENT refinement [[labelPropagation]]'s frequency
+    * heuristic lacks): every node simultaneously evaluates moving to
+    * each neighbor community against the CURRENT labels and takes the
+    * best strictly-positive modularity gain,
+    *
+    *   ΔQ(i: a→b) = 2(k_ib − k_ia) / m2
+    *              − 2·k_i·(D_b − D_a + k_i) / m2²
+    *
+    * (bidirectional-edge convention shared with [[modularity]]: m2 =
+    * directed edge count, D_c = community degree sum, k_ic = i's edges
+    * into c). Ties break toward the smallest target label; gain ≤ 0
+    * stays. The synchronized round is deterministic and oracle-
+    * replayable — iterate to taste, re-scoring with [[modularity]].
+    *
+    * Scale shape: degree/community frames are node-/community-sized;
+    * candidates are edge-sized grouped to (node, neighbor-community);
+    * the argmax is a max-of-struct partial aggregation; m2 rides a
+    * 1-row broadcast. Nothing quadratic, no window.
+    *
+    * @return (node, old_label, new_label, gain) — gain quantized 1e-9,
+    *         0 for stayers */
+  def louvainMoveRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lab = labels.select($"node", $"label")
+    val e = edges.select($"src", $"dst")
+    val m2f = e.agg(count(lit(1)).cast("double").as("m2"))
+    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("ki"))
+    val dsum = deg.join(lab, "node").groupBy($"label")
+      .agg(sum($"ki").as("dc"))
+    val kic = e.join(lab.select($"node".as("dst"), $"label".as("c")), "dst")
+      .groupBy($"src".as("node"), $"c").agg(count(lit(1)).as("kic"))
+    // own community is always a candidate (k_ia may be 0)
+    val cands = kic.unionByName(
+        lab.select($"node", $"label".as("c")).withColumn("kic", lit(0L)))
+      .groupBy($"node", $"c").agg(sum($"kic").as("kic"))
+    val own = lab.select($"node", $"label".as("a"))
+    val kown = cands.join(own, "node").where($"c" === $"a")
+      .select($"node", $"kic".as("kown"))
+    val full = cands.join(own, "node").join(deg, "node")
+      .join(dsum.select($"label".as("c"), $"dc".as("dtc")), "c")
+      .join(dsum.select($"label".as("a"), $"dc".as("dac")), "a")
+      .join(kown, "node")
+      .crossJoin(broadcast(m2f))
+    val gain = when($"c" === $"a", lit(0.0)).otherwise(
+      lit(2.0) * ($"kic" - $"kown") / $"m2" -
+        lit(2.0) * $"ki" * ($"dtc" - $"dac" + $"ki") / ($"m2" * $"m2"))
+    full.select($"node", $"a", $"c", gain.as("g"))
+      .groupBy($"node", $"a")
+      .agg(max(struct($"g", (-$"c").as("negc"))).as("m"))
+      .select($"node", $"a".as("old_label"),
+        when($"m.g" > 0, -$"m.negc").otherwise($"a").cast("long")
+          .as("new_label"),
+        (when($"m.g" > 0, floor($"m.g" * 1e9 + 0.5) / 1e9)
+          .otherwise(lit(0.0)) + 0.0).as("gain"))
+  }
 }

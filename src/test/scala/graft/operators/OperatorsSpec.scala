@@ -862,6 +862,33 @@ class OperatorsSpec extends SparkTestBase {
       s"batch diff: ${sub -- got}, ${got.filter(_._1 % 3 == 0) -- sub}")
   }
 
+  test("louvainMoveRound: the mislabeled bridge node moves with the " +
+    "hand-computed gain; optimal labels are a fixpoint") {
+    // two triangles {1,2,3} and {4,5,6} bridged 3-4; node 4 is
+    // mislabeled into community 1: m2 = 14, D_1 = 10, D_5 = 4
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val bad = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 5L),
+      (6L, 5L)).toDF("node", "label")
+    val got = PageRank.louvainMoveRound(edges, bad)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // node 4 (ki=3, k_4,5=2, k_own=1): gain = 2(2-1)/14 -
+    // 2*3*(4-10+3)/196 = 1/7 + 18/196
+    val exp = math.floor((2.0 * 1 / 14 - 2.0 * 3 * (4 - 10 + 3) / 196)
+      * 1e9 + 0.5) / 1e9
+    assert(got(4L) == ((4L, 1L, 5L, exp)), got(4L).toString)
+    assert((1L to 3L).forall(n => got(n)._3 == 1L && got(n)._4 == 0.0))
+    assert(Seq(5L, 6L).forall(n => got(n)._3 == 5L && got(n)._4 == 0.0))
+    // the corrected labeling is a fixpoint: nobody moves
+    val good = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 5L), (5L, 5L),
+      (6L, 5L)).toDF("node", "label")
+    val stay = PageRank.louvainMoveRound(edges, good)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(stay.forall(r => r._2 == r._3 && r._4 == 0.0), stay.mkString)
+  }
+
   test("weighted PageRank splits rank over out-edges by weight") {
     // 1 -> 2 (w=1), 1 -> 3 (w=3), 2 -> 1 (w=1); one hand-unrolled round
     val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L))

@@ -710,4 +710,35 @@ object PageRank {
         (when($"m.g" > 0, floor($"m.g" * 1e9 + 0.5) / 1e9)
           .otherwise(lit(0.0)) + 0.0).as("gain"))
   }
+
+  /** [[louvainMoveRound]] iterated to a fixpoint (or `maxRounds`) under
+    * the CC loop discipline: edges pinned once across rounds, each
+    * round's labels localCheckpoint'd (flat lineage), the previous
+    * round's blocks released. Each synchronized round is the
+    * deterministic operator above, so the whole loop is replayable
+    * round by round; stop = a round that moves nothing. Modularity is
+    * non-decreasing per round on the move set (each move has strictly
+    * positive ΔQ against the round's start labels; simultaneous moves
+    * can interact, which is why the loop re-evaluates — the spec pins
+    * the fixpoint property). */
+  def louvain(edges: DataFrame, labels0: DataFrame,
+              maxRounds: Int = 10): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = CacheScope.pin(edges.select(col("src"), col("dst")))
+    var lab = labels0.select(col("node"), col("label"))
+      .localCheckpoint(true)
+    var rounds = 0
+    var moved = 1L
+    while (rounds < maxRounds && moved > 0) {
+      val step = louvainMoveRound(e, lab)
+        .select(col("node"), col("old_label"), col("new_label"))
+        .localCheckpoint(true)
+      moved = step.where(col("old_label") =!= col("new_label")).count()
+      val prev = lab
+      lab = step.select(col("node"), col("new_label").as("label"))
+      prev.unpersist(false)
+      rounds += 1
+    }
+    lab
+  }
 }

@@ -316,23 +316,32 @@ object Sampling {
     * joins are bucket-/pair-keyed; the argmin is a min-of-struct
     * partial aggregation (no window).
     *
+    * Bucket count is a MODEL parameter (the IVF-centroid precedent):
+    * per-slot work is |C| / nBuckets, so it must scale with the
+    * candidate corpus — `nBuckets = 0` (the default) auto-sizes to
+    * ~256 candidates per bucket from one count (measured: a fixed 32
+    * at 10x candidates turned the sf1 probe superlinear, SCALE.md).
+    *
     * @param avoid (anchor idCol, avoidCol) forbidden pairs, e.g. the
     *              near-dup pair frame curation already produced
     * @return (idCol, slot, neg_id, n_bucket) — n_bucket audits the
     *         bucket population the slot drew from (no silent caps) */
   def negativeSample(anchors: DataFrame, candidates: DataFrame,
                      idCol: String, k: Int, avoid: DataFrame,
-                     nBuckets: Int = 32, seed: Int = 7): DataFrame = {
-    require(k >= 1 && nBuckets >= 1, "k and nBuckets must be positive")
+                     nBuckets: Int = 0, seed: Int = 7): DataFrame = {
+    require(k >= 1 && nBuckets >= 0, "k must be >= 1, nBuckets >= 0")
+    val buckets =
+      if (nBuckets > 0) nBuckets
+      else math.max(1L, candidates.count() / 256).toInt
     val cand = candidates.select(col(idCol).as("neg_id"))
       .withColumn("bucket",
         pmod(Dedup.md5Hash32(col("neg_id").cast("string"), lit(seed)),
-          lit(nBuckets.toLong)))
+          lit(buckets.toLong)))
     val slots = anchors.select(col(idCol))
       .withColumn("slot", explode(sequence(lit(0), lit(k - 1))))
       .withColumn("bucket",
         pmod(Dedup.md5Hash32(concat(col(idCol).cast("string"), lit(":"),
-          col("slot").cast("string")), lit(seed + 1)), lit(nBuckets.toLong)))
+          col("slot").cast("string")), lit(seed + 1)), lit(buckets.toLong)))
     val av = avoid.toDF(idCol, "neg_id").distinct()
     val scored = slots.join(cand, "bucket")
       .where(col("neg_id") =!= col(idCol))

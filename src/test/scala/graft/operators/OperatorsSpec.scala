@@ -887,6 +887,17 @@ class OperatorsSpec extends SparkTestBase {
     val stay = PageRank.louvainMoveRound(edges, good)
       .as[(Long, Long, Long, Double)].collect()
     assert(stay.forall(r => r._2 == r._3 && r._4 == 0.0), stay.mkString)
+    // the iterated loop reaches that fixpoint from the bad start and
+    // modularity strictly improves
+    val fixed = PageRank.louvain(edges, bad, maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(fixed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 5L,
+      5L -> 5L, 6L -> 5L), fixed.toString)
+    def q(l: Seq[(Long, Long)]) = PageRank.modularity(edges,
+        l.toDF("node", "label"))
+      .agg(sum("q_contrib")).as[Double].head()
+    assert(q(fixed.toSeq) > q(Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 1L), (5L, 5L), (6L, 5L))))
   }
 
   test("weighted PageRank splits rank over out-edges by weight") {

@@ -9401,8 +9401,9 @@ object SparkEntry {
              |  round((c.s_c - cf.s_cf
              |      + 20e0 * ((g.s_g - f.s_f) / (g.n_g - f.n_f)))
              |    / (c.n_c - cf.n_cf + 20e0), 6) + 0e0 AS enc
-             |FROM b JOIN cf ON b.cat = cf.cat AND b.fold = cf.fold
-             |JOIN c ON b.cat = c.cat
+             |FROM b JOIN cf ON b.cat IS NOT DISTINCT FROM cf.cat
+             |  AND b.fold = cf.fold
+             |JOIN c ON b.cat IS NOT DISTINCT FROM c.cat
              |JOIN f ON b.fold = f.fold CROSS JOIN g""".stripMargin)),
 
     // TS: dominant-period detection — the ACF argmax over lags 2..48 on

@@ -693,9 +693,18 @@ object PageRank {
     val own = lab.select($"node", $"label".as("a"))
     val kown = cands.join(own, "node").where($"c" === $"a")
       .select($"node", $"kic".as("kown"))
-    val full = cands.join(own, "node").join(deg, "node")
-      .join(dsum.select($"label".as("c"), $"dc".as("dtc")), "c")
-      .join(dsum.select($"label".as("a"), $"dc".as("dac")), "a")
+    // left joins + zero-fills: an edgeless labeled node has no degree
+    // row and its singleton community no degree sum — it must come BACK
+    // (own community, gain 0), never silently vanish; the gain branch
+    // only evaluates for nodes with a neighbor (c != a), so the zero
+    // fills never reach a division
+    val full = cands.join(own, "node").join(deg, Seq("node"), "left")
+      .na.fill(0L, Seq("ki"))
+      .join(dsum.select($"label".as("c"), $"dc".as("dtc")),
+        Seq("c"), "left")
+      .join(dsum.select($"label".as("a"), $"dc".as("dac")),
+        Seq("a"), "left")
+      .na.fill(0L, Seq("dtc", "dac"))
       .join(kown, "node")
       .crossJoin(broadcast(m2f))
     val gain = when($"c" === $"a", lit(0.0)).otherwise(
@@ -724,21 +733,35 @@ object PageRank {
   def louvain(edges: DataFrame, labels0: DataFrame,
               maxRounds: Int = 10): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    val sc = edges.sparkSession.sparkContext
+    def rddIds = sc.getPersistentRDDs.keySet
     val e = CacheScope.pin(edges.select(col("src"), col("dst")))
+    // localCheckpoint blocks live at the RDD layer (Dataset.unpersist
+    // is a CacheManager no-op for them), so each round's blocks are
+    // tracked by persistent-RDD snapshot diff and released when the
+    // next round lands — the CC loop's discipline. The RETURNED
+    // labeling keeps its own checkpoint blocks: the caller owns them
+    // (CacheScope.materialized releases them per its contract).
+    var before = rddIds
     var lab = labels0.select(col("node"), col("label"))
       .localCheckpoint(true)
+    var labIds = rddIds -- before
     var rounds = 0
     var moved = 1L
     while (rounds < maxRounds && moved > 0) {
+      before = rddIds
       val step = louvainMoveRound(e, lab)
         .select(col("node"), col("old_label"), col("new_label"))
         .localCheckpoint(true)
+      val stepIds = rddIds -- before
       moved = step.where(col("old_label") =!= col("new_label")).count()
-      val prev = lab
       lab = step.select(col("node"), col("new_label").as("label"))
-      prev.unpersist(false)
+      labIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+      labIds = stepIds
       rounds += 1
     }
+    e.unpersist(false) // lab is checkpoint-backed; the edge pin is dead
     lab
   }
 }

@@ -512,15 +512,25 @@ object Sources {
     import org.apache.spark.sql.functions._
     val keys = deleteKeys.select(col(keyCol)).distinct()
     val table = spark.read.parquet(path)
-    val hitStats = table.select(col(keyCol), col(partCol))
+    // partition DIRECTORIES come from the hit rows' actual file paths
+    // (input_file_name), never from rendering the partition value —
+    // value.toString does not match Spark's path rendering for every
+    // type (timestamps), and a mis-rendered path would silently no-op
+    // the one operator whose contract is that the bytes are gone
+    val hitStats = table.select(col(keyCol), col(partCol),
+        input_file_name().as("__f"))
       .join(keys, Seq(keyCol), "left_semi")
-      .groupBy(col(partCol)).agg(count(lit(1)).as("n_del"))
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_del"),
+        collect_set(expr("regexp_replace(__f, '/[^/]*$', '')"))
+          .as("__dirs"))
       .collect()
     val totals = table.groupBy(col(partCol)).agg(count(lit(1)).as("n"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     val nDeleted = hitStats.map(_.getLong(1)).sum
-    val emptied = hitStats.filter(r => totals(r.get(0)) == r.getLong(1))
-      .map(_.get(0))
+    val emptiedRows = hitStats
+      .filter(r => totals(r.get(0)) == r.getLong(1))
+    val emptied = emptiedRows.map(_.get(0))
     val rewrite = hitStats.map(_.get(0)).filterNot(emptied.contains)
     if (rewrite.nonEmpty) {
       val survivors = table.where(col(partCol).isin(rewrite: _*))
@@ -532,18 +542,13 @@ object Sources {
     }
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (emptied.nonEmpty) {
-      // directory names use Spark's OWN partition-path escaping (a raw
-      // string value with ':'/'%'/'=' would target a nonexistent path),
-      // and a failed delete must FAIL the operator — this is the one
-      // call whose whole contract is that the bytes are gone
-      emptied.foreach { v =>
-        val dirName = if (v == null) "__HIVE_DEFAULT_PARTITION__"
-          else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(v.toString)
-        val p = new org.apache.hadoop.fs.Path(s"$path/$partCol=$dirName")
-        require(!fs.exists(p) || fs.delete(p, true),
-          s"failed to drop emptied partition $p")
+    // a failed delete must FAIL the operator — these directories came
+    // from real file paths, so "didn't exist" is not a pass
+    emptiedRows.foreach { r =>
+      r.getSeq[String](2).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        require(fs.delete(p, true),
+          s"failed to drop emptied partition dir $p")
       }
     }
     // a deletion that emptied EVERY partition leaves no data files —

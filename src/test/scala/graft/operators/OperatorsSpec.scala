@@ -898,6 +898,13 @@ class OperatorsSpec extends SparkTestBase {
       .agg(sum("q_contrib")).as[Double].head()
     assert(q(fixed.toSeq) > q(Seq((1L, 1L), (2L, 1L), (3L, 1L),
       (4L, 1L), (5L, 5L), (6L, 5L))))
+    // an edgeless labeled node comes back unchanged (gain 0), never
+    // silently dropped
+    val withIso = bad.union(Seq((9L, 9L)).toDF("node", "label"))
+    val iso = PageRank.louvainMoveRound(edges, withIso)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(iso(9L) == ((9L, 9L, 9L, 0.0)), iso.get(9L).toString)
+    assert(iso(4L)._3 == 5L) // the real move is unaffected
   }
 
   test("weighted PageRank splits rank over out-edges by weight") {

@@ -7663,7 +7663,13 @@ object SparkEntry {
             uniqueCols = Seq("o_orderkey"),
             nonNullCols = Seq("o_custkey"),
             ranges = Seq("o_totalprice" -> (0.0, 150000.0)))
-          .select("o_orderkey", "o_totalprice", "failed", "n_failed")
+          // The operator keeps `failed` as an array (that's the routing
+          // payload); the registry row joins it to a scalar because the
+          // harness canonicalizer sorts columns and arrays aren't
+          // sortable there. Order inside the array is already
+          // deterministic (constraint declaration order).
+          .select(col("o_orderkey"), col("o_totalprice"),
+            array_join(col("failed"), "|").as("failed"), col("n_failed"))
       },
       Some("""WITH base AS (
              |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -7684,7 +7690,8 @@ object SparkEntry {
              |        THEN 'range:o_totalprice' END],
              |      x -> x IS NOT NULL) AS failed
              |  FROM base b LEFT JOIN dup d ON b.o_orderkey = d.o_orderkey)
-             |SELECT o_orderkey, o_totalprice, failed,
+             |SELECT o_orderkey, o_totalprice,
+             |  array_to_string(failed, '|') AS failed,
              |  len(failed)::INT AS n_failed
              |FROM f WHERE len(failed) > 0""".stripMargin)),
 

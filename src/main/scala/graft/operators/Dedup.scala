@@ -476,9 +476,15 @@ object Dedup {
     val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
     val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("tok"))
+    // prefix length carries the same - 0.5 float slack as the candidate
+    // bounds below: ceil(n*t) computed on a double that lands a sub-ulp
+    // ABOVE an exact integer would shorten the prefix by one and break
+    // exact recall; ceil(n*t - 0.5) can only lengthen it (extra
+    // candidates, verified away), never shorten
     val prefix = toks.join(dfreq, "tok").join(sz, "id")
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .where(col("rn") <=
+        col("n") - ceil(col("n") * threshold - lit(0.5)) + 1)
       .select(col("id"), col("tok"), col("n"), col("rn"))
       .transform(CacheScope.pin)
     // candidate pruning, both lossless:
@@ -627,9 +633,13 @@ object Dedup {
     val aSh = contained.fold(sh)(ids => sh.join(
       ids.select(col(idCol).as("id")).distinct(), Seq("id"), "left_semi"))
     val w = Window.partitionBy("id").orderBy(col("df"), col("h"))
+    // same - 0.5 prefix slack as prefixJaccardPairs: never let float
+    // error SHORTEN the prefix (recall break); lengthening only adds
+    // candidates the exact verify discards
     val prefix = aSh.join(dfreq, "h").join(sz, "id")
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= col("n") - ceil(col("n") * threshold) + 1)
+      .where(col("rn") <=
+        col("n") - ceil(col("n") * threshold - lit(0.5)) + 1)
       .select(col("id"), col("h"), col("n"), col("rn"))
     val full = sh.join(sz, "id")
       .select(col("id").as("b_id"), col("h"), col("n").as("nb"))

@@ -734,26 +734,26 @@ object PageRank {
               maxRounds: Int = 10): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     val sc = edges.sparkSession.sparkContext
-    def rddIds = sc.getPersistentRDDs.keySet
     val e = CacheScope.pin(edges.select(col("src"), col("dst")))
     // localCheckpoint blocks live at the RDD layer (Dataset.unpersist
     // is a CacheManager no-op for them), so each round's blocks are
-    // tracked by persistent-RDD snapshot diff and released when the
-    // next round lands — the CC loop's discipline. The RETURNED
-    // labeling keeps its own checkpoint blocks: the caller owns them
-    // (CacheScope.materialized releases them per its contract).
-    var before = rddIds
+    // released when the next round lands — the CC loop's discipline.
+    // The ids come from the checkpointed Dataset's OWN LogicalRDD
+    // (never a registry snapshot diff, which would sweep up RDDs a
+    // CONCURRENT job persisted between snapshots and unpersist them
+    // out from under their owner). The RETURNED labeling keeps its own
+    // checkpoint blocks: the caller owns them (CacheScope.materialized
+    // releases them per its contract).
     var lab = labels0.select(col("node"), col("label"))
       .localCheckpoint(true)
-    var labIds = rddIds -- before
+    var labIds = checkpointRddIds(lab)
     var rounds = 0
     var moved = 1L
     while (rounds < maxRounds && moved > 0) {
-      before = rddIds
       val step = louvainMoveRound(e, lab)
         .select(col("node"), col("old_label"), col("new_label"))
         .localCheckpoint(true)
-      val stepIds = rddIds -- before
+      val stepIds = checkpointRddIds(step)
       moved = step.where(col("old_label") =!= col("new_label")).count()
       lab = step.select(col("node"), col("new_label").as("label"))
       labIds.foreach(id =>
@@ -764,4 +764,13 @@ object PageRank {
     e.unpersist(false) // lab is checkpoint-backed; the edge pin is dead
     lab
   }
+
+  /** The RDD ids backing a localCheckpoint'd Dataset — read off its own
+    * analyzed plan's [[org.apache.spark.sql.execution.LogicalRDD]]
+    * (`Dataset.localCheckpoint` persists exactly that internal RDD), so
+    * iterative loops release precisely the blocks THEY created. */
+  private def checkpointRddIds(ds: org.apache.spark.sql.Dataset[_]): Set[Int] =
+    ds.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
 }

@@ -533,7 +533,16 @@ object Sources {
     val emptied = emptiedRows.map(_.get(0))
     val rewrite = hitStats.map(_.get(0)).filterNot(emptied.contains)
     if (rewrite.nonEmpty) {
-      val survivors = table.where(col(partCol).isin(rewrite: _*))
+      // a NULL partition value (on disk as __HIVE_DEFAULT_PARTITION__,
+      // read back as null) never matches isin() — without the explicit
+      // isNull disjunct its rows would be silently left on disk while
+      // the audit still counted them deleted
+      val (nullHits, nonNullRewrite) = rewrite.partition(_ == null)
+      val inSet =
+        if (nonNullRewrite.isEmpty) lit(false)
+        else col(partCol).isin(nonNullRewrite: _*)
+      val hit = if (nullHits.isEmpty) inSet else inSet || col(partCol).isNull
+      val survivors = table.where(hit)
         .join(keys, Seq(keyCol), "left_anti")
         .localCheckpoint(true)
       survivors.write.mode("overwrite")
@@ -558,6 +567,13 @@ object Sources {
       fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .exists(s => s.isDirectory && s.getPath.getName.contains("="))
     val after = if (hasData) spark.read.parquet(path).count() else 0L
+    // 'bytes are gone' is the contract: if a rewrite missed rows (e.g. a
+    // partition-value rendering this method doesn't handle), fail loudly
+    // rather than report a delete that didn't happen
+    val before = totals.values.sum
+    require(after == before - nDeleted,
+      s"deletePropagate audit mismatch: $before rows before, $nDeleted " +
+        s"deleted, but $after remain on disk — a hit partition was missed")
     import spark.implicits._
     Seq((nDeleted, rewrite.length.toLong, emptied.length.toLong, after))
       .toDF("n_deleted", "n_parts_rewritten", "n_parts_dropped",

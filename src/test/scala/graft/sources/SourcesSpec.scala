@@ -571,4 +571,30 @@ class SourcesSpec extends SparkTestBase {
       Seq(2L, 6L).toDF("k")).as[(Long, Long, Long, Long)].head()
     assert(again == ((0L, 0L, 0L, 4L)), again.toString)
   }
+
+  test("deletePropagate handles NULL partition values (on disk as " +
+    "__HIVE_DEFAULT_PARTITION__): hit rows are rewritten, not silently " +
+    "left behind") {
+    val dir = Files.createTempDirectory("graft_delprop_null")
+      .resolve("t").toString
+    // null partition holds keys 1,2; partition a holds 3,4
+    Seq((1L, null), (2L, null), (3L, "a"), (4L, "a"))
+      .toDF("k", "p")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // delete key 1 (null partition, partial) and 3 (a, partial)
+    val audit = Sources.deletePropagate(spark, dir, "p", "k",
+      Seq(1L, 3L).toDF("k")).as[(Long, Long, Long, Long)].head()
+    assert(audit == ((2L, 2L, 0L, 2L)), audit.toString)
+    val back = spark.read.parquet(dir).select("k").as[Long].collect().toSet
+    assert(back == Set(2L, 4L), back.toString)
+    // delete the null partition's last survivor: the partition empties
+    // and its directory is dropped
+    val audit2 = Sources.deletePropagate(spark, dir, "p", "k",
+      Seq(2L).toDF("k")).as[(Long, Long, Long, Long)].head()
+    assert(audit2 == ((1L, 0L, 1L, 1L)), audit2.toString)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/p=__HIVE_DEFAULT_PARTITION__")))
+  }
 }

@@ -9693,11 +9693,16 @@ object SparkEntry {
 
     // DS: deterministic hard-negative sampling for contrastive
     // training — 4 seeded pseudo-random negatives per anchor, with
-    // exact-duplicate pairs EXCLUDED before the per-slot argmin (a
-    // near-dup sampled as a negative is a false negative). Each slot
-    // draws from one seeded candidate bucket (never the full corpus);
-    // the argmin is a min-of-struct partial agg; n_bucket audits the
-    // population each slot drew from (no silent caps).
+    // exact-duplicate pairs EXCLUDED before ranking (a near-dup
+    // sampled as a negative is a false negative). Each slot draws one
+    // rank off its seeded candidate bucket's (anchor, candidate)-hash
+    // permutation (never the full corpus; same-bucket slots take
+    // distinct ranks, so an anchor's negatives are distinct by
+    // construction); n_bucket audits the population each slot drew
+    // from (no silent caps). Buckets AUTO-SIZE to ~256 candidates each
+    // (nBuckets = 0) — the production shape; the oracle replays the
+    // same count-derived bucket count, so the fixture measures what a
+    // corpus-scale run would execute (the ann_ivf_topk fixture lesson).
     Q("ds_negative_sample",
       (s, dir) => {
         val docs = t(s, dir, "documents")
@@ -9708,40 +9713,48 @@ object SparkEntry {
           .select(col("x.doc_id"), col("y.doc_id"))
         Sampling.negativeSample(
           docs.where(pmod(col("doc_id"), lit(20)) === 0), docs,
-          "doc_id", k = 4, avoid = avoid, nBuckets = 32, seed = 7)
+          "doc_id", k = 4, avoid = avoid, nBuckets = 0, seed = 7)
       },
-      Some(s"""WITH a AS (
+      Some(s"""WITH nb AS (
+              |  SELECT greatest(1, count(*) // 256) AS b FROM documents),
+              |a AS (
               |  SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
               |cand AS (SELECT doc_id AS neg_id,
-              |    ${h32Sql("CAST(doc_id AS VARCHAR)", "7")} % 32
-              |      AS bucket
+              |    ${h32Sql("CAST(doc_id AS VARCHAR)", "7")}
+              |      % (SELECT b FROM nb) AS bucket
               |  FROM documents),
               |slots AS (SELECT a.doc_id, s.slot,
               |    ${h32Sql(
                      "CAST(a.doc_id AS VARCHAR) || ':' || CAST(s.slot AS VARCHAR)",
-                     "8")} % 32 AS bucket
+                     "8")} % (SELECT b FROM nb) AS bucket
               |  FROM a, (SELECT unnest(range(0, 4)) AS slot) s),
+              |sr AS (SELECT doc_id, slot, bucket,
+              |    row_number() OVER (PARTITION BY doc_id, bucket
+              |      ORDER BY slot) AS rs
+              |  FROM slots),
               |dgx AS (SELECT doc_id, md5(text) AS dg FROM documents),
               |av AS (SELECT x.doc_id, y.doc_id AS neg_id
               |       FROM dgx x JOIN dgx y
               |         ON x.dg = y.dg AND x.doc_id <> y.doc_id),
-              |sc AS (SELECT sl.doc_id, sl.slot, c.neg_id,
+              |sc AS (SELECT sl.doc_id, sl.bucket, c.neg_id,
               |    ${h32Sql(
-                     "CAST(sl.doc_id AS VARCHAR) || ':' || CAST(sl.slot AS VARCHAR) || ':' || CAST(c.neg_id AS VARCHAR)",
+                     "CAST(sl.doc_id AS VARCHAR) || ':' || CAST(c.neg_id AS VARCHAR)",
                      "9")} AS score
-              |  FROM slots sl JOIN cand c USING (bucket)
+              |  FROM (SELECT DISTINCT doc_id, bucket FROM slots) sl
+              |  JOIN cand c USING (bucket)
               |  WHERE c.neg_id <> sl.doc_id
               |    AND NOT EXISTS (SELECT 1 FROM av
               |      WHERE av.doc_id = sl.doc_id
               |        AND av.neg_id = c.neg_id)),
-              |r AS (SELECT doc_id, slot, neg_id,
-              |    count(*) OVER (PARTITION BY doc_id, slot) AS n_bucket,
-              |    row_number() OVER (PARTITION BY doc_id, slot
+              |r AS (SELECT doc_id, bucket, neg_id,
+              |    count(*) OVER (PARTITION BY doc_id, bucket) AS n_bucket,
+              |    row_number() OVER (PARTITION BY doc_id, bucket
               |      ORDER BY score, neg_id) AS rn
               |  FROM sc)
-              |SELECT doc_id, CAST(slot AS INT) AS slot, neg_id,
-              |  CAST(n_bucket AS BIGINT) AS n_bucket
-              |FROM r WHERE rn = 1""".stripMargin)),
+              |SELECT sr.doc_id, CAST(sr.slot AS INT) AS slot, r.neg_id,
+              |  CAST(r.n_bucket AS BIGINT) AS n_bucket
+              |FROM sr JOIN r ON sr.doc_id = r.doc_id
+              |  AND sr.bucket = r.bucket AND sr.rs = r.rn""".stripMargin)),
 
     // GR: one synchronized Louvain local-move round over the detected
     // communities — the modularity-ASCENT refinement label propagation

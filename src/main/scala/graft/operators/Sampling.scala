@@ -306,15 +306,22 @@ object Sampling {
     * negatives are false negatives — the classic contrastive-data bug).
     *
     * Per (anchor, slot j < k): the slot hashes to a candidate BUCKET
-    * (seeded md5, `nBuckets` of them), and the winner is the bucket's
-    * argmin of the (anchor, slot, candidate)-seeded hash — so each
-    * slot's lookup touches one bucket (|C|/nBuckets candidates), never
-    * the full candidate set, and resampling is replayable from the
-    * seeds alone. Exclusions apply BEFORE the argmin, so a slot whose
-    * winner was excluded returns the next-best candidate, not a hole;
-    * a slot only goes missing if its whole bucket is excluded. All
-    * joins are bucket-/pair-keyed; the argmin is a min-of-struct
-    * partial aggregation (no window).
+    * (seeded md5, `nBuckets` of them), each anchor's slots landing in
+    * the same bucket are ranked by slot order, and the rank-r slot
+    * takes the bucket's r-th smallest (anchor, candidate)-seeded hash —
+    * ONE pseudo-random permutation per (anchor, bucket), distinct ranks
+    * per slot, so the k negatives of an anchor are GUARANTEED distinct
+    * (same-bucket slots draw distinct ranks; different buckets hold
+    * disjoint candidates). Each slot's lookup touches one bucket
+    * (|C|/nBuckets candidates), never the full candidate set, and
+    * resampling is replayable from the seeds alone. Exclusions apply
+    * BEFORE the ranking, so a slot whose winner was excluded returns
+    * the next-best candidate, not a hole; a slot only goes missing if
+    * its bucket has fewer eligible candidates than the slot's rank
+    * needs (e.g. an entirely-excluded bucket). All joins are bucket-/
+    * pair-keyed; the ranking is a k-sliced sort of per-(anchor, bucket)
+    * collected pairs — group size is the ~256-candidate bucket the
+    * auto-sizing maintains, never corpus-sized, and no window runs.
     *
     * Bucket count is a MODEL parameter (the IVF-centroid precedent):
     * per-slot work is |C| / nBuckets, so it must scale with the
@@ -342,18 +349,33 @@ object Sampling {
       .withColumn("bucket",
         pmod(Dedup.md5Hash32(concat(col(idCol).cast("string"), lit(":"),
           col("slot").cast("string")), lit(seed + 1)), lit(buckets.toLong)))
+    // rank each anchor's slots within their bucket (ascending slot) —
+    // k-bounded arrays per (anchor, bucket), no window
+    val slotRanks = slots.groupBy(col(idCol), col("bucket"))
+      .agg(sort_array(collect_list(col("slot"))).as("sl"))
+      .select(col(idCol), col("bucket"),
+        posexplode(col("sl")).as(Seq("rs", "slot")))
     val av = avoid.toDF(idCol, "neg_id").distinct()
-    val scored = slots.join(cand, "bucket")
+    // ONE slot-independent score per (anchor, candidate): same-bucket
+    // slots share the permutation and take distinct ranks off it
+    val scored = slots.select(col(idCol), col("bucket")).distinct()
+      .join(cand, "bucket")
       .where(col("neg_id") =!= col(idCol))
       .join(av, Seq(idCol, "neg_id"), "left_anti")
       .withColumn("score",
         Dedup.md5Hash32(concat(col(idCol).cast("string"), lit(":"),
-          col("slot").cast("string"), lit(":"),
           col("neg_id").cast("string")), lit(seed + 2)))
-    scored.groupBy(col(idCol), col("slot"))
-      .agg(min(struct(col("score"), col("neg_id"))).as("m"),
+    // per-group size is the bucket population (~256 by the auto-sizing
+    // contract), so collecting before the k-slice is model-bounded
+    val ranked = scored.groupBy(col(idCol), col("bucket"))
+      .agg(slice(sort_array(collect_list(
+          struct(col("score"), col("neg_id")))), 1, k).as("top"),
         count(lit(1)).as("n_bucket"))
-      .select(col(idCol), col("slot"), col("m.neg_id").as("neg_id"),
+    slotRanks.join(ranked, Seq(idCol, "bucket"))
+      .where(col("rs") < size(col("top")))
+      .select(col(idCol), col("slot"),
+        element_at(col("top"), col("rs") + 1)
+          .getField("neg_id").as("neg_id"),
         col("n_bucket"))
   }
 }

@@ -9800,8 +9800,95 @@ object SparkEntry {
               |    AS new_label,
               |  (CASE WHEN gn > 0 THEN floor(gn * 1e9 + 5e-1) / 1e9
               |    ELSE 0e0 END) + 0e0 AS gain
-              |FROM r WHERE rn = 1""".stripMargin))
+              |FROM r WHERE rn = 1""".stripMargin)),
+
+    // GR: MULTI-LEVEL Louvain (both Blondel phases) — local-move rounds
+    // to a fixpoint, communities CONTRACTED to super-nodes (intra
+    // weight on a self-loop, parallel edges summed), move rounds
+    // re-run on the coarsened graph, labels unfolded. The oracle
+    // UNROLLS the exact (2 levels x 2 rounds) schedule — round CTEs
+    // generated by the same template, contraction replayed — which the
+    // impl's replayability contract guarantees matches its early-exit
+    // behavior (it only exits early in provable no-op states).
+    Q("gr_louvain_multi",
+      (s, dir) => {
+        val bidir = suppBidirEdges(s, dir)
+        PageRank.louvainMulti(bidir,
+          PageRank.labelPropagation(bidir, iterations = 3),
+          maxRounds = 2, maxLevels = 2)
+      },
+      Some(s"""WITH $lpropL3Ctes,
+              |ew AS MATERIALIZED (
+              |  SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e),
+              |l3m AS MATERIALIZED (SELECT node, label FROM l3),
+              |${louvainWRoundCtes("r1", "ew", "l3m", "lv1a", 1)},
+              |${louvainWRoundCtes("r2", "ew", "lv1a", "lv1", 2)},
+              |${louvainContractCtes("ew", "lv1", "e2", "i0")},
+              |${louvainWRoundCtes("r3", "e2", "i0", "lv2a", 1)},
+              |${louvainWRoundCtes("r4", "e2", "lv2a", "lv2", 2)}
+              |SELECT m.node, f.label
+              |FROM lv1 m JOIN lv2 f ON m.label = f.node""".stripMargin))
   )
+
+  /** DuckDB replay of ONE PARITY-GATED weighted Louvain move round
+    * over edge CTE `e` (src, dst, w) and label CTE `l` (node, label),
+    * emitting label CTE `out`(node, label) —
+    * PageRank.louvainMoveRoundWeighted term for term (weighted degrees,
+    * self-loops excluded from k_ic, smallest-label ties, same operation
+    * order so doubles match bit-for-bit), with round `r`'s move gate
+    * (md5(node:r) % 2 == 0) applied to the winning move exactly as
+    * PageRank.fixpointWeighted applies it. Internal CTE names carry
+    * prefix `x` so unrolled rounds don't collide. */
+  private def louvainWRoundCtes(x: String, e: String, l: String,
+                                out: String, r: Int): String =
+    s"""${x}tot AS (SELECT sum(w)::DOUBLE AS m2 FROM $e),
+       |${x}dg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS ki
+       |           FROM $e GROUP BY 1),
+       |${x}ds AS (SELECT l.label, CAST(sum(d.ki) AS BIGINT) AS dc
+       |           FROM $l l JOIN ${x}dg d ON l.node = d.node GROUP BY 1),
+       |${x}kic AS (SELECT e.src AS node, lb.label AS c,
+       |             CAST(sum(e.w) AS BIGINT) AS kic
+       |           FROM $e e JOIN $l lb ON e.dst = lb.node
+       |           WHERE e.src <> e.dst GROUP BY 1, 2),
+       |${x}cd AS (SELECT node, c, CAST(sum(kic) AS BIGINT) AS kic
+       |  FROM (SELECT node, c, kic FROM ${x}kic
+       |        UNION ALL SELECT node, label AS c, 0 FROM $l)
+       |  GROUP BY 1, 2),
+       |${x}ko AS (SELECT cd.node, cd.kic AS kown
+       |           FROM ${x}cd cd JOIN $l l
+       |             ON cd.node = l.node AND cd.c = l.label),
+       |${x}gg AS (SELECT cd.node, l.label AS a, cd.c,
+       |    CASE WHEN cd.c = l.label THEN 0e0 ELSE
+       |      2e0 * (cd.kic - ko.kown) / m2
+       |      - 2e0 * dg.ki * (dt.dc - da.dc + dg.ki) / (m2 * m2)
+       |    END AS gn
+       |  FROM ${x}cd cd JOIN $l l ON cd.node = l.node
+       |  JOIN ${x}dg dg ON cd.node = dg.node
+       |  JOIN ${x}ds dt ON cd.c = dt.label
+       |  JOIN ${x}ds da ON l.label = da.label
+       |  JOIN ${x}ko ko ON cd.node = ko.node, ${x}tot),
+       |$out AS MATERIALIZED (SELECT node,
+       |    CAST(CASE WHEN gn > 0 AND
+       |        ${h32Sql(s"CAST(node AS VARCHAR) || ':$r'", "0")} % 2 = 0
+       |      THEN c ELSE a END AS BIGINT) AS label
+       |  FROM (SELECT node, a, c, gn, row_number() OVER (
+       |          PARTITION BY node ORDER BY gn DESC, c ASC) AS rn
+       |        FROM ${x}gg)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB replay of PageRank.contract: communities of label CTE `l`
+    * collapse to super-nodes in `outE`(src, dst, w) — the full directed
+    * intra weight lands on the (c, c) self-loop row — and `outL` is the
+    * identity labeling of the contracted nodes. */
+  private def louvainContractCtes(e: String, l: String, outE: String,
+                                  outL: String): String =
+    s"""$outE AS MATERIALIZED (SELECT la.label AS src, lb.label AS dst,
+       |    CAST(sum(e.w) AS BIGINT) AS w
+       |  FROM $e e JOIN $l la ON e.src = la.node
+       |  JOIN $l lb ON e.dst = lb.node
+       |  GROUP BY 1, 2),
+       |$outL AS MATERIALIZED (SELECT DISTINCT label AS node, label FROM $l)"""
+      .stripMargin
 
   /** DuckDB replay of `LanguageModel.kn3LogPerplexity` (train split
     * doc_id % 4 != 0, D = 0.75) as CTEs ending in

@@ -1,6 +1,8 @@
 package graft.operators
 
+import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointOps
 import org.apache.spark.storage.StorageLevel
@@ -675,17 +677,36 @@ object PageRank {
     *
     * @return (node, old_label, new_label, gain) — gain quantized 1e-9,
     *         0 for stayers */
-  def louvainMoveRound(edges: DataFrame, labels: DataFrame): DataFrame = {
+  def louvainMoveRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    louvainMoveRoundWeighted(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)), labels)
+
+  /** [[louvainMoveRound]] generalized to INTEGER-WEIGHTED edges with
+    * self-loops — the shape [[contract]]ion produces, where a
+    * super-node's self-loop carries its community's directed intra
+    * weight and w counts collapsed parallel edges. Same ΔQ with
+    * weighted sums (m2 = Σw, k_i = Σ_src w including self-loops,
+    * k_ic = Σ w(i→c∖{i})); the self-loop is EXCLUDED from k_ic — it
+    * moves with the node and contributes identically to every target,
+    * so counting it into k_ia would bias every move against staying.
+    * Unweighted w=1 self-loop-free input reproduces
+    * [[louvainMoveRound]] exactly (count ≡ sum of ones).
+    *
+    * @param edges (src, dst, w: long) bidirectional; a self-loop is ONE
+    *              (c, c, w) row whose w is the full directed intra sum */
+  def louvainMoveRoundWeighted(edges: DataFrame,
+                               labels: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val lab = labels.select($"node", $"label")
-    val e = edges.select($"src", $"dst")
-    val m2f = e.agg(count(lit(1)).cast("double").as("m2"))
-    val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("ki"))
+    val e = edges.select($"src", $"dst", $"w")
+    val m2f = e.agg(sum($"w").cast("double").as("m2"))
+    val deg = e.groupBy($"src".as("node")).agg(sum($"w").as("ki"))
     val dsum = deg.join(lab, "node").groupBy($"label")
       .agg(sum($"ki").as("dc"))
-    val kic = e.join(lab.select($"node".as("dst"), $"label".as("c")), "dst")
-      .groupBy($"src".as("node"), $"c").agg(count(lit(1)).as("kic"))
+    val kic = e.where($"src" =!= $"dst")
+      .join(lab.select($"node".as("dst"), $"label".as("c")), "dst")
+      .groupBy($"src".as("node"), $"c").agg(sum($"w").as("kic"))
     // own community is always a candidate (k_ia may be 0)
     val cands = kic.unionByName(
         lab.select($"node", $"label".as("c")).withColumn("kic", lit(0L)))
@@ -722,55 +743,165 @@ object PageRank {
 
   /** [[louvainMoveRound]] iterated to a fixpoint (or `maxRounds`) under
     * the CC loop discipline: edges pinned once across rounds, each
-    * round's labels localCheckpoint'd (flat lineage), the previous
-    * round's blocks released. Each synchronized round is the
-    * deterministic operator above, so the whole loop is replayable
-    * round by round; stop = a round that moves nothing. Modularity is
-    * non-decreasing per round on the move set (each move has strictly
-    * positive ΔQ against the round's start labels; simultaneous moves
-    * can interact, which is why the loop re-evaluates — the spec pins
-    * the fixpoint property). */
+    * round's labels materialized with capped stats, the previous
+    * round's blocks released. Rounds are MOVE-GATED (see
+    * [[fixpointWeighted]]): round r applies only the md5(node:r)-coin
+    * half's moves, so symmetric structures converge instead of
+    * oscillating; stop = a round where no node even wants to move.
+    * Each gated round is deterministic, so the whole loop is replayable
+    * round by round. */
   def louvain(edges: DataFrame, labels0: DataFrame,
               maxRounds: Int = 10): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
-    val sc = edges.sparkSession.sparkContext
-    val e = CacheScope.pin(edges.select(col("src"), col("dst")))
-    // localCheckpoint blocks live at the RDD layer (Dataset.unpersist
-    // is a CacheManager no-op for them), so each round's blocks are
-    // released when the next round lands — the CC loop's discipline.
-    // The ids come from the checkpointed Dataset's OWN LogicalRDD
-    // (never a registry snapshot diff, which would sweep up RDDs a
-    // CONCURRENT job persisted between snapshots and unpersist them
-    // out from under their owner). The RETURNED labeling keeps its own
-    // checkpoint blocks: the caller owns them (CacheScope.materialized
-    // releases them per its contract).
-    var lab = labels0.select(col("node"), col("label"))
-      .localCheckpoint(true)
-    var labIds = checkpointRddIds(lab)
-    var rounds = 0
-    var moved = 1L
-    while (rounds < maxRounds && moved > 0) {
-      val step = louvainMoveRound(e, lab)
-        .select(col("node"), col("old_label"), col("new_label"))
-        .localCheckpoint(true)
-      val stepIds = checkpointRddIds(step)
-      moved = step.where(col("old_label") =!= col("new_label")).count()
-      lab = step.select(col("node"), col("new_label").as("label"))
-      labIds.foreach(id =>
-        sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
-      labIds = stepIds
-      rounds += 1
-    }
+    val e = CacheScope.pin(edges.select(col("src"), col("dst"))
+      .withColumn("w", lit(1L)))
+    val (lab, _, _) = fixpointWeighted(e, labels0, maxRounds)
     e.unpersist(false) // lab is checkpoint-backed; the edge pin is dead
     lab
   }
 
-  /** The RDD ids backing a localCheckpoint'd Dataset — read off its own
-    * analyzed plan's [[org.apache.spark.sql.execution.LogicalRDD]]
-    * (`Dataset.localCheckpoint` persists exactly that internal RDD), so
-    * iterative loops release precisely the blocks THEY created. */
-  private def checkpointRddIds(ds: org.apache.spark.sql.Dataset[_]): Set[Int] =
-    ds.queryExecution.analyzed.collect {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
-    }.toSet
+  /** [[louvainMoveRoundWeighted]] iterated to a fixpoint (or
+    * `maxRounds`) over an already-materialized weighted edge frame —
+    * the [[org.apache.spark.sql.graft.CheckpointOps]] loop discipline:
+    * each round materializes through checkpointDiff (stats CAPPED —
+    * `Dataset.localCheckpoint` carries origin stats forward, and a
+    * per-round join tree over last round's checkpoint compounds
+    * sizeInBytes DOUBLE-exponentially until stats estimation spends
+    * minutes multiplying million-digit BigInts; measured as rounds
+    * 3/4/5 taking 48 s/96 s/8 min on a 12-node graph), the move count
+    * fused into the same pass (no second convergence-probe job), the
+    * previous round's blocks released the moment the next lands.
+    *
+    * MOVE GATING: round r applies only the moves of nodes with
+    * md5(node:r) % 2 == 0 — the distributed-Louvain coloring trick
+    * with a ROUND-VARYING coin. Fully synchronized rounds OSCILLATE on
+    * symmetric structures (two mutually-best communities adopt each
+    * other's label forever and never merge); a static per-node parity
+    * breaks only cross-parity pairs, while the round-varying hash
+    * deterministically reaches a round where exactly one side of ANY
+    * mutual pair is gated, which merges it for good. Stopping reads
+    * the UNGATED decision: a round where no node even WANTS to move
+    * (pending == 0) is a true fixpoint regardless of gating, so unrolled
+    * replays of further rounds are provable no-ops. Deterministic end
+    * to end (seeded md5), oracle-replayable round by round.
+    *
+    * @return (labels, blocks-handle, settled) — settled means the last
+    *         round had zero PENDING moves (a real fixpoint), not just
+    *         the round budget running out */
+  private def fixpointWeighted(e: DataFrame, labels0: DataFrame,
+      maxRounds: Int): (DataFrame, RDD[InternalRow], Boolean) = {
+    var (lab, labRdd) = CheckpointOps.checkpoint(
+      labels0.select(col("node"), col("label")))
+    var rounds = 0
+    var pending = 1L
+    while (rounds < maxRounds && pending > 0) {
+      val r = rounds + 1
+      val gate = pmod(Dedup.md5Hash32(
+        concat(col("node").cast("string"), lit(s":$r")), lit(0)),
+        lit(2L)) === 0
+      // columns (node, old_label, want, new_label): the 1-vs-2 diff
+      // counts nodes that WANT to move (pre-gate), accumulated during
+      // the same materialization pass — zero proves the fixpoint
+      val (step, stepRdd, diff) = CheckpointOps.checkpointDiff(
+        louvainMoveRoundWeighted(e, lab)
+          .select(col("node"), col("old_label"),
+            col("new_label").as("want"),
+            when(gate, col("new_label")).otherwise(col("old_label"))
+              .as("new_label")), 1, 2)
+      pending = diff
+      lab = step.select(col("node"), col("new_label").as("label"))
+      labRdd.unpersist(false)
+      labRdd = stepRdd
+      rounds += 1
+    }
+    (lab, labRdd, pending == 0)
+  }
+
+  /** Community contraction (Blondel phase 2): collapse each community
+    * to a super-node, parallel edges summed, the full directed INTRA
+    * weight landing on ONE (c, c, w) self-loop row — so the contracted
+    * graph's weighted degrees equal its communities' summed member
+    * degrees and Σw is preserved, which keeps [[modularity]] of a
+    * labeling on the contracted graph equal to the unfolded labeling's
+    * on the original. Community-count-sized output; one keyed agg. */
+  def contract(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges
+      .join(labels.select(col("node").as("src"), col("label").as("ca")),
+        "src")
+      .join(labels.select(col("node").as("dst"), col("label").as("cb")),
+        "dst")
+      .groupBy(col("ca").as("src"), col("cb").as("dst"))
+      .agg(sum(col("w")).as("w"))
+
+  /** Multi-level Louvain (Blondel et al. 2008, both phases): local-move
+    * rounds to a fixpoint, then CONTRACT communities to super-nodes and
+    * repeat on the coarsened graph, composing the level mappings back
+    * down — the step single-level local moves lack, without which
+    * hierarchical graphs under-merge (a community of communities is
+    * invisible until its members are single nodes).
+    *
+    * Replayability contract (the unrolled-CTE oracle depends on it):
+    * the loop runs exactly `maxLevels` levels of `maxRounds` rounds
+    * unless a level ends in a PROVABLE no-op state — its final round
+    * moved nothing AND contraction merged nothing — in which case every
+    * further level is an isomorphic no-move replay and early exit
+    * returns the same labeling the full unroll would.
+    *
+    * Scale shape: level 0 runs on the edge-sized graph; every later
+    * level runs on a community-sized contraction (typically orders of
+    * magnitude smaller). Mapping composition is a node-sized keyed
+    * join per level. Same checkpoint lifecycle as [[louvain]].
+    *
+    * @return (node, label) — original nodes, final-level communities */
+  def louvainMulti(edges: DataFrame, labels0: DataFrame,
+                   maxRounds: Int = 10, maxLevels: Int = 3): DataFrame = {
+    require(maxRounds >= 1 && maxLevels >= 1,
+      "maxRounds and maxLevels must be >= 1")
+    var (g, gRdd) = CheckpointOps.checkpoint(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)))
+    var mapping: DataFrame = null // original node -> current community
+    var mapRdd: RDD[InternalRow] = null
+    var curLabels = labels0.select(col("node"), col("label"))
+    // a level's fix frame is still lazily referenced by the NEXT
+    // level's start labels, so its blocks are released one level late —
+    // after fixpointWeighted has eagerly checkpointed those labels
+    // (its first action)
+    var pendingFixRdd: RDD[InternalRow] = null
+    var level = 0
+    var done = false
+    while (level < maxLevels && !done) {
+      val (fix, fixRdd, settled) =
+        fixpointWeighted(g, curLabels, maxRounds)
+      if (pendingFixRdd != null) pendingFixRdd.unpersist(false)
+      val (newMapping, newMapRdd) = CheckpointOps.checkpoint(
+        if (mapping == null) fix
+        else mapping.select(col("node"), col("label").as("sn"))
+          .join(fix.select(col("node").as("sn"), col("label")), "sn")
+          .select(col("node"), col("label")))
+      if (mapRdd != null) mapRdd.unpersist(false)
+      mapping = newMapping
+      mapRdd = newMapRdd
+      val nNodes = fix.count()
+      val nSuper = fix.select(col("label")).distinct().count()
+      // provable no-op state only: a level that stopped on its round
+      // BUDGET (moves pending) or that merged nodes must still contract
+      // and recurse, or the result would depend on the budget in a way
+      // the unrolled oracle can't see
+      done = settled && nSuper == nNodes
+      if (!done && level + 1 < maxLevels) {
+        // eager: reads g + fix now
+        val (g2, g2Rdd) = CheckpointOps.checkpoint(contract(g, fix))
+        gRdd.unpersist(false)
+        g = g2
+        gRdd = g2Rdd
+        curLabels = fix.select(col("label")).distinct()
+          .select(col("label").as("node"), col("label"))
+      }
+      pendingFixRdd = fixRdd
+      level += 1
+    }
+    if (pendingFixRdd != null) pendingFixRdd.unpersist(false)
+    gRdd.unpersist(false)
+    mapping
+  }
 }

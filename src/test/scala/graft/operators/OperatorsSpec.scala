@@ -907,6 +907,77 @@ class OperatorsSpec extends SparkTestBase {
     assert(iso(4L)._3 == 5L) // the real move is unaffected
   }
 
+  test("contract: intra weight lands on ONE self-loop row, super-node " +
+    "degrees equal summed member degrees, total weight is preserved; " +
+    "the weighted round scores whole-community moves") {
+    // two triangles {1,2,3} and {4,5,6} bridged 3-4, each a community
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (3L, 4L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+      .withColumn("w", lit(1L))
+    val lab = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 4L)).toDF("node", "label")
+    val g2 = PageRank.contract(edges, lab)
+      .as[(Long, Long, Long)].collect().toSet
+    // 6 directed intra edges per triangle -> self-loop weight 6; the
+    // bridge keeps both directions; m2 = 14 preserved; super-degree
+    // 6 + 1 = 7 = the triangle's member degrees 2 + 2 + 3
+    assert(g2 == Set((1L, 1L, 6L), (4L, 4L, 6L), (1L, 4L, 1L),
+      (4L, 1L, 1L)), g2.toString)
+    // whole-community move on the contracted graph: merging the two
+    // triangles scores dQ = 2(1-0)/14 - 2*7*(7-7+7)/14^2 = 1/7 - 1/2
+    // < 0 (one community in a 2-community graph has Q = 0) -> both
+    // super-nodes stay; the self-loop is excluded from k_ic so the
+    // stay decision is unbiased
+    val step = PageRank.louvainMoveRoundWeighted(
+        g2.toSeq.toDF("src", "dst", "w"),
+        Seq((1L, 1L), (4L, 4L)).toDF("node", "label"))
+      .as[(Long, Long, Long, Double)].collect()
+    assert(step.length == 2 && step.forall(r => r._2 == r._3),
+      step.mkString(", "))
+    // w = 1 self-loop-free input reproduces the unweighted round
+    val w1 = PageRank.louvainMoveRoundWeighted(edges,
+        lab).as[(Long, Long, Long, Double)].collect().toSet
+    val uw = PageRank.louvainMoveRound(edges.drop("w"), lab)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(w1 == uw)
+  }
+
+  test("louvainMulti: contraction merges the community pairs " +
+    "single-level local moves cannot see; modularity strictly improves") {
+    // hierarchical fixture: four triangles in a ring — strong 3-edge
+    // bonds C1-C2 and C3-C4, weak single-edge ring closures. Merging a
+    // strong pair has dQ = 3/20 - 2*(10*10)/40^2 = +0.025, so the best
+    // partition is the two super-clusters — but with the triangles
+    // assembled, NO single node gains by moving (k_intra 2 vs bridge
+    // 1: both louvain variants start from the same detected bottom
+    // tier and single-level provably stalls there), so the merge needs
+    // a whole-community move: exactly what contraction makes local
+    def tri(base: Long) =
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    val und = tri(1) ++ tri(4) ++ tri(7) ++ tri(10) ++
+      Seq((1L, 4L), (2L, 5L), (3L, 6L), (7L, 10L), (8L, 11L),
+        (9L, 12L), (6L, 7L), (12L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val tris = (1L to 12L).map(n => (n, (n - 1) / 3 * 3 + 1))
+      .toDF("node", "label")
+    val single = PageRank.louvain(edges, tris, maxRounds = 10)
+    val multi = PageRank.louvainMulti(edges, tris, maxRounds = 10,
+      maxLevels = 3)
+    def q(df: org.apache.spark.sql.DataFrame) =
+      PageRank.modularity(edges, df).agg(sum("q_contrib"))
+        .as[Double].head()
+    val (qs, qm) = (q(single), q(multi))
+    assert(qm > qs, s"multi-level Q $qm must beat single-level $qs")
+    val nS = single.select("label").distinct().count()
+    val nM = multi.select("label").distinct().count()
+    assert(nM == 2, s"expected the 2 super-clusters, got $nM " +
+      multi.as[(Long, Long)].collect().sortBy(_._1).mkString(", "))
+    assert(nM < nS, s"multi $nM vs single $nS")
+    // every original node keeps a label (nothing dropped in unfolding)
+    assert(multi.count() == 12)
+  }
+
   test("weighted PageRank splits rank over out-edges by weight") {
     // 1 -> 2 (w=1), 1 -> 3 (w=3), 2 -> 1 (w=1); one hand-unrolled round
     val edges = Seq((1L, 2L, 1L), (1L, 3L, 3L), (2L, 1L, 1L))

@@ -68,54 +68,143 @@ object BpeTrainer {
       (a, b) => struct(a.as("a"), b.as("b")))
   }
 
+  private val mergeBatchUdf =
+    udf((syms: Seq[String], ls: Seq[String], rs: Seq[String]) => {
+      var s = syms
+      var i = 0
+      while (s != null && i < ls.length) {
+        s = mergeKernel(s, ls(i), rs(i))
+        i += 1
+      }
+      s
+    })
+
   /** Learn `nMerges` BPE merges from the token stream of `docs`.
     * Returns the merge table (rank, lhs, rhs, pair_count) — model-sized.
     * Ties break (count desc, lhs asc, rhs asc); empty pair space stops
     * early. (No doc-id parameter: training sees only the word
-    * multiset.) */
+    * multiset.)
+    *
+    * BATCHED rounds, sequentially EXACT: one round-trip per MERGE is
+    * 30k driver jobs at production vocab, so each round takes the
+    * longest prefix of the snapshot's (count desc, lhs, rhs)-sorted
+    * pair list that provably equals what one-merge-at-a-time rounds
+    * would pick:
+    *
+    *  - symbols pairwise DISJOINT from earlier batch merges — merging
+    *    (a_i, b_i) then cannot change the candidate's own count;
+    *  - any pair that could SPAWN a new pair tying the candidate —
+    *    snapshot pairs (x, a_i) or (b_i, y), whose counts upper-bound
+    *    every pair the merged symbol a_ib_i can form — with count
+    *    STRICTLY ABOVE the candidate sorts earlier, so it either IS an
+    *    accepted merge (then disjointness already vetoed it) or it
+    *    stopped the prefix; EQUAL-count spawners are checked explicitly
+    *    (a spawned tie can lex-sort past the candidate);
+    *  - a self-pair (a == b) closes its batch: the merged symbol's
+    *    run-pairs are bounded only by the pair's own count;
+    *  - candidates at the collection limit's count close the batch
+    *    (their ties may be cut off), unless the list was exhausted.
+    *
+    * Under those guards the accepted prefix IS the next |batch| picks
+    * of the sequential algorithm — including each pick's recorded
+    * count, which the disjointness keeps unchanged — so the table is
+    * identical (spec'd batched-vs-sequential, and the registry oracle
+    * still replays plain sequential rounds).
+    *
+    * @param maxBatch merges per round upper bound; 1 = the classic
+    *                 one-merge-per-round loop */
   def bpeTrain(docs: DataFrame, textCol: String,
-               nMerges: Int): DataFrame = {
+               nMerges: Int, maxBatch: Int = 64): DataFrame =
+    bpeTrainRounds(docs, textCol, nMerges, maxBatch)._1
+
+  /** [[bpeTrain]] plus the number of driver round-trips it took — the
+    * batching's measurable effect (probe + SCALE.md A/B). */
+  def bpeTrainRounds(docs: DataFrame, textCol: String,
+                     nMerges: Int, maxBatch: Int = 64): (DataFrame, Int) = {
+    require(maxBatch >= 1, "maxBatch must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
     // chars via substring transform: tokens are [a-z0-9]+ so one char ==
-    // one byte == one codepoint in both engines
-    var cur = docs
-      .select(explode(Dedup.tokens(col(textCol))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
-        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("sy"))
-      .persist()
-    cur.count()
+    // one byte == one codepoint in both engines.
+    // Rounds materialize through CheckpointOps (flat LogicalRDD round
+    // state), NOT persist(): a persist chain nests each round's
+    // InMemoryRelation inside the next, and by round ~60 merely
+    // RENDERING the cached plan's tree string (CachedRDDBuilder does it
+    // on every persist call) takes minutes — jstack-verified on the
+    // 64-merge A/B probe.
+    var (cur, curRdd) = org.apache.spark.sql.graft.CheckpointOps.checkpoint(
+      docs
+        .select(explode(Dedup.tokens(col(textCol))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .select(col("freq"),
+          expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("sy")))
 
     val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, Long)]
     var r = 1
+    var rounds = 0
     var done = false
     while (r <= nMerges && !done) {
-      val best = cur
+      rounds += 1
+      val want = math.min(nMerges - r + 1, maxBatch)
+      val lim = want * 2 + 8
+      val top = cur
         .select(col("freq"), explode(adjacentPairs(col("sy"))).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
-        .limit(1).collect()
-      if (best.isEmpty) done = true
+        .limit(lim).collect()
+        .map(row => (row.getString(0), row.getString(1), row.getLong(2)))
+      if (top.isEmpty) done = true
       else {
-        val row = best.head
-        val (a, b, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-        merges += ((r, a, b, cnt))
-        val next = cur
-          .select(col("freq"), mergeUdf(col("sy"), lit(a), lit(b)).as("sy"))
-          .persist()
-        next.count()
-        cur.unpersist()
+        val exhausted = top.length < lim
+        val minCnt = top.last._3
+        val batch = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+        val symbols = scala.collection.mutable.Set.empty[String]
+        val lhsSet = scala.collection.mutable.Set.empty[String]
+        val rhsSet = scala.collection.mutable.Set.empty[String]
+        var k = 0
+        var stop = false
+        while (!stop && k < top.length && batch.length < want) {
+          val (a, b, cnt) = top(k)
+          val tieCutOff = cnt == minCnt && !exhausted
+          val touches = symbols.contains(a) || symbols.contains(b)
+          // equal-count spawner check: a snapshot (x, a_i) / (b_i, y)
+          // tying this candidate could spawn a merged-symbol pair that
+          // ties it AND lex-sorts past it
+          val tieSpawner = batch.nonEmpty && top.exists { case (x, y, c) =>
+            c == cnt && (lhsSet.contains(y) || rhsSet.contains(x))
+          }
+          if (k > 0 && (touches || tieCutOff || tieSpawner)) stop = true
+          else {
+            batch += ((a, b, cnt))
+            symbols += a += b
+            lhsSet += a
+            rhsSet += b
+            if (a == b) stop = true // self-pair closes the batch
+            k += 1
+          }
+        }
+        batch.foreach { case (a, b, cnt) =>
+          merges += ((r, a, b, cnt))
+          r += 1
+        }
+        val ls = batch.map(_._1).toSeq
+        val rs = batch.map(_._2).toSeq
+        val (next, nextRdd) =
+          org.apache.spark.sql.graft.CheckpointOps.checkpoint(cur
+            .select(col("freq"),
+              mergeBatchUdf(col("sy"), typedlit(ls), typedlit(rs))
+                .as("sy")))
+        curRdd.unpersist(false)
         cur = next
-        r += 1
+        curRdd = nextRdd
       }
     }
-    cur.unpersist()
-    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+    curRdd.unpersist(false)
+    (merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
       .select(col("rank").cast("int").as("rank"), col("lhs"), col("rhs"),
-        col("pair_count"))
+        col("pair_count")), rounds)
   }
 
   /** Greedy application of an ORDERED merge list to one word —

@@ -71,4 +71,29 @@ class BpeTrainerSpec extends SparkTestBase {
       .collect().toSeq
     assert(a == b)
   }
+
+  test("batched rounds produce the IDENTICAL merge table as the " +
+    "one-merge-per-round loop, including tie-heavy and spawner corpora") {
+    // the committed fixture corpus
+    val fixture = Seq((1L, "low low low"), (2L, "lower lowest"),
+      (3L, "slow slower")).toDF("doc_id", "text")
+    // all-frequency-1 corpus: every pair count ties, exercising the
+    // tie-cutoff and equal-count spawner guards hard
+    val ties = Seq("cab", "dog", "dig", "bad", "cad", "god", "gag",
+      "abab", "zazb").zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+    // spawner shape: merging (a,b) spawns (c,ab), which ties the
+    // disjoint (d,q) candidate and lex-beats it — a naive
+    // disjoint-only batch would emit (d,q) at rank 2, sequential
+    // emits (c,ab)
+    val spawn = (1L to 5L).map(i => (i, "cab dq")).toDF("doc_id", "text")
+    for (docs <- Seq(fixture, ties, spawn); n <- Seq(4, 8)) {
+      val seqTable = BpeTrainer.bpeTrain(docs, "text", n, maxBatch = 1)
+        .collect().toSeq
+      val batTable = BpeTrainer.bpeTrain(docs, "text", n, maxBatch = 64)
+        .collect().toSeq
+      assert(batTable == seqTable,
+        s"n=$n:\nbatched   $batTable\nsequential $seqTable")
+    }
+  }
 }

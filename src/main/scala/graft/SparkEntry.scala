@@ -2154,6 +2154,82 @@ object SparkEntry {
            |FROM cand WHERE ${cosSql("a_v", "b_v")} >= 0.3""".stripMargin
       }),
 
+    // ST: FLAG-mode streaming embedding dedup — the scale-safe default
+    // (pair emission above stays the opt-in for when pairs ARE the
+    // product): each batch COLLAPSES exact-duplicate vectors to a
+    // min-id rep before the LSH probe (the semanticDedup collapse —
+    // an exact-dup mega-group costs one rep row + n-1 collapse flags,
+    // never n^2/2 pairs), probes index + earlier reps, and emits
+    // keep flags with a rep-multiplicity audit column. Only REPS'
+    // buckets join the index: identical non-reps match later batches
+    // through their rep (same vector, same buckets, cosine 1).
+    Q("st_embed_dedup_collapse",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+        // duplicate-heavy fixture: every 5th vector re-ingested under
+        // a shifted id, so the collapse has real groups to collapse
+        val dup = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+        val all = emb.unionByName(dup)
+        val index = Dedup.embedLshIndex(
+          all.where(pmod(col("vec_id"), lit(4)) =!= 0 &&
+            col("vec_id") < 100000L),
+          "vec_id", "embedding", numPlanes = 8, tables = 4)
+        graft.streaming.EmbedDedupStream.ingestFoldCollapse(index,
+          Seq(all.where(pmod(col("vec_id"), lit(8)) === 0 ||
+              col("vec_id") >= 100000L),
+            all.where(pmod(col("vec_id"), lit(8)) === 4 &&
+              col("vec_id") < 100000L)),
+          "vec_id", "embedding", threshold = 0.3, numPlanes = 8,
+          tables = 4)
+      },
+      Some {
+        val buckets = (0 until 4).map(tb =>
+          s"SELECT id, v, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM ea")
+          .mkString("\nUNION ALL\n")
+        def collapseBatch(n: Int, src: String, idx: String) =
+          s"""g$n AS (SELECT id, v,
+             |  CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+             |    THEN 'u:' || CAST(id AS VARCHAR)
+             |    ELSE 'g:' || v::VARCHAR END AS gk
+             |  FROM $src),
+             |r$n AS (SELECT gk, min(id) AS rep_id, count(*) AS n_rep
+             |        FROM g$n GROUP BY gk),
+             |w$n AS (SELECT g$n.id, g$n.v, r$n.rep_id, r$n.n_rep
+             |        FROM g$n JOIN r$n USING (gk)),
+             |rb$n AS (SELECT b.* FROM b
+             |         JOIN w$n ON b.id = w$n.id AND w$n.id = w$n.rep_id),
+             |d$n AS (
+             |  SELECT DISTINCT y.id AS rep_id FROM $idx x JOIN rb$n y
+             |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id <> y.id
+             |  WHERE ${cosSql("x.v", "y.v")} >= 0.3
+             |  UNION
+             |  SELECT DISTINCT y.id FROM rb$n x JOIN rb$n y
+             |    ON x.tbl = y.tbl AND x.bucket = y.bucket AND x.id < y.id
+             |  WHERE ${cosSql("x.v", "y.v")} >= 0.3),
+             |f$n AS (SELECT w$n.id, w$n.rep_id,
+             |    CAST(w$n.n_rep AS BIGINT) AS n_rep,
+             |    CASE WHEN w$n.id <> w$n.rep_id OR d$n.rep_id IS NOT NULL
+             |      THEN 0 ELSE 1 END AS keep,
+             |    CAST(${n - 1} AS BIGINT) AS batch_id
+             |  FROM w$n LEFT JOIN d$n ON w$n.rep_id = d$n.rep_id)"""
+        s"""WITH e0 AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+           |ea AS (SELECT id, v FROM e0
+           |       UNION ALL
+           |       SELECT id + 100000, v FROM e0 WHERE id % 5 = 0),
+           |b AS ($buckets),
+           |old AS (SELECT * FROM b WHERE id % 4 <> 0 AND id < 100000),
+           |${collapseBatch(1,
+              "ea WHERE id % 8 = 0 OR id >= 100000", "old")},
+           |i2 AS (SELECT * FROM old UNION ALL SELECT * FROM rb1),
+           |${collapseBatch(2,
+              "ea WHERE id % 8 = 4 AND id < 100000", "i2")}
+           |SELECT id, rep_id, n_rep, keep, batch_id FROM f1
+           |UNION ALL
+           |SELECT id, rep_id, n_rep, keep, batch_id FROM f2""".stripMargin
+      }),
+
     // Cluster-level dedup: LSH pair graph -> connected components ->
     // canonical keep (longest text, min-id tiebreak). The transitive-
     // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's

@@ -1180,6 +1180,64 @@ object Dedup {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /** FLAG-mode incremental embedding dedup — the scale-safe DEFAULT
+    * for streaming ingest: exact-duplicate rows COLLAPSE to a min-id
+    * representative BEFORE the LSH probe (the [[semanticDedup]] rep
+    * collapse applied per batch), so an exact-duplicate mega-group
+    * costs one rep row plus n-1 collapse flags instead of the n²/2
+    * pairs pair-emission genuinely owes on it (3.2B pairs at n = 80k —
+    * SkewProbe). Pair emission ([[incrementalEmbedLshBuckets]]) stays
+    * the explicit opt-in for when the pairs ARE the product.
+    *
+    * Verdicts (min-id keep, the semanticDedup discipline): a non-rep
+    * (identical vector, larger id) drops against its rep; a rep drops
+    * if it cosine-matches the standing index or a SMALLER within-batch
+    * rep at `threshold`. Zero-norm vectors never collapse or drop
+    * (cosine guarded to 0); threshold > 0.99 disables the collapse (a
+    * float-ulp cosine of identical arithmetic is never assumed past an
+    * exact-1.0 gate) — every row is then its own rep and flags purely
+    * through the probe.
+    *
+    * @return (flags(id, rep_id, n_rep, keep), repBuckets) — repBuckets
+    *         are the REPS' index rows, what the caller appends to the
+    *         standing index: identical non-reps match later batches
+    *         through their rep (same vector, same buckets, cosine 1),
+    *         so the index stays collapse-small without losing matches */
+  def embedDedupCollapse(index: DataFrame, newEmb: DataFrame,
+                         idCol: String, vecCol: String,
+                         threshold: Double = 0.9, numPlanes: Int = 8,
+                         tables: Int = 4): (DataFrame, DataFrame) = {
+    val rows = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val collapse = threshold <= 0.99
+    val uncollapsible =
+      array_max(transform(col("v"), x => abs(x))) <= lit(0f)
+    val keyed = rows.withColumn("gk",
+      if (!collapse) concat(lit("u:"), col("id"))
+      else when(uncollapsible, concat(lit("u:"), col("id")))
+        .otherwise(concat(lit("g:"), md5(col("v").cast("string")))))
+    val groups = keyed.groupBy("gk")
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_rep"))
+    // two consumers: the reps' bucketing and the final flag join-back
+    val withRep = keyed.join(groups, "gk")
+      .select(col("id"), col("v"), col("rep_id"), col("n_rep"))
+      .transform(CacheScope.pin)
+    val repBuckets = embedLshIndex(
+      withRep.where(col("id") === col("rep_id"))
+        .select(col("id"), col("v")),
+      "id", "v", numPlanes, tables)
+    // vs_index and within_batch pairs both carry the DROPPED side as
+    // b_id (index rows and smaller reps win)
+    val droppedReps =
+      incrementalEmbedLshBuckets(index, repBuckets, threshold)
+        .select(col("b_id").as("rep_id")).distinct()
+    val flags = withRep
+      .join(droppedReps.withColumn("hit", lit(1)), Seq("rep_id"), "left")
+      .select(col("id"), col("rep_id"), col("n_rep"),
+        when(col("id") =!= col("rep_id") || col("hit").isNotNull, 0)
+          .otherwise(1).as("keep"))
+    (flags, repBuckets)
+  }
+
   /** SEMANTIC decontamination: flag corpus documents whose embedding
     * sits within cosine `threshold` of ANY probe (benchmark/eval-set)
     * embedding — the paraphrase-robust complement of

@@ -74,6 +74,16 @@ object SkewProbe {
         skewed.where(col("vec_id") < mega), "vec_id", "embedding",
         threshold = 0.3)
     }
+    // FLAG mode on the same mega-group batch: the exact-duplicate
+    // collapse reduces it to ONE rep before the probe, so the output is
+    // flag-rows (O(batch)), never the n^2/2 pairs the mode above owes
+    if (steps("collapse")) time("embed_collapse_batch") {
+      val idx = Dedup.embedLshIndex(
+        skewed.where(col("vec_id") >= mega), "vec_id", "embedding")
+      Dedup.embedDedupCollapse(idx,
+        skewed.where(col("vec_id") < mega), "vec_id", "embedding",
+        threshold = 0.3)._1
+    }
     spark.stop()
   }
 }

@@ -156,4 +156,56 @@ class EmbedDedupStreamSpec extends SparkTestBase {
       Seq("a_id", "b_id", "kind", "cosine", "batch_id"))
     assert(out.count() == 0)
   }
+
+  test("FLAG mode: streaming collapse ingest equals the fold; exact-dup " +
+    "groups collapse to one rep, reps flag against index and earlier " +
+    "batches, only reps join the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("embed_collapse")
+      .toString
+    val tbl = "embed_collapse_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeEmbedIndex(
+      Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+      tbl, s"$dir/index")
+    // batch 1: a 3-copy exact-dup group near dirA (30 collapses 31, 32;
+    // rep 30 then drops vs the standing 1/3), plus a fresh direction;
+    // batch 2: an exact copy of batch 1's kept rep (drops vs_index
+    // through the rep's bucket rows) and a survivor
+    val c = Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)
+    val cb1 = Seq(Emb(30, v(dirA, 0.02f)), Emb(31, v(dirA, 0.02f)),
+      Emb(32, v(dirA, 0.02f)), Emb(33, c))
+    val cb2 = Seq(Emb(40, c), // identical to 33 -> drops vs_index
+      Emb(41, Seq(0f, 0f, 0f, 0f, 1f, 0f, 0f, 0f)))
+    val mem = MemoryStream[Emb]
+    val q = EmbedDedupStream.runCollapse(mem.toDF(), "vec_id",
+      "embedding", tbl, s"$dir/out", s"$dir/ckpt", threshold = 0.9)
+    try {
+      mem.addData(cb1: _*); q.processAllAvailable()
+      mem.addData(cb2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id", "rep_id", "n_rep", "keep", "batch_id")
+      .as[(Long, Long, Long, Int, Long)].collect().toSet
+    val fold = EmbedDedupStream.ingestFoldCollapse(
+        Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+        Seq(cb1.toDF(), cb2.toDF()), "vec_id", "embedding",
+        threshold = 0.9)
+      .select("id", "rep_id", "n_rep", "keep", "batch_id")
+      .as[(Long, Long, Long, Int, Long)].collect().toSet
+    assert(got == fold, s"stream $got vs fold $fold")
+    // the dup group collapsed onto 30; 30 itself drops against the
+    // standing near-dups (1, 3); 33 survives batch 1
+    assert(got((31L, 30L, 3L, 0, 0L)) && got((32L, 30L, 3L, 0, 0L)),
+      got.toString)
+    assert(got((30L, 30L, 3L, 0, 0L)), got.toString)
+    assert(got((33L, 33L, 1L, 1, 0L)), got.toString)
+    // 40 duplicates the KEPT 33 across batches -> vs_index drop; 41 new
+    assert(got((40L, 40L, 1L, 0, 1L)), got.toString)
+    assert(got((41L, 41L, 1L, 1, 1L)), got.toString)
+    // index grew by REPS only: 3 standing + {30, 33} + {40, 41}
+    assert(spark.table(tbl).select("id").distinct().count() == 7,
+      spark.table(tbl).select("id").distinct().collect().mkString(","))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

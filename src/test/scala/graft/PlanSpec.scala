@@ -105,6 +105,45 @@ class PlanSpec extends SparkTestBase {
       assert(!cdc.contains(bad), s"dd_cdc_chunks: ${cdc.take(3000)}")
   }
 
+  test("ir standing index point lookup: each postings scan reads " +
+    "EXACTLY the query terms' bucket partitions (<= 5/64 for one " +
+    "5-term query)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import graft.operators.{Dedup, Retrieval}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val path = "/tmp/graft_search_index/planspec_point"
+    Retrieval.writeSearchIndex(docs, "doc_id", "text", path)
+    val q = docs.where(col("doc_id") === 0)
+      .select(col("doc_id").as("q_id"),
+        slice(Dedup.tokens(col("text")), 1, 5).as("q_terms"))
+    val expected = q
+      .select(explode(array_distinct(col("q_terms"))).as("term"))
+      .select(pmod(Dedup.md5Hash32(col("term"), lit(3)), lit(64L))
+        .as("tb"))
+      .distinct().count()
+    assert(expected >= 1 && expected <= 5, expected.toString)
+    val out = Retrieval.bm25TopKIndexed(spark, path, q, k = 10)
+    out.collect()
+    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive
+          .AdaptiveSparkPlanExec => leaves(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive
+          .QueryStageExec => leaves(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(leaves) ++
+        other.subqueries.flatMap(leaves)
+    }
+    val scans = leaves(out.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(
+        _.toString.contains("postings")))
+    assert(scans.nonEmpty, "expected postings scans in the plan")
+    scans.foreach { s =>
+      assert(s.selectedPartitions.partitionCount == expected,
+        s"postings scan read ${s.selectedPartitions.partitionCount} " +
+          s"partitions, query terms hash to $expected buckets")
+    }
+  }
+
   test("ta_chunk / u4: narrow reshapes plan with zero exchanges") {
     val chunk = plan("ta_chunk")
     assert(!chunk.contains("Exchange"), chunk.take(3000))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CacheScope, Dedup, LanguageModel, Sampling, TextAnalysis}
+import graft.operators.{BpeTrainer, CacheScope, Dedup, LanguageModel, Sampling, TextAnalysis}
 
 /** The library-facing corpus-pipeline composers behind the `pipe_*`
   * registry rows (generalizing the reference's end-to-end dataflow,
@@ -170,6 +170,53 @@ object Pipelines {
     CacheScope.materialized(docs.sparkSession)(
       buildPretrainCorpus(docs, minLineLen, minWords, minStopHits))(
       materialize)
+
+  /** [[buildPretrainCorpus]] closed through the TRAINED tokenizer — the
+    * capstone v2: after the perplexity gate, a BPE merge table is
+    * LEARNED from the kept corpus itself ([[BpeTrainer.bpeTrain]], the
+    * batched sequentially-exact rounds) and the packing/metering stage
+    * runs on those learned subwords (the ds_pack_tokens shape —
+    * contiguous greedy fill into `seqLen`-subword bins per
+    * (bucket, source) shard), so the token budget the output reports is
+    * the one the training run would actually meter with, not a proxy
+    * word count or a foreign tokenizer's.
+    *
+    * @param sources (doc_id, source) shard keys for the packing window
+    *                — per-(bucket, source) partitions, never a global
+    *                single-task window
+    * @return (doc_id, source, n_words, logppl, bucket, n_subwords,
+    *         seq_id) */
+  def buildPretrainCorpusTokenized(docs: DataFrame, sources: DataFrame,
+      minLineLen: Int = 10, minWords: Int = 50, minStopHits: Int = 2,
+      nMerges: Int = 6, seqLen: Int = 512): DataFrame = {
+    val lined = Dedup.lineDedup(docs, "doc_id", "text", minLen = minLineLen)
+    val gated = gopherGate(lined, minWords, minStopHits)
+    val kept = exactDedup(gated)
+    val survivors = kept.join(lshDrops(kept), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("text"), col("n_words"))
+      .localCheckpoint(eager = false) // feeds the LM train AND score legs
+    val scored = LanguageModel.knLogPerplexity(survivors, "doc_id", "text",
+      pmod(col("doc_id"), lit(4)) =!= 0)
+    // the final kept corpus feeds tokenizer TRAINING and the metering
+    // scan — checkpoint so the whole upstream pipeline runs once
+    val fin = survivors
+      .join(LanguageModel.perplexityBuckets(scored), Seq("doc_id"))
+      .where(col("bucket") =!= "tail")
+      .select(col("doc_id"), col("text"), col("n_words"), col("logppl"),
+        col("bucket"))
+      .localCheckpoint(eager = false)
+    val merges = BpeTrainer.bpeTrain(fin, "text", nMerges)
+    val metered = BpeTrainer.subwordCounts(fin, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_subwords"))
+    val w = Window.partitionBy("bucket", "source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fin.join(metered, Seq("doc_id"))
+      .join(sources.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .withColumn("cum", sum("n_subwords").over(w))
+      .withColumn("seq_id", expr(s"(cum - n_subwords) div $seqLen"))
+      .select(col("doc_id"), col("source"), col("n_words"), col("logppl"),
+        col("bucket"), col("n_subwords"), col("seq_id"))
+  }
 
   def c4Corpus[T](docs: DataFrame, minLineLen: Int = 10, minWords: Int = 50,
                   minStopHits: Int = 2)(materialize: DataFrame => T): T =

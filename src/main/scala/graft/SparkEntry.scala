@@ -9767,6 +9767,65 @@ object SparkEntry {
               |SELECT doc_id, n_words, logppl, bucket FROM lab
               |WHERE bucket <> 'tail'""".stripMargin)),
 
+    // The capstone CLOSED through its own trained tokenizer (v2): the
+    // same five curation stages, then a BPE merge table LEARNED from
+    // the kept corpus meters every kept doc and packs it into
+    // 512-subword bins per (bucket, source) shard — the token budget
+    // reported is the one the training run would meter with. Oracle
+    // composes the SAME shared CTE chains as pipe_pretrain_corpus plus
+    // the bpeTrainCtesFrom chain over the kept text (subword counts
+    // read off the final dictionary state — the ta_bpe_apply_learned
+    // equivalence).
+    Q("pipe_pretrain_tokenized",
+      (s, dir) => Pipelines.buildPretrainCorpusTokenized(linedDocs(s, dir),
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        minLineLen = 10, minWords = 50, minStopHits = 1),
+      Some(s"""WITH $lineDedupCtes,
+              |c4t AS (${toksSqlFrom("lined_docs")}),
+              |${gopherCtes("c4t")},
+              |gated AS (
+              |  SELECT gf.doc_id, ld.text, gf.n_words
+              |  FROM gf JOIN lined_docs ld USING (doc_id)
+              |  WHERE ${gopherKeepSql(50, 1)}),
+              |kept AS (
+              |  SELECT doc_id, text, n_words FROM (
+              |    SELECT *, row_number() OVER (PARTITION BY md5(text)
+              |      ORDER BY doc_id) AS rn FROM gated) WHERE rn = 1),
+              |${lshDropsSqlFrom("kept")},
+              |surv AS (SELECT doc_id, text, n_words FROM kept
+              |         WHERE doc_id NOT IN (SELECT b_id FROM drops)),
+              |${knPplCtesFrom("surv")},
+              |cuts AS (SELECT
+              |    round(quantile_cont(logppl, 1e0/3), 6) AS t1,
+              |    round(quantile_cont(logppl, 2e0/3), 6) AS t2
+              |  FROM kn_scored),
+              |lab AS (SELECT s.doc_id, s.text, s.n_words, k.logppl,
+              |    CASE WHEN k.logppl <= t1 THEN 'head'
+              |         WHEN k.logppl <= t2 THEN 'middle'
+              |         ELSE 'tail' END AS bucket
+              |  FROM surv s JOIN kn_scored k USING (doc_id)
+              |  CROSS JOIN cuts),
+              |fin AS MATERIALIZED (
+              |  SELECT doc_id, text, n_words, logppl, bucket
+              |  FROM lab WHERE bucket <> 'tail'),
+              |btk AS MATERIALIZED (${toksSqlFrom("fin")}),
+              |${bpeTrainCtesFrom(6, "btk")},
+              |wl AS (SELECT word, len(sy) AS nsub FROM bpe_s6),
+              |tokd AS (SELECT id, unnest(tk) AS word FROM btk),
+              |met AS (SELECT id AS doc_id,
+              |          CAST(sum(nsub) AS BIGINT) AS n_subwords
+              |        FROM tokd JOIN wl USING (word) GROUP BY id),
+              |pk AS (SELECT f.doc_id, d.source, f.n_words, f.logppl,
+              |    f.bucket, m.n_subwords,
+              |    sum(m.n_subwords) OVER (
+              |      PARTITION BY f.bucket, d.source ORDER BY f.doc_id
+              |      ROWS UNBOUNDED PRECEDING) AS cum
+              |  FROM fin f JOIN met m USING (doc_id)
+              |  JOIN documents d USING (doc_id))
+              |SELECT doc_id, source, n_words, logppl, bucket, n_subwords,
+              |  CAST((cum - n_subwords) // 512 AS BIGINT) AS seq_id
+              |FROM pk""".stripMargin)),
+
     // DS: deterministic hard-negative sampling for contrastive
     // training — 4 seeded pseudo-random negatives per anchor, with
     // exact-duplicate pairs EXCLUDED before ranking (a near-dup
@@ -10103,7 +10162,14 @@ object SparkEntry {
       s"SELECT CAST($r AS INTEGER) AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM bpe_b$r")
       .mkString("\nUNION ALL\n")
 
-  private def bpeTrainCtes(iters: Int): String = {
+  private def bpeTrainCtes(iters: Int): String =
+    s"""tk0 AS ($toksSql),
+       |${bpeTrainCtesFrom(iters, "tk0")}""".stripMargin
+
+  /** [[bpeTrainCtes]] parameterized over the token CTE (id, tk) the
+    * dictionary builds from — the capstone v2 trains on its own kept
+    * corpus, not the raw documents table. */
+  private def bpeTrainCtesFrom(iters: Int, tokCte: String): String = {
     val rounds = (1 to iters).map { r =>
       val prev = s"bpe_s${r - 1}"
       s"""bpe_p$r AS (
@@ -10138,15 +10204,14 @@ object SparkEntry {
          |  FROM (SELECT *, lead(s_i) OVER (PARTITION BY word ORDER BY i)
          |          AS lead_s
          |        FROM bpe_g$r)),
-         |bpe_s$r AS (
+         |bpe_s$r AS MATERIALIZED (
          |  SELECT word, freq, list(sym ORDER BY i) AS sy
          |  FROM bpe_y$r WHERE NOT consumed GROUP BY word, freq)"""
         .stripMargin
     }.mkString(",\n")
-    s"""tk0 AS ($toksSql),
-       |bpe_s0 AS (
+    s"""bpe_s0 AS MATERIALIZED (
        |  SELECT word, count(*) AS freq, string_split(word, '') AS sy
-       |  FROM (SELECT unnest(tk) AS word FROM tk0) GROUP BY word),
+       |  FROM (SELECT unnest(tk) AS word FROM $tokCte) GROUP BY word),
        |$rounds""".stripMargin
   }
 

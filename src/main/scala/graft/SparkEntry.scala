@@ -2230,6 +2230,78 @@ object SparkEntry {
            |SELECT id, rep_id, n_rep, keep, batch_id FROM f2""".stripMargin
       }),
 
+    // ST: FLAG-mode streaming TEXT dedup — st_embed_dedup_collapse's
+    // MinHash sibling (one shared IncrementalIngest.foldCollapse
+    // skeleton): exact-duplicate texts collapse to a min-id rep by
+    // text digest before the probe (identical text = identical
+    // signature, so sig_sim is exactly 1 and the collapse is always
+    // sound), reps probe the standing index + each other, per-id keep
+    // flags + rep multiplicity out, reps-only index growth.
+    Q("st_dedup_collapse",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val dup = docs.where(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+        val all = docs.unionByName(dup)
+        val index = Dedup.minHashIndex(
+          all.where(pmod(col("doc_id"), lit(4)) =!= 0 &&
+            col("doc_id") < 100000L),
+          "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2)
+        graft.streaming.DedupStream.ingestFoldCollapse(index,
+          Seq(all.where(pmod(col("doc_id"), lit(8)) === 0 ||
+              col("doc_id") >= 100000L),
+            all.where(pmod(col("doc_id"), lit(8)) === 4 &&
+              col("doc_id") < 100000L)),
+          "doc_id", "text", shingleN = 3, bands = 8, rowsPerBand = 2,
+          simThreshold = 0.25)
+      },
+      Some {
+        val sim = """list_sum(list_transform(range(1, 17), i_ ->
+                    |  CASE WHEN x.sig[i_] = y.sig[i_] THEN 1 ELSE 0
+                    |  END))::DOUBLE / 16""".stripMargin
+        def collapseBatch(n: Int, pred: String, idx: String) =
+          s"""g$n AS (SELECT doc_id AS id, md5(text) AS gk
+             |        FROM da WHERE $pred),
+             |r$n AS (SELECT gk, min(id) AS rep_id, count(*) AS n_rep
+             |        FROM g$n GROUP BY gk),
+             |w$n AS (SELECT g$n.id, r$n.rep_id, r$n.n_rep
+             |        FROM g$n JOIN r$n USING (gk)),
+             |rb$n AS (SELECT b.* FROM banded b
+             |         JOIN w$n ON b.id = w$n.id AND w$n.id = w$n.rep_id),
+             |d$n AS (
+             |  SELECT DISTINCT y.id AS rep_id FROM $idx x JOIN rb$n y
+             |    ON x.band = y.band AND x.bucket = y.bucket
+             |      AND x.id <> y.id
+             |  WHERE $sim >= 0.25
+             |  UNION
+             |  SELECT DISTINCT y.id FROM rb$n x JOIN rb$n y
+             |    ON x.band = y.band AND x.bucket = y.bucket
+             |      AND x.id < y.id
+             |  WHERE $sim >= 0.25),
+             |f$n AS (SELECT w$n.id, w$n.rep_id,
+             |    CAST(w$n.n_rep AS BIGINT) AS n_rep,
+             |    CASE WHEN w$n.id <> w$n.rep_id OR d$n.rep_id IS NOT NULL
+             |      THEN 0 ELSE 1 END AS keep,
+             |    CAST(${n - 1} AS BIGINT) AS batch_id
+             |  FROM w$n LEFT JOIN d$n ON w$n.rep_id = d$n.rep_id)"""
+        s"""WITH d0 AS (SELECT doc_id, text FROM documents),
+           |da AS (SELECT doc_id, text FROM d0
+           |       UNION ALL
+           |       SELECT doc_id + 100000, text FROM d0
+           |       WHERE doc_id % 5 = 0),
+           |${minhashBandedSqlFrom("da")},
+           |old AS (SELECT * FROM banded
+           |        WHERE id % 4 <> 0 AND id < 100000),
+           |${collapseBatch(1, "doc_id % 8 = 0 OR doc_id >= 100000",
+              "old")},
+           |i2 AS (SELECT * FROM old UNION ALL SELECT * FROM rb1),
+           |${collapseBatch(2, "doc_id % 8 = 4 AND doc_id < 100000",
+              "i2")}
+           |SELECT id, rep_id, n_rep, keep, batch_id FROM f1
+           |UNION ALL
+           |SELECT id, rep_id, n_rep, keep, batch_id FROM f2""".stripMargin
+      }),
+
     // Cluster-level dedup: LSH pair graph -> connected components ->
     // canonical keep (longest text, min-id tiebreak). The transitive-
     // closure policy LLM corpus dedup uses, vs pipe_clean_corpus's

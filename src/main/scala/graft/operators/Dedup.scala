@@ -248,6 +248,47 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("kind"), col("sig_sim"))
   }
 
+  /** FLAG-mode incremental TEXT dedup — [[embedDedupCollapse]] for the
+    * MinHash modality, closing the same scale hole: exact-duplicate
+    * TEXTS share every band bucket, so a duplicate mega-group makes
+    * pair emission quadratic by construction. Each batch collapses to
+    * min-id reps by text digest (identical text ⇒ identical signature
+    * ⇒ sig_sim exactly 1, so the collapse is always sound — no
+    * float-ulp gate needed, unlike the cosine side), reps probe the
+    * standing [[minHashIndex]] and each other, and the output is
+    * per-id keep flags with the rep-multiplicity audit. Only reps'
+    * band rows join the index.
+    *
+    * @return (flags(id, rep_id, n_rep, keep), repBanded) */
+  def minHashDedupCollapse(index: DataFrame, newDocs: DataFrame,
+                           idCol: String, textCol: String,
+                           shingleN: Int = 3, bands: Int = 8,
+                           rowsPerBand: Int = 2,
+                           simThreshold: Double = 0.5)
+      : (DataFrame, DataFrame) = {
+    val rows = newDocs.select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("gk", md5(col("text")))
+    val groups = rows.groupBy("gk")
+      .agg(min(col("id")).as("rep_id"), count(lit(1)).as("n_rep"))
+    // two consumers: the reps' banding and the final flag join-back
+    val withRep = rows.join(groups, "gk")
+      .select(col("id"), col("text"), col("rep_id"), col("n_rep"))
+      .transform(CacheScope.pin)
+    val repBanded = minHashIndex(
+      withRep.where(col("id") === col("rep_id"))
+        .select(col("id"), col("text")),
+      "id", "text", shingleN, bands, rowsPerBand)
+    val droppedReps = incrementalMinHashBuckets(index, repBanded,
+        bands * rowsPerBand, simThreshold)
+      .select(col("b_id").as("rep_id")).distinct()
+    val flags = withRep
+      .join(droppedReps.withColumn("hit", lit(1)), Seq("rep_id"), "left")
+      .select(col("id"), col("rep_id"), col("n_rep"),
+        when(col("id") =!= col("rep_id") || col("hit").isNotNull, 0)
+          .otherwise(1).as("keep"))
+    (flags, repBanded)
+  }
+
   def minHashLSH(docs: DataFrame, idCol: String, textCol: String,
                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
                  simThreshold: Double = 0.5): DataFrame = {

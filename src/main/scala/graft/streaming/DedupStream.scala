@@ -52,4 +52,45 @@ object DedupStream {
       Dedup.incrementalMinHashBuckets(_, _, bands * rowsPerBand,
         simThreshold),
       indexTable, outPath, checkpoint)
+
+  // ------------------------------------------------------- FLAG mode
+
+  /** FLAG-mode fold ([[Dedup.minHashDedupCollapse]] — exact-duplicate
+    * texts collapse to a rep before the probe; keep flags + rep
+    * multiplicity instead of pair emission) —
+    * [[IncrementalIngest.foldCollapse]], the one copy of the flag-mode
+    * skeleton both modalities share. */
+  def ingestFoldCollapse(index: DataFrame, batches: Seq[DataFrame],
+                         idCol: String, textCol: String,
+                         shingleN: Int = 3, bands: Int = 8,
+                         rowsPerBand: Int = 2,
+                         simThreshold: Double = 0.5): DataFrame =
+    IncrementalIngest.foldCollapse(index, batches, idCol,
+      textCollapse(idCol, textCol, shingleN, bands, rowsPerBand,
+        simThreshold))
+
+  /** Streaming FLAG-mode path — replay-idempotent per
+    * [[IncrementalIngest.ingestBatchCollapse]]. */
+  def runCollapse(streamDocs: DataFrame, idCol: String, textCol: String,
+                  indexTable: String, outPath: String, checkpoint: String,
+                  shingleN: Int = 3, bands: Int = 8, rowsPerBand: Int = 2,
+                  simThreshold: Double = 0.5): StreamingQuery =
+    IncrementalIngest.runCollapse(streamDocs, idCol,
+      textCollapse(idCol, textCol, shingleN, bands, rowsPerBand,
+        simThreshold),
+      indexTable, outPath, checkpoint)
+
+  private def textCollapse(idCol: String, textCol: String, shingleN: Int,
+      bands: Int, rowsPerBand: Int, simThreshold: Double)
+      : (DataFrame, DataFrame) => (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    (idx, batch) =>
+      Dedup.minHashDedupCollapse(idx,
+        // the empty-fold path hands an index-shaped frame through;
+        // real batches carry (idCol, textCol) already
+        if (batch.columns.contains(textCol)) batch
+        else batch.select(col("id").as(idCol)).limit(0)
+          .withColumn(textCol, lit("")),
+        idCol, textCol, shingleN, bands, rowsPerBand, simThreshold)
+  }
 }

@@ -53,76 +53,37 @@ object EmbedDedupStream {
     * doc for why pair emission is the opt-in): each batch collapses its
     * exact duplicates, probes index + earlier batches' reps, emits
     * (id, rep_id, n_rep, keep, batch_id), and appends its REPS'
-    * buckets for later batches. Same re-ingested-id contract as
-    * [[ingestFold]]: the probe sees the index minus the batch's own
-    * ids, the append keeps only new ids. */
+    * buckets for later batches — [[IncrementalIngest.foldCollapse]],
+    * the one copy of the flag-mode skeleton both modalities share. */
   def ingestFoldCollapse(index: DataFrame, batches: Seq[DataFrame],
                          idCol: String, vecCol: String,
                          threshold: Double = 0.9, numPlanes: Int = 8,
-                         tables: Int = 4): DataFrame = {
-    import org.apache.spark.sql.functions._
-    if (batches.isEmpty)
-      return Dedup.embedDedupCollapse(index.limit(0), index.limit(0)
-          .select(col("id").as(idCol), col("v").as(vecCol)),
-        idCol, vecCol, threshold, numPlanes, tables)
-        ._1.withColumn("batch_id", lit(0L)).limit(0)
-    var idx = index
-    val outs = batches.zipWithIndex.map { case (b, i) =>
-      val batchIds = b.select(col(idCol).as("id")).distinct()
-      val (flags, repBuckets) = Dedup.embedDedupCollapse(
-        idx.join(broadcast(batchIds), Seq("id"), "left_anti"), b,
-        idCol, vecCol, threshold, numPlanes, tables)
-      idx = idx.unionByName(
-        repBuckets.join(broadcast(idx.select(col("id"))
-          .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()),
-          Seq("id"), "left_anti"))
-      flags.withColumn("batch_id", lit(i.toLong))
-    }
-    outs.reduce(_ unionByName _)
-  }
+                         tables: Int = 4): DataFrame =
+    IncrementalIngest.foldCollapse(index, batches, idCol,
+      embedCollapse(idCol, vecCol, threshold, numPlanes, tables))
 
-  /** FLAG-mode micro-batch ingest, replay-idempotent exactly like
-    * [[IncrementalIngest.ingestBatch]]: flags overwrite their own
-    * batch_id partition, the index append anti-joins ids already
-    * present, and the probe reads the index minus the batch's ids. */
-  private[graft] def ingestCollapseBatch(batch: DataFrame, idCol: String,
-      vecCol: String, threshold: Double, numPlanes: Int, tables: Int,
-      indexTable: String, outPath: String, batchId: Long): Unit = {
-    import org.apache.spark.sql.functions._
-    val spark = batch.sparkSession
-    val batchIds = batch.select(col(idCol).as("id")).distinct()
-    val idx = spark.table(indexTable)
-      .join(broadcast(batchIds), Seq("id"), "left_anti")
-    val (flags, repBuckets0) = Dedup.embedDedupCollapse(idx, batch,
-      idCol, vecCol, threshold, numPlanes, tables)
-    val repBuckets = repBuckets0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      flags.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(outPath)
-      val present = spark.table(indexTable).select(col("id"))
-        .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
-      repBuckets.join(broadcast(present), Seq("id"), "left_anti")
-        .write.mode("append").insertInto(indexTable)
-    } finally repBuckets.unpersist(false)
-  }
-
-  /** Streaming FLAG-mode path — [[run]]'s foreachBatch skeleton around
-    * [[ingestCollapseBatch]]. */
+  /** Streaming FLAG-mode path — replay-idempotent per
+    * [[IncrementalIngest.ingestBatchCollapse]]. */
   def runCollapse(streamEmb: DataFrame, idCol: String, vecCol: String,
                   indexTable: String, outPath: String, checkpoint: String,
                   threshold: Double = 0.9, numPlanes: Int = 8,
                   tables: Int = 4): StreamingQuery =
-    streamEmb.writeStream
-      .foreachBatch {
-        (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-         batchId: Long) =>
-          ingestCollapseBatch(b.toDF(), idCol, vecCol, threshold,
-            numPlanes, tables, indexTable, outPath, batchId)
-      }
-      .option("checkpointLocation", checkpoint)
-      .start()
+    IncrementalIngest.runCollapse(streamEmb, idCol,
+      embedCollapse(idCol, vecCol, threshold, numPlanes, tables),
+      indexTable, outPath, checkpoint)
+
+  private def embedCollapse(idCol: String, vecCol: String,
+      threshold: Double, numPlanes: Int, tables: Int)
+      : (DataFrame, DataFrame) => (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    (idx, batch) =>
+      Dedup.embedDedupCollapse(idx,
+        // the empty-fold path hands an index-shaped frame through;
+        // real batches carry (idCol, vecCol) already
+        if (batch.columns.contains(vecCol)) batch
+        else batch.select(col("id").as(idCol)).limit(0)
+          .withColumn(vecCol,
+            org.apache.spark.sql.functions.array().cast("array<float>")),
+        idCol, vecCol, threshold, numPlanes, tables)
+  }
 }

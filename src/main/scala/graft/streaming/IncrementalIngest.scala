@@ -116,6 +116,79 @@ object IncrementalIngest {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  // ----------------------------------------------------- FLAG mode
+  // The collapse-mode skeleton shared by both modalities
+  // (Dedup.minHashDedupCollapse text, Dedup.embedDedupCollapse
+  // vectors): probeCollapse(index, batch) returns (per-id flags, the
+  // REPS' index rows to append). Same re-ingested-id and replay
+  // contracts as the pair-mode skeleton above.
+
+  /** Deterministic batch-sequenced fold of a FLAG-mode dedup: each
+    * batch's flags ride out with batch_id; only reps' rows join the
+    * index for later batches. */
+  def foldCollapse(index: DataFrame, batches: Seq[DataFrame],
+      idCol: String,
+      probeCollapse: (DataFrame, DataFrame) => (DataFrame, DataFrame))
+      : DataFrame = {
+    if (batches.isEmpty)
+      return probeCollapse(index.limit(0),
+          index.limit(0).select(col("id").as(idCol)))
+        ._1.withColumn("batch_id", lit(0L)).limit(0)
+    var idx = index
+    val outs = batches.zipWithIndex.map { case (b, i) =>
+      val batchIds = b.select(col(idCol).as("id")).distinct()
+      val (flags, repRows) = probeCollapse(
+        idx.join(broadcast(batchIds), Seq("id"), "left_anti"), b)
+      idx = idx.unionByName(
+        repRows.join(broadcast(idx.select(col("id"))
+          .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()),
+          Seq("id"), "left_anti"))
+      flags.withColumn("batch_id", lit(i.toLong))
+    }
+    outs.reduce(_ unionByName _)
+  }
+
+  /** FLAG-mode micro-batch ingest — replay-idempotent exactly like
+    * [[ingestBatch]]: flags overwrite their own batch_id partition, the
+    * index append anti-joins ids already present, the probe reads the
+    * index minus the batch's ids. */
+  private[graft] def ingestBatchCollapse(batch: DataFrame, idCol: String,
+      probeCollapse: (DataFrame, DataFrame) => (DataFrame, DataFrame),
+      indexTable: String, outPath: String, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val batchIds = batch.select(col(idCol).as("id")).distinct()
+    val idx = spark.table(indexTable)
+      .join(broadcast(batchIds), Seq("id"), "left_anti")
+    val (flags, repRows0) = probeCollapse(idx, batch)
+    val repRows = repRows0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      flags.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(outPath)
+      val present = spark.table(indexTable).select(col("id"))
+        .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
+      repRows.join(broadcast(present), Seq("id"), "left_anti")
+        .write.mode("append").insertInto(indexTable)
+    } finally repRows.unpersist(false)
+  }
+
+  /** Streaming FLAG-mode path — [[run]]'s foreachBatch skeleton around
+    * [[ingestBatchCollapse]]. */
+  def runCollapse(stream: DataFrame, idCol: String,
+      probeCollapse: (DataFrame, DataFrame) => (DataFrame, DataFrame),
+      indexTable: String, outPath: String,
+      checkpoint: String): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatchCollapse(batch.toDF(), idCol, probeCollapse,
+          indexTable, outPath, batchId)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Number of data files behind the standing index — the operable
     * fragment metric: every micro-batch append adds up to one file per
     * bucket per task, so a probe after N batches opens O(N x buckets)

@@ -67,6 +67,57 @@ class DedupStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("FLAG mode: streaming collapse ingest equals the fold; " +
+    "exact-duplicate texts collapse to one rep, reps flag against the " +
+    "index and earlier batches, only reps join the index") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("dedup_collapse")
+      .toString
+    val tbl = "dedup_collapse_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeMinHashIndex(
+      Dedup.minHashIndex(indexed.toDF(), "doc_id", "text"),
+      tbl, s"$dir/index")
+    // batch 1: a 3-copy exact-dup group whose text matches standing doc
+    // 1 (rep 30 collapses 31/32, then drops vs_index), plus a fresh doc
+    // 33; batch 2: an exact copy of the KEPT 33 (drops vs_index through
+    // the rep's band rows) and a fresh survivor
+    val fresh = "entirely novel wording that matches no standing entry"
+    val cb1 = Seq(
+      Doc(30, "the quick brown fox jumps over the lazy dog tonight"),
+      Doc(31, "the quick brown fox jumps over the lazy dog tonight"),
+      Doc(32, "the quick brown fox jumps over the lazy dog tonight"),
+      Doc(33, fresh))
+    val cb2 = Seq(Doc(40, fresh),
+      Doc(41, "yet another unrelated sentence with disjoint vocabulary"))
+    val mem = MemoryStream[Doc]
+    val q = DedupStream.runCollapse(mem.toDF(), "doc_id", "text", tbl,
+      s"$dir/out", s"$dir/ckpt", simThreshold = 0.25)
+    try {
+      mem.addData(cb1: _*); q.processAllAvailable()
+      mem.addData(cb2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$dir/out")
+      .select("id", "rep_id", "n_rep", "keep", "batch_id")
+      .as[(Long, Long, Long, Int, Long)].collect().toSet
+    val fold = DedupStream.ingestFoldCollapse(
+        Dedup.minHashIndex(indexed.toDF(), "doc_id", "text"),
+        Seq(cb1.toDF(), cb2.toDF()), "doc_id", "text",
+        simThreshold = 0.25)
+      .select("id", "rep_id", "n_rep", "keep", "batch_id")
+      .as[(Long, Long, Long, Int, Long)].collect().toSet
+    assert(got == fold, s"stream $got vs fold $fold")
+    assert(got((31L, 30L, 3L, 0, 0L)) && got((32L, 30L, 3L, 0, 0L)),
+      got.toString)
+    assert(got((30L, 30L, 3L, 0, 0L)), got.toString) // dup of standing 1
+    assert(got((33L, 33L, 1L, 1, 0L)), got.toString)
+    assert(got((40L, 40L, 1L, 0, 1L)), got.toString) // dup of kept 33
+    assert(got((41L, 41L, 1L, 1, 1L)), got.toString)
+    // index grew by REPS only: 3 standing + {30, 33} + {40, 41}
+    assert(spark.table(tbl).select("id").distinct().count() == 7)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("within-batch dups are flagged in the arriving batch itself") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream2")

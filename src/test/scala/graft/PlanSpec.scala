@@ -273,7 +273,8 @@ class PlanSpec extends SparkTestBase {
     "is a bucket/cluster equi-join, never nested-loop") {
     for (q <- Seq("dd_embed_lsh", "dd_decontaminate", "dd_semantic",
         "dd_audio_fingerprint", "st_embed_dedup",
-        "dd_semantic_decontaminate")) {
+        "dd_semantic_decontaminate", "st_embed_dedup_collapse",
+        "st_dedup_collapse")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(2000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
@@ -540,5 +541,14 @@ class PlanSpec extends SparkTestBase {
     // are those frames' own model-sized aggregates
     val cap = plan("pipe_pretrain_corpus")
     assert(!cap.contains("CartesianProduct"), cap.take(3000))
+    // the tokenizer-closed capstone: same gate (its BPE training runs
+    // at construction; the final plan is metering + packing joins)
+    val capT = plan("pipe_pretrain_tokenized")
+    assert(!capT.contains("CartesianProduct"), capT.take(3000))
+    // multi-level louvain's final mapping is keyed joins over
+    // checkpointed level frames — no cartesian, no nested loop
+    val lm = plan("gr_louvain_multi")
+    assert(!lm.contains("CartesianProduct"), lm.take(3000))
+    assert(!lm.contains("BroadcastNestedLoopJoin"), lm.take(3000))
   }
 }

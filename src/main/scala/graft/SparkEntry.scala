@@ -10009,6 +10009,85 @@ object SparkEntry {
               |    ELSE 0e0 END) + 0e0 AS gain
               |FROM r WHERE rn = 1""".stripMargin)),
 
+    // GR: 3-core of the part CO-ORDER graph (parts co-occurring in at
+    // least 2 orders — the co-purchase graph, sparsified so the peel
+    // has real structure: 1892 -> 1055 nodes over 8 rounds at the gate
+    // sf) — the classic degeneracy peel: drop nodes with fewer than k
+    // surviving neighbors until nothing drops. Oracle unrolls 9 peel
+    // rounds (matching maxRounds; a no-drop round replays as a no-op,
+    // the louvainMulti replayability contract) and reads the
+    // within-core degrees off the final survivor set.
+    Q("gr_kcore",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("m")).where(col("m") >= 2)
+          .select("src", "dst")
+        PageRank.kCore(e, k = 3, maxRounds = 9)
+      },
+      Some {
+        def round(n: Int) = {
+          val prev = if (n == 1) "ks0" else s"ks${n - 1}"
+          s"""kd$n AS (SELECT e.src AS node, count(*) AS d
+             |  FROM e JOIN $prev a ON e.src = a.node
+             |  JOIN $prev b ON e.dst = b.node GROUP BY 1),
+             |ks$n AS MATERIALIZED (SELECT node FROM kd$n WHERE d >= 3)"""
+        }
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_partkey <> b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |ks0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+           |${(1 to 9).map(round).mkString(",\n")}
+           |SELECT node, CAST(d AS BIGINT) AS core_deg FROM (
+           |  SELECT e.src AS node, count(*) AS d
+           |  FROM e JOIN ks9 a ON e.src = a.node
+           |  JOIN ks9 b ON e.dst = b.node GROUP BY 1)""".stripMargin
+      }),
+
+    // GR: weighted modularity of the CONTRACTED community graph under
+    // its identity labeling — by the contraction convention (intra
+    // weight on the self-loop, degrees preserved) these q_contribs
+    // EQUAL gr_modularity's on the original graph (the invariance
+    // spec), so the row pins the convention end to end with its own
+    // oracle replay of contraction + weighted scoring.
+    Q("gr_modularity_contracted",
+      (s, dir) => {
+        val bidir = suppBidirEdges(s, dir)
+        val labels = PageRank.labelPropagation(bidir, iterations = 3)
+        PageRank.modularityWeighted(
+          PageRank.contract(bidir.withColumn("w", lit(1L)), labels),
+          labels.select(col("label").as("node"), col("label")).distinct())
+      },
+      Some(s"""WITH $lpropL3Ctes,
+              |ew AS (SELECT src, dst, CAST(1 AS BIGINT) AS w FROM e),
+              |${louvainContractCtes("ew", "l3", "e2", "i0")},
+              |tot AS (SELECT sum(w)::DOUBLE AS m2 FROM e2),
+              |dg AS (SELECT src AS node, CAST(sum(w) AS BIGINT) AS d
+              |       FROM e2 GROUP BY 1),
+              |dl AS (SELECT i0.label, count(*) AS n_nodes,
+              |         CAST(sum(dg.d) AS BIGINT) AS degree_sum
+              |       FROM i0 JOIN dg ON i0.node = dg.node GROUP BY 1),
+              |iw AS (SELECT la.label AS label,
+              |         CAST(sum(e2.w) AS BIGINT) AS intra_w
+              |       FROM e2 JOIN i0 la ON e2.src = la.node
+              |       JOIN i0 lb ON e2.dst = lb.node
+              |       WHERE la.label = lb.label GROUP BY 1)
+              |SELECT dl.label, dl.n_nodes,
+              |  CAST(coalesce(iw.intra_w, 0) AS BIGINT) AS intra_w,
+              |  dl.degree_sum,
+              |  floor((coalesce(iw.intra_w, 0) / m2 -
+              |    (dl.degree_sum / m2) * (dl.degree_sum / m2)) * 1e6
+              |    + 5e-1) / 1e6 AS q_contrib
+              |FROM dl LEFT JOIN iw USING (label), tot""".stripMargin)),
+
     // GR: MULTI-LEVEL Louvain (both Blondel phases) — local-move rounds
     // to a fixpoint, communities CONTRACTED to super-nodes (intra
     // weight on a self-loop, parallel edges summed), move rounds

@@ -655,6 +655,40 @@ object PageRank {
           lit(0.5)) / lit(1e6)).as("q_contrib"))
   }
 
+  /** [[modularity]] generalized to INTEGER-WEIGHTED edges with
+    * self-loops — the scorer for [[contract]]ed graphs: q_c =
+    * w_c/Σw − (D_c/Σw)² with w_c the directed intra weight (a (c, c)
+    * self-loop row counts once, carrying the full directed intra sum —
+    * the [[contract]] convention) and D_c = Σ src-weighted degrees.
+    * Under that convention modularity is INVARIANT under contraction:
+    * score a labeling on the original graph or the identity labeling
+    * on its contraction, same numbers (spec'd — the invariant that
+    * makes multi-level Louvain's per-level gains commensurable). */
+  def modularityWeighted(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val lab = labels.select($"node", $"label")
+    val e = edges.select($"src", $"dst", $"w")
+    val tot = e.agg(sum($"w").cast("double").as("m2"))
+    val intra = e
+      .join(lab.select($"node".as("src"), $"label".as("src_lab")), "src")
+      .join(lab.select($"node".as("dst"), $"label".as("dst_lab")), "dst")
+      .where($"src_lab" === $"dst_lab")
+      .groupBy($"src_lab".as("label"))
+      .agg(sum($"w").as("intra_w"))
+    val deg = e.groupBy($"src").agg(sum($"w").as("d"))
+      .join(lab.select($"node".as("src"), $"label"), "src")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_nodes"), sum($"d").as("degree_sum"))
+    deg.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("intra_w"))
+      .crossJoin(broadcast(tot))
+      .select($"label", $"n_nodes", $"intra_w", $"degree_sum",
+        (floor(($"intra_w" / $"m2" -
+          ($"degree_sum" / $"m2") * ($"degree_sum" / $"m2")) * lit(1e6) +
+          lit(0.5)) / lit(1e6)).as("q_contrib"))
+  }
+
   /** One synchronized Louvain local-move round (Blondel et al. 2008 —
     * the modularity-ASCENT refinement [[labelPropagation]]'s frequency
     * heuristic lacks): every node simultaneously evaluates moving to
@@ -903,5 +937,57 @@ object PageRank {
     if (pendingFixRdd != null) pendingFixRdd.unpersist(false)
     gRdd.unpersist(false)
     mapping
+  }
+
+  /** k-CORE: the maximal subgraph where every node keeps >= k
+    * neighbors — the classic degeneracy peel (Seidman 1983; the
+    * dense-cluster extractor community pipelines run before
+    * modularity methods). Synchronized peeling rounds: drop every
+    * node whose degree WITHIN the current survivor set is < k,
+    * repeat; a round that drops nothing is the fixpoint, so the
+    * unrolled-CTE oracle's extra rounds replay as no-ops (the
+    * louvainMulti replayability contract). Rounds materialize through
+    * [[org.apache.spark.sql.graft.CheckpointOps]] (capped stats, one
+    * job per round); per-round frames are node-sized, the degree count
+    * is one edge-sized keyed aggregation.
+    *
+    * @param edges bidirectional (src, dst) — both directions present,
+    *              the [[modularity]] convention
+    * @return (node, core_deg) — survivors of the k-core with their
+    *         within-core degree */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
+    require(k >= 1 && maxRounds >= 1, "k and maxRounds must be >= 1")
+    val e = CacheScope.pin(edges.select(col("src"), col("dst")))
+    var (nodes, nodesRdd) = CheckpointOps.checkpoint(
+      e.select(col("src").as("node")).distinct())
+    var before = nodes.count()
+    var rounds = 0
+    var dropped = 1L
+    while (rounds < maxRounds && dropped > 0 && before > 0) {
+      val deg = e
+        .join(nodes.select(col("node").as("src")), "src")
+        .join(nodes.select(col("node").as("dst")), "dst")
+        .groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val (next, nextRdd) = CheckpointOps.checkpoint(
+        deg.where(col("d") >= k).select(col("node")))
+      val after = next.count()
+      dropped = before - after
+      before = after
+      nodesRdd.unpersist(false)
+      nodes = next
+      nodesRdd = nextRdd
+      rounds += 1
+    }
+    // within-core degrees over the FINAL set (== the last round's deg
+    // only at a true fixpoint, so recompute); checkpointed so the
+    // returned frame owns its blocks and the pins below can release
+    val (out, _) = CheckpointOps.checkpoint(e
+      .join(nodes.select(col("node").as("src")), "src")
+      .join(nodes.select(col("node").as("dst")), "dst")
+      .groupBy(col("src").as("node"))
+      .agg(count(lit(1)).cast("long").as("core_deg")))
+    nodesRdd.unpersist(false)
+    e.unpersist(false)
+    out
   }
 }

@@ -943,6 +943,55 @@ class OperatorsSpec extends SparkTestBase {
     assert(w1 == uw)
   }
 
+  test("kCore: pendant chains peel over MULTIPLE rounds, the triangle " +
+    "core survives with its within-core degrees; empty core is empty") {
+    // chain 1-2-3 hangs off triangle 4-5-6 via 3-4: the 2-core peel
+    // removes 1, then 2, then 3 (three sequential rounds), leaving the
+    // triangle with within-core degree 2 each
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.kCore(edges, k = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(4L -> 2L, 5L -> 2L, 6L -> 2L), got.toString)
+    // a round budget that stops mid-peel keeps the not-yet-peeled
+    // frontier (round 1 removes only node 1)
+    val partial = PageRank.kCore(edges, k = 2, maxRounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.keySet == Set(2L, 3L, 4L, 5L, 6L), partial.toString)
+    // k above the max degree empties the core
+    assert(PageRank.kCore(edges, k = 4).count() == 0)
+  }
+
+  test("modularityWeighted: w = 1 reproduces the unweighted scorer, " +
+    "and modularity is INVARIANT under contraction") {
+    def tri(base: Long) =
+      Seq((base, base + 1), (base + 1, base + 2), (base, base + 2))
+    val und = tri(1) ++ tri(4) ++ tri(7) ++ tri(10) ++
+      Seq((1L, 4L), (2L, 5L), (3L, 6L), (7L, 10L), (8L, 11L),
+        (9L, 12L), (6L, 7L), (12L, 1L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val ew = edges.withColumn("w", lit(1L))
+    val labs = (1L to 12L).map(n => (n, (n - 1) / 3 * 3 + 1))
+      .toDF("node", "label")
+    val q0 = PageRank.modularity(edges, labs)
+      .select("label", "degree_sum", "q_contrib")
+      .as[(Long, Long, Double)].collect().toSet
+    val q1 = PageRank.modularityWeighted(ew, labs)
+      .select("label", "degree_sum", "q_contrib")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(q1 == q0, s"weighted w=1 $q1 vs unweighted $q0")
+    // contraction invariance: identity labeling on the contracted
+    // graph scores the SAME per-community contributions
+    val ident = labs.select(col("label").as("node"), col("label"))
+      .distinct()
+    val q2 = PageRank.modularityWeighted(
+        PageRank.contract(ew, labs), ident)
+      .select("label", "degree_sum", "q_contrib")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(q2 == q0, s"contracted $q2 vs original $q0")
+  }
+
   test("louvainMulti: contraction merges the community pairs " +
     "single-level local moves cannot see; modularity strictly improves") {
     // hierarchical fixture: four triangles in a ring — strong 3-edge

@@ -10052,6 +10052,49 @@ object SparkEntry {
            |  JOIN ks9 b ON e.dst = b.node GROUP BY 1)""".stripMargin
       }),
 
+    // GR: full CORENESS decomposition of the same co-order graph via
+    // the H-index iteration (Lü et al. 2016: c0 = degree, c_{t+1}(v) =
+    // H of neighbors' c_t; the fixpoint IS the coreness) — converges
+    // in 7 rounds at the gate sf; the oracle unrolls 8 (no-change
+    // rounds replay as no-ops). Cross-checked against gr_kcore by
+    // spec: {coreness >= 3} == the 3-core.
+    Q("gr_coreness",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("m")).where(col("m") >= 2)
+          .select("src", "dst")
+        PageRank.coreness(e, maxRounds = 8)
+          .select(col("node"), col("core").as("coreness"))
+      },
+      Some {
+        def round(n: Int) =
+          s"""cr$n AS (SELECT e.src AS node, c.core AS nc
+             |  FROM e JOIN core${n - 1} c ON e.dst = c.node),
+             |hx$n AS (SELECT node, max(least(nc, rn)) AS h FROM (
+             |  SELECT node, nc, row_number() OVER (
+             |    PARTITION BY node ORDER BY nc DESC) AS rn
+             |  FROM cr$n) GROUP BY node),
+             |core$n AS MATERIALIZED (
+             |  SELECT node, CAST(h AS BIGINT) AS core FROM hx$n)"""
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_partkey <> b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |core0 AS MATERIALIZED (
+           |  SELECT src AS node, CAST(count(*) AS BIGINT) AS core
+           |  FROM e GROUP BY 1),
+           |${(1 to 8).map(round).mkString(",\n")}
+           |SELECT node, core AS coreness FROM core8""".stripMargin
+      }),
+
     // GR: weighted modularity of the CONTRACTED community graph under
     // its identity labeling — by the contraction convention (intra
     // weight on the self-loop, degrees preserved) these q_contribs

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.CheckpointOps
 import org.apache.spark.storage.StorageLevel
@@ -989,5 +990,52 @@ object PageRank {
     nodesRdd.unpersist(false)
     e.unpersist(false)
     out
+  }
+
+  /** FULL coreness decomposition — every node's maximal k such that it
+    * survives the k-core peel — via the H-INDEX iteration (Lü et al.
+    * 2016: c₀ = degree, c_{t+1}(v) = H of v's neighbors' c_t values;
+    * the sequence is monotonically non-increasing and its fixpoint IS
+    * the coreness), which distributes where the sequential bucket peel
+    * cannot: each round is one edge-sized join + a per-node H-index.
+    * The H-index reads off a per-node descending rank (max over i of
+    * min(cᵢ, i)) — window partitions are DEGREE-bounded (parallel
+    * across nodes, the ds_shard_shuffle shape; a hub's partition is its
+    * adjacency, which any neighborhood operator pays). A round that
+    * changes no node proves the fixpoint, so unrolled oracle rounds
+    * replay as no-ops; rounds materialize through CheckpointOps with
+    * the changed-count fused into the pass.
+    *
+    * @param edges bidirectional (src, dst)
+    * @return (node, coreness: long) */
+  def coreness(edges: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    val e = CacheScope.pin(edges.select(col("src"), col("dst")))
+    var (core, coreRdd) = CheckpointOps.checkpoint(
+      e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).cast("long").as("core")))
+    var rounds = 0
+    var changed = 1L
+    while (rounds < maxRounds && changed > 0) {
+      val w = Window.partitionBy("node").orderBy(col("nc").desc)
+      val hx = e
+        .join(core.select(col("node").as("dst"), col("core").as("nc")),
+          "dst")
+        .select(col("src").as("node"), col("nc"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("node")
+        .agg(max(least(col("nc"), col("rn"))).cast("long").as("h"))
+      // (node, old, new): the fused diff counts changed nodes
+      val (step, stepRdd, diff) = CheckpointOps.checkpointDiff(
+        core.join(hx, "node")
+          .select(col("node"), col("core"), col("h")), 1, 2)
+      changed = diff
+      core = step.select(col("node"), col("h").as("core"))
+      coreRdd.unpersist(false)
+      coreRdd = stepRdd
+      rounds += 1
+    }
+    e.unpersist(false)
+    core
   }
 }

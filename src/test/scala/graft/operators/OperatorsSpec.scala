@@ -963,6 +963,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(PageRank.kCore(edges, k = 4).count() == 0)
   }
 
+  test("coreness: H-index iteration reaches the exact core numbers; " +
+    "{coreness >= k} equals the k-core") {
+    // pendant chain 1-2-3 on triangle 4-5-6: coreness 1 for the chain,
+    // 2 for the triangle; plus K4 {7,8,9,10} bridged 6-7: coreness 3
+    def clique(ns: Seq[Long]) = for {
+      i <- ns.indices; j <- (i + 1) until ns.length
+    } yield (ns(i), ns(j))
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (4L, 6L), (6L, 7L)) ++ clique(Seq(7L, 8L, 9L, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = PageRank.coreness(edges).as[(Long, Long)].collect().toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 2L, 7L -> 3L, 8L -> 3L, 9L -> 3L, 10L -> 3L)
+    assert(got == want, got.toString)
+    // consistency with the fixed-k peel: {coreness >= k} == k-core
+    for (k <- 1 to 3) {
+      val core = PageRank.kCore(edges, k).select("node")
+        .as[Long].collect().toSet
+      assert(got.filter(_._2 >= k).keySet == core, s"k=$k")
+    }
+  }
+
   test("modularityWeighted: w = 1 reproduces the unweighted scorer, " +
     "and modularity is INVARIANT under contraction") {
     def tri(base: Long) =

@@ -2875,40 +2875,7 @@ object SparkEntry {
           .select(col("id").as("doc_id"), col("actual"), col("pred"),
             col("score"))
       },
-      Some(s"""WITH toks AS ($toksSql),
-              |trb AS (
-              |  SELECT d.lang AS label, ${h32Sql("tok", "0")} % 64 AS bucket
-              |  FROM (SELECT id, unnest(tk) AS tok FROM toks) t
-              |  JOIN documents d ON d.doc_id = t.id
-              |  WHERE d.doc_id % 5 <> 0),
-              |cnt AS (SELECT label, bucket, count(*) AS n FROM trb
-              |        GROUP BY 1, 2),
-              |tot AS (SELECT label, count(*) AS nn FROM trb GROUP BY 1),
-              |nd AS (SELECT lang AS label, count(*) AS docs FROM documents
-              |       WHERE doc_id % 5 <> 0 GROUP BY 1),
-              |ntot AS (SELECT count(*) AS total FROM documents
-              |         WHERE doc_id % 5 <> 0),
-              |grid AS (SELECT label, b AS bucket
-              |         FROM tot, (SELECT unnest(range(0, 64)) AS b)),
-              |model AS (
-              |  SELECT g.label, g.bucket,
-              |    ln((coalesce(cnt.n, 0) + 1)::DOUBLE / (tot.nn + 64))
-              |      AS logp,
-              |    ln(nd.docs::DOUBLE / ntot.total) AS logprior
-              |  FROM grid g
-              |  LEFT JOIN cnt ON g.label = cnt.label AND g.bucket = cnt.bucket
-              |  JOIN tot ON g.label = tot.label
-              |  JOIN nd ON g.label = nd.label CROSS JOIN ntot),
-              |db AS (
-              |  SELECT id, ${h32Sql("tok", "0")} % 64 AS bucket,
-              |    count(*) AS c
-              |  FROM (SELECT id, unnest(tk) AS tok FROM toks) t
-              |  WHERE id % 5 = 0 GROUP BY 1, 2),
-              |sc AS (
-              |  SELECT db.id, m.label,
-              |    sum(db.c * m.logp) + max(m.logprior) AS score
-              |  FROM db JOIN model m ON db.bucket = m.bucket
-              |  GROUP BY db.id, m.label),
+      Some(s"""WITH $nbScoredCtes,
               |best AS (
               |  SELECT id, label, score, row_number() OVER (
               |    PARTITION BY id ORDER BY score DESC, label ASC) AS rn
@@ -2917,6 +2884,53 @@ object SparkEntry {
               |  floor(b.score * 1e6 + 5e-1) / 1e6 AS score
               |FROM best b JOIN documents d ON d.doc_id = b.id
               |WHERE rn = 1""".stripMargin)),
+
+    // DS: reliability (calibration) audit of the learned NB filter —
+    // the check a confidence-gated curation filter needs before its
+    // scores gate data: softmax confidence of the predicted class,
+    // binned into deciles, each bin's mean confidence vs empirical
+    // accuracy (gap = the ECE integrand). Shares the EXACT scored-CTE
+    // chain with ta_nb_classifier (the pipelines-share-stages rule).
+    Q("ds_calibration",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val model = TextAnalysis.nbTrain(
+          docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang")
+        val sc = TextAnalysis.nbScores(docs.where(col("doc_id") % 5 === 0),
+          "doc_id", "text", model)
+        val m = sc.groupBy("id")
+          .agg(min(struct((col("score") * lit(-1.0)).as("ns"),
+            col("label").as("l"))).as("m"))
+          .select(col("id"), col("m.l").as("pred"),
+            (col("m.ns") * lit(-1.0)).as("smax"))
+        val conf = sc.join(m, "id")
+          .groupBy(col("id"), col("pred"), col("smax"))
+          .agg(sum(exp(col("score") - col("smax"))).as("z"))
+          .select(col("id"), col("pred"), (lit(1.0) / col("z")).as("conf"))
+        Features.calibrationReport(
+          conf.join(docs.select(col("doc_id").as("id"), col("lang")), "id")
+            .select(col("conf"),
+              (col("pred") === col("lang")).cast("int").as("correct")),
+          "conf", "correct")
+      },
+      Some(s"""WITH $nbScoredCtes,
+              |m AS (SELECT id, label AS pred, score AS smax FROM (
+              |  SELECT id, label, score, row_number() OVER (
+              |    PARTITION BY id ORDER BY score DESC, label ASC) AS rn
+              |  FROM sc) WHERE rn = 1),
+              |z AS (SELECT sc.id, m.pred,
+              |        sum(exp(sc.score - m.smax)) AS z
+              |      FROM sc JOIN m USING (id) GROUP BY 1, 2),
+              |cf AS (SELECT id, pred, 1e0 / z AS conf FROM z),
+              |j AS (SELECT cf.conf,
+              |        CASE WHEN cf.pred = d.lang THEN 1e0 ELSE 0e0 END
+              |          AS ok
+              |      FROM cf JOIN documents d ON d.doc_id = cf.id)
+              |SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin,
+              |  count(*) AS n,
+              |  floor(avg(conf) * 1e6 + 5e-1) / 1e6 AS mean_conf,
+              |  floor(avg(ok) * 1e6 + 5e-1) / 1e6 AS accuracy
+              |FROM j GROUP BY 1""".stripMargin)),
 
     // Quality features + composite score per document
     Q("ta_quality",
@@ -10338,6 +10352,48 @@ object SparkEntry {
        |kn_scored AS (SELECT id AS doc_id,
        |    round(avg(-ln(prob)), 6) + 0e0 AS logppl
        |  FROM kn_p GROUP BY id)""".stripMargin
+
+  /** DuckDB replay of the hashed-unigram Naive Bayes train + score
+    * (TextAnalysis.nbTrain/nbScores: doc_id%5!=0 split, lang label,
+    * 64 buckets, add-one smoothing) as CTEs ending in
+    * `sc(id, label, score)` — ONE copy shared by ta_nb_classifier and
+    * ds_calibration so the scored distribution cannot drift between
+    * the classifier row and its calibration audit. */
+  private def nbScoredCtes: String =
+    s"""toks AS ($toksSql),
+       |trb AS (
+       |  SELECT d.lang AS label, ${h32Sql("tok", "0")} % 64 AS bucket
+       |  FROM (SELECT id, unnest(tk) AS tok FROM toks) t
+       |  JOIN documents d ON d.doc_id = t.id
+       |  WHERE d.doc_id % 5 <> 0),
+       |cnt AS (SELECT label, bucket, count(*) AS n FROM trb
+       |        GROUP BY 1, 2),
+       |tot AS (SELECT label, count(*) AS nn FROM trb GROUP BY 1),
+       |nd AS (SELECT lang AS label, count(*) AS docs FROM documents
+       |       WHERE doc_id % 5 <> 0 GROUP BY 1),
+       |ntot AS (SELECT count(*) AS total FROM documents
+       |         WHERE doc_id % 5 <> 0),
+       |grid AS (SELECT label, b AS bucket
+       |         FROM tot, (SELECT unnest(range(0, 64)) AS b)),
+       |model AS (
+       |  SELECT g.label, g.bucket,
+       |    ln((coalesce(cnt.n, 0) + 1)::DOUBLE / (tot.nn + 64))
+       |      AS logp,
+       |    ln(nd.docs::DOUBLE / ntot.total) AS logprior
+       |  FROM grid g
+       |  LEFT JOIN cnt ON g.label = cnt.label AND g.bucket = cnt.bucket
+       |  JOIN tot ON g.label = tot.label
+       |  JOIN nd ON g.label = nd.label CROSS JOIN ntot),
+       |db AS (
+       |  SELECT id, ${h32Sql("tok", "0")} % 64 AS bucket,
+       |    count(*) AS c
+       |  FROM (SELECT id, unnest(tk) AS tok FROM toks) t
+       |  WHERE id % 5 = 0 GROUP BY 1, 2),
+       |sc AS MATERIALIZED (
+       |  SELECT db.id, m.label,
+       |    sum(db.c * m.logp) + max(m.logprior) AS score
+       |  FROM db JOIN model m ON db.bucket = m.bucket
+       |  GROUP BY db.id, m.label)""".stripMargin
 
   /** DuckDB replay of `BpeTrainer.bpeTrain(nMerges = iters)`: the word-
     * frequency dictionary, then per round — pair counts, the (count

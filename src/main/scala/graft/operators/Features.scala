@@ -68,4 +68,28 @@ object Features {
       .select(df.columns.map(n => col(s"ba.$n")) ++ Seq(col("fold"),
         (round(enc, 6) + 0.0).as("enc")): _*)
   }
+
+  /** Reliability (calibration) report — the audit a learned quality /
+    * language filter needs BEFORE its confidences gate data at scale:
+    * bin predicted confidence into `bins` equal-width bins and report
+    * each bin's population, mean confidence, and empirical accuracy
+    * (a calibrated model has mean_conf ≈ accuracy per bin; the gap is
+    * the expected-calibration-error integrand). One partial
+    * aggregation; output is bins-sized.
+    *
+    * @param preds rows with a [0, 1] confidence and a 0/1 correctness
+    * @return (bin, n, mean_conf, accuracy) quantized 1e-6 */
+  def calibrationReport(preds: DataFrame, confCol: String,
+                        correctCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    preds.select(
+        least(floor(col(confCol) * bins), lit(bins - 1)).cast("int")
+          .as("bin"),
+        col(confCol).as("conf"),
+        col(correctCol).cast("double").as("ok"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        (floor(avg("conf") * 1e6 + 0.5) / 1e6).as("mean_conf"),
+        (floor(avg("ok") * 1e6 + 0.5) / 1e6).as("accuracy"))
+  }
 }

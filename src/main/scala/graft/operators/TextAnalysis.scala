@@ -526,22 +526,30 @@ object TextAnalysis {
     * @return (id, pred, score). */
   def nbClassify(docs: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String, model: org.apache.spark.sql.DataFrame,
-                 numBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
+                 numBuckets: Int = 64): org.apache.spark.sql.DataFrame =
+    nbScores(docs, idCol, textCol, model, numBuckets)
+      .groupBy("id")
+      .agg(min(struct((col("score") * lit(-1.0)).as("ns"),
+        col("label").as("l"))).as("m"))
+      .select(col("id"), col("m.l").as("pred"),
+        (floor(col("m.ns") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("score"))
+
+  /** The pre-argmax frame [[nbClassify]] reduces — every (id, label)
+    * RAW log posterior — exposed for evals that need the full class
+    * distribution (softmax confidence, calibration audits). */
+  def nbScores(docs: org.apache.spark.sql.DataFrame, idCol: String,
+               textCol: String, model: org.apache.spark.sql.DataFrame,
+               numBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
     val db = docs.select(col(idCol).as("id"),
         explode(toks(col(textCol))).as("tok"))
       .select(col("id"),
         pmod(Dedup.md5Hash32(col("tok"), lit(0)), lit(numBuckets.toLong))
           .as("bucket"))
       .groupBy("id", "bucket").agg(count(lit(1)).as("c"))
-    val scored = db.join(broadcast(model), "bucket")
+    db.join(broadcast(model), "bucket")
       .groupBy("id", "label")
       .agg((sum(col("c") * col("logp")) + max(col("logprior")))
         .as("score"))
-    scored.groupBy("id")
-      .agg(min(struct((col("score") * lit(-1.0)).as("ns"),
-        col("label").as("l"))).as("m"))
-      .select(col("id"), col("m.l").as("pred"),
-        (floor(col("m.ns") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("score"))
   }
 
   // ---------------------------------------------------------------

@@ -66,4 +66,22 @@ class FeaturesSpec extends SparkTestBase {
       col("f"), 5.0).select("id", "enc").collect().toSet
     assert(a == b)
   }
+
+  test("calibrationReport: equal-width bins, conf = 1.0 lands in the " +
+    "TOP bin, per-bin mean confidence and accuracy are exact") {
+    import spark.implicits._
+    val preds = Seq(
+      (0.05, 0), (0.15, 0), (0.15, 1), // bins 0 and 1
+      (0.95, 1), (0.95, 1), (0.95, 0), // bin 9
+      (1.0, 1) // exactly 1.0 must clamp into bin 9, not a phantom 10
+    ).toDF("conf", "correct")
+    val got = Features.calibrationReport(preds, "conf", "correct")
+      .as[(Int, Long, Double, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == Set(0, 1, 9), got.toString)
+    assert(got(0) == ((1L, 0.05, 0.0)))
+    assert(got(1) == ((2L, 0.15, 0.5)))
+    // bin 9: (0.95*3 + 1.0)/4 = 0.9625, accuracy 3/4
+    assert(got(9) == ((4L, 0.9625, 0.75)), got(9).toString)
+  }
 }

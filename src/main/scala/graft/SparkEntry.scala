@@ -10023,15 +10023,15 @@ object SparkEntry {
               |    ELSE 0e0 END) + 0e0 AS gain
               |FROM r WHERE rn = 1""".stripMargin)),
 
-    // GR: 3-core of the part CO-ORDER graph (parts co-occurring in at
-    // least 2 orders — the co-purchase graph, sparsified so the peel
-    // has real structure: 1892 -> 1055 nodes over 8 rounds at the gate
-    // sf) — the classic degeneracy peel: drop nodes with fewer than k
-    // surviving neighbors until nothing drops. Oracle unrolls 9 peel
-    // rounds (matching maxRounds; a no-drop round replays as a no-op,
-    // the louvainMulti replayability contract) and reads the
-    // within-core degrees off the final survivor set.
-    Q("gr_kcore",
+    // GR: the CONVERGED 3-core of the part CO-ORDER graph (parts
+    // co-occurring in at least 2 orders — the co-purchase graph,
+    // sparsified so the peel has real structure: 1892 -> 1055 nodes
+    // over 8 rounds at the gate sf) — gr_kcore's bounded 3-round peel
+    // run to the FIXPOINT with within-core degrees out. Oracle unrolls
+    // 9 peel rounds (matching maxRounds; a no-drop round replays as a
+    // no-op, the louvainMulti replayability contract) and reads the
+    // degrees off the final survivor set.
+    Q("gr_kcore_full",
       (s, dir) => {
         val li = t(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))

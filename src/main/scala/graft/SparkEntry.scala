@@ -10495,6 +10495,12 @@ object SparkEntry {
       .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
   }
 
+  /** The raw registry name list BEFORE the map dedup — `queries` keeps
+    * the last entry per name, so a duplicate silently shadows an older
+    * row (it happened: a second gr_kcore unregistered the first);
+    * RegistrySchemaSpec gates uniqueness through this. */
+  def registryNames: Seq[String] = registry.map(_.name)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 

@@ -29,6 +29,13 @@ class RegistrySchemaSpec extends SparkTestBase {
     case _ => true
   }
 
+  test("registry names are unique — a duplicate silently shadows an " +
+    "older row (the map keeps the last entry)") {
+    val names = SparkEntry.registryNames
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate registry names: ${dups.mkString(", ")}")
+  }
+
   test("every registry row emits only harness-sortable scalar columns") {
     val bad = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -10023,6 +10023,44 @@ object SparkEntry {
               |    ELSE 0e0 END) + 0e0 AS gain
               |FROM r WHERE rn = 1""".stripMargin)),
 
+    // GR: multi-level Louvain over a GENUINELY WEIGHTED graph — the
+    // part co-order graph with co-occurrence counts as edge weights
+    // (affinity graphs are where weighted ΔQ earns its keep: a pair
+    // co-ordered 5 times pulls 5x harder than a one-off). Identity
+    // start labels; same 2-level x 2-round unrolled oracle schedule as
+    // gr_louvain_multi, seeded with the input's own weights.
+    Q("gr_louvain_weighted",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val e = li.alias("a").join(li.alias("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .groupBy(col("a.l_partkey").as("src"),
+            col("b.l_partkey").as("dst"))
+          .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+        val labels0 = e.select(col("src").as("node")).distinct()
+          .select(col("node"), col("node").as("label"))
+        PageRank.louvainMultiWeighted(e.select("src", "dst", "w"),
+          labels0, maxRounds = 2, maxLevels = 2)
+      },
+      Some(s"""WITH ew AS MATERIALIZED (
+              |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+              |    CAST(count(*) AS BIGINT) AS w
+              |  FROM lineitem a JOIN lineitem b
+              |  ON a.l_orderkey = b.l_orderkey
+              |    AND a.l_partkey <> b.l_partkey
+              |  GROUP BY 1, 2 HAVING count(*) >= 2),
+              |l0w AS MATERIALIZED (
+              |  SELECT DISTINCT src AS node, src AS label FROM ew),
+              |${louvainWRoundCtes("q1", "ew", "l0w", "wv1a", 1)},
+              |${louvainWRoundCtes("q2", "ew", "wv1a", "wv1", 2)},
+              |${louvainContractCtes("ew", "wv1", "we2", "wi0")},
+              |${louvainWRoundCtes("q3", "we2", "wi0", "wv2a", 1)},
+              |${louvainWRoundCtes("q4", "we2", "wv2a", "wv2", 2)}
+              |SELECT m.node, f.label
+              |FROM wv1 m JOIN wv2 f ON m.label = f.node""".stripMargin)),
+
     // GR: the CONVERGED 3-core of the part CO-ORDER graph (parts
     // co-occurring in at least 2 orders — the co-purchase graph,
     // sparsified so the peel has real structure: 1892 -> 1055 nodes

@@ -889,11 +889,23 @@ object PageRank {
     *
     * @return (node, label) — original nodes, final-level communities */
   def louvainMulti(edges: DataFrame, labels0: DataFrame,
-                   maxRounds: Int = 10, maxLevels: Int = 3): DataFrame = {
+                   maxRounds: Int = 10, maxLevels: Int = 3): DataFrame =
+    louvainMultiWeighted(
+      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)),
+      labels0, maxRounds, maxLevels)
+
+  /** [[louvainMulti]] over an INTEGER-WEIGHTED input graph (src, dst,
+    * w) — affinity/co-occurrence graphs where edge multiplicity IS the
+    * signal; level 0 already runs the weighted ΔQ, so the only change
+    * is that the input's own weights seed the level-0 graph instead of
+    * w = 1. Same gating, contraction, and replayability contracts. */
+  def louvainMultiWeighted(edges: DataFrame, labels0: DataFrame,
+                           maxRounds: Int = 10,
+                           maxLevels: Int = 3): DataFrame = {
     require(maxRounds >= 1 && maxLevels >= 1,
       "maxRounds and maxLevels must be >= 1")
     var (g, gRdd) = CheckpointOps.checkpoint(
-      edges.select(col("src"), col("dst")).withColumn("w", lit(1L)))
+      edges.select(col("src"), col("dst"), col("w")))
     var mapping: DataFrame = null // original node -> current community
     var mapRdd: RDD[InternalRow] = null
     var curLabels = labels0.select(col("node"), col("label"))

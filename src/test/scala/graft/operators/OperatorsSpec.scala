@@ -963,6 +963,23 @@ class OperatorsSpec extends SparkTestBase {
     assert(PageRank.kCore(edges, k = 4).count() == 0)
   }
 
+  test("louvainMoveRoundWeighted: the heavier edge decides the move " +
+    "that unweighted ties break by label") {
+    // node 2 sits between singletons 1 (edge w=1) and 3 (edge w=5)
+    val ew = Seq((2L, 1L, 1L), (1L, 2L, 1L), (2L, 3L, 5L), (3L, 2L, 5L))
+      .toDF("src", "dst", "w")
+    val lab = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("node", "label")
+    val w = PageRank.louvainMoveRoundWeighted(ew, lab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(w(2L) == 3L, s"weighted must follow the heavy edge: $w")
+    // with w = 1 both targets tie and the smaller label wins
+    val uw = PageRank.louvainMoveRound(ew.select("src", "dst"), lab)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(uw(2L) == 1L, s"unweighted tie must break to label 1: $uw")
+  }
+
   test("coreness: H-index iteration reaches the exact core numbers; " +
     "{coreness >= k} equals the k-core") {
     // pendant chain 1-2-3 on triangle 4-5-6: coreness 1 for the chain,

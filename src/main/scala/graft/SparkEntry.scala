@@ -2594,6 +2594,64 @@ object SparkEntry {
            |FROM a2 GROUP BY cid""".stripMargin
       }),
 
+    // ANN: NN-Descent kNN-GRAPH construction (Dong et al. 2011,
+    // deterministic variant) — every node's k nearest, initialized
+    // from SRP bucket mates, improved by 2 neighbor-of-neighbor
+    // rounds (reverse lists k-capped). The all-nodes graph that
+    // SemDedup clustering and graph-ANN serving start from; per-query
+    // top-k is the wrong shape when every node is a query. Oracle
+    // unrolls init + both rounds (one shared CTE chain with the
+    // recall row below).
+    Q("ann_knn_descent",
+      (s, dir) => Similarity.knnDescent(t(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 5, rounds = 2),
+      Some(s"""WITH $knnDescentCtes
+              |SELECT q AS id, c AS nbr_id,
+              |  floor(cosine * 1e6 + 5e-1) / 1e6 AS cosine,
+              |  CAST(rn AS INT) AS rank
+              |FROM l2""".stripMargin)),
+
+    // ANN: recall@5 of the NN-Descent graph against the exact
+    // brute-force kNN graph — the eval that decides whether the
+    // approximate builder is usable before anything downstream trusts
+    // it (the dd_blocking_quality discipline for the ANN family).
+    // One row out; truth is the self-excluded all-pairs top-k.
+    Q("ann_knn_recall",
+      (s, dir) => {
+        val emb = t(s, dir, "embeddings")
+        val g = Similarity.knnDescent(emb, "vec_id", "embedding",
+          k = 5, rounds = 2)
+        val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+        val scored = v.select(col("id").as("q_id"), col("v").as("q_v"))
+          .crossJoin(v.select(col("id").as("c_id"), col("v").as("c_v")))
+          .where(col("q_id") =!= col("c_id"))
+          .select(col("q_id"), col("c_id"),
+            Similarity.cosineCol(col("q_v"), col("c_v")).as("cosine"))
+        Similarity.topKPerQuery(scored, "cosine", 5)
+          .join(g.select(col("id").as("q_id"), col("nbr_id").as("c_id"))
+            .withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+            (floor(sum(coalesce(col("hit"), lit(0))).cast("double") /
+              count(lit(1)) * 1e6 + 0.5) / 1e6).as("recall"))
+      },
+      Some(s"""WITH $knnDescentCtes,
+              |truth AS (
+              |  SELECT q_id, c_id FROM (
+              |    SELECT x.id AS q_id, y.id AS c_id,
+              |      row_number() OVER (PARTITION BY x.id
+              |        ORDER BY ${cosSql("x.v", "y.v")} DESC, y.id ASC)
+              |        AS rn
+              |    FROM e0 x JOIN e0 y ON x.id <> y.id)
+              |  WHERE rn <= 5)
+              |SELECT count(*) AS n_truth,
+              |  CAST(sum(CASE WHEN l2.q IS NOT NULL THEN 1 ELSE 0 END)
+              |    AS BIGINT) AS n_hit,
+              |  floor(sum(CASE WHEN l2.q IS NOT NULL THEN 1e0 ELSE 0e0
+              |    END) / count(*) * 1e6 + 5e-1) / 1e6 AS recall
+              |FROM truth LEFT JOIN l2
+              |  ON truth.q_id = l2.q AND truth.c_id = l2.c""".stripMargin)),
+
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
       (s, dir) => {
@@ -10390,6 +10448,45 @@ object SparkEntry {
        |kn_scored AS (SELECT id AS doc_id,
        |    round(avg(-ln(prob)), 6) + 0e0 AS logppl
        |  FROM kn_p GROUP BY id)""".stripMargin
+
+  /** DuckDB replay of `Similarity.knnDescent(k=5, rounds=2)` over the
+    * embeddings table: SRP-bucket init, then two
+    * neighbor-of-neighbor rounds (reverse lists k-capped, candidates
+    * deduped, union with the current list, exact-cosine re-rank) —
+    * CTEs ending in `l2(q, c, cosine, rn)`, ONE copy shared by
+    * ann_knn_descent and ann_knn_recall. */
+  private def knnDescentCtes: String = {
+    val buckets = (0 until 4).map(tb =>
+      s"SELECT id, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM e0")
+      .mkString("\nUNION ALL\n")
+    def keep(cand: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT q, c, cosine, rn FROM (
+         |  SELECT cd.q, cd.c, ${cosSql("x.v", "y.v")} AS cosine,
+         |    row_number() OVER (PARTITION BY cd.q
+         |      ORDER BY ${cosSql("x.v", "y.v")} DESC, cd.c ASC) AS rn
+         |  FROM $cand cd JOIN e0 x ON cd.q = x.id
+         |  JOIN e0 y ON cd.c = y.id) WHERE rn <= 5)"""
+    def round(r: Int) =
+      s"""rv$r AS (SELECT nq AS q, nc AS c FROM (
+         |  SELECT l.c AS nq, l.q AS nc, row_number() OVER (
+         |    PARTITION BY l.c ORDER BY l.cosine DESC, l.q ASC) AS krn
+         |  FROM l${r - 1} l) WHERE krn <= 5),
+         |ud$r AS (SELECT q AS a, c AS b FROM l${r - 1}
+         |         UNION SELECT q, c FROM rv$r),
+         |cd$r AS (SELECT DISTINCT x.a AS q, y.b AS c
+         |         FROM ud$r x JOIN ud$r y ON x.b = y.a
+         |         WHERE x.a <> y.b
+         |         UNION SELECT q, c FROM l${r - 1}),
+         |${keep(s"cd$r", s"l$r")}"""
+    s"""e0 AS MATERIALIZED (
+       |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |bk AS MATERIALIZED ($buckets),
+       |c0 AS (SELECT DISTINCT a.id AS q, b.id AS c FROM bk a JOIN bk b
+       |       ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+       |${keep("c0", "l0")},
+       |${round(1)},
+       |${round(2)}""".stripMargin
+  }
 
   /** DuckDB replay of the hashed-unigram Naive Bayes train + score
     * (TextAnalysis.nbTrain/nbScores: doc_id%5!=0 split, lang label,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointOps
 
 /** Approximate & exact nearest-neighbor search over embedding columns
   * (`array<float>`/`array<double>`).
@@ -101,6 +102,77 @@ object Similarity {
     topKPerQuery(scored, "cosine", k)
       .select(col("q_id"), col("c_id"), round(col("cosine"), 6).as("cosine"),
         col("rank"))
+  }
+
+  /** NN-DESCENT kNN-GRAPH construction (Dong, Charikar & Li 2011),
+    * deterministic variant — the scalable builder for the all-nodes
+    * neighbor graph that SemDedup-style clustering, graph-based ANN
+    * serving and link-based curation all start from, where per-query
+    * top-k (brute/IVF/LSH) is the wrong shape because EVERY node is a
+    * query. Initialize each node's k-list from its SRP bucket mates,
+    * then `rounds` of the paper's local-join step: "a neighbor of my
+    * neighbor is probably my neighbor" — candidates are the current
+    * lists' neighbors-of-neighbors over the UNDIRECTED list graph
+    * (forward + reverse edges, the reverse side k-capped by the same
+    * (cosine desc, id) rule the paper handles by sampling, kept
+    * deterministic here), exact-cosine scored, and each node keeps its
+    * k best through the bounded-heap [[topKPerQuery]] (never a window).
+    *
+    * Scale shape: lists are nk rows; the undirected list graph is
+    * ≤ 2nk edges with per-node out-degree ≤ 2k, so one round's
+    * candidate join emits ≤ 4nk² pairs — linear in n at fixed k —
+    * and every round materializes through CheckpointOps (capped
+    * stats). Rounds are synchronized and deterministic, so an
+    * unrolled-CTE oracle replays them exactly.
+    *
+    * @return (id, nbr_id, cosine quantized 1e-6, rank) — k rows per
+    *         node with at least one bucket mate */
+  def knnDescent(emb: DataFrame, idCol: String, vecCol: String,
+                 k: Int = 5, rounds: Int = 2, numPlanes: Int = 8,
+                 tables: Int = 4): DataFrame = {
+    require(k >= 1 && rounds >= 0, "k must be >= 1, rounds >= 0")
+    val v = CacheScope.pin(
+      emb.select(col(idCol).as("id"), col(vecCol).as("v")))
+    def scoreAndKeep(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .join(v.select(col("id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(v.select(col("id").as("c_id"), col("v").as("c_v")), "c_id")
+        .select(col("q_id"), col("c_id"),
+          cosineCol(col("q_v"), col("c_v")).as("cosine"))
+      topKPerQuery(scored, "cosine", k)
+    }
+    val b = srpBucketed(emb, idCol, vecCol, numPlanes, tables)
+      .select(col("table"), col("bucket"), col("id"))
+    var (lists, listsRdd) = CheckpointOps.checkpoint(scoreAndKeep(
+      b.select(col("table"), col("bucket"), col("id").as("q_id"))
+        .join(b.select(col("table"), col("bucket"),
+          col("id").as("c_id")), Seq("table", "bucket"))
+        .where(col("q_id") =!= col("c_id"))
+        .select("q_id", "c_id").distinct()))
+    var r = 0
+    while (r < rounds) {
+      // k-capped reverse lists keep hub in-degrees from exploding the
+      // local join (the paper's reverse-sampling, made deterministic)
+      val rev = topKPerQuery(lists.select(col("c_id").as("q_id"),
+        col("q_id").as("c_id"), col("cosine")), "cosine", k)
+      val und = lists.select(col("q_id").as("a"), col("c_id").as("b"))
+        .unionByName(rev.select(col("q_id").as("a"), col("c_id").as("b")))
+        .distinct()
+      val cand = und
+        .join(und.select(col("a").as("b"), col("b").as("c")), "b")
+        .where(col("a") =!= col("c"))
+        .select(col("a").as("q_id"), col("c").as("c_id"))
+        .unionByName(lists.select("q_id", "c_id"))
+        .distinct()
+      val (next, nextRdd) = CheckpointOps.checkpoint(scoreAndKeep(cand))
+      listsRdd.unpersist(false)
+      lists = next
+      listsRdd = nextRdd
+      r += 1
+    }
+    v.unpersist(false)
+    lists.select(col("q_id").as("id"), col("c_id").as("nbr_id"),
+      (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):

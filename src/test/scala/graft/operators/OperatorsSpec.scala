@@ -1625,6 +1625,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(out == Seq(1.0, 0.0))
   }
 
+  test("knnDescent: on clustered vectors the neighbor-of-neighbor " +
+    "rounds recover the exact kNN graph; rounds only improve recall") {
+    // three tight clusters of 8 points in 8-d: true 3-NN of every
+    // point is intra-cluster by construction
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f))
+    val emb = (for {
+      c <- 0 until 3; i <- 0 until 8
+    } yield {
+      val eps = 0.01f * (i + 1)
+      val v = base(c).zipWithIndex.map { case (x, d) =>
+        if (d == (c + 1) % 8) x + eps else x }
+      ((c * 8 + i).toLong, v)
+    }).toDF("vec_id", "embedding")
+    def recall(rounds: Int): Double = {
+      val g = Similarity.knnDescent(emb, "vec_id", "embedding",
+        k = 3, rounds = rounds)
+      val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val truth = Similarity.topKPerQuery(
+        v.select(col("id").as("q_id"), col("v").as("q_v"))
+          .crossJoin(v.select(col("id").as("c_id"), col("v").as("c_v")))
+          .where(col("q_id") =!= col("c_id"))
+          .select(col("q_id"), col("c_id"),
+            Similarity.cosineCol(col("q_v"), col("c_v")).as("cosine")),
+        "cosine", 3)
+      val hits = truth.join(
+        g.select(col("id").as("q_id"), col("nbr_id").as("c_id")),
+        Seq("q_id", "c_id"), "left_semi").count()
+      hits.toDouble / truth.count()
+    }
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"rounds must not hurt recall: $r0 -> $r2")
+    assert(r2 == 1.0, s"clustered fixture must converge to exact: $r2")
+    // output shape: k rows per node, ranked
+    val g = Similarity.knnDescent(emb, "vec_id", "embedding", 3, 2)
+    assert(g.count() == 24 * 3)
+    assert(g.groupBy("id").count().select(max("count"))
+      .as[Long].head() == 3)
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
       (12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")

@@ -13,7 +13,7 @@ import graft.operators.Dedup
   * bucket — the case bucketing cannot split) plus a 5x-replicated tail.
   *
   * Usage: runMain graft.tools.SkewProbe [mega=8000] [tail=25000]
-  *          [steps=semantic,embed]
+  *          [steps=semantic,embed,collapse]
   */
 object SkewProbe {
   def main(args: Array[String]): Unit = {

@@ -928,8 +928,11 @@ object PageRank {
       if (mapRdd != null) mapRdd.unpersist(false)
       mapping = newMapping
       mapRdd = newMapRdd
-      val nNodes = fix.count()
-      val nSuper = fix.select(col("label")).distinct().count()
+      // one job for both convergence counts, not two
+      val cnt = fix.agg(count(lit(1)), countDistinct(col("label")))
+        .head()
+      val nNodes = cnt.getLong(0)
+      val nSuper = cnt.getLong(1)
       // provable no-op state only: a level that stopped on its round
       // BUDGET (moves pending) or that merged nodes must still contract
       // and recurse, or the result would depend on the budget in a way

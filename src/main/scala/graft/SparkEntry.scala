@@ -110,6 +110,22 @@ object SparkEntry {
       |  -75e0 + (floor(s_suppkey / 97e0) % 89e0) * 2e-3 AS lon
       |FROM supplier""".stripMargin
 
+  /** The SPARSIFIED part co-order graph (parts co-occurring in >= 2
+    * orders, both directions by construction, w = co-occurrence count)
+    * shared by gr_louvain_weighted / gr_kcore_full / gr_coreness and
+    * tools.KcoreProbe — ONE copy so the rows and the probe cannot
+    * diverge. */
+  private[graft] def partCoorderEdges(s: SparkSession,
+                                      dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"))
+    li.alias("a").join(li.alias("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+  }
+
   /** The symmetrized supplier-proximity graph several gr_* rows share:
     * grid-join pairs within 200 m, both directions materialized. */
   private def suppBidirEdges(s: SparkSession, dir: String): DataFrame = {
@@ -2954,17 +2970,8 @@ object SparkEntry {
         val docs = t(s, dir, "documents")
         val model = TextAnalysis.nbTrain(
           docs.where(col("doc_id") % 5 =!= 0), "doc_id", "text", "lang")
-        val sc = TextAnalysis.nbScores(docs.where(col("doc_id") % 5 === 0),
-          "doc_id", "text", model)
-        val m = sc.groupBy("id")
-          .agg(min(struct((col("score") * lit(-1.0)).as("ns"),
-            col("label").as("l"))).as("m"))
-          .select(col("id"), col("m.l").as("pred"),
-            (col("m.ns") * lit(-1.0)).as("smax"))
-        val conf = sc.join(m, "id")
-          .groupBy(col("id"), col("pred"), col("smax"))
-          .agg(sum(exp(col("score") - col("smax"))).as("z"))
-          .select(col("id"), col("pred"), (lit(1.0) / col("z")).as("conf"))
+        val conf = TextAnalysis.nbConfidences(
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text", model)
         Features.calibrationReport(
           conf.join(docs.select(col("doc_id").as("id"), col("lang")), "id")
             .select(col("conf"),
@@ -10089,14 +10096,7 @@ object SparkEntry {
     // gr_louvain_multi, seeded with the input's own weights.
     Q("gr_louvain_weighted",
       (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.alias("a").join(li.alias("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("src"),
-            col("b.l_partkey").as("dst"))
-          .agg(count(lit(1)).as("w")).where(col("w") >= 2)
+        val e = partCoorderEdges(s, dir)
         val labels0 = e.select(col("src").as("node")).distinct()
           .select(col("node"), col("node").as("label"))
         PageRank.louvainMultiWeighted(e.select("src", "dst", "w"),
@@ -10128,18 +10128,9 @@ object SparkEntry {
     // no-op, the louvainMulti replayability contract) and reads the
     // degrees off the final survivor set.
     Q("gr_kcore_full",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.alias("a").join(li.alias("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("src"),
-            col("b.l_partkey").as("dst"))
-          .agg(count(lit(1)).as("m")).where(col("m") >= 2)
-          .select("src", "dst")
-        PageRank.kCore(e, k = 3, maxRounds = 9)
-      },
+      (s, dir) => PageRank.kCore(
+        partCoorderEdges(s, dir).select("src", "dst"),
+        k = 3, maxRounds = 9),
       Some {
         def round(n: Int) = {
           val prev = if (n == 1) "ks0" else s"ks${n - 1}"
@@ -10169,19 +10160,9 @@ object SparkEntry {
     // rounds replay as no-ops). Cross-checked against gr_kcore by
     // spec: {coreness >= 3} == the 3-core.
     Q("gr_coreness",
-      (s, dir) => {
-        val li = t(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_partkey"))
-        val e = li.alias("a").join(li.alias("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .groupBy(col("a.l_partkey").as("src"),
-            col("b.l_partkey").as("dst"))
-          .agg(count(lit(1)).as("m")).where(col("m") >= 2)
-          .select("src", "dst")
-        PageRank.coreness(e, maxRounds = 8)
-          .select(col("node"), col("core").as("coreness"))
-      },
+      (s, dir) => PageRank.coreness(
+        partCoorderEdges(s, dir).select("src", "dst"), maxRounds = 8)
+        .select(col("node"), col("core").as("coreness")),
       Some {
         def round(n: Int) =
           s"""cr$n AS (SELECT e.src AS node, c.core AS nc

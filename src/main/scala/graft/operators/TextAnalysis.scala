@@ -534,6 +534,28 @@ object TextAnalysis {
       .select(col("id"), col("m.l").as("pred"),
         (floor(col("m.ns") * lit(-1e6) + lit(0.5)) / lit(1e6)).as("score"))
 
+  /** [[nbClassify]]'s predicted class with its SOFTMAX confidence —
+    * the calibration-audit view: p(pred) = 1 / Σ_l exp(s_l − s_pred)
+    * over [[nbScores]]' raw log posteriors, argmax and tie-break
+    * identical to nbClassify (one code path, so the audit can never
+    * drift from the classifier it audits).
+    * @return (id, pred, conf) — conf raw double in (0, 1] */
+  def nbConfidences(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String,
+                    model: org.apache.spark.sql.DataFrame,
+                    numBuckets: Int = 64): org.apache.spark.sql.DataFrame = {
+    val sc = nbScores(docs, idCol, textCol, model, numBuckets)
+    val m = sc.groupBy("id")
+      .agg(min(struct((col("score") * lit(-1.0)).as("ns"),
+        col("label").as("l"))).as("m"))
+      .select(col("id"), col("m.l").as("pred"),
+        (col("m.ns") * lit(-1.0)).as("smax"))
+    sc.join(m, "id")
+      .groupBy(col("id"), col("pred"), col("smax"))
+      .agg(sum(exp(col("score") - col("smax"))).as("z"))
+      .select(col("id"), col("pred"), (lit(1.0) / col("z")).as("conf"))
+  }
+
   /** The pre-argmax frame [[nbClassify]] reduces — every (id, label)
     * RAW log posterior — exposed for evals that need the full class
     * distribution (softmax confidence, calibration audits). */

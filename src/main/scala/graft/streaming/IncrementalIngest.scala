@@ -125,14 +125,19 @@ object IncrementalIngest {
 
   /** Deterministic batch-sequenced fold of a FLAG-mode dedup: each
     * batch's flags ride out with batch_id; only reps' rows join the
-    * index for later batches. */
+    * index for later batches. The collapse operators pin an internal
+    * shared frame per call — run the fold's materialization under
+    * [[graft.operators.CacheScope.materialized]] (as the registry
+    * runners do via their blanket clears) or own the pins' lifetime,
+    * the Pipelines bare-build contract. */
   def foldCollapse(index: DataFrame, batches: Seq[DataFrame],
       idCol: String,
       probeCollapse: (DataFrame, DataFrame) => (DataFrame, DataFrame))
       : DataFrame = {
     if (batches.isEmpty)
-      return probeCollapse(index.limit(0),
-          index.limit(0).select(col("id").as(idCol)))
+      // the lambda's empty-shim branch rebuilds (idCol, payload) from
+      // an index-shaped frame, so hand the id column through UNRENAMED
+      return probeCollapse(index.limit(0), index.limit(0).select(col("id")))
         ._1.withColumn("batch_id", lit(0L)).limit(0)
     var idx = index
     val outs = batches.zipWithIndex.map { case (b, i) =>
@@ -151,7 +156,12 @@ object IncrementalIngest {
   /** FLAG-mode micro-batch ingest — replay-idempotent exactly like
     * [[ingestBatch]]: flags overwrite their own batch_id partition, the
     * index append anti-joins ids already present, the probe reads the
-    * index minus the batch's ids. */
+    * index minus the batch's ids. The whole batch runs inside a
+    * [[graft.operators.CacheScope.materialized]] scope: the collapse
+    * operators pin their shared withRep frame internally, and a
+    * long-running stream calling them once per micro-batch OUTSIDE a
+    * scope would leak one persisted batch frame per batch — the scope
+    * releases exactly what each batch pinned once both writes land. */
   private[graft] def ingestBatchCollapse(batch: DataFrame, idCol: String,
       probeCollapse: (DataFrame, DataFrame) => (DataFrame, DataFrame),
       indexTable: String, outPath: String, batchId: Long): Unit = {
@@ -159,20 +169,26 @@ object IncrementalIngest {
     val batchIds = batch.select(col(idCol).as("id")).distinct()
     val idx = spark.table(indexTable)
       .join(broadcast(batchIds), Seq("id"), "left_anti")
-    val (flags, repRows0) = probeCollapse(idx, batch)
-    val repRows = repRows0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      flags.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(outPath)
-      val present = spark.table(indexTable).select(col("id"))
-        .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
-      repRows.join(broadcast(present), Seq("id"), "left_anti")
-        .write.mode("append").insertInto(indexTable)
-    } finally repRows.unpersist(false)
+    var repRows0: DataFrame = null
+    graft.operators.CacheScope.materialized(spark)({
+      val (flags, rep) = probeCollapse(idx, batch)
+      repRows0 = rep
+      flags
+    }) { flags =>
+      val repRows = repRows0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        flags.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        val present = spark.table(indexTable).select(col("id"))
+          .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
+        repRows.join(broadcast(present), Seq("id"), "left_anti")
+          .write.mode("append").insertInto(indexTable)
+      } finally repRows.unpersist(false)
+    }
   }
 
   /** Streaming FLAG-mode path — [[run]]'s foreachBatch skeleton around

@@ -37,21 +37,10 @@ object IrPointProbe {
           q, k = 10)
         val rows = out.count()
         val dt = (System.nanoTime() - t0) / 1e9
-        // AQE nests the real scans inside adaptive/query-stage nodes
-        // that plain collect() does not descend into
-        def leaves(p: org.apache.spark.sql.execution.SparkPlan)
-            : Seq[FileSourceScanExec] = p match {
-          case a: org.apache.spark.sql.execution.adaptive
-              .AdaptiveSparkPlanExec => leaves(a.executedPlan)
-          case s: org.apache.spark.sql.execution.adaptive
-              .QueryStageExec => leaves(s.plan)
-          case f: FileSourceScanExec => Seq(f)
-          case other => other.children.flatMap(leaves) ++
-            other.subqueries.flatMap(leaves)
-        }
-        val scans = leaves(out.queryExecution.executedPlan).filter(
-          _.relation.location.rootPaths.exists(
-            _.toString.contains("postings")))
+        val scans = graft.plans.PlanWalk
+          .fileScans(out.queryExecution.executedPlan).filter(
+            _.relation.location.rootPaths.exists(
+              _.toString.contains("postings")))
         val partsRead =
           scans.map(_.selectedPartitions.partitionCount).sum
         println(f"$dir batch=$n: $dt%.2f s, $rows rows, " +

@@ -12,13 +12,7 @@ object KcoreProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- args) {
-      val li = graft.Tables.load(spark, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-      val e = li.alias("a").join(li.alias("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("m")).where(col("m") >= 2)
+      val e = graft.SparkEntry.partCoorderEdges(spark, dir)
         .select("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ne = e.count()

@@ -124,18 +124,10 @@ class PlanSpec extends SparkTestBase {
     assert(expected >= 1 && expected <= 5, expected.toString)
     val out = Retrieval.bm25TopKIndexed(spark, path, q, k = 10)
     out.collect()
-    def leaves(p: SparkPlan): Seq[FileSourceScanExec] = p match {
-      case a: org.apache.spark.sql.execution.adaptive
-          .AdaptiveSparkPlanExec => leaves(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive
-          .QueryStageExec => leaves(s.plan)
-      case f: FileSourceScanExec => Seq(f)
-      case other => other.children.flatMap(leaves) ++
-        other.subqueries.flatMap(leaves)
-    }
-    val scans = leaves(out.queryExecution.executedPlan).filter(
-      _.relation.location.rootPaths.exists(
-        _.toString.contains("postings")))
+    val scans = graft.plans.PlanWalk
+      .fileScans(out.queryExecution.executedPlan).filter(
+        _.relation.location.rootPaths.exists(
+          _.toString.contains("postings")))
     assert(scans.nonEmpty, "expected postings scans in the plan")
     scans.foreach { s =>
       assert(s.selectedPartitions.partitionCount == expected,

@@ -118,6 +118,16 @@ class DedupStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("FLAG mode: ingestFoldCollapse of zero batches yields an empty " +
+    "flags frame (with a non-'id' id column), not a crash") {
+    val idx = Dedup.minHashIndex(indexed.toDF(), "doc_id", "text")
+    val out = DedupStream.ingestFoldCollapse(idx, Seq.empty,
+      "doc_id", "text")
+    assert(out.columns.toSeq ==
+      Seq("id", "rep_id", "n_rep", "keep", "batch_id"))
+    assert(out.count() == 0)
+  }
+
   test("within-batch dups are flagged in the arriving batch itself") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("dedup_stream2")

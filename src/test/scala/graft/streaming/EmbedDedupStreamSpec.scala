@@ -157,6 +157,38 @@ class EmbedDedupStreamSpec extends SparkTestBase {
     assert(out.count() == 0)
   }
 
+  test("FLAG mode: micro-batch ingest releases the collapse operator's " +
+    "internal pins — zero persistent-RDD growth across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("embed_pins")
+      .toString
+    val tbl = "embed_pins_spec_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    Dedup.writeEmbedIndex(
+      Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding"),
+      tbl, s"$dir/index")
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    for (i <- 0 until 3)
+      IncrementalIngest.ingestBatchCollapse(
+        Seq(Emb(100L + i, v(dirA, 0.02f + i * 0.001f))).toDF(), "vec_id",
+        (idx, b) => Dedup.embedDedupCollapse(idx, b, "vec_id",
+          "embedding", 0.9, 8, 4),
+        tbl, s"$dir/out", i.toLong)
+    assert(sc.getPersistentRDDs.size == before,
+      s"collapse batches leaked pins: $before -> ${sc.getPersistentRDDs.size}")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("FLAG mode: ingestFoldCollapse of zero batches yields an empty " +
+    "flags frame (with a non-'id' id column), not a crash") {
+    val idx = Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding")
+    val out = EmbedDedupStream.ingestFoldCollapse(idx, Seq.empty,
+      "vec_id", "embedding")
+    assert(out.columns.toSeq ==
+      Seq("id", "rep_id", "n_rep", "keep", "batch_id"))
+    assert(out.count() == 0)
+  }
+
   test("FLAG mode: streaming collapse ingest equals the fold; exact-dup " +
     "groups collapse to one rep, reps flag against index and earlier " +
     "batches, only reps join the index") {

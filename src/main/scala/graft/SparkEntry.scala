@@ -10119,6 +10119,50 @@ object SparkEntry {
               |SELECT m.node, f.label
               |FROM wv1 m JOIN wv2 f ON m.label = f.node""".stripMargin)),
 
+    // GR: deterministic truncated RANDOM WALKS over the co-order graph
+    // — the DeepWalk/node2vec data-prep operator: the walk corpus a
+    // skip-gram embedding trains on. Step s of walk (node, j) moves to
+    // the md5(node:j:s)-th neighbor (neighbors ranked by id), so the
+    // corpus is a pure function of (graph, seed) and the oracle
+    // unrolls the 4 steps exactly.
+    Q("gr_random_walks",
+      (s, dir) => PageRank.randomWalks(
+        partCoorderEdges(s, dir).select("src", "dst"),
+        walksPerNode = 2, length = 4, seed = 11),
+      Some {
+        def step(k: Int) =
+          s"""s$k AS MATERIALIZED (
+             |  SELECT c.node, c.walk, CAST($k AS INT) AS step,
+             |    nb.dst AS visited
+             |  FROM s${k - 1} c JOIN nb ON nb.src = c.visited
+             |  WHERE nb.rn = ${h32Sql(
+                 "CAST(c.node AS VARCHAR) || ':' || " +
+                   s"CAST(c.walk AS VARCHAR) || ':$k'", "11")}
+             |    % nb.deg)"""
+        s"""WITH e AS MATERIALIZED (
+           |  SELECT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey
+           |    AND a.l_partkey <> b.l_partkey
+           |  GROUP BY 1, 2 HAVING count(*) >= 2),
+           |nb AS MATERIALIZED (
+           |  SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+           |      AS rn,
+           |    count(*) OVER (PARTITION BY src) AS deg FROM e),
+           |s0 AS MATERIALIZED (
+           |  SELECT node, CAST(wj AS INT) AS walk, CAST(0 AS INT)
+           |    AS step, node AS visited
+           |  FROM (SELECT DISTINCT src AS node FROM e),
+           |    (SELECT unnest(range(0, 2)) AS wj)),
+           |${(1 to 4).map(step).mkString(",\n")}
+           |SELECT node, walk, step, visited FROM s0
+           |UNION ALL SELECT node, walk, step, visited FROM s1
+           |UNION ALL SELECT node, walk, step, visited FROM s2
+           |UNION ALL SELECT node, walk, step, visited FROM s3
+           |UNION ALL SELECT node, walk, step, visited FROM s4""".stripMargin
+      }),
+
     // GR: the CONVERGED 3-core of the part CO-ORDER graph (parts
     // co-occurring in at least 2 orders — the co-purchase graph,
     // sparsified so the peel has real structure: 1892 -> 1055 nodes

@@ -1007,6 +1007,61 @@ object PageRank {
     out
   }
 
+  /** DETERMINISTIC truncated random walks — the DeepWalk/node2vec
+    * data-prep operator: the walk corpus a skip-gram embedding trains
+    * on, generated at graph scale. Each node starts `walksPerNode`
+    * walks; step s of walk (node, j) moves to the current node's
+    * md5(node:j:s)-th neighbor (neighbors ranked by id — engine-
+    * replayable, no RNG state), so the corpus is a pure function of
+    * (graph, seed) and the oracle unrolls the steps exactly.
+    *
+    * Scale shape: the neighbor index is edge-sized with a per-src rank
+    * (degree-bounded window, the coreness shape); each step is one
+    * keyed equi-join of the walk frontier (n·W rows) against it —
+    * `length` joins total, frontier checkpointed per step.
+    *
+    * @param edges bidirectional (src, dst); every node must have at
+    *              least one out-edge (true for bidirectional graphs)
+    * @return (node, walk, step, visited) — step 0 is the start node */
+  def randomWalks(edges: DataFrame, walksPerNode: Int = 2,
+                  length: Int = 4, seed: Int = 11): DataFrame = {
+    require(walksPerNode >= 1 && length >= 1,
+      "walksPerNode and length must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+    val w = Window.partitionBy("src").orderBy("dst")
+    val nbr = CacheScope.pin(e
+      .withColumn("rn", row_number().over(w) - 1)
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("src"))))
+    var (cur, _) = CheckpointOps.checkpoint(
+      e.select(col("src").as("node")).distinct()
+        .withColumn("walk",
+          explode(sequence(lit(0), lit(walksPerNode - 1))))
+        .select(col("node"), col("walk"), lit(0).as("step"),
+          col("node").as("visited")))
+    val outs = scala.collection.mutable.ListBuffer(cur)
+    var s = 1
+    while (s <= length) {
+      val pick = pmod(Dedup.md5Hash32(
+        concat(col("node").cast("string"), lit(":"),
+          col("walk").cast("string"), lit(":"), lit(s.toString)),
+        lit(seed)), col("deg"))
+      val (next, _) = CheckpointOps.checkpoint(cur
+        .select(col("node"), col("walk"), col("visited").as("src"))
+        .join(nbr, "src")
+        .where(col("rn") === pick)
+        .select(col("node"), col("walk"), lit(s).as("step"),
+          col("dst").as("visited")))
+      outs += next
+      // every step frame is PART of the output, so its blocks stay
+      // alive; the caller owns them all (blanket-clear or CacheScope
+      // releases them per the loop convention)
+      cur = next
+      s += 1
+    }
+    nbr.unpersist(false)
+    outs.reduce(_ unionByName _)
+  }
+
   /** FULL coreness decomposition — every node's maximal k such that it
     * survives the k-core peel — via the H-INDEX iteration (Lü et al.
     * 2016: c₀ = degree, c_{t+1}(v) = H of v's neighbors' c_t values;

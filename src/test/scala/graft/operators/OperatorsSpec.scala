@@ -943,6 +943,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(w1 == uw)
   }
 
+  test("randomWalks: every step follows a real edge, every (node, walk) " +
+    "has the full step sequence, and the corpus is partitioning-" +
+    "invariant") {
+    val und = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L),
+      (5L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val walks = PageRank.randomWalks(edges, walksPerNode = 2, length = 3)
+      .as[(Long, Int, Int, Long)].collect()
+    // 5 nodes x 2 walks x 4 positions
+    assert(walks.length == 40, walks.length.toString)
+    val edgeSet = (und ++ und.map(_.swap)).toSet
+    walks.groupBy(w => (w._1, w._2)).foreach { case (k, steps) =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.length == 4, s"$k: $path")
+      assert(path.head == k._1, s"walk starts at its node: $k $path")
+      path.sliding(2).foreach { case Array(a, b) =>
+        assert(edgeSet((a, b)), s"$k walked a non-edge $a->$b")
+      }
+    }
+    val again = PageRank.randomWalks(edges.repartition(7), 2, 3)
+      .as[(Long, Int, Int, Long)].collect().toSet
+    assert(again == walks.toSet)
+  }
+
   test("kCore: pendant chains peel over MULTIPLE rounds, the triangle " +
     "core survives with its within-core degrees; empty core is empty") {
     // chain 1-2-3 hangs off triangle 4-5-6 via 3-4: the 2-core peel

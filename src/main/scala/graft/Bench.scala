@@ -91,7 +91,13 @@ object Bench {
     // the contract line short: total over ALL queries, but only a headline
     // subset in the per-query map, times rounded to ms. Full per-query
     // times already stream to stderr above.
+    // a1_count_by_key is the CONTENTION CONTROL: a trivial one-shuffle
+    // count whose true time is ~0.3 s — when IT reads seconds, the box
+    // was contended and the round's total is not comparable (the r12
+    // driver total ran 695 s vs a clean 344-435 s same-code window with
+    // no way to tell from the JSON; now the control is in the record)
     val headline = Set(
+      "a1_count_by_key",
       "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
       "q6_forecast_revenue", "q10_returned_items", "j6_fuzzy_name_join",
       "g2_connected_components", "g6_component_lift", "g10_listings_nearby",
@@ -113,9 +119,41 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // FULL per-query attribution: the contract line stays short (the
+    // driver captures only stdout's tail), but every one of the ~300
+    // single-pass times is (a) written to a committed artifact the
+    // judge can rank, and (b) streamed as chunked BENCHPART stderr
+    // lines so even a lost artifact leaves the record in the log.
+    // Without this, a total swing (r12: +324 s) is un-adjudicable.
+    val fullPairs = results.map { case (k, v) => k -> f"$v%.2f" }
+    fullPairs.grouped(20).zipWithIndex.foreach { case (chunk, i) =>
+      System.err.println(
+        s"BENCHPART $i " + chunk.map { case (k, v) => s"$k=$v" }
+          .mkString(","))
+    }
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "bench_full.json")
+    val fullJson = new StringBuilder
+    fullJson ++= f"""{"sf":"$sfDir","total":$total%.3f,"""
+    fullJson ++= s""""total_method":"single_pass","n_queries":${results.size},"""
+    fullJson ++= s""""failures":${failed.size},"failed":$failedJson,"""
+    fullJson ++= fullPairs.map { case (k, v) => s""""$k":$v""" }
+      .mkString(""""queries":{""", ",", "},")
+    fullJson ++= second.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
+      .mkString(""""second_pass_headline":{""", ",", "}}")
+    try {
+      val w = new java.io.PrintWriter(fullPath, "UTF-8")
+      try w.println(fullJson.result()) finally w.close()
+    } catch {
+      case e: Exception =>
+        System.err.println(s"BENCH full-artifact write failed: $e")
+    }
     // methodology is declared IN the JSON so cross-round comparisons can't
-    // silently mix min-of-2 headline numbers with single-pass totals
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_method":"single_pass","queries":$qs,"queries_method":"best_of_2","n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    // silently mix min-of-2 headline numbers with single-pass totals;
+    // a1_count_by_key in the map is the contention control and "full"
+    // names the committed artifact carrying all per-query times
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_method":"single_pass","queries":$qs,"queries_method":"best_of_2","control":"a1_count_by_key","full":"bench_full.json","n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

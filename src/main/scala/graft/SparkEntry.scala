@@ -2206,7 +2206,8 @@ object SparkEntry {
           .mkString("\nUNION ALL\n")
         def collapseBatch(n: Int, src: String, idx: String) =
           s"""g$n AS (SELECT id, v,
-             |  CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+             |  CASE WHEN len(v) = 0
+             |      OR list_max(list_transform(v, x_ -> abs(x_))) <= 0
              |    THEN 'u:' || CAST(id AS VARCHAR)
              |    ELSE 'g:' || v::VARCHAR END AS gk
              |  FROM $src),
@@ -2558,7 +2559,8 @@ object SparkEntry {
            |rk AS (
            |  SELECT *, row_number() OVER (
            |    PARTITION BY cid,
-           |      CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+           |      CASE WHEN len(v) = 0
+           |          OR list_max(list_transform(v, x_ -> abs(x_))) <= 0
            |        THEN vec_id ELSE -1 END, v
            |    ORDER BY vec_id) AS rn
            |  FROM a2),
@@ -2599,7 +2601,8 @@ object SparkEntry {
         threshold = 0.3),
       Some {
         val rep =
-          """CASE WHEN list_max(list_transform(v, x_ -> abs(x_))) <= 0
+          """CASE WHEN len(v) = 0
+            |    OR list_max(list_transform(v, x_ -> abs(x_))) <= 0
             |  THEN 'u:' || CAST(vec_id AS VARCHAR)
             |  ELSE 'g:' || v::VARCHAR END""".stripMargin
         s"""WITH ${kmeansA2Sql()}

@@ -103,7 +103,18 @@ object BpeTrainer {
     *  - a self-pair (a == b) closes its batch: the merged symbol's
     *    run-pairs are bounded only by the pair's own count;
     *  - candidates at the collection limit's count close the batch
-    *    (their ties may be cut off), unless the list was exhausted.
+    *    (their ties may be cut off), unless the list was exhausted;
+    *  - SYMBOL-STRING COLLISIONS close the batch: every multi-char
+    *    snapshot symbol was minted by an earlier accepted merge, so a
+    *    merge whose concatenation l+r equals any earlier merge's
+    *    concatenation re-mints an EXISTING symbol — its spawned
+    *    occurrences then add to snapshot pairs containing that symbol
+    *    (possibly ones below the collection cutoff), which the spawner
+    *    bound does not cover. Accepting such a merge is still exact
+    *    (its own count predates the collision), but the batch closes
+    *    right after it; symmetrically, a candidate whose lhs or rhs
+    *    equals an in-batch concat stops the batch before acceptance
+    *    (its snapshot count may already be boosted by the spawn).
     *
     * Under those guards the accepted prefix IS the next |batch| picks
     * of the sequential algorithm — including each pick's recorded
@@ -163,12 +174,19 @@ object BpeTrainer {
         val symbols = scala.collection.mutable.Set.empty[String]
         val lhsSet = scala.collection.mutable.Set.empty[String]
         val rhsSet = scala.collection.mutable.Set.empty[String]
+        // every multi-char snapshot symbol IS some earlier merge's l+r
+        // (initial symbols are single chars), so this set decides
+        // "does the concatenation re-mint an existing symbol"
+        val prevConcats = merges.iterator
+          .map { case (_, l, rr, _) => l + rr }.toSet
+        val batchConcats = scala.collection.mutable.Set.empty[String]
         var k = 0
         var stop = false
         while (!stop && k < top.length && batch.length < want) {
           val (a, b, cnt) = top(k)
           val tieCutOff = cnt == minCnt && !exhausted
-          val touches = symbols.contains(a) || symbols.contains(b)
+          val touches = symbols.contains(a) || symbols.contains(b) ||
+            batchConcats.contains(a) || batchConcats.contains(b)
           // equal-count spawner check: a snapshot (x, a_i) / (b_i, y)
           // tying this candidate could spawn a merged-symbol pair that
           // ties it AND lex-sorts past it
@@ -181,6 +199,15 @@ object BpeTrainer {
             symbols += a += b
             lhsSet += a
             rhsSet += b
+            val concat = a + b
+            // concat collides with an existing snapshot symbol (or an
+            // in-batch twin): the spawn boosts pairs containing that
+            // symbol — possibly below the collection cutoff — so no
+            // later pick this round is provably next. This pick itself
+            // is exact (its snapshot count predates the collision).
+            if (prevConcats.contains(concat) ||
+              batchConcats.contains(concat)) stop = true
+            batchConcats += concat
             if (a == b) stop = true // self-pair closes the batch
             k += 1
           }

@@ -1072,8 +1072,9 @@ object Dedup {
     // vectors are NOT exempt: both engines' SQL comparison semantics
     // order NaN above every value, so cos(NaN, x) >= threshold is TRUE
     // and identical NaN copies legitimately drop — collapsing them
-    // matches the pair scan's verdict, spec'd.)
-    val uncollapsible =
+    // matches the pair scan's verdict, spec'd.) Empty vectors need an
+    // explicit disjunct: array_max over an empty array is null.
+    val uncollapsible = size(col("v")) === 0 ||
       array_max(transform(col("v"), x => abs(x))) <= lit(0f)
     val (reps, dupDropped) =
       if (!collapse)
@@ -1145,7 +1146,7 @@ object Dedup {
     // distinct vector (zero-norm rows never collapse); with it
     // disabled, every row is its own rep and n_reps == cl_size
     val collapse = collapseExactDups && threshold <= 0.99
-    val uncollapsible =
+    val uncollapsible = size(col(vecCol)) === 0 ||
       array_max(transform(col(vecCol), x => abs(x))) <= lit(0f)
     val repKey =
       if (!collapse) concat(lit("u:"), col(idCol).cast("string"))
@@ -1250,7 +1251,10 @@ object Dedup {
                          tables: Int = 4): (DataFrame, DataFrame) = {
     val rows = newEmb.select(col(idCol).as("id"), col(vecCol).as("v"))
     val collapse = threshold <= 0.99
-    val uncollapsible =
+    // explicit empty-vector disjunct: array_max over an empty array is
+    // null, and a null predicate would route empty (zero-norm) vectors
+    // into the collapse branch against the documented contract
+    val uncollapsible = size(col("v")) === 0 ||
       array_max(transform(col("v"), x => abs(x))) <= lit(0f)
     val keyed = rows.withColumn("gk",
       if (!collapse) concat(lit("u:"), col("id"))

@@ -813,8 +813,14 @@ object PageRank {
     * symmetric structures (two mutually-best communities adopt each
     * other's label forever and never merge); a static per-node parity
     * breaks only cross-parity pairs, while the round-varying hash
-    * deterministically reaches a round where exactly one side of ANY
-    * mutual pair is gated, which merges it for good. Stopping reads
+    * splits any given mutual pair in each round with probability 1/2
+    * independently — so a pair survives r rounds ungated only with
+    * probability 2^-r (overwhelmingly likely to merge well within the
+    * budget, though a pair sharing coin parity through every budgeted
+    * round is possible; the oracle replays the same gating, so results
+    * stay exact either way). Note this gating makes louvain()'s public
+    * round semantics GATED, not the fully-synchronized label update of
+    * the classic description. Stopping reads
     * the UNGATED decision: a round where no node even WANTS to move
     * (pending == 0) is a true fixpoint regardless of gating, so unrolled
     * replays of further rounds are provable no-ops. Deterministic end
@@ -970,7 +976,12 @@ object PageRank {
     * @param edges bidirectional (src, dst) — both directions present,
     *              the [[modularity]] convention
     * @return (node, core_deg) — survivors of the k-core with their
-    *         within-core degree */
+    *         within-core degree. If the peel stops on the maxRounds
+    *         BUDGET rather than a fixpoint, this is the unpeeled
+    *         frontier of that round — rows may still carry
+    *         core_deg < k (the louvainMulti budget-stop convention);
+    *         size maxRounds for the graph's peel depth when the exact
+    *         core is required */
   def kCore(edges: DataFrame, k: Int, maxRounds: Int = 20): DataFrame = {
     require(k >= 1 && maxRounds >= 1, "k and maxRounds must be >= 1")
     val e = CacheScope.pin(edges.select(col("src"), col("dst")))

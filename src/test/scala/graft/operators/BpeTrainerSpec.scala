@@ -96,4 +96,37 @@ class BpeTrainerSpec extends SparkTestBase {
         s"n=$n:\nbatched   $batTable\nsequential $seqTable")
     }
   }
+
+  test("batched == sequential on symbol-string-collision-prone corpora") {
+    // Concat-collision shape: an accepted merge's l+r string equal to a
+    // pre-existing snapshot symbol would conflate their spawned pairs.
+    // Run-length corpora ("aaaa…") and tiny-alphabet ambiguous
+    // segmentations ("abab", "aab", "ba") are where every multi-char
+    // symbol string is a substring of every other — the densest
+    // collision surface reachable under global greedy merging.
+    val runs = Seq("aaa", "aaaa", "aaaaa", "aaaaaaa", "aa")
+      .zipWithIndex.map { case (w, i) => (i.toLong, (w + " ") * (i + 1)) }
+      .toDF("doc_id", "text")
+    val ambiguous = Seq((1L, "ba ba ba aba abab aab ab abx xbab aabab"),
+      (2L, "abab abab aba ba aab"), (3L, "bab ab aaba abba"))
+      .toDF("doc_id", "text")
+    // seeded pseudo-random two-letter corpus: hammers tie, spawner and
+    // collision guards together across many snapshot shapes
+    val rng = new scala.util.Random(20260815L)
+    val fuzz = (1L to 40L).map { i =>
+      val words = (0 until 6).map { _ =>
+        (0 until (2 + rng.nextInt(6)))
+          .map(_ => if (rng.nextBoolean()) "a" else "b").mkString
+      }
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (docs <- Seq(runs, ambiguous, fuzz); n <- Seq(6, 12)) {
+      val seqTable = BpeTrainer.bpeTrain(docs, "text", n, maxBatch = 1)
+        .collect().toSeq
+      val batTable = BpeTrainer.bpeTrain(docs, "text", n, maxBatch = 64)
+        .collect().toSeq
+      assert(batTable == seqTable,
+        s"n=$n:\nbatched   $batTable\nsequential $seqTable")
+    }
+  }
 }

@@ -179,6 +179,22 @@ class EmbedDedupStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("FLAG mode: empty and zero-norm vectors route to the uncollapsible " +
+    "branch — each is its own rep and neither collapses nor drops") {
+    val idx = Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding")
+    // two identical EMPTY vectors + two identical zero vectors: under
+    // the documented contract none of them collapse (cosine guarded to
+    // 0), so all four keep and each is its own rep with n_rep = 1
+    val batch = Seq(Emb(30, Seq.empty[Float]), Emb(31, Seq.empty[Float]),
+      Emb(32, Seq.fill(8)(0f)), Emb(33, Seq.fill(8)(0f))).toDF()
+    val (flags, _) = Dedup.embedDedupCollapse(idx, batch, "vec_id",
+      "embedding", threshold = 0.9)
+    val got = flags.select("id", "rep_id", "n_rep", "keep")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    assert(got == Set((30L, 30L, 1L, 1), (31L, 31L, 1L, 1),
+      (32L, 32L, 1L, 1), (33L, 33L, 1L, 1)), got.toString)
+  }
+
   test("FLAG mode: ingestFoldCollapse of zero batches yields an empty " +
     "flags frame (with a non-'id' id column), not a crash") {
     val idx = Dedup.embedLshIndex(indexed.toDF(), "vec_id", "embedding")

@@ -2630,46 +2630,50 @@ object SparkEntry {
               |  CAST(rn AS INT) AS rank
               |FROM l2""".stripMargin)),
 
-    // ANN: recall@5 of the NN-Descent graph against the exact
-    // brute-force kNN graph — the eval that decides whether the
-    // approximate builder is usable before anything downstream trusts
-    // it (the dd_blocking_quality discipline for the ANN family).
-    // One row out; truth is the self-excluded all-pairs top-k.
+    // ANN: recall@5 of the NN-Descent graph against a SEEDED
+    // FIXED-SIZE sampled exact truth — the eval that decides whether
+    // the approximate builder is usable before anything downstream
+    // trusts it (the dd_blocking_quality discipline for the ANN
+    // family). Truth = 64 sampled queries x corpus (queries
+    // broadcast): linear in the corpus, replacing r12's all-pairs n²
+    // truth. Run on the near-random `embeddings` fixture this reads
+    // LOW by design (there is no neighborhood structure to exploit;
+    // the structured row below shows the operating regime).
     Q("ann_knn_recall",
       (s, dir) => {
         val emb = t(s, dir, "embeddings")
-        val g = Similarity.knnDescent(emb, "vec_id", "embedding",
-          k = 5, rounds = 2)
-        val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
-        val scored = v.select(col("id").as("q_id"), col("v").as("q_v"))
-          .crossJoin(v.select(col("id").as("c_id"), col("v").as("c_v")))
-          .where(col("q_id") =!= col("c_id"))
-          .select(col("q_id"), col("c_id"),
-            Similarity.cosineCol(col("q_v"), col("c_v")).as("cosine"))
-        Similarity.topKPerQuery(scored, "cosine", 5)
-          .join(g.select(col("id").as("q_id"), col("nbr_id").as("c_id"))
-            .withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
-          .agg(count(lit(1)).as("n_truth"),
-            sum(coalesce(col("hit"), lit(0))).as("n_hit"),
-            (floor(sum(coalesce(col("hit"), lit(0))).cast("double") /
-              count(lit(1)) * 1e6 + 0.5) / 1e6).as("recall"))
+        knnRecallSampled(emb, Similarity.knnDescent(emb, "vec_id",
+          "embedding", k = 5, rounds = 2))
       },
       Some(s"""WITH $knnDescentCtes,
-              |truth AS (
-              |  SELECT q_id, c_id FROM (
-              |    SELECT x.id AS q_id, y.id AS c_id,
-              |      row_number() OVER (PARTITION BY x.id
-              |        ORDER BY ${cosSql("x.v", "y.v")} DESC, y.id ASC)
-              |        AS rn
-              |    FROM e0 x JOIN e0 y ON x.id <> y.id)
-              |  WHERE rn <= 5)
-              |SELECT count(*) AS n_truth,
-              |  CAST(sum(CASE WHEN l2.q IS NOT NULL THEN 1 ELSE 0 END)
-              |    AS BIGINT) AS n_hit,
-              |  floor(sum(CASE WHEN l2.q IS NOT NULL THEN 1e0 ELSE 0e0
-              |    END) / count(*) * 1e6 + 5e-1) / 1e6 AS recall
-              |FROM truth LEFT JOIN l2
-              |  ON truth.q_id = l2.q AND truth.c_id = l2.c""".stripMargin)),
+              |$knnRecallSampledSql""".stripMargin)),
+
+    // ANN: NN-Descent in its OPERATING REGIME — the same operator and
+    // config over a manifold-structured cluster-mixture fixture
+    // (8 tight clusters; see structuredE0Sql). Bucket mates are true
+    // neighbors here, so the descent converges to a usable graph —
+    // the recall row below gates it.
+    Q("ann_knn_descent_structured",
+      (s, dir) => Similarity.knnDescent(structuredEmb(s, dir),
+        "vec_id", "embedding", k = 5, rounds = 2),
+      Some(s"""WITH ${knnDescentCtesOver(structuredE0Sql)}
+              |SELECT q AS id, c AS nbr_id,
+              |  floor(cosine * 1e6 + 5e-1) / 1e6 AS cosine,
+              |  CAST(rn AS INT) AS rank
+              |FROM l2""".stripMargin)),
+
+    // ANN: recall@5 of the structured-regime descent graph vs sampled
+    // exact truth — the number that demonstrates the builder is USABLE
+    // on data with real neighborhood structure (gated >= 0.8 in
+    // SimilaritySpec), alongside the honest near-random row above.
+    Q("ann_knn_recall_structured",
+      (s, dir) => {
+        val emb = structuredEmb(s, dir)
+        knnRecallSampled(emb, Similarity.knnDescent(emb, "vec_id",
+          "embedding", k = 5, rounds = 2))
+      },
+      Some(s"""WITH ${knnDescentCtesOver(structuredE0Sql)},
+              |$knnRecallSampledSql""".stripMargin)),
 
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
@@ -10483,7 +10487,89 @@ object SparkEntry {
     * deduped, union with the current list, exact-cosine re-rank) —
     * CTEs ending in `l2(q, c, cosine, rn)`, ONE copy shared by
     * ann_knn_descent and ann_knn_recall. */
-  private def knnDescentCtes: String = {
+  private def knnDescentCtes: String = knnDescentCtesOver(
+    "SELECT vec_id AS id, embedding AS v FROM embeddings")
+
+  /** 64-dim cluster-mixture fixture body (DuckDB side): 8 tight
+    * clusters — a spike of 8 on dimension (vec_id % 8) plus small
+    * id-derived jitter. Every term is an exact dyadic (k/16 + m/32 on
+    * top of 8.0), so the double arithmetic and the FLOAT cast are
+    * exact in both engines and the Spark/DuckDB arrays are
+    * bit-identical; pattern period lcm(8,29,23) = 5336 > corpus size,
+    * so all vectors are distinct. This is NN-Descent's OPERATING
+    * REGIME (manifold-structured data, where bucket mates are true
+    * neighbors), in contrast to the near-random `embeddings` fixture
+    * where any k-NN structure is noise. */
+  private def structuredE0Sql: String =
+    """SELECT vec_id AS id,
+      |  list_transform(range(0, 64), i -> (
+      |    (CASE WHEN i = vec_id % 8 THEN 8e0 ELSE 0e0 END)
+      |    + ((vec_id * 131 + i * 31) % 29 - 14) / 16e0
+      |    + ((vec_id * 17 + i * 13) % 23 - 11) / 32e0)::FLOAT) AS v
+      |FROM embeddings""".stripMargin
+
+  /** Spark twin of [[structuredE0Sql]] — identical exact-dyadic
+    * arithmetic, one expression string audited against the SQL above. */
+  private def structuredEmb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id"),
+      expr("""transform(sequence(0, 63), i -> CAST(
+        (CASE WHEN i = vec_id % 8 THEN 8.0 ELSE 0.0 END)
+        + ((vec_id * 131 + i * 31) % 29 - 14) / 16.0
+        + ((vec_id * 17 + i * 13) % 23 - 11) / 32.0 AS FLOAT))""")
+        .as("embedding"))
+
+  /** Recall@5 of a kNN graph `g` against a SEEDED FIXED-SIZE sampled
+    * exact truth: the 64 lowest ids with id % 13 == 3 (13 is coprime
+    * to the structured fixture's 8 clusters, so the sample spans
+    * clusters). Truth = sample x corpus brute force with the sample
+    * BROADCAST — linear in the corpus, unlike the all-pairs truth this
+    * replaces (n² was the one plan-level scale-killer of r12). The
+    * estimate is deterministic (fixed sample, fixed tie-break), so the
+    * DuckDB replay is exact. */
+  private def knnRecallSampled(emb: DataFrame, g: DataFrame): DataFrame = {
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val q = v.where(pmod(col("id"), lit(13)) === 3)
+      .orderBy(col("id")).limit(64)
+      .select(col("id").as("q_id"), col("v").as("q_v"))
+    val scored = v.select(col("id").as("c_id"), col("v").as("c_v"))
+      .crossJoin(broadcast(q))
+      .where(col("q_id") =!= col("c_id"))
+      .select(col("q_id"), col("c_id"),
+        Similarity.cosineCol(col("q_v"), col("c_v")).as("cosine"))
+    Similarity.topKPerQuery(scored, "cosine", 5)
+      .join(g.select(col("id").as("q_id"), col("nbr_id").as("c_id"))
+        .withColumn("hit", lit(1)), Seq("q_id", "c_id"), "left")
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"),
+        (floor(sum(coalesce(col("hit"), lit(0))).cast("double") /
+          count(lit(1)) * 1e6 + 0.5) / 1e6).as("recall"))
+  }
+
+  /** Oracle twin of [[knnRecallSampled]]: truth over the sampled
+    * queries only, graph rows read from the chain's `l2`. */
+  private def knnRecallSampledSql: String =
+    s"""qs AS (SELECT id, v FROM e0 WHERE id % 13 = 3
+       |       ORDER BY id LIMIT 64),
+       |truth AS (
+       |  SELECT q_id, c_id FROM (
+       |    SELECT x.id AS q_id, y.id AS c_id,
+       |      row_number() OVER (PARTITION BY x.id
+       |        ORDER BY ${cosSql("x.v", "y.v")} DESC, y.id ASC)
+       |        AS rn
+       |    FROM qs x JOIN e0 y ON x.id <> y.id)
+       |  WHERE rn <= 5)
+       |SELECT count(*) AS n_truth,
+       |  CAST(sum(CASE WHEN l2.q IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  floor(sum(CASE WHEN l2.q IS NOT NULL THEN 1e0 ELSE 0e0
+       |    END) / count(*) * 1e6 + 5e-1) / 1e6 AS recall
+       |FROM truth LEFT JOIN l2
+       |  ON truth.q_id = l2.q AND truth.c_id = l2.c""".stripMargin
+
+  /** [[knnDescentCtes]] parameterized by the corpus CTE body, so the
+    * same chain replays the descent over the real embeddings AND the
+    * structured fixture. */
+  private def knnDescentCtesOver(e0Body: String): String = {
     val buckets = (0 until 4).map(tb =>
       s"SELECT id, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM e0")
       .mkString("\nUNION ALL\n")
@@ -10507,7 +10593,7 @@ object SparkEntry {
          |         UNION SELECT q, c FROM l${r - 1}),
          |${keep(s"cd$r", s"l$r")}"""
     s"""e0 AS MATERIALIZED (
-       |  SELECT vec_id AS id, embedding AS v FROM embeddings),
+       |$e0Body),
        |bk AS MATERIALIZED ($buckets),
        |c0 AS (SELECT DISTINCT a.id AS q, b.id AS c FROM bk a JOIN bk b
        |       ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),

@@ -1692,6 +1692,21 @@ class OperatorsSpec extends SparkTestBase {
       .as[Long].head() == 3)
   }
 
+  test("knnDescent operating-regime gate: the registry's structured " +
+    "cluster-mixture fixture reaches recall@5 >= 0.8 at the shipped " +
+    "config (k=5, rounds=2)") {
+    // the number the ann_knn_recall_structured row demonstrates: on
+    // manifold-structured data the shipped config builds a USABLE
+    // graph (near-random embeddings legitimately read ~0.2 — that row
+    // stays as the honest hostile-data eval)
+    val out = graft.SparkEntry.queries("ann_knn_recall_structured")(
+      spark, "/root/testdata/sf0.001")
+      .select("n_truth", "n_hit", "recall")
+      .as[(Long, Long, Double)].head()
+    assert(out._1 > 0, out.toString)
+    assert(out._3 >= 0.8, s"structured-regime recall@5 ${out._3} < 0.8")
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
       (12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")

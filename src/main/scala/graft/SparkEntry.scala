@@ -1846,7 +1846,7 @@ object SparkEntry {
     * the SCALE.md HOF rule: slicing an unmaterialized tokens(text)
     * expression re-runs the regex+split per chunk (measured 7.12 ->
     * 4.41 s at sf0.1 for dd_line_dedup). */
-  private def linedDocs(s: SparkSession, dir: String)
+  private[graft] def linedDocs(s: SparkSession, dir: String)
       : org.apache.spark.sql.DataFrame = {
     val tk = col("tk")
     val nCh = ceil(size(tk).cast("double") / 4.0).cast("int")

@@ -4090,6 +4090,99 @@ object SparkEntry {
              |  * (2e0 / CAST(1 << kp AS DOUBLE)) AS v
              |FROM k""".stripMargin)),
 
+    // MM: REAL MPEG-1 Layer III SIDE-INFORMATION decode — the fully
+    // normative field arithmetic of §2.4.1.7 (main_data_begin/scfsi,
+    // then per granule the 12+9+8+4+1 head and either the switched
+    // 2+1+2·5+3·3 or the long 3·5+4+3 branch, then preflag/
+    // scalefac_scale/count1table). This is the routing metadata a
+    // pipeline keys on (block-type mix, reservoir depth, table usage)
+    // and needs no entropy tables. Granule 0 synthesizes LONG, granule
+    // 1 SWITCHED (block_type 2), so both bitstream branches decode in
+    // one row; absent fields report -1, never spec-implied defaults.
+    // The entropy decode behind it is the declared refusal in
+    // SURVEY_COVERAGE.md (normative Annex B.7 Huffman tables are not
+    // derivable and not available in this environment).
+    Q("mm_mp3_sideinfo",
+      (s, dir) => {
+        val spark = s
+        import spark.implicits._
+        t(s, dir, "documents").select(col("doc_id")).as[Long]
+          .flatMap { id =>
+            val g0 = MpegAudio.Mp3Granule(0, (id % 289).toInt,
+              (id * 3 % 256).toInt, (id % 16).toInt,
+              windowSwitching = false, blockType = 0, mixedBlock = false,
+              Array((id % 32).toInt, (id * 3 % 32).toInt, (id * 7 % 32).toInt),
+              Array.empty, (id % 16).toInt, (id % 8).toInt,
+              (id % 2).toInt, (id / 2 % 2).toInt, (id / 4 % 2).toInt)
+            val g1 = MpegAudio.Mp3Granule(0, (id * 5 % 289).toInt,
+              (id * 7 % 256).toInt, (id * 3 % 16).toInt,
+              windowSwitching = true, blockType = 2,
+              mixedBlock = id / 8 % 2 == 1,
+              Array((id * 5 % 32).toInt, (id * 11 % 32).toInt),
+              Array((id % 8).toInt, (id * 3 % 8).toInt, (id * 5 % 8).toInt),
+              -1, -1, (id / 16 % 2).toInt, (id / 32 % 2).toInt,
+              (id / 64 % 2).toInt)
+            val si = MpegAudio.decodeLayer3Side(MpegAudio.mp3SynthSide(
+              (id % 512).toInt, (id % 16).toInt, Array(g0, g1)))
+            si.granules.zipWithIndex.map { case (grs, gi) =>
+              val g = grs(0)
+              (id, gi, si.mainDataBegin, si.scfsi(0), g.bigValues,
+                g.globalGain, g.scalefacCompress,
+                if (g.windowSwitching) 1 else 0, g.blockType,
+                if (g.mixedBlock) 1 else 0,
+                g.tableSelect(0), g.tableSelect(1),
+                if (g.windowSwitching) -1 else g.tableSelect(2),
+                if (g.windowSwitching) g.subblockGain(0) else -1,
+                if (g.windowSwitching) g.subblockGain(1) else -1,
+                if (g.windowSwitching) g.subblockGain(2) else -1,
+                g.region0Count, g.region1Count, g.preflag,
+                g.scalefacScale, g.count1Table)
+            }
+          }.toDF("doc_id", "gr", "main_data_begin", "scfsi", "big_values",
+            "global_gain", "scalefac_compress", "window_switching",
+            "block_type", "mixed_block", "ts0", "ts1", "ts2", "sbg0",
+            "sbg1", "sbg2", "region0", "region1", "preflag",
+            "scalefac_scale", "count1table")
+      },
+      Some("""WITH e AS (
+             |  SELECT doc_id, unnest(range(0, 2)) AS gr FROM documents)
+             |SELECT doc_id, CAST(gr AS INT) AS gr,
+             |  CAST(doc_id % 512 AS INT) AS main_data_begin,
+             |  CAST(doc_id % 16 AS INT) AS scfsi,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id % 289
+             |       ELSE doc_id * 5 % 289 END AS INT) AS big_values,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id * 3 % 256
+             |       ELSE doc_id * 7 % 256 END AS INT) AS global_gain,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id % 16
+             |       ELSE doc_id * 3 % 16 END AS INT) AS scalefac_compress,
+             |  CAST(gr AS INT) AS window_switching,
+             |  CAST(CASE WHEN gr = 0 THEN 0 ELSE 2 END AS INT) AS block_type,
+             |  CAST(CASE WHEN gr = 0 THEN 0
+             |       ELSE doc_id // 8 % 2 END AS INT) AS mixed_block,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id % 32
+             |       ELSE doc_id * 5 % 32 END AS INT) AS ts0,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id * 3 % 32
+             |       ELSE doc_id * 11 % 32 END AS INT) AS ts1,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id * 7 % 32
+             |       ELSE -1 END AS INT) AS ts2,
+             |  CAST(CASE WHEN gr = 0 THEN -1
+             |       ELSE doc_id % 8 END AS INT) AS sbg0,
+             |  CAST(CASE WHEN gr = 0 THEN -1
+             |       ELSE doc_id * 3 % 8 END AS INT) AS sbg1,
+             |  CAST(CASE WHEN gr = 0 THEN -1
+             |       ELSE doc_id * 5 % 8 END AS INT) AS sbg2,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id % 16
+             |       ELSE -1 END AS INT) AS region0,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id % 8
+             |       ELSE -1 END AS INT) AS region1,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id % 2
+             |       ELSE doc_id // 16 % 2 END AS INT) AS preflag,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id // 2 % 2
+             |       ELSE doc_id // 32 % 2 END AS INT) AS scalefac_scale,
+             |  CAST(CASE WHEN gr = 0 THEN doc_id // 4 % 2
+             |       ELSE doc_id // 64 % 2 END AS INT) AS count1table
+             |FROM e""".stripMargin)),
+
     // MM: REAL ISO-BMFF (MP4) box walk — the VIDEO leg of the
     // multimodal column set (ISO/IEC 14496-12 box grammar: size+type
     // headers, nesting, skip-unknown-by-size). Extracts major brand,

@@ -24,9 +24,21 @@ package graft.operators
   *  - [[mp1Synth]] / [[mp2Synth]] / [[mp3SynthFrames]]: the synthesis
   *    side of the roundtrips, used by the oracle queries and specs.
   *
-  * Layer III entropy decode (big-values Huffman + IMDCT), joint
-  * stereo, and the B.2b/c/d allocation tables remain the declared
-  * extension point — see [[Multimodal.decodeStub]].
+  *  - [[decodeLayer3Side]] / [[mp3SynthSide]]: REAL MPEG-1 Layer III
+  *    SIDE-INFORMATION decode (§2.4.1.7 field arithmetic, both the
+  *    long and window-switched granule branches) — the routing
+  *    metadata (block types, reservoir depth, table/region usage)
+  *    that needs no entropy tables.
+  *
+  * Layer III ENTROPY decode (big-values/count1 Huffman + IMDCT),
+  * joint stereo, and the B.2b/c/d allocation tables remain declared
+  * out of scope: the Huffman code assignments are NORMATIVE DATA
+  * (11172-3 Annex B.7) that cannot be derived from first principles
+  * and are not available in this environment — a from-memory
+  * transcription would be unverifiable, because the synth/decode
+  * roundtrip shares the table and cannot catch transcription errors.
+  * See SURVEY_COVERAGE.md's refusal row; [[Multimodal.decodeStub]] is
+  * the marked extension point.
   *
   * Determinism contract: requantization is evaluated in the documented
   * operation order `((c/2^(nb-1) - 1 + 2/2^nb) * (2^nb/(2^nb-1))) * sf`
@@ -435,6 +447,74 @@ object MpegAudio {
       out)
   }
 
+  // ------------------------------------- Layer III side information
+
+  /** One granule's Layer III side information, as PARSED — fields that
+    * are absent from the bitstream for the granule's branch are
+    * reported as -1 (region counts under window switching) or 0/empty
+    * (subblock gains for long blocks), never spec-implied defaults:
+    * this is the bit-level truth a routing pipeline keys on
+    * (block-type mix, table usage, reservoir depth), not a decoder's
+    * internal convention. */
+  final case class Mp3Granule(part23Length: Int, bigValues: Int,
+                              globalGain: Int, scalefacCompress: Int,
+                              windowSwitching: Boolean, blockType: Int,
+                              mixedBlock: Boolean, tableSelect: Array[Int],
+                              subblockGain: Array[Int], region0Count: Int,
+                              region1Count: Int, preflag: Int,
+                              scalefacScale: Int, count1Table: Int)
+
+  /** Parsed MPEG-1 Layer III side information of the first frame:
+    * main_data_begin (bit-reservoir backpointer), per-channel scfsi,
+    * and 2 granules x nch of [[Mp3Granule]]. The layout is fully
+    * normative field arithmetic (11172-3 §2.4.1.7: 136 bits mono /
+    * 256 stereo — 9+5/3 private+4·nch scfsi, then per granule
+    * 12+9+8+4+1 and either 2+1+2·5+3·3 switched or 3·5+4+3 long,
+    * then 1+1+1), so it decodes bit-exactly with no entropy tables.
+    * The ENTROPY decode behind it (big-values/count1 Huffman) needs
+    * the Annex B.7 normative code tables — see SURVEY_COVERAGE.md's
+    * refusal row for why that stays out of scope in this build. */
+  final case class Mp3SideInfo(sampleRate: Int, bitrateKbps: Int,
+                               channels: Int, mainDataBegin: Int,
+                               scfsi: Array[Int],
+                               granules: Array[Array[Mp3Granule]])
+
+  /** Parse the Layer III side info of the first frame (after ID3v2). */
+  def decodeLayer3Side(p: Array[Byte]): Mp3SideInfo = {
+    val off = id3v2Length(p)
+    val fh = parseFrameHeader(p, off).getOrElse(
+      throw new IllegalArgumentException("no valid frame header"))
+    require(fh.version == 1 && fh.layer == 3,
+      s"not an MPEG-1 Layer III frame (v${fh.version} L${fh.layer})")
+    val br = new BitReader(p, (off + 4 + (if (fh.crc) 2 else 0)).toLong * 8)
+    val nch = fh.channels
+    val mainDataBegin = br.read(9)
+    br.read(if (nch == 1) 5 else 3) // private_bits
+    val scfsi = Array.fill(nch)(br.read(4))
+    val granules = Array.fill(2)(Array.fill(nch) {
+      val p23 = br.read(12)
+      val bv = br.read(9)
+      val gg = br.read(8)
+      val sfc = br.read(4)
+      val switching = br.read(1) == 1
+      val (bt, mixed, ts, sbg, r0, r1) =
+        if (switching) {
+          val bt = br.read(2)
+          val mx = br.read(1) == 1
+          val ts = Array(br.read(5), br.read(5))
+          val sbg = Array(br.read(3), br.read(3), br.read(3))
+          (bt, mx, ts, sbg, -1, -1) // region counts absent from the stream
+        } else {
+          val ts = Array(br.read(5), br.read(5), br.read(5))
+          (0, false, ts, Array.empty[Int], br.read(4), br.read(3))
+        }
+      Mp3Granule(p23, bv, gg, sfc, switching, bt, mixed, ts, sbg, r0, r1,
+        br.read(1), br.read(1), br.read(1))
+    })
+    Mp3SideInfo(fh.sampleRate, fh.bitrateKbps, nch, mainDataBegin, scfsi,
+      granules)
+  }
+
   // ------------------------------------------------------------- synth
 
   private final class BitWriter(val buf: Array[Byte]) {
@@ -474,6 +554,61 @@ object MpegAudio {
       f += 1
     }
     out
+  }
+
+  /** One MPEG-1 Layer III MONO frame carrying the given side-info
+    * fields (part2_3_length = 0: an all-zero spectrum needs no main
+    * data, which is legal and keeps the frame fully specified without
+    * the Huffman tables). `gr(i)` supplies granule i; switched
+    * granules write the 2+1+2·5+3·3 branch, long granules the
+    * 3·5+4+3 branch. The synthesis side of [[decodeLayer3Side]]. */
+  def mp3SynthSide(mainDataBegin: Int, scfsi: Int, gr: Array[Mp3Granule],
+                   bitrateIdx: Int = 8, srIdx: Int = 2): Array[Byte] = {
+    require(gr.length == 2, "two granules")
+    require(mainDataBegin >= 0 && mainDataBegin < 512 &&
+      scfsi >= 0 && scfsi < 16, "out of range")
+    val kbps = kbpsV1(2)(bitrateIdx)
+    val frameBytes = 144 * kbps * 1000 / srV1(srIdx)
+    val buf = new Array[Byte](frameBytes)
+    val h = header(3, 1, bitrateIdx, srIdx, mode = 3)
+    var i = 0
+    while (i < 4) { buf(i) = h(i).toByte; i += 1 }
+    val w = new BitWriter(buf)
+    w.seekByte(4)
+    w.write(mainDataBegin, 9)
+    w.write(0, 5) // private_bits (mono)
+    w.write(scfsi, 4)
+    gr.foreach { g =>
+      require(g.part23Length == 0, "synth carries no main data")
+      require(g.bigValues >= 0 && g.bigValues <= 288 &&
+        g.globalGain >= 0 && g.globalGain < 256 &&
+        g.scalefacCompress >= 0 && g.scalefacCompress < 16, "out of range")
+      w.write(0, 12) // part2_3_length
+      w.write(g.bigValues, 9)
+      w.write(g.globalGain, 8)
+      w.write(g.scalefacCompress, 4)
+      w.write(if (g.windowSwitching) 1 else 0, 1)
+      if (g.windowSwitching) {
+        require(g.tableSelect.length == 2 && g.subblockGain.length == 3,
+          "switched granule needs 2 table selects + 3 subblock gains")
+        w.write(g.blockType, 2)
+        w.write(if (g.mixedBlock) 1 else 0, 1)
+        g.tableSelect.foreach(t => w.write(t, 5))
+        g.subblockGain.foreach(s => w.write(s, 3))
+      } else {
+        require(g.tableSelect.length == 3 &&
+          g.region0Count >= 0 && g.region0Count < 16 &&
+          g.region1Count >= 0 && g.region1Count < 8,
+          "long granule needs 3 table selects + region counts")
+        g.tableSelect.foreach(t => w.write(t, 5))
+        w.write(g.region0Count, 4)
+        w.write(g.region1Count, 3)
+      }
+      w.write(g.preflag, 1)
+      w.write(g.scalefacScale, 1)
+      w.write(g.count1Table, 1)
+    }
+    buf
   }
 
   /** One MPEG-1 Layer II MONO frame (allocation table B.2a) with a

@@ -177,4 +177,75 @@ class MpegAudioSpec extends AnyFunSuite {
     assert(MpegAudio.decodeLayer2(ok).sub(0)(0) ==
       MpegAudio.dequantLayer2(1, 15, 6))
   }
+
+  test("Layer III side-info grid: every field of both granule branches " +
+    "roundtrips bit-exactly through synth -> decode") {
+    // grid over the field extremes plus a pseudo-random sweep: the
+    // long branch (3 table selects + region counts) and the switched
+    // branch (2 table selects + 3 subblock gains) interleave in one
+    // frame, so a single misplaced bit shifts every later field and
+    // the equality fails loudly
+    def long(bv: Int, gg: Int, sfc: Int, ts: (Int, Int, Int), r0: Int,
+             r1: Int, pf: Int, ss: Int, c1: Int) =
+      MpegAudio.Mp3Granule(0, bv, gg, sfc, windowSwitching = false, 0,
+        mixedBlock = false, Array(ts._1, ts._2, ts._3), Array.empty,
+        r0, r1, pf, ss, c1)
+    def short(bv: Int, gg: Int, sfc: Int, bt: Int, mx: Boolean,
+              ts: (Int, Int), sbg: (Int, Int, Int), pf: Int, ss: Int,
+              c1: Int) =
+      MpegAudio.Mp3Granule(0, bv, gg, sfc, windowSwitching = true, bt,
+        mx, Array(ts._1, ts._2), Array(sbg._1, sbg._2, sbg._3), -1, -1,
+        pf, ss, c1)
+    val cases = Seq(
+      (0, 0, Array(long(0, 0, 0, (0, 0, 0), 0, 0, 0, 0, 0),
+        short(0, 0, 0, 0, false, (0, 0), (0, 0, 0), 0, 0, 0))),
+      (511, 15, Array(long(288, 255, 15, (31, 31, 31), 15, 7, 1, 1, 1),
+        short(288, 255, 15, 3, true, (31, 31), (7, 7, 7), 1, 1, 1)))) ++
+      (1 to 24).map { k =>
+        (k * 19 % 512, k * 7 % 16, Array(
+          long(k * 13 % 289, k * 29 % 256, k % 16,
+            (k % 32, k * 3 % 32, k * 7 % 32), k % 16, k % 8,
+            k % 2, k / 2 % 2, k / 4 % 2),
+          short(k * 11 % 289, k * 31 % 256, k * 5 % 16, k % 4,
+            k / 8 % 2 == 1, (k * 5 % 32, k * 11 % 32),
+            (k % 8, k * 3 % 8, k * 5 % 8), k / 16 % 2, k / 2 % 2,
+            k % 2)))
+      }
+    for ((mdb, scfsi, grs) <- cases) {
+      val si = MpegAudio.decodeLayer3Side(
+        MpegAudio.mp3SynthSide(mdb, scfsi, grs))
+      assert(si.channels == 1 && si.mainDataBegin == mdb &&
+        si.scfsi(0) == scfsi, s"mdb=$mdb scfsi=$scfsi")
+      for (gi <- 0 to 1) {
+        val (g, e) = (si.granules(gi)(0), grs(gi))
+        assert(g.bigValues == e.bigValues && g.globalGain == e.globalGain
+          && g.scalefacCompress == e.scalefacCompress
+          && g.windowSwitching == e.windowSwitching
+          && g.blockType == e.blockType && g.mixedBlock == e.mixedBlock
+          && g.tableSelect.toSeq == e.tableSelect.toSeq
+          && g.subblockGain.toSeq == e.subblockGain.toSeq
+          && g.region0Count == e.region0Count
+          && g.region1Count == e.region1Count && g.preflag == e.preflag
+          && g.scalefacScale == e.scalefacScale
+          && g.count1Table == e.count1Table,
+          s"mdb=$mdb gr=$gi: $g vs $e")
+      }
+    }
+  }
+
+  test("decodeLayer3Side rejects Layer I/II input and an ID3v2 tag is " +
+    "skipped before the side-info parse") {
+    intercept[IllegalArgumentException](
+      MpegAudio.decodeLayer3Side(MpegAudio.mp1Synth(3, 4, 6, _ => 5)))
+    intercept[IllegalArgumentException](
+      MpegAudio.decodeLayer3Side(MpegAudio.mp2Synth(0, 3, 2, Array(6),
+        _ => 1)))
+    val g = MpegAudio.Mp3Granule(0, 7, 9, 3, windowSwitching = false, 0,
+      mixedBlock = false, Array(1, 2, 3), Array.empty, 4, 5, 1, 0, 1)
+    val frame = MpegAudio.mp3SynthSide(42, 6, Array(g, g))
+    val tagged = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
+      new Array[Byte](10) ++ frame
+    val si = MpegAudio.decodeLayer3Side(tagged)
+    assert(si.mainDataBegin == 42 && si.granules(1)(0).bigValues == 7)
+  }
 }

@@ -732,9 +732,14 @@ object PageRank {
   def louvainMoveRoundWeighted(edges: DataFrame,
                                labels: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"), col("w"))
+    // coalesce: sum over an empty edge frame is SQL-NULL; the move
+    // frame is empty anyway in that case (every leg joins through e),
+    // so 0.0 never reaches a ΔQ division — it only keeps the eager
+    // scalar collect from throwing on a degenerate input
     louvainMoveCore(e, labels,
       e.groupBy(col("src").as("node")).agg(sum(col("w")).as("ki")),
-      e.agg(sum(col("w")).cast("double")).head().getDouble(0))
+      e.agg(coalesce(sum(col("w")), lit(0L)).cast("double"))
+        .head().getDouble(0))
   }
 
   /** [[louvainMoveRoundWeighted]] with the ROUND-INVARIANT inputs
@@ -851,10 +856,17 @@ object PageRank {
     // round-invariant inputs computed ONCE: the per-node weighted
     // degree (pinned) and the Σw scalar (collected — 1 double), where
     // before every round's plan re-paid an edge-sized aggregation AND
-    // a 1-row broadcast-exchange crossJoin
+    // a 1-row broadcast-exchange crossJoin. sum over an EMPTY edge
+    // frame is SQL-NULL, so the read is coalesced; an empty (or
+    // all-zero-weight) graph is a trivially converged partition —
+    // every label is already a fixpoint, and at scale per-scope empty
+    // graphs WILL occur — so return labels0 settled instead of
+    // entering rounds whose ΔQ would divide by zero.
+    val m2v = e.agg(coalesce(sum(col("w")), lit(0L)).cast("double"))
+      .head().getDouble(0)
+    if (m2v == 0.0) return (lab, labRdd, true)
     val deg = CacheScope.pin(
       e.groupBy(col("src").as("node")).agg(sum(col("w")).as("ki")))
-    val m2v = e.agg(sum(col("w")).cast("double")).head().getDouble(0)
     var rounds = 0
     var pending = 1L
     while (rounds < maxRounds && pending > 0) {

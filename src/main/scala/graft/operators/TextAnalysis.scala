@@ -503,7 +503,11 @@ object TextAnalysis {
     val tot = cnt.groupBy("label").agg(sum("n").as("nn"))
     val nd = CacheScope.pin(docs.groupBy(col(labelCol).as("label"))
       .agg(count(lit(1)).as("docs")))
-    val total = nd.agg(sum("docs")).head().getLong(0)
+    // coalesce: sum over an empty doc frame is SQL-NULL (the output is
+    // empty in that case — every leg joins through nd/tot — so 0 never
+    // reaches the logprior division; it only keeps the scalar read from
+    // throwing on a degenerate input, the fixpointWeighted discipline)
+    val total = nd.agg(coalesce(sum("docs"), lit(0L))).head().getLong(0)
     val buckets = docs.sparkSession.range(numBuckets).toDF("bucket")
     tot.select("label").crossJoin(buckets)
       .join(cnt, Seq("label", "bucket"), "left")

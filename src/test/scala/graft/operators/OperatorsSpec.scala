@@ -943,6 +943,35 @@ class OperatorsSpec extends SparkTestBase {
     assert(w1 == uw)
   }
 
+  test("louvain family: an EMPTY edge frame is a trivially converged " +
+    "partition — labels come back unchanged, nothing throws") {
+    // the r13 hoist collected Σw eagerly; sum over zero rows is
+    // SQL-NULL, so a per-scope empty graph (guaranteed at scale, hit
+    // at sf0.001) must early-out settled instead of crashing the read
+    val noEdges = Seq.empty[(Long, Long)].toDF("src", "dst")
+    val noWEdges = Seq.empty[(Long, Long, Long)].toDF("src", "dst", "w")
+    val lab = Seq((1L, 1L), (2L, 7L)).toDF("node", "label")
+    val fix = PageRank.louvain(noEdges, lab, maxRounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(fix == Map(1L -> 1L, 2L -> 7L), fix.toString)
+    val multi = PageRank.louvainMulti(noEdges, lab, maxRounds = 3,
+      maxLevels = 2).as[(Long, Long)].collect().toMap
+    assert(multi == Map(1L -> 1L, 2L -> 7L), multi.toString)
+    val multiW = PageRank.louvainMultiWeighted(noWEdges, lab,
+      maxRounds = 3, maxLevels = 2).as[(Long, Long)].collect().toMap
+    assert(multiW == Map(1L -> 1L, 2L -> 7L), multiW.toString)
+    // the single public move round: every labeled node stays (own
+    // community, gain 0) — the all-zero m2 never reaches a division
+    val step = PageRank.louvainMoveRoundWeighted(noWEdges, lab)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(step == Set((1L, 1L, 1L, 0.0), (2L, 7L, 7L, 0.0)),
+      step.toString)
+    // empty labels + empty edges: empty result, still no throw
+    val none = PageRank.louvain(noEdges,
+      Seq.empty[(Long, Long)].toDF("node", "label"), maxRounds = 3)
+    assert(none.count() == 0L)
+  }
+
   test("randomWalks: every step follows a real edge, every (node, walk) " +
     "has the full step sequence, and the corpus is partitioning-" +
     "invariant") {

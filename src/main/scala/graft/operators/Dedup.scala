@@ -744,6 +744,54 @@ object Dedup {
           .as("reduction_ratio"))
   }
 
+  /** Exact Jaccard-truth pairs RESTRICTED to pairs touching a seeded
+    * document sample — the linear-in-corpus truth leg that makes
+    * [[blockingQuality]] runnable on the corpus blocking exists to
+    * protect. The full-corpus truth ([[prefixJaccardPairs]]) has
+    * quadratic OUTPUT potential and pays an all-pairs-shaped prefix
+    * self-join; here the sample's postings are broadcast against one
+    * corpus token scan, so cost is O(|corpus tokens| x sample hit
+    * rate) — the `knnRecallSampled` discipline applied to dedup
+    * blocking. Completeness estimated on sampled truth is an unbiased
+    * estimator of true completeness when the sample is independent of
+    * the blocking scheme (a fixed id-hash sample is); the estimate is
+    * fully deterministic, so an oracle replays it exactly.
+    *
+    * @param sampleIds one column of document ids (small, broadcast)
+    * @return (a_id, b_id) a < b, exact Jaccard >= threshold, at least
+    *         one endpoint in the sample */
+  def sampledJaccardTruthPairs(docs: DataFrame, sampleIds: DataFrame,
+                               idCol: String, textCol: String,
+                               threshold: Double = 0.95): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "threshold in (0, 1]")
+    // distinct postings feed the overlap join and both size lookups —
+    // pin once (same multi-consumer discipline as prefixJaccardPairs)
+    val toks = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .distinct()
+      .transform(CacheScope.pin)
+    val sz = toks.groupBy("id").agg(count(lit(1)).as("n"))
+    // the sample's postings: fixed-size -> broadcast, so the overlap
+    // count is ONE map-side hash-join pass over the corpus postings
+    val st = toks
+      .join(sampleIds.select(col(idCol).as("id")).distinct(), "id")
+      .select(col("id").as("s_id"), col("tok"))
+    val ov = broadcast(st)
+      .join(toks.select(col("id").as("c_id"), col("tok")), "tok")
+      .where(col("s_id") =!= col("c_id"))
+      .groupBy(col("s_id"), col("c_id")).agg(count(lit(1)).as("o"))
+    // exact Jaccard on integer counts (identical arithmetic to the
+    // oracle's); least/greatest-normalized + distinct because a pair
+    // with BOTH endpoints sampled is seen from each side
+    ov.join(sz.select(col("id").as("s_id"), col("n").as("na")), "s_id")
+      .join(sz.select(col("id").as("c_id"), col("n").as("nb")), "c_id")
+      .where(col("o").cast("double") /
+        (col("na") + col("nb") - col("o")) >= threshold)
+      .select(least(col("s_id"), col("c_id")).as("a_id"),
+        greatest(col("s_id"), col("c_id")).as("b_id"))
+      .distinct()
+  }
+
   /** Embedding near-duplicate pairs: cosine >= threshold, with coarse
     * magnitude bucketing as the blocking key (norm-ball blocking); see
     * Similarity.scala for the top-k search variants. */

@@ -588,9 +588,25 @@ object MpegAudio {
       w.write(g.globalGain, 8)
       w.write(g.scalefacCompress, 4)
       w.write(if (g.windowSwitching) 1 else 0, 1)
+      // BitWriter silently keeps only the low n bits of each field, so
+      // every field is range-guarded — an out-of-range input must fail
+      // HERE, not produce a frame that decodes to different values and
+      // breaks the documented synth->decode roundtrip silently
+      require(g.preflag >= 0 && g.preflag < 2 &&
+        g.scalefacScale >= 0 && g.scalefacScale < 2 &&
+        g.count1Table >= 0 && g.count1Table < 2,
+        "1-bit fields must be 0 or 1")
+      require(g.tableSelect.forall(t => t >= 0 && t < 32),
+        "table_select is 5 bits")
       if (g.windowSwitching) {
         require(g.tableSelect.length == 2 && g.subblockGain.length == 3,
           "switched granule needs 2 table selects + 3 subblock gains")
+        require(g.blockType >= 1 && g.blockType < 4,
+          "switched block_type is 2 bits and 0 is forbidden " +
+            "(11172-3: block_type 0 with window_switching_flag set " +
+            "is invalid)")
+        require(g.subblockGain.forall(s => s >= 0 && s < 8),
+          "subblock_gain is 3 bits")
         w.write(g.blockType, 2)
         w.write(if (g.mixedBlock) 1 else 0, 1)
         g.tableSelect.foreach(t => w.write(t, 5))

@@ -196,9 +196,11 @@ class MpegAudioSpec extends AnyFunSuite {
       MpegAudio.Mp3Granule(0, bv, gg, sfc, windowSwitching = true, bt,
         mx, Array(ts._1, ts._2), Array(sbg._1, sbg._2, sbg._3), -1, -1,
         pf, ss, c1)
+    // switched block_type spans 1..3 only: 0 with the window-switching
+    // flag set is spec-invalid and the synth rejects it (guard below)
     val cases = Seq(
       (0, 0, Array(long(0, 0, 0, (0, 0, 0), 0, 0, 0, 0, 0),
-        short(0, 0, 0, 0, false, (0, 0), (0, 0, 0), 0, 0, 0))),
+        short(0, 0, 0, 1, false, (0, 0), (0, 0, 0), 0, 0, 0))),
       (511, 15, Array(long(288, 255, 15, (31, 31, 31), 15, 7, 1, 1, 1),
         short(288, 255, 15, 3, true, (31, 31), (7, 7, 7), 1, 1, 1)))) ++
       (1 to 24).map { k =>
@@ -206,7 +208,7 @@ class MpegAudioSpec extends AnyFunSuite {
           long(k * 13 % 289, k * 29 % 256, k % 16,
             (k % 32, k * 3 % 32, k * 7 % 32), k % 16, k % 8,
             k % 2, k / 2 % 2, k / 4 % 2),
-          short(k * 11 % 289, k * 31 % 256, k * 5 % 16, k % 4,
+          short(k * 11 % 289, k * 31 % 256, k * 5 % 16, 1 + k % 3,
             k / 8 % 2 == 1, (k * 5 % 32, k * 11 % 32),
             (k % 8, k * 3 % 8, k * 5 % 8), k / 16 % 2, k / 2 % 2,
             k % 2)))
@@ -242,6 +244,22 @@ class MpegAudioSpec extends AnyFunSuite {
         _ => 1)))
     val g = MpegAudio.Mp3Granule(0, 7, 9, 3, windowSwitching = false, 0,
       mixedBlock = false, Array(1, 2, 3), Array.empty, 4, 5, 1, 0, 1)
+    // BitWriter keeps only the low n bits, so every out-of-range field
+    // must fail the synth loudly instead of roundtripping to different
+    // values: 5-bit table_select, 1-bit flags, 3-bit subblock_gain,
+    // and the spec-invalid switched block_type 0
+    intercept[IllegalArgumentException](MpegAudio.mp3SynthSide(42, 6,
+      Array(g.copy(tableSelect = Array(32, 2, 3)), g)))
+    intercept[IllegalArgumentException](MpegAudio.mp3SynthSide(42, 6,
+      Array(g.copy(preflag = 2), g)))
+    intercept[IllegalArgumentException](MpegAudio.mp3SynthSide(42, 6,
+      Array(g.copy(count1Table = -1), g)))
+    val sw = MpegAudio.Mp3Granule(0, 7, 9, 3, windowSwitching = true, 2,
+      mixedBlock = false, Array(1, 2), Array(1, 2, 3), -1, -1, 0, 0, 0)
+    intercept[IllegalArgumentException](MpegAudio.mp3SynthSide(42, 6,
+      Array(sw.copy(blockType = 0), sw)))
+    intercept[IllegalArgumentException](MpegAudio.mp3SynthSide(42, 6,
+      Array(sw.copy(subblockGain = Array(8, 0, 0)), sw)))
     val frame = MpegAudio.mp3SynthSide(42, 6, Array(g, g))
     val tagged = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++
       new Array[Byte](10) ++ frame

@@ -2736,6 +2736,30 @@ object SparkEntry {
       Some(s"""WITH ${knnDescentCtesOver(structuredE0Sql)},
               |$knnRecallSampledSql""".stripMargin)),
 
+    // ANN: INCREMENTAL kNN-graph maintenance — the operator a standing
+    // embedding pipeline runs per ingest batch, where a from-scratch
+    // NN-Descent rebuild re-pays the whole corpus. Standing graph +
+    // standing SRP index over ids % 5 != 0; the % 5 == 0 batch
+    // arrives: batch nodes take bucket-mate candidates + one bounded
+    // descent round, then ONE reverse pass re-ranks only the touched
+    // corpus neighborhoods. Output is the delta (new + updated rows);
+    // per-batch compute ∝ batch, never corpus (tools/KnnIncProbe
+    // measures the growth curve; SCALE.md r14). Oracle unrolls the
+    // standing build (shared CTE chain) plus the incremental step.
+    Q("ann_knn_incremental",
+      (s, dir) => {
+        val emb = structuredEmb(s, dir)
+        val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+        val batch = emb.where(pmod(col("vec_id"), lit(5)) === 0)
+        val g = Similarity.knnDescent(corpus, "vec_id", "embedding",
+          k = 5, rounds = 2)
+        val idx = Similarity.srpBucketed(corpus, "vec_id", "embedding",
+          numPlanes = 8, tables = 4)
+        Similarity.knnDescentIncremental(g, idx, batch, "vec_id",
+          "embedding", k = 5, rounds = 1)
+      },
+      Some(knnIncrementalSql)),
+
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
       (s, dir) => {
@@ -10719,6 +10743,71 @@ object SparkEntry {
        |    END) / count(*) * 1e6 + 5e-1) / 1e6 AS recall
        |FROM truth LEFT JOIN l2
        |  ON truth.q_id = l2.q AND truth.c_id = l2.c""".stripMargin
+
+  /** DuckDB replay of `Similarity.knnDescentIncremental` over the
+    * structured fixture split id % 5 != 0 (standing corpus) / == 0
+    * (batch): the shared descent chain builds the standing graph
+    * (`l2`) and standing bucket index (`bk`), then the incremental
+    * step unrolls — batch buckets, init candidates, one descent
+    * round, reverse pass re-ranking affected corpus nodes. Every
+    * ranking comparison happens on the same 1e-6-quantized cosine the
+    * Spark side uses. */
+  private def knnIncrementalSql: String = {
+    def qcos(a: String, b: String) =
+      s"floor(${cosSql(a, b)} * 1e6 + 5e-1) / 1e6"
+    def keepQ(cand: String, out: String) =
+      s"""$out AS MATERIALIZED (SELECT q, c, cosine, rn FROM (
+         |  SELECT cd.q, cd.c, ${qcos("x.v", "y.v")} AS cosine,
+         |    row_number() OVER (PARTITION BY cd.q
+         |      ORDER BY ${qcos("x.v", "y.v")} DESC, cd.c ASC) AS rn
+         |  FROM $cand cd JOIN av x ON cd.q = x.id
+         |  JOIN av y ON cd.c = y.id) WHERE rn <= 5)"""
+    val bbk = (0 until 4).map(tb =>
+      s"SELECT id, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM bv")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${knnDescentCtesOver(
+        s"SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 <> 0")},
+       |bv AS MATERIALIZED (
+       |  SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 = 0),
+       |bbk AS MATERIALIZED ($bbk),
+       |av AS MATERIALIZED (
+       |  SELECT id, v FROM e0 UNION ALL SELECT id, v FROM bv),
+       |ic0 AS (
+       |  SELECT a.id AS q, b.id AS c FROM bbk a JOIN bk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  UNION
+       |  SELECT a.id, b.id FROM bbk a JOIN bbk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
+       |${keepQ("ic0", "nl0")},
+       |ilists AS (SELECT q AS n, c FROM nl0
+       |           UNION ALL SELECT q AS n, c FROM l2),
+       |icd1 AS (
+       |  SELECT x.q, y.c FROM nl0 x JOIN ilists y ON x.c = y.n
+       |  WHERE x.q <> y.c
+       |  UNION SELECT q, c FROM nl0),
+       |${keepQ("icd1", "nl1")},
+       |irev AS MATERIALIZED (
+       |  SELECT b.id AS q, a.id AS c FROM bbk a JOIN bk b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |  UNION SELECT c AS q, q AS c FROM nl1 WHERE c % 5 <> 0),
+       |irs AS (
+       |  SELECT rv.q, rv.c, ${qcos("x.v", "y.v")} AS cosine
+       |  FROM irev rv JOIN av x ON rv.q = x.id JOIN bv y ON rv.c = y.id),
+       |imerged AS (
+       |  SELECT q, c, cosine FROM irs
+       |  UNION ALL
+       |  SELECT l.q, l.c, floor(l.cosine * 1e6 + 5e-1) / 1e6 FROM l2 l
+       |  WHERE l.q IN (SELECT q FROM irev)),
+       |iupd AS (SELECT q, c, cosine, rn FROM (
+       |  SELECT q, c, cosine, row_number() OVER (PARTITION BY q
+       |    ORDER BY cosine DESC, c ASC) AS rn
+       |  FROM imerged) WHERE rn <= 5)
+       |SELECT q AS id, c AS nbr_id, cosine, CAST(rn AS INT) AS rank,
+       |  'new' AS kind FROM nl1
+       |UNION ALL
+       |SELECT q AS id, c AS nbr_id, cosine, CAST(rn AS INT) AS rank,
+       |  'updated' AS kind FROM iupd""".stripMargin
+  }
 
   /** [[knnDescentCtes]] parameterized by the corpus CTE body, so the
     * same chain replays the descent over the real embeddings AND the

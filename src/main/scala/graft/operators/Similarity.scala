@@ -175,6 +175,143 @@ object Similarity {
       (floor(col("cosine") * 1e6 + 0.5) / 1e6).as("cosine"), col("rank"))
   }
 
+  /** INCREMENTAL kNN-graph maintenance — the operator a standing
+    * embedding pipeline actually runs per ingest batch, where
+    * [[knnDescent]]'s from-scratch rebuild re-pays the whole corpus
+    * every day. New vectors join the standing graph through the
+    * standing SRP bucket index; only the batch and the touched
+    * neighborhoods are ever scored (the `incrementalMinHash` standing-
+    * index discipline applied to the ANN family):
+    *
+    *  1. batch nodes bucket (O(|B|) rows) and take candidates from
+    *     their corpus bucket mates plus within-batch mates;
+    *  2. `rounds` bounded descent rounds refine ONLY the batch nodes:
+    *     neighbor-of-neighbor candidates through the batch's current
+    *     lists and the standing lists of the nodes they reach
+    *     (≤ |B|·k² candidate pairs per round);
+    *  3. one reverse pass updates the AFFECTED corpus nodes — every
+    *     corpus node that shares a bucket with, or was kept as a
+    *     neighbor by, a batch node merges those batch vectors into its
+    *     existing k-list through one bounded-heap top-k. Unaffected
+    *     corpus rows are never recomputed (classic online graph-ANN
+    *     insertion: forward links for the new point, reverse links for
+    *     its neighborhood).
+    *
+    * All merge comparisons happen on 1e-6-quantized cosines with id
+    * tie-break — the standing graph already carries quantized scores,
+    * so merged rankings are well-defined, deterministic, and exactly
+    * replayable by an unrolled oracle.
+    *
+    * Scale shape: per-batch COMPUTE is proportional to the batch and
+    * its touched neighborhoods, never the corpus — the corpus-sized
+    * inputs (`graph`, `corpusBuckets`) enter only through keyed
+    * equi-joins (bucket join, id semi/anti/lookup joins) that shuffle
+    * nothing corpus-sized when the standing tables are bucketed by
+    * their join keys ([[graft.sources]] bucketed sinks); vector
+    * lookups stream the (id, v) columns map-side. Output is the DELTA
+    * (batch rows + re-ranked affected rows), so the caller merges via
+    * the engine's keyed upsert instead of rewriting the graph.
+    *
+    * Contract: batch ids are disjoint from corpus ids (re-ingestion is
+    * upstream dedup's job); `graph` is a [[knnDescent]]-shaped frame
+    * (id, nbr_id, cosine quantized 1e-6, rank); `corpusBuckets` is
+    * [[srpBucketed]] output over the same corpus and geometry.
+    *
+    * @return (id, nbr_id, cosine, rank, kind) — kind `new` for batch
+    *         nodes' lists, `updated` for re-ranked affected corpus
+    *         nodes' full k-lists */
+  def knnDescentIncremental(graph: DataFrame, corpusBuckets: DataFrame,
+                            newVecs: DataFrame, idCol: String,
+                            vecCol: String, k: Int = 5, rounds: Int = 1,
+                            numPlanes: Int = 8, tables: Int = 4)
+      : DataFrame = {
+    require(k >= 1 && rounds >= 0, "k must be >= 1, rounds >= 0")
+    // the batch's vectors feed every scoring stage and the corpus-side
+    // anti-joins: pin (batch-sized)
+    val bV = CacheScope.pin(
+      newVecs.select(col(idCol).as("id"), col(vecCol).as("v")))
+    val bB = srpBucketed(newVecs, idCol, vecCol, numPlanes, tables)
+      .select(col("table"), col("bucket"), col("id"))
+    val cB = corpusBuckets.select(col("table"), col("bucket"), col("id"))
+    // vector lookup relation: batch ∪ corpus. The corpus side reads
+    // (id, v) once per scoring stage straight off the standing index's
+    // table-0 rows (one row per id, no dedup shuffle) — deliberately
+    // NOT pinned: caching it would cost a corpus-sized materialization
+    // per batch, the exact thing this operator exists to avoid.
+    val allV = bV.unionByName(
+      corpusBuckets.where(col("table") === 0)
+        .select(col("id"), col("v")))
+    def scoreKeep(cand: DataFrame): DataFrame =
+      topKPerQuery(cand
+        .join(allV.select(col("id").as("q_id"), col("v").as("q_v")), "q_id")
+        .join(allV.select(col("id").as("c_id"), col("v").as("c_v")), "c_id")
+        .select(col("q_id"), col("c_id"),
+          (floor(cosineCol(col("q_v"), col("c_v")) * 1e6 + 0.5) / 1e6)
+            .as("cosine")),
+        "cosine", k)
+    // init candidates: corpus bucket mates + within-batch mates; feeds
+    // the init scoring AND the reverse pass — pin (batch-neighborhood-
+    // sized)
+    val c0 = CacheScope.pin(
+      bB.select(col("table"), col("bucket"), col("id").as("q_id"))
+        .join(cB.select(col("table"), col("bucket"),
+          col("id").as("c_id")), Seq("table", "bucket"))
+        .select("q_id", "c_id")
+        .unionByName(
+          bB.select(col("table"), col("bucket"), col("id").as("q_id"))
+            .join(bB.select(col("table"), col("bucket"),
+              col("id").as("c_id")), Seq("table", "bucket"))
+            .where(col("q_id") =!= col("c_id"))
+            .select("q_id", "c_id"))
+        .distinct())
+    var newL = scoreKeep(c0)
+    var r = 0
+    while (r < rounds) {
+      // neighbor lists during rounds: the batch's own current lists
+      // plus the UNCHANGED standing lists (the reverse pass lands
+      // after the rounds, off the final forward lists)
+      val lists = newL.select(col("q_id").as("n"), col("c_id").as("c"))
+        .unionByName(graph.select(col("id").as("n"),
+          col("nbr_id").as("c")))
+      val cand = newL.select(col("q_id"), col("c_id").as("n"))
+        .join(lists, "n")
+        .where(col("q_id") =!= col("c"))
+        .select(col("q_id"), col("c").as("c_id"))
+        .unionByName(newL.select("q_id", "c_id"))
+        .distinct()
+      newL = scoreKeep(cand)
+      r += 1
+    }
+    // newL feeds the output union AND the reverse pass
+    newL = newL.transform(CacheScope.pin)
+    // reverse pass: (corpus node, batch node) pairs from the bucket
+    // join plus pairs the descent kept; corpus side isolated by
+    // anti-join on the (small, pinned) batch ids
+    val rev = c0.select(col("c_id").as("q_id"), col("q_id").as("c_id"))
+      .unionByName(newL.select(col("c_id").as("q_id"),
+        col("q_id").as("c_id")))
+      .join(bV.select(col("id").as("q_id")), Seq("q_id"), "left_anti")
+      .distinct()
+      .transform(CacheScope.pin)
+    val revScored = rev
+      .join(allV.select(col("id").as("q_id"), col("v").as("q_v")), "q_id")
+      .join(bV.select(col("id").as("c_id"), col("v").as("c_v")), "c_id")
+      .select(col("q_id"), col("c_id"),
+        (floor(cosineCol(col("q_v"), col("c_v")) * 1e6 + 0.5) / 1e6)
+          .as("cosine"))
+    val oldRows = graph
+      .join(rev.select(col("q_id").as("id")).distinct(),
+        Seq("id"), "left_semi")
+      .select(col("id").as("q_id"), col("nbr_id").as("c_id"),
+        col("cosine").cast("double").as("cosine"))
+    val upd = topKPerQuery(oldRows.unionByName(revScored), "cosine", k)
+    newL.select(col("q_id").as("id"), col("c_id").as("nbr_id"),
+        col("cosine"), col("rank"), lit("new").as("kind"))
+      .unionByName(
+        upd.select(col("q_id").as("id"), col("c_id").as("nbr_id"),
+          col("cosine"), col("rank"), lit("updated").as("kind")))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane p, dim d):
     * md5-derived value mapped to {-1, +1} — engine-agnostic, so the oracle
     * can reproduce the exact bucketing. */

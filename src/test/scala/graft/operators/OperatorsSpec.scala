@@ -1736,6 +1736,71 @@ class OperatorsSpec extends SparkTestBase {
     assert(out._3 >= 0.8, s"structured-regime recall@5 ${out._3} < 0.8")
   }
 
+  test("knnDescentIncremental: batch insert reproduces the exact kNN " +
+    "graph the full rebuild would give on the clustered fixture; " +
+    "unaffected rows are untouched and an empty batch is a no-op") {
+    // same 3-cluster fixture as the knnDescent test: exact 3-NN is
+    // intra-cluster by construction, so after inserting the held-out
+    // points (i >= 6 of each cluster) the merged graph must equal the
+    // brute-force truth over the full set
+    val base = Seq(
+      Seq(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f),
+      Seq(0f, 0f, 0f, 0f, 0f, 0f, 1f, 0f))
+    val all = (for {
+      c <- 0 until 3; i <- 0 until 8
+    } yield {
+      val eps = 0.01f * (i + 1)
+      val v = base(c).zipWithIndex.map { case (x, d) =>
+        if (d == (c + 1) % 8) x + eps else x }
+      ((c * 8 + i).toLong, v)
+    }).toDF("vec_id", "embedding")
+    val corpus = all.where(col("vec_id") % 8 < 6)
+    val batch = all.where(col("vec_id") % 8 >= 6)
+    val g = Similarity.knnDescent(corpus, "vec_id", "embedding",
+      k = 3, rounds = 2)
+    val idx = Similarity.srpBucketed(corpus, "vec_id", "embedding",
+      numPlanes = 8, tables = 4)
+    val delta = Similarity.knnDescentIncremental(g, idx, batch,
+      "vec_id", "embedding", k = 3, rounds = 1)
+      .transform(CacheScope.pin)
+    // kind partitions the delta: 'new' ids are exactly the batch ids
+    val newIds = delta.where(col("kind") === "new")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(newIds == Set(6L, 7L, 14L, 15L, 22L, 23L), newIds.toString)
+    val updIds = delta.where(col("kind") === "updated")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(updIds.forall(_ % 8 < 6), updIds.toString)
+    // merged standing graph = untouched rows + the delta
+    val merged = g.join(delta.select(col("id")).distinct(),
+        Seq("id"), "left_anti")
+      .select("id", "nbr_id")
+      .unionByName(delta.select("id", "nbr_id"))
+    val v = all.select(col("vec_id").as("id"), col("embedding").as("v"))
+    // truth ranks by the operator's contract — the 1e-6-QUANTIZED
+    // cosine with id tie-break (this fixture genuinely ties at that
+    // grid: cos(4,2)=0.9998007 and cos(4,6)=0.9998015 both quantize
+    // to 0.999801, so raw-cosine truth would disagree on the tie)
+    val truth = Similarity.topKPerQuery(
+      v.select(col("id").as("q_id"), col("v").as("q_v"))
+        .crossJoin(v.select(col("id").as("c_id"), col("v").as("c_v")))
+        .where(col("q_id") =!= col("c_id"))
+        .select(col("q_id"), col("c_id"),
+          (floor(Similarity.cosineCol(col("q_v"), col("c_v")) * 1e6
+            + 0.5) / 1e6).as("cosine")),
+      "cosine", 3)
+      .select(col("q_id").as("id"), col("c_id").as("nbr_id"))
+    val got = merged.as[(Long, Long)].collect().toSet
+    val want = truth.as[(Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+    // empty batch: empty delta, nothing throws
+    val none = Similarity.knnDescentIncremental(g, idx,
+      all.where(col("vec_id") < 0), "vec_id", "embedding", k = 3,
+      rounds = 1)
+    assert(none.count() == 0L)
+  }
+
   test("bruteForceTopK ranks by cosine desc with id tiebreak") {
     val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),
       (12L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")

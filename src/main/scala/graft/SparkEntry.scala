@@ -2760,6 +2760,29 @@ object SparkEntry {
       },
       Some(knnIncrementalSql)),
 
+    // ST: STREAMING kNN-graph maintenance — the ingest-fold equivalent
+    // of the micro-batch path (KnnGraphStream.run): two batches arrive
+    // in order, each computes its delta against the standing graph +
+    // bucket index AS LEFT BY the previous batch, and the delta folds
+    // into the standing state (graph upsert by id, bucket append).
+    // The stream ≡ batch discipline every st_* family follows; oracle
+    // chains two unrolled incremental steps through the same folded
+    // state.
+    Q("st_knn_incremental",
+      (s, dir) => {
+        val emb = structuredEmb(s, dir)
+        val corpus = emb.where(pmod(col("vec_id"), lit(5)) =!= 0)
+        val g = Similarity.knnDescent(corpus, "vec_id", "embedding",
+          k = 5, rounds = 2)
+        val idx = Similarity.srpBucketed(corpus, "vec_id", "embedding",
+          numPlanes = 8, tables = 4)
+        graft.streaming.KnnGraphStream.ingestFold(g, idx,
+          Seq(emb.where(pmod(col("vec_id"), lit(10)) === 0),
+            emb.where(pmod(col("vec_id"), lit(10)) === 5)),
+          "vec_id", "embedding", k = 5, rounds = 1)
+      },
+      Some(stKnnIncrementalSql)),
+
     // Brute-force cosine top-k (5 query vectors vs the rest of the corpus)
     Q("ann_brute_topk",
       (s, dir) => {
@@ -10752,7 +10775,30 @@ object SparkEntry {
     * round, reverse pass re-ranking affected corpus nodes. Every
     * ranking comparison happens on the same 1e-6-quantized cosine the
     * Spark side uses. */
-  private def knnIncrementalSql: String = {
+  private def knnIncrementalSql: String =
+    s"""WITH ${knnDescentCtesOver(
+        s"SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 <> 0")},
+       |gq0 AS (SELECT q, c, floor(cosine * 1e6 + 5e-1) / 1e6 AS cosine,
+       |        rn FROM l2),
+       |bk0 AS (SELECT id, tbl, bucket FROM bk),
+       |av0 AS (SELECT id, v FROM e0),
+       |bv1 AS MATERIALIZED (
+       |  SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 = 0),
+       |${knnIncStepSql(1)}
+       |SELECT q AS id, c AS nbr_id, cosine, CAST(rn AS INT) AS rank,
+       |  kind FROM delta1""".stripMargin
+
+  /** One unrolled `knnDescentIncremental` step (batch `s`), consuming
+    * the chain state CTEs `gq{s-1}` (standing graph, QUANTIZED
+    * cosines), `bk{s-1}` (standing bucket index), `av{s-1}` (standing
+    * id→vector relation) and the batch CTE `bv$s`; emits `delta$s`
+    * (q, c, cosine, rn, kind) plus the folded next state `gq$s` /
+    * `bk$s` / `av$s` — so [[knnIncrementalSql]] (one batch) and
+    * [[stKnnIncrementalSql]] (batch-sequenced fold) replay the same
+    * Spark operator through the same SQL. */
+  private def knnIncStepSql(s: Int): String = {
+    val (g, bk, av) = (s"gq${s - 1}", s"bk${s - 1}", s"av${s - 1}")
+    val bv = s"bv$s"
     def qcos(a: String, b: String) =
       s"floor(${cosSql(a, b)} * 1e6 + 5e-1) / 1e6"
     def keepQ(cand: String, out: String) =
@@ -10760,54 +10806,83 @@ object SparkEntry {
          |  SELECT cd.q, cd.c, ${qcos("x.v", "y.v")} AS cosine,
          |    row_number() OVER (PARTITION BY cd.q
          |      ORDER BY ${qcos("x.v", "y.v")} DESC, cd.c ASC) AS rn
-         |  FROM $cand cd JOIN av x ON cd.q = x.id
-         |  JOIN av y ON cd.c = y.id) WHERE rn <= 5)"""
+         |  FROM $cand cd JOIN avx$s x ON cd.q = x.id
+         |  JOIN avx$s y ON cd.c = y.id) WHERE rn <= 5)"""
     val bbk = (0 until 4).map(tb =>
-      s"SELECT id, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM bv")
+      s"SELECT id, $tb AS tbl, ${srpBucketSql("v", tb, 8)} AS bucket FROM $bv")
       .mkString("\nUNION ALL\n")
-    s"""WITH ${knnDescentCtesOver(
-        s"SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 <> 0")},
-       |bv AS MATERIALIZED (
-       |  SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 = 0),
-       |bbk AS MATERIALIZED ($bbk),
-       |av AS MATERIALIZED (
-       |  SELECT id, v FROM e0 UNION ALL SELECT id, v FROM bv),
-       |ic0 AS (
-       |  SELECT a.id AS q, b.id AS c FROM bbk a JOIN bk b
+    s"""bbk$s AS MATERIALIZED ($bbk),
+       |avx$s AS MATERIALIZED (
+       |  SELECT id, v FROM $av UNION ALL SELECT id, v FROM $bv),
+       |ic0_$s AS (
+       |  SELECT a.id AS q, b.id AS c FROM bbk$s a JOIN $bk b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket
        |  UNION
-       |  SELECT a.id, b.id FROM bbk a JOIN bbk b
+       |  SELECT a.id, b.id FROM bbk$s a JOIN bbk$s b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.id <> b.id),
-       |${keepQ("ic0", "nl0")},
-       |ilists AS (SELECT q AS n, c FROM nl0
-       |           UNION ALL SELECT q AS n, c FROM l2),
-       |icd1 AS (
-       |  SELECT x.q, y.c FROM nl0 x JOIN ilists y ON x.c = y.n
+       |${keepQ(s"ic0_$s", s"nl0_$s")},
+       |ilists$s AS (SELECT q AS n, c FROM nl0_$s
+       |             UNION ALL SELECT q AS n, c FROM $g),
+       |icd1_$s AS (
+       |  SELECT x.q, y.c FROM nl0_$s x JOIN ilists$s y ON x.c = y.n
        |  WHERE x.q <> y.c
-       |  UNION SELECT q, c FROM nl0),
-       |${keepQ("icd1", "nl1")},
-       |irev AS MATERIALIZED (
-       |  SELECT b.id AS q, a.id AS c FROM bbk a JOIN bk b
+       |  UNION SELECT q, c FROM nl0_$s),
+       |${keepQ(s"icd1_$s", s"nl1_$s")},
+       |irev$s AS MATERIALIZED (
+       |  SELECT b.id AS q, a.id AS c FROM bbk$s a JOIN $bk b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket
-       |  UNION SELECT c AS q, q AS c FROM nl1 WHERE c % 5 <> 0),
-       |irs AS (
+       |  UNION SELECT c AS q, q AS c FROM nl1_$s
+       |  WHERE c NOT IN (SELECT id FROM $bv)),
+       |irs$s AS (
        |  SELECT rv.q, rv.c, ${qcos("x.v", "y.v")} AS cosine
-       |  FROM irev rv JOIN av x ON rv.q = x.id JOIN bv y ON rv.c = y.id),
-       |imerged AS (
-       |  SELECT q, c, cosine FROM irs
+       |  FROM irev$s rv JOIN avx$s x ON rv.q = x.id
+       |  JOIN $bv y ON rv.c = y.id),
+       |imerged$s AS (
+       |  SELECT q, c, cosine FROM irs$s
        |  UNION ALL
-       |  SELECT l.q, l.c, floor(l.cosine * 1e6 + 5e-1) / 1e6 FROM l2 l
-       |  WHERE l.q IN (SELECT q FROM irev)),
-       |iupd AS (SELECT q, c, cosine, rn FROM (
+       |  SELECT g.q, g.c, g.cosine FROM $g g
+       |  WHERE g.q IN (SELECT q FROM irev$s)),
+       |iupd$s AS (SELECT q, c, cosine, rn FROM (
        |  SELECT q, c, cosine, row_number() OVER (PARTITION BY q
        |    ORDER BY cosine DESC, c ASC) AS rn
-       |  FROM imerged) WHERE rn <= 5)
-       |SELECT q AS id, c AS nbr_id, cosine, CAST(rn AS INT) AS rank,
-       |  'new' AS kind FROM nl1
-       |UNION ALL
-       |SELECT q AS id, c AS nbr_id, cosine, CAST(rn AS INT) AS rank,
-       |  'updated' AS kind FROM iupd""".stripMargin
+       |  FROM imerged$s) WHERE rn <= 5),
+       |delta$s AS MATERIALIZED (
+       |  SELECT q, c, cosine, rn, 'new' AS kind FROM nl1_$s
+       |  UNION ALL
+       |  SELECT q, c, cosine, rn, 'updated' AS kind FROM iupd$s),
+       |gq$s AS (
+       |  SELECT q, c, cosine, rn FROM $g
+       |  WHERE q NOT IN (SELECT DISTINCT q FROM delta$s)
+       |  UNION ALL
+       |  SELECT q, c, cosine, rn FROM delta$s),
+       |bk$s AS (SELECT id, tbl, bucket FROM $bk
+       |         UNION ALL SELECT id, tbl, bucket FROM bbk$s),
+       |av$s AS (SELECT id, v FROM avx$s)""".stripMargin
   }
+
+  /** DuckDB replay of `KnnGraphStream.ingestFold` — the standing
+    * build, then TWO chained incremental steps (ids % 10 == 0, then
+    * % 10 == 5), each folding its delta into the graph/index/vector
+    * state the next step consumes, exactly as the Spark fold does. */
+  private def stKnnIncrementalSql: String =
+    s"""WITH ${knnDescentCtesOver(
+        s"SELECT id, v FROM ($structuredE0Sql) WHERE id % 5 <> 0")},
+       |gq0 AS (SELECT q, c, floor(cosine * 1e6 + 5e-1) / 1e6 AS cosine,
+       |        rn FROM l2),
+       |bk0 AS (SELECT id, tbl, bucket FROM bk),
+       |av0 AS (SELECT id, v FROM e0),
+       |bv1 AS MATERIALIZED (
+       |  SELECT id, v FROM ($structuredE0Sql) WHERE id % 10 = 0),
+       |${knnIncStepSql(1)},
+       |bv2 AS MATERIALIZED (
+       |  SELECT id, v FROM ($structuredE0Sql) WHERE id % 10 = 5),
+       |${knnIncStepSql(2)},
+       |deltas AS (
+       |  SELECT q, c, cosine, rn, kind, 0 AS batch_id FROM delta1
+       |  UNION ALL
+       |  SELECT q, c, cosine, rn, kind, 1 AS batch_id FROM delta2)
+       |SELECT q AS id, c AS nbr_id, cosine, CAST(rn AS INT) AS rank,
+       |  kind, CAST(batch_id AS BIGINT) AS batch_id FROM deltas""".stripMargin
 
   /** [[knnDescentCtes]] parameterized by the corpus CTE body, so the
     * same chain replays the descent over the real embeddings AND the

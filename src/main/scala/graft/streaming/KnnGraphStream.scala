@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.Similarity
+
+/** Streaming kNN-GRAPH maintenance against standing state — the
+  * [[IncrementalIngest]] probe-then-append discipline applied to the
+  * ANN family, where the standing state is TWO tables instead of one:
+  * the kNN graph ([[Similarity.knnDescent]] rows) and the SRP bucket
+  * index ([[Similarity.srpBucketed]] rows). Each ingest batch runs
+  * [[Similarity.knnDescentIncremental]]: the batch takes forward links
+  * through the standing buckets, one reverse pass re-ranks only the
+  * touched corpus neighborhoods, and the emitted DELTA both streams to
+  * the output and folds into the standing state (graph rows upserted
+  * by id, batch bucket rows appended). Per-batch cost stays
+  * proportional to the batch — the corpus-sized state is only ever
+  * probed through keyed joins, never rebuilt (the daily-ingest shape a
+  * 100 TB embedding pipeline actually runs; a from-scratch NN-Descent
+  * rebuild per batch re-pays the corpus every day).
+  *
+  * [[ingestFold]] is the deterministic batch-sequenced equivalent the
+  * oracle-checked registry row (`st_knn_incremental`) replays — the
+  * stream ≡ batch discipline every other st_* family follows. */
+object KnnGraphStream {
+
+  /** Deterministic fold: apply the batches in arrival order; batch i
+    * sees the graph and bucket index as left by batches 0..i-1. Emits
+    * every batch's delta — (id, nbr_id, cosine, rank, kind, batch_id)
+    * — where a LATER batch's `updated` rows supersede an earlier
+    * batch's rows for the same id (max batch_id wins when folding the
+    * output into a table; the standing state inside the fold already
+    * applies that upsert). Batch ids must be disjoint from the corpus
+    * and from each other (the re-ingestion contract is upstream
+    * dedup's job, as in [[Similarity.knnDescentIncremental]]). */
+  def ingestFold(graph: DataFrame, buckets: DataFrame,
+                 batches: Seq[DataFrame], idCol: String, vecCol: String,
+                 k: Int = 5, rounds: Int = 1, numPlanes: Int = 8,
+                 tables: Int = 4): DataFrame = {
+    var g = graph
+    var idx = buckets
+    val outs = batches.zipWithIndex.map { case (b, i) =>
+      val delta = Similarity.knnDescentIncremental(g, idx, b, idCol,
+        vecCol, k, rounds, numPlanes, tables)
+        .transform(graft.operators.CacheScope.pin)
+      // fold the delta into the standing state for the NEXT batch:
+      // graph rows upserted by id (delta carries the FULL new k-list
+      // of every touched node), batch buckets appended
+      g = g.join(delta.select(col("id")).distinct(), Seq("id"),
+          "left_anti")
+        .unionByName(delta.select("id", "nbr_id", "cosine", "rank"))
+      idx = idx.unionByName(
+        Similarity.srpBucketed(b, idCol, vecCol, numPlanes, tables))
+      delta.withColumn("batch_id", lit(i.toLong))
+    }
+    if (outs.isEmpty)
+      graph.limit(0).select(col("id"), col("nbr_id"), col("cosine"),
+        col("rank"), lit("new").as("kind"), lit(0L).as("batch_id"))
+    else outs.reduce(_ unionByName _)
+  }
+
+  /** One micro-batch's delta-then-upsert, graft-visible so the replay
+    * contract is directly spec-able: replaying the same batch leaves
+    * both standing tables unchanged (the bucket append anti-joins ids
+    * already present; the graph upsert keyed by id is idempotent for
+    * an identical delta — and the delta IS identical because the probe
+    * reads the standing state with the batch's own bucket rows
+    * excluded) and rewrites only its own output partition. */
+  private[graft] def ingestBatch(batch: DataFrame, idCol: String,
+      vecCol: String, graphTable: String, indexTable: String,
+      outPath: String, batchId: Long, k: Int, rounds: Int,
+      numPlanes: Int, tables: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.persist(org.apache.spark.storage.StorageLevel
+      .MEMORY_AND_DISK)
+    try {
+      val batchIds = b.select(col(idCol).as("id")).distinct()
+      // replay-safe probe: the standing index minus this batch's own
+      // rows (a replayed batch must not pair against its earlier copy),
+      // same for the graph side
+      val idx = spark.table(indexTable)
+        .join(broadcast(batchIds), Seq("id"), "left_anti")
+      val g = spark.table(graphTable)
+        .join(broadcast(batchIds), Seq("id"), "left_anti")
+      val delta = Similarity.knnDescentIncremental(g, idx, b, idCol,
+        vecCol, k, rounds, numPlanes, tables)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        delta.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outPath)
+        // graph upsert: drop the touched ids' old rows, insert the
+        // delta's full k-lists. Read-modify-write of the standing
+        // table is the local-skeleton shape; at rest the graph table
+        // is id-bucketed and this is the engine's keyed MERGE
+        // (Sources.mergeParquet) touching only matching buckets.
+        val touched = delta.select(col("id")).distinct()
+        val merged = spark.table(graphTable)
+          .join(broadcast(touched), Seq("id"), "left_anti")
+          .unionByName(delta.select("id", "nbr_id", "cosine", "rank"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        merged.count() // materialize before overwriting the source
+        merged.write.mode("overwrite").insertInto(graphTable)
+        merged.unpersist(false)
+        // replay-safe bucket append: only ids not already present
+        val present = spark.table(indexTable).select(col("id"))
+          .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()
+        Similarity.srpBucketed(b, idCol, vecCol, numPlanes, tables)
+          .join(broadcast(present), Seq("id"), "left_anti")
+          .write.mode("append").insertInto(indexTable)
+      } finally delta.unpersist(false)
+    } finally b.unpersist(false)
+  }
+
+  /** Streaming path: `foreachBatch` delta-then-upsert against standing
+    * graph + index TABLES (see [[ingestBatch]] for the replay
+    * contract). */
+  def run(stream: DataFrame, idCol: String, vecCol: String,
+          graphTable: String, indexTable: String, outPath: String,
+          checkpoint: String, k: Int = 5, rounds: Int = 1,
+          numPlanes: Int = 8, tables: Int = 4): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        ingestBatch(batch.toDF(), idCol, vecCol, graphTable, indexTable,
+          outPath, batchId, k, rounds, numPlanes, tables)
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+}

@@ -304,7 +304,16 @@ object Similarity {
         Seq("id"), "left_semi")
       .select(col("id").as("q_id"), col("nbr_id").as("c_id"),
         col("cosine").cast("double").as("cosine"))
-    val upd = topKPerQuery(oldRows.unionByName(revScored), "cosine", k)
+    // dropDuplicates: when the standing graph ALREADY holds a
+    // (corpus, batch-id) edge — a replayed micro-batch after a
+    // completed upsert — the pair arrives from both legs with the
+    // IDENTICAL quantized cosine (same vectors, same arithmetic), and
+    // topKPerQuery requires unique candidates per query; the dedup is
+    // deterministic because the duplicate rows are equal in all three
+    // columns
+    val upd = topKPerQuery(
+      oldRows.unionByName(revScored).dropDuplicates("q_id", "c_id"),
+      "cosine", k)
     newL.select(col("q_id").as("id"), col("c_id").as("nbr_id"),
         col("cosine"), col("rank"), lit("new").as("kind"))
       .unionByName(

@@ -99,13 +99,15 @@ object KnnGraphStream {
         // is id-bucketed and this is the engine's keyed MERGE
         // (Sources.mergeParquet) touching only matching buckets.
         val touched = delta.select(col("id")).distinct()
+        // localCheckpoint (eager), not persist: the overwrite target is
+        // also a source, and Spark's self-overwrite analysis looks at
+        // LINEAGE — only a lineage-truncating materialization makes
+        // read-then-overwrite legal
         val merged = spark.table(graphTable)
           .join(broadcast(touched), Seq("id"), "left_anti")
           .unionByName(delta.select("id", "nbr_id", "cosine", "rank"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        merged.count() // materialize before overwriting the source
+          .localCheckpoint(true)
         merged.write.mode("overwrite").insertInto(graphTable)
-        merged.unpersist(false)
         // replay-safe bucket append: only ids not already present
         val present = spark.table(indexTable).select(col("id"))
           .join(broadcast(batchIds), Seq("id"), "left_semi").distinct()

@@ -41,18 +41,41 @@ object KnnGraphStream {
                  tables: Int = 4): DataFrame = {
     var g = graph
     var idx = buckets
+    // previous steps' checkpoint handles: releasable once the NEXT
+    // state materializes (each delta's own pin fills during that job,
+    // so the output union never re-reads an old state frame)
+    var gRdd: org.apache.spark.rdd.RDD[_] = null
+    var idxRdd: org.apache.spark.rdd.RDD[_] = null
     val outs = batches.zipWithIndex.map { case (b, i) =>
       val delta = Similarity.knnDescentIncremental(g, idx, b, idCol,
         vecCol, k, rounds, numPlanes, tables)
         .transform(graft.operators.CacheScope.pin)
       // fold the delta into the standing state for the NEXT batch:
       // graph rows upserted by id (delta carries the FULL new k-list
-      // of every touched node), batch buckets appended
-      g = g.join(delta.select(col("id")).distinct(), Seq("id"),
-          "left_anti")
-        .unionByName(delta.select("id", "nbr_id", "cosine", "rank"))
-      idx = idx.unionByName(
-        Similarity.srpBucketed(b, idCol, vecCol, numPlanes, tables))
+      // of every touched node), batch buckets appended. CHECKPOINT the
+      // folded frames (lineage-truncating, the CheckpointOps loop
+      // discipline), not merely cache them: the next step's plan
+      // references the standing state ~10 times, and a cache cuts
+      // only EXECUTION — analysis still walks the full fold chain per
+      // reference, which compounds per batch (measured: step 2 took
+      // 34.5 s against a merely-persisted fold vs 5.7 s for step 1;
+      // checkpointing makes the folded state an RDD-backed leaf, the
+      // same thing the streaming path gets for free from its standing
+      // TABLES).
+      val (g2, g2Rdd) = org.apache.spark.sql.graft.CheckpointOps
+        .checkpoint(
+          g.join(delta.select(col("id")).distinct(), Seq("id"),
+            "left_anti")
+          .unionByName(delta.select("id", "nbr_id", "cosine", "rank")))
+      val (idx2, idx2Rdd) = org.apache.spark.sql.graft.CheckpointOps
+        .checkpoint(idx.unionByName(
+          Similarity.srpBucketed(b, idCol, vecCol, numPlanes, tables)))
+      if (gRdd != null) gRdd.unpersist(false)
+      if (idxRdd != null) idxRdd.unpersist(false)
+      g = g2
+      idx = idx2
+      gRdd = g2Rdd
+      idxRdd = idx2Rdd
       delta.withColumn("batch_id", lit(i.toLong))
     }
     if (outs.isEmpty)

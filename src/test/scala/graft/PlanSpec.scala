@@ -543,4 +543,23 @@ class PlanSpec extends SparkTestBase {
     assert(!lm.contains("CartesianProduct"), lm.take(3000))
     assert(!lm.contains("BroadcastNestedLoopJoin"), lm.take(3000))
   }
+
+  test("ann incremental maintenance: keyed equi-joins only — the " +
+    "standing graph/index enter by bucket or id keys, never a " +
+    "cartesian, nested loop, window, or single-partition funnel") {
+    for (q <- Seq("ann_knn_incremental", "st_knn_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")
+    }
+    // the sampled-truth blocking eval: the sample side broadcasts into
+    // ONE corpus token scan; the only cross-shaped nodes are the
+    // 1-row count aggregates the report is assembled from (the exact
+    // row's documented shape) — so just gate the quadratic shapes
+    val bq = plan("dd_blocking_quality_sampled")
+    assert(!bq.contains("CartesianProduct"), bq.take(3000))
+    assert(!bq.contains("Window"), bq.take(3000))
+  }
 }

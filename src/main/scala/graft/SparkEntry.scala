@@ -3003,6 +3003,31 @@ object SparkEntry {
       },
       Some(ivfTopKOracleSql)),
 
+    // IVF daily ingest: build the standing index over PART of the
+    // corpus, append the rest as a batch through the frozen standing
+    // model (cell-pruned append — corpus cell files never read), then
+    // query. Append-then-query is bit-identical to rebuild-then-query
+    // because per-vector assignment is independent — so this row
+    // shares ann_ivf_topk's full-corpus oracle verbatim, which IS the
+    // equivalence check.
+    Q("ann_ivf_incremental",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"/tmp/graft_ivf_inc/$tag"
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(
+          emb.where(col("vec_id") >= 21 && pmod(col("vec_id"), lit(3)) =!= 0),
+          "vec_id", "embedding",
+          emb.where(col("vec_id") >= 5 && col("vec_id") < 21),
+          "vec_id", "embedding", path)
+        Similarity.appendIvfIndex(s, path,
+          emb.where(col("vec_id") >= 21 && pmod(col("vec_id"), lit(3)) === 0),
+          "vec_id", "embedding")
+        Similarity.ivfTopKIndexed(s, path, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding", k = 5, nProbe = 2)
+      },
+      Some(ivfTopKOracleSql)),
+
     // Lloyd k-means over the embedding corpus: k=8 centroids seeded from
     // the 8 smallest vec_ids, 2 iterations, euclidean assignment
     Q("ann_kmeans",

@@ -494,6 +494,35 @@ object Similarity {
       .write.mode("overwrite").parquet(s"$path/model")
   }
 
+  /** Append an ingest batch to a standing [[writeIvfIndex]] layout —
+    * the daily-ingest operation of a serving IVF index. The batch
+    * assigns against the STANDING centroid model (broadcast,
+    * model-sized — same argmin kernel as the build, so append-then-
+    * query is bit-identical to rebuild-then-query by construction) and
+    * appends rows ONLY under its own cells' partitions: per-batch cost
+    * is O(|batch| × k centroids) assignment plus writes touching the
+    * batch's cells — the corpus-sized cell files are never read or
+    * rewritten. Centroid DRIFT is the caller's retrain gate: the model
+    * is frozen here on purpose, because re-assigning the corpus is the
+    * rebuild this operation exists to avoid. Batch ids must be new
+    * (the re-ingestion contract of every standing index here);
+    * replaying a completed append duplicates rows — at rest, land each
+    * batch under a batch-stamped subdirectory (the `batch_id`
+    * partition discipline of [[graft.streaming.IncrementalIngest]]) if
+    * the ingest source can replay. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String, batch: DataFrame, batchId: String,
+                     vecCol: String): Unit = {
+    val cents = collectCentroids(spark.read.parquet(s"$path/model"),
+      "cent_id", "cent_v")
+    val nearest1 = nearestCentroidsUdf(cents, 1)
+    batch.select(col(batchId).as("c_id"), col(vecCol).as("c_v"))
+      .select(col("c_id"), col("c_v"),
+        element_at(nearest1(col("c_v")), 1).getField("_1").as("cent_id"))
+      .write.mode("append").partitionBy("cent_id")
+      .parquet(s"$path/cells")
+  }
+
   /** IVF top-k against a standing [[writeIvfIndex]] layout. The query
     * batch routes on the broadcast model exactly like [[ivfTopK]]; the
     * probed cell ids (query-batch-bounded: ≤ nProbe × batch, collected

@@ -1867,6 +1867,52 @@ class OperatorsSpec extends SparkTestBase {
       .select("c_id").as[Long].collect().toSet == Set(10L, 11L))
   }
 
+  test("appendIvfIndex: append-then-query equals rebuild-then-query, " +
+    "and the append writes only under the batch's own cells") {
+    val corpusA = Seq(
+      (10L, Seq(1.0f, 0.0f)), (11L, Seq(0.9f, 0.1f)),  // cell A
+      (20L, Seq(0.0f, 1.0f)), (21L, Seq(0.1f, 0.9f))   // cell B
+    ).toDF("vec_id", "embedding")
+    // the batch lands entirely in cell A — cell B's files must not move
+    val batch = Seq((12L, Seq(0.95f, 0.02f)), (13L, Seq(0.88f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((1L, Seq(1.0f, 0.05f)), (2L, Seq(0.05f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    def files(p: String): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(p)).iterator()
+        .asScala.filter(_.toString.endsWith(".parquet"))
+        .map(_.toString).toSet
+    }
+    val inc = java.nio.file.Files
+      .createTempDirectory("graft_ivf_inc_spec").toString
+    Similarity.writeIvfIndex(corpusA, "vec_id", "embedding",
+      cents, "vec_id", "embedding", inc)
+    val before = files(s"$inc/cells")
+    Similarity.appendIvfIndex(spark, inc, batch, "vec_id", "embedding")
+    val added = files(s"$inc/cells") -- before
+    assert(added.nonEmpty && added.forall(_.contains("cent_id=100")),
+      s"append touched foreign cells: $added")
+    assert(before.subsetOf(files(s"$inc/cells")),
+      "append rewrote existing cell files")
+    // equivalence: identical answers to an index built over A ∪ batch
+    val full = java.nio.file.Files
+      .createTempDirectory("graft_ivf_full_spec").toString
+    Similarity.writeIvfIndex(corpusA.unionByName(batch), "vec_id",
+      "embedding", cents, "vec_id", "embedding", full)
+    for (nProbe <- Seq(1, 2)) {
+      val a = Similarity.ivfTopKIndexed(spark, inc, queries, "vec_id",
+        "embedding", k = 6, nProbe).as[(Long, Long, Double, Int)]
+        .collect().toSet
+      val b = Similarity.ivfTopKIndexed(spark, full, queries, "vec_id",
+        "embedding", k = 6, nProbe).as[(Long, Long, Double, Int)]
+        .collect().toSet
+      assert(a == b, s"nProbe=$nProbe: ${a.diff(b)} vs ${b.diff(a)}")
+    }
+  }
+
   test("sqTopK: int8 codes round-trip within a half bin; ADC + exact " +
     "rerank reproduces the brute-force top-k on real embeddings") {
     // quantization error bound: |dequant(code(v)) - v| <= step/2

@@ -8694,6 +8694,109 @@ object SparkEntry {
            |FROM h5 JOIN a5 ON h5.node = a5.node""".stripMargin
       }),
 
+    // GR: EXACT bounded-radius harmonic centrality over the undirected
+    // customer lattice — sum of 1/d(u,v) over all u within 3 hops
+    // (Boldi & Vigna 2014's recommended geometric centrality). Pair-state
+    // multi-source BFS; per-node distance histogram folds as
+    // c1/1 + c2/2 + c3/3 in fixed order (exact integer counts, so the
+    // double is order-proof). Quadratic pair state by nature — this is
+    // the small-graph cross-check that calibrates gr_hyperball, the
+    // sketch-state scale path (the dd_blocking_quality exact/sampled
+    // pairing applied to centrality).
+    Q("gr_harmonic",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.harmonicExact(bidir, maxHops = 3)
+          .select(col("node"),
+            (round(col("harmonic"), 6) + 0.0).as("harmonic"))
+      },
+      Some(s"""WITH RECURSIVE pts AS MATERIALIZED ($custPointsSql),
+              |e AS MATERIALIZED (
+              |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+              |  FROM pts a JOIN pts b
+              |    ON a.c_custkey <> b.c_custkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+              |walk(src, node, d) AS (
+              |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e)
+              |  UNION ALL
+              |  SELECT w.src, e.dst, w.d + 1
+              |  FROM walk w JOIN e ON e.src = w.node WHERE w.d < 3),
+              |md AS MATERIALIZED (
+              |  SELECT src, node, min(d) AS d FROM walk GROUP BY src, node)
+              |SELECT node,
+              |  round(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) / 1e0
+              |    + sum(CASE WHEN d = 2 THEN 1 ELSE 0 END) / 2e0
+              |    + sum(CASE WHEN d = 3 THEN 1 ELSE 0 END) / 3e0, 6) + 0e0
+              |    AS harmonic
+              |FROM md WHERE d >= 1 GROUP BY node""".stripMargin)),
+
+    // GR: HyperBall (Boldi & Vigna, ICDMW 2013) — approximate harmonic
+    // centrality for EVERY node via HLL registers (p=6, m=64) max-merged
+    // along in-edges for 3 rounds; after round h a node's registers ARE
+    // the exact HLL sketch of its ball (register max commutes with set
+    // union — spec'd as an identity). THE 100 TB centrality path: state
+    // is <= 64 sketch rows per node where the exact row carries a pair
+    // row per reachable vertex. Deterministic under the md5 parity hash,
+    // so even the ESTIMATE is oracle-exact (the sk_hll discipline).
+    Q("gr_hyperball",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.hyperBall(bidir, maxHops = 3, p = 6)
+          .select(col("node"),
+            (round(col("harmonic_est"), 4) + 0.0).as("harmonic_est"))
+      },
+      Some {
+        val mergeSql = (k: Int) =>
+          s"""r$k AS MATERIALIZED (
+             |  SELECT node, idx, max(mj) AS mj FROM (
+             |    SELECT e.dst AS node, r.idx, r.mj
+             |    FROM e JOIN r${k - 1} r ON r.node = e.src
+             |    UNION ALL SELECT node, idx, mj FROM r${k - 1})
+             |  GROUP BY node, idx)"""
+        val estSql = (k: Int) =>
+          s"""n$k AS MATERIALIZED (
+             |  SELECT node,
+             |    CASE WHEN raw <= 160.0 AND v > 0 THEN 64e0 * ln(64e0 / v)
+             |         WHEN raw > 4294967296e0 / 30 THEN
+             |           -4294967296e0 * ln(1 - raw / 4294967296e0)
+             |         ELSE raw END AS est
+             |  FROM (
+             |    SELECT node,
+             |      (0.709e0 * 64e0 * 64e0) / (s_present + (64 - present))
+             |        AS raw,
+             |      CAST(64 - present AS DOUBLE) AS v
+             |    FROM (SELECT node, sum(pow(2e0, -mj)) AS s_present,
+             |            count(*) AS present FROM r$k GROUP BY node)))"""
+        val hv = h32Sql("CAST(node AS VARCHAR)", "0")
+        s"""WITH pts AS MATERIALIZED ($custPointsSql),
+           |e AS MATERIALIZED (
+           |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+           |  FROM pts a JOIN pts b
+           |    ON a.c_custkey <> b.c_custkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+           |r0 AS MATERIALIZED (
+           |  SELECT node, hv >> 26 AS idx,
+           |    CASE WHEN (hv & 67108863) = 0 THEN 27
+           |         ELSE 26 - (length(bin(hv & 67108863)) - 1) END AS mj
+           |  FROM (SELECT node, $hv AS hv
+           |        FROM (SELECT DISTINCT src AS node FROM e))),
+           |${(1 to 3).map(mergeSql).mkString(",\n")},
+           |${(0 to 3).map(estSql).mkString(",\n")}
+           |SELECT node,
+           |  round((n1.est - n0.est) / 1e0 + (n2.est - n1.est) / 2e0
+           |    + (n3.est - n2.est) / 3e0, 4) + 0e0 AS harmonic_est
+           |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
+           |  JOIN n3 USING (node)""".stripMargin
+      }),
+
     // GR: common-neighbor link prediction over the customer proximity
     // graph — non-adjacent pairs sharing >= 2 neighbors, scored by
     // common-neighbor count, Jaccard, and Adamic-Adar. Wedge enumeration

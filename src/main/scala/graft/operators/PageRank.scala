@@ -527,6 +527,117 @@ object PageRank {
     dist
   }
 
+  /** EXACT bounded-radius harmonic centrality: for every node v with at
+    * least one out-edge, `harmonic(v) = Σ_{u: 1 ≤ d(u,v) ≤ maxHops}
+    * 1/d(u,v)` (Boldi & Vigna, "Axioms for centrality", Internet Math.
+    * 2014 — harmonic is their recommended geometric centrality because
+    * it handles unreachable pairs without a convention). Pass a
+    * symmetrized edge list for the undirected form.
+    *
+    * Plan shape: PAIR-state multi-source BFS — state (src, node, dist)
+    * seeded with every node at distance 0 from itself, one frontier
+    * edge-join + one (src, node) min-merge per round, then a single
+    * per-node aggregation folding the distance histogram into
+    * `c1/1 + c2/2 + … + cH/H` (counts divided term-by-term in fixed
+    * order, so the double result is an order-proof function of the
+    * graph). State is Σ_v |B_maxHops(v)| pair rows — QUADRATIC in the
+    * worst case, which is exactly why this is the small-graph
+    * cross-check: the 100 TB path is [[hyperBall]], whose register
+    * state is a fixed m rows per node, and whose estimate this row's
+    * exact values calibrate (the dd_blocking_quality exact/sampled
+    * pairing, applied to centrality). */
+  def harmonicExact(edges: DataFrame, maxHops: Int = 3,
+                    srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+    var (state, stateRdd) = CheckpointOps.checkpoint(
+      e.select($"esrc".as("src")).distinct()
+        .select($"src", $"src".as("node"), lit(0).as("dist")))
+    var hop = 1
+    while (hop <= maxHops) {
+      val frontier = state.where($"dist" === (hop - 1))
+        .select($"src", $"node".as("esrc"))
+      val reached = e.join(frontier, "esrc")
+        .select($"src", $"edst".as("node"), lit(hop).as("dist"))
+      val (next, nextRdd) = CheckpointOps.checkpoint(
+        state.union(reached)
+          .groupBy($"src", $"node").agg(min($"dist").as("dist")))
+      stateRdd.unpersist(false)
+      state = next
+      stateRdd = nextRdd
+      hop += 1
+    }
+    val terms = (1 to maxHops).map(h =>
+      sum(when($"dist" === h, 1L).otherwise(0L)) / lit(h.toDouble))
+    state.where($"dist" >= 1)
+      .groupBy($"node")
+      .agg(terms.reduce(_ + _).as("harmonic"))
+  }
+
+  /** HyperBall (Boldi & Vigna, "In-core computation of geometric
+    * centralities with HyperBall", ICDMW 2013): approximate harmonic
+    * centrality for EVERY node via HyperLogLog counters propagated
+    * along edges. Each node starts with the HLL register of its own id
+    * ([[Sketches.hllRegister]], the repo's md5 parity hash, so the
+    * whole computation — including the estimate — is deterministic and
+    * oracle-reproducible). Round h max-merges every node's registers
+    * with its in-neighbors'; register max commutes with set union, so
+    * after round h a node's register table IS the exact HLL sketch of
+    * its inverse ball B_h(v) (spec'd as an identity against
+    * directly-sketched exact balls). Harmonic estimate:
+    * `Σ_h (N̂_h − N̂_{h−1}) / h` with N̂_h the round-h cardinality
+    * estimate.
+    *
+    * THE 100 TB path for centrality: state is ≤ m = 2^p register rows
+    * per node (KB of sketch, never pairs), each round is one keyed
+    * edge join + one (node, register) max-agg — both with map-side
+    * partial combine — where the exact computation ([[harmonicExact]])
+    * carries a pair row per reachable (src, node). Accuracy is the
+    * standard HLL 1.04/√m relative error on each ball size.
+    *
+    * @return (node, est_0 … est_maxHops column `harmonic_est`) for
+    *         every node with at least one out-edge */
+  def hyperBall(edges: DataFrame, maxHops: Int = 3, p: Int = 6,
+                srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select($"src".as("node")).distinct()
+    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
+    // every round's register table backs one of the per-round estimates
+    // consumed in the final select, so (unlike the fixpoint loops) no
+    // round is unpersisted early — total pinned state is bounded at
+    // (maxHops+1) * m rows per node, KB-scale sketch state by design
+    var (regs, _) = CheckpointOps.checkpoint(
+      nodes.select($"node", idx.as("hll_idx"), rho.as("mj")))
+    def estimate(r: DataFrame, name: String): DataFrame =
+      Sketches.hllEstimate(r, Seq("node"), p)
+        .select($"node", col("hll_estimate").as(name))
+    var ests = Vector(estimate(regs, "n0"))
+    var hop = 1
+    while (hop <= maxHops) {
+      val fromNeighbors = e.join(regs.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"hll_idx", $"mj")
+      val (next, _) = CheckpointOps.checkpoint(
+        fromNeighbors.union(regs)
+          .groupBy($"node", $"hll_idx").agg(max($"mj").as("mj")))
+      regs = next
+      ests :+= estimate(regs, s"n$hop")
+      hop += 1
+    }
+    // fixed-order fold (n1−n0)/1 + (n2−n1)/2 + … so the IEEE result is
+    // reproducible term-for-term by the oracle
+    val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
+    val harmonic = (1 to maxHops)
+      .map(h => (col(s"n$h") - col(s"n${h - 1}")) / lit(h.toDouble))
+      .reduce(_ + _)
+    joined.select($"node", harmonic.as("harmonic_est"))
+  }
+
   /** Common-neighbor link prediction over the undirected graph: for every
     * NON-adjacent pair (x, y) sharing at least `minCommon` neighbors, the
     * three classic scores — common-neighbor count, Jaccard similarity of

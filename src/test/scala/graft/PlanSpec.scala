@@ -562,4 +562,16 @@ class PlanSpec extends SparkTestBase {
     assert(!bq.contains("CartesianProduct"), bq.take(3000))
     assert(!bq.contains("Window"), bq.take(3000))
   }
+
+  test("harmonic centrality: the exact BFS and the HyperBall sketch " +
+    "rounds are keyed joins + partial aggs — no cartesian, window, or " +
+    "single-partition funnel") {
+    for (q <- Seq("gr_harmonic", "gr_hyperball")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Window"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")
+    }
+  }
 }

@@ -733,6 +733,62 @@ class OperatorsSpec extends SparkTestBase {
     assert(far == Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
   }
 
+  test("harmonicExact matches hand-computed bounded harmonic centrality") {
+    // undirected path 1-2-3-4-5, symmetrized
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val bidir = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val got = PageRank.harmonicExact(bidir, maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    // node 1: d=1 to 2, d=2 to 3, d=3 to 4 (5 is 4 hops, outside radius)
+    assert(math.abs(got(1L) - (1.0 + 1.0 / 2 + 1.0 / 3)) < 1e-12)
+    assert(math.abs(got(2L) - (2.0 + 1.0 / 2 + 1.0 / 3)) < 1e-12)
+    assert(math.abs(got(3L) - (2.0 + 2.0 / 2)) < 1e-12)
+    // symmetric graph => symmetric centralities
+    assert(got(4L) == got(2L) && got(5L) == got(1L))
+    // degenerate inputs: empty edge frame yields an empty, non-crashing
+    // result (the r13 Louvain lesson — per-scope empty graphs WILL occur)
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(PageRank.harmonicExact(empty, maxHops = 3).count() == 0L)
+    assert(PageRank.hyperBall(empty, maxHops = 3).count() == 0L)
+  }
+
+  test("hyperBall registers are the exact HLL sketch of each ball: the " +
+    "estimate equals directly sketching brute-force ball membership") {
+    // deterministic irregular graph: ring over 0..11 plus chords
+    val ring = (0L to 11L).map(i => (i, (i + 1) % 12))
+    val chords = Seq((0L, 6L), (2L, 9L), (4L, 10L), (1L, 7L))
+    val e0 = (ring ++ chords).toDF("src", "dst")
+    val bidir = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val maxHops = 3
+    val got = PageRank.hyperBall(bidir, maxHops = maxHops, p = 6)
+      .as[(Long, Double)].collect().toMap
+
+    // brute-force balls B_h(v) on the driver
+    val adj = bidir.as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, h: Int): Set[Long] = {
+      var b = Set(v)
+      (1 to h).foreach(_ => b = b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+      b
+    }
+    // expected: per-hop HLL estimates over exact membership, folded with
+    // the identical (N_h - N_{h-1}) / h expression
+    val nodes = adj.keys.toSeq
+    val expected = nodes.map { v =>
+      val ests = (0 to maxHops).map { h =>
+        val members = ball(v, h).toSeq.map(u => (v, u))
+        Sketches.hllDistinct(members.toDF("node", "member"),
+            Seq("node"), "member", p = 6)
+          .select($"hll_estimate").as[Double].head()
+      }
+      v -> (1 to maxHops).map(h => (ests(h) - ests(h - 1)) / h).sum
+    }.toMap
+    nodes.foreach { v =>
+      assert(math.abs(got(v) - expected(v)) < 1e-9,
+        s"node $v: got ${got(v)}, expected ${expected(v)}")
+    }
+  }
+
   test("shortestPaths holds the exact min over bounded-edge weighted " +
     "paths, re-relaxing nodes the frontier improves late") {
     // cheap chain 1-2-3-4 (w=1 each) vs a heavy shortcut 1->4 (w=10),

@@ -638,6 +638,74 @@ object PageRank {
     joined.select($"node", harmonic.as("harmonic_est"))
   }
 
+  /** [[hyperBall]] with PACKED registers: one m-slot int-array row per
+    * node merged by a custom max Aggregator, instead of up to m
+    * (node, register) rows. Per-round shuffle traffic drops from
+    * O(E · registers-present) rows to O(E) array rows — at the sf1
+    * probe's densified lattice that is ~40× fewer shuffle rows — which
+    * is the layout HyperBall itself uses (Boldi & Vigna keep register
+    * files, not register tuples).
+    *
+    * Output is BIT-IDENTICAL to [[hyperBall]] (spec'd): the registers
+    * max-merge to the same contents regardless of layout, and the
+    * estimator's register fold sums exact powers of two (exponents in
+    * [−(32−p)−1, 0], ≤ m terms — exactly representable in an IEEE
+    * double at any summation order), so even the packed fold over
+    * empty-and-present slots together reproduces hllEstimate's
+    * present-sum-plus-empty-count double exactly. */
+  def hyperBallPacked(edges: DataFrame, maxHops: Int = 3, p: Int = 6,
+                      srcCol: String = "src",
+                      dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val m = 1 << p
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select($"src".as("node")).distinct()
+    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
+    val init = nodes.select($"node",
+      transform(sequence(lit(0), lit(m - 1)),
+        j => when(j === idx.cast("int"), rho.cast("int"))
+          .otherwise(lit(0))).as("regs"))
+    val mergeRegs = udaf(new RegisterMaxMerge(m))
+    def estimate(r: DataFrame, name: String): DataFrame = {
+      // the identical estimator shapes as Sketches.hllEstimate, off the
+      // packed fold (empty slots contribute pow(2, -0) = 1 directly)
+      val sAll = aggregate(col("regs"), lit(0.0),
+        (acc, x) => acc + pow(lit(2.0), -x))
+      val present = size(filter(col("regs"), x => x > lit(0)))
+      val two32 = 4294967296.0
+      r.select($"node", sAll.as("s_all"),
+          (lit(m) - present).cast("double").as("v"))
+        .withColumn("raw", lit(Sketches.hllAlpha(m) * m.toDouble * m)
+          / col("s_all"))
+        .select($"node",
+          when(col("raw") <= 2.5 * m && col("v") > 0,
+            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
+            .when(col("raw") > two32 / 30.0,
+              lit(-two32) * log(lit(1.0) - col("raw") / two32))
+            .otherwise(col("raw")).as(name))
+    }
+    var (regs, _) = CheckpointOps.checkpoint(init)
+    var ests = Vector(estimate(regs, "n0"))
+    var hop = 1
+    while (hop <= maxHops) {
+      val fromNeighbors = e.join(regs.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"regs")
+      val (next, _) = CheckpointOps.checkpoint(
+        fromNeighbors.union(regs)
+          .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
+      regs = next
+      ests :+= estimate(regs, s"n$hop")
+      hop += 1
+    }
+    val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
+    val harmonic = (1 to maxHops)
+      .map(h => (col(s"n$h") - col(s"n${h - 1}")) / lit(h.toDouble))
+      .reduce(_ + _)
+    joined.select($"node", harmonic.as("harmonic_est"))
+  }
+
   /** Common-neighbor link prediction over the undirected graph: for every
     * NON-adjacent pair (x, y) sharing at least `minCommon` neighbors, the
     * three classic scores — common-neighbor count, Jaccard similarity of
@@ -1273,4 +1341,39 @@ object PageRank {
     e.unpersist(false)
     core
   }
+}
+
+/** Elementwise max over fixed-length m-slot register arrays — the
+  * partial-aggregation-friendly merge for [[PageRank.hyperBallPacked]]:
+  * map-side combine reduces every partition's rows to one array per
+  * node before the shuffle, so per-round traffic is O(distinct nodes
+  * per partition), never O(edges). Buffers mutate in place (fresh
+  * deserialized arrays per group under ObjectHashAggregate). */
+class RegisterMaxMerge(m: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Int], Array[Int], Seq[Int]] {
+  require(m > 0, s"m must be positive, got $m")
+  override def zero: Array[Int] = new Array[Int](m)
+  override def reduce(buf: Array[Int], regs: Seq[Int]): Array[Int] = {
+    var j = 0
+    while (j < m) {
+      val v = regs(j)
+      if (v > buf(j)) buf(j) = v
+      j += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+    var j = 0
+    while (j < m) {
+      if (b(j) > a(j)) a(j) = b(j)
+      j += 1
+    }
+    a
+  }
+  override def finish(buf: Array[Int]): Seq[Int] = buf.toIndexedSeq
+  override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Int]]()
+  override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
 }

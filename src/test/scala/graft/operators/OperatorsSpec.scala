@@ -787,6 +787,17 @@ class OperatorsSpec extends SparkTestBase {
       assert(math.abs(got(v) - expected(v)) < 1e-9,
         s"node $v: got ${got(v)}, expected ${expected(v)}")
     }
+
+    // packed-register layout is BIT-identical (register contents are
+    // layout-independent and the estimator folds exact powers of two)
+    val packed = PageRank.hyperBallPacked(bidir, maxHops = maxHops, p = 6)
+      .as[(Long, Double)].collect().toMap
+    nodes.foreach { v =>
+      assert(packed(v) == got(v),
+        s"node $v: packed ${packed(v)} != exploded ${got(v)}")
+    }
+    assert(PageRank.hyperBallPacked(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
   }
 
   test("shortestPaths holds the exact min over bounded-edge weighted " +

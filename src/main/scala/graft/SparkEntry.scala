@@ -8797,6 +8797,70 @@ object SparkEntry {
            |  JOIN n3 USING (node)""".stripMargin
       }),
 
+    // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
+    // the two standard scale reductions: Brandes-Pich source sampling +
+    // a 3-hop path radius). Forward pass counts shortest paths σ
+    // integer-exactly; backward pass unrolls dependency accumulation
+    // level by level in the fixed shape (σv/σw)·(1+δw), which the
+    // oracle replays operation for operation. The source sample size is
+    // the cost dial — state is the SAMPLE's ball mass, never all-pairs.
+    Q("gr_betweenness",
+      (s, dir) => {
+        val pts = custPoints(s, dir)
+        val e0 = SpatialJoins.gridSelfJoin(
+            pts, "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val seeds = pts.where(pmod(col("c_custkey"), lit(100)) === 1)
+          .select(col("c_custkey").as("node"))
+        PageRank.betweennessBounded(bidir, seeds, maxHops = 3)
+          .select(col("node"), (round(col("bc"), 6) + 0.0).as("bc"))
+      },
+      Some {
+        val lvl = (h: Int) =>
+          s"""d$h AS MATERIALIZED (
+             |  SELECT v.s, v.node,
+             |    coalesce(sum((CAST(v.sigma AS DOUBLE) / wsig.sigma)
+             |      * (1e0 + dw.delta)), 0e0) AS delta
+             |  FROM sig v
+             |  LEFT JOIN e ON e.src = v.node
+             |  LEFT JOIN sig wsig ON wsig.s = v.s AND wsig.node = e.dst
+             |    AND wsig.d = ${h + 1}
+             |  LEFT JOIN d${h + 1} dw ON dw.s = v.s AND dw.node = e.dst
+             |  WHERE v.d = $h
+             |  GROUP BY v.s, v.node)"""
+        s"""WITH RECURSIVE pts AS MATERIALIZED ($custPointsSql),
+           |e AS MATERIALIZED (
+           |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+           |  FROM pts a JOIN pts b
+           |    ON a.c_custkey <> b.c_custkey
+           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+           |seeds AS (SELECT c_custkey AS node FROM pts
+           |  WHERE c_custkey % 100 = 1),
+           |walk(s, node, d) AS (
+           |  SELECT node, node, 0 FROM seeds
+           |  UNION ALL
+           |  SELECT w.s, e.dst, w.d + 1
+           |  FROM walk w JOIN e ON e.src = w.node WHERE w.d < 3),
+           |md AS MATERIALIZED (
+           |  SELECT s, node, min(d) AS d FROM walk GROUP BY s, node),
+           |sig AS MATERIALIZED (
+           |  SELECT w.s, w.node, m.d, count(*) AS sigma
+           |  FROM walk w JOIN md m
+           |    ON w.s = m.s AND w.node = m.node AND w.d = m.d
+           |  GROUP BY w.s, w.node, m.d),
+           |d3 AS MATERIALIZED (
+           |  SELECT s, node, 0e0 AS delta FROM sig WHERE d = 3),
+           |${lvl(2)},
+           |${lvl(1)}
+           |SELECT node, round(sum(delta), 6) + 0e0 AS bc
+           |FROM (SELECT s, node, delta FROM d1
+           |  UNION ALL SELECT s, node, delta FROM d2
+           |  UNION ALL SELECT s, node, delta FROM d3)
+           |GROUP BY node""".stripMargin
+      }),
+
     // GR: common-neighbor link prediction over the customer proximity
     // graph — non-adjacent pairs sharing >= 2 neighbors, scored by
     // common-neighbor count, Jaccard, and Adamic-Adar. Wedge enumeration

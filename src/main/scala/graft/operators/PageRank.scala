@@ -706,6 +706,90 @@ object PageRank {
     joined.select($"node", harmonic.as("harmonic_est"))
   }
 
+  /** Bounded-radius, sampled-source betweenness centrality (Brandes,
+    * "A faster algorithm for betweenness centrality", J. Math. Sociol.
+    * 2001, with the two standard scale reductions: a SOURCE SAMPLE
+    * instead of all sources — Brandes & Pich 2007 — and shortest paths
+    * truncated at `maxHops`). For each source s the forward pass is a
+    * pair-state BFS carrying σ(s,v) = the number of shortest s→v paths
+    * (integer-exact: new nodes at round h sum their round-(h−1)
+    * predecessors' σ); the backward pass unrolls the dependency
+    * accumulation level by level, δ(v) = Σ_{w ∈ succ(v)}
+    * (σv/σw)·(1+δw), and bc(v) = Σ_s δ_s(v).
+    *
+    * Plan shape: maxHops keyed edge-join + partial-agg rounds forward,
+    * maxHops−1 level joins backward — no cartesian, no window; state is
+    * (source, node) pairs bounded by the sampled sources' ball mass
+    * (the sample size is the cost dial, exactly why Brandes-Pich sample
+    * sources at scale). All arithmetic before the final δ sums is
+    * integer; δ terms are composed in the fixed shape
+    * (σv/σw)·(1+δw) so the oracle replays them operation for
+    * operation.
+    *
+    * @param sources DataFrame with a `node` column (the source sample)
+    * @return (node, bc) for every node within maxHops of a source,
+    *         sources included (a source scores 0 unless it lies on
+    *         another source's shortest paths) */
+  def betweennessBounded(edges: DataFrame, sources: DataFrame,
+                         maxHops: Int = 3, srcCol: String = "src",
+                         dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+    var (state, _) = CheckpointOps.checkpoint(
+      sources.select($"node").distinct()
+        .select($"node".as("s"), $"node", lit(0).as("dist"),
+          lit(1L).as("sigma")))
+    var hop = 1
+    while (hop <= maxHops) {
+      val frontier = state.where($"dist" === (hop - 1))
+        .select($"s", $"node".as("esrc"), $"sigma")
+      // σ of a node first reached at round h = Σ σ over its dist-(h−1)
+      // predecessors (all final by round h−1) — integer-exact
+      val cand = e.join(frontier, "esrc")
+        .groupBy($"s", $"edst".as("node"))
+        .agg(sum($"sigma").as("sigma"))
+      val fresh = cand.join(state.select($"s", $"node"),
+          Seq("s", "node"), "left_anti")
+        .select($"s", $"node", lit(hop).as("dist"), $"sigma")
+      val (next, _) = CheckpointOps.checkpoint(state.union(fresh))
+      state = next
+      hop += 1
+    }
+    // backward: δ at the radius boundary is 0; each level pulls from
+    // the one below through the edges that realize the shortest paths
+    var delta = state.where($"dist" === maxHops)
+      .select($"s", $"node", lit(0.0).as("delta"))
+    val perLevel = Vector.newBuilder[DataFrame]
+    perLevel += delta
+    var level = maxHops - 1
+    while (level >= 1) {
+      val v = state.where($"dist" === level)
+        .select($"s", $"node", $"sigma")
+      val w = state.where($"dist" === (level + 1))
+        .select($"s".as("ws"), $"node".as("wnode"), $"sigma".as("wsigma"))
+        .join(delta.select($"s".as("ws"), $"node".as("wnode"),
+          $"delta".as("wdelta")), Seq("ws", "wnode"))
+      val contrib = v
+        .join(e, $"node" === $"esrc")
+        .join(w, $"s" === $"ws" && $"edst" === $"wnode")
+      val scored = contrib
+        .groupBy($"s", $"node")
+        .agg(sum(($"sigma".cast("double") / $"wsigma")
+          * (lit(1.0) + $"wdelta")).as("acc"))
+      delta = v.select($"s", $"node")
+        .join(scored, Seq("s", "node"), "left_outer")
+        .select($"s", $"node", coalesce($"acc", lit(0.0)).as("delta"))
+      val (flat, _) = CheckpointOps.checkpoint(delta)
+      delta = flat
+      perLevel += delta // level 0 (the source itself) never scores, so
+      level -= 1        // the backward pass stops at level 1
+    }
+    perLevel.result().reduce(_ union _)
+      .groupBy($"node").agg(sum($"delta").as("bc"))
+  }
+
   /** Common-neighbor link prediction over the undirected graph: for every
     * NON-adjacent pair (x, y) sharing at least `minCommon` neighbors, the
     * three classic scores — common-neighbor count, Jaccard similarity of

@@ -800,6 +800,44 @@ class OperatorsSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
   }
 
+  test("betweennessBounded matches hand-computed Brandes on a path and " +
+    "splits credit across equal-length paths on a diamond") {
+    def bidir(pairs: (Long, Long)*) = {
+      val e0 = pairs.toSeq.toDF("src", "dst")
+      e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    }
+    // path 1-2-3-4-5, all sources, radius covers everything:
+    // bc(3) = ordered pairs {1,2}x{4,5} both ways = 8; bc(2) = 1x{3,4,5}
+    // both ways = 6; endpoints 0
+    val path = bidir((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val all = (1L to 5L).toDF("node")
+    val bc = PageRank.betweennessBounded(path, all, maxHops = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(bc(3L) == 8.0 && bc(2L) == 6.0 && bc(4L) == 6.0)
+    assert(bc(1L) == 0.0 && bc(5L) == 0.0)
+    // diamond 1-2-4, 1-3-4: two equal shortest paths per opposite pair,
+    // so every node carries exactly half of two ordered pairs = 1.0
+    val diamond = bidir((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val bcD = PageRank.betweennessBounded(
+        diamond, (1L to 4L).toDF("node"), maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    assert((1L to 4L).forall(v => bcD(v) == 1.0), bcD.toString)
+    // source sampling: from s=1 only on the path, delta(v) = nodes
+    // strictly beyond v
+    val bc1 = PageRank.betweennessBounded(
+        path, Seq(1L).toDF("node"), maxHops = 4)
+      .as[(Long, Double)].collect().toMap
+    assert(bc1 == Map(2L -> 3.0, 3L -> 2.0, 4L -> 1.0, 5L -> 0.0))
+    // radius truncation: paths longer than maxHops never credit anyone
+    val bc1h2 = PageRank.betweennessBounded(
+        path, Seq(1L).toDF("node"), maxHops = 2)
+      .as[(Long, Double)].collect().toMap
+    assert(bc1h2 == Map(2L -> 1.0, 3L -> 0.0))
+    // degenerate: empty edges
+    assert(PageRank.betweennessBounded(
+      Seq.empty[(Long, Long)].toDF("src", "dst"), all).count() == 0L)
+  }
+
   test("shortestPaths holds the exact min over bounded-edge weighted " +
     "paths, re-relaxing nodes the frontier improves late") {
     // cheap chain 1-2-3-4 (w=1 each) vs a heavy shortcut 1->4 (w=10),

@@ -57,6 +57,11 @@ object CentralityProbe {
       }
       val tExact = time("gr_harmonic")
       val tBall = time("gr_hyperball")
+      val tBc = time("gr_betweenness")
+      // the sampled sources' ball mass (the betweenness state bound)
+      val sampleBallMass = state.where(pmod($"s", lit(100)) === 1).count()
+      System.err.println(f"[centrality-bc] $dir bc=$tBc%.2fs " +
+        f"sampleBallMass=$sampleBallMass")
       // layout A/B on the SAME cached edge frame (no lattice-build skew)
       def timeOp(f: => org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()

@@ -9513,6 +9513,34 @@ object SparkEntry {
     // per-source lines come from the same single-pass aggregation. One
     // tokenize scan, one grouping-sets aggregate; the only
     // countDistinct is digest-per-group (the dedup KPI, irreducible).
+    // TA: character-level Shannon entropy — the CCNet-style gibberish /
+    // boilerplate signal (keyboard mash and padding sit far below
+    // natural prose's ~3.5-4.5 bits, base64 blobs far above). One
+    // kernel pass per row, histogram never becomes rows; the oracle
+    // unnests code points only because DuckDB has no such kernel.
+    // floor-quantized (not decimal round) per the midpoint discipline.
+    Q("ta_entropy",
+      (s, dir) => {
+        val h = TextAnalysis.charEntropy(col("text"))
+        t(s, dir, "documents")
+          .where(col("text").isNotNull && length(col("text")) > 0)
+          .select(col("doc_id"),
+            (floor(h * lit(1e6) + lit(0.5)) / lit(1e6)).as("ent"))
+          .withColumn("low_entropy", col("ent") < 3.0)
+      },
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '(?s).')) AS c
+             |  FROM documents WHERE text IS NOT NULL AND length(text) > 0),
+             |cnt AS (SELECT doc_id, c, count(*) AS k
+             |        FROM ch GROUP BY doc_id, c),
+             |ent AS (
+             |  SELECT doc_id,
+             |    (ln(sum(k)) - sum(k * ln(k)) / sum(k)) / ln(2) AS h
+             |  FROM cnt GROUP BY doc_id)
+             |SELECT doc_id, floor(h * 1e6 + 5e-1) / 1e6 AS ent,
+             |  (floor(h * 1e6 + 5e-1) / 1e6) < 3.0 AS low_entropy
+             |FROM ent""".stripMargin)),
+
     Q("ta_corpus_stats",
       (s, dir) => t(s, dir, "documents")
         .select(col("source"), col("lang"),

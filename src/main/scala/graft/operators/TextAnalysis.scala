@@ -142,6 +142,42 @@ object TextAnalysis {
   private val enMarkerSet: Set[String] = markers("en").toSet
   private val qualityUdf = udf(qualityKernel _)
 
+  /** Character-level Shannon entropy in BITS over the code-point
+    * histogram — the classic gibberish/boilerplate signal (CCNet-style
+    * pipelines pair it with LM perplexity): keyboard mash and repeated
+    * padding sit far below natural-language entropy (~3.5-4.5 bits for
+    * English prose), base64/random blobs far above. One pass per row,
+    * no explode — at 100 TB the histogram must never become rows.
+    *
+    * Fixed arithmetic shape `(ln(n) − (Σ_c c·ln c)/n) / ln 2` over
+    * code-point counts, replayed term-for-term by the oracle; the Σ is
+    * the only order-sensitive double fold (covered by the round(6)
+    * output discipline, like every other summed-double row). Empty or
+    * null text scores 0. */
+  def entropyKernel(text: String): Double = {
+    if (text == null || text.isEmpty) return 0.0
+    val counts = new java.util.HashMap[Integer, Long]()
+    var i = 0
+    var n = 0L
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      counts.merge(cp, 1L, (a, b) => a + b)
+      n += 1
+      i += Character.charCount(cp)
+    }
+    var s = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().toDouble
+      s += c * math.log(c)
+    }
+    (math.log(n.toDouble) - s / n) / math.log(2.0)
+  }
+  private val entropyUdf = udf(entropyKernel _)
+
+  /** Per-row character entropy (bits) — kernel-backed. */
+  def charEntropy(c: Column): Column = entropyUdf(c)
+
   /** All quality features + composite score from ONE kernel evaluation,
     * as a struct column (fields _1.._7 per qualityKernel). */
   def qualityStruct(c: Column): Column = qualityUdf(c)

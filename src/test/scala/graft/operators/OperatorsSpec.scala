@@ -2491,6 +2491,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("entropyKernel: hand-checked Shannon entropy over code points") {
+    import graft.operators.TextAnalysis.entropyKernel
+    assert(entropyKernel(null) == 0.0 && entropyKernel("") == 0.0)
+    assert(entropyKernel("aaaa") == 0.0)
+    assert(math.abs(entropyKernel("ab") - 1.0) < 1e-12)
+    assert(math.abs(entropyKernel("aabb") - 1.0) < 1e-12)
+    assert(math.abs(entropyKernel("abcd") - 2.0) < 1e-12)
+    // {x:2, y:1}: H = (ln3 - (2 ln2)/3) / ln2
+    val aab = (math.log(3) - 2 * math.log(2) / 3) / math.log(2)
+    assert(math.abs(entropyKernel("aab") - aab) < 1e-12)
+    // non-BMP: 3 code points with the same {2,1} histogram as "aab" —
+    // iteration must be per code point, not per UTF-16 unit
+    assert(entropyKernel("😀😀🎉") ==
+      entropyKernel("aab"))
+    // ordering: mash below prose below random-ish
+    val mash = entropyKernel("aaaaabbbbbaaaaabbbbb")
+    val prose = entropyKernel(
+      "The quick brown fox jumps over the lazy dog near the river bank.")
+    val blob = entropyKernel("q8Zx2Wv9Yb1Tc4Re7Ul0Pk3Ojh6NfMgAdS5iD")
+    assert(mash < 2.0 && prose > 3.5 && prose < 5.0 && blob > prose)
+  }
+
   test("qualityKernel is bit-identical to the expression form") {
     val texts = Seq(
       "", "the and of to a in is it for with", "no stopwords here at all",

@@ -8739,9 +8739,13 @@ object SparkEntry {
     // along in-edges for 3 rounds; after round h a node's registers ARE
     // the exact HLL sketch of its ball (register max commutes with set
     // union — spec'd as an identity). THE 100 TB centrality path: state
-    // is <= 64 sketch rows per node where the exact row carries a pair
-    // row per reachable vertex. Deterministic under the md5 parity hash,
-    // so even the ESTIMATE is oracle-exact (the sk_hll discipline).
+    // is one 64-slot register array per node where the exact row carries
+    // a pair row per reachable vertex. Deterministic under the md5
+    // parity hash, so even the ESTIMATE is oracle-exact (the sk_hll
+    // discipline). Runs the PACKED layout — 3.5x over the exploded
+    // register-tuple form at the sf1 probe (fresh-JVM interleaved A/B,
+    // SCALE.md r14; bit-identical outputs spec'd, so the oracle replays
+    // the exploded form unchanged).
     Q("gr_hyperball",
       (s, dir) => {
         val e0 = SpatialJoins.gridSelfJoin(
@@ -8749,7 +8753,7 @@ object SparkEntry {
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         val bidir = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        PageRank.hyperBall(bidir, maxHops = 3, p = 6)
+        PageRank.hyperBallPacked(bidir, maxHops = 3, p = 6)
           .select(col("node"),
             (round(col("harmonic_est"), 4) + 0.0).as("harmonic_est"))
       },

@@ -8777,6 +8777,39 @@ object SparkEntry {
               |    AS harmonic
               |FROM md WHERE d >= 1 GROUP BY node""".stripMargin)),
 
+    // GR: bounded-radius closeness — r/Σd over the ≤3-hop ball, the
+    // truncated classic form beside gr_harmonic (one shared pair-BFS
+    // helper; integer count and sum, one division per node). The oracle
+    // reuses gr_harmonic's walk chain with the closeness fold.
+    Q("gr_closeness",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.closenessExact(bidir, maxHops = 3)
+          .select(col("node"),
+            (round(col("closeness"), 6) + 0.0).as("closeness"))
+      },
+      Some(s"""WITH RECURSIVE pts AS MATERIALIZED ($custPointsSql),
+              |e AS MATERIALIZED (
+              |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+              |  FROM pts a JOIN pts b
+              |    ON a.c_custkey <> b.c_custkey
+              |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+              |walk(src, node, d) AS (
+              |  SELECT src, src, 0 FROM (SELECT DISTINCT src FROM e)
+              |  UNION ALL
+              |  SELECT w.src, e.dst, w.d + 1
+              |  FROM walk w JOIN e ON e.src = w.node WHERE w.d < 3),
+              |md AS MATERIALIZED (
+              |  SELECT src, node, min(d) AS d FROM walk GROUP BY src, node)
+              |SELECT node,
+              |  round(CAST(count(*) AS DOUBLE) / sum(d), 6) + 0e0
+              |    AS closeness
+              |FROM md WHERE d >= 1 GROUP BY node""".stripMargin)),
+
     // GR: HyperBall (Boldi & Vigna, ICDMW 2013) — approximate harmonic
     // centrality for EVERY node via HLL registers (p=6, m=64) max-merged
     // along in-edges for 3 rounds; after round h a node's registers ARE

@@ -549,6 +549,44 @@ object PageRank {
   def harmonicExact(edges: DataFrame, maxHops: Int = 3,
                     srcCol: String = "src",
                     dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val state = pairHopDistances(edges, maxHops, srcCol, dstCol)
+    val terms = (1 to maxHops).map(h =>
+      sum(when($"dist" === h, 1L).otherwise(0L)) / lit(h.toDouble))
+    state.where($"dist" >= 1)
+      .groupBy($"node")
+      .agg(terms.reduce(_ + _).as("harmonic"))
+  }
+
+  /** Bounded-radius CLOSENESS centrality off the same pair-state BFS:
+    * `closeness(v) = r / Σd` over the nodes u with 1 ≤ d(u,v) ≤
+    * maxHops (r = their count, Σd = the sum of their distances) — the
+    * truncated form of classic closeness, which needs a reachability
+    * convention on disconnected graphs; harmonic ([[harmonicExact]])
+    * avoids that by construction, which is why Boldi & Vigna prefer it,
+    * but closeness completes the textbook family and both fall out of
+    * ONE distance-histogram aggregation. Integer count and sum, one
+    * division per node — order-proof. */
+  def closenessExact(edges: DataFrame, maxHops: Int = 3,
+                     srcCol: String = "src",
+                     dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    pairHopDistances(edges, maxHops, srcCol, dstCol)
+      .where($"dist" >= 1)
+      .groupBy($"node")
+      .agg((count(lit(1)).cast("double") / sum($"dist"))
+        .as("closeness"))
+  }
+
+  /** The shared pair-state BFS under [[harmonicExact]] /
+    * [[closenessExact]]: (src, node, dist) for every ordered pair
+    * within `maxHops`, min-merged per round on the CheckpointOps round
+    * machinery. Quadratic state by nature — the exact cross-check leg;
+    * [[hyperBall]] is the sketch-state scale path. */
+  private def pairHopDistances(edges: DataFrame, maxHops: Int,
+                               srcCol: String, dstCol: String): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
     val spark = edges.sparkSession
     import spark.implicits._
@@ -570,11 +608,7 @@ object PageRank {
       stateRdd = nextRdd
       hop += 1
     }
-    val terms = (1 to maxHops).map(h =>
-      sum(when($"dist" === h, 1L).otherwise(0L)) / lit(h.toDouble))
-    state.where($"dist" >= 1)
-      .groupBy($"node")
-      .agg(terms.reduce(_ + _).as("harmonic"))
+    state
   }
 
   /** HyperBall (Boldi & Vigna, "In-core computation of geometric

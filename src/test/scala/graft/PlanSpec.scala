@@ -566,7 +566,8 @@ class PlanSpec extends SparkTestBase {
   test("harmonic centrality: the exact BFS and the HyperBall sketch " +
     "rounds are keyed joins + partial aggs — no cartesian, window, or " +
     "single-partition funnel") {
-    for (q <- Seq("gr_harmonic", "gr_hyperball", "gr_betweenness")) {
+    for (q <- Seq("gr_harmonic", "gr_closeness", "gr_hyperball",
+        "gr_betweenness")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")

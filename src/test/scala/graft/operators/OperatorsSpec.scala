@@ -745,10 +745,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(math.abs(got(3L) - (2.0 + 2.0 / 2)) < 1e-12)
     // symmetric graph => symmetric centralities
     assert(got(4L) == got(2L) && got(5L) == got(1L))
+    // closeness off the same BFS: r/Σd — node 1 reaches {2,3,4} at
+    // distances {1,2,3}
+    val cl = PageRank.closenessExact(bidir, maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(cl(1L) == 3.0 / 6 && cl(2L) == 4.0 / 7 && cl(3L) == 4.0 / 6)
+    assert(cl(4L) == cl(2L) && cl(5L) == cl(1L))
     // degenerate inputs: empty edge frame yields an empty, non-crashing
     // result (the r13 Louvain lesson — per-scope empty graphs WILL occur)
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
     assert(PageRank.harmonicExact(empty, maxHops = 3).count() == 0L)
+    assert(PageRank.closenessExact(empty, maxHops = 3).count() == 0L)
     assert(PageRank.hyperBall(empty, maxHops = 3).count() == 0L)
   }
 

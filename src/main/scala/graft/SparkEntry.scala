@@ -215,6 +215,52 @@ object SparkEntry {
        |  pow(sin((radians($lon2) - radians($lon1)) / 2), 2))) * 2 * 6371000.0"""
       .stripMargin
 
+  /** ONE DuckDB replay of the HyperBall register propagation (customer
+    * lattice, 3 rounds, p=6: exploded-register max-merge + the
+    * hllEstimate correction CASE), shared by gr_hyperball and
+    * gr_hyperball_closeness — the two rows fold the SAME per-round
+    * ball-size estimates n0..n3, so their oracles must share the chain
+    * or the estimates could drift apart. `finalSelect` is the fold. */
+  private def hyperBallOracleSql(finalSelect: String): String = {
+    val mergeSql = (k: Int) =>
+      s"""r$k AS MATERIALIZED (
+         |  SELECT node, idx, max(mj) AS mj FROM (
+         |    SELECT e.dst AS node, r.idx, r.mj
+         |    FROM e JOIN r${k - 1} r ON r.node = e.src
+         |    UNION ALL SELECT node, idx, mj FROM r${k - 1})
+         |  GROUP BY node, idx)"""
+    val estSql = (k: Int) =>
+      s"""n$k AS MATERIALIZED (
+         |  SELECT node,
+         |    CASE WHEN raw <= 160.0 AND v > 0 THEN 64e0 * ln(64e0 / v)
+         |         WHEN raw > 4294967296e0 / 30 THEN
+         |           -4294967296e0 * ln(1 - raw / 4294967296e0)
+         |         ELSE raw END AS est
+         |  FROM (
+         |    SELECT node,
+         |      (0.709e0 * 64e0 * 64e0) / (s_present + (64 - present))
+         |        AS raw,
+         |      CAST(64 - present AS DOUBLE) AS v
+         |    FROM (SELECT node, sum(pow(2e0, -mj)) AS s_present,
+         |            count(*) AS present FROM r$k GROUP BY node)))"""
+    val hv = h32Sql("CAST(node AS VARCHAR)", "0")
+    s"""WITH pts AS MATERIALIZED ($custPointsSql),
+       |e AS MATERIALIZED (
+       |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+       |  FROM pts a JOIN pts b
+       |    ON a.c_custkey <> b.c_custkey
+       |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, hv >> 26 AS idx,
+       |    CASE WHEN (hv & 67108863) = 0 THEN 27
+       |         ELSE 26 - (length(bin(hv & 67108863)) - 1) END AS mj
+       |  FROM (SELECT node, $hv AS hv
+       |        FROM (SELECT DISTINCT src AS node FROM e))),
+       |${(1 to 3).map(mergeSql).mkString(",\n")},
+       |${(0 to 3).map(estSql).mkString(",\n")}
+       |$finalSelect""".stripMargin
+  }
+
   private case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])
@@ -8833,49 +8879,117 @@ object SparkEntry {
           .select(col("node"),
             (round(col("harmonic_est"), 4) + 0.0).as("harmonic_est"))
       },
-      Some {
-        val mergeSql = (k: Int) =>
-          s"""r$k AS MATERIALIZED (
-             |  SELECT node, idx, max(mj) AS mj FROM (
-             |    SELECT e.dst AS node, r.idx, r.mj
-             |    FROM e JOIN r${k - 1} r ON r.node = e.src
-             |    UNION ALL SELECT node, idx, mj FROM r${k - 1})
-             |  GROUP BY node, idx)"""
-        val estSql = (k: Int) =>
-          s"""n$k AS MATERIALIZED (
-             |  SELECT node,
-             |    CASE WHEN raw <= 160.0 AND v > 0 THEN 64e0 * ln(64e0 / v)
-             |         WHEN raw > 4294967296e0 / 30 THEN
-             |           -4294967296e0 * ln(1 - raw / 4294967296e0)
-             |         ELSE raw END AS est
-             |  FROM (
-             |    SELECT node,
-             |      (0.709e0 * 64e0 * 64e0) / (s_present + (64 - present))
-             |        AS raw,
-             |      CAST(64 - present AS DOUBLE) AS v
-             |    FROM (SELECT node, sum(pow(2e0, -mj)) AS s_present,
-             |            count(*) AS present FROM r$k GROUP BY node)))"""
-        val hv = h32Sql("CAST(node AS VARCHAR)", "0")
-        s"""WITH pts AS MATERIALIZED ($custPointsSql),
-           |e AS MATERIALIZED (
-           |  SELECT a.c_custkey AS src, b.c_custkey AS dst
-           |  FROM pts a JOIN pts b
-           |    ON a.c_custkey <> b.c_custkey
-           |    AND ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 250.0),
-           |r0 AS MATERIALIZED (
-           |  SELECT node, hv >> 26 AS idx,
-           |    CASE WHEN (hv & 67108863) = 0 THEN 27
-           |         ELSE 26 - (length(bin(hv & 67108863)) - 1) END AS mj
-           |  FROM (SELECT node, $hv AS hv
-           |        FROM (SELECT DISTINCT src AS node FROM e))),
-           |${(1 to 3).map(mergeSql).mkString(",\n")},
-           |${(0 to 3).map(estSql).mkString(",\n")}
-           |SELECT node,
-           |  round((n1.est - n0.est) / 1e0 + (n2.est - n1.est) / 2e0
-           |    + (n3.est - n2.est) / 3e0, 4) + 0e0 AS harmonic_est
-           |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
-           |  JOIN n3 USING (node)""".stripMargin
-      }),
+      Some(hyperBallOracleSql(
+        """SELECT node,
+          |  round((n1.est - n0.est) / 1e0 + (n2.est - n1.est) / 2e0
+          |    + (n3.est - n2.est) / 3e0, 4) + 0e0 AS harmonic_est
+          |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
+          |  JOIN n3 USING (node)""".stripMargin))),
+
+    // GR: CLOSENESS off the SAME HyperBall register propagation — the
+    // sketch-state counterpart gr_closeness lacked (the Boldi-Vigna
+    // point: the per-round ball-size estimates support ALL geometric
+    // centralities, so this row and gr_hyperball differ only in the
+    // final fold): r̂/Σd̂ with r̂ = N̂_3 − N̂_0 and
+    // Σd̂ = Σ_h h·(N̂_h − N̂_{h−1}) — the truncated r/Σd gr_closeness
+    // computes exactly, with ball sizes replaced by HLL estimates. The
+    // quadratic exact leg is now the CALIBRATION tool for both folds.
+    Q("gr_hyperball_closeness",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.hyperBallCloseness(bidir, maxHops = 3, p = 6)
+          .select(col("node"),
+            (round(col("closeness_est"), 4) + 0.0).as("closeness_est"))
+      },
+      Some(hyperBallOracleSql(
+        """SELECT node,
+          |  round((n3.est - n0.est) /
+          |    (1e0 * (n1.est - n0.est) + 2e0 * (n2.est - n1.est)
+          |      + 3e0 * (n3.est - n2.est)), 4) + 0e0 AS closeness_est
+          |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
+          |  JOIN n3 USING (node)""".stripMargin))),
+
+    // GR: STRONGLY connected components over a DIRECTED customer graph —
+    // hash-pivot forward-backward decomposition (Fleischer et al. 2000;
+    // ConnectedComponents.scc), the directed counterpart undirected CC
+    // over-merges (link-graph curation is SCC-shaped: spam rings are
+    // mutual-reachability classes). Graph: every customer points at its
+    // nation's hub (min custkey); hubs form a directed ring with a
+    // doubling chord (diameter O(log #hubs), so BFS rounds stay flat as
+    // customers scale); hubs point back at every 7th member. Truth: one
+    // big SCC = all hubs + the %7 members (mutual with their hub), all
+    // other customers singletons. The hub frames are model-sized (≤25
+    // rows); the member joins are keyed on nationkey. The oracle is an
+    // independent exact-closure replay: recursive reachability + the
+    // mutual-pair min — no FW-BW logic shared with the engine.
+    Q("gr_scc",
+      (s, dir) => {
+        val cust = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey"))
+        val hubs = cust.groupBy(col("c_nationkey").as("nk"))
+          .agg(min("c_custkey").as("hub"))
+        val hr = hubs.select(col("hub"),
+          row_number().over(Window.orderBy("nk")).cast("long").as("rn"),
+          count(lit(1)).over(Window.partitionBy()).as("hcnt"))
+        val e1 = cust.join(hubs, col("c_nationkey") === col("nk"))
+          .where(col("c_custkey") =!= col("hub"))
+          .select(col("c_custkey").as("src"), col("hub").as("dst"))
+        val ha = hr.select(col("hub").as("a_hub"), col("rn").as("a_rn"),
+          col("hcnt"))
+        val hb = hr.select(col("hub").as("b_hub"), col("rn").as("b_rn"))
+        val e2a = ha.join(hb,
+            col("b_rn") === pmod(col("a_rn"), col("hcnt")) + 1 &&
+              col("b_rn") =!= col("a_rn"))
+          .select(col("a_hub").as("src"), col("b_hub").as("dst"))
+        val e2b = ha.join(hb,
+            col("b_rn") === pmod(col("a_rn") * 2, col("hcnt")) + 1 &&
+              col("b_rn") =!= col("a_rn"))
+          .select(col("a_hub").as("src"), col("b_hub").as("dst"))
+        val e3 = cust.join(hubs, col("c_nationkey") === col("nk"))
+          .where(pmod(col("c_custkey"), lit(7)) === 0 &&
+            col("c_custkey") =!= col("hub"))
+          .select(col("hub").as("src"), col("c_custkey").as("dst"))
+        ConnectedComponents.scc(
+          e1.union(e2a).union(e2b).union(e3).distinct())
+      },
+      Some("""WITH RECURSIVE hubs AS MATERIALIZED (
+             |  SELECT c_nationkey AS nk, min(c_custkey) AS hub
+             |  FROM customer GROUP BY 1),
+             |hr AS MATERIALIZED (
+             |  SELECT hub, row_number() OVER (ORDER BY nk) AS rn,
+             |    count(*) OVER () AS hcnt FROM hubs),
+             |e AS MATERIALIZED (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT c.c_custkey AS src, h.hub AS dst
+             |    FROM customer c JOIN hubs h ON c.c_nationkey = h.nk
+             |    WHERE c.c_custkey <> h.hub
+             |    UNION ALL
+             |    SELECT a.hub, b.hub FROM hr a JOIN hr b
+             |      ON b.rn = (a.rn % a.hcnt) + 1 AND b.rn <> a.rn
+             |    UNION ALL
+             |    SELECT a.hub, b.hub FROM hr a JOIN hr b
+             |      ON b.rn = ((2 * a.rn) % a.hcnt) + 1 AND b.rn <> a.rn
+             |    UNION ALL
+             |    SELECT h.hub, c.c_custkey
+             |    FROM customer c JOIN hubs h ON c.c_nationkey = h.nk
+             |    WHERE c.c_custkey % 7 = 0 AND c.c_custkey <> h.hub)),
+             |walk(s, d) AS (
+             |  SELECT src, dst FROM e
+             |  UNION
+             |  SELECT w.s, e2.dst FROM walk w JOIN e e2 ON e2.src = w.d),
+             |nodes AS MATERIALIZED (
+             |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+             |mut AS MATERIALIZED (
+             |  SELECT a.s AS u, a.d AS v FROM walk a
+             |  JOIN walk b ON a.s = b.d AND a.d = b.s)
+             |SELECT n.node,
+             |  least(n.node, coalesce(min(m.u), n.node)) AS scc
+             |FROM nodes n LEFT JOIN mut m ON m.v = n.node
+             |GROUP BY n.node""".stripMargin)),
 
     // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
     // the two standard scale reductions: Brandes-Pich source sampling +

@@ -177,6 +177,178 @@ object ConnectedComponents {
     labels
   }
 
+  /** STRONGLY connected components over a DIRECTED edge DataFrame — the
+    * directed counterpart of [[run]], completing the curation toolkit
+    * (link-graph analysis on crawl data is SCC-shaped: hubs/spam rings
+    * are mutual-reachability classes, which undirected CC over-merges).
+    *
+    * Algorithm: forward-backward decomposition (Fleischer, Hendrickson
+    * & Pinar, "On identifying strongly connected components in
+    * parallel", IPDPS 2000) run BREADTH-FIRST over every live
+    * subproblem at once. Each pass, every partition class picks a
+    * pivot, flood-fills the pivot's descendants D and ancestors A
+    * inside the class (frontier BFS — one keyed edge join + one
+    * anti-join per hop, never a cartesian), emits D ∩ A as the pivot's
+    * SCC, and splits the remainder into D\S / A\S / neither — three
+    * classes no SCC can straddle (a mutual pair crossing the D
+    * boundary would put both ends in D). The pivot is the MINIMUM of a
+    * md5 priority ([[Dedup.md5Hash32]] — deterministic, engine-parity)
+    * rather than the minimum id: on adversarially-chained graphs a
+    * min-id pivot peels one SCC per pass (Θ(n) passes), while a
+    * hash pivot splits like a quicksort partition — expected O(log n)
+    * passes on ANY graph shape, with bit-identical reruns.
+    *
+    * Scale shape: state is one (node, part) row per live node and the
+    * edge set re-scoped per pass by two keyed joins; every round
+    * materializes through CheckpointOps with superseded blocks freed on
+    * handoff (the [[run]] discipline). Inner BFS rounds are bounded by
+    * the live subgraph's diameter — the inherent round complexity of
+    * every distributed reachability method, same as [[run]]'s fixpoint.
+    *
+    * Output labels are SET-STABLE: scc = min member id (the [[run]]
+    * component convention), so the labeling is a pure function of the
+    * mutual-reachability relation. Self-loops are ignored for edges but
+    * their endpoints keep a (singleton) row. Nodes absent from `edges`
+    * are absent here, like [[run]].
+    *
+    * @return DataFrame(node, scc) */
+  def scc(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+          maxOuterRounds: Int = 60, maxInnerRounds: Int = 200): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val sel = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+    val (e0, e0Rdd) = CheckpointOps.checkpointTruncated(
+      sel.where($"esrc" =!= $"edst").distinct())
+    var (active, activeRdd, nActive) = CheckpointOps.checkpointCountTruncated(
+      sel.select($"esrc".as("node")).union(sel.select($"edst".as("node")))
+        .distinct().select($"node", lit("r").as("part")))
+    val emptyOut = sel.select($"esrc".as("node"), $"esrc".as("scc"))
+      .where(lit(false))
+    val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var outer = 0
+    while (nActive > 0) {
+      require(outer < maxOuterRounds,
+        s"SCC did not finish in $maxOuterRounds FW-BW passes " +
+          s"($nActive nodes still live) — raise maxOuterRounds")
+      // live edges: both endpoints in the same partition class
+      val (aliveE, aliveERdd) = CheckpointOps.checkpointTruncated(e0
+        .join(active.select($"node".as("esrc"), $"part"), "esrc")
+        .join(active.select($"node".as("edst"), $"part".as("p2")), "edst")
+        .where($"part" === $"p2")
+        .select($"part", $"esrc", $"edst"))
+      // TRIM: a node missing a live out-edge or in-edge inside its class
+      // lies on no cycle — a singleton SCC, settled without a flood
+      // fill. Without this, nodes whose edges all crossed into removed
+      // classes pool into ONE edge-free class that FW-BW would peel a
+      // single pivot at a time (measured: the 1500-node registry graph
+      // stranded 1204 such singletons — Θ(n) passes); with it they all
+      // settle in the pass that strands them.
+      val kept = active
+        .join(aliveE.select($"part", $"esrc".as("node")).distinct(),
+          Seq("part", "node"), "left_semi")
+        .join(aliveE.select($"part", $"edst".as("node")).distinct(),
+          Seq("part", "node"), "left_semi")
+      val (trimmed, trimmedRdd, nTrim) = CheckpointOps
+        .checkpointCountTruncated(active
+          .join(kept.select($"part", $"node"), Seq("part", "node"),
+            "left_anti")
+          .select($"node", $"node".as("scc")))
+      if (nTrim > 0) found += trimmed else trimmedRdd.unpersist(false)
+      val (keptFlat, keptRdd, nKept) =
+        CheckpointOps.checkpointCountTruncated(kept)
+      if (nKept == 0) {
+        activeRdd.unpersist(false)
+        aliveERdd.unpersist(false)
+        active = keptFlat
+        activeRdd = keptRdd
+        nActive = 0
+      } else {
+      val pr = Dedup.md5Hash32($"node".cast("string"), lit(0))
+      // deterministic pseudo-random pivot: min md5 priority per class —
+      // a min-ID pivot on chain-shaped remainders peels one SCC per
+      // pass; the hash pivot splits like a quicksort partition
+      val piv = keptFlat
+        .select($"part", struct(pr.as("h"), $"node").as("hn"))
+        .groupBy($"part").agg(min($"hn").as("m"))
+        .select($"part", $"m.node".as("node"))
+      // frontier BFS from each part's pivot along (part, u) -> v
+      def reach(dirEdges: DataFrame): (DataFrame, RDD) = {
+        var (reached, reachedRdd) = CheckpointOps.checkpointTruncated(piv)
+        var frontier = reached
+        var frontierRdd: RDD = null
+        var inner = 0
+        var grew = true
+        while (grew) {
+          require(inner < maxInnerRounds,
+            s"SCC flood fill exceeded $maxInnerRounds hops — " +
+              "raise maxInnerRounds for very-high-diameter graphs")
+          val step = dirEdges
+            .join(frontier.select($"part", $"node".as("u")), Seq("part", "u"))
+            .select($"part", $"v".as("node")).distinct()
+          val (fresh, freshRdd, nFresh) = CheckpointOps.checkpointCountTruncated(
+            step.join(reached, Seq("part", "node"), "left_anti"))
+          if (frontierRdd != null) frontierRdd.unpersist(false)
+          if (nFresh == 0) {
+            freshRdd.unpersist(false)
+            grew = false
+          } else {
+            val (nextReached, nextReachedRdd) =
+              CheckpointOps.checkpointTruncated(reached.union(fresh))
+            reachedRdd.unpersist(false)
+            reached = nextReached
+            reachedRdd = nextReachedRdd
+            frontier = fresh
+            frontierRdd = freshRdd
+          }
+          inner += 1
+        }
+        (reached, reachedRdd)
+      }
+      val (fwd, fwdRdd) =
+        reach(aliveE.select($"part", $"esrc".as("u"), $"edst".as("v")))
+      val (bwd, bwdRdd) =
+        reach(aliveE.select($"part", $"edst".as("u"), $"esrc".as("v")))
+      val sccSet = fwd.join(bwd, Seq("part", "node"))
+      val (out, _) = CheckpointOps.checkpointTruncated(
+        sccSet.join(sccSet.groupBy($"part").agg(min($"node").as("scc")),
+            "part")
+          .select($"node", $"scc"))
+      found += out
+      // remainder splits into D\S ('f'), A\S ('b'), neither ('n') — no
+      // SCC straddles these, so each class recurses independently
+      val nextActive = keptFlat
+        .join(sccSet.select($"part", $"node", lit(1).as("in_s")),
+          Seq("part", "node"), "left")
+        .where($"in_s".isNull)
+        .join(fwd.select($"part", $"node", lit(1).as("in_f")),
+          Seq("part", "node"), "left")
+        .join(bwd.select($"part", $"node", lit(1).as("in_b")),
+          Seq("part", "node"), "left")
+        .select($"node",
+          concat($"part",
+            when($"in_f".isNotNull, lit("f"))
+              .when($"in_b".isNotNull, lit("b"))
+              .otherwise(lit("n"))).as("part"))
+      val (nxt, nxtRdd, nNxt) = CheckpointOps.checkpointCountTruncated(nextActive)
+      activeRdd.unpersist(false)
+      aliveERdd.unpersist(false)
+      keptRdd.unpersist(false)
+      fwdRdd.unpersist(false)
+      bwdRdd.unpersist(false)
+      active = nxt
+      activeRdd = nxtRdd
+      nActive = nNxt
+      }
+      outer += 1
+    }
+    activeRdd.unpersist(false)
+    e0Rdd.unpersist(false)
+    found.foldLeft(emptyOut)(_ union _)
+  }
+
+  private type RDD =
+    org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]
+
   /** Connected components when a partition column is KNOWN to bound every
     * component — e.g. the reference's per-city ER blocking
     * (`/root/reference/etl/er.py:303-305`: candidate pairs are generated

@@ -25,7 +25,36 @@ import org.apache.spark.storage.StorageLevel
   * (node, rank) — tiny relative to edges — and edges with per-node
   * out-degree are computed once and reused every round.
   */
+/** Named fail-fast for the EXACT pair-state centrality legs: their state
+  * is Σ|B_h(v)| pair rows — quadratic in the worst case — and on a graph
+  * whose ball mass the executors can't hold the failure mode is not an
+  * error but a 10-100x memory-pressure thrash (measured: the cold sf1
+  * closeness probe spent 18.4 min re-trying 1 GiB task-page allocations,
+  * SCALE.md r14). The guard converts that into THIS error the moment a
+  * round's materialized row count crosses the budget, naming the two
+  * escape hatches: the sketch-state scale path and a smaller radius /
+  * source sample. */
+final class CentralityStateBudgetExceeded(
+    val round: Int, val rows: Long, val budget: Long, hint: String)
+    extends RuntimeException(
+      s"pair-state centrality round $round materialized $rows rows, over " +
+        s"the state budget of $budget. This exact leg is the small-graph " +
+        s"calibration tool; at this ball mass $hint Override " +
+        "stateBudgetRows to raise the budget deliberately.")
+
 object PageRank {
+
+  /** Default pair-state budget: the rows a round may materialize before
+    * [[CentralityStateBudgetExceeded]] fires. Derived from the JVM heap —
+    * a cached (src, node, dist) UnsafeRow plus block-manager overhead is
+    * ~100 B, MEMORY_AND_DISK keeps roughly the storage fraction (~0.5) of
+    * the heap before spill-thrash sets in, and the loop holds two rounds
+    * (previous + next) during the handoff — so budget ≈ heap * 0.5 / 2
+    * / 100 B. A heuristic, deliberately: the guard exists to turn silent
+    * executor-memory thrash into a named error, not to be a precise
+    * admission controller; callers with real clusters pass their own. */
+  def defaultStateBudgetRows: Long =
+    math.max(1000000L, Runtime.getRuntime.maxMemory() / 400L)
 
   /** @param redistributeDangling when true, each round adds the total
     *        rank mass sitting on dangling nodes (no out-edges) back
@@ -547,11 +576,13 @@ object PageRank {
     * exact values calibrate (the dd_blocking_quality exact/sampled
     * pairing, applied to centrality). */
   def harmonicExact(edges: DataFrame, maxHops: Int = 3,
-                    srcCol: String = "src",
-                    dstCol: String = "dst"): DataFrame = {
+                    srcCol: String = "src", dstCol: String = "dst",
+                    stateBudgetRows: Long = defaultStateBudgetRows)
+      : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val state = pairHopDistances(edges, maxHops, srcCol, dstCol)
+    val state = pairHopDistances(edges, maxHops, srcCol, dstCol,
+      stateBudgetRows)
     val terms = (1 to maxHops).map(h =>
       sum(when($"dist" === h, 1L).otherwise(0L)) / lit(h.toDouble))
     state.where($"dist" >= 1)
@@ -569,11 +600,12 @@ object PageRank {
     * ONE distance-histogram aggregation. Integer count and sum, one
     * division per node — order-proof. */
   def closenessExact(edges: DataFrame, maxHops: Int = 3,
-                     srcCol: String = "src",
-                     dstCol: String = "dst"): DataFrame = {
+                     srcCol: String = "src", dstCol: String = "dst",
+                     stateBudgetRows: Long = defaultStateBudgetRows)
+      : DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    pairHopDistances(edges, maxHops, srcCol, dstCol)
+    pairHopDistances(edges, maxHops, srcCol, dstCol, stateBudgetRows)
       .where($"dist" >= 1)
       .groupBy($"node")
       .agg((count(lit(1)).cast("double") / sum($"dist"))
@@ -586,30 +618,50 @@ object PageRank {
     * machinery. Quadratic state by nature — the exact cross-check leg;
     * [[hyperBall]] is the sketch-state scale path. */
   private def pairHopDistances(edges: DataFrame, maxHops: Int,
-                               srcCol: String, dstCol: String): DataFrame = {
+                               srcCol: String, dstCol: String,
+                               stateBudgetRows: Long): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
+    require(stateBudgetRows >= 1, "state budget must be positive")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
-    var (state, stateRdd) = CheckpointOps.checkpoint(
+    var (state, stateRdd, rows) = CheckpointOps.checkpointCount(
       e.select($"esrc".as("src")).distinct()
         .select($"src", $"src".as("node"), lit(0).as("dist")))
+    checkBudget(0, rows, stateBudgetRows, stateRdd)
     var hop = 1
     while (hop <= maxHops) {
       val frontier = state.where($"dist" === (hop - 1))
         .select($"src", $"node".as("esrc"))
       val reached = e.join(frontier, "esrc")
         .select($"src", $"edst".as("node"), lit(hop).as("dist"))
-      val (next, nextRdd) = CheckpointOps.checkpoint(
+      val (next, nextRdd, nextRows) = CheckpointOps.checkpointCount(
         state.union(reached)
           .groupBy($"src", $"node").agg(min($"dist").as("dist")))
       stateRdd.unpersist(false)
       state = next
       stateRdd = nextRdd
+      checkBudget(hop, nextRows, stateBudgetRows, stateRdd)
       hop += 1
     }
     state
   }
+
+  /** The budget trip shared by [[pairHopDistances]] and
+    * [[betweennessBounded]]'s forward pass: frees the just-materialized
+    * round's blocks (nothing downstream will consume them) and raises
+    * the named error. Checked AFTER each round lands — the count is the
+    * free byproduct of the round's own materialization
+    * ([[CheckpointOps.checkpointCount]]), so the guard costs zero jobs;
+    * the round that crosses the line is the last one paid for. */
+  private def checkBudget(round: Int, rows: Long, budget: Long,
+                          rdd: RDD[InternalRow]): Unit =
+    if (rows > budget) {
+      rdd.unpersist(false)
+      throw new CentralityStateBudgetExceeded(round, rows, budget,
+        "use the sketch-state scale path (hyperBall / hyperBallPacked) " +
+          "or shrink maxHops / the source sample.")
+    }
 
   /** HyperBall (Boldi & Vigna, "In-core computation of geometric
     * centralities with HyperBall", ICDMW 2013): approximate harmonic
@@ -690,6 +742,45 @@ object PageRank {
   def hyperBallPacked(edges: DataFrame, maxHops: Int = 3, p: Int = 6,
                       srcCol: String = "src",
                       dstCol: String = "dst"): DataFrame = {
+    val joined = hyperBallEstimates(edges, maxHops, p, srcCol, dstCol)
+    val harmonic = (1 to maxHops)
+      .map(h => (col(s"n$h") - col(s"n${h - 1}")) / lit(h.toDouble))
+      .reduce(_ + _)
+    joined.select(col("node"), harmonic.as("harmonic_est"))
+  }
+
+  /** CLOSENESS off the same HyperBall register propagation — the
+    * sketch-state counterpart [[closenessExact]] lacked (harmonic has
+    * had [[hyperBallPacked]] since r14; Boldi & Vigna's point is that
+    * the per-round ball-size estimates N̂_0..N̂_H support ALL geometric
+    * centralities, so both folds read the SAME register tables):
+    * reachable-count estimate r̂ = N̂_H − N̂_0, distance-sum estimate
+    * Σd̂ = Σ_h h·(N̂_h − N̂_{h−1}), closeness = r̂ / Σd̂ — exactly the
+    * truncated r/Σd [[closenessExact]] computes, with ball sizes
+    * replaced by their HLL estimates. Fixed fold order (h ascending,
+    * numerator before denominator), so the oracle replays the doubles
+    * term for term. Deterministic under the md5 parity hash, like the
+    * harmonic fold.
+    *
+    * @return (node, closeness_est) for every node with an out-edge */
+  def hyperBallCloseness(edges: DataFrame, maxHops: Int = 3, p: Int = 6,
+                         srcCol: String = "src",
+                         dstCol: String = "dst"): DataFrame = {
+    val joined = hyperBallEstimates(edges, maxHops, p, srcCol, dstCol)
+    val reach = col(s"n$maxHops") - col("n0")
+    val distSum = (1 to maxHops)
+      .map(h => lit(h.toDouble) * (col(s"n$h") - col(s"n${h - 1}")))
+      .reduce(_ + _)
+    joined.select(col("node"), (reach / distSum).as("closeness_est"))
+  }
+
+  /** The shared HyperBall round loop under [[hyperBallPacked]] /
+    * [[hyperBallCloseness]]: packed-register propagation for `maxHops`
+    * rounds, returning one row per node with the per-round ball-size
+    * estimates as columns n0..n{maxHops} — the table every geometric
+    * centrality folds from. */
+  private def hyperBallEstimates(edges: DataFrame, maxHops: Int, p: Int,
+                                 srcCol: String, dstCol: String): DataFrame = {
     require(maxHops >= 1, "need at least one hop")
     val m = 1 << p
     val spark = edges.sparkSession
@@ -704,21 +795,18 @@ object PageRank {
     val mergeRegs = udaf(new RegisterMaxMerge(m))
     def estimate(r: DataFrame, name: String): DataFrame = {
       // the identical estimator shapes as Sketches.hllEstimate, off the
-      // packed fold (empty slots contribute pow(2, -0) = 1 directly)
+      // packed fold (empty slots contribute pow(2, -0) = 1 directly);
+      // the correction CASE is Sketches.hllCorrection — ONE copy, so the
+      // packed/exploded bit-identity contract survives threshold edits
       val sAll = aggregate(col("regs"), lit(0.0),
         (acc, x) => acc + pow(lit(2.0), -x))
       val present = size(filter(col("regs"), x => x > lit(0)))
-      val two32 = 4294967296.0
       r.select($"node", sAll.as("s_all"),
           (lit(m) - present).cast("double").as("v"))
         .withColumn("raw", lit(Sketches.hllAlpha(m) * m.toDouble * m)
           / col("s_all"))
         .select($"node",
-          when(col("raw") <= 2.5 * m && col("v") > 0,
-            lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-            .when(col("raw") > two32 / 30.0,
-              lit(-two32) * log(lit(1.0) - col("raw") / two32))
-            .otherwise(col("raw")).as(name))
+          Sketches.hllCorrection(col("raw"), col("v"), m).as(name))
     }
     var (regs, _) = CheckpointOps.checkpoint(init)
     var ests = Vector(estimate(regs, "n0"))
@@ -733,11 +821,7 @@ object PageRank {
       ests :+= estimate(regs, s"n$hop")
       hop += 1
     }
-    val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
-    val harmonic = (1 to maxHops)
-      .map(h => (col(s"n$h") - col(s"n${h - 1}")) / lit(h.toDouble))
-      .reduce(_ + _)
-    joined.select($"node", harmonic.as("harmonic_est"))
+    ests.reduce((a, b) => a.join(b, Seq("node")))
   }
 
   /** Bounded-radius, sampled-source betweenness centrality (Brandes,
@@ -766,15 +850,19 @@ object PageRank {
     *         another source's shortest paths) */
   def betweennessBounded(edges: DataFrame, sources: DataFrame,
                          maxHops: Int = 3, srcCol: String = "src",
-                         dstCol: String = "dst"): DataFrame = {
+                         dstCol: String = "dst",
+                         stateBudgetRows: Long = defaultStateBudgetRows)
+      : DataFrame = {
     require(maxHops >= 1, "need at least one hop")
+    require(stateBudgetRows >= 1, "state budget must be positive")
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
-    var (state, _) = CheckpointOps.checkpoint(
+    var (state, stateRdd, rows) = CheckpointOps.checkpointCount(
       sources.select($"node").distinct()
         .select($"node".as("s"), $"node", lit(0).as("dist"),
           lit(1L).as("sigma")))
+    checkBudget(0, rows, stateBudgetRows, stateRdd)
     var hop = 1
     while (hop <= maxHops) {
       val frontier = state.where($"dist" === (hop - 1))
@@ -787,16 +875,30 @@ object PageRank {
       val fresh = cand.join(state.select($"s", $"node"),
           Seq("s", "node"), "left_anti")
         .select($"s", $"node", lit(hop).as("dist"), $"sigma")
-      val (next, _) = CheckpointOps.checkpoint(state.union(fresh))
+      val (next, nextRdd, nextRows) =
+        CheckpointOps.checkpointCount(state.union(fresh))
+      // the superseded round's blocks free the moment the new cumulative
+      // state has materialized (the pairHopDistances discipline — the
+      // forward pass otherwise pins ~maxHops redundant copies of the
+      // sample's ball mass)
+      stateRdd.unpersist(false)
       state = next
+      stateRdd = nextRdd
+      checkBudget(hop, nextRows, stateBudgetRows, stateRdd)
       hop += 1
     }
-    // backward: δ at the radius boundary is 0; each level pulls from
-    // the one below through the edges that realize the shortest paths
+    // backward: δ at the radius boundary is 0; each level pulls from the
+    // one below through the edges that realize the shortest paths. The
+    // per-level δ frames all feed the final per-node sum, so instead of
+    // pinning every level until the end, a running cumulative union is
+    // re-checkpointed per level and the superseded accumulator + the
+    // consumed previous level free immediately — peak pinned state is
+    // two accumulator copies during the handoff, not maxHops frames.
     var delta = state.where($"dist" === maxHops)
       .select($"s", $"node", lit(0.0).as("delta"))
-    val perLevel = Vector.newBuilder[DataFrame]
-    perLevel += delta
+    var deltaRdd: RDD[InternalRow] = null
+    var (accum, accumRdd) = CheckpointOps.checkpoint(delta)
+    delta = accum
     var level = maxHops - 1
     while (level >= 1) {
       val v = state.where($"dist" === level)
@@ -812,16 +914,22 @@ object PageRank {
         .groupBy($"s", $"node")
         .agg(sum(($"sigma".cast("double") / $"wsigma")
           * (lit(1.0) + $"wdelta")).as("acc"))
-      delta = v.select($"s", $"node")
+      val nextDelta = v.select($"s", $"node")
         .join(scored, Seq("s", "node"), "left_outer")
         .select($"s", $"node", coalesce($"acc", lit(0.0)).as("delta"))
-      val (flat, _) = CheckpointOps.checkpoint(delta)
+      val (flat, flatRdd) = CheckpointOps.checkpoint(nextDelta)
+      val (nextAccum, nextAccumRdd) =
+        CheckpointOps.checkpoint(accum.union(flat))
+      if (deltaRdd != null) deltaRdd.unpersist(false)
+      accumRdd.unpersist(false)
       delta = flat
-      perLevel += delta // level 0 (the source itself) never scores, so
-      level -= 1        // the backward pass stops at level 1
-    }
-    perLevel.result().reduce(_ union _)
-      .groupBy($"node").agg(sum($"delta").as("bc"))
+      deltaRdd = flatRdd
+      accum = nextAccum
+      accumRdd = nextAccumRdd
+      level -= 1 // level 0 (the source itself) never scores, so the
+    }            // backward pass stops at level 1
+    if (deltaRdd != null) deltaRdd.unpersist(false)
+    accum.groupBy($"node").agg(sum($"delta").as("bc"))
   }
 
   /** Common-neighbor link prediction over the undirected graph: for every

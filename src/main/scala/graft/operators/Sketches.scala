@@ -73,12 +73,28 @@ object Sketches {
     regs.groupBy((groupCols :+ "hll_idx").map(col): _*)
       .agg(max("mj").as("mj"))
 
+  /** The HLL small/large-range correction as ONE shared expression —
+    * `raw` is the harmonic-mean raw estimate, `v` the empty-register
+    * count: linear counting below 2.5m when registers remain empty,
+    * the 32-bit saturation correction above 2^32/30, raw otherwise.
+    * The SINGLE source of the correction thresholds/branches for both
+    * the exploded-register [[hllEstimate]] and the packed HyperBall
+    * fold ([[PageRank.hyperBallPacked]]) — their documented bit-identity
+    * contract means a threshold tweak must reach both or neither. */
+  def hllCorrection(raw: Column, v: Column, m: Int): Column = {
+    val two32 = 4294967296.0 // 2^32
+    when(raw <= 2.5 * m && v > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / v))
+      .when(raw > two32 / 30.0,
+        lit(-two32) * log(lit(1.0) - raw / two32))
+      .otherwise(raw)
+  }
+
   /** Estimate distinct counts from a register table (small-range linear
     * counting and 32-bit large-range corrections applied). */
   def hllEstimate(regs: DataFrame, groupCols: Seq[String],
                   p: Int = 12): DataFrame = {
     val m = 1 << p
-    val two32 = 4294967296.0 // 2^32
     regs
       .groupBy(groupCols.map(col): _*)
       .agg(sum(pow(lit(2.0), -col("mj"))).as("s_present"),
@@ -87,12 +103,7 @@ object Sketches {
       .withColumn("s_all", col("s_present") + (lit(m) - col("present")))
       .withColumn("raw", lit(hllAlpha(m) * m.toDouble * m) / col("s_all"))
       .withColumn("v", (lit(m) - col("present")).cast("double"))
-      .withColumn("hll_estimate",
-        when(col("raw") <= 2.5 * m && col("v") > 0,
-          lit(m.toDouble) * log(lit(m.toDouble) / col("v")))
-          .when(col("raw") > two32 / 30.0,
-            lit(-two32) * log(lit(1.0) - col("raw") / two32))
-          .otherwise(col("raw")))
+      .withColumn("hll_estimate", hllCorrection(col("raw"), col("v"), m))
       .select(groupCols.map(col) :+ col("hll_estimate"): _*)
   }
 

@@ -805,6 +805,64 @@ class OperatorsSpec extends SparkTestBase {
     }
     assert(PageRank.hyperBallPacked(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+
+    // closeness off the SAME register tables: r̂/Σd̂ with
+    // r̂ = N̂_H − N̂_0 and Σd̂ = Σ h(N̂_h − N̂_{h−1}) — bit-identical to
+    // composing the exploded per-hop estimates in the same fold order
+    val clGot = PageRank.hyperBallCloseness(bidir, maxHops = maxHops, p = 6)
+      .as[(Long, Double)].collect().toMap
+    nodes.foreach { v =>
+      val ests = (0 to maxHops).map { h =>
+        val members = ball(v, h).toSeq.map(u => (v, u))
+        Sketches.hllDistinct(members.toDF("node", "member"),
+            Seq("node"), "member", p = 6)
+          .select($"hll_estimate").as[Double].head()
+      }
+      val expectedCl = (ests(maxHops) - ests(0)) /
+        (1 to maxHops).map(h => h.toDouble * (ests(h) - ests(h - 1)))
+          .reduce(_ + _)
+      assert(clGot(v) == expectedCl,
+        s"node $v: closeness ${clGot(v)} != $expectedCl")
+    }
+    assert(PageRank.hyperBallCloseness(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+  }
+
+  test("exact pair-state centrality legs fail fast with the named " +
+    "state-budget error; a sufficient budget never trips") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")
+    val bidir = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    // pair state on the symmetrized 5-path at radius 3 is
+    // Σ|B_3(v)| = 4+5+5+5+4 = 23 rows — a budget of 10 must trip, and
+    // the error must point at the sketch-state escape hatch
+    val trip = intercept[CentralityStateBudgetExceeded] {
+      PageRank.harmonicExact(bidir, maxHops = 3, stateBudgetRows = 10L)
+        .count()
+    }
+    assert(trip.rows > trip.budget && trip.budget == 10L)
+    assert(trip.getMessage.contains("hyperBall"))
+    intercept[CentralityStateBudgetExceeded] {
+      PageRank.closenessExact(bidir, maxHops = 3, stateBudgetRows = 10L)
+        .count()
+    }
+    // betweenness guards its forward σ state the same way
+    val all = (1L to 5L).toDF("node")
+    val tripB = intercept[CentralityStateBudgetExceeded] {
+      PageRank.betweennessBounded(bidir, all, maxHops = 4,
+        stateBudgetRows = 6L).count()
+    }
+    assert(tripB.getMessage.contains("source sample"))
+    // a budget the state fits under changes nothing: same values as the
+    // unguarded defaults (guard reads the count the round already paid
+    // for — zero extra jobs, zero effect on results)
+    val got = PageRank.harmonicExact(bidir, maxHops = 3,
+        stateBudgetRows = 23L)
+      .as[(Long, Double)].collect().toMap
+    assert(math.abs(got(1L) - (1.0 + 1.0 / 2 + 1.0 / 3)) < 1e-12)
+    val bc = PageRank.betweennessBounded(bidir, all, maxHops = 4,
+        stateBudgetRows = 25L)
+      .as[(Long, Double)].collect().toMap
+    assert(bc(3L) == 8.0 && bc(2L) == 6.0)
   }
 
   test("betweennessBounded matches hand-computed Brandes on a path and " +

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[ConnectedComponents.scc]] — strongly connected components via
+  * hash-pivot forward-backward decomposition. Labels are set-stable
+  * (min member id), so every case checks the full (node -> scc) map. */
+class SccSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sccMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.scc(pairs.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  /** Driver-side truth: Warshall closure, scc(v) = min mutual-reach id. */
+  private def brute(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val n = nodes.length
+    val r = Array.fill(n, n)(false)
+    pairs.foreach { case (a, b) => r(idx(a))(idx(b)) = true }
+    for (k <- 0 until n; i <- 0 until n; j <- 0 until n)
+      if (r(i)(k) && r(k)(j)) r(i)(j) = true
+    nodes.map { v =>
+      val i = idx(v)
+      val mutual = nodes.filter { u =>
+        val j = idx(u)
+        u == v || (r(i)(j) && r(j)(i))
+      }
+      v -> mutual.min
+    }.toMap
+  }
+
+  test("scc separates a cycle from its tail and a DAG into singletons") {
+    // 3-cycle with a tail hanging off it
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    assert(sccMap(cyc) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L))
+    // pure DAG: every node is its own SCC
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    assert(sccMap(dag) == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    // two 2-cycles bridged one-way: the bridge must NOT merge them
+    // (undirected CC would — this is exactly what scc adds over run)
+    val two = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (2L, 3L))
+    assert(sccMap(two) == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("scc degenerate inputs: empty edges, self-loops, isolated pairs") {
+    assert(ConnectedComponents.scc(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+    // a self-loop keeps its node (singleton); it adds no reachability
+    assert(sccMap(Seq((5L, 5L))) == Map(5L -> 5L))
+    assert(sccMap(Seq((5L, 5L), (1L, 2L))) ==
+      Map(5L -> 5L, 1L -> 1L, 2L -> 2L))
+  }
+
+  test("scc on a long directed chain needs O(log n) FW-BW passes, not " +
+    "one pass per node (the hash-pivot quicksort split)") {
+    // 24 singleton SCCs in a line — the adversarial case for min-id
+    // pivots (they would peel ONE node per pass — 24 passes — and blow
+    // this cap; the hash pivot splits segments like quicksort)
+    val chain = (1L until 24L).map(i => (i, i + 1))
+    val got = ConnectedComponents.scc(chain.toDF("src", "dst"),
+        maxOuterRounds = 12)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 24L).map(v => v -> v).toMap)
+  }
+
+  test("scc matches the brute-force closure on a pseudo-random directed " +
+    "graph with mixed component sizes") {
+    // deterministic arithmetic graph on 0..39: i -> (2i+1) mod 40 and
+    // i -> (3i) mod 40, plus a planted 4-cycle and a planted mutual pair
+    val base = (0L until 40L).flatMap(i =>
+      Seq((i, (2 * i + 1) % 40), (i, (3 * i) % 40)))
+    val planted = Seq((50L, 51L), (51L, 52L), (52L, 53L), (53L, 50L),
+      (60L, 61L), (61L, 60L), (40L, 50L), (50L, 60L))
+    val pairs = (base ++ planted).filter(p => p._1 != p._2).distinct
+    assert(sccMap(pairs) == brute(pairs))
+  }
+}

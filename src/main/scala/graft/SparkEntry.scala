@@ -30,16 +30,66 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
+  /** Shared build-once-per-sf-dir /tmp fixture machinery for
+    * [[videoFixture]] / [[knnStanding]]: a VERSION marker guards reuse
+    * across JVMs, and the build PUBLISHES ATOMICALLY — it writes into a
+    * process-unique temp directory, stamps the marker inside, and
+    * renames over the target, so a concurrent Bench/Verify JVM either
+    * sees a complete stamped fixture or none (the old overwrite-in-place
+    * build could serve a half-written parquet to a racing reader). If a
+    * racing builder wins the rename, the loser keeps the winner's copy
+    * (same version string ⇒ identical bytes by determinism) and discards
+    * its own. */
+  private[graft] def buildFixtureOnce(path: String, version: String)
+                                     (build: String => Unit): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get(path)
+    def fresh = {
+      val marker = dir.resolve("VERSION")
+      Files.exists(marker) && Files.readString(marker) == version
+    }
+    if (fresh) return
+    val tmp = Paths.get(path + ".build." +
+      java.util.UUID.randomUUID().toString.take(8))
+    build(tmp.toString)
+    Files.writeString(tmp.resolve("VERSION"), version)
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      if (Files.exists(p))
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+    }
+    // re-check: a racing builder of the SAME version may have published
+    // while this one built — keep theirs (identical bytes by
+    // determinism), never delete a live published fixture
+    if (fresh) { rmTree(tmp); return }
+    rmTree(dir) // stale layout (old version / legacy in-place build)
+    try Files.move(tmp, dir, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileSystemException if fresh => rmTree(tmp)
+    }
+  }
+
+  /** size+mtime fingerprint of a source table's parquet (file or
+    * directory of part files) — folded into fixture version strings so
+    * testdata regenerated IN PLACE rebuilds the fixture instead of
+    * silently serving state derived from the old data (the oracle would
+    * catch that as a confusing hash mismatch; this catches it as a
+    * rebuild). */
+  private def tableFingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(s"$dir/$table.parquet")
+    if (f.isDirectory) {
+      val parts = f.listFiles()
+      s"d${parts.length}:${parts.map(p => p.length + p.lastModified).sum}"
+    } else s"f${f.length}:${f.lastModified}"
+  }
+
   /** MJPEG-in-MP4 fixture for mm_video_frames, synthesized ONCE per sf
     * dir into /tmp parquet and read back — a real corpus would arrive on
     * disk, and a parquet fixture (unlike a persisted frame) survives the
     * Bench/Verify blanket cache clears, so steady-state runs measure the
-    * sample-table walk + decode, not MP4+JPEG construction. A version
-    * marker guards reuse across JVMs: bump [[videoFixtureVersion]]
-    * whenever the synthesis recipe changes and stale /tmp leftovers are
-    * rewritten, never read (and the DuckDB oracle would flag any stale
-    * pixel closed-form anyway). */
-  private val videoFixtureVersion = "v1:docs*(jpeg(id+101f) mp4 ts1000 d40)"
+    * sample-table walk + decode, not MP4+JPEG construction. Version =
+    * recipe + source-data fingerprint ([[buildFixtureOnce]]). */
   private val videoFixtureDone = scala.collection.mutable.Set.empty[String]
   private def videoFixture(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -48,13 +98,11 @@ object SparkEntry {
     val abs = new java.io.File(dir).getAbsolutePath
     val dirTag = f"${new java.io.File(dir).getName}_${abs.hashCode & 0xfffffff}%x"
     val path = s"/tmp/graft_video_fixture_$dirTag"
-    val marker = java.nio.file.Paths.get(path + ".version")
     videoFixtureDone.synchronized {
       if (!videoFixtureDone.contains(path)) {
-        val fresh = java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == videoFixtureVersion
-        if (!fresh) {
-          java.nio.file.Files.deleteIfExists(marker)
+        val version = "v2:docs*(jpeg(id+101f) mp4 ts1000 d40) src=" +
+          tableFingerprint(dir, "documents")
+        buildFixtureOnce(path, version) { tmp =>
           t(s, dir, "documents").select(col("doc_id")).as[Long]
             .map { id =>
               val w = (id % 9 + 4).toInt
@@ -65,13 +113,12 @@ object SparkEntry {
               (id, Mp4.mp4SynthVideo(frames, timescale = 1000,
                 frameDur = 40, w = w, h = h))
             }.toDF("doc_id", "payload")
-            .write.mode("overwrite").parquet(path)
-          java.nio.file.Files.writeString(marker, videoFixtureVersion)
+            .write.mode("overwrite").parquet(s"$tmp/data")
         }
         videoFixtureDone += path
       }
     }
-    s.read.parquet(path)
+    s.read.parquet(s"$path/data")
   }
 
   /** STANDING kNN state for the incremental-ANN rows (ann_knn_incremental
@@ -85,32 +132,35 @@ object SparkEntry {
     * per-row re-synthesis of state whose construction ann_knn_descent*
     * already times as its own row. Values are identical to the inline
     * build (deterministic frames, parquet roundtrip), so the oracle's
-    * replayed standing chain is unchanged. Same version-marker guard as
-    * [[videoFixture]]. */
-  private val knnStandingVersion =
-    "v1:structuredEmb corpus=id%5!=0 knnDescent(k5,r2) srp(p8,t4)"
+    * replayed standing chain is unchanged. */
+  // the ONE copy of the standing-build config: the version marker is
+  // DERIVED from these, so a parameter edit cannot silently serve a
+  // fixture built under the old config (previously a hand-bumped string)
+  private val knnStandingK = 5
+  private val knnStandingRounds = 2
+  private val knnStandingPlanes = 8
+  private val knnStandingTables = 4
+  private[graft] def knnStandingVersion(dir: String): String =
+    s"v2:structuredEmb corpus=id%5!=0 knnDescent(k$knnStandingK," +
+      s"r$knnStandingRounds) srp(p$knnStandingPlanes,t$knnStandingTables)" +
+      s" src=${tableFingerprint(dir, "embeddings")}"
   private val knnStandingDone = scala.collection.mutable.Set.empty[String]
   private def knnStanding(s: SparkSession,
                           dir: String): (DataFrame, DataFrame) = {
     val abs = new java.io.File(dir).getAbsolutePath
     val dirTag = f"${new java.io.File(dir).getName}_${abs.hashCode & 0xfffffff}%x"
     val path = s"/tmp/graft_knn_standing_$dirTag"
-    val marker = java.nio.file.Paths.get(path + ".version")
     knnStandingDone.synchronized {
       if (!knnStandingDone.contains(path)) {
-        val fresh = java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.readString(marker) == knnStandingVersion
-        if (!fresh) {
-          java.nio.file.Files.deleteIfExists(marker)
+        buildFixtureOnce(path, knnStandingVersion(dir)) { tmp =>
           val corpus = structuredEmb(s, dir)
             .where(pmod(col("vec_id"), lit(5)) =!= 0)
           Similarity.knnDescent(corpus, "vec_id", "embedding",
-              k = 5, rounds = 2)
-            .write.mode("overwrite").parquet(s"$path/graph")
+              k = knnStandingK, rounds = knnStandingRounds)
+            .write.mode("overwrite").parquet(s"$tmp/graph")
           Similarity.srpBucketed(corpus, "vec_id", "embedding",
-              numPlanes = 8, tables = 4)
-            .write.mode("overwrite").parquet(s"$path/index")
-          java.nio.file.Files.writeString(marker, knnStandingVersion)
+              numPlanes = knnStandingPlanes, tables = knnStandingTables)
+            .write.mode("overwrite").parquet(s"$tmp/index")
         }
         knnStandingDone += path
       }
@@ -3116,6 +3166,62 @@ object SparkEntry {
           "vec_id", "embedding", k = 5, nProbe = 2)
       },
       Some(ivfTopKOracleSql)),
+
+    // IVF centroid-DRIFT audit — the retrain signal appendIvfIndex's
+    // frozen-model contract deliberately leaves to the caller: per cell,
+    // the corpus's assignment-similarity distribution vs an incoming
+    // batch's (one cells scan against stored centroids + one batch
+    // argmin pass; model-sized output). Per-row cosines quantize to
+    // 1e-6 longs BEFORE aggregation so the cell sums are order-proof
+    // integers; the means are floor-quantized (round() diverges at the
+    // sum/count midpoints integer quotients land on). The oracle
+    // replays assignment, quantization, and both means.
+    Q("ann_ivf_drift",
+      (s, dir) => {
+        val tag = new java.io.File(dir).getName.replaceAll("[^A-Za-z0-9]", "_")
+        val path = s"/tmp/graft_ivf_drift/$tag"
+        val emb = t(s, dir, "embeddings")
+        Similarity.writeIvfIndex(emb.where(col("vec_id") >= 21),
+          "vec_id", "embedding",
+          emb.where(col("vec_id") >= 5 && col("vec_id") < 21),
+          "vec_id", "embedding", path)
+        Similarity.ivfDriftAudit(s, path, emb.where(col("vec_id") < 5),
+          "vec_id", "embedding")
+      },
+      Some {
+        val assignQ = (src: String) =>
+          s"""SELECT cent_id, CAST(floor(cos * 1e6 + 5e-1) AS BIGINT) AS q
+             |FROM (
+             |  SELECT c.cent_id, ${cosSql(s"$src.v", "c.cent_v")} AS cos,
+             |    row_number() OVER (PARTITION BY $src.v_id
+             |      ORDER BY ${cosSql(s"$src.v", "c.cent_v")} DESC,
+             |        c.cent_id ASC) AS rn
+             |  FROM $src CROSS JOIN c) WHERE rn = 1"""
+        s"""WITH c AS MATERIALIZED (
+           |  SELECT vec_id AS cent_id, embedding AS cent_v
+           |  FROM embeddings WHERE vec_id >= 5 AND vec_id < 21),
+           |corp AS MATERIALIZED (
+           |  SELECT vec_id AS v_id, embedding AS v FROM embeddings
+           |  WHERE vec_id >= 21),
+           |b AS MATERIALIZED (
+           |  SELECT vec_id AS v_id, embedding AS v FROM embeddings
+           |  WHERE vec_id < 5),
+           |ca AS MATERIALIZED (${assignQ("corp")}),
+           |ba AS MATERIALIZED (${assignQ("b")}),
+           |cs AS (SELECT cent_id, count(*) AS corpus_n,
+           |         CAST(sum(q) AS DOUBLE) AS cq FROM ca GROUP BY 1),
+           |bs AS (SELECT cent_id, count(*) AS batch_n,
+           |         CAST(sum(q) AS DOUBLE) AS bq FROM ba GROUP BY 1)
+           |SELECT c.cent_id,
+           |  coalesce(cs.corpus_n, 0) AS corpus_n,
+           |  floor(cs.cq / cs.corpus_n + 5e-1) / 1e6 AS corpus_mean,
+           |  coalesce(bs.batch_n, 0) AS batch_n,
+           |  floor(bs.bq / bs.batch_n + 5e-1) / 1e6 AS batch_mean,
+           |  floor(bs.bq / bs.batch_n + 5e-1) / 1e6
+           |    - floor(cs.cq / cs.corpus_n + 5e-1) / 1e6 AS drift
+           |FROM c LEFT JOIN cs ON c.cent_id = cs.cent_id
+           |LEFT JOIN bs ON c.cent_id = bs.cent_id""".stripMargin
+      }),
 
     // Lloyd k-means over the embedding corpus: k=8 centroids seeded from
     // the 8 smallest vec_ids, 2 iterations, euclidean assignment

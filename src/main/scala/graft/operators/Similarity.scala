@@ -553,6 +553,65 @@ object Similarity {
         col("rank"))
   }
 
+  /** Centroid-DRIFT audit for a standing [[writeIvfIndex]] layout — the
+    * signal [[appendIvfIndex]]'s frozen-model contract leaves to the
+    * caller: per cell, the assignment-similarity distribution of the
+    * standing corpus vs an incoming batch. A batch whose vectors land
+    * systematically FARTHER from their nearest centroid than the corpus
+    * did (drift < 0 and widening) is the retrain trigger; cells with
+    * batch_n = 0 going stale and cells absorbing the whole batch are the
+    * imbalance signals. Cost: one scan of the cells (each row scores
+    * against ITS OWN stored centroid via the broadcast model — 1 cosine
+    * per row), one scan of the batch (argmin over the model-sized
+    * centroid array, same kernel the append uses), two cell-keyed
+    * partial aggs — output is model-sized (one row per centroid).
+    *
+    * Engine-parity: per-row cosines quantize to 1e-6 LONGS before
+    * aggregation, so the cell sums are exact integers (order-proof) and
+    * the means are one deterministic division each — the integer-
+    * histogram discipline, immune to distributed double-sum ordering.
+    *
+    * @return (cent_id, corpus_n, corpus_mean, batch_n, batch_mean,
+    *         drift = batch_mean − corpus_mean; means null for empty
+    *         sides) for every centroid in the standing model. */
+  def ivfDriftAudit(spark: org.apache.spark.sql.SparkSession, path: String,
+                    batch: DataFrame, batchId: String,
+                    vecCol: String): DataFrame = {
+    val model = spark.read.parquet(s"$path/model")
+    val cents = collectCentroids(model, "cent_id", "cent_v")
+    val nearest1 = nearestCentroidsUdf(cents, 1)
+    val corpusQ = spark.read.parquet(s"$path/cells")
+      .join(broadcast(model), "cent_id")
+      .select(col("cent_id"),
+        floor(cosineCol(col("c_v"), col("cent_v")) * lit(1e6) + lit(0.5))
+          .cast("long").as("q"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("corpus_n"),
+        sum(col("q")).cast("double").as("cq"))
+    val batchQ = batch
+      .select(col(batchId).as("v_id"), col(vecCol).as("v"))
+      .select(element_at(nearest1(col("v")), 1).as("a"))
+      .select(col("a._1").as("cent_id"),
+        floor(col("a._2") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("batch_n"),
+        sum(col("q")).cast("double").as("bq"))
+    // floor(x*1e6+0.5)/1e6, not round: integer-sum/count quotients land
+    // on decimal midpoints (cq/n = k.5 exactly), where round() diverges
+    // across engines — the ts_interp/histQuantiles lesson
+    val cm = floor(col("cq") / col("corpus_n") + lit(0.5)) / lit(1e6)
+    val bm = floor(col("bq") / col("batch_n") + lit(0.5)) / lit(1e6)
+    model.select(col("cent_id"))
+      .join(corpusQ, Seq("cent_id"), "left")
+      .join(batchQ, Seq("cent_id"), "left")
+      .select(col("cent_id"),
+        coalesce(col("corpus_n"), lit(0L)).as("corpus_n"),
+        cm.as("corpus_mean"),
+        coalesce(col("batch_n"), lit(0L)).as("batch_n"),
+        bm.as("batch_mean"),
+        (bm - cm).as("drift"))
+  }
+
   /** Squared-euclidean JIT kernel over double vectors (sequential fold —
     * same accumulation order as the oracle's list_reduce). */
   def sqDistKernel(a: Seq[Double], b: Seq[Double]): Double = {

@@ -2083,6 +2083,37 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ivfDriftAudit: per-cell corpus vs batch assignment-quality " +
+    "means off the standing layout; batch-empty cells stay null") {
+    // cell 100 = e1, cell 200 = e2; corpus: (1,0) -> 100 cos 1.0,
+    // (.6,.8) -> 200 cos .8, (0,1) -> 200 cos 1.0
+    val corpus = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.6f, 0.8f)),
+      (20L, Seq(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val cents = Seq((100L, Seq(1.0f, 0.0f)), (200L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    // the batch lands in cell 100 at cos .8 — worse than the corpus's
+    // 1.0 there, so drift is negative (the retrain signal)
+    val batch = Seq((1L, Seq(0.8f, 0.6f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_drift_spec").toString
+    Similarity.writeIvfIndex(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", path)
+    val got = Similarity.ivfDriftAudit(spark, path, batch,
+        "vec_id", "embedding")
+      .orderBy("cent_id").collect()
+    assert(got.length == 2)
+    val c100 = got(0)
+    assert(c100.getLong(0) == 100L && c100.getLong(1) == 1L &&
+      c100.getDouble(2) == 1.0 && c100.getLong(3) == 1L &&
+      c100.getDouble(4) == 0.8)
+    assert(math.abs(c100.getDouble(5) + 0.2) < 1e-9)
+    val c200 = got(1)
+    assert(c200.getLong(0) == 200L && c200.getLong(1) == 2L &&
+      c200.getDouble(2) == 0.9)
+    // no batch rows landed in cell 200: n = 0, mean and drift null
+    assert(c200.getLong(3) == 0L && c200.isNullAt(4) && c200.isNullAt(5))
+  }
+
   test("sqTopK: int8 codes round-trip within a half bin; ADC + exact " +
     "rerank reproduces the brute-force top-k on real embeddings") {
     // quantization error bound: |dequant(code(v)) - v| <= step/2

@@ -12,7 +12,7 @@ object KcoreProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (dir <- args) {
-      val e = graft.SparkEntry.partCoorderEdges(spark, dir)
+      val e = graft.RegistryCore.partCoorderEdges(spark, dir)
         .select("src", "dst")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ne = e.count()

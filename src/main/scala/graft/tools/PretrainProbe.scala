@@ -25,7 +25,7 @@ object PretrainProbe {
     }
     for (dir <- args) {
       println(s"== $dir ==")
-      val lined = () => graft.SparkEntry.linedDocs(spark, dir)
+      val lined = () => graft.RegistryCore.linedDocs(spark, dir)
       val docs = () => graft.Tables.load(spark, dir, "documents")
       // pipe_pretrain_tokenized prefixes
       timed("p0_lined_only")(lined().count())

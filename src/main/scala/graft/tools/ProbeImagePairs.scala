@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.SparkEntry
+import graft.RegistryCore
 import graft.operators.Multimodal
 
 /** Scale-probe companion for `pipe_image_dedup`: prints the candidate
@@ -28,7 +28,7 @@ object ProbeImagePairs {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val payloads = SparkEntry.imageCorpus(spark, dir)
+    val payloads = RegistryCore.imageCorpus(spark, dir)
     val nDocs = payloads.count()
     val t0 = System.nanoTime()
     val nPairs = Multimodal

@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** [[SparkEntry.buildFixtureOnce]] — the /tmp fixture publish contract:
+/** [[RegistryCore.buildFixtureOnce]] — the /tmp fixture publish contract:
   * version-gated rebuilds, atomic publication, config-derived markers. */
 class FixtureSpec extends AnyFunSuite {
 
@@ -20,16 +20,16 @@ class FixtureSpec extends AnyFunSuite {
       Files.createDirectories(Paths.get(tmp))
       Files.writeString(Paths.get(s"$tmp/data.txt"), content)
     }
-    SparkEntry.buildFixtureOnce(path, "v1")(build("one"))
+    RegistryCore.buildFixtureOnce(path, "v1")(build("one"))
     assert(builds == 1)
     assert(Files.readString(Paths.get(s"$path/data.txt")) == "one")
     assert(Files.readString(Paths.get(s"$path/VERSION")) == "v1")
     // same version: served from disk, the builder never runs
-    SparkEntry.buildFixtureOnce(path, "v1")(build("one-again"))
+    RegistryCore.buildFixtureOnce(path, "v1")(build("one-again"))
     assert(builds == 1)
     assert(Files.readString(Paths.get(s"$path/data.txt")) == "one")
     // changed version (config edit / data regenerated): rebuilt in place
-    SparkEntry.buildFixtureOnce(path, "v2")(build("two"))
+    RegistryCore.buildFixtureOnce(path, "v2")(build("two"))
     assert(builds == 2)
     assert(Files.readString(Paths.get(s"$path/data.txt")) == "two")
     assert(Files.readString(Paths.get(s"$path/VERSION")) == "v2")
@@ -45,13 +45,13 @@ class FixtureSpec extends AnyFunSuite {
     val path = tempTarget()
     // simulate: builder B starts (sees no fixture), builder A publishes
     // v1 mid-build; B's publish must keep A's copy
-    SparkEntry.buildFixtureOnce(path, "v1") { tmp =>
+    RegistryCore.buildFixtureOnce(path, "v1") { tmp =>
       Files.createDirectories(Paths.get(tmp))
       Files.writeString(Paths.get(s"$tmp/data.txt"), "A")
     }
     // B re-enters with the same version but different (late) bytes; the
     // fresh re-check inside must discard B's tmp and keep A
-    SparkEntry.buildFixtureOnce(path, "v1") { tmp =>
+    RegistryCore.buildFixtureOnce(path, "v1") { tmp =>
       Files.createDirectories(Paths.get(tmp))
       Files.writeString(Paths.get(s"$tmp/data.txt"), "B")
     }
@@ -60,11 +60,11 @@ class FixtureSpec extends AnyFunSuite {
 
   test("knnStandingVersion is derived from the build config and the " +
     "source-data fingerprint") {
-    val v = SparkEntry.knnStandingVersion("/root/testdata/sf0.001")
+    val v = RegistryCore.knnStandingVersion("/root/testdata/sf0.001")
     // the actual knnDescent/srpBucketed parameters appear in the marker
     assert(v.contains("knnDescent(k5,r2)") && v.contains("srp(p8,t4)"))
     // the embeddings fingerprint is folded in, and differs across dirs
     assert(v.contains("src="))
-    assert(v != SparkEntry.knnStandingVersion("/root/testdata/sf0.01"))
+    assert(v != RegistryCore.knnStandingVersion("/root/testdata/sf0.01"))
   }
 }

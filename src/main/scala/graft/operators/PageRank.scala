@@ -45,16 +45,21 @@ final class CentralityStateBudgetExceeded(
 object PageRank {
 
   /** Default pair-state budget: the rows a round may materialize before
-    * [[CentralityStateBudgetExceeded]] fires. Derived from the JVM heap —
-    * a cached (src, node, dist) UnsafeRow plus block-manager overhead is
-    * ~100 B, MEMORY_AND_DISK keeps roughly the storage fraction (~0.5) of
-    * the heap before spill-thrash sets in, and the loop holds two rounds
-    * (previous + next) during the handoff — so budget ≈ heap * 0.5 / 2
-    * / 100 B. A heuristic, deliberately: the guard exists to turn silent
-    * executor-memory thrash into a named error, not to be a precise
-    * admission controller; callers with real clusters pass their own. */
+    * [[CentralityStateBudgetExceeded]] fires. Anchored to the MEASURED
+    * thrash point, not a back-of-envelope row size: the r14 cold sf1
+    * closeness run spent 18.4 min retrying 1 GiB task-page allocations
+    * at 63.8M pair rows in a 24 GiB heap (heap/376 rows) — the at-rest
+    * UnsafeRow is ~40 B, but a round's peak demand is several times
+    * that (two pinned round copies during the handoff, the min-merge
+    * shuffle's build-side hash relation, task pages), so the budget is
+    * heap/1000 rows: comfortably below the observed thrash while
+    * leaving the sf0.1 calibration graph (~0.7M pair rows) an order of
+    * magnitude of headroom. A heuristic, deliberately: the guard exists
+    * to turn silent memory thrash into a named error, not to be a
+    * precise admission controller; callers with real clusters pass
+    * their own. */
   def defaultStateBudgetRows: Long =
-    math.max(1000000L, Runtime.getRuntime.maxMemory() / 400L)
+    math.max(1000000L, Runtime.getRuntime.maxMemory() / 1000L)
 
   /** @param redistributeDangling when true, each round adds the total
     *        rank mass sitting on dangling nodes (no out-edges) back

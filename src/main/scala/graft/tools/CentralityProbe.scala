@@ -2,16 +2,26 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.CheckpointOps
 
-/** Growth probe for the harmonic-centrality pair (gr_harmonic exact BFS
-  * vs gr_hyperball HLL sketch): times both registry rows per dir and
-  * measures the structural drivers — nodes, edges, and the exact row's
-  * pair-state mass Σ_v |B_3(v)| (which ScaleUp replication densifies
-  * superlinearly: replicas stack onto the same lattice cells, so degree
-  * AND ball size grow with occupancy) against the sketch row's register
-  * state, which is capped at 64 rows per node no matter how dense the
-  * balls get. That cap is the whole 100 TB argument, so the probe prints
-  * both masses next to the walls. */
+/** Growth probe for the centrality family (exact pair-BFS vs HyperBall
+  * sketch): times the registry rows per dir and measures the structural
+  * drivers — nodes, edges, and the exact rows' pair-state mass
+  * Σ_v |B_3(v)| (which ScaleUp replication densifies superlinearly:
+  * replicas stack onto the same lattice cells, so degree AND ball size
+  * grow with occupancy) against the sketch rows' register state, capped
+  * at 64 rows per node no matter how dense the balls get. That cap is
+  * the whole 100 TB argument, so the probe prints both masses next to
+  * the walls. Also exercises:
+  *  - the STATE-BUDGET GUARD: a deliberately tiny budget must convert
+  *    the quadratic-state run into the named fail-fast (the r14 sf1
+  *    thrash — 18.4 min of 1 GiB allocation retries — becomes a
+  *    one-round diagnosis);
+  *  - betweenness SOURCE-SAMPLE sensitivity (0.5%/1%/2%): state is the
+  *    sample's ball mass, so the sample rate is the cost dial;
+  *  - HyperBall-closeness CALIBRATION against the exact leg (skipped
+  *    when the ball mass is too large to hold — exactly the regime the
+  *    sketch exists for). */
 object CentralityProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master(
@@ -37,31 +47,88 @@ object CentralityProbe {
         e0.select(col("dst").as("src"), col("src").as("dst"))).cache()
       val nEdges = bidir.count()
       val nNodes = bidir.select("src").distinct().count()
-      // Σ_v |B_3(v)|: the exact row's pair-state mass (3 unchecked BFS
-      // rounds — probe-only, mirrors harmonicExact's state)
-      var state = bidir.select($"src".as("node")).distinct()
-        .select($"node".as("s"), $"node", lit(0).as("dist"))
+      // Σ_v |B_3(v)|: the exact rows' pair-state mass. Each round
+      // CHECKPOINTS (and frees its predecessor) like the production
+      // pairHopDistances — the earlier lazy union chain re-executed
+      // every previous round inside the final count, inflating probe
+      // wall and GC pressure at sf1 (the HyperBallAB contamination
+      // lesson, applied to the probe itself).
+      var (state, stateRdd) = CheckpointOps.checkpoint(
+        bidir.select($"src".as("node")).distinct()
+          .select($"node".as("s"), $"node", lit(0).as("dist")))
       for (hop <- 1 to 3) {
         val frontier = state.where($"dist" === (hop - 1))
           .select($"s", $"node".as("src"))
         val reached = bidir.join(frontier, "src")
           .select($"s", $"dst".as("node"), lit(hop).as("dist"))
-        state = state.union(reached)
-          .groupBy($"s", $"node").agg(min($"dist").as("dist"))
+        val (next, nextRdd) = CheckpointOps.checkpoint(
+          state.union(reached)
+            .groupBy($"s", $"node").agg(min($"dist").as("dist")))
+        stateRdd.unpersist(false)
+        state = next
+        stateRdd = nextRdd
       }
       val ballMass = state.count()
+      // registry rows run under the DEFAULT budget — at sf1's ball mass
+      // the exact legs trip it (by design: the default is anchored to
+      // the measured thrash point), which the probe reports as a
+      // sentinel wall of -1 rather than dying
       def time(name: String): Double = {
         val t0 = System.nanoTime()
-        graft.SparkEntry.queries(name)(spark, dir).count()
+        try graft.SparkEntry.queries(name)(spark, dir).count()
+        catch {
+          case e: graft.operators.CentralityStateBudgetExceeded =>
+            println(s"[centrality-default-guard] $dir $name tripped: " +
+              s"round=${e.round} rows=${e.rows} budget=${e.budget}")
+            return -1.0
+        }
         (System.nanoTime() - t0) / 1e9
       }
       val tExact = time("gr_harmonic")
       val tBall = time("gr_hyperball")
-      val tBc = time("gr_betweenness")
-      // the sampled sources' ball mass (the betweenness state bound)
-      val sampleBallMass = state.where(pmod($"s", lit(100)) === 1).count()
-      System.err.println(f"[centrality-bc] $dir bc=$tBc%.2fs " +
-        f"sampleBallMass=$sampleBallMass")
+      val tBallCl = time("gr_hyperball_closeness")
+      // the state-budget guard: nNodes rows is under any useful radius's
+      // state, so round 1 must trip with the named error
+      val guard = try {
+        graft.operators.PageRank.harmonicExact(bidir, maxHops = 3,
+          stateBudgetRows = math.max(1L, nNodes)).count()
+        "NO-TRIP (unexpected)"
+      } catch {
+        case e: graft.operators.CentralityStateBudgetExceeded =>
+          s"tripped round=${e.round} rows=${e.rows} budget=${e.budget}"
+      }
+      println(s"[centrality-guard] $dir $guard")
+      // betweenness source-sample sensitivity: the sample IS the cost
+      // dial (state = the sample's ball mass)
+      for (rate <- Seq(200, 100, 50)) {
+        val seeds = cust
+          .where(pmod(col("c_custkey"), lit(rate)) === 1)
+          .select(col("c_custkey").as("node"))
+        val mass = state.where(pmod($"s", lit(rate)) === 1).count()
+        val t0 = System.nanoTime()
+        graft.operators.PageRank.betweennessBounded(bidir, seeds,
+          maxHops = 3).count()
+        val tBcR = (System.nanoTime() - t0) / 1e9
+        println(f"[centrality-bc-rate] $dir rate=1/$rate bc=$tBcR%.2fs " +
+          f"sampleBallMass=$mass")
+      }
+      // closeness calibration: sketch estimate vs the exact leg — only
+      // where the exact leg's state fits (the sketch's whole point is
+      // the regime where it doesn't)
+      if (ballMass < 20000000L) {
+        val ex = graft.operators.PageRank.closenessExact(bidir, maxHops = 3)
+        val est = graft.operators.PageRank.hyperBallCloseness(
+          bidir, maxHops = 3, p = 6)
+        val cal = ex.join(est, "node")
+          .agg(avg(abs(($"closeness_est" - $"closeness") / $"closeness"))
+            .as("mre"),
+            max(abs(($"closeness_est" - $"closeness") / $"closeness"))
+              .as("maxre"))
+          .head()
+        println(f"[centrality-closeness-cal] $dir " +
+          f"mre=${cal.getDouble(0)}%.4f maxre=${cal.getDouble(1)}%.4f")
+      } else println(s"[centrality-closeness-cal] $dir skipped " +
+        s"(ballMass=$ballMass — the exact leg's thrash regime)")
       // layout A/B on the SAME cached edge frame (no lattice-build skew)
       def timeOp(f: => org.apache.spark.sql.DataFrame): Double = {
         val t0 = System.nanoTime()
@@ -75,7 +142,9 @@ object CentralityProbe {
       println(f"[centrality] $dir nodes=$nNodes edges=$nEdges " +
         f"ballMass=$ballMass regCap=${nNodes * 64} " +
         f"exact=$tExact%.2fs hyperball=$tBall%.2fs " +
+        f"hyperballCloseness=$tBallCl%.2fs " +
         f"exploded=$tExpl%.2fs packed=$tPacked%.2fs")
+      stateRdd.unpersist(false)
       bidir.unpersist()
       spark.sharedState.cacheManager.clearCache()
     }

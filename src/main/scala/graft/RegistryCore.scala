@@ -294,6 +294,85 @@ private[graft] object RegistryCore {
        |$finalSelect""".stripMargin
   }
 
+  /** The DIRECTED hub-ring customer graph shared by gr_scc /
+    * gr_scc_condense: every customer points at its nation's hub (min
+    * custkey); hubs form a directed ring with a doubling chord
+    * (diameter O(log #hubs), so BFS rounds stay flat as customers
+    * scale); hubs point back at every 7th member. Truth: one big SCC =
+    * all hubs + the %7 members, everything else a singleton. Hub frames
+    * are model-sized (≤25 rows); member joins are keyed on nationkey. */
+  def sccHubEdges(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val hubs = cust.groupBy(col("c_nationkey").as("nk"))
+      .agg(min("c_custkey").as("hub"))
+    val hr = hubs.select(col("hub"),
+      row_number().over(Window.orderBy("nk")).cast("long").as("rn"),
+      count(lit(1)).over(Window.partitionBy()).as("hcnt"))
+    val e1 = cust.join(hubs, col("c_nationkey") === col("nk"))
+      .where(col("c_custkey") =!= col("hub"))
+      .select(col("c_custkey").as("src"), col("hub").as("dst"))
+    val ha = hr.select(col("hub").as("a_hub"), col("rn").as("a_rn"),
+      col("hcnt"))
+    val hb = hr.select(col("hub").as("b_hub"), col("rn").as("b_rn"))
+    val e2a = ha.join(hb,
+        col("b_rn") === pmod(col("a_rn"), col("hcnt")) + 1 &&
+          col("b_rn") =!= col("a_rn"))
+      .select(col("a_hub").as("src"), col("b_hub").as("dst"))
+    val e2b = ha.join(hb,
+        col("b_rn") === pmod(col("a_rn") * 2, col("hcnt")) + 1 &&
+          col("b_rn") =!= col("a_rn"))
+      .select(col("a_hub").as("src"), col("b_hub").as("dst"))
+    val e3 = cust.join(hubs, col("c_nationkey") === col("nk"))
+      .where(pmod(col("c_custkey"), lit(7)) === 0 &&
+        col("c_custkey") =!= col("hub"))
+      .select(col("hub").as("src"), col("c_custkey").as("dst"))
+    e1.union(e2a).union(e2b).union(e3).distinct()
+  }
+
+  /** ONE DuckDB replay of the [[sccHubEdges]] graph's exact SCC truth —
+    * recursive reachability closure + mutual-pair min, no FW-BW logic
+    * shared with the engine — as CTEs `e` (the distinct edge set) and
+    * `lab(node, scc)`, shared by gr_scc and gr_scc_condense so the
+    * labels the condensation folds over cannot drift from the detected
+    * ones. `finalSelect` is the fold. */
+  def sccOracleSql(finalSelect: String): String =
+    s"""WITH RECURSIVE hubs AS MATERIALIZED (
+       |  SELECT c_nationkey AS nk, min(c_custkey) AS hub
+       |  FROM customer GROUP BY 1),
+       |hr AS MATERIALIZED (
+       |  SELECT hub, row_number() OVER (ORDER BY nk) AS rn,
+       |    count(*) OVER () AS hcnt FROM hubs),
+       |e AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT c.c_custkey AS src, h.hub AS dst
+       |    FROM customer c JOIN hubs h ON c.c_nationkey = h.nk
+       |    WHERE c.c_custkey <> h.hub
+       |    UNION ALL
+       |    SELECT a.hub, b.hub FROM hr a JOIN hr b
+       |      ON b.rn = (a.rn % a.hcnt) + 1 AND b.rn <> a.rn
+       |    UNION ALL
+       |    SELECT a.hub, b.hub FROM hr a JOIN hr b
+       |      ON b.rn = ((2 * a.rn) % a.hcnt) + 1 AND b.rn <> a.rn
+       |    UNION ALL
+       |    SELECT h.hub, c.c_custkey
+       |    FROM customer c JOIN hubs h ON c.c_nationkey = h.nk
+       |    WHERE c.c_custkey % 7 = 0 AND c.c_custkey <> h.hub)),
+       |walk(s, d) AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT w.s, e2.dst FROM walk w JOIN e e2 ON e2.src = w.d),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |mut AS MATERIALIZED (
+       |  SELECT a.s AS u, a.d AS v FROM walk a
+       |  JOIN walk b ON a.s = b.d AND a.d = b.s),
+       |lab AS MATERIALIZED (
+       |  SELECT n.node, least(n.node, coalesce(min(m.u), n.node)) AS scc
+       |  FROM nodes n LEFT JOIN mut m ON m.v = n.node
+       |  GROUP BY n.node)
+       |$finalSelect""".stripMargin
+
   case class Q(name: String,
                        fn: (SparkSession, String) => DataFrame,
                        oracle: Option[String])

@@ -913,69 +913,98 @@ private[graft] object TailRegistryB {
     // independent exact-closure replay: recursive reachability + the
     // mutual-pair min — no FW-BW logic shared with the engine.
     Q("gr_scc",
+      (s, dir) => ConnectedComponents.scc(sccHubEdges(s, dir)),
+      Some(sccOracleSql("SELECT node, scc FROM lab"))),
+
+    // GR: the CONDENSATION of the same directed graph — every SCC
+    // collapsed to its min-member label, distinct inter-component edges
+    // with multiplicity (acyclic by construction; the DAG link-graph
+    // analysis actually reads: which clusters feed which). Two keyed
+    // label joins + one partial-agg count over the shared edge set; the
+    // oracle folds the SAME lab CTE as gr_scc, so the condensation can
+    // never drift from the detected components.
+    Q("gr_scc_condense",
+      (s, dir) => ConnectedComponents.sccCondense(sccHubEdges(s, dir)),
+      Some(sccOracleSql(
+        """SELECT a.scc AS src_scc, b.scc AS dst_scc,
+          |  count(*) AS n_edges
+          |FROM e JOIN lab a ON e.src = a.node
+          |JOIN lab b ON e.dst = b.node
+          |WHERE a.scc <> b.scc
+          |GROUP BY 1, 2""".stripMargin))),
+
+    // GR: the NEIGHBORHOOD FUNCTION off the same HyperBall registers —
+    // the statistic HyperBall was invented for: NF(h) = Σ_v |B̂_h(v)|,
+    // reachable ordered pairs within h hops, with the cumulative
+    // fraction of NF(3). Per-node estimates quantize to 1e-6 longs
+    // BEFORE the global sum (a distributed double sum over every node
+    // is order-dependent; the integer sum is exact), fraction
+    // floor-quantized. The corpus-graph shape audit whose exact
+    // equivalent is the all-pairs state the budget guard refuses.
+    Q("gr_hyperball_nf",
       (s, dir) => {
-        val cust = t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_nationkey"))
-        val hubs = cust.groupBy(col("c_nationkey").as("nk"))
-          .agg(min("c_custkey").as("hub"))
-        val hr = hubs.select(col("hub"),
-          row_number().over(Window.orderBy("nk")).cast("long").as("rn"),
-          count(lit(1)).over(Window.partitionBy()).as("hcnt"))
-        val e1 = cust.join(hubs, col("c_nationkey") === col("nk"))
-          .where(col("c_custkey") =!= col("hub"))
-          .select(col("c_custkey").as("src"), col("hub").as("dst"))
-        val ha = hr.select(col("hub").as("a_hub"), col("rn").as("a_rn"),
-          col("hcnt"))
-        val hb = hr.select(col("hub").as("b_hub"), col("rn").as("b_rn"))
-        val e2a = ha.join(hb,
-            col("b_rn") === pmod(col("a_rn"), col("hcnt")) + 1 &&
-              col("b_rn") =!= col("a_rn"))
-          .select(col("a_hub").as("src"), col("b_hub").as("dst"))
-        val e2b = ha.join(hb,
-            col("b_rn") === pmod(col("a_rn") * 2, col("hcnt")) + 1 &&
-              col("b_rn") =!= col("a_rn"))
-          .select(col("a_hub").as("src"), col("b_hub").as("dst"))
-        val e3 = cust.join(hubs, col("c_nationkey") === col("nk"))
-          .where(pmod(col("c_custkey"), lit(7)) === 0 &&
-            col("c_custkey") =!= col("hub"))
-          .select(col("hub").as("src"), col("c_custkey").as("dst"))
-        ConnectedComponents.scc(
-          e1.union(e2a).union(e2b).union(e3).distinct())
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.hyperBallNeighborhood(bidir, maxHops = 3, p = 6)
       },
-      Some("""WITH RECURSIVE hubs AS MATERIALIZED (
-             |  SELECT c_nationkey AS nk, min(c_custkey) AS hub
-             |  FROM customer GROUP BY 1),
-             |hr AS MATERIALIZED (
-             |  SELECT hub, row_number() OVER (ORDER BY nk) AS rn,
-             |    count(*) OVER () AS hcnt FROM hubs),
-             |e AS MATERIALIZED (
-             |  SELECT DISTINCT src, dst FROM (
-             |    SELECT c.c_custkey AS src, h.hub AS dst
-             |    FROM customer c JOIN hubs h ON c.c_nationkey = h.nk
-             |    WHERE c.c_custkey <> h.hub
-             |    UNION ALL
-             |    SELECT a.hub, b.hub FROM hr a JOIN hr b
-             |      ON b.rn = (a.rn % a.hcnt) + 1 AND b.rn <> a.rn
-             |    UNION ALL
-             |    SELECT a.hub, b.hub FROM hr a JOIN hr b
-             |      ON b.rn = ((2 * a.rn) % a.hcnt) + 1 AND b.rn <> a.rn
-             |    UNION ALL
-             |    SELECT h.hub, c.c_custkey
-             |    FROM customer c JOIN hubs h ON c.c_nationkey = h.nk
-             |    WHERE c.c_custkey % 7 = 0 AND c.c_custkey <> h.hub)),
-             |walk(s, d) AS (
-             |  SELECT src, dst FROM e
-             |  UNION
-             |  SELECT w.s, e2.dst FROM walk w JOIN e e2 ON e2.src = w.d),
-             |nodes AS MATERIALIZED (
-             |  SELECT src AS node FROM e UNION SELECT dst FROM e),
-             |mut AS MATERIALIZED (
-             |  SELECT a.s AS u, a.d AS v FROM walk a
-             |  JOIN walk b ON a.s = b.d AND a.d = b.s)
-             |SELECT n.node,
-             |  least(n.node, coalesce(min(m.u), n.node)) AS scc
-             |FROM nodes n LEFT JOIN mut m ON m.v = n.node
-             |GROUP BY n.node""".stripMargin)),
+      Some(hyperBallOracleSql(
+        """, q AS MATERIALIZED (
+          |  SELECT 0 AS hop, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) AS q
+          |  FROM n0
+          |  UNION ALL
+          |  SELECT 1, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n1
+          |  UNION ALL
+          |  SELECT 2, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n2
+          |  UNION ALL
+          |  SELECT 3, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n3),
+          |nf AS MATERIALIZED (
+          |  SELECT hop, CAST(sum(q) AS DOUBLE) / 1e6 AS nf
+          |  FROM q GROUP BY hop)
+          |SELECT hop, nf,
+          |  floor(nf / (SELECT nf FROM nf WHERE hop = 3) * 1e6 + 5e-1)
+          |    / 1e6 AS frac
+          |FROM nf""".stripMargin))),
+
+    // GR: EFFECTIVE DIAMETER from the neighborhood function — the
+    // interpolated distance covering 90% of reachable-within-3 pairs
+    // (Palmer et al. 2002's convention). One model-sized frame in, one
+    // row out; the oracle replays the threshold, first-crossing hop,
+    // and interpolation arithmetic term for term.
+    Q("gr_eff_diameter",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.effectiveDiameter(bidir, maxHops = 3, p = 6, alpha = 0.9)
+      },
+      Some(hyperBallOracleSql(
+        """, q AS MATERIALIZED (
+          |  SELECT 0 AS hop, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) AS q
+          |  FROM n0
+          |  UNION ALL
+          |  SELECT 1, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n1
+          |  UNION ALL
+          |  SELECT 2, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n2
+          |  UNION ALL
+          |  SELECT 3, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n3),
+          |nf AS MATERIALIZED (
+          |  SELECT hop, CAST(sum(q) AS DOUBLE) / 1e6 AS nf
+          |  FROM q GROUP BY hop),
+          |thr AS MATERIALIZED (
+          |  SELECT nf * 0.9e0 AS thr FROM nf WHERE hop = 3),
+          |c AS MATERIALIZED (
+          |  SELECT min(nf.hop) AS h FROM nf, thr WHERE nf.nf >= thr.thr)
+          |SELECT floor((CASE WHEN c.h = 0 THEN 0e0
+          |    ELSE (c.h - 1) + (thr.thr - p.nf) / (cu.nf - p.nf) END)
+          |    * 1e6 + 5e-1) / 1e6 AS eff_diameter
+          |FROM c CROSS JOIN thr
+          |JOIN nf cu ON cu.hop = c.h
+          |LEFT JOIN nf p ON p.hop = c.h - 1""".stripMargin))),
 
     // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
     // the two standard scale reductions: Brandes-Pich source sampling +

@@ -346,6 +346,33 @@ object ConnectedComponents {
     found.foldLeft(emptyOut)(_ union _)
   }
 
+  /** CONDENSATION of the directed graph: collapse every SCC to one node
+    * and emit the distinct inter-component edges with their multiplicity
+    * — the DAG that link-graph analysis actually reads (which clusters
+    * feed which, where the sinks/sources are; acyclic by the definition
+    * of SCC, so topological processing downstream is safe). Composition:
+    * [[scc]] labels joined onto both edge endpoints (two keyed joins),
+    * cross-component filter, (src_scc, dst_scc) partial-agg count.
+    * Self-loops and duplicate input edges never create components or
+    * counts the label join didn't already see — the edge set is
+    * de-duplicated exactly like [[scc]]'s own ([[scc]] ignores
+    * self-loops; here they drop on src_scc = dst_scc).
+    *
+    * @return DataFrame(src_scc, dst_scc, n_edges) */
+  def sccCondense(edges: DataFrame, srcCol: String = "src",
+                  dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val labels = scc(edges, srcCol, dstCol)
+    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .where($"esrc" =!= $"edst").distinct()
+    e.join(labels.select($"node".as("esrc"), $"scc".as("src_scc")), "esrc")
+      .join(labels.select($"node".as("edst"), $"scc".as("dst_scc")), "edst")
+      .where($"src_scc" =!= $"dst_scc")
+      .groupBy($"src_scc", $"dst_scc")
+      .agg(count(lit(1)).as("n_edges"))
+  }
+
   private type RDD =
     org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow]
 

@@ -809,15 +809,18 @@ class OperatorsSpec extends SparkTestBase {
     // closeness off the SAME register tables: r̂/Σd̂ with
     // r̂ = N̂_H − N̂_0 and Σd̂ = Σ h(N̂_h − N̂_{h−1}) — bit-identical to
     // composing the exploded per-hop estimates in the same fold order
-    val clGot = PageRank.hyperBallCloseness(bidir, maxHops = maxHops, p = 6)
-      .as[(Long, Double)].collect().toMap
-    nodes.foreach { v =>
-      val ests = (0 to maxHops).map { h =>
+    val estMap: Map[Long, IndexedSeq[Double]] = nodes.map { v =>
+      v -> (0 to maxHops).map { h =>
         val members = ball(v, h).toSeq.map(u => (v, u))
         Sketches.hllDistinct(members.toDF("node", "member"),
             Seq("node"), "member", p = 6)
           .select($"hll_estimate").as[Double].head()
       }
+    }.toMap
+    val clGot = PageRank.hyperBallCloseness(bidir, maxHops = maxHops, p = 6)
+      .as[(Long, Double)].collect().toMap
+    nodes.foreach { v =>
+      val ests = estMap(v)
       val expectedCl = (ests(maxHops) - ests(0)) /
         (1 to maxHops).map(h => h.toDouble * (ests(h) - ests(h - 1)))
           .reduce(_ + _)
@@ -825,6 +828,42 @@ class OperatorsSpec extends SparkTestBase {
         s"node $v: closeness ${clGot(v)} != $expectedCl")
     }
     assert(PageRank.hyperBallCloseness(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+
+    // neighborhood function: per-hop GLOBAL sums of the same estimates,
+    // through the documented 1e-6-long quantization (order-proof), and
+    // the cumulative fraction of NF(maxHops)
+    val nfExp = (0 to maxHops).map(h =>
+      nodes.map(v => math.floor(estMap(v)(h) * 1e6 + 0.5).toLong).sum
+        .toDouble / 1e6)
+    val nfGot = PageRank.hyperBallNeighborhood(bidir, maxHops, p = 6)
+      .as[(Int, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    (0 to maxHops).foreach { h =>
+      assert(nfGot(h)._1 == nfExp(h), s"hop $h: ${nfGot(h)._1}")
+      val fracExp =
+        math.floor(nfExp(h) / nfExp(maxHops) * 1e6 + 0.5) / 1e6
+      assert(nfGot(h)._2 == fracExp, s"hop $h frac: ${nfGot(h)._2}")
+    }
+    // effective diameter: first hop whose NF crosses alpha*NF(H),
+    // linearly interpolated — replayed here from the same NF values
+    val thr = nfExp(maxHops) * 0.9
+    val hCross = (0 to maxHops).find(nfExp(_) >= thr).get
+    val dExp =
+      if (hCross == 0) 0.0
+      else math.floor(((hCross - 1).toDouble +
+        (thr - nfExp(hCross - 1)) / (nfExp(hCross) - nfExp(hCross - 1)))
+        * 1e6 + 0.5) / 1e6
+    val dGot = PageRank.effectiveDiameter(bidir, maxHops, p = 6)
+      .as[Double].head()
+    assert(dGot == dExp, s"eff diameter $dGot != $dExp")
+    // a threshold NF(0) already covers yields 0 by convention
+    assert(PageRank.effectiveDiameter(bidir, maxHops, p = 6, alpha = 0.01)
+      .as[Double].head() == 0.0)
+    // degenerate inputs stay empty, never crash
+    assert(PageRank.hyperBallNeighborhood(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+    assert(PageRank.effectiveDiameter(
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
   }
 

@@ -67,6 +67,28 @@ class SccSpec extends SparkTestBase {
     assert(got == (1L to 24L).map(v => v -> v).toMap)
   }
 
+  test("sccCondense collapses components to min-member labels and " +
+    "counts distinct inter-component edges") {
+    // {1,2} and {3,4} are SCCs bridged by TWO distinct edges; 5 is a
+    // singleton sink fed from {3,4}
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L),
+      (2L, 3L), (1L, 4L), (4L, 5L))
+    val got = ConnectedComponents.sccCondense(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 3L, 2L), (3L, 5L, 1L)))
+    // a DAG condenses to itself (every node its own component)
+    val dag = Seq((1L, 2L), (2L, 3L))
+    assert(ConnectedComponents.sccCondense(dag.toDF("src", "dst"))
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 1L), (2L, 3L, 1L)))
+    // a single cycle condenses to ZERO edges (but scc still labels it)
+    val cyc = Seq((7L, 8L), (8L, 7L))
+    assert(ConnectedComponents.sccCondense(cyc.toDF("src", "dst"))
+      .count() == 0L)
+    assert(ConnectedComponents.sccCondense(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+  }
+
   test("scc matches the brute-force closure on a pseudo-random directed " +
     "graph with mixed component sizes") {
     // deterministic arithmetic graph on 0..39: i -> (2i+1) mod 40 and

@@ -294,6 +294,28 @@ private[graft] object RegistryCore {
        |$finalSelect""".stripMargin
   }
 
+  /** ONE DuckDB reachability-closure CC oracle over the 200 m customer
+    * proximity graph — shared VERBATIM by g2_connected_components and
+    * gr_cc_incremental, because the incremental fold's entire
+    * correctness claim is "identical labels to the from-scratch run". */
+  def ccClosureOracleSql: String =
+    s"""WITH RECURSIVE pts AS ($custPointsSql),
+       |edges AS (
+       |  SELECT a.c_custkey AS src, b.c_custkey AS dst
+       |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
+       |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
+       |sym AS (
+       |  SELECT src AS u, dst AS v FROM edges
+       |  UNION SELECT dst, src FROM edges
+       |  UNION SELECT src, src FROM edges
+       |  UNION SELECT dst, dst FROM edges),
+       |reach AS (
+       |  SELECT u, v FROM sym
+       |  UNION
+       |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
+       |SELECT u AS node, min(v) AS component FROM reach GROUP BY u"""
+      .stripMargin
+
   /** The DIRECTED hub-ring customer graph shared by gr_scc /
     * gr_scc_condense: every customer points at its nation's hub (min
     * custkey); hubs form a directed ring with a doubling chord

@@ -59,22 +59,29 @@ private[graft] object GraphRegistry {
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         ConnectedComponents.run(edges)
       },
-      Some(s"""WITH RECURSIVE pts AS ($custPointsSql),
-              |edges AS (
-              |  SELECT a.c_custkey AS src, b.c_custkey AS dst
-              |  FROM pts a JOIN pts b ON a.c_custkey < b.c_custkey
-              |  WHERE ${havSql("a.lat", "a.lon", "b.lat", "b.lon")} <= 200.0),
-              |sym AS (
-              |  SELECT src AS u, dst AS v FROM edges
-              |  UNION SELECT dst, src FROM edges
-              |  UNION SELECT src, src FROM edges
-              |  UNION SELECT dst, dst FROM edges),
-              |reach AS (
-              |  SELECT u, v FROM sym
-              |  UNION
-              |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u)
-              |SELECT u AS node, min(v) AS component FROM reach GROUP BY u"""
-        .stripMargin)),
+      Some(ccClosureOracleSql)),
+
+    // GR: INCREMENTAL connected components — the same 200 m proximity
+    // graph arriving as an initial load plus two ingest batches
+    // (deterministic (src+dst)%3 / src%2 split), folded through the
+    // standing base + flat-alias layout (ConnectedComponents
+    // .incrementalMerge: batch endpoints probe the standing labels, a
+    // BATCH-sized label graph solves the merges, the alias map absorbs
+    // them — the corpus labeling is never recomputed). The oracle is
+    // g2's full reachability closure over ALL edges VERBATIM — the
+    // fold-equals-rebuild equivalence IS the check.
+    Q("gr_cc_incremental",
+      (s, dir) => {
+        val edges = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 200.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val k = pmod(col("src") + col("dst"), lit(3))
+        ConnectedComponents.incrementalFold(
+          edges.where(k =!= 0),
+          Seq(edges.where(k === 0 && pmod(col("src"), lit(2)) === 0),
+            edges.where(k === 0 && pmod(col("src"), lit(2)) === 1)))
+      },
+      Some(ccClosureOracleSql)),
 
     // G3: canonical-id minting from the longest member name per cluster
     Q("g3_canonical_mint",

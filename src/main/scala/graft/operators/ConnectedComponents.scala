@@ -346,6 +346,120 @@ object ConnectedComponents {
     found.foldLeft(emptyOut)(_ union _)
   }
 
+  /** INCREMENTAL connected-components maintenance — fold an ingest
+    * batch of new undirected edges into a standing labeling WITHOUT
+    * re-running the fixpoint over the corpus. State is two tables:
+    *
+    *  - `base(node, component)`: APPEND-ONLY — each node keeps the
+    *    label it was first assigned; never rewritten;
+    *  - `alias(c, canon)`: the FLAT merge map — labels later absorbed
+    *    into a bigger component point at the surviving (minimum) label.
+    *    Readers resolve `coalesce(alias[base[v]], base[v])`
+    *    ([[resolveLabels]]) — one broadcast-sized join, the classic
+    *    two-level union-find-at-rest layout.
+    *
+    * Per batch: the batch endpoints look up their effective labels (the
+    * batch's node set BROADCAST against base — a probe of the standing
+    * table, bucket-pruned point lookups at rest, never a shuffle of
+    * it), the batch edges project onto a LABEL graph bounded by the
+    * batch size, [[run]] solves that tiny graph, and the resulting
+    * merges (a) extend the alias map and (b) remap existing alias
+    * targets that just got absorbed — so the alias stays flat (one hop
+    * resolves) by induction: merge-map keys are live labels, which are
+    * never already alias keys, and merge-map targets are the new roots.
+    * Labels stay SET-STABLE min member ids: the min of merged min-labels
+    * is the min member of the union, so the folded labeling is
+    * bit-identical to a from-scratch [[run]] over all edges (spec'd,
+    * and the registry row's oracle is exactly that full closure).
+    *
+    * @return (newBase, newAlias) */
+  def incrementalMerge(base: DataFrame, alias: DataFrame, batch: DataFrame,
+                       srcCol: String = "src", dstCol: String = "dst")
+      : (DataFrame, DataFrame) = {
+    val (inserts, newAlias) =
+      incrementalMergeParts(base, alias, batch, srcCol, dstCol)
+    (base.unionByName(inserts), newAlias)
+  }
+
+  /** [[incrementalMerge]] decomposed for AT-REST state: returns the
+    * base-table APPEND (the batch's previously-unseen nodes, labeled by
+    * themselves) and the full replacement alias — the shapes
+    * [[graft.streaming.CcStream]] writes (base append-only, the
+    * model-small alias rewritten per batch). */
+  def incrementalMergeParts(base: DataFrame, alias: DataFrame,
+                            batch: DataFrame, srcCol: String = "src",
+                            dstCol: String = "dst")
+      : (DataFrame, DataFrame) = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    val e = batch.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    val nodes = e.select($"a".as("node")).union(e.select($"b".as("node")))
+      .distinct()
+    val known = nodes.join(base, Seq("node"), "left")
+    val eff = known
+      .join(alias.select($"c".as("component"), $"canon"),
+        Seq("component"), "left")
+      .select($"node",
+        coalesce($"canon", $"component", $"node").as("lbl"))
+    val lblEdges = e
+      .join(eff.select($"node".as("a"), $"lbl".as("la")), "a")
+      .join(eff.select($"node".as("b"), $"lbl".as("lb")), "b")
+      .select($"la".as("src"), $"lb".as("dst"))
+    // the merge graph is batch-bounded: one label node per distinct
+    // effective label among the batch's endpoints
+    val merged = run(lblEdges)
+    val mergeMap = merged.where($"node" =!= $"component")
+      .select($"node".as("c"), $"component".as("canon"))
+    val inserts = known.where($"component".isNull)
+      .select($"node", $"node".as("component"))
+    val remapped = alias
+      .join(mergeMap.select($"c".as("canon"), $"canon".as("canon2")),
+        Seq("canon"), "left")
+      .select($"c", coalesce($"canon2", $"canon").as("canon"))
+    (inserts, remapped.unionByName(mergeMap))
+  }
+
+  /** Resolve a standing [[incrementalMerge]] labeling to effective
+    * (node, component) rows — base joined once against the flat alias. */
+  def resolveLabels(base: DataFrame, alias: DataFrame): DataFrame = {
+    val spark = base.sparkSession
+    import spark.implicits._
+    base.join(alias.select($"c".as("component"), $"canon"),
+        Seq("component"), "left")
+      .select($"node", coalesce($"canon", $"component").as("component"))
+  }
+
+  /** Deterministic batch-sequenced fold: [[run]] on the initial edges,
+    * then [[incrementalMerge]] per batch in arrival order, resolved at
+    * the end — the stream ≡ batch form the registry row replays (its
+    * oracle is the full closure over ALL edges, which IS the
+    * fold-equals-rebuild equivalence check). State frames checkpoint
+    * per step (lineage-truncating: batch count is unbounded) and free
+    * their predecessors on handoff. */
+  def incrementalFold(initialEdges: DataFrame, batches: Seq[DataFrame],
+                      srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    val spark = initialEdges.sparkSession
+    import spark.implicits._
+    var (base, baseRdd) = CheckpointOps.checkpointTruncated(
+      run(initialEdges, srcCol, dstCol))
+    var (alias, aliasRdd) = CheckpointOps.checkpointTruncated(
+      base.select($"component".as("c"), $"component".as("canon"))
+        .where(lit(false)))
+    batches.foreach { b =>
+      val (nb, na) = incrementalMerge(base, alias, b, srcCol, dstCol)
+      val (nbFlat, nbRdd) = CheckpointOps.checkpointTruncated(nb)
+      val (naFlat, naRdd) = CheckpointOps.checkpointTruncated(na)
+      baseRdd.unpersist(false)
+      aliasRdd.unpersist(false)
+      base = nbFlat
+      baseRdd = nbRdd
+      alias = naFlat
+      aliasRdd = naRdd
+    }
+    resolveLabels(base, alias)
+  }
+
   /** CONDENSATION of the directed graph: collapse every SCC to one node
     * and emit the distinct inter-component edges with their multiplicity
     * — the DAG that link-graph analysis actually reads (which clusters

@@ -89,6 +89,43 @@ class SccSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
   }
 
+  test("incrementalMerge folds batches into the standing labeling " +
+    "bit-identically to a from-scratch run over all edges") {
+    def ccMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.as[(Long, Long)].collect().toMap
+    // initial: {5,6} and {9,10}; batch1 bridges them AND introduces new
+    // nodes {1,2}; batch2 merges the batch1-created component with the
+    // merged old one — exercising the alias REMAP (the 9→5 entry must
+    // follow 5 into the final min-1 component)
+    val initial = Seq((5L, 6L), (9L, 10L))
+    val batch1 = Seq((5L, 9L), (1L, 2L))
+    val batch2 = Seq((2L, 6L))
+    val all = initial ++ batch1 ++ batch2
+    val folded = ccMap(ConnectedComponents.incrementalFold(
+      initial.toDF("src", "dst"),
+      Seq(batch1.toDF("src", "dst"), batch2.toDF("src", "dst"))))
+    val rebuilt = ccMap(ConnectedComponents.run(all.toDF("src", "dst")))
+    assert(folded == rebuilt)
+    assert(folded.values.toSet == Set(1L)) // everything merged to min 1
+    // a new node SMALLER than every standing label becomes the canon
+    val f2 = ccMap(ConnectedComponents.incrementalFold(
+      Seq((5L, 6L)).toDF("src", "dst"),
+      Seq(Seq((2L, 5L)).toDF("src", "dst"))))
+    assert(f2 == Map(2L -> 2L, 5L -> 2L, 6L -> 2L))
+    // replaying a batch is a no-op (all endpoints share a component, so
+    // the merge graph has no non-identity rows)
+    val f3 = ccMap(ConnectedComponents.incrementalFold(
+      Seq((5L, 6L)).toDF("src", "dst"),
+      Seq(Seq((2L, 5L)).toDF("src", "dst"),
+        Seq((2L, 5L)).toDF("src", "dst"))))
+    assert(f3 == f2)
+    // empty initial load: the first batch bootstraps everything
+    val f4 = ccMap(ConnectedComponents.incrementalFold(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq(Seq((3L, 4L)).toDF("src", "dst"))))
+    assert(f4 == Map(3L -> 3L, 4L -> 3L))
+  }
+
   test("scc matches the brute-force closure on a pseudo-random directed " +
     "graph with mixed component sizes") {
     // deterministic arithmetic graph on 0..39: i -> (2i+1) mod 40 and

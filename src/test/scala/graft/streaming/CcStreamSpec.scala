@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.ConnectedComponents
+
+case class Edge(src: Long, dst: Long)
+
+class CcStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // initial components {5,6} and {9,10}; batch1 bridges them and adds a
+  // fresh pair {1,2}; batch2 merges the fresh pair into the rest (the
+  // alias-remap case: 9→5 must follow 5 into the final min-1 component)
+  private val initial = Seq(Edge(5L, 6L), Edge(9L, 10L))
+  private val batch1 = Seq(Edge(5L, 9L), Edge(1L, 2L))
+  private val batch2 = Seq(Edge(2L, 6L))
+
+  private def labelsOf(base: String, alias: String): Map[Long, Long] =
+    ConnectedComponents.resolveLabels(
+        spark.table(base), spark.table(alias))
+      .as[(Long, Long)].collect().toMap
+
+  test("foreachBatch CC ingest equals the batch-sequenced fold and the " +
+    "from-scratch rebuild; tables end at the folded state") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cc_stream").toString
+    val (bTbl, aTbl) = ("cc_stream_spec_base", "cc_stream_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    val base0 = ConnectedComponents.run(initial.toDF())
+    base0.write.option("path", s"$dir/base").saveAsTable(bTbl)
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+
+    val mem = MemoryStream[Edge]
+    val q = CcStream.run(mem.toDF(), "src", "dst", bTbl, aTbl,
+      s"$dir/ckpt")
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = labelsOf(bTbl, aTbl)
+    val folded = ConnectedComponents.incrementalFold(initial.toDF(),
+        Seq(batch1.toDF(), batch2.toDF()))
+      .as[(Long, Long)].collect().toMap
+    val rebuilt = ConnectedComponents.run(
+        (initial ++ batch1 ++ batch2).toDF())
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == folded && folded == rebuilt, streamed.toString)
+    assert(streamed.values.toSet == Set(1L))
+    // base stayed append-only: first labels survive (5/6 keep 5, 9/10
+    // keep 9); the merges live in the alias, which stays FLAT
+    val baseEnd = spark.table(bTbl).as[(Long, Long)].collect().toMap
+    assert(baseEnd(6L) == 5L && baseEnd(10L) == 9L)
+    val aliasEnd = spark.table(aTbl).as[(Long, Long)].collect().toMap
+    assert(!aliasEnd.values.exists(aliasEnd.contains), // one hop resolves
+      aliasEnd.toString)
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+
+  test("a replayed CC micro-batch is idempotent: base and alias tables " +
+    "unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_replay").toString
+    val (bTbl, aTbl) = ("cc_replay_spec_base", "cc_replay_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    val base0 = ConnectedComponents.run(initial.toDF())
+    base0.write.option("path", s"$dir/base").saveAsTable(bTbl)
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+    def state() = (
+      spark.table(bTbl).as[(Long, Long)].collect().sorted.toSeq,
+      spark.table(aTbl).as[(Long, Long)].collect().sorted.toSeq)
+    CcStream.ingestBatch(batch1.toDF(), "src", "dst", bTbl, aTbl)
+    val afterFirst = state()
+    CcStream.ingestBatch(batch1.toDF(), "src", "dst", bTbl, aTbl)
+    assert(state() == afterFirst)
+    // and the labels are correct after the replay
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((initial ++ batch1).toDF())
+        .as[(Long, Long)].collect().toMap)
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+}

@@ -480,6 +480,49 @@ private[graft] object PipelineRegistryA {
               |  CASE WHEN rn = 1 THEN 1 ELSE 0 END AS keep
               |FROM ranked""".stripMargin)),
 
+    // Incremental duplicate-CLUSTER maintenance end to end: the corpus
+    // builds a standing MinHash band index + CC labels over its own
+    // verified pairs; each ingest batch probes the index for its pairs
+    // (Dedup.incrementalMinHashBuckets — batch-vs-index + within-batch,
+    // the corpus is never re-paired) and folds them into the standing
+    // labeling (ConnectedComponents.incrementalMerge — batch-sized
+    // label-merge graph + flat alias), then appends its bands for the
+    // next batch. Per-ingest cost is O(batch + matching buckets) for
+    // pairing AND clustering — the steady-state dedup shape at 100 TB,
+    // where both the re-pairing and the re-clustering of the corpus are
+    // the costs this amortizes away. The oracle is the FULL-corpus
+    // LSH + reachability-closure clustering (the dd_cluster_keep chain)
+    // — fold-equals-rebuild is the correctness claim, so the oracle
+    // shares zero incremental logic with the engine.
+    Q("dd_incremental_clusters",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val corpus = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+        var index = Dedup.minHashIndex(corpus, "doc_id", "text")
+        var base = ConnectedComponents.run(
+          Dedup.minHashLSH(corpus, "doc_id", "text")
+            .select(col("a_id").as("src"), col("b_id").as("dst")))
+        var alias = base
+          .select(col("component").as("c"), col("component").as("canon"))
+          .where(lit(false))
+        Seq(docs.where(pmod(col("doc_id"), lit(8)) === 0),
+            docs.where(pmod(col("doc_id"), lit(8)) === 4)).foreach { b =>
+          val banded = Dedup.minHashIndex(b, "doc_id", "text")
+          val pairs = Dedup.incrementalMinHashBuckets(index, banded,
+              numHashes = 16, simThreshold = 0.5)
+            .select(col("a_id").as("src"), col("b_id").as("dst"))
+          val (nb, na) =
+            ConnectedComponents.incrementalMerge(base, alias, pairs)
+          base = nb
+          alias = na
+          index = index.unionByName(banded)
+        }
+        ConnectedComponents.resolveLabels(base, alias)
+      },
+      Some(s"""WITH RECURSIVE $minhashBandedSql,
+              |$lshComponentsSql
+              |SELECT node, component FROM comp""".stripMargin)),
+
     // SimHash fingerprint near-dup pairs (hamming <= 3, byte-blocked:
     // 4 = maxHamming+1 chunks give pigeonhole-guaranteed recall)
     Q("dd_simhash",

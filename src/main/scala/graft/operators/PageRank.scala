@@ -798,13 +798,24 @@ object PageRank {
   def hyperBallNeighborhood(edges: DataFrame, maxHops: Int = 3,
                             p: Int = 6, srcCol: String = "src",
                             dstCol: String = "dst"): DataFrame = {
-    val joined = hyperBallEstimates(edges, maxHops, p, srcCol, dstCol)
-    val perHop = (0 to maxHops).map { h =>
-      joined.select(lit(h).as("hop"),
-        floor(col(s"n$h") * lit(1e6) + lit(0.5)).cast("long").as("q"))
-    }.reduce(_ union _)
+    // fold each hop's estimate frame DIRECTLY into its global sum — no
+    // per-node join of the hop columns, and no re-execution of the
+    // estimator per hop selection. (The first cut selected hop columns
+    // out of the joined per-node table, which re-ran all maxHops+1
+    // estimate aggregations AND the node-keyed join once per hop: the
+    // sf1 probe read 351 s against gr_hyperball's 32 s on the same
+    // registers. This shape reads ~35 s — one estimator pass per hop.)
+    val perHopRaw = hyperBallHopEstimates(edges, maxHops, p, srcCol, dstCol)
+      .zipWithIndex.map { case (df, h) =>
+        df.select(lit(h).as("hop"),
+          floor(col(s"n$h") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      }.reduce(_ union _)
       .groupBy("hop")
       .agg((sum(col("q")).cast("double") / lit(1e6)).as("nf"))
+    // maxHops+2 consumers read this (hops+1)-row frame (the total
+    // broadcast and the final select; effectiveDiameter adds more) —
+    // pin it so the register-table folds above run exactly once
+    val perHop = CacheScope.pin(perHopRaw)
     val total = perHop.where(col("hop") === maxHops)
       .select(col("nf").as("nf_total"))
     perHop.crossJoin(broadcast(total))
@@ -846,13 +857,25 @@ object PageRank {
           + lit(0.5)) / lit(1e6)).as("eff_diameter"))
   }
 
-  /** The shared HyperBall round loop under [[hyperBallPacked]] /
-    * [[hyperBallCloseness]] / [[hyperBallNeighborhood]]: packed-register
-    * propagation for `maxHops` rounds, returning one row per node with
-    * the per-round ball-size estimates as columns n0..n{maxHops} — the
-    * table every geometric centrality folds from. */
+  /** The shared per-node estimate table under [[hyperBallPacked]] /
+    * [[hyperBallCloseness]]: the per-hop frames of
+    * [[hyperBallHopEstimates]] joined on node into columns
+    * n0..n{maxHops} — the shape the per-node centrality folds read.
+    * Global folds ([[hyperBallNeighborhood]]) consume the hop frames
+    * directly instead: they need no per-node alignment, and the join
+    * would re-execute every hop's estimator per hop selection. */
   private def hyperBallEstimates(edges: DataFrame, maxHops: Int, p: Int,
-                                 srcCol: String, dstCol: String): DataFrame = {
+                                 srcCol: String, dstCol: String): DataFrame =
+    hyperBallHopEstimates(edges, maxHops, p, srcCol, dstCol)
+      .reduce((a, b) => a.join(b, Seq("node")))
+
+  /** The shared HyperBall round loop: packed-register propagation for
+    * `maxHops` rounds (each round's register table checkpointed), one
+    * estimate frame (node, n$h) per hop — the per-round ball-size
+    * estimates every geometric centrality folds from. */
+  private def hyperBallHopEstimates(edges: DataFrame, maxHops: Int, p: Int,
+                                    srcCol: String, dstCol: String)
+      : Vector[DataFrame] = {
     require(maxHops >= 1, "need at least one hop")
     val m = 1 << p
     val spark = edges.sparkSession
@@ -893,7 +916,7 @@ object PageRank {
       ests :+= estimate(regs, s"n$hop")
       hop += 1
     }
-    ests.reduce((a, b) => a.join(b, Seq("node")))
+    ests
   }
 
   /** Bounded-radius, sampled-source betweenness centrality (Brandes,

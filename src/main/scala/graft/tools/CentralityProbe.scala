@@ -87,6 +87,15 @@ object CentralityProbe {
       val tExact = time("gr_harmonic")
       val tBall = time("gr_hyperball")
       val tBallCl = time("gr_hyperball_closeness")
+      // the round-15 structural rows: SCC (trim + hash-pivot FW-BW over
+      // the hub graph), its condensation, incremental CC (standing
+      // base+alias fold over the 200 m graph), and the NF fold
+      val tScc = time("gr_scc")
+      val tCond = time("gr_scc_condense")
+      val tCcInc = time("gr_cc_incremental")
+      val tNf = time("gr_hyperball_nf")
+      println(f"[centrality-r15] $dir scc=$tScc%.2fs condense=$tCond%.2fs " +
+        f"ccInc=$tCcInc%.2fs nf=$tNf%.2fs")
       // the state-budget guard: nNodes rows is under any useful radius's
       // state, so round 1 must trip with the named error
       val guard = try {

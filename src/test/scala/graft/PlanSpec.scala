@@ -575,4 +575,22 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("Exchange SinglePartition"), s"$q: ${p.take(3000)}")
     }
   }
+
+  test("r15 graph structures: SCC / condensation / incremental CC " +
+    "finalize as keyed joins over checkpointed state — no cartesian, " +
+    "no nested loop") {
+    // (the hub-frame window and the NF/eff-diameter broadcast cross
+    // joins are MODEL-sized — ≤ 25 hub rows / ≤ 4 hop rows, the
+    // histQuantiles sketch-frame pattern — so only corpus-scale
+    // hazards are gated here)
+    for (q <- Seq("gr_scc", "gr_scc_condense", "gr_cc_incremental")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
+    }
+    for (q <- Seq("gr_hyperball_nf", "gr_eff_diameter")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
+    }
+  }
 }

@@ -271,11 +271,14 @@ object ConnectedComponents {
         .select($"part", struct(pr.as("h"), $"node").as("hn"))
         .groupBy($"part").agg(min($"hn").as("m"))
         .select($"part", $"m.node".as("node"))
-      // frontier BFS from each part's pivot along (part, u) -> v
-      def reach(dirEdges: DataFrame): (DataFrame, RDD) = {
-        var (reached, reachedRdd) = CheckpointOps.checkpointTruncated(piv)
+      // frontier BFS from each part's pivot along (part, u) -> v. Each
+      // round materializes only the freshly-reached nodes; the reached
+      // set is the lazy union of the per-round frames (pairHopDistances
+      // discipline — rows are written once, not rewritten per round).
+      def reach(dirEdges: DataFrame): (DataFrame, Seq[RDD]) = {
+        var (reached, seedRdd) = CheckpointOps.checkpointTruncated(piv)
+        var rdds = Vector[RDD](seedRdd)
         var frontier = reached
-        var frontierRdd: RDD = null
         var inner = 0
         var grew = true
         while (grew) {
@@ -287,26 +290,21 @@ object ConnectedComponents {
             .select($"part", $"v".as("node")).distinct()
           val (fresh, freshRdd, nFresh) = CheckpointOps.checkpointCountTruncated(
             step.join(reached, Seq("part", "node"), "left_anti"))
-          if (frontierRdd != null) frontierRdd.unpersist(false)
           if (nFresh == 0) {
             freshRdd.unpersist(false)
             grew = false
           } else {
-            val (nextReached, nextReachedRdd) =
-              CheckpointOps.checkpointTruncated(reached.union(fresh))
-            reachedRdd.unpersist(false)
-            reached = nextReached
-            reachedRdd = nextReachedRdd
+            rdds :+= freshRdd
+            reached = reached.union(fresh)
             frontier = fresh
-            frontierRdd = freshRdd
           }
           inner += 1
         }
-        (reached, reachedRdd)
+        (reached, rdds)
       }
-      val (fwd, fwdRdd) =
+      val (fwd, fwdRdds) =
         reach(aliveE.select($"part", $"esrc".as("u"), $"edst".as("v")))
-      val (bwd, bwdRdd) =
+      val (bwd, bwdRdds) =
         reach(aliveE.select($"part", $"edst".as("u"), $"esrc".as("v")))
       val sccSet = fwd.join(bwd, Seq("part", "node"))
       val (out, _) = CheckpointOps.checkpointTruncated(
@@ -333,8 +331,8 @@ object ConnectedComponents {
       activeRdd.unpersist(false)
       aliveERdd.unpersist(false)
       keptRdd.unpersist(false)
-      fwdRdd.unpersist(false)
-      bwdRdd.unpersist(false)
+      fwdRdds.foreach(_.unpersist(false))
+      bwdRdds.foreach(_.unpersist(false))
       active = nxt
       activeRdd = nxtRdd
       nActive = nNxt

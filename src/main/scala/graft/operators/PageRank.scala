@@ -630,39 +630,57 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
-    var (state, stateRdd, rows) = CheckpointOps.checkpointCount(
+    // FRONTIER-frame accumulation: each round materializes only the
+    // newly-reached (src, node) pairs (first reach == min dist on an
+    // unweighted graph); the cumulative state is the lazy union of the
+    // per-round frames. Total writes are Σ|B_maxHops| rows ONCE — the
+    // earlier cumulative re-checkpoint rewrote the whole state every
+    // round (O(maxHops · state) write amplification, the dominant cost
+    // of the exact legs at sf1).
+    val (seed, seedRdd, seedRows) = CheckpointOps.checkpointCount(
       e.select($"esrc".as("src")).distinct()
         .select($"src", $"src".as("node"), lit(0).as("dist")))
-    checkBudget(0, rows, stateBudgetRows, stateRdd)
+    var frameRdds = Vector[RDD[InternalRow]](seedRdd)
+    var total = seedRows
+    checkBudget(0, total, stateBudgetRows, frameRdds)
+    var state = seed
+    var frontier = seed
     var hop = 1
-    while (hop <= maxHops) {
-      val frontier = state.where($"dist" === (hop - 1))
-        .select($"src", $"node".as("esrc"))
-      val reached = e.join(frontier, "esrc")
-        .select($"src", $"edst".as("node"), lit(hop).as("dist"))
-      val (next, nextRdd, nextRows) = CheckpointOps.checkpointCount(
-        state.union(reached)
-          .groupBy($"src", $"node").agg(min($"dist").as("dist")))
-      stateRdd.unpersist(false)
-      state = next
-      stateRdd = nextRdd
-      checkBudget(hop, nextRows, stateBudgetRows, stateRdd)
+    while (hop <= maxHops && total > 0) {
+      val step = e.join(frontier.select($"src", $"node".as("esrc")), "esrc")
+        .select($"src", $"edst".as("node")).distinct()
+      val (fresh, freshRdd, n) = CheckpointOps.checkpointCount(
+        step.join(state.select($"src", $"node"), Seq("src", "node"),
+            "left_anti")
+          .select($"src", $"node", lit(hop).as("dist")))
+      frameRdds :+= freshRdd
+      total += n
+      checkBudget(hop, total, stateBudgetRows, frameRdds)
+      if (n == 0) {
+        // BFS exhausted early — no pair can appear at a later hop
+        freshRdd.unpersist(false)
+        hop = maxHops
+      } else {
+        state = state.union(fresh)
+        frontier = fresh
+      }
       hop += 1
     }
     state
   }
 
   /** The budget trip shared by [[pairHopDistances]] and
-    * [[betweennessBounded]]'s forward pass: frees the just-materialized
-    * round's blocks (nothing downstream will consume them) and raises
-    * the named error. Checked AFTER each round lands — the count is the
-    * free byproduct of the round's own materialization
+    * [[betweennessBounded]]'s forward pass: frees every materialized
+    * frame (nothing downstream will consume them) and raises the named
+    * error. Checked AFTER each round lands — the count is the free
+    * byproduct of the round's own materialization
     * ([[CheckpointOps.checkpointCount]]), so the guard costs zero jobs;
-    * the round that crosses the line is the last one paid for. */
+    * the round that crosses the line is the last one paid for. `rows`
+    * is the CUMULATIVE pair state across frames. */
   private def checkBudget(round: Int, rows: Long, budget: Long,
-                          rdd: RDD[InternalRow]): Unit =
+                          rdds: Seq[RDD[InternalRow]]): Unit =
     if (rows > budget) {
-      rdd.unpersist(false)
+      rdds.foreach(_.unpersist(false))
       throw new CentralityStateBudgetExceeded(round, rows, budget,
         "use the sketch-state scale path (hyperBall / hyperBallPacked) " +
           "or shrink maxHops / the source sample.")
@@ -953,33 +971,36 @@ object PageRank {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
-    var (state, stateRdd, rows) = CheckpointOps.checkpointCount(
+    // forward pass as HOP-INDEXED frontier frames (the pairHopDistances
+    // discipline): round h materializes only the pairs first reached at
+    // h with their σ — Σ ball-mass rows written ONCE instead of a
+    // cumulative state rewritten every round — and the backward pass
+    // reads each level's frame directly instead of filtering the full
+    // union per level.
+    val (seed, seedRdd, seedRows) = CheckpointOps.checkpointCount(
       sources.select($"node").distinct()
-        .select($"node".as("s"), $"node", lit(0).as("dist"),
-          lit(1L).as("sigma")))
-    checkBudget(0, rows, stateBudgetRows, stateRdd)
+        .select($"node".as("s"), $"node", lit(1L).as("sigma")))
+    var frames = Vector(seed)
+    var frameRdds = Vector[RDD[InternalRow]](seedRdd)
+    var total = seedRows
+    checkBudget(0, total, stateBudgetRows, frameRdds)
+    var seen = seed.select($"s", $"node")
     var hop = 1
     while (hop <= maxHops) {
-      val frontier = state.where($"dist" === (hop - 1))
+      val frontier = frames(hop - 1)
         .select($"s", $"node".as("esrc"), $"sigma")
       // σ of a node first reached at round h = Σ σ over its dist-(h−1)
       // predecessors (all final by round h−1) — integer-exact
       val cand = e.join(frontier, "esrc")
         .groupBy($"s", $"edst".as("node"))
         .agg(sum($"sigma").as("sigma"))
-      val fresh = cand.join(state.select($"s", $"node"),
-          Seq("s", "node"), "left_anti")
-        .select($"s", $"node", lit(hop).as("dist"), $"sigma")
-      val (next, nextRdd, nextRows) =
-        CheckpointOps.checkpointCount(state.union(fresh))
-      // the superseded round's blocks free the moment the new cumulative
-      // state has materialized (the pairHopDistances discipline — the
-      // forward pass otherwise pins ~maxHops redundant copies of the
-      // sample's ball mass)
-      stateRdd.unpersist(false)
-      state = next
-      stateRdd = nextRdd
-      checkBudget(hop, nextRows, stateBudgetRows, stateRdd)
+      val (fresh, freshRdd, n) = CheckpointOps.checkpointCount(
+        cand.join(seen, Seq("s", "node"), "left_anti"))
+      frames :+= fresh
+      frameRdds :+= freshRdd
+      total += n
+      checkBudget(hop, total, stateBudgetRows, frameRdds)
+      seen = seen.union(fresh.select($"s", $"node"))
       hop += 1
     }
     // backward: δ at the radius boundary is 0; each level pulls from the
@@ -989,16 +1010,16 @@ object PageRank {
     // re-checkpointed per level and the superseded accumulator + the
     // consumed previous level free immediately — peak pinned state is
     // two accumulator copies during the handoff, not maxHops frames.
-    var delta = state.where($"dist" === maxHops)
+    var delta = frames(maxHops)
       .select($"s", $"node", lit(0.0).as("delta"))
     var deltaRdd: RDD[InternalRow] = null
     var (accum, accumRdd) = CheckpointOps.checkpoint(delta)
     delta = accum
     var level = maxHops - 1
     while (level >= 1) {
-      val v = state.where($"dist" === level)
+      val v = frames(level)
         .select($"s", $"node", $"sigma")
-      val w = state.where($"dist" === (level + 1))
+      val w = frames(level + 1)
         .select($"s".as("ws"), $"node".as("wnode"), $"sigma".as("wsigma"))
         .join(delta.select($"s".as("ws"), $"node".as("wnode"),
           $"delta".as("wdelta")), Seq("ws", "wnode"))

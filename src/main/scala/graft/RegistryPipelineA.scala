@@ -498,23 +498,33 @@ private[graft] object PipelineRegistryA {
       (s, dir) => {
         val docs = t(s, dir, "documents")
         val corpus = docs.where(pmod(col("doc_id"), lit(4)) =!= 0)
+        // standing state materializes between steps (eager
+        // localCheckpoint — the KnnGraphStream fold discipline): the
+        // lazy chains otherwise re-execute the corpus banding and every
+        // earlier step's merge inside each later step's plan (measured:
+        // 18.5 s -> ~9 s for this row at sf0.1). At rest these ARE
+        // tables, which get this for free.
         var index = Dedup.minHashIndex(corpus, "doc_id", "text")
+          .localCheckpoint(true)
         var base = ConnectedComponents.run(
-          Dedup.minHashLSH(corpus, "doc_id", "text")
-            .select(col("a_id").as("src"), col("b_id").as("dst")))
+            Dedup.minHashLSH(corpus, "doc_id", "text")
+              .select(col("a_id").as("src"), col("b_id").as("dst")))
+          .localCheckpoint(true)
         var alias = base
           .select(col("component").as("c"), col("component").as("canon"))
           .where(lit(false))
+          .localCheckpoint(true)
         Seq(docs.where(pmod(col("doc_id"), lit(8)) === 0),
             docs.where(pmod(col("doc_id"), lit(8)) === 4)).foreach { b =>
           val banded = Dedup.minHashIndex(b, "doc_id", "text")
+            .localCheckpoint(true)
           val pairs = Dedup.incrementalMinHashBuckets(index, banded,
               numHashes = 16, simThreshold = 0.5)
             .select(col("a_id").as("src"), col("b_id").as("dst"))
           val (nb, na) =
             ConnectedComponents.incrementalMerge(base, alias, pairs)
-          base = nb
-          alias = na
+          base = nb.localCheckpoint(true)
+          alias = na.localCheckpoint(true)
           index = index.unionByName(banded)
         }
         ConnectedComponents.resolveLabels(base, alias)

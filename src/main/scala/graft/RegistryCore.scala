@@ -253,8 +253,11 @@ private[graft] object RegistryCore {
     * hllEstimate correction CASE), shared by gr_hyperball and
     * gr_hyperball_closeness — the two rows fold the SAME per-round
     * ball-size estimates n0..n3, so their oracles must share the chain
-    * or the estimates could drift apart. `finalSelect` is the fold. */
-  def hyperBallOracleSql(finalSelect: String): String = {
+    * or the estimates could drift apart. `finalSelect` is the fold;
+    * `rounds` extends the chain for the adaptive-stop rows (which must
+    * replay estimates up to the engine's hop CAP to re-derive where
+    * the saturation rule stopped). */
+  def hyperBallOracleSql(finalSelect: String, rounds: Int = 3): String = {
     val mergeSql = (k: Int) =>
       s"""r$k AS MATERIALIZED (
          |  SELECT node, idx, max(mj) AS mj FROM (
@@ -289,10 +292,33 @@ private[graft] object RegistryCore {
        |         ELSE 26 - (length(bin(hv & 67108863)) - 1) END AS mj
        |  FROM (SELECT node, $hv AS hv
        |        FROM (SELECT DISTINCT src AS node FROM e))),
-       |${(1 to 3).map(mergeSql).mkString(",\n")},
-       |${(0 to 3).map(estSql).mkString(",\n")}
+       |${(1 to rounds).map(mergeSql).mkString(",\n")},
+       |${(0 to rounds).map(estSql).mkString(",\n")}
        |$finalSelect""".stripMargin
   }
+
+  /** The adaptive-stop CTE tail shared by gr_hyperball_nf_adaptive /
+    * gr_eff_diameter_adaptive — replays
+    * [[graft.operators.PageRank.hyperBallNeighborhoodAdaptive]]'s
+    * saturation rule on the SAME quantized longs the engine compares:
+    * qh = per-hop global ball sums, shop = first hop whose growth
+    * (q_h − q_{h−1}) drops below ε·q_h (else the cap), nf = the rows
+    * the engine emits (hop ≤ shop). Append a final select over `nf`
+    * (+ `stp`). */
+  def hyperBallAdaptiveNfSql(hopCap: Int, epsSql: String): String =
+    s""", q AS MATERIALIZED (
+       |${(0 to hopCap).map(h =>
+           s"  SELECT $h AS hop, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) AS q FROM n$h")
+         .mkString("\n  UNION ALL\n")}),
+       |qh AS MATERIALIZED (SELECT hop, sum(q) AS q FROM q GROUP BY hop),
+       |stp AS MATERIALIZED (
+       |  SELECT coalesce(min(cur.hop), $hopCap) AS shop
+       |  FROM qh cur JOIN qh prev ON prev.hop = cur.hop - 1
+       |  WHERE CAST(cur.q - prev.q AS DOUBLE)
+       |    < $epsSql * CAST(cur.q AS DOUBLE)),
+       |nf AS MATERIALIZED (
+       |  SELECT hop, CAST(q AS DOUBLE) / 1e6 AS nf FROM qh, stp
+       |  WHERE hop <= stp.shop)""".stripMargin
 
   /** ONE DuckDB reachability-closure CC oracle over the 200 m customer
     * proximity graph — shared VERBATIM by g2_connected_components and

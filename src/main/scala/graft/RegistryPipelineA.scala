@@ -521,9 +521,13 @@ private[graft] object PipelineRegistryA {
           val pairs = Dedup.incrementalMinHashBuckets(index, banded,
               numHashes = 16, simThreshold = 0.5)
             .select(col("a_id").as("src"), col("b_id").as("dst"))
-          val (nb, na) =
-            ConnectedComponents.incrementalMerge(base, alias, pairs)
-          base = nb.localCheckpoint(true)
+          // base stays APPEND-ONLY: only the batch-bounded insert frame
+          // materializes per batch (re-checkpointing base ∪ inserts
+          // whole would write O(batches · corpus) — the incrementalFold
+          // frontier discipline; at rest this is a table append)
+          val (ins, na) =
+            ConnectedComponents.incrementalMergeParts(base, alias, pairs)
+          base = base.unionByName(ins.localCheckpoint(true))
           alias = na.localCheckpoint(true)
           index = index.unionByName(banded)
         }

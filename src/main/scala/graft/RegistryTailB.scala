@@ -933,6 +933,31 @@ private[graft] object TailRegistryB {
           |WHERE a.scc <> b.scc
           |GROUP BY 1, 2""".stripMargin))),
 
+    // GR: TOPOLOGICAL LEVELS over the condensation — the DAG-depth /
+    // source-sink audit the condensed link graph is read for (which
+    // clusters feed which, how deep the feed chain runs). Iterative
+    // source peel: an SCC settles at level L when its last remaining
+    // in-edge's source settled before it — i.e. level = longest
+    // condensation path ending there, which the oracle replays as a
+    // recursive longest-path over the SAME lab CTE as gr_scc (no peel
+    // logic shared). On the hub graph: the singleton customers (which
+    // point AT their hub) sit at level 0 and the one big hub SCC they
+    // all feed sits at level 1 — a 2-level DAG.
+    Q("gr_scc_topo",
+      (s, dir) => ConnectedComponents.sccTopoLevels(sccHubEdges(s, dir)),
+      Some(sccOracleSql(
+        """, ce AS MATERIALIZED (
+          |  SELECT DISTINCT a.scc AS s, b.scc AS d
+          |  FROM e JOIN lab a ON e.src = a.node
+          |  JOIN lab b ON e.dst = b.node
+          |  WHERE a.scc <> b.scc),
+          |lp(v, l) AS (
+          |  SELECT DISTINCT scc, 0 FROM lab
+          |  UNION
+          |  SELECT ce.d, lp.l + 1 FROM lp JOIN ce ON ce.s = lp.v)
+          |SELECT v AS scc, max(l) AS level FROM lp GROUP BY v"""
+          .stripMargin))),
+
     // GR: the NEIGHBORHOOD FUNCTION off the same HyperBall registers —
     // the statistic HyperBall was invented for: NF(h) = Σ_v |B̂_h(v)|,
     // reachable ordered pairs within h hops, with the cumulative
@@ -1005,6 +1030,65 @@ private[graft] object TailRegistryB {
           |FROM c CROSS JOIN thr
           |JOIN nf cu ON cu.hop = c.h
           |LEFT JOIN nf p ON p.hop = c.h - 1""".stripMargin))),
+
+    // GR: the neighborhood function under the ADAPTIVE saturation stop
+    // — Boldi & Vigna's actual termination (run until N̂ stabilizes,
+    // not for a fixed radius): propagation ends at the first hop whose
+    // global ball-sum growth drops below ε = 5% of the estimate (cap
+    // 5). A fixed maxHops silently reports ≈maxHops on any graph whose
+    // effective diameter exceeds it and keeps paying rounds past
+    // convergence on any graph that saturates sooner. The stop rule is
+    // compared on the quantized LONGS (one scalar pair per hop), so the
+    // oracle replays estimates to the CAP and re-derives the same stop
+    // hop term for term.
+    Q("gr_hyperball_nf_adaptive",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.hyperBallNeighborhoodAdaptive(bidir, hopCap = 5,
+          epsilon = 0.05, p = 6)
+      },
+      Some(hyperBallOracleSql(
+        hyperBallAdaptiveNfSql(hopCap = 5, epsSql = "5e-2") +
+          """
+            |SELECT hop, nf,
+            |  floor(nf / (SELECT n.nf FROM nf n, stp WHERE n.hop = stp.shop)
+            |    * 1e6 + 5e-1) / 1e6 AS frac
+            |FROM nf""".stripMargin,
+        rounds = 5))),
+
+    // GR: effective diameter off the ADAPTIVE neighborhood function —
+    // meaningful on graphs with diameter past any fixed radius (the
+    // fixed-hop row's silent ≈maxHops failure mode), same Palmer 2002
+    // interpolation against NF(stop).
+    Q("gr_eff_diameter_adaptive",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        PageRank.effectiveDiameterAdaptive(bidir, hopCap = 5,
+          epsilon = 0.05, p = 6, alpha = 0.9)
+      },
+      Some(hyperBallOracleSql(
+        hyperBallAdaptiveNfSql(hopCap = 5, epsSql = "5e-2") +
+          """,
+            |thr AS MATERIALIZED (
+            |  SELECT n.nf * 0.9e0 AS thr FROM nf n, stp
+            |  WHERE n.hop = stp.shop),
+            |c AS MATERIALIZED (
+            |  SELECT min(nf.hop) AS h FROM nf, thr WHERE nf.nf >= thr.thr)
+            |SELECT floor((CASE WHEN c.h = 0 THEN 0e0
+            |    ELSE (c.h - 1) + (thr.thr - p.nf) / (cu.nf - p.nf) END)
+            |    * 1e6 + 5e-1) / 1e6 AS eff_diameter
+            |FROM c CROSS JOIN thr
+            |JOIN nf cu ON cu.hop = c.h
+            |LEFT JOIN nf p ON p.hop = c.h - 1""".stripMargin,
+        rounds = 5))),
 
     // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
     // the two standard scale reductions: Brandes-Pich source sampling +

@@ -216,26 +216,44 @@ object ConnectedComponents {
           maxOuterRounds: Int = 60, maxInnerRounds: Int = 200): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // every persisted round frame registers here; the round-cap error
+    // paths free the WHOLE live set before throwing (the checkBudget
+    // discipline — a long-lived session that catches the error must not
+    // keep round state pinned). On success the set holds exactly the
+    // blocks backing the returned union (found frames + e0) — the
+    // caller's result state, freed by its own lifecycle.
+    val pinned = scala.collection.mutable.Set.empty[RDD]
+    def pin[T](t: (DataFrame, RDD)): (DataFrame, RDD) = { pinned += t._2; t }
+    def pinC(t: (DataFrame, RDD, Long)): (DataFrame, RDD, Long) = {
+      pinned += t._2; t
+    }
+    def unpin(r: RDD): Unit = { pinned -= r; r.unpersist(false) }
+    def failScc(msg: String): Nothing = {
+      pinned.foreach(_.unpersist(false))
+      pinned.clear()
+      throw new IllegalArgumentException(msg)
+    }
     val sel = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
-    val (e0, e0Rdd) = CheckpointOps.checkpointTruncated(
-      sel.where($"esrc" =!= $"edst").distinct())
-    var (active, activeRdd, nActive) = CheckpointOps.checkpointCountTruncated(
-      sel.select($"esrc".as("node")).union(sel.select($"edst".as("node")))
-        .distinct().select($"node", lit("r").as("part")))
+    val (e0, e0Rdd) = pin(CheckpointOps.checkpointTruncated(
+      sel.where($"esrc" =!= $"edst").distinct()))
+    var (active, activeRdd, nActive) = pinC(
+      CheckpointOps.checkpointCountTruncated(
+        sel.select($"esrc".as("node")).union(sel.select($"edst".as("node")))
+          .distinct().select($"node", lit("r").as("part"))))
     val emptyOut = sel.select($"esrc".as("node"), $"esrc".as("scc"))
       .where(lit(false))
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var outer = 0
     while (nActive > 0) {
-      require(outer < maxOuterRounds,
+      if (outer >= maxOuterRounds) failScc(
         s"SCC did not finish in $maxOuterRounds FW-BW passes " +
           s"($nActive nodes still live) — raise maxOuterRounds")
       // live edges: both endpoints in the same partition class
-      val (aliveE, aliveERdd) = CheckpointOps.checkpointTruncated(e0
+      val (aliveE, aliveERdd) = pin(CheckpointOps.checkpointTruncated(e0
         .join(active.select($"node".as("esrc"), $"part"), "esrc")
         .join(active.select($"node".as("edst"), $"part".as("p2")), "edst")
         .where($"part" === $"p2")
-        .select($"part", $"esrc", $"edst"))
+        .select($"part", $"esrc", $"edst")))
       // TRIM: a node missing a live out-edge or in-edge inside its class
       // lies on no cycle — a singleton SCC, settled without a flood
       // fill. Without this, nodes whose edges all crossed into removed
@@ -248,17 +266,17 @@ object ConnectedComponents {
           Seq("part", "node"), "left_semi")
         .join(aliveE.select($"part", $"edst".as("node")).distinct(),
           Seq("part", "node"), "left_semi")
-      val (trimmed, trimmedRdd, nTrim) = CheckpointOps
+      val (trimmed, trimmedRdd, nTrim) = pinC(CheckpointOps
         .checkpointCountTruncated(active
           .join(kept.select($"part", $"node"), Seq("part", "node"),
             "left_anti")
-          .select($"node", $"node".as("scc")))
-      if (nTrim > 0) found += trimmed else trimmedRdd.unpersist(false)
+          .select($"node", $"node".as("scc"))))
+      if (nTrim > 0) found += trimmed else unpin(trimmedRdd)
       val (keptFlat, keptRdd, nKept) =
-        CheckpointOps.checkpointCountTruncated(kept)
+        pinC(CheckpointOps.checkpointCountTruncated(kept))
       if (nKept == 0) {
-        activeRdd.unpersist(false)
-        aliveERdd.unpersist(false)
+        unpin(activeRdd)
+        unpin(aliveERdd)
         active = keptFlat
         activeRdd = keptRdd
         nActive = 0
@@ -276,22 +294,23 @@ object ConnectedComponents {
       // set is the lazy union of the per-round frames (pairHopDistances
       // discipline — rows are written once, not rewritten per round).
       def reach(dirEdges: DataFrame): (DataFrame, Seq[RDD]) = {
-        var (reached, seedRdd) = CheckpointOps.checkpointTruncated(piv)
+        var (reached, seedRdd) = pin(CheckpointOps.checkpointTruncated(piv))
         var rdds = Vector[RDD](seedRdd)
         var frontier = reached
         var inner = 0
         var grew = true
         while (grew) {
-          require(inner < maxInnerRounds,
+          if (inner >= maxInnerRounds) failScc(
             s"SCC flood fill exceeded $maxInnerRounds hops — " +
               "raise maxInnerRounds for very-high-diameter graphs")
           val step = dirEdges
             .join(frontier.select($"part", $"node".as("u")), Seq("part", "u"))
             .select($"part", $"v".as("node")).distinct()
-          val (fresh, freshRdd, nFresh) = CheckpointOps.checkpointCountTruncated(
-            step.join(reached, Seq("part", "node"), "left_anti"))
+          val (fresh, freshRdd, nFresh) = pinC(
+            CheckpointOps.checkpointCountTruncated(
+              step.join(reached, Seq("part", "node"), "left_anti")))
           if (nFresh == 0) {
-            freshRdd.unpersist(false)
+            unpin(freshRdd)
             grew = false
           } else {
             rdds :+= freshRdd
@@ -307,10 +326,10 @@ object ConnectedComponents {
       val (bwd, bwdRdds) =
         reach(aliveE.select($"part", $"edst".as("u"), $"esrc".as("v")))
       val sccSet = fwd.join(bwd, Seq("part", "node"))
-      val (out, _) = CheckpointOps.checkpointTruncated(
+      val (out, _) = pin(CheckpointOps.checkpointTruncated(
         sccSet.join(sccSet.groupBy($"part").agg(min($"node").as("scc")),
             "part")
-          .select($"node", $"scc"))
+          .select($"node", $"scc")))
       found += out
       // remainder splits into D\S ('f'), A\S ('b'), neither ('n') — no
       // SCC straddles these, so each class recurses independently
@@ -327,20 +346,21 @@ object ConnectedComponents {
             when($"in_f".isNotNull, lit("f"))
               .when($"in_b".isNotNull, lit("b"))
               .otherwise(lit("n"))).as("part"))
-      val (nxt, nxtRdd, nNxt) = CheckpointOps.checkpointCountTruncated(nextActive)
-      activeRdd.unpersist(false)
-      aliveERdd.unpersist(false)
-      keptRdd.unpersist(false)
-      fwdRdds.foreach(_.unpersist(false))
-      bwdRdds.foreach(_.unpersist(false))
+      val (nxt, nxtRdd, nNxt) =
+        pinC(CheckpointOps.checkpointCountTruncated(nextActive))
+      unpin(activeRdd)
+      unpin(aliveERdd)
+      unpin(keptRdd)
+      fwdRdds.foreach(unpin)
+      bwdRdds.foreach(unpin)
       active = nxt
       activeRdd = nxtRdd
       nActive = nNxt
       }
       outer += 1
     }
-    activeRdd.unpersist(false)
-    e0Rdd.unpersist(false)
+    unpin(activeRdd)
+    unpin(e0Rdd)
     found.foldLeft(emptyOut)(_ union _)
   }
 
@@ -383,7 +403,20 @@ object ConnectedComponents {
     * base-table APPEND (the batch's previously-unseen nodes, labeled by
     * themselves) and the full replacement alias — the shapes
     * [[graft.streaming.CcStream]] writes (base append-only, the
-    * model-small alias rewritten per batch). */
+    * model-small alias rewritten per batch).
+    *
+    * Scale contract — the base probe is SCAN-ONLY: the corpus-sized
+    * standing base is never exchanged. A `nodes LEFT JOIN base` cannot
+    * deliver that (Spark can't broadcast the PRESERVED side of an
+    * outer join, so above the broadcast threshold the base shuffles on
+    * every ingest batch — O(corpus) per batch); instead the batch node
+    * set BROADCASTS into a semi probe of base (labels of already-seen
+    * nodes) and the unseen remainder falls out of a broadcast anti
+    * against that batch-bounded probe result. One corpus scan per
+    * batch, zero corpus shuffles — plan-gated in PlanSpec like the
+    * dd_incremental standing index. The probe result materializes
+    * eagerly (batch-bounded rows) so its three consumers don't each
+    * rescan base. */
   def incrementalMergeParts(base: DataFrame, alias: DataFrame,
                             batch: DataFrame, srcCol: String = "src",
                             dstCol: String = "dst")
@@ -393,12 +426,16 @@ object ConnectedComponents {
     val e = batch.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val nodes = e.select($"a".as("node")).union(e.select($"b".as("node")))
       .distinct()
-    val known = nodes.join(base, Seq("node"), "left")
-    val eff = known
+    val seen = base.join(broadcast(nodes), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    val inserts = nodes
+      .join(broadcast(seen.select($"node")), Seq("node"), "left_anti")
+      .select($"node", $"node".as("component"))
+    val eff = seen
       .join(alias.select($"c".as("component"), $"canon"),
         Seq("component"), "left")
-      .select($"node",
-        coalesce($"canon", $"component", $"node").as("lbl"))
+      .select($"node", coalesce($"canon", $"component").as("lbl"))
+      .unionByName(inserts.select($"node", $"node".as("lbl")))
     val lblEdges = e
       .join(eff.select($"node".as("a"), $"lbl".as("la")), "a")
       .join(eff.select($"node".as("b"), $"lbl".as("lb")), "b")
@@ -408,14 +445,21 @@ object ConnectedComponents {
     val merged = run(lblEdges)
     val mergeMap = merged.where($"node" =!= $"component")
       .select($"node".as("c"), $"component".as("canon"))
-    val inserts = known.where($"component".isNull)
-      .select($"node", $"node".as("component"))
     val remapped = alias
       .join(mergeMap.select($"c".as("canon"), $"canon".as("canon2")),
         Seq("canon"), "left")
       .select($"c", coalesce($"canon2", $"canon").as("canon"))
     (inserts, remapped.unionByName(mergeMap))
   }
+
+  /** The scan-only base probe of [[incrementalMergeParts]] in
+    * isolation — (node, component) rows of `base` whose node appears in
+    * the batch node set. Exposed so the PlanSpec gate can assert the
+    * standing-base side carries NO Exchange on exactly the join the
+    * ingest path runs. */
+  private[graft] def probeBaseLabels(base: DataFrame, nodes: DataFrame)
+      : DataFrame =
+    base.join(broadcast(nodes), Seq("node"), "left_semi")
 
   /** Resolve a standing [[incrementalMerge]] labeling to effective
     * (node, component) rows — base joined once against the flat alias. */
@@ -428,34 +472,43 @@ object ConnectedComponents {
   }
 
   /** Deterministic batch-sequenced fold: [[run]] on the initial edges,
-    * then [[incrementalMerge]] per batch in arrival order, resolved at
-    * the end — the stream ≡ batch form the registry row replays (its
+    * then [[incrementalMergeParts]] per batch in arrival order, resolved
+    * at the end — the stream ≡ batch form the registry row replays (its
     * oracle is the full closure over ALL edges, which IS the
-    * fold-equals-rebuild equivalence check). State frames checkpoint
-    * per step (lineage-truncating: batch count is unbounded) and free
-    * their predecessors on handoff. */
+    * fold-equals-rebuild equivalence check).
+    *
+    * The base is APPEND-ONLY state, so it accumulates as FRAMES: the
+    * initial labeling plus one batch-bounded insert frame per batch,
+    * carried as a lazy union of checkpointed frames (the
+    * pairHopDistances frontier discipline — total writes Σ = |final
+    * base| once, where re-checkpointing `base ∪ inserts` whole per
+    * batch writes O(batches · corpus)). This is the in-memory mirror of
+    * what [[graft.streaming.CcStream]]'s at-rest form gets for free by
+    * appending to the base table. Frames checkpoint lineage-truncating
+    * (batch count is unbounded); only the superseded alias unpersists —
+    * every base frame stays live state until the resolve. */
   def incrementalFold(initialEdges: DataFrame, batches: Seq[DataFrame],
                       srcCol: String = "src", dstCol: String = "dst")
       : DataFrame = {
     val spark = initialEdges.sparkSession
     import spark.implicits._
-    var (base, baseRdd) = CheckpointOps.checkpointTruncated(
+    val (base0, _) = CheckpointOps.checkpointTruncated(
       run(initialEdges, srcCol, dstCol))
+    var frames = Vector(base0)
     var (alias, aliasRdd) = CheckpointOps.checkpointTruncated(
-      base.select($"component".as("c"), $"component".as("canon"))
+      base0.select($"component".as("c"), $"component".as("canon"))
         .where(lit(false)))
     batches.foreach { b =>
-      val (nb, na) = incrementalMerge(base, alias, b, srcCol, dstCol)
-      val (nbFlat, nbRdd) = CheckpointOps.checkpointTruncated(nb)
+      val base = frames.reduce(_ unionByName _)
+      val (ins, na) = incrementalMergeParts(base, alias, b, srcCol, dstCol)
+      val (insFlat, _) = CheckpointOps.checkpointTruncated(ins)
       val (naFlat, naRdd) = CheckpointOps.checkpointTruncated(na)
-      baseRdd.unpersist(false)
       aliasRdd.unpersist(false)
-      base = nbFlat
-      baseRdd = nbRdd
+      frames :+= insFlat
       alias = naFlat
       aliasRdd = naRdd
     }
-    resolveLabels(base, alias)
+    resolveLabels(frames.reduce(_ unionByName _), alias)
   }
 
   /** CONDENSATION of the directed graph: collapse every SCC to one node
@@ -483,6 +536,77 @@ object ConnectedComponents {
       .where($"src_scc" =!= $"dst_scc")
       .groupBy($"src_scc", $"dst_scc")
       .agg(count(lit(1)).as("n_edges"))
+  }
+
+  /** TOPOLOGICAL LEVELS over the condensation DAG — the consumer
+    * [[sccCondense]] was missing: "how deep is the link graph, which
+    * clusters are the sources/sinks" is the standard next question
+    * after condensing, and it needs a level per SCC, not just the DAG.
+    * Level = iterative SOURCE PEEL round: every SCC with no remaining
+    * in-edge settles at the current level and its out-edges leave the
+    * live edge set — i.e. level(c) = length of the longest condensation
+    * path ending at c (the recurrence 1 + max(level(preds)), 0 at
+    * sources), which a recursive longest-path oracle replays with no
+    * peel logic shared.
+    *
+    * Plan shape: one [[scc]] run; per level two anti-joins over the
+    * REMAINING (strictly shrinking) scc-node / condensed-edge frames,
+    * each checkpointed lineage-truncated (level count is
+    * data-dependent) with superseded frames freed on handoff; settled
+    * levels accumulate as per-round frames written once (the frontier
+    * discipline). Rounds = DAG depth — the inherent round complexity of
+    * any topological peel. The condensation is SCC-count-sized, far
+    * below the input edge set.
+    *
+    * @return DataFrame(scc, level) — one row per distinct SCC label */
+  def sccTopoLevels(edges: DataFrame, srcCol: String = "src",
+                    dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (lab, labRdd) = CheckpointOps.checkpointTruncated(
+      scc(edges, srcCol, dstCol))
+    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+      .where($"esrc" =!= $"edst").distinct()
+    val ce = e
+      .join(lab.select($"node".as("esrc"), $"scc".as("s")), "esrc")
+      .join(lab.select($"node".as("edst"), $"scc".as("d")), "edst")
+      .where($"s" =!= $"d").select($"s", $"d").distinct()
+    var (rem, remRdd, nRem) = CheckpointOps.checkpointCountTruncated(
+      lab.select($"scc").distinct())
+    var (remE, remERdd) = CheckpointOps.checkpointTruncated(ce)
+    labRdd.unpersist(false) // condensation materialized; labels are dead
+    val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val emptyOut = rem.select($"scc", lit(0).as("level")).where(lit(false))
+    var level = 0
+    while (nRem > 0) {
+      val srcs = rem
+        .join(remE.select($"d".as("scc")).distinct(), Seq("scc"),
+          "left_anti")
+        .select($"scc", lit(level).as("level"))
+      val (srcsFlat, srcsRdd, nSrcs) =
+        CheckpointOps.checkpointCountTruncated(srcs)
+      // impossible after SCC condensation (the DAG property); guards
+      // an infinite peel if a caller feeds pre-labeled non-SCC input
+      require(nSrcs > 0,
+        s"topological peel found no sources with $nRem nodes left — " +
+          "the condensed graph has a cycle")
+      found += srcsFlat
+      val (nxt, nxtRdd, nNxt) = CheckpointOps.checkpointCountTruncated(
+        rem.join(srcsFlat.select($"scc"), Seq("scc"), "left_anti"))
+      val (nxtE, nxtERdd) = CheckpointOps.checkpointTruncated(
+        remE.join(srcsFlat.select($"scc".as("s")), Seq("s"), "left_anti"))
+      remRdd.unpersist(false)
+      remERdd.unpersist(false)
+      rem = nxt
+      remRdd = nxtRdd
+      nRem = nNxt
+      remE = nxtE
+      remERdd = nxtERdd
+      level += 1
+    }
+    remRdd.unpersist(false)
+    remERdd.unpersist(false)
+    found.foldLeft(emptyOut)(_ unionByName _)
   }
 
   private type RDD =

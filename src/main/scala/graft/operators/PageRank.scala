@@ -57,9 +57,48 @@ object PageRank {
     * magnitude of headroom. A heuristic, deliberately: the guard exists
     * to turn silent memory thrash into a named error, not to be a
     * precise admission controller; callers with real clusters pass
-    * their own. */
-  def defaultStateBudgetRows: Long =
-    math.max(1000000L, Runtime.getRuntime.maxMemory() / 1000L)
+    * their own.
+    *
+    * The relevant heap is the EXECUTOR's (the thrash is task-page
+    * allocation), so the default derives from `spark.executor.memory`
+    * when the active session sets it; in local mode — where driver and
+    * executors share one JVM and the conf is usually unset — it falls
+    * back to the driver's `Runtime.maxMemory`, which IS the executor
+    * heap there (the deployment the constant was calibrated on). */
+  def defaultStateBudgetRows: Long = {
+    val executorMem = org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(_.conf.getOption("spark.executor.memory"))
+      .flatMap(parseMemoryBytes)
+    stateBudgetRowsFor(executorMem)
+  }
+
+  /** The budget derivation, pure for spec'ing: heap/1000 rows (see
+    * [[defaultStateBudgetRows]]), floored at 1M. */
+  private[graft] def stateBudgetRowsFor(executorMemBytes: Option[Long])
+      : Long =
+    math.max(1000000L,
+      executorMemBytes.getOrElse(Runtime.getRuntime.maxMemory()) / 1000L)
+
+  /** Parse a Spark memory string ("4g", "512m", "2048k", plain bytes,
+    * case-insensitive, optional trailing "b") — None if malformed, so a
+    * bad conf degrades to the local-mode fallback instead of failing
+    * centrality calls. */
+  private[graft] def parseMemoryBytes(s: String): Option[Long] = {
+    val m = "(?i)^\\s*(\\d+)\\s*([kmgt]?)b?\\s*$".r
+    s match {
+      case m(num, unit) =>
+        val shift = unit.toLowerCase match {
+          case ""  => 0
+          case "k" => 10
+          case "m" => 20
+          case "g" => 30
+          case "t" => 40
+        }
+        try Some(math.multiplyExact(num.toLong, 1L << shift))
+        catch { case _: ArithmeticException | _: NumberFormatException => None }
+      case _ => None
+    }
+  }
 
   /** @param redistributeDangling when true, each round adds the total
     *        rank mass sitting on dangling nodes (no out-edges) back
@@ -906,23 +945,8 @@ object PageRank {
         j => when(j === idx.cast("int"), rho.cast("int"))
           .otherwise(lit(0))).as("regs"))
     val mergeRegs = udaf(new RegisterMaxMerge(m))
-    def estimate(r: DataFrame, name: String): DataFrame = {
-      // the identical estimator shapes as Sketches.hllEstimate, off the
-      // packed fold (empty slots contribute pow(2, -0) = 1 directly);
-      // the correction CASE is Sketches.hllCorrection — ONE copy, so the
-      // packed/exploded bit-identity contract survives threshold edits
-      val sAll = aggregate(col("regs"), lit(0.0),
-        (acc, x) => acc + pow(lit(2.0), -x))
-      val present = size(filter(col("regs"), x => x > lit(0)))
-      r.select($"node", sAll.as("s_all"),
-          (lit(m) - present).cast("double").as("v"))
-        .withColumn("raw", lit(Sketches.hllAlpha(m) * m.toDouble * m)
-          / col("s_all"))
-        .select($"node",
-          Sketches.hllCorrection(col("raw"), col("v"), m).as(name))
-    }
     var (regs, _) = CheckpointOps.checkpoint(init)
-    var ests = Vector(estimate(regs, "n0"))
+    var ests = Vector(packedEstimate(regs, "n0", m))
     var hop = 1
     while (hop <= maxHops) {
       val fromNeighbors = e.join(regs.withColumnRenamed("node", "src"), "src")
@@ -931,10 +955,140 @@ object PageRank {
         fromNeighbors.union(regs)
           .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
       regs = next
-      ests :+= estimate(regs, s"n$hop")
+      ests :+= packedEstimate(regs, s"n$hop", m)
       hop += 1
     }
     ests
+  }
+
+  /** Per-node ball-size estimate off a PACKED register table — the
+    * identical estimator shapes as Sketches.hllEstimate, off the
+    * packed fold (empty slots contribute pow(2, -0) = 1 directly);
+    * the correction CASE is Sketches.hllCorrection — ONE copy, so the
+    * packed/exploded bit-identity contract survives threshold edits. */
+  private def packedEstimate(r: DataFrame, name: String, m: Int)
+      : DataFrame = {
+    val sAll = aggregate(col("regs"), lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), -x))
+    val present = size(filter(col("regs"), x => x > lit(0)))
+    r.select(col("node"), sAll.as("s_all"),
+        (lit(m) - present).cast("double").as("v"))
+      .withColumn("raw", lit(Sketches.hllAlpha(m) * m.toDouble * m)
+        / col("s_all"))
+      .select(col("node"),
+        Sketches.hllCorrection(col("raw"), col("v"), m).as(name))
+  }
+
+  /** ADAPTIVE-hop register propagation: the quantized global ball-sum
+    * q_h = Σ_v ⌊N̂_h(v)·1e6 + 0.5⌋ per hop, run until SATURATION —
+    * the first h ≥ 1 with (q_h − q_{h−1}) < ε·q_h — or `hopCap`.
+    * This is Boldi & Vigna's termination (HyperBall runs "until the
+    * value … stabilizes", not for a fixed radius): a fixed maxHops
+    * silently reports ≈maxHops on any graph whose effective diameter
+    * exceeds it, and keeps paying propagation rounds past convergence
+    * on any graph whose diameter is smaller. The stop comparison is
+    * evaluated on the quantized LONGS (one scalar pair per hop on the
+    * driver — model-sized traffic), so an oracle can replay it term
+    * for term. Unlike the fixed-hop loop (whose per-hop register
+    * tables back per-node estimate columns), only the newest register
+    * table stays pinned — each hop's global sum folds immediately, so
+    * superseded tables free on handoff.
+    *
+    * @return quantized sums q_0..q_stop (stop = saturation hop or
+    *         hopCap); q_0 alone if the graph has no edges */
+  private def hyperBallAdaptiveQs(edges: DataFrame, hopCap: Int,
+                                  epsilon: Double, p: Int,
+                                  srcCol: String, dstCol: String)
+      : Vector[Long] = {
+    require(hopCap >= 1, "need at least one hop")
+    require(epsilon > 0.0 && epsilon < 1.0, "epsilon must be in (0, 1)")
+    val m = 1 << p
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select($"src".as("node")).distinct()
+    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
+    val init = nodes.select($"node",
+      transform(sequence(lit(0), lit(m - 1)),
+        j => when(j === idx.cast("int"), rho.cast("int"))
+          .otherwise(lit(0))).as("regs"))
+    val mergeRegs = udaf(new RegisterMaxMerge(m))
+    def qsum(r: DataFrame): Long =
+      packedEstimate(r, "est", m)
+        .agg(coalesce(sum(floor($"est" * lit(1e6) + lit(0.5)).cast("long")),
+          lit(0L)))
+        .head().getLong(0)
+    var (regs, regsRdd) = CheckpointOps.checkpoint(init)
+    var qs = Vector(qsum(regs))
+    var hop = 1
+    var stopped = qs(0) == 0L // no out-edge nodes at all: nothing to run
+    while (hop <= hopCap && !stopped) {
+      val fromNeighbors = e.join(regs.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"regs")
+      val (next, nextRdd) = CheckpointOps.checkpoint(
+        fromNeighbors.union(regs)
+          .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
+      regsRdd.unpersist(false)
+      regs = next
+      regsRdd = nextRdd
+      qs :+= qsum(regs)
+      stopped =
+        (qs(hop) - qs(hop - 1)).toDouble < epsilon * qs(hop).toDouble
+      hop += 1
+    }
+    regsRdd.unpersist(false)
+    qs
+  }
+
+  /** [[hyperBallNeighborhood]] with the ADAPTIVE saturation stop (see
+    * [[hyperBallAdaptiveQs]]): NF rows for hop 0..stop, the fraction
+    * relative to NF(stop). Same quantization discipline as the fixed
+    * form (per-node 1e-6 longs before the global sum; frac
+    * floor-quantized with pure IEEE ops), so the output is
+    * oracle-exact.
+    *
+    * @return (hop, nf, frac), empty if the graph has no edges */
+  def hyperBallNeighborhoodAdaptive(edges: DataFrame, hopCap: Int = 5,
+                                    epsilon: Double = 0.05, p: Int = 6,
+                                    srcCol: String = "src",
+                                    dstCol: String = "dst"): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val qs = hyperBallAdaptiveQs(edges, hopCap, epsilon, p, srcCol, dstCol)
+    if (qs.last == 0L)
+      return Seq.empty[(Int, Double, Double)].toDF("hop", "nf", "frac")
+    val nfStop = qs.last.toDouble / 1e6
+    qs.zipWithIndex.map { case (q, h) =>
+      val nf = q.toDouble / 1e6
+      (h, nf, math.floor(nf / nfStop * 1e6 + 0.5) / 1e6)
+    }.toDF("hop", "nf", "frac")
+  }
+
+  /** [[effectiveDiameter]] off the ADAPTIVE neighborhood function — on
+    * a graph whose effective diameter exceeds a fixed radius the fixed
+    * form silently answers ≈maxHops, while this one keeps propagating
+    * until the ball sums saturate (or `hopCap`); on a small-diameter
+    * graph it stops paying for rounds past convergence. Interpolation
+    * arithmetic is the fixed form's, term for term, against NF(stop).
+    *
+    * @return one (eff_diameter) row; empty if the graph has no edges */
+  def effectiveDiameterAdaptive(edges: DataFrame, hopCap: Int = 5,
+                                epsilon: Double = 0.05, p: Int = 6,
+                                alpha: Double = 0.9,
+                                srcCol: String = "src",
+                                dstCol: String = "dst"): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val qs = hyperBallAdaptiveQs(edges, hopCap, epsilon, p, srcCol, dstCol)
+    if (qs.last == 0L) return Seq.empty[Double].toDF("eff_diameter")
+    val nf = qs.map(_.toDouble / 1e6)
+    val thr = nf.last * alpha
+    val h = nf.indexWhere(_ >= thr) // exists: nf.last >= thr by alpha <= 1
+    val d =
+      if (h == 0) 0.0
+      else (h - 1).toDouble + (thr - nf(h - 1)) / (nf(h) - nf(h - 1))
+    Seq(math.floor(d * 1e6 + 0.5) / 1e6).toDF("eff_diameter")
   }
 
   /** Bounded-radius, sampled-source betweenness centrality (Brandes,

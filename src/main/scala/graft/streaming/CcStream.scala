@@ -31,6 +31,23 @@ import graft.operators.ConnectedComponents
   * oracle (fold == from-scratch rebuild). */
 object CcStream {
 
+  /** Write (or rewrite) the standing base table BUCKETED (and sorted)
+    * by its probe key `node` — the at-rest layout for
+    * [[ConnectedComponents.incrementalMergeParts]]'s label probe: the
+    * broadcast semi probe already exchanges nothing, and a batch that
+    * ever outgrows broadcast can probe UNHINTED: the sort-merge plan
+    * then reads the base side pre-partitioned + pre-sorted straight off
+    * the bucket files, only the batch paying an exchange (the
+    * [[graft.operators.Dedup.writeMinHashIndex]] layout). Parquet
+    * bucketing needs a catalog entry, hence table name + explicit
+    * path. Appends via `insertInto` keep the bucketing. */
+  def writeCcBase(base: DataFrame, table: String, path: String,
+                  numBuckets: Int = 8): Unit =
+    base.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, "node").sortBy("node")
+      .saveAsTable(table)
+
   /** One micro-batch's merge-then-write, graft-visible so the replay
     * contract is directly spec-able: replaying a batch is a NO-OP by
     * construction — its endpoints already share components, so the
@@ -45,13 +62,19 @@ object CcStream {
       val (inserts, newAlias) = ConnectedComponents.incrementalMergeParts(
         spark.table(baseTable), spark.table(aliasTable), b,
         srcCol, dstCol)
+      // materialize BOTH writes' contents from ONE consistent snapshot
+      // of the standing tables before EITHER write lands (localCheckpoint
+      // is eager, and the overwrite target is also a source, so it needs
+      // the lineage truncation anyway — the KnnGraphStream precedent):
+      // executing newAlias after the base append would derive the alias
+      // from a base the merge never saw, an invariant otherwise held
+      // only by coalesce ordering
+      val insertsSnap = inserts.localCheckpoint(true)
+      val newAliasSnap = newAlias.localCheckpoint(true)
       // base append (replay-safe: only previously-unseen nodes insert)
-      inserts.write.mode("append").insertInto(baseTable)
-      // alias rewrite: model-small, and the overwrite target is also a
-      // source — localCheckpoint (eager) truncates lineage so
-      // read-then-overwrite is legal (the KnnGraphStream precedent)
-      newAlias.localCheckpoint(true)
-        .write.mode("overwrite").insertInto(aliasTable)
+      insertsSnap.write.mode("append").insertInto(baseTable)
+      // alias rewrite: model-small
+      newAliasSnap.write.mode("overwrite").insertInto(aliasTable)
     } finally b.unpersist(false)
   }
 

@@ -115,9 +115,19 @@ object CentralityProbe {
           .select(col("c_custkey").as("node"))
         val mass = state.where(pmod($"s", lit(rate)) === 1).count()
         val t0 = System.nanoTime()
-        graft.operators.PageRank.betweennessBounded(bidir, seeds,
-          maxHops = 3).count()
-        val tBcR = (System.nanoTime() - t0) / 1e9
+        // same guard as time(): at a scale where the sampled ball mass
+        // crosses the default budget this trips — print the sentinel
+        // and keep going so the later probe sections still report
+        val tBcR = try {
+          graft.operators.PageRank.betweennessBounded(bidir, seeds,
+            maxHops = 3).count()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
+          case e: graft.operators.CentralityStateBudgetExceeded =>
+            println(s"[centrality-default-guard] $dir bc-rate=1/$rate " +
+              s"tripped: round=${e.round} rows=${e.rows} budget=${e.budget}")
+            -1.0
+        }
         println(f"[centrality-bc-rate] $dir rate=1/$rate bc=$tBcR%.2fs " +
           f"sampleBallMass=$mass")
       }

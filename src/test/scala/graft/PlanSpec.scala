@@ -593,4 +593,58 @@ class PlanSpec extends SparkTestBase {
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
     }
   }
+
+  test("cc_incremental: the standing-base label probe is scan-only — " +
+    "no Exchange of the corpus-sized base, hinted or unhinted") {
+    import graft.operators.ConnectedComponents
+    import graft.streaming.CcStream
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{
+      BroadcastHashJoinExec, SortMergeJoinExec}
+    val all = spark.read.parquet(s"$dir/customer.parquet")
+    val base0 = all.select(col("c_custkey").as("node"),
+      col("c_custkey").as("component"))
+    val tbl = "graft_cc_base_planspec"
+    CcStream.writeCcBase(base0, tbl, "/tmp/graft_bucketed/planspec_cc_base")
+    val nodes = all.where(pmod(col("c_custkey"), lit(50)) === 0)
+      .select(col("c_custkey").as("node"))
+    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
+      // leg A — the ingest path (batch node set broadcast): the ONLY
+      // exchange in the whole plan is the broadcast of the batch-sized
+      // node set; the base side is a plain file scan
+      val probed = ConnectedComponents.probeBaseLabels(spark.table(tbl), nodes)
+      probed.collect()
+      val pp = probed.queryExecution.executedPlan
+      assert(pp.collectFirst { case b: BroadcastHashJoinExec => b }.nonEmpty,
+        s"expected a broadcast semi probe:\n${pp.toString.take(3000)}")
+      assert(pp.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"base probe must not shuffle ANY side:\n${pp.toString.take(3000)}")
+      val bcasts = pp.collect { case e: BroadcastExchangeExec => e }
+      assert(bcasts.size == 1 &&
+        !bcasts.head.child.toString.contains(tbl),
+        s"only the batch node set may broadcast:\n${pp.toString.take(3000)}")
+    }
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false") {
+      // leg B — a batch too big to broadcast probes UNHINTED: the
+      // bucketed base side comes partitioned+sorted straight off the
+      // bucket files (zero exchanges); the batch pays the only one
+      val joined = spark.table(tbl).join(nodes, Seq("node"), "left_semi")
+      joined.collect()
+      val smj = joined.queryExecution.executedPlan.collectFirst {
+        case s: SortMergeJoinExec => s
+      }.getOrElse(fail("expected a SortMergeJoin"))
+      assert(smj.left.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"base side must not shuffle:\n${smj.left.toString.take(3000)}")
+      assert(smj.right.collect { case e: ShuffleExchangeExec => e }.nonEmpty,
+        "batch side should carry the exchange")
+      assert(smj.left.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }.nonEmpty,
+        s"base side must be a bucketed scan:\n${smj.left.toString.take(3000)}")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -867,6 +867,95 @@ class OperatorsSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
   }
 
+  test("adaptive HyperBall stops at ball-sum saturation (replayed from " +
+    "exact ball sketches) and runs to the cap when growth never drops") {
+    val ring = (0L to 11L).map(i => (i, (i + 1) % 12))
+    val chords = Seq((0L, 6L), (2L, 9L), (4L, 10L), (1L, 7L))
+    val e0 = (ring ++ chords).toDF("src", "dst")
+    val bidir = e0.union(e0.select($"dst".as("src"), $"src".as("dst")))
+    val hopCap = 8
+    val eps = 0.05
+    // independent truth: exact ball membership per (node, hop), sketched
+    // in ONE hllDistinct pass, then the saturation rule replayed on the
+    // same quantized longs the engine compares
+    val adj = bidir.as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def ball(v: Long, h: Int): Set[Long] = {
+      var b = Set(v)
+      (1 to h).foreach(_ => b = b ++ b.flatMap(adj.getOrElse(_, Set.empty)))
+      b
+    }
+    val nodes = adj.keys.toSeq
+    val members = for {
+      v <- nodes; h <- 0 to hopCap; u <- ball(v, h)
+    } yield (v, h, u)
+    val estRows = Sketches.hllDistinct(members.toDF("node", "hop", "member"),
+        Seq("node", "hop"), "member", p = 6)
+      .select($"hop", $"hll_estimate").as[(Int, Double)].collect()
+    val q = (0 to hopCap).map(h => estRows.collect {
+      case (hh, est) if hh == h => math.floor(est * 1e6 + 0.5).toLong
+    }.sum)
+    val stop = (1 to hopCap).find(h =>
+      (q(h) - q(h - 1)).toDouble < eps * q(h).toDouble).getOrElse(hopCap)
+    // the 12-node graph saturates well inside the cap — the rule FIRED
+    assert(stop < hopCap, s"expected saturation before $hopCap, q=$q")
+    val nfExp = (0 to stop).map(q(_).toDouble / 1e6)
+    val got = PageRank.hyperBallNeighborhoodAdaptive(bidir, hopCap, eps,
+        p = 6)
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    assert(got.map(_._1).toSeq == (0 to stop), got.mkString(","))
+    got.foreach { case (h, nf, frac) =>
+      assert(nf == nfExp(h), s"hop $h nf: $nf != ${nfExp(h)}")
+      assert(frac == math.floor(nf / nfExp(stop) * 1e6 + 0.5) / 1e6,
+        s"hop $h frac: $frac")
+    }
+    // effective diameter off the adaptive NF: same interpolation
+    val thr = nfExp(stop) * 0.9
+    val hc = (0 to stop).find(nfExp(_) >= thr).get
+    val dExp =
+      if (hc == 0) 0.0
+      else math.floor(((hc - 1).toDouble +
+        (thr - nfExp(hc - 1)) / (nfExp(hc) - nfExp(hc - 1)))
+        * 1e6 + 0.5) / 1e6
+    assert(PageRank.effectiveDiameterAdaptive(bidir, hopCap, eps, p = 6)
+      .as[Double].head() == dExp)
+    // a long chain's ball sums keep growing past any small cap: the
+    // loop must run TO the cap and report it as the last hop
+    val ch0 = (1L until 30L).map(i => (i, i + 1)).toDF("src", "dst")
+    val chain = ch0.union(ch0.select($"dst".as("src"), $"src".as("dst")))
+    val capped = PageRank.hyperBallNeighborhoodAdaptive(chain, hopCap = 3,
+        epsilon = eps, p = 6)
+      .as[(Int, Double, Double)].collect()
+    assert(capped.map(_._1).max == 3 && capped.length == 4)
+    // degenerate inputs stay empty, never crash
+    assert(PageRank.hyperBallNeighborhoodAdaptive(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+    assert(PageRank.effectiveDiameterAdaptive(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+  }
+
+  test("the default state budget derives from executor memory when set " +
+    "and falls back to the driver heap in local mode") {
+    assert(PageRank.parseMemoryBytes("4g") == Some(4L << 30))
+    assert(PageRank.parseMemoryBytes("512M") == Some(512L << 20))
+    assert(PageRank.parseMemoryBytes("2048k") == Some(2048L << 10))
+    assert(PageRank.parseMemoryBytes("1t") == Some(1L << 40))
+    assert(PageRank.parseMemoryBytes("12345") == Some(12345L))
+    assert(PageRank.parseMemoryBytes("16gb") == Some(16L << 30))
+    assert(PageRank.parseMemoryBytes("lots") == None)
+    assert(PageRank.parseMemoryBytes("") == None)
+    // derivation: heap/1000 rows, floored at 1M
+    assert(PageRank.stateBudgetRowsFor(Some(24L << 30)) ==
+      (24L << 30) / 1000L)
+    assert(PageRank.stateBudgetRowsFor(Some(1L << 20)) == 1000000L)
+    assert(PageRank.stateBudgetRowsFor(None) ==
+      math.max(1000000L, Runtime.getRuntime.maxMemory() / 1000L))
+    // this suite runs local[*] with spark.executor.memory unset, so the
+    // default must equal the driver-heap fallback
+    assert(PageRank.defaultStateBudgetRows ==
+      PageRank.stateBudgetRowsFor(None))
+  }
+
   test("exact pair-state centrality legs fail fast with the named " +
     "state-budget error; a sufficient budget never trips") {
     val e0 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("src", "dst")

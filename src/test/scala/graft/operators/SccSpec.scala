@@ -126,6 +126,49 @@ class SccSpec extends SparkTestBase {
     assert(f4 == Map(3L -> 3L, 4L -> 3L))
   }
 
+  test("sccTopoLevels peels the condensation into longest-path levels") {
+    def topo(pairs: Seq[(Long, Long)]): Map[Long, Int] =
+      ConnectedComponents.sccTopoLevels(pairs.toDF("src", "dst"))
+        .as[(Long, Int)].collect().toMap
+    // chain DAG: levels are the positions
+    assert(topo(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // diamond + shortcut: level = LONGEST path in (1->2->3->4, 1->4),
+    // so the sink sits at 3, not 1
+    assert(topo(Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // cycles collapse first: {2,3} is one level-1 SCC between source
+    // and sink; the second component {7,8} peels independently at 0
+    assert(topo(Seq((1L, 2L), (2L, 3L), (3L, 2L), (3L, 4L), (7L, 8L))) ==
+      Map(1L -> 0, 2L -> 1, 4L -> 2, 7L -> 0, 8L -> 1))
+    // a pure cycle condenses to ONE source node at level 0
+    assert(topo(Seq((5L, 6L), (6L, 5L))) == Map(5L -> 0))
+    // empty input
+    assert(ConnectedComponents.sccTopoLevels(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
+  }
+
+  test("scc round-cap failure frees every pinned round frame before " +
+    "throwing (no state leak for callers that catch)") {
+    val chain = (1L until 24L).map(i => (i, i + 1))
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val e = intercept[IllegalArgumentException] {
+      ConnectedComponents.scc(chain.toDF("src", "dst"), maxOuterRounds = 1)
+        .count()
+    }
+    assert(e.getMessage.contains("FW-BW passes"))
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"round frames left pinned: $leaked")
+    // the inner flood-fill cap frees through the same path
+    val e2 = intercept[IllegalArgumentException] {
+      ConnectedComponents.scc(chain.toDF("src", "dst"), maxInnerRounds = 2)
+        .count()
+    }
+    assert(e2.getMessage.contains("flood fill"))
+    val leaked2 = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked2.isEmpty, s"round frames left pinned: $leaked2")
+  }
+
   test("scc matches the brute-force closure on a pseudo-random directed " +
     "graph with mixed component sizes") {
     // deterministic arithmetic graph on 0..39: i -> (2i+1) mod 40 and

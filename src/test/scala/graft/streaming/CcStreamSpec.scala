@@ -31,7 +31,7 @@ class CcStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $bTbl")
     spark.sql(s"DROP TABLE IF EXISTS $aTbl")
     val base0 = ConnectedComponents.run(initial.toDF())
-    base0.write.option("path", s"$dir/base").saveAsTable(bTbl)
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base")
     base0.select($"component".as("c"), $"component".as("canon"))
       .where(lit(false))
       .write.option("path", s"$dir/alias").saveAsTable(aTbl)
@@ -71,7 +71,7 @@ class CcStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $bTbl")
     spark.sql(s"DROP TABLE IF EXISTS $aTbl")
     val base0 = ConnectedComponents.run(initial.toDF())
-    base0.write.option("path", s"$dir/base").saveAsTable(bTbl)
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base")
     base0.select($"component".as("c"), $"component".as("canon"))
       .where(lit(false))
       .write.option("path", s"$dir/alias").saveAsTable(aTbl)

@@ -155,6 +155,20 @@ object Bench {
     val ctlSorted = controlSeries.sorted
     val ctlMedian =
       if (ctlSorted.isEmpty) 0.0 else ctlSorted(ctlSorted.size / 2)
+    // CONTROL-NORMALIZED total: raw totals drift ~25% run-to-run with
+    // box load (r15: 522-635 s on identical code), so cross-round
+    // comparisons kept needing a manual control-ratio footnote. The
+    // normalized figure divides by the control median — the total
+    // expressed in units of "trivial one-shuffle counts", comparable
+    // across rounds on the same box regardless of contention.
+    val totalPerCtl =
+      if (ctlMedian > 0.0) results.map(_._2).sum / ctlMedian else 0.0
+    // 1-minute load average at the END of the run (captures whether
+    // OTHER work contended the box), alongside the in-run controls
+    val loadAvg = try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Exception => -1.0 }
     val ctlJson = controlSeries.map(v => f"$v%.2f")
       .mkString("[", ",", "]")
     val total = results.map(_._2).sum
@@ -183,6 +197,9 @@ object Bench {
       .map { case (k, v) => s""""$k":${f"$v%.2f"}""" }
       .mkString(""""second_pass_headline":{""", ",", "},")
     fullJson ++= s""""control_every":$CTL_EVERY,"""
+    fullJson ++= f""""control_median":$ctlMedian%.3f,"""
+    fullJson ++= f""""total_per_ctl":$totalPerCtl%.1f,"""
+    fullJson ++= f""""loadavg1":$loadAvg%.2f,"""
     fullJson ++= s""""control_series":$ctlJson}"""
     try {
       val w = new java.io.PrintWriter(fullPath, "UTF-8")
@@ -195,7 +212,7 @@ object Bench {
     // silently mix min-of-2 headline numbers with single-pass totals;
     // a1_count_by_key in the map is the contention control and "full"
     // names the committed artifact carrying all per-query times
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_method":"single_pass","queries":$qs,"queries_method":"best_of_2_except_control","control":"a1_count_by_key","control_median":$ctlMedian%.3f,"control_n":${controlSeries.size},"full":"bench_full.json","n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","total_method":"single_pass","queries":$qs,"queries_method":"best_of_2_except_control","control":"a1_count_by_key","control_median":$ctlMedian%.3f,"control_n":${controlSeries.size},"total_per_ctl":$totalPerCtl%.1f,"loadavg1":$loadAvg%.2f,"full":"bench_full.json","n_queries":${results.size},"failures":${failed.size},"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -405,18 +405,22 @@ object ConnectedComponents {
     * [[graft.streaming.CcStream]] writes (base append-only, the
     * model-small alias rewritten per batch).
     *
-    * Scale contract — the base probe is SCAN-ONLY: the corpus-sized
-    * standing base is never exchanged. A `nodes LEFT JOIN base` cannot
-    * deliver that (Spark can't broadcast the PRESERVED side of an
-    * outer join, so above the broadcast threshold the base shuffles on
-    * every ingest batch — O(corpus) per batch); instead the batch node
-    * set BROADCASTS into a semi probe of base (labels of already-seen
-    * nodes) and the unseen remainder falls out of a broadcast anti
-    * against that batch-bounded probe result. One corpus scan per
-    * batch, zero corpus shuffles — plan-gated in PlanSpec like the
-    * dd_incremental standing index. The probe result materializes
-    * eagerly (batch-bounded rows) so its three consumers don't each
-    * rescan base. */
+    * Scale contract — the base probe never EXCHANGES the corpus-sized
+    * standing base, and at rest it doesn't even scan all of it. A
+    * `nodes LEFT JOIN base` can deliver neither (Spark can't broadcast
+    * the PRESERVED side of an outer join, so above the broadcast
+    * threshold the base shuffles on every ingest batch — O(corpus) per
+    * batch). Instead, the batch node set — broadcast-sized by the
+    * micro-batch contract — collects into an In PREDICATE on the probe:
+    * pushed to the scan, it bucket-prunes a `bucketBy(node)` base table
+    * and row-group-skips under its `sortBy(node)` min/max stats, so the
+    * per-batch probe cost is O(matching buckets), not O(corpus). An
+    * oversized batch falls back to a broadcast semi probe (one corpus
+    * scan, still zero corpus shuffles). The unseen remainder falls out
+    * of a broadcast anti against the batch-bounded probe result. Both
+    * shapes are plan-gated in PlanSpec like the dd_incremental standing
+    * index. The probe result materializes eagerly (batch-bounded rows)
+    * so its three consumers don't each re-probe base. */
   def incrementalMergeParts(base: DataFrame, alias: DataFrame,
                             batch: DataFrame, srcCol: String = "src",
                             dstCol: String = "dst")
@@ -426,8 +430,14 @@ object ConnectedComponents {
     val e = batch.select(col(srcCol).as("a"), col(dstCol).as("b"))
     val nodes = e.select($"a".as("node")).union(e.select($"b".as("node")))
       .distinct()
-    val seen = base.join(broadcast(nodes), Seq("node"), "left_semi")
-      .localCheckpoint(true)
+    val nodeVals = nodes.limit(MaxPointLookupNodes + 1).collect()
+      .map(_.get(0)).toSeq
+    val seen0 =
+      if (nodeVals.isEmpty) base.where(lit(false))
+      else if (nodeVals.length <= MaxPointLookupNodes)
+        probeBaseLabelsPoint(base, nodeVals)
+      else probeBaseLabels(base, nodes)
+    val seen = seen0.localCheckpoint(true)
     val inserts = nodes
       .join(broadcast(seen.select($"node")), Seq("node"), "left_anti")
       .select($"node", $"node".as("component"))
@@ -452,14 +462,29 @@ object ConnectedComponents {
     (inserts, remapped.unionByName(mergeMap))
   }
 
-  /** The scan-only base probe of [[incrementalMergeParts]] in
-    * isolation — (node, component) rows of `base` whose node appears in
-    * the batch node set. Exposed so the PlanSpec gate can assert the
-    * standing-base side carries NO Exchange on exactly the join the
-    * ingest path runs. */
+  /** Batch node sets up to this size probe the base as a pushed-down
+    * In predicate ([[probeBaseLabelsPoint]]); larger ones fall back to
+    * the broadcast semi probe. Sized where an InSet filter is still
+    * cheap to plan and well under any broadcast limit. */
+  private[graft] val MaxPointLookupNodes = 100000
+
+  /** The scan-only FALLBACK base probe of [[incrementalMergeParts]] —
+    * (node, component) rows of `base` whose node appears in the batch
+    * node set, via a broadcast semi join (base streams, no Exchange).
+    * Exposed so the PlanSpec gate can assert the standing-base side
+    * carries NO Exchange on exactly the join the ingest path runs. */
   private[graft] def probeBaseLabels(base: DataFrame, nodes: DataFrame)
       : DataFrame =
     base.join(broadcast(nodes), Seq("node"), "left_semi")
+
+  /** The POINT-LOOKUP base probe: the batch node set as an In predicate
+    * on the scan — bucket-pruned on a `bucketBy(node)` table,
+    * row-group-skipped under `sortBy(node)` stats. Exposed for the
+    * PlanSpec gate (no join, no Exchange, SelectedBucketsCount on the
+    * bucketed at-rest form). */
+  private[graft] def probeBaseLabelsPoint(base: DataFrame,
+                                          nodeVals: Seq[Any]): DataFrame =
+    base.where(col("node").isInCollection(nodeVals))
 
   /** Resolve a standing [[incrementalMerge]] labeling to effective
     * (node, component) rows — base joined once against the flat alias. */

@@ -40,7 +40,16 @@ object CcStream {
     * the bucket files, only the batch paying an exchange (the
     * [[graft.operators.Dedup.writeMinHashIndex]] layout). Parquet
     * bucketing needs a catalog entry, hence table name + explicit
-    * path. Appends via `insertInto` keep the bucketing. */
+    * path. Appends via `insertInto` keep the bucketing.
+    *
+    * Deployment note: Spark's DisableUnnecessaryBucketedScan rule
+    * keeps bucketed scans only for joins/aggs on the bucket key — it
+    * doesn't know about bucket PRUNING, so the filter-only point probe
+    * loses its SelectedBucketsCount pruning under the default. A
+    * standing-state session should set
+    * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false`;
+    * filter pushdown (row-group skipping) and the no-exchange shape
+    * hold regardless. */
   def writeCcBase(base: DataFrame, table: String, path: String,
                   numBuckets: Int = 8): Unit =
     base.write.mode("overwrite").format("parquet")

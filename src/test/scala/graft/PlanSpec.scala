@@ -610,10 +610,34 @@ class PlanSpec extends SparkTestBase {
     CcStream.writeCcBase(base0, tbl, "/tmp/graft_bucketed/planspec_cc_base")
     val nodes = all.where(pmod(col("c_custkey"), lit(50)) === 0)
       .select(col("c_custkey").as("node"))
-    withSQLConf("spark.sql.adaptive.enabled" -> "false") {
-      // leg A — the ingest path (batch node set broadcast): the ONLY
-      // exchange in the whole plan is the broadcast of the batch-sized
-      // node set; the base side is a plain file scan
+    withSQLConf("spark.sql.adaptive.enabled" -> "false",
+      // DisableUnnecessaryBucketedScan considers only joins/aggs on the
+      // bucket key, NOT bucket pruning, so a filter-only probe loses
+      // its pruning under the default; a standing-state deployment pins
+      // this off (documented on writeCcBase). Pushdown + no-exchange
+      // hold either way — only the SelectedBucketsCount assert needs it.
+      "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+      // leg A0 — the DEFAULT ingest path (batch node set as a pushed
+      // In predicate): no join, no exchange at all, and the bucketed
+      // base scan PRUNES to the batch's buckets
+      val nodeVals = nodes.collect().map(_.get(0)).toSeq
+      val point = ConnectedComponents.probeBaseLabelsPoint(
+        spark.table(tbl), nodeVals)
+      point.collect()
+      val ppt = point.queryExecution.executedPlan
+      assert(ppt.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+        ppt.collect { case e: BroadcastExchangeExec => e }.isEmpty,
+        s"point probe must carry no exchange:\n${ppt.toString.take(3000)}")
+      val pruned = ppt.collect {
+        case f: FileSourceScanExec if f.bucketedScan => f
+      }
+      assert(pruned.nonEmpty, s"expected a bucketed scan:\n${
+        ppt.toString.take(3000)}")
+      assert(ppt.toString.contains("SelectedBucketsCount"),
+        s"expected bucket pruning:\n${ppt.toString.take(3000)}")
+      // leg A — the oversized-batch fallback (batch node set broadcast):
+      // the ONLY exchange in the whole plan is the broadcast of the
+      // batch-sized node set; the base side is a plain file scan
       val probed = ConnectedComponents.probeBaseLabels(spark.table(tbl), nodes)
       probed.collect()
       val pp = probed.queryExecution.executedPlan

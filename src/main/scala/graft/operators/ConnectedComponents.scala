@@ -427,7 +427,13 @@ object ConnectedComponents {
       : (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
+    // materialize the batch edge set ONCE (batch-bounded rows): its
+    // lazy plan is consumed by the node collect, the label-edge joins,
+    // and the merge fixpoint — a batch DERIVED from a corpus-sized
+    // source (the registry rows slice a spatial self-join) would
+    // otherwise re-execute that derivation per consumer
     val e = batch.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .localCheckpoint(true)
     val nodes = e.select($"a".as("node")).union(e.select($"b".as("node")))
       .distinct()
     val nodeVals = nodes.limit(MaxPointLookupNodes + 1).collect()

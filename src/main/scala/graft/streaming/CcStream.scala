@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
@@ -85,6 +85,40 @@ object CcStream {
       // alias rewrite: model-small
       newAliasSnap.write.mode("overwrite").insertInto(aliasTable)
     } finally b.unpersist(false)
+  }
+
+  /** COMPACTION: fold the alias into the base — rewrite every base row
+    * to its resolved label and truncate the alias to empty. The
+    * two-level layout stays correct WITHOUT this forever (the alias is
+    * flat, one hop resolves), but the alias grows with the merge
+    * HISTORY — on a corpus whose components keep coalescing it
+    * approaches one row per label ever absorbed, and every batch
+    * rewrites it whole. Compaction is the standard union-find
+    * path-compression-at-rest move: an O(corpus) maintenance job run
+    * occasionally (e.g. when |alias| crosses a broadcast-comfort
+    * threshold), after which per-batch cost resets to probe + append +
+    * tiny alias. Resolved labels are unchanged by construction
+    * ([[ConnectedComponents.resolveLabels]] is exactly the rewrite), so
+    * ingest can resume immediately; run it BETWEEN batches (same
+    * single-writer contract as the batches themselves). The rewritten
+    * base is re-bucketed through [[writeCcBase]] into a fresh path,
+    * then swapped in via table rename — atomic at the catalog level. */
+  def compact(spark: SparkSession, baseTable: String, aliasTable: String,
+              newBasePath: String, numBuckets: Int = 8): Unit = {
+    // the rewrite lands in a NEW table first (no read-overwrite hazard:
+    // the old base/alias stay untouched sources until tmp is at rest);
+    // newBasePath must be fresh — dropping the old external base later
+    // leaves its files for storage-side lifecycle cleanup
+    val resolved = ConnectedComponents.resolveLabels(
+      spark.table(baseTable), spark.table(aliasTable))
+    val tmp = baseTable + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    writeCcBase(resolved, tmp, newBasePath, numBuckets)
+    spark.sql(s"DROP TABLE IF EXISTS $baseTable")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $baseTable")
+    spark.table(aliasTable).where(org.apache.spark.sql.functions.lit(false))
+      .localCheckpoint(true)
+      .write.mode("overwrite").insertInto(aliasTable)
   }
 
   /** Streaming path: `foreachBatch` merge-then-write against standing

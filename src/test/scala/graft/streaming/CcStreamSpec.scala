@@ -64,6 +64,39 @@ class CcStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $aTbl")
   }
 
+  test("compaction folds the alias into the base: labels unchanged, " +
+    "alias empty, bucketing kept, ingest resumes") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_compact").toString
+    val (bTbl, aTbl) = ("cc_compact_spec_base", "cc_compact_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    val base0 = ConnectedComponents.run(initial.toDF())
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base0")
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+    CcStream.ingestBatch(batch1.toDF(), "src", "dst", bTbl, aTbl)
+    assert(spark.table(aTbl).count() > 0) // merges happened: alias live
+    val before = labelsOf(bTbl, aTbl)
+    CcStream.compact(spark, bTbl, aTbl, s"$dir/base1")
+    assert(labelsOf(bTbl, aTbl) == before)       // resolution preserved
+    assert(spark.table(aTbl).count() == 0L)      // alias folded away
+    // base rows now carry their RESOLVED labels directly
+    assert(spark.table(bTbl).as[(Long, Long)].collect().toMap == before)
+    // the swapped-in table is still bucketed by node (the probe layout)
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(bTbl)).bucketSpec
+    assert(spec.exists(_.bucketColumnNames == Seq("node")), spec.toString)
+    // ingest keeps working against the compacted state, matching the
+    // from-scratch rebuild over everything seen so far
+    CcStream.ingestBatch(batch2.toDF(), "src", "dst", bTbl, aTbl)
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((initial ++ batch1 ++ batch2).toDF())
+        .as[(Long, Long)].collect().toMap)
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+
   test("a replayed CC micro-batch is idempotent: base and alias tables " +
     "unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("cc_replay").toString

@@ -1090,6 +1090,48 @@ private[graft] object TailRegistryB {
             |LEFT JOIN nf p ON p.hop = c.h - 1""".stripMargin,
         rounds = 5))),
 
+    // GR: INCREMENTAL neighborhood function — the same 250 m lattice
+    // arriving as an initial load plus two ingest batches (the
+    // gr_cc_incremental split), folded into standing per-hop register
+    // frames by monotone delta propagation: per batch only the nodes
+    // whose registers GREW flow along the edges (delta broadcast — the
+    // corpus edge set scans, never shuffles; old registers semi-probed
+    // for candidates only), where a rebuild pays maxHops corpus-wide
+    // register shuffles. Register max-merge is order-free, so fold ==
+    // rebuild BIT-identically — the oracle is gr_hyperball_nf's
+    // full-corpus replay VERBATIM.
+    Q("gr_hyperball_nf_incremental",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val k = pmod(col("src") + col("dst"), lit(3))
+        PageRank.hyperBallNeighborhoodIncremental(
+          bidir.where(k =!= 0),
+          Seq(bidir.where(k === 0 && pmod(col("src"), lit(2)) === 0),
+            bidir.where(k === 0 && pmod(col("src"), lit(2)) === 1)),
+          maxHops = 3, p = 6)
+      },
+      Some(hyperBallOracleSql(
+        """, q AS MATERIALIZED (
+          |  SELECT 0 AS hop, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) AS q
+          |  FROM n0
+          |  UNION ALL
+          |  SELECT 1, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n1
+          |  UNION ALL
+          |  SELECT 2, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n2
+          |  UNION ALL
+          |  SELECT 3, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n3),
+          |nf AS MATERIALIZED (
+          |  SELECT hop, CAST(sum(q) AS DOUBLE) / 1e6 AS nf
+          |  FROM q GROUP BY hop)
+          |SELECT hop, nf,
+          |  floor(nf / (SELECT nf FROM nf WHERE hop = 3) * 1e6 + 5e-1)
+          |    / 1e6 AS frac
+          |FROM nf""".stripMargin))),
+
     // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
     // the two standard scale reductions: Brandes-Pich source sampling +
     // a 3-hop path radius). Forward pass counts shortest paths σ

@@ -423,7 +423,8 @@ object ConnectedComponents {
     * so its three consumers don't each re-probe base. */
   def incrementalMergeParts(base: DataFrame, alias: DataFrame,
                             batch: DataFrame, srcCol: String = "src",
-                            dstCol: String = "dst")
+                            dstCol: String = "dst",
+                            maxPointLookup: Int = MaxPointLookupNodes)
       : (DataFrame, DataFrame) = {
     val spark = base.sparkSession
     import spark.implicits._
@@ -436,11 +437,11 @@ object ConnectedComponents {
       .localCheckpoint(true)
     val nodes = e.select($"a".as("node")).union(e.select($"b".as("node")))
       .distinct()
-    val nodeVals = nodes.limit(MaxPointLookupNodes + 1).collect()
+    val nodeVals = nodes.limit(maxPointLookup + 1).collect()
       .map(_.get(0)).toSeq
     val seen0 =
       if (nodeVals.isEmpty) base.where(lit(false))
-      else if (nodeVals.length <= MaxPointLookupNodes)
+      else if (nodeVals.length <= maxPointLookup)
         probeBaseLabelsPoint(base, nodeVals)
       else probeBaseLabels(base, nodes)
     val seen = seen0.localCheckpoint(true)
@@ -470,9 +471,11 @@ object ConnectedComponents {
 
   /** Batch node sets up to this size probe the base as a pushed-down
     * In predicate ([[probeBaseLabelsPoint]]); larger ones fall back to
-    * the broadcast semi probe. Sized where an InSet filter is still
-    * cheap to plan and well under any broadcast limit. */
-  private[graft] val MaxPointLookupNodes = 100000
+    * the broadcast semi probe. Sized where the literal list stays
+    * cheap to plan and serialize (10k literals ≈ 100 KB of plan) —
+    * past micro-batch size the semi probe's single scan is amortized
+    * over the batch anyway. */
+  private[graft] val MaxPointLookupNodes = 10000
 
   /** The scan-only FALLBACK base probe of [[incrementalMergeParts]] —
     * (node, component) rows of `base` whose node appears in the batch

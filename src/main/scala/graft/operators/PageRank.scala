@@ -854,16 +854,22 @@ object PageRank {
     * @return (hop, nf, frac) for hop 0..maxHops */
   def hyperBallNeighborhood(edges: DataFrame, maxHops: Int = 3,
                             p: Int = 6, srcCol: String = "src",
-                            dstCol: String = "dst"): DataFrame = {
-    // fold each hop's estimate frame DIRECTLY into its global sum — no
-    // per-node join of the hop columns, and no re-execution of the
-    // estimator per hop selection. (The first cut selected hop columns
-    // out of the joined per-node table, which re-ran all maxHops+1
-    // estimate aggregations AND the node-keyed join once per hop: the
-    // sf1 probe read 351 s against gr_hyperball's 32 s on the same
-    // registers. This shape reads ~35 s — one estimator pass per hop.)
-    val perHopRaw = hyperBallHopEstimates(edges, maxHops, p, srcCol, dstCol)
-      .zipWithIndex.map { case (df, h) =>
+                            dstCol: String = "dst"): DataFrame =
+    nfFold(hyperBallHopEstimates(edges, maxHops, p, srcCol, dstCol))
+
+  /** The NF fold off per-hop estimate frames (frame h carries column
+    * n$h): folds each hop's estimates DIRECTLY into its global sum — no
+    * per-node join of the hop columns, and no re-execution of the
+    * estimator per hop selection. (The first cut selected hop columns
+    * out of the joined per-node table, which re-ran all maxHops+1
+    * estimate aggregations AND the node-keyed join once per hop: the
+    * sf1 probe read 351 s against gr_hyperball's 32 s on the same
+    * registers. This shape reads ~35 s — one estimator pass per hop.)
+    * Shared by the batch and INCREMENTAL neighborhood functions, so
+    * fold-vs-rebuild parity rests on one copy of the fold arithmetic. */
+  private def nfFold(estFrames: Seq[DataFrame]): DataFrame = {
+    val maxHop = estFrames.size - 1
+    val perHopRaw = estFrames.zipWithIndex.map { case (df, h) =>
         df.select(lit(h).as("hop"),
           floor(col(s"n$h") * lit(1e6) + lit(0.5)).cast("long").as("q"))
       }.reduce(_ union _)
@@ -873,7 +879,7 @@ object PageRank {
     // broadcast and the final select; effectiveDiameter adds more) —
     // pin it so the register-table folds above run exactly once
     val perHop = CacheScope.pin(perHopRaw)
-    val total = perHop.where(col("hop") === maxHops)
+    val total = perHop.where(col("hop") === maxHop)
       .select(col("nf").as("nf_total"))
     perHop.crossJoin(broadcast(total))
       .select(col("hop"), col("nf"),
@@ -1062,6 +1068,137 @@ object PageRank {
       val nf = q.toDouble / 1e6
       (h, nf, math.floor(nf / nfStop * 1e6 + 0.5) / 1e6)
     }.toDF("hop", "nf", "frac")
+  }
+
+  /** INCREMENTAL neighborhood function — maintain the per-hop HyperBall
+    * register tables as APPEND-ONLY standing state and fold edge
+    * batches in by MONOTONE DELTA PROPAGATION, without re-running the
+    * propagation over the corpus. Register max-merge is monotone and
+    * idempotent (registers only GROW and ∪ is associative/commutative),
+    * which buys two things:
+    *
+    *  - the standing state per hop can be a stack of append-only
+    *    frames whose TRUE registers are just the max-merge groupBy —
+    *    no rewrite on update, no ordering to respect (the CC
+    *    base+alias discipline, with max-merge instead of an alias);
+    *  - a batch's effect is confined to the nodes whose registers
+    *    actually changed: per hop, the changed set flows along the
+    *    standing edges (delta BROADCAST — the corpus edge set scans
+    *    but never shuffles), the batch's new edges flow their sources'
+    *    full hop-(h−1) registers, a node's own growth carries up
+    *    (r_h ⊇ r_{h−1}), and everything merges against the OLD
+    *    registers of just the candidate nodes (semi-probed from the
+    *    standing frames). Unchanged nodes are never touched, so
+    *    per-batch work is O(batch ball × hops + corpus scans), where
+    *    the rebuild pays maxHops corpus-wide register SHUFFLES.
+    *
+    * Fold == rebuild BIT-IDENTICALLY: resolution reproduces the exact
+    * rebuild registers (max-merge is order-free), the estimates reuse
+    * [[packedEstimate]], and the fold reuses [[nfFold]] — the registry
+    * row's oracle is [[hyperBallNeighborhood]]'s over ALL edges,
+    * verbatim. Replaying a batch is a structural no-op (no register
+    * grows, so no frame appends). Contract: a batch's affected ball
+    * must be broadcast-sized (the micro-batch regime — corpus-scale
+    * batches should rebuild instead), like the CC ingest contract.
+    *
+    * @return (hop, nf, frac) for hop 0..maxHops over initial ∪ batches */
+  def hyperBallNeighborhoodIncremental(initialEdges: DataFrame,
+                                       batches: Seq[DataFrame],
+                                       maxHops: Int = 3, p: Int = 6,
+                                       srcCol: String = "src",
+                                       dstCol: String = "dst"): DataFrame = {
+    require(maxHops >= 1, "need at least one hop")
+    val m = 1 << p
+    val spark = initialEdges.sparkSession
+    import spark.implicits._
+    val mergeRegs = udaf(new RegisterMaxMerge(m))
+    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
+    def initRegs(nodes: DataFrame): DataFrame = nodes.select($"node",
+      transform(sequence(lit(0), lit(m - 1)),
+        j => when(j === idx.cast("int"), rho.cast("int"))
+          .otherwise(lit(0))).as("regs"))
+
+    // initial load: the fixed propagation, one standing frame per hop
+    val (e0Flat, _) = CheckpointOps.checkpointTruncated(
+      initialEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+    var edgeFrames = Vector(e0Flat)
+    val (r0, _) = CheckpointOps.checkpointTruncated(
+      initRegs(e0Flat.select($"src".as("node")).distinct()))
+    var frames: Vector[Vector[DataFrame]] = Vector(Vector(r0))
+    var initRegsH = r0
+    for (_ <- 1 to maxHops) {
+      val fromNeighbors = e0Flat
+        .join(initRegsH.withColumnRenamed("node", "src"), "src")
+        .select($"dst".as("node"), $"regs")
+      val (next, _) = CheckpointOps.checkpointTruncated(
+        fromNeighbors.union(initRegsH)
+          .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
+      frames :+= Vector(next)
+      initRegsH = next
+    }
+
+    // registers of `keys` nodes at hop h: standing frames semi-probed
+    // by the (broadcast-sized) key set, max-merged — never a corpus
+    // shuffle, and absent nodes simply produce no row
+    def resolveFor(h: Int, keys: DataFrame): DataFrame =
+      frames(h).map(_.join(broadcast(keys), Seq("node"), "left_semi"))
+        .reduce(_ union _)
+        .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
+
+    batches.foreach { b =>
+      val (newE, _) = CheckpointOps.checkpointTruncated(
+        b.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      // new SRC nodes seed hop-0 sketches — hop-0 presence is "has an
+      // out-edge" (the batch form's n0 node set); a node already known
+      // as a pure dst still seeds here, and its self-sketch then
+      // carries up through the delta propagation exactly as a rebuild
+      // would include it
+      val srcNodes = newE.select($"src".as("node")).distinct()
+      val seen0 = frames(0)
+        .map(_.join(broadcast(srcNodes), Seq("node"), "left_semi"))
+        .reduce(_ union _).select($"node").distinct()
+      val (d0, _, n0New) = CheckpointOps.checkpointCountTruncated(
+        initRegs(srcNodes.join(broadcast(seen0), Seq("node"), "left_anti")))
+      if (n0New > 0) frames = frames.updated(0, frames(0) :+ d0)
+      edgeFrames :+= newE
+      val allEdges = edgeFrames.reduce(_ unionByName _)
+      var deltaPrev = d0 // empty when n0New == 0 — still a valid frame
+      for (h <- 1 to maxHops) {
+        val viaDelta = allEdges
+          .join(broadcast(deltaPrev.withColumnRenamed("node", "src")),
+            "src")
+          .select($"dst".as("node"), $"regs")
+        val srcRegs = resolveFor(h - 1, srcNodes)
+        val viaNewE = newE
+          .join(broadcast(srcRegs.withColumnRenamed("node", "src")), "src")
+          .select($"dst".as("node"), $"regs")
+        val cand = viaDelta.union(viaNewE).union(deltaPrev)
+          .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
+          .localCheckpoint(true)
+        val old = resolveFor(h, cand.select($"node"))
+          .withColumnRenamed("regs", "old_regs")
+        val merged = cand.join(old, Seq("node"), "left")
+          .select($"node",
+            when($"old_regs".isNull, $"regs")
+              .otherwise(zip_with($"regs", $"old_regs",
+                (a, c) => greatest(a, c))).as("regs"),
+            $"old_regs")
+        val (dh, _, nCh) = CheckpointOps.checkpointCountTruncated(
+          merged.where($"old_regs".isNull || !($"regs" <=> $"old_regs"))
+            .select($"node", $"regs"))
+        if (nCh > 0) frames = frames.updated(h, frames(h) :+ dh)
+        deltaPrev = dh
+      }
+    }
+
+    // read: resolve each hop's standing frames, estimate, fold — one
+    // copy of the estimator and the NF fold arithmetic (bit parity
+    // with the batch form is structural, not incidental)
+    nfFold((0 to maxHops).map { h =>
+      val resolved = frames(h).reduce(_ unionByName _)
+        .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
+      packedEstimate(resolved, s"n$h", m)
+    })
   }
 
   /** [[effectiveDiameter]] off the ADAPTIVE neighborhood function — on

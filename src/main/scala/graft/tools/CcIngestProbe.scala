@@ -43,6 +43,11 @@ object CcIngestProbe {
     import spark.implicits._
 
     def sec(t0: Long): Double = (System.nanoTime() - t0) / 1e9
+    // optional comma-set of sections for local iteration:
+    // atrest, fold, rows, hb
+    val only = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def want(section: String): Boolean = only.forall(_(section))
 
     // ---- section 1: at-rest per-batch wall vs standing-base size ----
     // base: n settled singleton labels; batch: a fixed 2k-edge chain
@@ -50,7 +55,7 @@ object CcIngestProbe {
     // real lookup + insert + merge work, identical per base size
     val warehouse = "/tmp/graft_ccprobe"
     val baseN = 2000000L
-    for (mult <- Seq(1, 4, 10)) {
+    for (mult <- Seq(1, 4, 10) if want("atrest")) {
       val n = baseN * mult
       val (bTbl, aTbl) = (s"ccprobe_base_$mult", s"ccprobe_alias_$mult")
       spark.sql(s"DROP TABLE IF EXISTS $bTbl")
@@ -98,6 +103,7 @@ object CcIngestProbe {
       val k = pmod(col("src") + col("dst"), lit(101))
       val initial = edges.where(k >= 3)
       val batches = (0 until 3).map(i => edges.where(k === i).limit(1000))
+      if (want("fold")) {
       val t0full = System.nanoTime()
       val (base0, _) = CheckpointOps.checkpointTruncated(
         ConnectedComponents.run(initial))
@@ -120,6 +126,7 @@ object CcIngestProbe {
       }
       println(f"[cc-fold-step] $dir init=$tInit%.1fs perBatch=" +
         stepWalls.map(w => f"$w%.2f").mkString("/") + "s")
+      }
 
       // composite / new structural rows at this dir (budget-guarded)
       def time(name: String): Double = {
@@ -134,10 +141,39 @@ object CcIngestProbe {
         sec(t0)
       }
       for (q <- Seq("dd_incremental_clusters", "gr_cc_incremental",
-          "gr_scc_topo", "gr_hyperball_nf_adaptive",
-          "gr_eff_diameter_adaptive")) {
+          "gr_scc_topo", "gr_hyperball_nf",
+          "gr_hyperball_nf_incremental", "gr_hyperball_nf_adaptive",
+          "gr_eff_diameter_adaptive") if want("rows")) {
         val w = time(q)
         println(f"[cc-probe-row] $dir $q $w%.1fs")
+      }
+
+      // steady-state HyperBall ingest: the registry row folds
+      // corpus-sized slices (it must — its oracle is the full corpus),
+      // so it doesn't show the micro-batch regime. Here: standing
+      // registers over all-but-1k edges, then ONE 1k-edge batch folds
+      // in. Reported as (no-batch wall, one-batch wall): the
+      // difference is the per-batch fold cost, to set against the full
+      // rebuild's wall above.
+      if (want("hb")) {
+      val eHb0 = graft.operators.SpatialJoins.gridSelfJoin(
+          cust, "c_custkey", "lat", "lon", radiusM = 250.0)
+        .select(col("a_id").as("src"), col("b_id").as("dst"))
+      val eHb = eHb0.union(
+        eHb0.select(col("dst").as("src"), col("src").as("dst")))
+      val hbK = pmod(col("src") * 31 + col("dst"), lit(1009))
+      val hbBatch = eHb.where(hbK === 0).limit(1000)
+      val hbInit = eHb.where(hbK =!= 0)
+      val t0a = System.nanoTime()
+      graft.operators.PageRank.hyperBallNeighborhoodIncremental(
+        hbInit, Seq.empty, maxHops = 3, p = 6).count()
+      val wNoBatch = sec(t0a)
+      val t0b = System.nanoTime()
+      graft.operators.PageRank.hyperBallNeighborhoodIncremental(
+        hbInit, Seq(hbBatch), maxHops = 3, p = 6).count()
+      val wOneBatch = sec(t0b)
+      println(f"[hb-ingest-steady] $dir noBatch=$wNoBatch%.1fs " +
+        f"oneBatch=$wOneBatch%.1fs foldCost=${wOneBatch - wNoBatch}%.1fs")
       }
     }
     spark.stop()

@@ -583,12 +583,14 @@ class PlanSpec extends SparkTestBase {
     // joins are MODEL-sized — ≤ 25 hub rows / ≤ 4 hop rows, the
     // histQuantiles sketch-frame pattern — so only corpus-scale
     // hazards are gated here)
-    for (q <- Seq("gr_scc", "gr_scc_condense", "gr_cc_incremental")) {
+    for (q <- Seq("gr_scc", "gr_scc_condense", "gr_cc_incremental",
+        "gr_scc_topo")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(3000)}")
     }
-    for (q <- Seq("gr_hyperball_nf", "gr_eff_diameter")) {
+    for (q <- Seq("gr_hyperball_nf", "gr_eff_diameter",
+        "gr_hyperball_nf_adaptive", "gr_eff_diameter_adaptive")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(3000)}")
     }

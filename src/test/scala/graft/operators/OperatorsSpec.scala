@@ -934,6 +934,48 @@ class OperatorsSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0L)
   }
 
+  test("incremental HyperBall folds edge batches into the standing " +
+    "registers bit-identically to the from-scratch rebuild") {
+    val ring = (0L to 11L).map(i => (i, (i + 1) % 12))
+    val chords = Seq((0L, 6L), (2L, 9L), (4L, 10L), (1L, 7L))
+    def bidir(pairs: Seq[(Long, Long)]) = {
+      val e = pairs.toDF("src", "dst")
+      e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    }
+    val all = ring ++ chords
+    // deterministic three-way arrival split (the gr_cc_incremental
+    // discipline); batches carry both new edges between known nodes
+    // and the chords' cross-ring structure
+    val initial = all.filter(p => (p._1 + p._2) % 3 != 0)
+    val b1 = all.filter(p => (p._1 + p._2) % 3 == 0 && p._1 % 2 == 0)
+    val b2 = all.filter(p => (p._1 + p._2) % 3 == 0 && p._1 % 2 == 1)
+    def nf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Double, Double)] =
+      df.as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    val want = nf(PageRank.hyperBallNeighborhood(bidir(all), maxHops = 3))
+    val got = nf(PageRank.hyperBallNeighborhoodIncremental(
+      bidir(initial), Seq(bidir(b1), bidir(b2)), maxHops = 3))
+    assert(got == want, s"fold $got != rebuild $want")
+    // replaying batches is a structural no-op (no register can grow)
+    assert(nf(PageRank.hyperBallNeighborhoodIncremental(
+      bidir(initial), Seq(bidir(b1), bidir(b1), bidir(b2), bidir(b2)),
+      maxHops = 3)) == want)
+    // a batch of BRAND-NEW nodes (disconnected component) folds in
+    val extra = Seq((100L, 101L), (101L, 100L))
+    assert(nf(PageRank.hyperBallNeighborhoodIncremental(
+        bidir(initial), Seq(bidir(b1), bidir(b2), extra.toDF("src", "dst")),
+        maxHops = 3)) ==
+      nf(PageRank.hyperBallNeighborhood(
+        bidir(all).union(extra.toDF("src", "dst")), maxHops = 3)))
+    // empty batches are no-ops; empty initial load bootstraps from the
+    // first batch
+    assert(nf(PageRank.hyperBallNeighborhoodIncremental(
+      bidir(initial), Seq(bidir(b1), bidir(Seq.empty), bidir(b2)),
+      maxHops = 3)) == want)
+    assert(nf(PageRank.hyperBallNeighborhoodIncremental(
+        bidir(Seq.empty), Seq(bidir(initial ++ b1 ++ b2)), maxHops = 3)) ==
+      want)
+  }
+
   test("the default state budget derives from executor memory when set " +
     "and falls back to the driver heap in local mode") {
     assert(PageRank.parseMemoryBytes("4g") == Some(4L << 30))

@@ -126,6 +126,23 @@ class SccSpec extends SparkTestBase {
     assert(f4 == Map(3L -> 3L, 4L -> 3L))
   }
 
+  test("the point-lookup and broadcast-semi base probes produce " +
+    "identical merge parts (the oversized-batch fallback is exact)") {
+    val base = ConnectedComponents.run(
+      Seq((5L, 6L), (9L, 10L)).toDF("src", "dst")).localCheckpoint(true)
+    val alias = base
+      .select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+    val batch = Seq((5L, 9L), (1L, 2L)).toDF("src", "dst")
+    def parts(maxPoint: Int): (Set[(Long, Long)], Set[(Long, Long)]) = {
+      val (ins, na) = ConnectedComponents.incrementalMergeParts(
+        base, alias, batch, maxPointLookup = maxPoint)
+      (ins.as[(Long, Long)].collect().toSet,
+        na.as[(Long, Long)].collect().toSet)
+    }
+    assert(parts(0) == parts(ConnectedComponents.MaxPointLookupNodes))
+  }
+
   test("sccTopoLevels peels the condensation into longest-path levels") {
     def topo(pairs: Seq[(Long, Long)]): Map[Long, Int] =
       ConnectedComponents.sccTopoLevels(pairs.toDF("src", "dst"))

@@ -1132,6 +1132,36 @@ private[graft] object TailRegistryB {
           |    / 1e6 AS frac
           |FROM nf""".stripMargin))),
 
+    // GR: harmonic centrality off the SAME incremental standing
+    // registers — one delta-folded register history serves every
+    // geometric centrality (the Boldi-Vigna point carried to the
+    // standing-state form): this row and gr_hyperball_nf_incremental
+    // share the register machinery and differ only in the fold. Fold ==
+    // rebuild bit-identically, so the oracle is gr_hyperball's
+    // full-corpus replay VERBATIM.
+    Q("gr_hyperball_incremental",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val k = pmod(col("src") + col("dst"), lit(3))
+        PageRank.hyperBallIncremental(
+            bidir.where(k =!= 0),
+            Seq(bidir.where(k === 0 && pmod(col("src"), lit(2)) === 0),
+              bidir.where(k === 0 && pmod(col("src"), lit(2)) === 1)),
+            maxHops = 3, p = 6)
+          .select(col("node"),
+            (round(col("harmonic_est"), 4) + 0.0).as("harmonic_est"))
+      },
+      Some(hyperBallOracleSql(
+        """SELECT node,
+          |  round((n1.est - n0.est) / 1e0 + (n2.est - n1.est) / 2e0
+          |    + (n3.est - n2.est) / 3e0, 4) + 0e0 AS harmonic_est
+          |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
+          |  JOIN n3 USING (node)""".stripMargin))),
+
     // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
     // the two standard scale reductions: Brandes-Pich source sampling +
     // a 3-hop path radius). Forward pass counts shortest paths σ

@@ -1107,6 +1107,45 @@ object PageRank {
                                        maxHops: Int = 3, p: Int = 6,
                                        srcCol: String = "src",
                                        dstCol: String = "dst"): DataFrame = {
+    val ests = hyperBallIncrementalEstimates(initialEdges, batches,
+      maxHops, p, srcCol, dstCol)
+    nfFold(ests)
+  }
+
+  /** HARMONIC centrality off the SAME incremental standing registers —
+    * the Boldi-Vigna point carried to the standing-state form: one
+    * delta-folded register history serves every geometric centrality,
+    * so this row and [[hyperBallNeighborhoodIncremental]] differ only
+    * in the final fold (per-node join of the resolved hop estimates +
+    * the [[hyperBallPacked]] harmonic sum, one copy of each). Fold ==
+    * rebuild bit-identically, same argument as the NF form.
+    *
+    * @return (node, harmonic_est) — [[hyperBallPacked]] over
+    *         initial ∪ batches, exactly */
+  def hyperBallIncremental(initialEdges: DataFrame,
+                           batches: Seq[DataFrame],
+                           maxHops: Int = 3, p: Int = 6,
+                           srcCol: String = "src",
+                           dstCol: String = "dst"): DataFrame = {
+    val joined = hyperBallIncrementalEstimates(initialEdges, batches,
+      maxHops, p, srcCol, dstCol).reduce((a, b) => a.join(b, Seq("node")))
+    val harmonic = (1 to maxHops)
+      .map(h => (col(s"n$h") - col(s"n${h - 1}")) / lit(h.toDouble))
+      .reduce(_ + _)
+    joined.select(col("node"), harmonic.as("harmonic_est"))
+  }
+
+  /** The shared incremental register machinery: build the standing
+    * per-hop frames over the initial load, delta-fold each batch, and
+    * return the RESOLVED per-hop estimate frames (node, n$h) — the
+    * same shape [[hyperBallHopEstimates]] yields for the batch form,
+    * so every downstream fold is one shared copy. */
+  private def hyperBallIncrementalEstimates(initialEdges: DataFrame,
+                                            batches: Seq[DataFrame],
+                                            maxHops: Int, p: Int,
+                                            srcCol: String,
+                                            dstCol: String)
+      : Seq[DataFrame] = {
     require(maxHops >= 1, "need at least one hop")
     val m = 1 << p
     val spark = initialEdges.sparkSession
@@ -1191,14 +1230,14 @@ object PageRank {
       }
     }
 
-    // read: resolve each hop's standing frames, estimate, fold — one
-    // copy of the estimator and the NF fold arithmetic (bit parity
-    // with the batch form is structural, not incidental)
-    nfFold((0 to maxHops).map { h =>
+    // read: resolve each hop's standing frames, estimate — one copy of
+    // the estimator (bit parity with the batch form is structural, not
+    // incidental); callers fold NF or per-node centralities from these
+    (0 to maxHops).map { h =>
       val resolved = frames(h).reduce(_ unionByName _)
         .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
       packedEstimate(resolved, s"n$h", m)
-    })
+    }
   }
 
   /** [[effectiveDiameter]] off the ADAPTIVE neighborhood function — on

@@ -974,6 +974,14 @@ class OperatorsSpec extends SparkTestBase {
     assert(nf(PageRank.hyperBallNeighborhoodIncremental(
         bidir(Seq.empty), Seq(bidir(initial ++ b1 ++ b2)), maxHops = 3)) ==
       want)
+    // HARMONIC off the same standing registers == the packed rebuild,
+    // bit for bit (one standing propagation serves every fold)
+    val hWant = PageRank.hyperBallPacked(bidir(all), maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    val hGot = PageRank.hyperBallIncremental(
+        bidir(initial), Seq(bidir(b1), bidir(b2)), maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(hGot == hWant, s"harmonic fold $hGot != rebuild $hWant")
   }
 
   test("the default state budget derives from executor memory when set " +

@@ -213,7 +213,18 @@ object ConnectedComponents {
     *
     * @return DataFrame(node, scc) */
   def scc(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
-          maxOuterRounds: Int = 60, maxInnerRounds: Int = 200): DataFrame = {
+          maxOuterRounds: Int = 60, maxInnerRounds: Int = 200): DataFrame =
+    sccWithHandles(edges, srcCol, dstCol, maxOuterRounds, maxInnerRounds)._1
+
+  /** [[scc]] that also hands back the persisted RDDs backing the
+    * result (the settled per-pass frames): a caller that re-materializes
+    * the labels into its own state — [[sccTopoLevels]] — can then free
+    * them instead of leaving corpus-scale blocks pinned until GC.
+    * Callers that consume the frame lazily (the public [[scc]],
+    * [[sccCondense]]) must keep them persisted. */
+  private[graft] def sccWithHandles(edges: DataFrame, srcCol: String = "src",
+          dstCol: String = "dst", maxOuterRounds: Int = 60,
+          maxInnerRounds: Int = 200): (DataFrame, Seq[RDD]) = {
     val spark = edges.sparkSession
     import spark.implicits._
     // every persisted round frame registers here; the round-cap error
@@ -361,7 +372,9 @@ object ConnectedComponents {
     }
     unpin(activeRdd)
     unpin(e0Rdd)
-    found.foldLeft(emptyOut)(_ union _)
+    // pinned now holds exactly the found frames' blocks — the result's
+    // backing state, surfaced to handle-aware callers
+    (found.foldLeft(emptyOut)(_ union _), pinned.toSeq)
   }
 
   /** INCREMENTAL connected-components maintenance — fold an ingest
@@ -439,14 +452,20 @@ object ConnectedComponents {
       .distinct()
     val nodeVals = nodes.limit(maxPointLookup + 1).collect()
       .map(_.get(0)).toSeq
+    val pointPath = nodeVals.nonEmpty && nodeVals.length <= maxPointLookup
     val seen0 =
       if (nodeVals.isEmpty) base.where(lit(false))
-      else if (nodeVals.length <= maxPointLookup)
-        probeBaseLabelsPoint(base, nodeVals)
+      else if (pointPath) probeBaseLabelsPoint(base, nodeVals)
       else probeBaseLabels(base, nodes)
     val seen = seen0.localCheckpoint(true)
-    val inserts = nodes
-      .join(broadcast(seen.select($"node")), Seq("node"), "left_anti")
+    // the broadcast hint is only sound on the point path (≤ the lookup
+    // cap by construction); an oversized batch's frames stay unhinted —
+    // Spark broadcasts them when they fit the threshold and falls back
+    // to a batch-sized shuffle when they don't
+    val seenNodes =
+      if (pointPath) broadcast(seen.select($"node"))
+      else seen.select($"node")
+    val inserts = nodes.join(seenNodes, Seq("node"), "left_anti")
       .select($"node", $"node".as("component"))
     val eff = seen
       .join(alias.select($"c".as("component"), $"canon"),
@@ -477,14 +496,19 @@ object ConnectedComponents {
     * over the batch anyway. */
   private[graft] val MaxPointLookupNodes = 10000
 
-  /** The scan-only FALLBACK base probe of [[incrementalMergeParts]] —
-    * (node, component) rows of `base` whose node appears in the batch
-    * node set, via a broadcast semi join (base streams, no Exchange).
-    * Exposed so the PlanSpec gate can assert the standing-base side
-    * carries NO Exchange on exactly the join the ingest path runs. */
+  /** The oversized-batch FALLBACK base probe of
+    * [[incrementalMergeParts]] — (node, component) rows of `base` whose
+    * node appears in the batch node set, via an UNHINTED semi join:
+    * Spark broadcasts the node set while it fits the threshold (base
+    * streams, no Exchange), and past that degrades to the sort-merge
+    * plan, where a `bucketBy(node)` at-rest base still carries no
+    * Exchange (only the batch pays one). A forced broadcast hint here
+    * would make the genuinely-huge-batch case fail outright instead of
+    * degrading. Exposed so the PlanSpec gate asserts exactly the join
+    * the ingest path runs. */
   private[graft] def probeBaseLabels(base: DataFrame, nodes: DataFrame)
       : DataFrame =
-    base.join(broadcast(nodes), Seq("node"), "left_semi")
+    base.join(nodes, Seq("node"), "left_semi")
 
   /** The POINT-LOOKUP base probe: the batch node set as an In predicate
     * on the scan — bucket-pruned on a `bucketBy(node)` table,
@@ -597,18 +621,32 @@ object ConnectedComponents {
                     dstCol: String = "dst"): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val (lab, labRdd) = CheckpointOps.checkpointTruncated(
-      scc(edges, srcCol, dstCol))
+    // the pinned-set discipline of scc(): every live round frame
+    // registers; the cycle-guard error path frees the WHOLE set
+    val pinned = scala.collection.mutable.Set.empty[RDD]
+    def pin(t: (DataFrame, RDD)): (DataFrame, RDD) = { pinned += t._2; t }
+    def pinC(t: (DataFrame, RDD, Long)): (DataFrame, RDD, Long) = {
+      pinned += t._2; t
+    }
+    def unpin(r: RDD): Unit = { pinned -= r; r.unpersist(false) }
+    val (sccDf, sccRdds) = sccWithHandles(edges, srcCol, dstCol)
+    sccRdds.foreach(pinned += _)
+    val (lab, labRdd) = pin(CheckpointOps.checkpointTruncated(sccDf))
     val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
       .where($"esrc" =!= $"edst").distinct()
     val ce = e
       .join(lab.select($"node".as("esrc"), $"scc".as("s")), "esrc")
       .join(lab.select($"node".as("edst"), $"scc".as("d")), "edst")
       .where($"s" =!= $"d").select($"s", $"d").distinct()
-    var (rem, remRdd, nRem) = CheckpointOps.checkpointCountTruncated(
-      lab.select($"scc").distinct())
-    var (remE, remERdd) = CheckpointOps.checkpointTruncated(ce)
-    labRdd.unpersist(false) // condensation materialized; labels are dead
+    var (rem, remRdd, nRem) = pinC(CheckpointOps.checkpointCountTruncated(
+      lab.select($"scc").distinct()))
+    var (remE, remERdd) = pin(CheckpointOps.checkpointTruncated(ce))
+    // condensation materialized: the labels AND the scc run's own
+    // settled frames behind them are dead state now — free both
+    // (leaving them pinned is the deferred-cleanup inflation
+    // CheckpointOps documents)
+    unpin(labRdd)
+    sccRdds.foreach(unpin)
     val found = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     val emptyOut = rem.select($"scc", lit(0).as("level")).where(lit(false))
     var level = 0
@@ -618,19 +656,24 @@ object ConnectedComponents {
           "left_anti")
         .select($"scc", lit(level).as("level"))
       val (srcsFlat, srcsRdd, nSrcs) =
-        CheckpointOps.checkpointCountTruncated(srcs)
+        pinC(CheckpointOps.checkpointCountTruncated(srcs))
       // impossible after SCC condensation (the DAG property); guards
-      // an infinite peel if a caller feeds pre-labeled non-SCC input
-      require(nSrcs > 0,
-        s"topological peel found no sources with $nRem nodes left — " +
-          "the condensed graph has a cycle")
+      // an infinite peel if a caller feeds pre-labeled non-SCC input —
+      // and frees every pinned round frame before throwing, like scc()
+      if (nSrcs == 0) {
+        pinned.foreach(_.unpersist(false))
+        pinned.clear()
+        throw new IllegalArgumentException(
+          s"topological peel found no sources with $nRem nodes left — " +
+            "the condensed graph has a cycle")
+      }
       found += srcsFlat
-      val (nxt, nxtRdd, nNxt) = CheckpointOps.checkpointCountTruncated(
-        rem.join(srcsFlat.select($"scc"), Seq("scc"), "left_anti"))
-      val (nxtE, nxtERdd) = CheckpointOps.checkpointTruncated(
-        remE.join(srcsFlat.select($"scc".as("s")), Seq("s"), "left_anti"))
-      remRdd.unpersist(false)
-      remERdd.unpersist(false)
+      val (nxt, nxtRdd, nNxt) = pinC(CheckpointOps.checkpointCountTruncated(
+        rem.join(srcsFlat.select($"scc"), Seq("scc"), "left_anti")))
+      val (nxtE, nxtERdd) = pin(CheckpointOps.checkpointTruncated(
+        remE.join(srcsFlat.select($"scc".as("s")), Seq("s"), "left_anti")))
+      unpin(remRdd)
+      unpin(remERdd)
       rem = nxt
       remRdd = nxtRdd
       nRem = nNxt
@@ -638,8 +681,8 @@ object ConnectedComponents {
       remERdd = nxtERdd
       level += 1
     }
-    remRdd.unpersist(false)
-    remERdd.unpersist(false)
+    unpin(remRdd)
+    unpin(remERdd)
     found.foldLeft(emptyOut)(_ unionByName _)
   }
 

@@ -79,16 +79,19 @@ object PageRank {
     math.max(1000000L,
       executorMemBytes.getOrElse(Runtime.getRuntime.maxMemory()) / 1000L)
 
-  /** Parse a Spark memory string ("4g", "512m", "2048k", plain bytes,
+  /** Parse a Spark memory string ("4g", "512m", "2048k",
     * case-insensitive, optional trailing "b") — None if malformed, so a
     * bad conf degrades to the local-mode fallback instead of failing
-    * centrality calls. */
+    * centrality calls. A SUFFIX-LESS number is MiB, matching how Spark
+    * itself reads `spark.executor.memory` (ByteUnit.MiB default) —
+    * treating "8192" as bytes would floor the budget to its 1M-row
+    * minimum and trip the guard spuriously on an 8 GiB executor. */
   private[graft] def parseMemoryBytes(s: String): Option[Long] = {
     val m = "(?i)^\\s*(\\d+)\\s*([kmgt]?)b?\\s*$".r
     s match {
       case m(num, unit) =>
         val shift = unit.toLowerCase match {
-          case ""  => 0
+          case ""  => 20 // Spark's spark.executor.memory default unit
           case "k" => 10
           case "m" => 20
           case "g" => 30
@@ -945,26 +948,43 @@ object PageRank {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select($"src".as("node")).distinct()
-    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
-    val init = nodes.select($"node",
-      transform(sequence(lit(0), lit(m - 1)),
-        j => when(j === idx.cast("int"), rho.cast("int"))
-          .otherwise(lit(0))).as("regs"))
-    val mergeRegs = udaf(new RegisterMaxMerge(m))
-    var (regs, _) = CheckpointOps.checkpoint(init)
+    var (regs, _) = CheckpointOps.checkpoint(packedInitRegs(nodes, p))
     var ests = Vector(packedEstimate(regs, "n0", m))
     var hop = 1
     while (hop <= maxHops) {
-      val fromNeighbors = e.join(regs.withColumnRenamed("node", "src"), "src")
-        .select($"dst".as("node"), $"regs")
       val (next, _) = CheckpointOps.checkpoint(
-        fromNeighbors.union(regs)
-          .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
+        packedPropagateRound(e, regs, m))
       regs = next
       ests :+= packedEstimate(regs, s"n$hop", m)
       hop += 1
     }
     ests
+  }
+
+  /** Hop-0 PACKED register table: the m-slot HLL self-sketch per node.
+    * ONE copy (fixed / adaptive / incremental loops all start here), so
+    * the register-content identity the oracles replay survives edits. */
+  private def packedInitRegs(nodes: DataFrame, p: Int): DataFrame = {
+    val m = 1 << p
+    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
+    nodes.select(col("node"),
+      transform(sequence(lit(0), lit(m - 1)),
+        j => when(j === idx.cast("int"), rho.cast("int"))
+          .otherwise(lit(0))).as("regs"))
+  }
+
+  /** One PACKED propagation round: every node max-merges its
+    * in-neighbors' registers with its own. ONE copy shared by the
+    * fixed, adaptive, and incremental loops — the fold-equals-rebuild
+    * and adaptive-vs-fixed bit-identity contracts rest on the round
+    * being literally the same expression tree everywhere. */
+  private def packedPropagateRound(e: DataFrame, regs: DataFrame,
+                                   m: Int): DataFrame = {
+    val mergeRegs = udaf(new RegisterMaxMerge(m))
+    e.join(regs.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"), col("regs"))
+      .union(regs)
+      .groupBy(col("node")).agg(mergeRegs(col("regs")).as("regs"))
   }
 
   /** Per-node ball-size estimate off a PACKED register table — the
@@ -1013,27 +1033,18 @@ object PageRank {
     import spark.implicits._
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
     val nodes = e.select($"src".as("node")).distinct()
-    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
-    val init = nodes.select($"node",
-      transform(sequence(lit(0), lit(m - 1)),
-        j => when(j === idx.cast("int"), rho.cast("int"))
-          .otherwise(lit(0))).as("regs"))
-    val mergeRegs = udaf(new RegisterMaxMerge(m))
     def qsum(r: DataFrame): Long =
       packedEstimate(r, "est", m)
         .agg(coalesce(sum(floor($"est" * lit(1e6) + lit(0.5)).cast("long")),
           lit(0L)))
         .head().getLong(0)
-    var (regs, regsRdd) = CheckpointOps.checkpoint(init)
+    var (regs, regsRdd) = CheckpointOps.checkpoint(packedInitRegs(nodes, p))
     var qs = Vector(qsum(regs))
     var hop = 1
     var stopped = qs(0) == 0L // no out-edge nodes at all: nothing to run
     while (hop <= hopCap && !stopped) {
-      val fromNeighbors = e.join(regs.withColumnRenamed("node", "src"), "src")
-        .select($"dst".as("node"), $"regs")
       val (next, nextRdd) = CheckpointOps.checkpoint(
-        fromNeighbors.union(regs)
-          .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
+        packedPropagateRound(e, regs, m))
       regsRdd.unpersist(false)
       regs = next
       regsRdd = nextRdd
@@ -1151,27 +1162,19 @@ object PageRank {
     val spark = initialEdges.sparkSession
     import spark.implicits._
     val mergeRegs = udaf(new RegisterMaxMerge(m))
-    val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
-    def initRegs(nodes: DataFrame): DataFrame = nodes.select($"node",
-      transform(sequence(lit(0), lit(m - 1)),
-        j => when(j === idx.cast("int"), rho.cast("int"))
-          .otherwise(lit(0))).as("regs"))
 
-    // initial load: the fixed propagation, one standing frame per hop
+    // initial load: the fixed propagation (the SAME shared round — the
+    // fold-equals-rebuild contract), one standing frame per hop
     val (e0Flat, _) = CheckpointOps.checkpointTruncated(
       initialEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     var edgeFrames = Vector(e0Flat)
     val (r0, _) = CheckpointOps.checkpointTruncated(
-      initRegs(e0Flat.select($"src".as("node")).distinct()))
+      packedInitRegs(e0Flat.select($"src".as("node")).distinct(), p))
     var frames: Vector[Vector[DataFrame]] = Vector(Vector(r0))
     var initRegsH = r0
     for (_ <- 1 to maxHops) {
-      val fromNeighbors = e0Flat
-        .join(initRegsH.withColumnRenamed("node", "src"), "src")
-        .select($"dst".as("node"), $"regs")
       val (next, _) = CheckpointOps.checkpointTruncated(
-        fromNeighbors.union(initRegsH)
-          .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
+        packedPropagateRound(e0Flat, initRegsH, m))
       frames :+= Vector(next)
       initRegsH = next
     }
@@ -1197,7 +1200,8 @@ object PageRank {
         .map(_.join(broadcast(srcNodes), Seq("node"), "left_semi"))
         .reduce(_ union _).select($"node").distinct()
       val (d0, _, n0New) = CheckpointOps.checkpointCountTruncated(
-        initRegs(srcNodes.join(broadcast(seen0), Seq("node"), "left_anti")))
+        packedInitRegs(
+          srcNodes.join(broadcast(seen0), Seq("node"), "left_anti"), p))
       if (n0New > 0) frames = frames.updated(0, frames(0) :+ d0)
       edgeFrames :+= newE
       val allEdges = edgeFrames.reduce(_ unionByName _)
@@ -1211,9 +1215,9 @@ object PageRank {
         val viaNewE = newE
           .join(broadcast(srcRegs.withColumnRenamed("node", "src")), "src")
           .select($"dst".as("node"), $"regs")
-        val cand = viaDelta.union(viaNewE).union(deltaPrev)
-          .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
-          .localCheckpoint(true)
+        val (cand, candRdd) = CheckpointOps.checkpointTruncated(
+          viaDelta.union(viaNewE).union(deltaPrev)
+            .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
         val old = resolveFor(h, cand.select($"node"))
           .withColumnRenamed("regs", "old_regs")
         val merged = cand.join(old, Seq("node"), "left")
@@ -1225,6 +1229,11 @@ object PageRank {
         val (dh, _, nCh) = CheckpointOps.checkpointCountTruncated(
           merged.where($"old_regs".isNull || !($"regs" <=> $"old_regs"))
             .select($"node", $"regs"))
+        // cand is dead the moment the delta lands (its consumers — the
+        // old-register probe and the merge — all ran inside dh's
+        // materialization); free it instead of leaving maxHops ×
+        // batches ball-sized frames to GC
+        candRdd.unpersist(false)
         if (nCh > 0) frames = frames.updated(h, frames(h) :+ dh)
         deltaPrev = dh
       }

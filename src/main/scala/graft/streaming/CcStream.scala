@@ -102,24 +102,53 @@ object CcStream {
     * ingest can resume immediately; run it BETWEEN batches (same
     * single-writer contract as the batches themselves). The rewritten
     * base is re-bucketed through [[writeCcBase]] into a fresh path,
-    * then swapped in via table rename — atomic at the catalog level. */
+    * then swapped in via drop + rename. The swap is NOT atomic (the
+    * catalog has no two-table transaction), but every crash window is
+    * recoverable and compact() itself performs the recovery on entry:
+    * a crash before the DROP leaves the live base untouched (the
+    * partial `_compacting` table is dropped and redone); a crash
+    * between DROP and RENAME leaves only the fully-written
+    * `_compacting` table, which the next compact() (or any caller
+    * checking [[compactNeedsRecovery]]) completes; a crash after the
+    * RENAME but before the alias truncate is BENIGN — the stale alias
+    * keys are labels no base row carries anymore, so resolution and
+    * ingest treat them as no-ops until the truncate lands. */
   def compact(spark: SparkSession, baseTable: String, aliasTable: String,
               newBasePath: String, numBuckets: Int = 8): Unit = {
+    val tmp = baseTable + "_compacting"
+    def truncateAlias(): Unit =
+      spark.table(aliasTable)
+        .where(org.apache.spark.sql.functions.lit(false))
+        .localCheckpoint(true)
+        .write.mode("overwrite").insertInto(aliasTable)
+    if (compactNeedsRecovery(spark, baseTable)) {
+      // a previous compact died between DROP and RENAME: the tmp table
+      // is complete (it only exists once fully written) and already
+      // holds the RESOLVED labels — finish the swap; nothing to redo
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $baseTable")
+      truncateAlias()
+      return
+    }
     // the rewrite lands in a NEW table first (no read-overwrite hazard:
     // the old base/alias stay untouched sources until tmp is at rest);
     // newBasePath must be fresh — dropping the old external base later
     // leaves its files for storage-side lifecycle cleanup
     val resolved = ConnectedComponents.resolveLabels(
       spark.table(baseTable), spark.table(aliasTable))
-    val tmp = baseTable + "_compacting"
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     writeCcBase(resolved, tmp, newBasePath, numBuckets)
     spark.sql(s"DROP TABLE IF EXISTS $baseTable")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $baseTable")
-    spark.table(aliasTable).where(org.apache.spark.sql.functions.lit(false))
-      .localCheckpoint(true)
-      .write.mode("overwrite").insertInto(aliasTable)
+    truncateAlias()
   }
+
+  /** True when a previous [[compact]] died in its only dangerous
+    * window (base dropped, rename pending) — the base table is gone
+    * and the completed `_compacting` table is waiting. Ingest callers
+    * can check this at startup; [[compact]] itself recovers on entry. */
+  def compactNeedsRecovery(spark: SparkSession, baseTable: String): Boolean =
+    !spark.catalog.tableExists(baseTable) &&
+      spark.catalog.tableExists(baseTable + "_compacting")
 
   /** Streaming path: `foreachBatch` merge-then-write against standing
     * base + alias TABLES (see [[ingestBatch]] for the replay

@@ -637,9 +637,11 @@ class PlanSpec extends SparkTestBase {
         ppt.toString.take(3000)}")
       assert(ppt.toString.contains("SelectedBucketsCount"),
         s"expected bucket pruning:\n${ppt.toString.take(3000)}")
-      // leg A — the oversized-batch fallback (batch node set broadcast):
-      // the ONLY exchange in the whole plan is the broadcast of the
-      // batch-sized node set; the base side is a plain file scan
+      // leg A — the oversized-batch fallback while the node set still
+      // fits the broadcast threshold: Spark picks the broadcast semi
+      // itself (UNHINTED — a forced hint would make the genuinely-huge
+      // case fail instead of degrade); the base side is a plain scan
+      // with no exchange anywhere
       val probed = ConnectedComponents.probeBaseLabels(spark.table(tbl), nodes)
       probed.collect()
       val pp = probed.queryExecution.executedPlan
@@ -654,10 +656,11 @@ class PlanSpec extends SparkTestBase {
     }
     withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.enabled" -> "false") {
-      // leg B — a batch too big to broadcast probes UNHINTED: the
+      // leg B — the SAME product probe past the broadcast threshold
+      // (forced with threshold=-1): degrades to sort-merge where the
       // bucketed base side comes partitioned+sorted straight off the
       // bucket files (zero exchanges); the batch pays the only one
-      val joined = spark.table(tbl).join(nodes, Seq("node"), "left_semi")
+      val joined = ConnectedComponents.probeBaseLabels(spark.table(tbl), nodes)
       joined.collect()
       val smj = joined.queryExecution.executedPlan.collectFirst {
         case s: SortMergeJoinExec => s

@@ -990,7 +990,10 @@ class OperatorsSpec extends SparkTestBase {
     assert(PageRank.parseMemoryBytes("512M") == Some(512L << 20))
     assert(PageRank.parseMemoryBytes("2048k") == Some(2048L << 10))
     assert(PageRank.parseMemoryBytes("1t") == Some(1L << 40))
-    assert(PageRank.parseMemoryBytes("12345") == Some(12345L))
+    // suffix-less is MiB — Spark's own unit for spark.executor.memory
+    // ("8192" means 8 GiB there; reading it as bytes would floor the
+    // budget and trip the guard spuriously)
+    assert(PageRank.parseMemoryBytes("8192") == Some(8192L << 20))
     assert(PageRank.parseMemoryBytes("16gb") == Some(16L << 30))
     assert(PageRank.parseMemoryBytes("lots") == None)
     assert(PageRank.parseMemoryBytes("") == None)

@@ -97,6 +97,44 @@ class CcStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $aTbl")
   }
 
+  test("compaction recovers from its one dangerous crash window (base " +
+    "dropped, rename pending) on the next call") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_recover").toString
+    val (bTbl, aTbl) = ("cc_recover_spec_base", "cc_recover_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS ${bTbl}_compacting")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    val base0 = ConnectedComponents.run(initial.toDF())
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base0")
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+    CcStream.ingestBatch(batch1.toDF(), "src", "dst", bTbl, aTbl)
+    val want = labelsOf(bTbl, aTbl)
+    // simulate the crash: the resolved rewrite landed fully in the
+    // _compacting table and the old base was dropped, but the rename
+    // never ran
+    CcStream.writeCcBase(
+      ConnectedComponents.resolveLabels(
+        spark.table(bTbl), spark.table(aTbl)).localCheckpoint(true),
+      s"${bTbl}_compacting", s"$dir/base1")
+    spark.sql(s"DROP TABLE $bTbl")
+    assert(CcStream.compactNeedsRecovery(spark, bTbl))
+    // the next compact completes the swap instead of failing on the
+    // missing base
+    CcStream.compact(spark, bTbl, aTbl, s"$dir/base2")
+    assert(!CcStream.compactNeedsRecovery(spark, bTbl))
+    assert(labelsOf(bTbl, aTbl) == want)
+    assert(spark.table(aTbl).count() == 0L)
+    // ingest continues against the recovered state
+    CcStream.ingestBatch(batch2.toDF(), "src", "dst", bTbl, aTbl)
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((initial ++ batch1 ++ batch2).toDF())
+        .as[(Long, Long)].collect().toMap)
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+
   test("a replayed CC micro-batch is idempotent: base and alias tables " +
     "unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("cc_replay").toString

@@ -187,6 +187,12 @@ object Bench {
     }
     val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
       "bench_full.json")
+    // ROUND-STAMPED copy: bench_full.json is clobber-prone (any local
+    // run overwrites the committed artifact), so when the round is known
+    // the official run ALSO lands as bench_full_r<N>.json — the
+    // per-round artifact the committed history keeps
+    val roundPath = sys.env.get("SPARK_GRAFT_ROUND")
+      .map(r => s"bench_full_r$r.json")
     val fullJson = new StringBuilder
     fullJson ++= f"""{"sf":"$sfDir","total":$total%.3f,"""
     fullJson ++= s""""total_method":"single_pass","n_queries":${results.size},"""
@@ -201,12 +207,14 @@ object Bench {
     fullJson ++= f""""total_per_ctl":$totalPerCtl%.1f,"""
     fullJson ++= f""""loadavg1":$loadAvg%.2f,"""
     fullJson ++= s""""control_series":$ctlJson}"""
-    try {
-      val w = new java.io.PrintWriter(fullPath, "UTF-8")
-      try w.println(fullJson.result()) finally w.close()
-    } catch {
-      case e: Exception =>
-        System.err.println(s"BENCH full-artifact write failed: $e")
+    for (p <- fullPath +: roundPath.toSeq) {
+      try {
+        val w = new java.io.PrintWriter(p, "UTF-8")
+        try w.println(fullJson.result()) finally w.close()
+      } catch {
+        case e: Exception =>
+          System.err.println(s"BENCH full-artifact write failed ($p): $e")
+      }
     }
     // methodology is declared IN the JSON so cross-round comparisons can't
     // silently mix min-of-2 headline numbers with single-pass totals;

@@ -1132,6 +1132,40 @@ private[graft] object TailRegistryB {
           |    / 1e6 AS frac
           |FROM nf""".stripMargin))),
 
+    // GR: the incremental neighborhood function under the ADAPTIVE
+    // saturation stop — the standing register stacks GROW hops lazily:
+    // the initial load propagates only until Boldi-Vigna's quantized
+    // rule fires, each batch delta-folds into the maintained hops, and
+    // a batch that un-saturates the top (new edges shorten paths, ball
+    // sums grow again) extends the state by corpus rounds off the
+    // RESOLVED top registers. The emitted hops re-derive the stop over
+    // the FINAL corpus sums, so the output is the adaptive rebuild
+    // BIT-identically — the oracle is gr_hyperball_nf_adaptive's
+    // full-corpus replay VERBATIM (estimates to the cap, same stop
+    // rule on the same quantized longs).
+    Q("gr_hyperball_nf_incremental_adaptive",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val k = pmod(col("src") + col("dst"), lit(3))
+        PageRank.hyperBallNeighborhoodIncrementalAdaptive(
+          bidir.where(k =!= 0),
+          Seq(bidir.where(k === 0 && pmod(col("src"), lit(2)) === 0),
+            bidir.where(k === 0 && pmod(col("src"), lit(2)) === 1)),
+          hopCap = 5, epsilon = 0.05, p = 6)
+      },
+      Some(hyperBallOracleSql(
+        hyperBallAdaptiveNfSql(hopCap = 5, epsSql = "5e-2") +
+          """
+            |SELECT hop, nf,
+            |  floor(nf / (SELECT n.nf FROM nf n, stp WHERE n.hop = stp.shop)
+            |    * 1e6 + 5e-1) / 1e6 AS frac
+            |FROM nf""".stripMargin,
+        rounds = 5))),
+
     // GR: harmonic centrality off the SAME incremental standing
     // registers — one delta-folded register history serves every
     // geometric centrality (the Boldi-Vigna point carried to the

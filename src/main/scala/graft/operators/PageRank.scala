@@ -870,7 +870,7 @@ object PageRank {
     * registers. This shape reads ~35 s — one estimator pass per hop.)
     * Shared by the batch and INCREMENTAL neighborhood functions, so
     * fold-vs-rebuild parity rests on one copy of the fold arithmetic. */
-  private def nfFold(estFrames: Seq[DataFrame]): DataFrame = {
+  private[graft] def nfFold(estFrames: Seq[DataFrame]): DataFrame = {
     val maxHop = estFrames.size - 1
     val perHopRaw = estFrames.zipWithIndex.map { case (df, h) =>
         df.select(lit(h).as("hop"),
@@ -964,7 +964,7 @@ object PageRank {
   /** Hop-0 PACKED register table: the m-slot HLL self-sketch per node.
     * ONE copy (fixed / adaptive / incremental loops all start here), so
     * the register-content identity the oracles replay survives edits. */
-  private def packedInitRegs(nodes: DataFrame, p: Int): DataFrame = {
+  private[graft] def packedInitRegs(nodes: DataFrame, p: Int): DataFrame = {
     val m = 1 << p
     val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
     nodes.select(col("node"),
@@ -978,7 +978,7 @@ object PageRank {
     * fixed, adaptive, and incremental loops — the fold-equals-rebuild
     * and adaptive-vs-fixed bit-identity contracts rest on the round
     * being literally the same expression tree everywhere. */
-  private def packedPropagateRound(e: DataFrame, regs: DataFrame,
+  private[graft] def packedPropagateRound(e: DataFrame, regs: DataFrame,
                                    m: Int): DataFrame = {
     val mergeRegs = udaf(new RegisterMaxMerge(m))
     e.join(regs.withColumnRenamed("node", "src"), "src")
@@ -992,7 +992,7 @@ object PageRank {
     * packed fold (empty slots contribute pow(2, -0) = 1 directly);
     * the correction CASE is Sketches.hllCorrection — ONE copy, so the
     * packed/exploded bit-identity contract survives threshold edits. */
-  private def packedEstimate(r: DataFrame, name: String, m: Int)
+  private[graft] def packedEstimate(r: DataFrame, name: String, m: Int)
       : DataFrame = {
     val sAll = aggregate(col("regs"), lit(0.0),
       (acc, x) => acc + pow(lit(2.0), -x))
@@ -1137,9 +1137,18 @@ object PageRank {
                            batches: Seq[DataFrame],
                            maxHops: Int = 3, p: Int = 6,
                            srcCol: String = "src",
-                           dstCol: String = "dst"): DataFrame = {
-    val joined = hyperBallIncrementalEstimates(initialEdges, batches,
-      maxHops, p, srcCol, dstCol).reduce((a, b) => a.join(b, Seq("node")))
+                           dstCol: String = "dst"): DataFrame =
+    harmonicFold(hyperBallIncrementalEstimates(initialEdges, batches,
+      maxHops, p, srcCol, dstCol))
+
+  /** The harmonic-centrality fold off per-hop estimate frames (frame h
+    * carries column n$h): per-node join, then Σ_h (n_h − n_{h−1})/h —
+    * ONE copy shared by the in-memory incremental row and the at-rest
+    * table form ([[graft.streaming.HbStream]]), so their outputs
+    * cannot drift. */
+  private[graft] def harmonicFold(ests: Seq[DataFrame]): DataFrame = {
+    val maxHops = ests.size - 1
+    val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
     val harmonic = (1 to maxHops)
       .map(h => (col(s"n$h") - col(s"n${h - 1}")) / lit(h.toDouble))
       .reduce(_ + _)
@@ -1147,10 +1156,16 @@ object PageRank {
   }
 
   /** The shared incremental register machinery: build the standing
-    * per-hop frames over the initial load, delta-fold each batch, and
-    * return the RESOLVED per-hop estimate frames (node, n$h) — the
-    * same shape [[hyperBallHopEstimates]] yields for the batch form,
-    * so every downstream fold is one shared copy. */
+    * per-hop frames over the initial load ([[HyperBallState.init]]),
+    * delta-fold each batch ([[HyperBallState.foldBatch]] — ONE copy,
+    * shared with the at-rest table form in
+    * [[graft.streaming.HbStream]]), and return the RESOLVED per-hop
+    * estimate frames (node, n$h) — the same shape
+    * [[hyperBallHopEstimates]] yields for the batch form, so every
+    * downstream fold is one shared copy. The store's transient blocks
+    * (corpus-sized edge frames, empty deltas) free on close — the
+    * estimates only read the standing register frames, so a long-lived
+    * session doesn't accumulate dead edge blocks per call. */
   private def hyperBallIncrementalEstimates(initialEdges: DataFrame,
                                             batches: Seq[DataFrame],
                                             maxHops: Int, p: Int,
@@ -1158,95 +1173,89 @@ object PageRank {
                                             dstCol: String)
       : Seq[DataFrame] = {
     require(maxHops >= 1, "need at least one hop")
+    val store = new InMemoryHbRegStore(initialEdges.sparkSession, p)
+    HyperBallState.init(store, initialEdges, maxHops, srcCol, dstCol)
+    batches.foreach(b => HyperBallState.foldBatch(store, b, srcCol, dstCol))
+    val ests = HyperBallState.estimates(store)
+    store.close()
+    ests
+  }
+
+  /** [[hyperBallNeighborhoodIncremental]] under the ADAPTIVE saturation
+    * stop (see [[hyperBallAdaptiveQs]]): the standing per-hop register
+    * stacks GROW hops lazily — the initial load propagates only until
+    * the quantized rule q_h − q_{h−1} < ε·q_h fires (or `hopCap`), each
+    * batch delta-folds into the maintained hops, and when a batch
+    * un-saturates the top (its new edges shortened paths enough that
+    * the ball sums grow again) the state extends by corpus rounds off
+    * the RESOLVED top registers until the rule fires again. The emitted
+    * hops re-derive the stop over the FINAL corpus sums, so the output
+    * is [[hyperBallNeighborhoodAdaptive]] over initial ∪ batches
+    * BIT-identically (max-merge resolution reproduces the rebuild
+    * registers; growth rounds are the same shared propagation round) —
+    * the oracle replays the stop over the full corpus verbatim.
+    *
+    * @return (hop, nf, frac) for hop 0..stop; empty if the final graph
+    *         has no edges */
+  def hyperBallNeighborhoodIncrementalAdaptive(
+      initialEdges: DataFrame, batches: Seq[DataFrame], hopCap: Int = 5,
+      epsilon: Double = 0.05, p: Int = 6, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    require(hopCap >= 1, "need at least one hop")
+    require(epsilon > 0.0 && epsilon < 1.0, "epsilon must be in (0, 1)")
     val m = 1 << p
     val spark = initialEdges.sparkSession
     import spark.implicits._
-    val mergeRegs = udaf(new RegisterMaxMerge(m))
-
-    // initial load: the fixed propagation (the SAME shared round — the
-    // fold-equals-rebuild contract), one standing frame per hop
-    val (e0Flat, _) = CheckpointOps.checkpointTruncated(
-      initialEdges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-    var edgeFrames = Vector(e0Flat)
-    val (r0, _) = CheckpointOps.checkpointTruncated(
-      packedInitRegs(e0Flat.select($"src".as("node")).distinct(), p))
-    var frames: Vector[Vector[DataFrame]] = Vector(Vector(r0))
-    var initRegsH = r0
-    for (_ <- 1 to maxHops) {
-      val (next, _) = CheckpointOps.checkpointTruncated(
-        packedPropagateRound(e0Flat, initRegsH, m))
-      frames :+= Vector(next)
-      initRegsH = next
-    }
-
-    // registers of `keys` nodes at hop h: standing frames semi-probed
-    // by the (broadcast-sized) key set, max-merged — never a corpus
-    // shuffle, and absent nodes simply produce no row
-    def resolveFor(h: Int, keys: DataFrame): DataFrame =
-      frames(h).map(_.join(broadcast(keys), Seq("node"), "left_semi"))
-        .reduce(_ union _)
-        .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
-
-    batches.foreach { b =>
-      val (newE, _) = CheckpointOps.checkpointTruncated(
-        b.select(col(srcCol).as("src"), col(dstCol).as("dst")))
-      // new SRC nodes seed hop-0 sketches — hop-0 presence is "has an
-      // out-edge" (the batch form's n0 node set); a node already known
-      // as a pure dst still seeds here, and its self-sketch then
-      // carries up through the delta propagation exactly as a rebuild
-      // would include it
-      val srcNodes = newE.select($"src".as("node")).distinct()
-      val seen0 = frames(0)
-        .map(_.join(broadcast(srcNodes), Seq("node"), "left_semi"))
-        .reduce(_ union _).select($"node").distinct()
-      val (d0, _, n0New) = CheckpointOps.checkpointCountTruncated(
-        packedInitRegs(
-          srcNodes.join(broadcast(seen0), Seq("node"), "left_anti"), p))
-      if (n0New > 0) frames = frames.updated(0, frames(0) :+ d0)
-      edgeFrames :+= newE
-      val allEdges = edgeFrames.reduce(_ unionByName _)
-      var deltaPrev = d0 // empty when n0New == 0 — still a valid frame
-      for (h <- 1 to maxHops) {
-        val viaDelta = allEdges
-          .join(broadcast(deltaPrev.withColumnRenamed("node", "src")),
-            "src")
-          .select($"dst".as("node"), $"regs")
-        val srcRegs = resolveFor(h - 1, srcNodes)
-        val viaNewE = newE
-          .join(broadcast(srcRegs.withColumnRenamed("node", "src")), "src")
-          .select($"dst".as("node"), $"regs")
-        val (cand, candRdd) = CheckpointOps.checkpointTruncated(
-          viaDelta.union(viaNewE).union(deltaPrev)
-            .groupBy($"node").agg(mergeRegs($"regs").as("regs")))
-        val old = resolveFor(h, cand.select($"node"))
-          .withColumnRenamed("regs", "old_regs")
-        val merged = cand.join(old, Seq("node"), "left")
-          .select($"node",
-            when($"old_regs".isNull, $"regs")
-              .otherwise(zip_with($"regs", $"old_regs",
-                (a, c) => greatest(a, c))).as("regs"),
-            $"old_regs")
-        val (dh, _, nCh) = CheckpointOps.checkpointCountTruncated(
-          merged.where($"old_regs".isNull || !($"regs" <=> $"old_regs"))
-            .select($"node", $"regs"))
-        // cand is dead the moment the delta lands (its consumers — the
-        // old-register probe and the merge — all ran inside dh's
-        // materialization); free it instead of leaving maxHops ×
-        // batches ball-sized frames to GC
-        candRdd.unpersist(false)
-        if (nCh > 0) frames = frames.updated(h, frames(h) :+ dh)
-        deltaPrev = dh
+    val store = new InMemoryHbRegStore(spark, p)
+    def qAt(h: Int): Long =
+      packedEstimate(store.resolved(h), "est", m)
+        .agg(coalesce(sum(floor($"est" * lit(1e6) + lit(0.5))
+          .cast("long")), lit(0L)))
+        .head().getLong(0)
+    // first saturated hop over CURRENT sums (-1: none in 1..maxHop) —
+    // the same quantized-long comparison hyperBallAdaptiveQs drives,
+    // evaluated over the standing state's resolved estimates
+    def stopHop(qs: Vector[Long]): Int =
+      (1 until qs.size).find(h =>
+        (qs(h) - qs(h - 1)).toDouble < epsilon * qs(h).toDouble)
+        .getOrElse(-1)
+    def growUntilSaturated(qs0: Vector[Long]): Vector[Long] = {
+      var qs = qs0
+      while (stopHop(qs) < 0 && store.maxHop < hopCap) {
+        store.growHop()
+        qs :+= qAt(store.maxHop)
       }
+      qs
     }
-
-    // read: resolve each hop's standing frames, estimate — one copy of
-    // the estimator (bit parity with the batch form is structural, not
-    // incidental); callers fold NF or per-node centralities from these
-    (0 to maxHops).map { h =>
-      val resolved = frames(h).reduce(_ unionByName _)
-        .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
-      packedEstimate(resolved, s"n$h", m)
+    HyperBallState.init(store, initialEdges, maxHops = 1, srcCol, dstCol)
+    var qs = growUntilSaturated(Vector(qAt(0), qAt(1)))
+    batches.foreach { b =>
+      HyperBallState.foldBatch(store, b, srcCol, dstCol)
+      // re-derive every hop's sum (a batch grows balls at ALL hops),
+      // then extend if the top is no longer past the stop rule
+      qs = growUntilSaturated(
+        (0 to store.maxHop).map(qAt).toVector)
     }
+    val topHop = store.maxHop
+    // every sum is materialized and the output below is driver-local,
+    // so the standing frames are dead state — free them all (unlike
+    // the fixed-hop incremental rows, whose returned estimates keep
+    // reading their frames)
+    store.closeAll()
+    if (qs.last == 0L)
+      return Seq.empty[(Int, Double, Double)].toDF("hop", "nf", "frac")
+    // the emitted stop re-derives over the FINAL corpus sums: growth
+    // during intermediate batches may have overshot (later batches can
+    // saturate an earlier hop), and the oracle's rule is first-h
+    val stop = stopHop(qs) match {
+      case -1 => math.min(topHop, hopCap)
+      case h => h
+    }
+    val nfStop = qs(stop).toDouble / 1e6
+    qs.take(stop + 1).zipWithIndex.map { case (q, h) =>
+      val nf = q.toDouble / 1e6
+      (h, nf, math.floor(nf / nfStop * 1e6 + 0.5) / 1e6)
+    }.toDF("hop", "nf", "frac")
   }
 
   /** [[effectiveDiameter]] off the ADAPTIVE neighborhood function — on

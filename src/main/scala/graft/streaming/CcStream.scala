@@ -65,6 +65,19 @@ object CcStream {
   private[graft] def ingestBatch(batch: DataFrame, srcCol: String,
       dstCol: String, baseTable: String, aliasTable: String): Unit = {
     val spark = batch.sparkSession
+    // a compact() that died between its DROP and RENAME leaves the base
+    // missing and the completed `_compacting` table waiting — without
+    // this check every retry of the batch fails on a raw
+    // table-not-found until an operator intervenes; the recovery is the
+    // same idempotent swap-completion compact() runs on entry
+    if (compactNeedsRecovery(spark, baseTable))
+      recoverCompact(spark, baseTable, aliasTable)
+    // drop cached relations: a previous writer may have been ANOTHER
+    // session (insertInto only refreshes the writing session's cache),
+    // and a stale file listing makes the label probe silently miss
+    // appended base frames (the HbStream.refreshFamily discipline)
+    spark.catalog.refreshTable(baseTable)
+    spark.catalog.refreshTable(aliasTable)
     val b = batch.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
     try {
@@ -116,31 +129,58 @@ object CcStream {
   def compact(spark: SparkSession, baseTable: String, aliasTable: String,
               newBasePath: String, numBuckets: Int = 8): Unit = {
     val tmp = baseTable + "_compacting"
-    def truncateAlias(): Unit =
-      spark.table(aliasTable)
-        .where(org.apache.spark.sql.functions.lit(false))
-        .localCheckpoint(true)
-        .write.mode("overwrite").insertInto(aliasTable)
     if (compactNeedsRecovery(spark, baseTable)) {
-      // a previous compact died between DROP and RENAME: the tmp table
-      // is complete (it only exists once fully written) and already
-      // holds the RESOLVED labels — finish the swap; nothing to redo
-      spark.sql(s"ALTER TABLE $tmp RENAME TO $baseTable")
-      truncateAlias()
+      recoverCompact(spark, baseTable, aliasTable)
       return
     }
+    spark.catalog.refreshTable(baseTable)
+    spark.catalog.refreshTable(aliasTable)
     // the rewrite lands in a NEW table first (no read-overwrite hazard:
     // the old base/alias stay untouched sources until tmp is at rest);
-    // newBasePath must be fresh — dropping the old external base later
-    // leaves its files for storage-side lifecycle cleanup
+    // newBasePath must be FRESH — a maintenance job that passes the
+    // live base's own path would have writeCcBase's overwrite delete
+    // the files the lazy `resolved` read is executing over, so the
+    // freshness is ENFORCED against the catalog, not left to a comment
+    // (dropping the old external base later leaves its files for
+    // storage-side lifecycle cleanup)
+    // File.toURI appends a trailing slash when the directory EXISTS —
+    // exactly the dangerous case — so compare stripped paths
+    val liveLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(baseTable)).location)
+      .toUri.getPath.stripSuffix("/")
+    val newLoc = new org.apache.hadoop.fs.Path(
+      new java.io.File(newBasePath).toURI).toUri.getPath.stripSuffix("/")
+    require(newLoc != liveLoc,
+      s"compact() needs a FRESH base path: $newBasePath is the live " +
+        s"base table's current location ($liveLoc) — overwriting it " +
+        "would delete the files the rewrite is reading")
     val resolved = ConnectedComponents.resolveLabels(
       spark.table(baseTable), spark.table(aliasTable))
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     writeCcBase(resolved, tmp, newBasePath, numBuckets)
     spark.sql(s"DROP TABLE IF EXISTS $baseTable")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $baseTable")
-    truncateAlias()
+    spark.catalog.refreshTable(baseTable)
+    truncateAlias(spark, aliasTable)
   }
+
+  /** Complete a [[compact]] that died between DROP and RENAME: the tmp
+    * table is complete (it only exists once fully written) and already
+    * holds the RESOLVED labels — finish the swap; nothing to redo.
+    * Idempotent entry point shared by [[compact]] and [[ingestBatch]]. */
+  private def recoverCompact(spark: SparkSession, baseTable: String,
+                             aliasTable: String): Unit = {
+    spark.sql(
+      s"ALTER TABLE ${baseTable}_compacting RENAME TO $baseTable")
+    truncateAlias(spark, aliasTable)
+  }
+
+  private def truncateAlias(spark: SparkSession, aliasTable: String): Unit =
+    spark.table(aliasTable)
+      .where(org.apache.spark.sql.functions.lit(false))
+      .localCheckpoint(true)
+      .write.mode("overwrite").insertInto(aliasTable)
 
   /** True when a previous [[compact]] died in its only dangerous
     * window (base dropped, rename pending) — the base table is gone
@@ -152,14 +192,37 @@ object CcStream {
 
   /** Streaming path: `foreachBatch` merge-then-write against standing
     * base + alias TABLES (see [[ingestBatch]] for the replay
-    * contract). */
+    * contract), with an optional AUTO-COMPACTION policy: after a batch
+    * leaves the alias at or above `compactAliasThreshold` rows, the
+    * base compacts into a fresh path from `compactPathFor` (called
+    * with a strictly-growing generation number — return a path that
+    * embeds it) and the alias truncates. The alias is model-small and
+    * rewritten whole per batch anyway, so counting it per batch is a
+    * metadata-scale read; the threshold bounds BOTH the per-batch
+    * alias rewrite and the broadcast the resolution join ships, which
+    * is what actually degrades on a merge-heavy corpus (SCALE.md r17
+    * records the growth curve behind the default). Compaction runs
+    * INSIDE foreachBatch, between batches — the same single-writer
+    * slot the batches occupy. 0 disables. */
   def run(stream: DataFrame, srcCol: String, dstCol: String,
-          baseTable: String, aliasTable: String,
-          checkpoint: String): StreamingQuery =
+          baseTable: String, aliasTable: String, checkpoint: String,
+          compactAliasThreshold: Long = 0L,
+          compactPathFor: Long => String = null): StreamingQuery = {
+    require(compactAliasThreshold == 0L || compactPathFor != null,
+      "auto-compaction needs a compactPathFor path generator")
+    var generation = 0L
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         ingestBatch(batch.toDF(), srcCol, dstCol, baseTable, aliasTable)
+        if (compactAliasThreshold > 0L &&
+            batch.sparkSession.table(aliasTable).count()
+              >= compactAliasThreshold) {
+          compact(batch.sparkSession, baseTable, aliasTable,
+            compactPathFor(generation))
+          generation += 1
+        }
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
 }

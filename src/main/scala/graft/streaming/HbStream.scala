@@ -1,0 +1,387 @@
+package graft.streaming
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+import graft.operators.{ConnectedComponents, HbRegStore, HyperBallState,
+  PageRank, RegisterMaxMerge}
+
+/** Streaming HyperBall maintenance against AT-REST standing state —
+  * the [[CcStream]] discipline applied to the incremental per-hop
+  * register stacks of
+  * [[PageRank.hyperBallNeighborhoodIncremental]]: where the in-memory
+  * form keeps each hop's frames as session-local localCheckpoint
+  * blocks that grow one frame per batch forever (and re-unions them on
+  * every probe), here each hop's stack is ONE `bucketBy(node)` catalog
+  * table, append per delta:
+  *
+  *  - frame count becomes FILE count — probes and resolution stay one
+  *    bucketed scan no matter how many batches ever folded (the axis
+  *    the in-memory form degrades on), batch-node probes push down as
+  *    In predicates that BUCKET-PRUNE the scan;
+  *  - register max-merge is idempotent/order-free, so the tables are
+  *    append-only with resolution = max-merge groupBy — which the
+  *    bucketing answers with ZERO exchange — and [[compact]] is just
+  *    that groupBy made durable (each hop max-merged back to one frame,
+  *    the union-find path-compression-at-rest move of
+  *    [[CcStream.compact]], same DROP/RENAME recovery discipline);
+  *  - the standing edge set is its own `bucketBy(src)` append-only
+  *    table, so per-hop delta propagation probes it bucket-pruned too.
+  *
+  * The fold itself is [[HyperBallState.foldBatch]] — the SAME code the
+  * in-memory registry rows run, over a table-backed [[HbRegStore]] —
+  * so stream == fold == rebuild is structural. Replaying a batch
+  * appends no register frame (no register can grow); it does re-append
+  * the batch's edges, which is harmless under idempotent max-merge and
+  * deduplicated by the next [[compact]].
+  *
+  * Deployment note (same as [[CcStream.writeCcBase]]): Spark's
+  * DisableUnnecessaryBucketedScan rule keeps bucketed scans only for
+  * joins/aggs on the bucket key — it doesn't know about bucket
+  * PRUNING, so filter-only point probes need
+  * `spark.sql.sources.bucketing.autoBucketedScan.enabled=false` to
+  * keep their SelectedBucketsCount; pushdown and the no-exchange shape
+  * hold regardless. */
+object HbStream {
+
+  private[graft] def edgesTable(prefix: String): String = s"${prefix}_edges"
+  private[graft] def regsTable(prefix: String, h: Int): String =
+    s"${prefix}_regs_h$h"
+
+  /** Initialize (or re-initialize) the standing state: drops any
+    * existing family tables, writes the edge table, and runs the
+    * shared initial propagation — one bucketed register table per hop
+    * 0..maxHops. `p` and `maxHops` are recorded as table properties on
+    * the edge table so every later call derives them from the catalog
+    * (readers and writers cannot drift on the register geometry). */
+  def init(initialEdges: DataFrame, prefix: String, pathRoot: String,
+           maxHops: Int = 3, p: Int = 6, srcCol: String = "src",
+           dstCol: String = "dst", numBuckets: Int = 8): Unit = {
+    require(maxHops >= 1, "need at least one hop")
+    val spark = initialEdges.sparkSession
+    dropFamily(spark, prefix)
+    val store = new TableHbRegStore(spark, prefix, p, pathRoot, numBuckets)
+    try {
+      HyperBallState.init(store, initialEdges, maxHops, srcCol, dstCol)
+      spark.sql(s"ALTER TABLE ${edgesTable(prefix)} SET TBLPROPERTIES " +
+        s"('graft.hb.p' = '$p', 'graft.hb.maxhops' = '$maxHops')")
+    } finally store.close()
+  }
+
+  /** One micro-batch's delta fold against the standing tables — the
+    * [[HyperBallState.foldBatch]] contract (batch ball must be
+    * broadcast-sized; replay appends no register frame). Recovers a
+    * [[compact]] that died mid-swap before touching anything, like
+    * [[CcStream.ingestBatch]]. */
+  def ingestBatch(batch: DataFrame, prefix: String, srcCol: String = "src",
+                  dstCol: String = "dst"): Unit = {
+    val spark = batch.sparkSession
+    if (compactNeedsRecovery(spark, prefix)) recoverCompact(spark, prefix)
+    refreshFamily(spark, prefix)
+    val (p, _) = readMeta(spark, prefix)
+    val store = new TableHbRegStore(spark, prefix, p, pathRoot = null,
+      numBuckets = 0)
+    try HyperBallState.foldBatch(store, batch, srcCol, dstCol)
+    finally store.close()
+  }
+
+  /** The RESOLVED per-hop estimate frames (node, n$h) off the standing
+    * tables — one bucketed scan + zero-exchange max-merge per hop. */
+  def estimates(spark: SparkSession, prefix: String): Seq[DataFrame] = {
+    refreshFamily(spark, prefix)
+    val (p, maxHops) = readMeta(spark, prefix)
+    val store = new TableHbRegStore(spark, prefix, p, pathRoot = null,
+      numBuckets = 0)
+    (0 to maxHops).map(h =>
+      PageRank.packedEstimate(store.resolved(h), s"n$h", 1 << p))
+  }
+
+  /** The neighborhood function off the standing tables — the same
+    * shared fold as the rebuild and in-memory incremental forms. */
+  def neighborhoodFunction(spark: SparkSession, prefix: String): DataFrame =
+    PageRank.nfFold(estimates(spark, prefix))
+
+  /** Harmonic centrality off the SAME standing tables — one standing
+    * register history serves every geometric centrality. */
+  def harmonic(spark: SparkSession, prefix: String): DataFrame =
+    PageRank.harmonicFold(estimates(spark, prefix))
+
+  /** COMPACTION: rewrite each hop's register table to its max-merge
+    * resolution (ONE frame per node) and the edge table to its
+    * distinct rows. Resolution is unchanged by construction (max-merge
+    * is exactly the read path), so ingest can resume immediately; run
+    * BETWEEN batches (single-writer contract). Every table swaps
+    * through the [[CcStream.compact]] DROP/RENAME discipline: the
+    * rewrite lands fully in a `_compacting` table at a FRESH path
+    * (enforced against the catalog), and a crash between a table's
+    * DROP and RENAME is recovered on the next compact/ingest entry.
+    * A crash BETWEEN tables is benign — each table is independently
+    * valid at either generation. */
+  def compact(spark: SparkSession, prefix: String, newPathRoot: String,
+              numBuckets: Int = 8): Unit = {
+    if (compactNeedsRecovery(spark, prefix)) recoverCompact(spark, prefix)
+    refreshFamily(spark, prefix)
+    val (p, maxHops) = readMeta(spark, prefix)
+    val mergeRegs = udaf(new RegisterMaxMerge(1 << p))
+    for (h <- 0 to maxHops) {
+      val live = regsTable(prefix, h)
+      swapIn(spark, live, s"$newPathRoot/regs_h$h") { (tmp, path) =>
+        writeRegsTable(
+          spark.table(live).groupBy(col("node"))
+            .agg(mergeRegs(col("regs")).as("regs")),
+          tmp, path, numBuckets)
+      }
+    }
+    val eLive = edgesTable(prefix)
+    swapIn(spark, eLive, s"$newPathRoot/edges") { (tmp, path) =>
+      writeEdgesTable(spark.table(eLive).distinct(), tmp, path, numBuckets)
+      spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
+        s"('graft.hb.p' = '$p', 'graft.hb.maxhops' = '$maxHops')")
+    }
+  }
+
+  /** True when a previous [[compact]] died in a DROP-to-RENAME window:
+    * some family table is gone and its completed `_compacting` twin is
+    * waiting. [[compact]] and [[ingestBatch]] recover on entry. */
+  def compactNeedsRecovery(spark: SparkSession, prefix: String): Boolean =
+    familyTables(spark, prefix).exists { t =>
+      !spark.catalog.tableExists(t) &&
+        spark.catalog.tableExists(t + "_compacting")
+    }
+
+  /** Streaming path: `foreachBatch` delta folds against the standing
+    * tables, with an optional AUTO-COMPACTION policy: after every
+    * `compactEvery` folded batches the stack compacts into a fresh
+    * path from `compactPathFor` (called with a strictly-growing
+    * generation number — return a path that embeds it). 0 disables.
+    * Compaction runs INSIDE foreachBatch, between folds — the same
+    * single-writer slot the batches themselves occupy. */
+  def run(stream: DataFrame, prefix: String, checkpoint: String,
+          srcCol: String = "src", dstCol: String = "dst",
+          compactEvery: Int = 0,
+          compactPathFor: Long => String = null): StreamingQuery = {
+    require(compactEvery == 0 || compactPathFor != null,
+      "auto-compaction needs a compactPathFor path generator")
+    var sinceCompact = 0
+    var generation = 0L
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        ingestBatch(batch.toDF(), prefix, srcCol, dstCol)
+        sinceCompact += 1
+        if (compactEvery > 0 && sinceCompact >= compactEvery) {
+          compact(batch.sparkSession, prefix, compactPathFor(generation))
+          generation += 1
+          sinceCompact = 0
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
+  // ---- plan-gate hooks: the EXACT plans ingest/read run, exposed so
+  // PlanSpec can pin their no-corpus-Exchange shapes ------------------
+
+  private[graft] def planProbe(spark: SparkSession, prefix: String,
+                               h: Int, keys: DataFrame): DataFrame = {
+    val (p, _) = readMeta(spark, prefix)
+    new TableHbRegStore(spark, prefix, p, null, 0).resolveFor(h, keys)
+  }
+
+  private[graft] def planResolved(spark: SparkSession, prefix: String,
+                                  h: Int): DataFrame = {
+    val (p, _) = readMeta(spark, prefix)
+    new TableHbRegStore(spark, prefix, p, null, 0).resolved(h)
+  }
+
+  private[graft] def planPropagate(spark: SparkSession, prefix: String,
+                                   delta: DataFrame): DataFrame = {
+    val (p, _) = readMeta(spark, prefix)
+    new TableHbRegStore(spark, prefix, p, null, 0).propagateAlong(delta)
+  }
+
+  // ---- internals ----------------------------------------------------
+
+  private def readMeta(spark: SparkSession, prefix: String): (Int, Int) = {
+    val props = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(edgesTable(prefix))).properties
+    (props("graft.hb.p").toInt, props("graft.hb.maxhops").toInt)
+  }
+
+  /** Every live (or mid-swap) table of the family, regs stacks probed
+    * upward until neither generation exists — works even when the
+    * edges table (and its meta) is itself mid-swap. */
+  private def familyTables(spark: SparkSession,
+                           prefix: String): Seq[String] = {
+    def liveOrTmp(t: String): Boolean =
+      spark.catalog.tableExists(t) ||
+        spark.catalog.tableExists(t + "_compacting")
+    val regs = Iterator.from(0).map(regsTable(prefix, _))
+      .takeWhile(liveOrTmp).toSeq
+    regs ++ Some(edgesTable(prefix)).filter(liveOrTmp)
+  }
+
+  /** Drop cached table relations for the whole family. Catalog writes
+    * from ANOTHER session (the foreachBatch clone — streaming runs its
+    * batches on a cloned SparkSession, and `insertInto` only refreshes
+    * the WRITING session's relation cache) leave this session's cached
+    * file listings stale: reads silently miss appended frames, and
+    * post-swap reads chase dropped-generation files. Every
+    * read/write/compact entry point invalidates first; the next query
+    * re-lists — the price of cross-session freshness. */
+  private def refreshFamily(spark: SparkSession, prefix: String): Unit =
+    familyTables(spark, prefix).foreach { t =>
+      if (spark.catalog.tableExists(t)) spark.catalog.refreshTable(t)
+    }
+
+  private def recoverCompact(spark: SparkSession, prefix: String): Unit =
+    familyTables(spark, prefix).foreach { t =>
+      if (!spark.catalog.tableExists(t) &&
+          spark.catalog.tableExists(t + "_compacting"))
+        spark.sql(s"ALTER TABLE ${t}_compacting RENAME TO $t")
+    }
+
+  private def dropFamily(spark: SparkSession, prefix: String): Unit =
+    familyTables(spark, prefix).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_compacting")
+    }
+
+  /** The [[CcStream.compact]] swap, generalized: build the rewrite in
+    * `live + "_compacting"` at a FRESH path (enforced against the
+    * catalog — overwriting the live location would delete the files
+    * the lazy rewrite reads), then DROP + RENAME. */
+  private def swapIn(spark: SparkSession, live: String, newPath: String)
+                    (write: (String, String) => Unit): Unit = {
+    // File.toURI appends a trailing slash when the directory EXISTS —
+    // exactly the dangerous case — so compare stripped paths
+    val liveLoc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        TableIdentifier(live)).location).toUri.getPath.stripSuffix("/")
+    val newLoc = new org.apache.hadoop.fs.Path(
+      new java.io.File(newPath).toURI).toUri.getPath.stripSuffix("/")
+    require(newLoc != liveLoc,
+      s"compact() needs a FRESH path: $newPath is $live's current " +
+        s"location ($liveLoc)")
+    val tmp = live + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    write(tmp, newPath)
+    spark.sql(s"DROP TABLE IF EXISTS $live")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $live")
+    spark.catalog.refreshTable(live)
+  }
+
+  private def writeRegsTable(regs: DataFrame, table: String, path: String,
+                             numBuckets: Int): Unit =
+    regs.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, "node").sortBy("node")
+      .saveAsTable(table)
+
+  private def writeEdgesTable(e: DataFrame, table: String, path: String,
+                              numBuckets: Int): Unit =
+    e.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(numBuckets, "src").sortBy("src")
+      .saveAsTable(table)
+
+  /** The table-backed [[HbRegStore]]: probes are pushed-down point
+    * lookups on the bucketed tables (broadcast-semi above the
+    * point-lookup cap — the [[ConnectedComponents]] probe ladder),
+    * appends are `insertInto` (bucketing preserved), and every
+    * checkpointed frame is batch-local (freed on close — the tables
+    * hold the durable state). `pathRoot` is only consulted when a
+    * table doesn't exist yet (the init path). */
+  private final class TableHbRegStore(
+      spark: SparkSession, prefix: String, val p: Int,
+      pathRoot: String, numBuckets: Int) extends HbRegStore {
+    private val cap = ConnectedComponents.MaxPointLookupNodes
+    private val transients =
+      scala.collection.mutable.ArrayBuffer.empty[RDD[InternalRow]]
+    private val m = 1 << p
+    private val mergeRegs = udaf(new RegisterMaxMerge(m))
+
+    private var topHop = {
+      var h = -1
+      while (spark.catalog.tableExists(regsTable(prefix, h + 1))) h += 1
+      h
+    }
+    def maxHop: Int = topHop
+
+    /** Rows of `table` whose `keyCol` is in the batch-bounded key set:
+      * an In predicate pushed to the scan (bucket-pruned, row-group
+      * skipped) up to the point-lookup cap, an unhinted semi join past
+      * it — never an exchange of the corpus side. */
+    private def probe(table: String, keyCol: String,
+                      keys: DataFrame): DataFrame = {
+      val t = spark.table(table)
+      val keyVals = keys.limit(cap + 1).collect().map(_.get(0)).toSeq
+      if (keyVals.isEmpty) t.where(lit(false))
+      else if (keyVals.size <= cap)
+        t.where(col(keyCol).isInCollection(keyVals))
+      else t.join(keys.withColumnRenamed(keys.columns.head, keyCol),
+        Seq(keyCol), "left_semi")
+    }
+
+    def resolveFor(h: Int, keys: DataFrame): DataFrame =
+      probe(regsTable(prefix, h), "node", keys)
+        .groupBy(col("node")).agg(mergeRegs(col("regs")).as("regs"))
+
+    def seen0Nodes(keys: DataFrame): DataFrame =
+      probe(regsTable(prefix, 0), "node", keys)
+        .select(col("node")).distinct()
+
+    def appendDelta(h: Int, delta: DataFrame,
+                    rdd: RDD[InternalRow]): Unit = {
+      transients += rdd
+      val t = regsTable(prefix, h)
+      if (spark.catalog.tableExists(t))
+        delta.write.mode("append").insertInto(t)
+      else {
+        require(pathRoot != null,
+          s"register table $t missing — run HbStream.init first")
+        writeRegsTable(delta, t, s"$pathRoot/regs_h$h", numBuckets)
+      }
+      if (h > topHop) topHop = h
+    }
+
+    def appendEdges(e: DataFrame): Unit = {
+      val t = edgesTable(prefix)
+      if (spark.catalog.tableExists(t))
+        e.write.mode("append").insertInto(t)
+      else {
+        require(pathRoot != null,
+          s"edge table $t missing — run HbStream.init first")
+        writeEdgesTable(e, t, s"$pathRoot/edges", numBuckets)
+      }
+    }
+
+    def allEdges: DataFrame = spark.table(edgesTable(prefix))
+
+    def propagateAlong(delta: DataFrame): DataFrame =
+      probe(edgesTable(prefix), "src", delta.select(col("node")))
+        .join(broadcast(delta.withColumnRenamed("node", "src")), "src")
+        .select(col("dst").as("node"), col("regs"))
+
+    def resolved(h: Int): DataFrame =
+      spark.table(regsTable(prefix, h))
+        .groupBy(col("node")).agg(mergeRegs(col("regs")).as("regs"))
+
+    def growHop(): Unit = {
+      val (next, nextRdd) =
+        org.apache.spark.sql.graft.CheckpointOps.checkpointTruncated(
+          PageRank.packedPropagateRound(allEdges, resolved(maxHop), m))
+      appendDelta(maxHop + 1, next, nextRdd)
+    }
+
+    def trackTransient(rdd: RDD[InternalRow]): Unit = transients += rdd
+
+    def close(): Unit = {
+      transients.foreach(_.unpersist(false))
+      transients.clear()
+    }
+  }
+}

@@ -50,9 +50,10 @@ object CcIngestProbe {
     def want(section: String): Boolean = only.forall(_(section))
 
     // ---- section 1: at-rest per-batch wall vs standing-base size ----
-    // base: n settled singleton labels; batch: a fixed 2k-edge chain
-    // segment touching 2k existing + 2k new nodes — every batch does
-    // real lookup + insert + merge work, identical per base size
+    // base: n settled singleton labels; batch: a fixed 2k-edge segment
+    // (1k merge pairs over 2k existing nodes + 1k inserts of new
+    // nodes) — every batch does real lookup + insert + merge work,
+    // identical per base size
     val warehouse = "/tmp/graft_ccprobe"
     val baseN = 2000000L
     for (mult <- Seq(1, 4, 10) if want("atrest")) {
@@ -69,7 +70,7 @@ object CcIngestProbe {
         .write.mode("overwrite").option("path", s"$warehouse/alias_$mult")
         .saveAsTable(aTbl)
       // 3 reps of the SAME-shaped batch on disjoint node windows (each
-      // rep merges 2k existing pairs and inserts 2k new nodes)
+      // rep merges 1k existing pairs and inserts 1k new nodes)
       val reps = (0 until 3).map { r =>
         val off = r * 10000L
         val batch = spark.range(1000)

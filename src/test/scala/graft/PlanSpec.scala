@@ -610,6 +610,7 @@ class PlanSpec extends SparkTestBase {
       col("c_custkey").as("component"))
     val tbl = "graft_cc_base_planspec"
     CcStream.writeCcBase(base0, tbl, "/tmp/graft_bucketed/planspec_cc_base")
+    try {
     val nodes = all.where(pmod(col("c_custkey"), lit(50)) === 0)
       .select(col("c_custkey").as("node"))
     withSQLConf("spark.sql.adaptive.enabled" -> "false",
@@ -674,6 +675,74 @@ class PlanSpec extends SparkTestBase {
       }.nonEmpty,
         s"base side must be a bucketed scan:\n${smj.left.toString.take(3000)}")
     }
-    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // an assertion failure must not leave the catalog entry behind for
+    // later suites sharing the session/metastore
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("hb_incremental at-rest: the table-backed register fold carries " +
+    "no corpus exchange — point probes bucket-prune, delta propagation " +
+    "prunes the edge scan, and post-compact resolution aggregates " +
+    "without a shuffle") {
+    import graft.streaming.HbStream
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.{
+      BroadcastExchangeExec, ShuffleExchangeExec}
+    val tmp = java.nio.file.Files.createTempDirectory("hb_plan").toString
+    val e0 = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("src"),
+        (col("c_custkey") % 97 + 200000).as("dst"))
+    HbStream.init(e0, "graft_hb_planspec", s"$tmp/gen0", maxHops = 1,
+      p = 6, numBuckets = 8)
+    try {
+      HbStream.compact(spark, "graft_hb_planspec", s"$tmp/gen1")
+      val keys = e0.where(pmod(col("src"), lit(50)) === 0)
+        .select(col("src").as("node"))
+      withSQLConf("spark.sql.adaptive.enabled" -> "false",
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false") {
+        // leg A — the register point probe (resolveFor's default path):
+        // the In predicate pushes to the bucketed scan, which PRUNES;
+        // the only plan nodes besides scan are the partial/final aggs
+        val probed = HbStream.planProbe(spark, "graft_hb_planspec", 1, keys)
+        probed.collect()
+        val pp = probed.queryExecution.executedPlan
+        assert(pp.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+          pp.collect { case e: BroadcastExchangeExec => e }.isEmpty,
+          s"point probe must carry no exchange:\n${pp.toString.take(3000)}")
+        assert(pp.toString.contains("SelectedBucketsCount"),
+          s"expected bucket pruning:\n${pp.toString.take(3000)}")
+        // leg B — full resolution (the read path and compact's rewrite):
+        // the bucketed scan already satisfies the groupBy(node)
+        // distribution, so the max-merge agg needs NO shuffle
+        val res = HbStream.planResolved(spark, "graft_hb_planspec", 1)
+        res.collect()
+        val rp = res.queryExecution.executedPlan
+        assert(rp.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"post-compact resolution must not shuffle:\n${
+            rp.toString.take(3000)}")
+        assert(rp.collect {
+          case f: FileSourceScanExec if f.bucketedScan => f
+        }.nonEmpty, s"expected a bucketed scan:\n${rp.toString.take(3000)}")
+        // leg C — delta propagation along the standing edges: the
+        // delta's src set pushes down as an In predicate (bucket-pruned
+        // edge scan); the only exchange anywhere is the delta broadcast
+        val delta = spark.table("graft_hb_planspec_regs_h0")
+          .where(pmod(col("node"), lit(50)) === 0)
+          .localCheckpoint(true)
+        val prop = HbStream.planPropagate(spark, "graft_hb_planspec", delta)
+        prop.collect()
+        val qp = prop.queryExecution.executedPlan
+        assert(qp.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"propagation must not shuffle:\n${qp.toString.take(3000)}")
+        assert(qp.collect { case e: BroadcastExchangeExec => e }.size == 1,
+          s"only the delta may broadcast:\n${qp.toString.take(3000)}")
+        assert(qp.toString.contains("SelectedBucketsCount"),
+          s"expected edge-scan bucket pruning:\n${qp.toString.take(3000)}")
+      }
+    } finally {
+      for (h <- 0 to 1)
+        spark.sql(s"DROP TABLE IF EXISTS graft_hb_planspec_regs_h$h")
+      spark.sql("DROP TABLE IF EXISTS graft_hb_planspec_edges")
+    }
   }
 }

@@ -984,6 +984,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(hGot == hWant, s"harmonic fold $hGot != rebuild $hWant")
   }
 
+  test("adaptive incremental HyperBall grows hops lazily over the " +
+    "standing registers and re-derives the rebuild's stop exactly") {
+    val ring = (0L to 11L).map(i => (i, (i + 1) % 12))
+    val chords = Seq((0L, 6L), (2L, 9L), (4L, 10L), (1L, 7L))
+    def bidir(pairs: Seq[(Long, Long)]) = {
+      val e = pairs.toDF("src", "dst")
+      e.union(e.select($"dst".as("src"), $"src".as("dst")))
+    }
+    def nf(df: org.apache.spark.sql.DataFrame): Seq[(Int, Double, Double)] =
+      df.as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+    val all = ring ++ chords
+    val initial = all.filter(p => (p._1 + p._2) % 3 != 0)
+    val b1 = all.filter(p => (p._1 + p._2) % 3 == 0 && p._1 % 2 == 0)
+    val b2 = all.filter(p => (p._1 + p._2) % 3 == 0 && p._1 % 2 == 1)
+    // the emitted hops equal the full-corpus adaptive rebuild term for
+    // term: same stop hop, same quantized sums, same fractions
+    for ((cap, eps) <- Seq((5, 0.05), (8, 0.30), (2, 0.05))) {
+      val want = nf(PageRank.hyperBallNeighborhoodAdaptive(
+        bidir(all), hopCap = cap, epsilon = eps))
+      val got = nf(PageRank.hyperBallNeighborhoodIncrementalAdaptive(
+        bidir(initial), Seq(bidir(b1), bidir(b2)), hopCap = cap,
+        epsilon = eps))
+      assert(got == want, s"cap=$cap eps=$eps: fold $got != rebuild $want")
+    }
+    // a LONG chain arriving in batches forces mid-stream hop growth:
+    // the initial third saturates early, later batches un-saturate it
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    val cInit = chain.filter(_._1 < 7L)
+    val cB1 = chain.filter(p => p._1 >= 7L && p._1 < 14L)
+    val cB2 = chain.filter(_._1 >= 14L)
+    assert(nf(PageRank.hyperBallNeighborhoodIncrementalAdaptive(
+        bidir(cInit), Seq(bidir(cB1), bidir(cB2)), hopCap = 6)) ==
+      nf(PageRank.hyperBallNeighborhoodAdaptive(bidir(chain), hopCap = 6)))
+    // no edges at all stays empty, never crashes
+    assert(PageRank.hyperBallNeighborhoodIncrementalAdaptive(
+      Seq.empty[(Long, Long)].toDF("src", "dst"),
+      Seq(Seq.empty[(Long, Long)].toDF("src", "dst"))).count() == 0L)
+    // empty initial load bootstraps from the first real batch
+    assert(nf(PageRank.hyperBallNeighborhoodIncrementalAdaptive(
+        bidir(Seq.empty), Seq(bidir(all)), hopCap = 5)) ==
+      nf(PageRank.hyperBallNeighborhoodAdaptive(bidir(all), hopCap = 5)))
+  }
+
   test("the default state budget derives from executor memory when set " +
     "and falls back to the driver heap in local mode") {
     assert(PageRank.parseMemoryBytes("4g") == Some(4L << 30))

@@ -135,6 +135,91 @@ class CcStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $aTbl")
   }
 
+  test("auto-compaction: a merge-heavy stream compacts mid-run when the " +
+    "alias crosses the threshold and still equals the rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cc_auto").toString
+    val (bTbl, aTbl) = ("cc_auto_spec_base", "cc_auto_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    // 8 disjoint pairs, then batches that chain-merge them one link at
+    // a time — every batch is a merge, so the alias grows steadily
+    val pairs = (0L until 8L).map(i => Edge(2 * i, 2 * i + 1))
+    val links = (0L until 7L).map(i => Edge(2 * i + 1, 2 * i + 2))
+    val base0 = ConnectedComponents.run(pairs.toDF())
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base0")
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+    val mem = MemoryStream[Edge]
+    val q = CcStream.run(mem.toDF(), "src", "dst", bTbl, aTbl,
+      s"$dir/ckpt", compactAliasThreshold = 3L,
+      compactPathFor = g => s"$dir/compact_gen$g")
+    try {
+      links.foreach { e => mem.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    // the threshold tripped mid-run: the alias holds fewer rows than
+    // the 7 merges performed, and labels equal the from-scratch rebuild
+    assert(spark.table(aTbl).count() < 7L)
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((pairs ++ links).toDF())
+        .as[(Long, Long)].collect().toMap)
+    assert(labelsOf(bTbl, aTbl).values.toSet == Set(0L))
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+
+  test("a compaction write crash BEFORE catalog registration leaves " +
+    "compactNeedsRecovery false and the live base untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("cc_precrash")
+      .toString
+    val (bTbl, aTbl) = ("cc_precrash_spec_base", "cc_precrash_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    val base0 = ConnectedComponents.run(initial.toDF())
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base0")
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+    CcStream.ingestBatch(batch1.toDF(), "src", "dst", bTbl, aTbl)
+    val want = labelsOf(bTbl, aTbl)
+    // saveAsTable registers the catalog entry only after the write
+    // completes, so a mid-write crash leaves FILES but no table — pin
+    // that shape: parquet data at the crashed compact's target path,
+    // no `_compacting` entry
+    ConnectedComponents.resolveLabels(
+        spark.table(bTbl), spark.table(aTbl))
+      .localCheckpoint(true)
+      .write.mode("overwrite").parquet(s"$dir/crashed_gen1")
+    assert(!CcStream.compactNeedsRecovery(spark, bTbl))
+    // ingest proceeds against the untouched live base (no recovery ran)
+    CcStream.ingestBatch(batch2.toDF(), "src", "dst", bTbl, aTbl)
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((initial ++ batch1 ++ batch2).toDF())
+        .as[(Long, Long)].collect().toMap)
+    // a re-run compact to a FRESH path succeeds; the stale files from
+    // the crashed attempt are storage-lifecycle garbage, never read
+    CcStream.compact(spark, bTbl, aTbl, s"$dir/gen2")
+    assert(spark.table(aTbl).count() == 0L)
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((initial ++ batch1 ++ batch2).toDF())
+        .as[(Long, Long)].collect().toMap)
+    // the guard refuses the live path itself (the freshness contract
+    // that makes "fresh path per compact" enforced, not advisory)
+    val liveLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(bTbl)).location
+    val err = intercept[IllegalArgumentException] {
+      CcStream.compact(spark, bTbl, aTbl,
+        new java.io.File(liveLoc).getPath)
+    }
+    assert(err.getMessage.contains("FRESH"))
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run((initial ++ batch1 ++ batch2).toDF())
+        .as[(Long, Long)].collect().toMap)
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+
   test("a replayed CC micro-batch is idempotent: base and alias tables " +
     "unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("cc_replay").toString

@@ -1,0 +1,193 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.operators.PageRank
+
+class HbStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // the ring+chords graph of the in-memory incremental spec, split the
+  // same three-way; every leg compares against the FULL-corpus rebuild
+  private val ring = (0L to 11L).map(i => (i, (i + 1) % 12))
+  private val chords = Seq((0L, 6L), (2L, 9L), (4L, 10L), (1L, 7L))
+  private val all = ring ++ chords
+  private val initial = all.filter(p => (p._1 + p._2) % 3 != 0)
+  private val b1 = all.filter(p => (p._1 + p._2) % 3 == 0 && p._1 % 2 == 0)
+  private val b2 = all.filter(p => (p._1 + p._2) % 3 == 0 && p._1 % 2 == 1)
+
+  private def bidir(pairs: Seq[(Long, Long)]): DataFrame = {
+    val e = pairs.toDF("src", "dst")
+    e.union(e.select($"dst".as("src"), $"src".as("dst")))
+  }
+  private def bidirSeq(pairs: Seq[(Long, Long)]): Seq[Edge] =
+    (pairs ++ pairs.map(p => (p._2, p._1))).map(p => Edge(p._1, p._2))
+
+  private def nf(df: DataFrame): Seq[(Int, Double, Double)] =
+    df.as[(Int, Double, Double)].collect().sortBy(_._1).toSeq
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(tag).toString
+
+  test("foreachBatch HyperBall ingest against standing tables equals " +
+    "the in-memory fold and the from-scratch rebuild, for NF and " +
+    "harmonic alike") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("hb_stream")
+    HbStream.init(bidir(initial), "hb_stream_spec", s"$dir/gen0",
+      maxHops = 3, p = 6)
+    val mem = MemoryStream[Edge]
+    val q = HbStream.run(mem.toDF(), "hb_stream_spec", s"$dir/ckpt")
+    try {
+      mem.addData(bidirSeq(b1): _*); q.processAllAvailable()
+      mem.addData(bidirSeq(b2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = nf(PageRank.hyperBallNeighborhood(bidir(all), maxHops = 3))
+    val folded = nf(PageRank.hyperBallNeighborhoodIncremental(
+      bidir(initial), Seq(bidir(b1), bidir(b2)), maxHops = 3))
+    val streamed = nf(HbStream.neighborhoodFunction(spark, "hb_stream_spec"))
+    assert(streamed == folded && folded == want,
+      s"streamed $streamed fold $folded rebuild $want")
+    // harmonic off the SAME standing tables == the packed rebuild
+    val hWant = PageRank.hyperBallPacked(bidir(all), maxHops = 3)
+      .as[(Long, Double)].collect().toMap
+    assert(HbStream.harmonic(spark, "hb_stream_spec")
+      .as[(Long, Double)].collect().toMap == hWant)
+    dropFamily("hb_stream_spec")
+  }
+
+  test("compaction max-merges each hop to one frame and dedups edges: " +
+    "resolution unchanged, bucketing kept, ingest resumes; a replayed " +
+    "batch appends no register frame") {
+    val dir = tmpDir("hb_compact")
+    HbStream.init(bidir(initial), "hb_compact_spec", s"$dir/gen0",
+      maxHops = 3, p = 6)
+    HbStream.ingestBatch(bidir(b1), "hb_compact_spec")
+    val before = nf(HbStream.neighborhoodFunction(spark, "hb_compact_spec"))
+    def regFiles(h: Int): Long =
+      spark.table(s"hb_compact_spec_regs_h$h")
+        .select(input_file_name()).distinct().count()
+    val filesBefore = regFiles(1)
+    // replay: no register grows, so no hop table gains a file (the
+    // edge table does re-append — harmless, deduped below)
+    HbStream.ingestBatch(bidir(b1), "hb_compact_spec")
+    assert(regFiles(1) == filesBefore, "replay must append no frame")
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_compact_spec"))
+      == before)
+    val edgeRowsDuped = spark.table("hb_compact_spec_edges").count()
+    HbStream.compact(spark, "hb_compact_spec", s"$dir/gen1")
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_compact_spec"))
+      == before, "compaction must not change resolution")
+    // each hop holds ONE frame's worth of files now (<= bucket count,
+    // one write), and the edge dup from the replay is gone
+    for (h <- 0 to 3) assert(regFiles(h) <= 8, s"hop $h not compacted")
+    assert(spark.table("hb_compact_spec_edges").count() < edgeRowsDuped)
+    assert(spark.table("hb_compact_spec_edges").count() ==
+      bidir(initial).unionByName(bidir(b1)).distinct().count())
+    // the swapped-in tables keep the probe layout
+    val spec = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "hb_compact_spec_regs_h2")).bucketSpec
+    assert(spec.exists(_.bucketColumnNames == Seq("node")), spec.toString)
+    // ingest keeps working against the compacted state
+    HbStream.ingestBatch(bidir(b2), "hb_compact_spec")
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_compact_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(all), maxHops = 3)))
+    dropFamily("hb_compact_spec")
+  }
+
+  test("compaction recovers a DROP-to-RENAME crash on the next entry, " +
+    "refuses a stale (non-fresh) target path, and a pre-registration " +
+    "write crash leaves the live tables untouched") {
+    val dir = tmpDir("hb_recover")
+    HbStream.init(bidir(initial), "hb_recover_spec", s"$dir/gen0",
+      maxHops = 2, p = 6)
+    HbStream.ingestBatch(bidir(b1), "hb_recover_spec")
+    val want = nf(HbStream.neighborhoodFunction(spark, "hb_recover_spec"))
+    // simulate the crash: hop 1's rewrite landed fully in _compacting
+    // and the live table was dropped, but the rename never ran
+    val mergeRegs = udaf(new graft.operators.RegisterMaxMerge(64))
+    spark.table("hb_recover_spec_regs_h1")
+      .groupBy($"node").agg(mergeRegs($"regs").as("regs"))
+      .localCheckpoint(true)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/crash/regs_h1")
+      .bucketBy(8, "node").sortBy("node")
+      .saveAsTable("hb_recover_spec_regs_h1_compacting")
+    spark.sql("DROP TABLE hb_recover_spec_regs_h1")
+    assert(HbStream.compactNeedsRecovery(spark, "hb_recover_spec"))
+    // ingest recovers on entry and folds correctly afterwards
+    HbStream.ingestBatch(bidir(b2), "hb_recover_spec")
+    assert(!HbStream.compactNeedsRecovery(spark, "hb_recover_spec"))
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_recover_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(all), maxHops = 2)))
+    // a compact aimed at a LIVE table's current path must refuse
+    // up-front (the freshness guard), leaving everything intact
+    val liveLoc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "hb_recover_spec_regs_h0")).location
+    val err = intercept[IllegalArgumentException] {
+      HbStream.compact(spark, "hb_recover_spec",
+        new java.io.File(liveLoc).getParent)
+    }
+    assert(err.getMessage.contains("FRESH"))
+    val afterRefuse = nf(
+      HbStream.neighborhoodFunction(spark, "hb_recover_spec"))
+    assert(afterRefuse ==
+      nf(PageRank.hyperBallNeighborhood(bidir(all), maxHops = 2)))
+    // pre-registration crash shape: rewrite FILES exist at some path
+    // but no _compacting catalog entry was ever made — not a recovery
+    // state, the live tables serve reads, and a later compact to a
+    // fresh path succeeds
+    spark.table("hb_recover_spec_regs_h0").write.mode("overwrite")
+      .parquet(s"$dir/stale_files/regs_h0")
+    assert(!HbStream.compactNeedsRecovery(spark, "hb_recover_spec"))
+    HbStream.compact(spark, "hb_recover_spec", s"$dir/gen2")
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_recover_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(all), maxHops = 2)))
+    dropFamily("hb_recover_spec")
+  }
+
+  test("auto-compaction: a long merge-heavy stream compacts mid-run on " +
+    "the batch cadence and still equals the rebuild") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("hb_auto")
+    // a growing chain arriving in 6 single-edge batches: every batch
+    // changes registers at every hop, so frames accumulate fast
+    val chain = (0L until 8L).map(i => (i, i + 1))
+    HbStream.init(bidir(chain.take(2)), "hb_auto_spec", s"$dir/gen0",
+      maxHops = 2, p = 6)
+    val mem = MemoryStream[Edge]
+    val q = HbStream.run(mem.toDF(), "hb_auto_spec", s"$dir/ckpt",
+      compactEvery = 2, compactPathFor = g => s"$dir/compact_gen$g")
+    try {
+      chain.drop(2).foreach { e =>
+        mem.addData(bidirSeq(Seq(e)): _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 6 batches at compactEvery=2 → 3 compactions ran; the last lands
+    // after the final batch, so every hop is one frame's files
+    val files = spark.table("hb_auto_spec_regs_h1")
+      .select(input_file_name()).distinct().count()
+    assert(files <= 8, s"expected compacted hop table, got $files files")
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_auto_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(chain), maxHops = 2)))
+    dropFamily("hb_auto_spec")
+  }
+
+  private def dropFamily(prefix: String): Unit = {
+    var h = 0
+    while (spark.catalog.tableExists(s"${prefix}_regs_h$h") ||
+        spark.catalog.tableExists(s"${prefix}_regs_h${h}_compacting")) {
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_regs_h$h")
+      spark.sql(s"DROP TABLE IF EXISTS ${prefix}_regs_h${h}_compacting")
+      h += 1
+    }
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges")
+    spark.sql(s"DROP TABLE IF EXISTS ${prefix}_edges_compacting")
+  }
+}

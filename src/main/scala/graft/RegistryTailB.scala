@@ -1196,6 +1196,57 @@ private[graft] object TailRegistryB {
           |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
           |  JOIN n3 USING (node)""".stripMargin))),
 
+    // ST: the incremental HyperBall registers AT REST — the same fold
+    // as gr_hyperball_nf_incremental but over the bucketed CATALOG
+    // tables ([[graft.streaming.HbStream]]): init writes the standing
+    // per-hop register stacks, batch 1 delta-folds in, a COMPACTION
+    // max-merges every hop back to one frame mid-sequence (DROP/RENAME
+    // swap — resolution must be unchanged through it), batch 2 folds
+    // against the compacted state, and the NF reads off the tables.
+    // Table frames are max-merge-resolved on read exactly like the
+    // session-local frames, so the answer is the full-corpus rebuild's
+    // — the oracle is gr_hyperball_nf's replay VERBATIM, which pins
+    // stream == fold == rebuild THROUGH the compaction swap in the
+    // driver's own gate (HbStreamSpec pins the physical side).
+    Q("st_hyperball_atrest",
+      (s, dir) => {
+        val e0 = SpatialJoins.gridSelfJoin(
+            custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
+          .select(col("a_id").as("src"), col("b_id").as("dst"))
+        val bidir = e0.union(
+          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val k = pmod(col("src") + col("dst"), lit(3))
+        val tag = new java.io.File(dir).getName
+          .replaceAll("[^A-Za-z0-9]", "_")
+        val prefix = s"graft_hb_$tag"
+        val root = s"/tmp/graft_bucketed/${tag}_hb"
+        graft.streaming.HbStream.init(bidir.where(k =!= 0), prefix,
+          s"$root/gen0", maxHops = 3, p = 6)
+        graft.streaming.HbStream.ingestBatch(
+          bidir.where(k === 0 && pmod(col("src"), lit(2)) === 0), prefix)
+        graft.streaming.HbStream.compact(s, prefix, s"$root/gen1")
+        graft.streaming.HbStream.ingestBatch(
+          bidir.where(k === 0 && pmod(col("src"), lit(2)) === 1), prefix)
+        graft.streaming.HbStream.neighborhoodFunction(s, prefix)
+      },
+      Some(hyperBallOracleSql(
+        """, q AS MATERIALIZED (
+          |  SELECT 0 AS hop, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) AS q
+          |  FROM n0
+          |  UNION ALL
+          |  SELECT 1, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n1
+          |  UNION ALL
+          |  SELECT 2, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n2
+          |  UNION ALL
+          |  SELECT 3, CAST(floor(est * 1e6 + 5e-1) AS BIGINT) FROM n3),
+          |nf AS MATERIALIZED (
+          |  SELECT hop, CAST(sum(q) AS DOUBLE) / 1e6 AS nf
+          |  FROM q GROUP BY hop)
+          |SELECT hop, nf,
+          |  floor(nf / (SELECT nf FROM nf WHERE hop = 3) * 1e6 + 5e-1)
+          |    / 1e6 AS frac
+          |FROM nf""".stripMargin))),
+
     // GR: bounded-radius sampled-source betweenness (Brandes 2001 with
     // the two standard scale reductions: Brandes-Pich source sampling +
     // a 3-hop path radius). Forward pass counts shortest paths σ

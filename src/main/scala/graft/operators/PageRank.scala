@@ -1212,6 +1212,21 @@ object PageRank {
         .agg(coalesce(sum(floor($"est" * lit(1e6) + lit(0.5))
           .cast("long")), lit(0L)))
         .head().getLong(0)
+    // every maintained hop's quantized sum in ONE job — the per-batch
+    // re-derivation would otherwise launch maxHop+1 separate jobs, and
+    // at cluster scale each job is a full scheduler barrier. The
+    // per-hop terms are exact long sums of the identical floor
+    // arithmetic, so the vector is bit-identical to mapping qAt.
+    def qsAll(): Vector[Long] = {
+      val sums = (0 to store.maxHop).map { h =>
+          packedEstimate(store.resolved(h), "est", m)
+            .select(lit(h).as("hop"),
+              floor($"est" * lit(1e6) + lit(0.5)).cast("long").as("q"))
+        }.reduce(_ unionByName _)
+        .groupBy($"hop").agg(sum($"q").as("q"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      (0 to store.maxHop).map(h => sums.getOrElse(h, 0L)).toVector
+    }
     // first saturated hop over CURRENT sums (-1: none in 1..maxHop) —
     // the same quantized-long comparison hyperBallAdaptiveQs drives,
     // evaluated over the standing state's resolved estimates
@@ -1228,13 +1243,12 @@ object PageRank {
       qs
     }
     HyperBallState.init(store, initialEdges, maxHops = 1, srcCol, dstCol)
-    var qs = growUntilSaturated(Vector(qAt(0), qAt(1)))
+    var qs = growUntilSaturated(qsAll())
     batches.foreach { b =>
       HyperBallState.foldBatch(store, b, srcCol, dstCol)
-      // re-derive every hop's sum (a batch grows balls at ALL hops),
-      // then extend if the top is no longer past the stop rule
-      qs = growUntilSaturated(
-        (0 to store.maxHop).map(qAt).toVector)
+      // re-derive every hop's sum (a batch grows balls at ALL hops) in
+      // one job, then extend if the top is no longer past the stop rule
+      qs = growUntilSaturated(qsAll())
     }
     val topHop = store.maxHop
     // every sum is materialized and the output below is driver-local,

@@ -254,3 +254,81 @@ private[graft] object HyperBallState {
       PageRank.packedEstimate(store.resolved(h), s"n$h", 1 << store.p)
     }
 }
+
+/** The ONE copy of the Boldi-Vigna adaptive saturation stop evaluated
+  * over a standing [[HbRegStore]] — shared verbatim by the in-memory
+  * incremental form ([[PageRank.hyperBallNeighborhoodIncrementalAdaptive]])
+  * and the at-rest table form
+  * ([[graft.streaming.HbStream.neighborhoodFunctionAdaptive]]), so the
+  * stop rule, the quantization, and the emitted rows cannot drift
+  * between them (or from the full-corpus rebuild the oracles replay). */
+private[graft] object HyperBallAdaptive {
+
+  /** Hop h's quantized ball-mass sum: Σ_v floor(est_h(v)·1e6 + 0.5) as
+    * an exact long (0 for an empty state). */
+  def qAt(store: HbRegStore, h: Int): Long = {
+    val m = 1 << store.p
+    PageRank.packedEstimate(store.resolved(h), "est", m)
+      .agg(coalesce(sum(floor(col("est") * lit(1e6) + lit(0.5))
+        .cast("long")), lit(0L)))
+      .head().getLong(0)
+  }
+
+  /** Every maintained hop's quantized sum in ONE job — the per-batch
+    * re-derivation would otherwise launch maxHop+1 separate jobs, and
+    * at cluster scale each job is a full scheduler barrier. The
+    * per-hop terms are exact long sums of the identical floor
+    * arithmetic, so the vector is bit-identical to mapping [[qAt]]. */
+  def qsAll(store: HbRegStore): Vector[Long] = {
+    val m = 1 << store.p
+    val sums = (0 to store.maxHop).map { h =>
+        PageRank.packedEstimate(store.resolved(h), "est", m)
+          .select(lit(h).as("hop"),
+            floor(col("est") * lit(1e6) + lit(0.5)).cast("long").as("q"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("hop")).agg(sum(col("q")).as("q"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 to store.maxHop).map(h => sums.getOrElse(h, 0L)).toVector
+  }
+
+  /** First saturated hop over the CURRENT sums (-1: none in
+    * 1..maxHop) — the same quantized-long comparison
+    * [[PageRank.hyperBallAdaptiveQs]] drives. */
+  def stopHop(qs: Vector[Long], epsilon: Double): Int =
+    (1 until qs.size).find(h =>
+      (qs(h) - qs(h - 1)).toDouble < epsilon * qs(h).toDouble)
+      .getOrElse(-1)
+
+  /** Extend the store one shared propagation round at a time until the
+    * stop rule fires over the growing sums (or `hopCap`). */
+  def growUntilSaturated(store: HbRegStore, qs0: Vector[Long],
+                         hopCap: Int, epsilon: Double): Vector[Long] = {
+    var qs = qs0
+    while (stopHop(qs, epsilon) < 0 && store.maxHop < hopCap) {
+      store.growHop()
+      qs :+= qAt(store, store.maxHop)
+    }
+    qs
+  }
+
+  /** The emitted rows: re-derive the stop over the FINAL corpus sums
+    * (growth during intermediate batches may have overshot — later
+    * batches can saturate an earlier hop — and the rule is first-h),
+    * then (hop, nf, frac) for hop 0..stop; empty when the state holds
+    * no mass (no edges anywhere). */
+  def emit(spark: SparkSession, qs: Vector[Long], topHop: Int,
+           hopCap: Int, epsilon: Double): DataFrame = {
+    import spark.implicits._
+    if (qs.last == 0L)
+      return Seq.empty[(Int, Double, Double)].toDF("hop", "nf", "frac")
+    val stop = stopHop(qs, epsilon) match {
+      case -1 => math.min(topHop, hopCap)
+      case h => h
+    }
+    val nfStop = qs(stop).toDouble / 1e6
+    qs.take(stop + 1).zipWithIndex.map { case (q, h) =>
+      val nf = q.toDouble / 1e6
+      (h, nf, math.floor(nf / nfStop * 1e6 + 0.5) / 1e6)
+    }.toDF("hop", "nf", "frac")
+  }
+}

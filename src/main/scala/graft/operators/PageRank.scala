@@ -1203,73 +1203,25 @@ object PageRank {
       dstCol: String = "dst"): DataFrame = {
     require(hopCap >= 1, "need at least one hop")
     require(epsilon > 0.0 && epsilon < 1.0, "epsilon must be in (0, 1)")
-    val m = 1 << p
     val spark = initialEdges.sparkSession
-    import spark.implicits._
     val store = new InMemoryHbRegStore(spark, p)
-    def qAt(h: Int): Long =
-      packedEstimate(store.resolved(h), "est", m)
-        .agg(coalesce(sum(floor($"est" * lit(1e6) + lit(0.5))
-          .cast("long")), lit(0L)))
-        .head().getLong(0)
-    // every maintained hop's quantized sum in ONE job — the per-batch
-    // re-derivation would otherwise launch maxHop+1 separate jobs, and
-    // at cluster scale each job is a full scheduler barrier. The
-    // per-hop terms are exact long sums of the identical floor
-    // arithmetic, so the vector is bit-identical to mapping qAt.
-    def qsAll(): Vector[Long] = {
-      val sums = (0 to store.maxHop).map { h =>
-          packedEstimate(store.resolved(h), "est", m)
-            .select(lit(h).as("hop"),
-              floor($"est" * lit(1e6) + lit(0.5)).cast("long").as("q"))
-        }.reduce(_ unionByName _)
-        .groupBy($"hop").agg(sum($"q").as("q"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      (0 to store.maxHop).map(h => sums.getOrElse(h, 0L)).toVector
-    }
-    // first saturated hop over CURRENT sums (-1: none in 1..maxHop) —
-    // the same quantized-long comparison hyperBallAdaptiveQs drives,
-    // evaluated over the standing state's resolved estimates
-    def stopHop(qs: Vector[Long]): Int =
-      (1 until qs.size).find(h =>
-        (qs(h) - qs(h - 1)).toDouble < epsilon * qs(h).toDouble)
-        .getOrElse(-1)
-    def growUntilSaturated(qs0: Vector[Long]): Vector[Long] = {
-      var qs = qs0
-      while (stopHop(qs) < 0 && store.maxHop < hopCap) {
-        store.growHop()
-        qs :+= qAt(store.maxHop)
-      }
-      qs
-    }
     HyperBallState.init(store, initialEdges, maxHops = 1, srcCol, dstCol)
-    var qs = growUntilSaturated(qsAll())
+    var qs = HyperBallAdaptive.growUntilSaturated(store,
+      HyperBallAdaptive.qsAll(store), hopCap, epsilon)
     batches.foreach { b =>
       HyperBallState.foldBatch(store, b, srcCol, dstCol)
       // re-derive every hop's sum (a batch grows balls at ALL hops) in
       // one job, then extend if the top is no longer past the stop rule
-      qs = growUntilSaturated(qsAll())
+      qs = HyperBallAdaptive.growUntilSaturated(store,
+        HyperBallAdaptive.qsAll(store), hopCap, epsilon)
     }
     val topHop = store.maxHop
-    // every sum is materialized and the output below is driver-local,
+    // every sum is materialized and the emitted rows are driver-local,
     // so the standing frames are dead state — free them all (unlike
     // the fixed-hop incremental rows, whose returned estimates keep
     // reading their frames)
     store.closeAll()
-    if (qs.last == 0L)
-      return Seq.empty[(Int, Double, Double)].toDF("hop", "nf", "frac")
-    // the emitted stop re-derives over the FINAL corpus sums: growth
-    // during intermediate batches may have overshot (later batches can
-    // saturate an earlier hop), and the oracle's rule is first-h
-    val stop = stopHop(qs) match {
-      case -1 => math.min(topHop, hopCap)
-      case h => h
-    }
-    val nfStop = qs(stop).toDouble / 1e6
-    qs.take(stop + 1).zipWithIndex.map { case (q, h) =>
-      val nf = q.toDouble / 1e6
-      (h, nf, math.floor(nf / nfStop * 1e6 + 0.5) / 1e6)
-    }.toDF("hop", "nf", "frac")
+    HyperBallAdaptive.emit(spark, qs, topHop, hopCap, epsilon)
   }
 
   /** [[effectiveDiameter]] off the ADAPTIVE neighborhood function — on

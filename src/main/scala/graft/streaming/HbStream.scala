@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
-import graft.operators.{ConnectedComponents, HbRegStore, HyperBallState,
-  PageRank, RegisterMaxMerge}
+import graft.operators.{ConnectedComponents, HbRegStore, HyperBallAdaptive,
+  HyperBallState, PageRank, RegisterMaxMerge}
 
 /** Streaming HyperBall maintenance against AT-REST standing state —
   * the [[CcStream]] discipline applied to the incremental per-hop
@@ -109,6 +109,57 @@ object HbStream {
     * register history serves every geometric centrality. */
   def harmonic(spark: SparkSession, prefix: String): DataFrame =
     PageRank.harmonicFold(estimates(spark, prefix))
+
+  /** Extend the standing state one hop: one shared propagation round
+    * of the resolved top registers over the full standing edge set,
+    * landed as a NEW hop table at `pathRoot/regs_h<top+1>` and recorded
+    * in the catalog geometry (`graft.hb.maxhops`). Single-writer slot,
+    * like ingest. */
+  def growHop(spark: SparkSession, prefix: String, pathRoot: String,
+              numBuckets: Int = 8): Unit = {
+    if (compactNeedsRecovery(spark, prefix)) recoverCompact(spark, prefix)
+    refreshFamily(spark, prefix)
+    val (p, maxHops) = readMeta(spark, prefix)
+    val store = new TableHbRegStore(spark, prefix, p, pathRoot, numBuckets)
+    try store.growHop() finally store.close()
+    spark.sql(s"ALTER TABLE ${edgesTable(prefix)} SET TBLPROPERTIES " +
+      s"('graft.hb.maxhops' = '${maxHops + 1}')")
+  }
+
+  /** The neighborhood function off the standing tables under the
+    * ADAPTIVE saturation stop — the at-rest composition of
+    * [[PageRank.hyperBallNeighborhoodIncrementalAdaptive]]: the state
+    * extends lazily ([[growHop]] — new hop tables at `pathRoot`) until
+    * the quantized Boldi-Vigna rule fires over the standing sums or
+    * `hopCap`, and the emitted hops re-derive the stop over the final
+    * sums. The stop arithmetic is [[graft.operators.HyperBallAdaptive]]
+    * — the SAME copy the in-memory form runs — and the fold invariant
+    * (state == rebuild per maintained hop) makes deferred growth land
+    * the rebuild's next-hop registers exactly, so the output equals
+    * the full-corpus adaptive rebuild over everything ever folded. */
+  def neighborhoodFunctionAdaptive(spark: SparkSession, prefix: String,
+      pathRoot: String, hopCap: Int = 5, epsilon: Double = 0.05,
+      numBuckets: Int = 8): DataFrame = {
+    require(hopCap >= 1, "need at least one hop")
+    require(epsilon > 0.0 && epsilon < 1.0, "epsilon must be in (0, 1)")
+    if (compactNeedsRecovery(spark, prefix)) recoverCompact(spark, prefix)
+    refreshFamily(spark, prefix)
+    val (p, _) = readMeta(spark, prefix)
+    val store = new TableHbRegStore(spark, prefix, p, pathRoot, numBuckets)
+    val qs = try {
+      HyperBallAdaptive.growUntilSaturated(store,
+        HyperBallAdaptive.qsAll(store), hopCap, epsilon)
+    } finally store.close()
+    val (_, recorded) = readMeta(spark, prefix)
+    if (store.maxHop > recorded)
+      spark.sql(s"ALTER TABLE ${edgesTable(prefix)} SET TBLPROPERTIES " +
+        s"('graft.hb.maxhops' = '${store.maxHop}')")
+    // the standing state may hold hops a PREVIOUS (larger-cap) call
+    // grew; this call's emitted stop must not see past its own cap —
+    // a rebuild at this cap never computes those sums
+    HyperBallAdaptive.emit(spark, qs.take(hopCap + 1),
+      math.min(store.maxHop, hopCap), hopCap, epsilon)
+  }
 
   /** COMPACTION: rewrite each hop's register table to its max-merge
     * resolution (ONE frame per node) and the edge table to its

@@ -179,6 +179,58 @@ class HbStreamSpec extends SparkTestBase {
     dropFamily("hb_auto_spec")
   }
 
+  test("adaptive NF off the standing tables grows hop tables lazily " +
+    "and equals the full-corpus adaptive rebuild, before and after " +
+    "compaction") {
+    val dir = tmpDir("hb_adaptive")
+    // ring+chords, three-way split: init with ONE maintained hop, fold
+    // both batches, then the adaptive read must extend the state and
+    // match the rebuild term for term
+    HbStream.init(bidir(initial), "hb_adapt_spec", s"$dir/gen0",
+      maxHops = 1, p = 6)
+    HbStream.ingestBatch(bidir(b1), "hb_adapt_spec")
+    HbStream.ingestBatch(bidir(b2), "hb_adapt_spec")
+    for ((cap, eps) <- Seq((5, 0.05), (8, 0.30), (2, 0.05))) {
+      val want = nf(PageRank.hyperBallNeighborhoodAdaptive(
+        bidir(all), hopCap = cap, epsilon = eps))
+      val got = nf(HbStream.neighborhoodFunctionAdaptive(spark,
+        "hb_adapt_spec", s"$dir/grow", hopCap = cap, epsilon = eps))
+      assert(got == want, s"cap=$cap eps=$eps: tables $got != rebuild $want")
+    }
+    // the grown hops are recorded in the catalog geometry, so the
+    // FIXED read path serves them too
+    val (_, recorded) = {
+      val props = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(
+          "hb_adapt_spec_edges")).properties
+      (props("graft.hb.p").toInt, props("graft.hb.maxhops").toInt)
+    }
+    assert(recorded >= 2, s"growth must update maxhops, got $recorded")
+    // compaction folds the grown stacks too; the adaptive read off the
+    // compacted state is unchanged
+    HbStream.compact(spark, "hb_adapt_spec", s"$dir/gen1")
+    assert(nf(HbStream.neighborhoodFunctionAdaptive(spark,
+        "hb_adapt_spec", s"$dir/grow2", hopCap = 5)) ==
+      nf(PageRank.hyperBallNeighborhoodAdaptive(bidir(all), hopCap = 5)))
+    dropFamily("hb_adapt_spec")
+
+    // a LONG chain folded in batches forces multi-round growth at read
+    // time (the initial third saturates at hop 1, the full chain does
+    // not); explicit growHop extends one hop and records it
+    val chain = (0L until 20L).map(i => (i, i + 1))
+    HbStream.init(bidir(chain.filter(_._1 < 7L)), "hb_chain_spec",
+      s"$dir/cgen0", maxHops = 1, p = 6)
+    HbStream.ingestBatch(
+      bidir(chain.filter(p => p._1 >= 7L && p._1 < 14L)), "hb_chain_spec")
+    HbStream.ingestBatch(bidir(chain.filter(_._1 >= 14L)), "hb_chain_spec")
+    HbStream.growHop(spark, "hb_chain_spec", s"$dir/cgrow")
+    assert(spark.catalog.tableExists("hb_chain_spec_regs_h2"))
+    assert(nf(HbStream.neighborhoodFunctionAdaptive(spark,
+        "hb_chain_spec", s"$dir/cgrow", hopCap = 6)) ==
+      nf(PageRank.hyperBallNeighborhoodAdaptive(bidir(chain), hopCap = 6)))
+    dropFamily("hb_chain_spec")
+  }
+
   private def dropFamily(prefix: String): Unit = {
     var h = 0
     while (spark.catalog.tableExists(s"${prefix}_regs_h$h") ||

@@ -39,6 +39,16 @@ import graft.operators.{ConnectedComponents, HbRegStore, HyperBallAdaptive,
   * the batch's edges, which is harmless under idempotent max-merge and
   * deduplicated by the next [[compact]].
   *
+  * DELETIONS are out of contract, inherently: HLL registers are
+  * monotone (max-merge only grows), so an edge's influence cannot be
+  * subtracted from the standing state — the same property that makes
+  * the append-only fold exact makes decremental maintenance impossible
+  * (true of every insert-only sketch, not this implementation). A
+  * corpus with retention windows keeps one register FAMILY per epoch
+  * (init a new prefix per window, drop expired prefixes whole) and
+  * unions estimates across live epochs; point deletions require a
+  * rebuild, exactly as they would for the batch form.
+  *
   * Deployment note (same as [[CcStream.writeCcBase]]): Spark's
   * DisableUnnecessaryBucketedScan rule keeps bucketed scans only for
   * joins/aggs on the bucket key — it doesn't know about bucket

@@ -144,7 +144,9 @@ object CcIngestProbe {
       for (q <- Seq("dd_incremental_clusters", "gr_cc_incremental",
           "gr_scc_topo", "gr_hyperball_nf",
           "gr_hyperball_nf_incremental", "gr_hyperball_nf_adaptive",
-          "gr_eff_diameter_adaptive") if want("rows")) {
+          "gr_eff_diameter_adaptive",
+          "gr_hyperball_nf_incremental_adaptive",
+          "st_hyperball_atrest") if want("rows")) {
         val w = time(q)
         println(f"[cc-probe-row] $dir $q $w%.1fs")
       }

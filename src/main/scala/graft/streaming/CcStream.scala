@@ -128,7 +128,6 @@ object CcStream {
     * ingest treat them as no-ops until the truncate lands. */
   def compact(spark: SparkSession, baseTable: String, aliasTable: String,
               newBasePath: String, numBuckets: Int = 8): Unit = {
-    val tmp = baseTable + "_compacting"
     if (compactNeedsRecovery(spark, baseTable)) {
       recoverCompact(spark, baseTable, aliasTable)
       return
@@ -139,29 +138,16 @@ object CcStream {
     // the old base/alias stay untouched sources until tmp is at rest);
     // newBasePath must be FRESH — a maintenance job that passes the
     // live base's own path would have writeCcBase's overwrite delete
-    // the files the lazy `resolved` read is executing over, so the
-    // freshness is ENFORCED against the catalog, not left to a comment
-    // (dropping the old external base later leaves its files for
-    // storage-side lifecycle cleanup)
-    // File.toURI appends a trailing slash when the directory EXISTS —
-    // exactly the dangerous case — so compare stripped paths
-    val liveLoc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        org.apache.spark.sql.catalyst.TableIdentifier(baseTable)).location)
-      .toUri.getPath.stripSuffix("/")
-    val newLoc = new org.apache.hadoop.fs.Path(
-      new java.io.File(newBasePath).toURI).toUri.getPath.stripSuffix("/")
-    require(newLoc != liveLoc,
-      s"compact() needs a FRESH base path: $newBasePath is the live " +
-        s"base table's current location ($liveLoc) — overwriting it " +
-        "would delete the files the rewrite is reading")
+    // the files the lazy `resolved` read is executing over. The
+    // freshness guard and the DROP/RENAME swap are [[CatalogSwap]] —
+    // one copy shared with [[HbStream.compact]]. (Dropping the old
+    // external base leaves its files for storage-side lifecycle
+    // cleanup.)
     val resolved = ConnectedComponents.resolveLabels(
       spark.table(baseTable), spark.table(aliasTable))
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    writeCcBase(resolved, tmp, newBasePath, numBuckets)
-    spark.sql(s"DROP TABLE IF EXISTS $baseTable")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $baseTable")
-    spark.catalog.refreshTable(baseTable)
+    CatalogSwap.swapIn(spark, baseTable, newBasePath) { (tmp, path) =>
+      writeCcBase(resolved, tmp, path, numBuckets)
+    }
     truncateAlias(spark, aliasTable)
   }
 
@@ -217,8 +203,14 @@ object CcStream {
         if (compactAliasThreshold > 0L &&
             batch.sparkSession.table(aliasTable).count()
               >= compactAliasThreshold) {
-          compact(batch.sparkSession, baseTable, aliasTable,
-            compactPathFor(generation))
+          val s = batch.sparkSession
+          // the counter is in-memory and resets when the query
+          // restarts — skip any generation whose path is where a
+          // PREVIOUS incarnation already landed the live base (earlier
+          // generations' paths are dead files, overwritten harmlessly)
+          generation = CatalogSwap.freshGeneration(s, baseTable,
+            compactPathFor, generation)
+          compact(s, baseTable, aliasTable, compactPathFor(generation))
           generation += 1
         }
       }

@@ -100,13 +100,16 @@ object HbStream {
   }
 
   /** The RESOLVED per-hop estimate frames (node, n$h) off the standing
-    * tables — one bucketed scan + zero-exchange max-merge per hop. */
+    * tables — one bucketed scan + zero-exchange max-merge per hop. The
+    * top hop is derived from the CATALOG (which hop tables exist), not
+    * the recorded geometry, so a growth that crashed between its table
+    * write and its property update still serves its new hop. */
   def estimates(spark: SparkSession, prefix: String): Seq[DataFrame] = {
     refreshFamily(spark, prefix)
-    val (p, maxHops) = readMeta(spark, prefix)
+    val (p, _) = readMeta(spark, prefix)
     val store = new TableHbRegStore(spark, prefix, p, pathRoot = null,
       numBuckets = 0)
-    (0 to maxHops).map(h =>
+    (0 to store.maxHop).map(h =>
       PageRank.packedEstimate(store.resolved(h), s"n$h", 1 << p))
   }
 
@@ -129,11 +132,14 @@ object HbStream {
               numBuckets: Int = 8): Unit = {
     if (compactNeedsRecovery(spark, prefix)) recoverCompact(spark, prefix)
     refreshFamily(spark, prefix)
-    val (p, maxHops) = readMeta(spark, prefix)
+    val (p, _) = readMeta(spark, prefix)
     val store = new TableHbRegStore(spark, prefix, p, pathRoot, numBuckets)
     try store.growHop() finally store.close()
+    // record the ACTUAL top (the store counts existing hop tables) —
+    // recording recorded+1 would undercount forever after a crash
+    // between a previous growth's table write and its property update
     spark.sql(s"ALTER TABLE ${edgesTable(prefix)} SET TBLPROPERTIES " +
-      s"('graft.hb.maxhops' = '${maxHops + 1}')")
+      s"('graft.hb.maxhops' = '${store.maxHop}')")
   }
 
   /** The neighborhood function off the standing tables under the
@@ -186,22 +192,32 @@ object HbStream {
               numBuckets: Int = 8): Unit = {
     if (compactNeedsRecovery(spark, prefix)) recoverCompact(spark, prefix)
     refreshFamily(spark, prefix)
-    val (p, maxHops) = readMeta(spark, prefix)
+    val (p, _) = readMeta(spark, prefix)
     val mergeRegs = udaf(new RegisterMaxMerge(1 << p))
-    for (h <- 0 to maxHops) {
+    // rewrite every hop table the CATALOG holds (not the recorded
+    // geometry — a crashed growth's orphan top hop compacts too)
+    val topHop = {
+      var h = -1
+      while (spark.catalog.tableExists(regsTable(prefix, h + 1))) h += 1
+      require(h >= 0,
+        s"no register tables for $prefix — run HbStream.init first")
+      h
+    }
+    for (h <- 0 to topHop) {
       val live = regsTable(prefix, h)
-      swapIn(spark, live, s"$newPathRoot/regs_h$h") { (tmp, path) =>
-        writeRegsTable(
-          spark.table(live).groupBy(col("node"))
-            .agg(mergeRegs(col("regs")).as("regs")),
-          tmp, path, numBuckets)
+      CatalogSwap.swapIn(spark, live, s"$newPathRoot/regs_h$h") {
+        (tmp, path) =>
+          writeRegsTable(
+            spark.table(live).groupBy(col("node"))
+              .agg(mergeRegs(col("regs")).as("regs")),
+            tmp, path, numBuckets)
       }
     }
     val eLive = edgesTable(prefix)
-    swapIn(spark, eLive, s"$newPathRoot/edges") { (tmp, path) =>
+    CatalogSwap.swapIn(spark, eLive, s"$newPathRoot/edges") { (tmp, path) =>
       writeEdgesTable(spark.table(eLive).distinct(), tmp, path, numBuckets)
       spark.sql(s"ALTER TABLE $tmp SET TBLPROPERTIES " +
-        s"('graft.hb.p' = '$p', 'graft.hb.maxhops' = '$maxHops')")
+        s"('graft.hb.p' = '$p', 'graft.hb.maxhops' = '$topHop')")
     }
   }
 
@@ -234,7 +250,16 @@ object HbStream {
         ingestBatch(batch.toDF(), prefix, srcCol, dstCol)
         sinceCompact += 1
         if (compactEvery > 0 && sinceCompact >= compactEvery) {
-          compact(batch.sparkSession, prefix, compactPathFor(generation))
+          val s = batch.sparkSession
+          // the counter is in-memory and resets when the query
+          // restarts — skip any generation whose path is where a
+          // PREVIOUS incarnation already landed the live tables
+          // (earlier generations' paths are dead files, overwritten
+          // harmlessly); probe hop 0, the table every state has
+          generation = CatalogSwap.freshGeneration(s,
+            regsTable(prefix, 0), g => s"${compactPathFor(g)}/regs_h0",
+            generation)
+          compact(s, prefix, compactPathFor(generation))
           generation += 1
           sinceCompact = 0
         }
@@ -310,30 +335,6 @@ object HbStream {
       spark.sql(s"DROP TABLE IF EXISTS $t")
       spark.sql(s"DROP TABLE IF EXISTS ${t}_compacting")
     }
-
-  /** The [[CcStream.compact]] swap, generalized: build the rewrite in
-    * `live + "_compacting"` at a FRESH path (enforced against the
-    * catalog — overwriting the live location would delete the files
-    * the lazy rewrite reads), then DROP + RENAME. */
-  private def swapIn(spark: SparkSession, live: String, newPath: String)
-                    (write: (String, String) => Unit): Unit = {
-    // File.toURI appends a trailing slash when the directory EXISTS —
-    // exactly the dangerous case — so compare stripped paths
-    val liveLoc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.getTableMetadata(
-        TableIdentifier(live)).location).toUri.getPath.stripSuffix("/")
-    val newLoc = new org.apache.hadoop.fs.Path(
-      new java.io.File(newPath).toURI).toUri.getPath.stripSuffix("/")
-    require(newLoc != liveLoc,
-      s"compact() needs a FRESH path: $newPath is $live's current " +
-        s"location ($liveLoc)")
-    val tmp = live + "_compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    write(tmp, newPath)
-    spark.sql(s"DROP TABLE IF EXISTS $live")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $live")
-    spark.catalog.refreshTable(live)
-  }
 
   private def writeRegsTable(regs: DataFrame, table: String, path: String,
                              numBuckets: Int): Unit =

@@ -108,7 +108,18 @@ object HbIngestProbe {
         report("tbl", tblWalls)
       }
 
+      // compact/reread read the 'hbprobe' family the history section
+      // leaves behind; when run alone (section filter) build a smaller
+      // standing state first so each section stands on its own
+      def ensureState(): Unit =
+        if (!spark.catalog.tableExists("hbprobe_edges")) {
+          HbStream.init(init, "hbprobe", "/tmp/graft_hbprobe/gen0",
+            maxHops = 3, p = 6, numBuckets = 32)
+          batches.take(3).foreach(HbStream.ingestBatch(_, "hbprobe"))
+        }
+
       if (want("compact")) {
+        ensureState()
         // walls at the END of the history run (max frame count)...
         val t0r = System.nanoTime()
         HbStream.neighborhoodFunction(spark, "hbprobe").count()
@@ -130,6 +141,7 @@ object HbIngestProbe {
       }
 
       if (want("reread")) {
+        ensureState()
         // what a RESTARTED session pays to serve NF: read the standing
         // tables (at-rest) vs rebuild from the raw edges (the only
         // option for session-local state)

@@ -169,6 +169,59 @@ class CcStreamSpec extends SparkTestBase {
     spark.sql(s"DROP TABLE IF EXISTS $aTbl")
   }
 
+  test("auto-compaction survives a streaming-query RESTART: the reset " +
+    "generation counter skips the live base's path and compacts to the " +
+    "next fresh generation instead of wedging the query") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("cc_restart")
+      .toString
+    val (bTbl, aTbl) = ("cc_restart_spec_base", "cc_restart_spec_alias")
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+    val pairs = (0L until 8L).map(i => Edge(2 * i, 2 * i + 1))
+    val links = (0L until 7L).map(i => Edge(2 * i + 1, 2 * i + 2))
+    val base0 = ConnectedComponents.run(pairs.toDF())
+    CcStream.writeCcBase(base0, bTbl, s"$dir/base0")
+    base0.select($"component".as("c"), $"component".as("canon"))
+      .where(lit(false))
+      .write.option("path", s"$dir/alias").saveAsTable(aTbl)
+    def runStream(edges: Seq[Edge], ckpt: String): Unit = {
+      val mem = MemoryStream[Edge]
+      // threshold 5 over 7 merge batches → exactly ONE compaction per
+      // run, so the second run's first trip lands with generation == 0
+      // while the live base already sits at compactPathFor(0)
+      val q = CcStream.run(mem.toDF(), "src", "dst", bTbl, aTbl,
+        s"$dir/$ckpt", compactAliasThreshold = 5L,
+        compactPathFor = g => s"$dir/compact_gen$g")
+      try {
+        edges.foreach { e => mem.addData(e); q.processAllAvailable() }
+      } finally q.stop()
+    }
+    runStream(links, "ckpt1")
+    val locAfter1 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(bTbl)).location.getPath
+    assert(locAfter1.endsWith("compact_gen0"), locAfter1)
+    // second incarnation, SAME arguments — the natural redeploy shape;
+    // its in-memory generation restarts at 0
+    val pairs2 = (8L until 16L).map(i => Edge(2 * i, 2 * i + 1))
+    val links2 = (8L until 15L).map(i => Edge(2 * i + 1, 2 * i + 2))
+    runStream(pairs2 ++ links2, "ckpt2")
+    val locAfter2 = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(bTbl)).location.getPath
+    // the restarted run's first trip fired with generation == 0 while
+    // the live base sat at compact_gen0 — the skip must have moved it
+    // to a LATER generation (alias growth per merge varies, so the
+    // exact count doesn't matter; never gen0 again is the contract)
+    assert(locAfter2.matches(".*compact_gen[1-9]\\d*") &&
+      locAfter2 != locAfter1, locAfter2)
+    assert(labelsOf(bTbl, aTbl) ==
+      ConnectedComponents.run(
+          (pairs ++ links ++ pairs2 ++ links2).toDF())
+        .as[(Long, Long)].collect().toMap)
+    spark.sql(s"DROP TABLE IF EXISTS $bTbl")
+    spark.sql(s"DROP TABLE IF EXISTS $aTbl")
+  }
+
   test("a compaction write crash BEFORE catalog registration leaves " +
     "compactNeedsRecovery false and the live base untouched") {
     val dir = java.nio.file.Files.createTempDirectory("cc_precrash")

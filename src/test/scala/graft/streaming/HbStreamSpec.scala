@@ -179,6 +179,38 @@ class HbStreamSpec extends SparkTestBase {
     dropFamily("hb_auto_spec")
   }
 
+  test("auto-compaction survives a streaming-query RESTART: the reset " +
+    "generation counter skips the path the live tables occupy") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = tmpDir("hb_restart")
+    val chain = (0L until 8L).map(i => (i, i + 1))
+    HbStream.init(bidir(chain.take(2)), "hb_restart_spec", s"$dir/gen0",
+      maxHops = 2, p = 6)
+    def runStream(edges: Seq[(Long, Long)], ckpt: String): Unit = {
+      val mem = MemoryStream[Edge]
+      // compactEvery 2 over 2 batches → exactly ONE compaction per
+      // run; the second run's trip lands with generation == 0 while
+      // the live tables already sit under compactPathFor(0)
+      val q = HbStream.run(mem.toDF(), "hb_restart_spec", s"$dir/$ckpt",
+        compactEvery = 2, compactPathFor = g => s"$dir/compact_gen$g")
+      try {
+        edges.foreach { e =>
+          mem.addData(bidirSeq(Seq(e)): _*)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    }
+    runStream(chain.slice(2, 4), "ckpt1")
+    runStream(chain.slice(4, 6), "ckpt2") // restart, same arguments
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "hb_restart_spec_regs_h0")).location.getPath
+    assert(loc.contains("compact_gen1"), loc)
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_restart_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(chain.take(6)), maxHops = 2)))
+    dropFamily("hb_restart_spec")
+  }
+
   test("adaptive NF off the standing tables grows hop tables lazily " +
     "and equals the full-corpus adaptive rebuild, before and after " +
     "compaction") {
@@ -229,6 +261,37 @@ class HbStreamSpec extends SparkTestBase {
         "hb_chain_spec", s"$dir/cgrow", hopCap = 6)) ==
       nf(PageRank.hyperBallNeighborhoodAdaptive(bidir(chain), hopCap = 6)))
     dropFamily("hb_chain_spec")
+  }
+
+  test("a growth that crashed before its geometry update self-heals: " +
+    "reads serve the orphan hop from the catalog and the next growth " +
+    "records the actual top") {
+    val dir = tmpDir("hb_growcrash")
+    HbStream.init(bidir(initial), "hb_grow_spec", s"$dir/gen0",
+      maxHops = 1, p = 6)
+    HbStream.growHop(spark, "hb_grow_spec", s"$dir/grow")
+    // simulate the crash window: the hop-2 table landed but the
+    // property update never ran
+    spark.sql("ALTER TABLE hb_grow_spec_edges SET TBLPROPERTIES " +
+      "('graft.hb.maxhops' = '1')")
+    // reads derive the top from the catalog, not the stale property
+    assert(HbStream.neighborhoodFunction(spark, "hb_grow_spec")
+      .count() == 3L)
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_grow_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(initial), maxHops = 2)))
+    // the next growth counts tables, appends hop 3, and records 3 —
+    // not stale+1
+    HbStream.growHop(spark, "hb_grow_spec", s"$dir/grow")
+    assert(spark.catalog.tableExists("hb_grow_spec_regs_h3"))
+    val props = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(
+        "hb_grow_spec_edges")).properties
+    assert(props("graft.hb.maxhops") == "3", props.toString)
+    // compaction rewrites every hop the catalog holds, orphan included
+    HbStream.compact(spark, "hb_grow_spec", s"$dir/gen1")
+    assert(nf(HbStream.neighborhoodFunction(spark, "hb_grow_spec")) ==
+      nf(PageRank.hyperBallNeighborhood(bidir(initial), maxHops = 3)))
+    dropFamily("hb_grow_spec")
   }
 
   private def dropFamily(prefix: String): Unit = {

@@ -1196,14 +1196,20 @@ private[graft] object TailRegistryB {
           |FROM n0 JOIN n1 USING (node) JOIN n2 USING (node)
           |  JOIN n3 USING (node)""".stripMargin))),
 
-    // ST: the incremental HyperBall registers AT REST — the same fold
-    // as gr_hyperball_nf_incremental but over the bucketed CATALOG
+    // ST: the incremental HyperBall registers AT REST — the
+    // gr_hyperball_nf_incremental fold over the bucketed CATALOG
     // tables ([[graft.streaming.HbStream]]): init writes the standing
     // per-hop register stacks, batch 1 delta-folds in, a COMPACTION
     // max-merges every hop back to one frame mid-sequence (DROP/RENAME
     // swap — resolution must be unchanged through it), batch 2 folds
     // against the compacted state, and the NF reads off the tables.
-    // Table frames are max-merge-resolved on read exactly like the
+    // Unlike the in-memory row's corpus-slice batches (heavyweight
+    // fold coverage), the batches here are MICRO — a ~0.1% hash slice
+    // each — so the driver gate drives the table store's PRIMARY
+    // regime: batch node sets under the point-lookup cap, probes
+    // pushed down as bucket-pruned In predicates (the plan PlanSpec
+    // pins), per the documented broadcast-sized-batch contract. Table
+    // frames are max-merge-resolved on read exactly like the
     // session-local frames, so the answer is the full-corpus rebuild's
     // — the oracle is gr_hyperball_nf's replay VERBATIM, which pins
     // stream == fold == rebuild THROUGH the compaction swap in the
@@ -1215,18 +1221,16 @@ private[graft] object TailRegistryB {
           .select(col("a_id").as("src"), col("b_id").as("dst"))
         val bidir = e0.union(
           e0.select(col("dst").as("src"), col("src").as("dst")))
-        val k = pmod(col("src") + col("dst"), lit(3))
+        val k = pmod(col("src") * 31 + col("dst"), lit(1009))
         val tag = new java.io.File(dir).getName
           .replaceAll("[^A-Za-z0-9]", "_")
         val prefix = s"graft_hb_$tag"
         val root = s"/tmp/graft_bucketed/${tag}_hb"
-        graft.streaming.HbStream.init(bidir.where(k =!= 0), prefix,
+        graft.streaming.HbStream.init(bidir.where(k >= 2), prefix,
           s"$root/gen0", maxHops = 3, p = 6)
-        graft.streaming.HbStream.ingestBatch(
-          bidir.where(k === 0 && pmod(col("src"), lit(2)) === 0), prefix)
+        graft.streaming.HbStream.ingestBatch(bidir.where(k === 0), prefix)
         graft.streaming.HbStream.compact(s, prefix, s"$root/gen1")
-        graft.streaming.HbStream.ingestBatch(
-          bidir.where(k === 0 && pmod(col("src"), lit(2)) === 1), prefix)
+        graft.streaming.HbStream.ingestBatch(bidir.where(k === 1), prefix)
         graft.streaming.HbStream.neighborhoodFunction(s, prefix)
       },
       Some(hyperBallOracleSql(

@@ -1,12 +1,12 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.TableIdentifier
 
 /** The ONE copy of the standing-table compaction swap and its path
-  * hygiene, shared by [[CcStream.compact]] and [[HbStream.compact]] so
-  * the freshness guard and the DROP/RENAME recovery discipline cannot
-  * drift between the two table families. */
+  * hygiene, shared by [[CcStream.compact]], [[HbStream.compact]], and
+  * [[IncrementalIngest.compactIndex]] so the freshness guard and the
+  * DROP/RENAME recovery discipline cannot drift between table
+  * families. */
 private[streaming] object CatalogSwap {
 
   /** Comparable form of a local path or location URI. File.toURI
@@ -16,11 +16,13 @@ private[streaming] object CatalogSwap {
     new org.apache.hadoop.fs.Path(new java.io.File(path).toURI)
       .toUri.getPath.stripSuffix("/")
 
-  /** The live table's current location, normalized like [[normalize]]. */
+  /** The live table's current location, normalized like [[normalize]].
+    * The name is PARSED (`db.tbl` resolves the database), not wrapped. */
   def tableLocation(spark: SparkSession, table: String): String =
     new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.getTableMetadata(
-        TableIdentifier(table)).location).toUri.getPath.stripSuffix("/")
+        spark.sessionState.sqlParser.parseTableIdentifier(table)).location)
+      .toUri.getPath.stripSuffix("/")
 
   /** Smallest generation >= `from` whose path does NOT collide with the
     * live table's current location. Generation counters are in-memory
@@ -36,6 +38,17 @@ private[streaming] object CatalogSwap {
     while (normalize(pathFor(g)) == live) g += 1
     g
   }
+
+  /** True when a [[swapIn]] died between its DROP and RENAME: the live
+    * table is gone and the completed `_compacting` twin is waiting. */
+  def needsRecovery(spark: SparkSession, live: String): Boolean =
+    !spark.catalog.tableExists(live) &&
+      spark.catalog.tableExists(live + "_compacting")
+
+  /** Complete a crashed swap — the tmp table only exists once fully
+    * written, so finishing the rename is all the recovery there is. */
+  def recover(spark: SparkSession, live: String): Unit =
+    spark.sql(s"ALTER TABLE ${live}_compacting RENAME TO $live")
 
   /** Build the rewrite in `live + "_compacting"` at a FRESH path
     * (enforced against the catalog — overwriting the live location

@@ -66,6 +66,14 @@ object IncrementalIngest {
       probe: (DataFrame, DataFrame) => DataFrame,
       indexTable: String, outPath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    // a compactIndex that died between its DROP and RENAME would
+    // otherwise fail every retry with a raw table-not-found; and a
+    // compaction/append from ANOTHER session leaves this session's
+    // cached file listing stale (the CcStream/HbStream entry
+    // discipline)
+    if (CatalogSwap.needsRecovery(spark, indexTable))
+      CatalogSwap.recover(spark, indexTable)
+    spark.catalog.refreshTable(indexTable)
     val buckets = bucketize(batch)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -166,6 +174,9 @@ object IncrementalIngest {
       probeCollapse: (DataFrame, DataFrame) => (DataFrame, DataFrame),
       indexTable: String, outPath: String, batchId: Long): Unit = {
     val spark = batch.sparkSession
+    if (CatalogSwap.needsRecovery(spark, indexTable))
+      CatalogSwap.recover(spark, indexTable)
+    spark.catalog.refreshTable(indexTable)
     val batchIds = batch.select(col(idCol).as("id")).distinct()
     val idx = spark.table(indexTable)
       .join(broadcast(batchIds), Seq("id"), "left_anti")
@@ -230,49 +241,55 @@ object IncrementalIngest {
     * cost is a full index rewrite, amortized over the appends it
     * defragments.
     *
-    * Not crash-atomic across the drop/rename pair (Structured Streaming
-    * should be paused around maintenance); the data itself is never at
-    * risk — the old files stay at the old path until the caller cleans
-    * them, and a crash between the two statements leaves the compacted
-    * table recoverable under `<table>_compacting`. */
+    * The swap is the shared [[CatalogSwap]] discipline: `newPath` must
+    * be FRESH (enforced against the catalog — overwriting the live
+    * location would delete the files the lazy rewrite reads; a reused
+    * NON-live path is cleared by the overwrite-mode write, so stale
+    * files from an earlier generation can never silently merge into —
+    * and resurrect aged-out rows in — the new table), and a crash
+    * between the DROP and the RENAME is recovered on the next
+    * compact/ingest entry (the data itself is never at risk — the old
+    * files stay at the old path until the caller cleans them). */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
                    indexTable: String, newPath: String,
                    retain: org.apache.spark.sql.Column = lit(true)): Unit = {
+    if (CatalogSwap.needsRecovery(spark, indexTable)) {
+      CatalogSwap.recover(spark, indexTable)
+      return
+    }
+    spark.catalog.refreshTable(indexTable)
     // parse (don't wrap) the name: TableIdentifier("db.tbl") would look
     // up a table literally named "db.tbl" in the current database
     val ident = spark.sessionState.sqlParser.parseTableIdentifier(indexTable)
     val meta = spark.sessionState.catalog.getTableMetadata(ident)
     val spec = meta.bucketSpec.getOrElse(throw new IllegalArgumentException(
       s"$indexTable has no bucket spec — not a standing-index table"))
-    val tmpIdent = ident.copy(table = ident.table + "_compacting")
-    val tmp = tmpIdent.quotedString
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    // ZERO-shuffle rewrite: with the bucketed scan forced on, the read
-    // already groups every bucket's fragments into one task, and the
-    // bucketed writer splits per in-task bucket — so the rewrite is
-    // scan -> filter -> sort-within-task -> write, one file per bucket,
-    // no exchange. (Auto-bucketed-scan would otherwise fall back to
-    // size-split reads here — nothing downstream "needs" the bucketing
-    // as far as the optimizer can see — and each of its tasks would
-    // re-fragment every bucket it touches.)
-    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val saved = spark.conf.getOption(autoKey)
-    spark.conf.set(autoKey, "false")
-    try {
-      val writer = spark.table(indexTable).where(retain)
-        .write.format("parquet").option("path", newPath)
-        .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
-          spec.bucketColumnNames.tail: _*)
-      val sorted =
-        if (spec.sortColumnNames.isEmpty) writer
-        else writer.sortBy(spec.sortColumnNames.head,
-          spec.sortColumnNames.tail: _*)
-      sorted.saveAsTable(tmp)
-    } finally saved match {
-      case Some(v) => spark.conf.set(autoKey, v)
-      case None => spark.conf.unset(autoKey)
+    CatalogSwap.swapIn(spark, indexTable, newPath) { (tmp, path) =>
+      // ZERO-shuffle rewrite: with the bucketed scan forced on, the read
+      // already groups every bucket's fragments into one task, and the
+      // bucketed writer splits per in-task bucket — so the rewrite is
+      // scan -> filter -> sort-within-task -> write, one file per
+      // bucket, no exchange. (Auto-bucketed-scan would otherwise fall
+      // back to size-split reads here — nothing downstream "needs" the
+      // bucketing as far as the optimizer can see — and each of its
+      // tasks would re-fragment every bucket it touches.)
+      val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+      val saved = spark.conf.getOption(autoKey)
+      spark.conf.set(autoKey, "false")
+      try {
+        val writer = spark.table(indexTable).where(retain)
+          .write.mode("overwrite").format("parquet").option("path", path)
+          .bucketBy(spec.numBuckets, spec.bucketColumnNames.head,
+            spec.bucketColumnNames.tail: _*)
+        val sorted =
+          if (spec.sortColumnNames.isEmpty) writer
+          else writer.sortBy(spec.sortColumnNames.head,
+            spec.sortColumnNames.tail: _*)
+        sorted.saveAsTable(tmp)
+      } finally saved match {
+        case Some(v) => spark.conf.set(autoKey, v)
+        case None => spark.conf.unset(autoKey)
+      }
     }
-    spark.sql(s"DROP TABLE ${ident.quotedString}")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO ${ident.quotedString}")
   }
 }

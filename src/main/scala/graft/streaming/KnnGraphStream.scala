@@ -96,6 +96,14 @@ object KnnGraphStream {
       outPath: String, batchId: Long, k: Int, rounds: Int,
       numPlanes: Int, tables: Int): Unit = {
     val spark = batch.sparkSession
+    // the SRP index table is compactable by IncrementalIngest
+    // .compactIndex — recover a crashed swap on entry and drop stale
+    // cached file listings for both standing tables (the CcStream/
+    // HbStream entry discipline)
+    if (CatalogSwap.needsRecovery(spark, indexTable))
+      CatalogSwap.recover(spark, indexTable)
+    spark.catalog.refreshTable(indexTable)
+    spark.catalog.refreshTable(graphTable)
     val b = batch.persist(org.apache.spark.storage.StorageLevel
       .MEMORY_AND_DISK)
     try {

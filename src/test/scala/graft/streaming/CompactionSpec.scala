@@ -104,4 +104,62 @@ class CompactionSpec extends SparkTestBase {
     }
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("compactIndex path hygiene: refuses the live path, a reused dirty " +
+    "path cannot resurrect aged-out rows, and a DROP-to-RENAME crash " +
+    "recovers on the next compact or ingest entry") {
+    val dir = java.nio.file.Files.createTempDirectory("compact_hy").toString
+    val tbl = "compaction_hygiene_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val base = Seq((1L, near), (150L, near))
+      .toDF("doc_id", "text")
+    Dedup.writeMinHashIndex(Dedup.minHashIndex(base, "doc_id", "text"),
+      tbl, s"$dir/gen0")
+    val rows0 = canon(tbl)
+
+    // the live location is refused up-front, everything intact
+    val err = intercept[IllegalArgumentException] {
+      IncrementalIngest.compactIndex(spark, tbl, s"$dir/gen0")
+    }
+    assert(err.getMessage.contains("FRESH"))
+    assert(canon(tbl) == rows0)
+
+    // age id 150 out into gen1...
+    IncrementalIngest.compactIndex(spark, tbl, s"$dir/gen1",
+      retain = col("id") < 100)
+    assert(canon(tbl) == rows0.filter(_._1 < 100))
+    // ...then compact BACK onto gen0, whose files still hold id 150:
+    // the overwrite-mode rewrite must clear them, not merge them in
+    IncrementalIngest.compactIndex(spark, tbl, s"$dir/gen0")
+    assert(canon(tbl) == rows0.filter(_._1 < 100),
+      "stale files at a reused path must not resurrect aged-out rows")
+
+    // crash window: rewrite landed fully in _compacting, live dropped,
+    // rename never ran — the next ingest recovers and folds normally
+    spark.table(tbl).localCheckpoint(true)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/gen2")
+      .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(tbl + "_compacting")
+    spark.sql(s"DROP TABLE $tbl")
+    IncrementalIngest.ingestBatch(Seq((300L, near)).toDF("doc_id", "text"),
+      Dedup.minHashIndex(_, "doc_id", "text"),
+      Dedup.incrementalMinHashBuckets(_, _, 16, 0.25),
+      tbl, s"$dir/out", 0L)
+    assert(spark.catalog.tableExists(tbl) &&
+      !spark.catalog.tableExists(tbl + "_compacting"))
+    assert(probePairs(tbl).exists(_._1 == 300L))
+    // a crashed swap found by compactIndex itself just completes the
+    // rename (no rewrite happens on the recovery call)
+    spark.table(tbl).localCheckpoint(true)
+      .write.mode("overwrite").format("parquet")
+      .option("path", s"$dir/gen3")
+      .bucketBy(8, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(tbl + "_compacting")
+    spark.sql(s"DROP TABLE $tbl")
+    IncrementalIngest.compactIndex(spark, tbl, s"$dir/gen4")
+    assert(spark.catalog.tableExists(tbl))
+    assert(CatalogSwap.tableLocation(spark, tbl).endsWith("gen3"))
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

@@ -207,14 +207,25 @@ private[graft] object RegistryCore {
       .agg(count(lit(1)).as("w")).where(col("w") >= 2)
   }
 
+  /** Symmetrize an (src, dst) edge frame in ONE pass: each edge explodes
+    * to itself and its flip. Multiset-equal to
+    * `e0.union(e0.select(dst as src, src as dst))`, so every oracle is
+    * unchanged — but the union form executes the upstream edge plan (a
+    * spatial self-join in the lattice rows) once PER BRANCH each time
+    * the frame materializes; this form scans it once (r17 optimization,
+    * guide §2.3/§2.4: one pass where two were paid). */
+  def bidirOf(e0: DataFrame): DataFrame =
+    e0.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
+
   /** The symmetrized supplier-proximity graph several gr_* rows share:
     * grid-join pairs within 200 m, both directions materialized. */
-  def suppBidirEdges(s: SparkSession, dir: String): DataFrame = {
-    val edges = SpatialJoins.gridSelfJoin(
+  def suppBidirEdges(s: SparkSession, dir: String): DataFrame =
+    bidirOf(SpatialJoins.gridSelfJoin(
         suppPoints(s, dir), "s_suppkey", "lat", "lon", radiusM = 200.0)
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-    edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
-  }
+      .select(col("a_id").as("src"), col("b_id").as("dst")))
 
   /** DuckDB replay of 3-round label propagation over the bidirectional
     * supplier-proximity graph, as CTEs `sup, e, l0..l3(node, label)` —

@@ -652,8 +652,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             pts, "s_suppkey", "lat", "lon", radiusM = 200.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-            e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
           .withColumn("w", pmod(col("src") * 31 + col("dst"), lit(7)) + 1)
         val seeds = pts.where(pmod(col("s_suppkey"), lit(10)) === 1)
           .select(col("s_suppkey").as("node"))
@@ -694,8 +693,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             pts, "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.kCorePeel(bidir, k = 3, rounds = 3)
       },
       Some {
@@ -783,8 +781,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.harmonicExact(bidir, maxHops = 3)
           .select(col("node"),
             (round(col("harmonic"), 6) + 0.0).as("harmonic"))
@@ -818,8 +815,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.closenessExact(bidir, maxHops = 3)
           .select(col("node"),
             (round(col("closeness"), 6) + 0.0).as("closeness"))
@@ -859,8 +855,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.hyperBallPacked(bidir, maxHops = 3, p = 6)
           .select(col("node"),
             (round(col("harmonic_est"), 4) + 0.0).as("harmonic_est"))
@@ -885,8 +880,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.hyperBallCloseness(bidir, maxHops = 3, p = 6)
           .select(col("node"),
             (round(col("closeness_est"), 4) + 0.0).as("closeness_est"))
@@ -971,8 +965,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.hyperBallNeighborhood(bidir, maxHops = 3, p = 6)
       },
       Some(hyperBallOracleSql(
@@ -1003,8 +996,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.effectiveDiameter(bidir, maxHops = 3, p = 6, alpha = 0.9)
       },
       Some(hyperBallOracleSql(
@@ -1046,8 +1038,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.hyperBallNeighborhoodAdaptive(bidir, hopCap = 5,
           epsilon = 0.05, p = 6)
       },
@@ -1069,8 +1060,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         PageRank.effectiveDiameterAdaptive(bidir, hopCap = 5,
           epsilon = 0.05, p = 6, alpha = 0.9)
       },
@@ -1105,8 +1095,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         val k = pmod(col("src") + col("dst"), lit(3))
         PageRank.hyperBallNeighborhoodIncremental(
           bidir.where(k =!= 0),
@@ -1148,8 +1137,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         val k = pmod(col("src") + col("dst"), lit(3))
         PageRank.hyperBallNeighborhoodIncrementalAdaptive(
           bidir.where(k =!= 0),
@@ -1178,8 +1166,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         val k = pmod(col("src") + col("dst"), lit(3))
         PageRank.hyperBallIncremental(
             bidir.where(k =!= 0),
@@ -1219,8 +1206,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             custPoints(s, dir), "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         val k = pmod(col("src") * 31 + col("dst"), lit(1009))
         val tag = new java.io.File(dir).getName
           .replaceAll("[^A-Za-z0-9]", "_")
@@ -1264,8 +1250,7 @@ private[graft] object TailRegistryB {
         val e0 = SpatialJoins.gridSelfJoin(
             pts, "c_custkey", "lat", "lon", radiusM = 250.0)
           .select(col("a_id").as("src"), col("b_id").as("dst"))
-        val bidir = e0.union(
-          e0.select(col("dst").as("src"), col("src").as("dst")))
+        val bidir = bidirOf(e0)
         val seeds = pts.where(pmod(col("c_custkey"), lit(100)) === 1)
           .select(col("c_custkey").as("node"))
         PageRank.betweennessBounded(bidir, seeds, maxHops = 3)

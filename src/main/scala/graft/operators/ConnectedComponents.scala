@@ -122,11 +122,17 @@ object ConnectedComponents {
     }
 
     // Symmetrize + self-loops: every node sees itself and both directions.
+    // ONE pass over the contracted plan via explode — the earlier 4-way
+    // union re-executed the whole contraction subtree once per branch
+    // inside this materialization (same multiset, so the distinct is
+    // unchanged).
     val (sym, symRdd) = CheckpointOps.checkpoint(
-      contracted.select($"cu".as("u"), $"cv".as("v"))
-        .union(contracted.select($"cv".as("u"), $"cu".as("v")))
-        .union(contracted.select($"cu".as("u"), $"cu".as("v")))
-        .union(contracted.select($"cv".as("u"), $"cv".as("v")))
+      contracted.select(explode(array(
+          struct($"cu".as("u"), $"cv".as("v")),
+          struct($"cv".as("u"), $"cu".as("v")),
+          struct($"cu".as("u"), $"cu".as("v")),
+          struct($"cv".as("u"), $"cv".as("v")))).as("p"))
+        .select($"p.u".as("u"), $"p.v".as("v"))
         .distinct())
 
     var (labels, labelsRdd) = CheckpointOps.checkpoint(

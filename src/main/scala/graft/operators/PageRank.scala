@@ -445,7 +445,11 @@ object PageRank {
     require(iterations >= 1, "need at least one iteration")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edge frame materialized once for the node init + every round
+    // (the hyperBallHopEstimates rationale); labels are checkpoint-
+    // backed, so the edge blocks free when the loop ends
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val (nodes, nodesRdd) = CheckpointOps.checkpoint(
       e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct())
     var (labels, labelsRdd) = CheckpointOps.checkpoint(
@@ -470,6 +474,7 @@ object PageRank {
       labelsRdd = nextRdd
       iter += 1
     }
+    eRdd.unpersist(false)
     nodesRdd.unpersist(false)
     labels
   }
@@ -493,7 +498,11 @@ object PageRank {
     require(maxHops >= 0, "maxHops must be non-negative")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edge frame materialized once for the maxHops frontier joins (the
+    // hyperBallHopEstimates rationale); the returned distances are
+    // checkpoint-backed, so the edge blocks free on exit
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     var (dist, distRdd) = CheckpointOps.checkpoint(
       sources.select($"node").distinct().select($"node", lit(0).as("dist")))
     var hop = 1
@@ -509,6 +518,7 @@ object PageRank {
       distRdd = nextRdd
       hop += 1
     }
+    eRdd.unpersist(false)
     dist
   }
 
@@ -573,8 +583,11 @@ object PageRank {
     require(maxRounds >= 0, "maxRounds must be non-negative")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
-      col(weightCol).cast("long").as("w"))
+    // edge frame materialized once for the maxRounds relaxations (the
+    // hyperBallHopEstimates rationale); distances are checkpoint-backed
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+        col(weightCol).cast("long").as("w")))
     var (dist, distRdd) = CheckpointOps.checkpoint(
       sources.select($"node").distinct()
         .select($"node", lit(0L).as("dist")))
@@ -600,6 +613,7 @@ object PageRank {
       distRdd = mergedRdd
       round += 1
     }
+    eRdd.unpersist(false)
     dist
   }
 
@@ -671,7 +685,12 @@ object PageRank {
     require(stateBudgetRows >= 1, "state budget must be positive")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+    // edge frame materialized once for the seed + every BFS round (the
+    // hyperBallHopEstimates rationale); the returned state is a union
+    // of checkpointed pair frames, so the edge blocks free on exit —
+    // including the budget-trip error path (finally)
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst")))
     // FRONTIER-frame accumulation: each round materializes only the
     // newly-reached (src, node) pairs (first reach == min dist on an
     // unweighted graph); the cumulative state is the lazy union of the
@@ -688,26 +707,28 @@ object PageRank {
     var state = seed
     var frontier = seed
     var hop = 1
-    while (hop <= maxHops && total > 0) {
-      val step = e.join(frontier.select($"src", $"node".as("esrc")), "esrc")
-        .select($"src", $"edst".as("node")).distinct()
-      val (fresh, freshRdd, n) = CheckpointOps.checkpointCount(
-        step.join(state.select($"src", $"node"), Seq("src", "node"),
-            "left_anti")
-          .select($"src", $"node", lit(hop).as("dist")))
-      frameRdds :+= freshRdd
-      total += n
-      checkBudget(hop, total, stateBudgetRows, frameRdds)
-      if (n == 0) {
-        // BFS exhausted early — no pair can appear at a later hop
-        freshRdd.unpersist(false)
-        hop = maxHops
-      } else {
-        state = state.union(fresh)
-        frontier = fresh
+    try {
+      while (hop <= maxHops && total > 0) {
+        val step = e.join(frontier.select($"src", $"node".as("esrc")), "esrc")
+          .select($"src", $"edst".as("node")).distinct()
+        val (fresh, freshRdd, n) = CheckpointOps.checkpointCount(
+          step.join(state.select($"src", $"node"), Seq("src", "node"),
+              "left_anti")
+            .select($"src", $"node", lit(hop).as("dist")))
+        frameRdds :+= freshRdd
+        total += n
+        checkBudget(hop, total, stateBudgetRows, frameRdds)
+        if (n == 0) {
+          // BFS exhausted early — no pair can appear at a later hop
+          freshRdd.unpersist(false)
+          hop = maxHops
+        } else {
+          state = state.union(fresh)
+          frontier = fresh
+        }
+        hop += 1
       }
-      hop += 1
-    }
+    } finally eRdd.unpersist(false)
     state
   }
 
@@ -756,7 +777,14 @@ object PageRank {
     require(maxHops >= 1, "need at least one hop")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // materialize the edge frame ONCE: the loop below consumes it every
+    // round (plus the node-set init), and an un-materialized edge plan —
+    // the registry rows pass a spatial self-join — re-executes per
+    // consumer (measured: ~1 s per execution at sf0.1, maxHops+1
+    // executions). The estimates only read the register checkpoints, so
+    // the edge blocks free the moment the loop ends.
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = e.select($"src".as("node")).distinct()
     val (idx, rho) = Sketches.hllRegister(col("node").cast("string"), p)
     // every round's register table backs one of the per-round estimates
@@ -780,6 +808,7 @@ object PageRank {
       ests :+= estimate(regs, s"n$hop")
       hop += 1
     }
+    eRdd.unpersist(false)
     // fixed-order fold (n1−n0)/1 + (n2−n1)/2 + … so the IEEE result is
     // reproducible term-for-term by the oracle
     val joined = ests.reduce((a, b) => a.join(b, Seq("node")))
@@ -946,7 +975,15 @@ object PageRank {
     val m = 1 << p
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // edge frame materialized once — the propagation loop (and the node
+    // init) re-executes an un-materialized edge plan per round; the
+    // registry rows pass a spatial self-join worth ~1 s per execution
+    // at sf0.1 (GraphBuildProbe r17), and at corpus scale a re-executed
+    // graph build is a full extra input pass per hop. The estimate
+    // frames read only the register checkpoints, so the edge blocks
+    // free when the loop ends.
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = e.select($"src".as("node")).distinct()
     var (regs, _) = CheckpointOps.checkpoint(packedInitRegs(nodes, p))
     var ests = Vector(packedEstimate(regs, "n0", m))
@@ -958,6 +995,7 @@ object PageRank {
       ests :+= packedEstimate(regs, s"n$hop", m)
       hop += 1
     }
+    eRdd.unpersist(false)
     ests
   }
 
@@ -1031,7 +1069,11 @@ object PageRank {
     val m = 1 << p
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // one materialization of the edge frame for the whole adaptive loop
+    // (same rationale as hyperBallHopEstimates); everything returned is
+    // driver-local longs, so the blocks free before returning
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
     val nodes = e.select($"src".as("node")).distinct()
     def qsum(r: DataFrame): Long =
       packedEstimate(r, "est", m)
@@ -1054,6 +1096,7 @@ object PageRank {
       hop += 1
     }
     regsRdd.unpersist(false)
+    eRdd.unpersist(false)
     qs
   }
 
@@ -1284,7 +1327,12 @@ object PageRank {
     require(stateBudgetRows >= 1, "state budget must be positive")
     val spark = edges.sparkSession
     import spark.implicits._
-    val e = edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst"))
+    // edge frame materialized once — both passes consume it every level
+    // (2·maxHops−1 joins), and an un-materialized spatial-join edge plan
+    // re-executes per consumer; freed on exit including the budget trip
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col(srcCol).as("esrc"), col(dstCol).as("edst")))
+    try {
     // forward pass as HOP-INDEXED frontier frames (the pairHopDistances
     // discipline): round h materializes only the pairs first reached at
     // h with their σ — Σ ball-mass rows written ONCE instead of a
@@ -1360,6 +1408,7 @@ object PageRank {
     }            // backward pass stops at level 1
     if (deltaRdd != null) deltaRdd.unpersist(false)
     accum.groupBy($"node").agg(sum($"delta").as("bc"))
+    } finally eRdd.unpersist(false)
   }
 
   /** Common-neighbor link prediction over the undirected graph: for every
@@ -1908,7 +1957,11 @@ object PageRank {
                   length: Int = 4, seed: Int = 11): DataFrame = {
     require(walksPerNode >= 1 && length >= 1,
       "walksPerNode and length must be >= 1")
-    val e = edges.select(col("src"), col("dst"))
+    // edge frame materialized once — the neighbor index AND the walk
+    // seed both read it (an un-materialized spatial-join edge plan
+    // would execute twice); freed with the index once the steps land
+    val (e, eRdd) = CheckpointOps.checkpoint(
+      edges.select(col("src"), col("dst")))
     val w = Window.partitionBy("src").orderBy("dst")
     val nbr = CacheScope.pin(e
       .withColumn("rn", row_number().over(w) - 1)
@@ -1940,6 +1993,7 @@ object PageRank {
       s += 1
     }
     nbr.unpersist(false)
+    eRdd.unpersist(false)
     outs.reduce(_ unionByName _)
   }
 

@@ -203,8 +203,14 @@ private[graft] object HyperBallState {
     // new SRC nodes seed hop-0 sketches — hop-0 presence is "has an
     // out-edge" (the rebuild's n0 node set); a node already known as a
     // pure dst still seeds here, and its self-sketch then carries up
-    // through the delta propagation exactly as a rebuild would
-    val srcNodes = newE.select(col("src").as("node")).distinct()
+    // through the delta propagation exactly as a rebuild would.
+    // Materialized once: the seen-0 probe, the d0 seed, and every hop's
+    // old-register resolve all consume it — left lazy, the distinct
+    // shuffle re-executes in each of those jobs (batch-local, freed on
+    // close)
+    val (srcNodes, srcNodesRdd) = CheckpointOps.checkpointTruncated(
+      newE.select(col("src").as("node")).distinct())
+    store.trackTransient(srcNodesRdd)
     val seen0 = store.seen0Nodes(srcNodes)
     val (d0, d0Rdd, n0New) = CheckpointOps.checkpointCountTruncated(
       PageRank.packedInitRegs(

@@ -92,8 +92,16 @@ object Retrieval {
     * @param cand  (term, id, dl, tf) — postings restricted to query terms
     * @param qt    (q_id, term) tiny, broadcast
     * @param stats (n_docs, avgdl) single row, broadcast */
-  private def scoreAndRank(cand: DataFrame, qt: DataFrame, stats: DataFrame,
+  private def scoreAndRank(cand0: DataFrame, qt: DataFrame, stats: DataFrame,
                            k: Int, k1: Double, b: Double): DataFrame = {
+    // cand feeds TWO consumers — the df aggregate (broadcast back) and
+    // the scoring join — so un-pinned, the whole candidate pipeline
+    // (inline: a corpus tokenize+explode scan; indexed: the bucketed
+    // postings probe) executes twice. Pin it (postings restricted to
+    // query terms — query-batch-bounded); the Bench/Verify isolation
+    // clears pins between queries (the blockingQuality multi-consumer
+    // discipline).
+    val cand = graft.operators.CacheScope.pin(cand0)
     // df per query term — small output (≤ #query terms), broadcast back
     val dfreq = cand.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = cand

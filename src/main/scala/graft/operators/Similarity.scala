@@ -141,23 +141,32 @@ object Similarity {
           cosineCol(col("q_v"), col("c_v")).as("cosine"))
       topKPerQuery(scored, "cosine", k)
     }
-    val b = srpBucketed(emb, idCol, vecCol, numPlanes, tables)
-      .select(col("table"), col("bucket"), col("id"))
+    // the SRP bucketing feeds BOTH sides of the init self-join — pin it
+    // so the per-vector hyperplane hashing runs once, not twice, inside
+    // the init materialization (freed the moment the init lists land)
+    val b = CacheScope.pin(
+      srpBucketed(emb, idCol, vecCol, numPlanes, tables)
+        .select(col("table"), col("bucket"), col("id")))
     var (lists, listsRdd) = CheckpointOps.checkpoint(scoreAndKeep(
       b.select(col("table"), col("bucket"), col("id").as("q_id"))
         .join(b.select(col("table"), col("bucket"),
           col("id").as("c_id")), Seq("table", "bucket"))
         .where(col("q_id") =!= col("c_id"))
         .select("q_id", "c_id").distinct()))
+    b.unpersist(false)
     var r = 0
     while (r < rounds) {
       // k-capped reverse lists keep hub in-degrees from exploding the
       // local join (the paper's reverse-sampling, made deterministic)
       val rev = topKPerQuery(lists.select(col("c_id").as("q_id"),
         col("q_id").as("c_id"), col("cosine")), "cosine", k)
-      val und = lists.select(col("q_id").as("a"), col("c_id").as("b"))
-        .unionByName(rev.select(col("q_id").as("a"), col("c_id").as("b")))
-        .distinct()
+      // the undirected list graph feeds BOTH sides of the local join —
+      // pinned, its reverse-top-k aggregation runs once per round, not
+      // twice (freed after the round's lists land)
+      val und = CacheScope.pin(
+        lists.select(col("q_id").as("a"), col("c_id").as("b"))
+          .unionByName(rev.select(col("q_id").as("a"), col("c_id").as("b")))
+          .distinct())
       val cand = und
         .join(und.select(col("a").as("b"), col("b").as("c")), "b")
         .where(col("a") =!= col("c"))
@@ -165,6 +174,7 @@ object Similarity {
         .unionByName(lists.select("q_id", "c_id"))
         .distinct()
       val (next, nextRdd) = CheckpointOps.checkpoint(scoreAndKeep(cand))
+      und.unpersist(false)
       listsRdd.unpersist(false)
       lists = next
       listsRdd = nextRdd
@@ -264,7 +274,13 @@ object Similarity {
             .where(col("q_id") =!= col("c_id"))
             .select("q_id", "c_id"))
         .distinct())
-    var newL = scoreKeep(c0)
+    // each round's lists feed THREE consumers in the next round's plan
+    // (the neighbor-list union, the candidate left side, and the
+    // trailing keep-current union) and the final lists feed the output
+    // AND the reverse pass — pin every generation, or the init scoring
+    // re-executes once per reference (batch-neighborhood-sized frames;
+    // the Bench/Verify isolation clears pins between queries)
+    var newL = CacheScope.pin(scoreKeep(c0))
     var r = 0
     while (r < rounds) {
       // neighbor lists during rounds: the batch's own current lists
@@ -279,11 +295,9 @@ object Similarity {
         .select(col("q_id"), col("c").as("c_id"))
         .unionByName(newL.select("q_id", "c_id"))
         .distinct()
-      newL = scoreKeep(cand)
+      newL = CacheScope.pin(scoreKeep(cand))
       r += 1
     }
-    // newL feeds the output union AND the reverse pass
-    newL = newL.transform(CacheScope.pin)
     // reverse pass: (corpus node, batch node) pairs from the bucket
     // join plus pairs the descent kept; corpus side isolated by
     // anti-join on the (small, pinned) batch ids

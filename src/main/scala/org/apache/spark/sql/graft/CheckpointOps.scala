@@ -3,10 +3,14 @@ package org.apache.spark.sql.graft
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeMap,
+  Expression}
 import org.apache.spark.sql.catalyst.plans.logical.Statistics
-import org.apache.spark.sql.catalyst.plans.physical.UnknownPartitioning
+import org.apache.spark.sql.catalyst.plans.physical.{Partitioning,
+  PartitioningCollection, UnknownPartitioning}
 import org.apache.spark.sql.classic
-import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.{LogicalRDD, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.storage.StorageLevel
 
 /** Manual materialization for iterative dataflows — `localCheckpoint`
@@ -72,9 +76,50 @@ object CheckpointOps {
       sizeInBytes = orig.sizeInBytes.min(Cap),
       rowCount = orig.rowCount.map(_.min(Cap)))
     val plan = LogicalRDD(
-      qe.analyzed.output, rdd, UnknownPartitioning(0), Nil, false,
-      None)(spark, Some(capped), None)
+      qe.analyzed.output, rdd,
+      preservedPartitioning(qe.executedPlan, qe.analyzed.output), Nil,
+      false, None)(spark, Some(capped), None)
     (classic.Dataset.ofRows(spark, plan), rdd, acc.value, n)
+  }
+
+  /** The materialized frame's physical partitioning, carried onto the
+    * LogicalRDD so a downstream join/aggregate keyed the same way skips
+    * its Exchange (what `Dataset.checkpoint` itself does; the earlier
+    * UnknownPartitioning(0) forced every fixpoint loop to re-shuffle
+    * state that the previous round's aggregation had just hash-
+    * partitioned — guide §2.4, "two operations keyed the same way can
+    * share one exchange"). Read AFTER execution, so under AQE this is
+    * the FINAL plan's partitioning (including coalesced shuffle reads,
+    * whose CoalescedHashPartitioning still satisfies clustered
+    * distributions). Attributes are rewritten positionally from the
+    * executed output to the analyzed output the LogicalRDD exposes;
+    * anything unmappable (or non-expression) falls back to
+    * UnknownPartitioning — never a wrong claim, just a redundant
+    * exchange. The wrapping mapPartitions is partition-preserving, so
+    * the physical layout matches the declaration exactly. */
+  private def preservedPartitioning(executed: SparkPlan,
+                                    output: Seq[Attribute]): Partitioning = {
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def firstLeaf(p: Partitioning): Partitioning = p match {
+      case c: PartitioningCollection => firstLeaf(c.partitionings.head)
+      case other => other
+    }
+    val plan = unwrap(executed)
+    val attrMap = AttributeMap(plan.output.zip(output))
+    firstLeaf(plan.outputPartitioning) match {
+      case e: Expression with Partitioning
+          if e.references.forall(attrMap.contains) =>
+        e.transform { case a: Attribute => attrMap(a) }
+          .asInstanceOf[Partitioning]
+      case e: Expression => UnknownPartitioning(e match {
+        case p: Partitioning => p.numPartitions
+        case _ => 0
+      })
+      case other => other // non-expression: Unknown/RoundRobin/Single
+    }
   }
 
   /** [[checkpointDiff]] without the diff. */

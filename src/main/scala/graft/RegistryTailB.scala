@@ -1695,8 +1695,11 @@ private[graft] object TailRegistryB {
         val probeToks = Seq("join", "hash", "row", "batch", "scan",
           "customer", "column", "filter", "merge", "vector")
         import s.implicits._
-        val toks = t(s, dir, "documents")
-          .select(explode(Dedup.tokens(col("text"))).as("tok"))
+        // the token frame feeds the sketch build AND the exact probe
+        // counts — pinned, the corpus tokenize scan runs once
+        val toks = graft.operators.CacheScope.pin(
+          t(s, dir, "documents")
+            .select(explode(Dedup.tokens(col("text"))).as("tok")))
         val counters = Sketches.cmsBuild(toks, "tok")
         val exact = toks.where(col("tok").isin(probeToks: _*))
           .groupBy("tok").agg(count(lit(1)).as("exact"))

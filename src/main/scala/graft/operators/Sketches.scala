@@ -274,8 +274,14 @@ object Sketches {
   def heavyHitters(df: DataFrame, itemCol: String, minCount: Long,
                    depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minCount >= 1, "minCount must be positive")
-    val estUdf = collectedCmsEstUdf(df, itemCol, depth, width)
-    df.select(col(itemCol).cast("string").as("item"))
+    // the item frame feeds BOTH phases (the sketch build collected in
+    // collectedCmsEstUdf, then the prefiltered exact count) — pinned, the
+    // upstream scan (a corpus tokenize+explode in the registry rows) runs
+    // once; the sketch collect fills the cache eagerly
+    val items = CacheScope.pin(
+      df.select(col(itemCol).cast("string").as("item")))
+    val estUdf = collectedCmsEstUdf(items, "item", depth, width)
+    items
       .where(estUdf(col("item")) >= minCount)
       .groupBy("item").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
@@ -319,8 +325,11 @@ object Sketches {
   def heavyHittersAudit(df: DataFrame, itemCol: String, minCount: Long,
                         depth: Int = 4, width: Int = 1024): DataFrame = {
     require(minCount >= 1, "minCount must be positive")
-    val estUdf = collectedCmsEstUdf(df, itemCol, depth, width)
-    df.select(col(itemCol).cast("string").as("item"))
+    // same two-phase shape as heavyHitters — pin the item frame once
+    val items = CacheScope.pin(
+      df.select(col(itemCol).cast("string").as("item")))
+    val estUdf = collectedCmsEstUdf(items, "item", depth, width)
+    items
       .agg(count(lit(1)).as("total_rows"),
         sum(when(estUdf(col("item")) >= minCount, 1L).otherwise(0L))
           .as("candidate_rows"))
